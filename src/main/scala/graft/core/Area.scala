@@ -1,0 +1,130 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A subspace of a cube — "all cells where year=2023 ∧ datatype=Plan" — for
+  * mass read/write/transform operations (≙ `area.py:16`). The pattern maps
+  * dimension index → requested member ids (OR within a dimension, AND across
+  * dimensions, ≙ `facttable.py:350-373`); aggregated members select all their
+  * leaf descendants.
+  *
+  * All mutations are whole-DataFrame rewrites (filter/union) — no driver-side
+  * row loops — so they scale to arbitrarily large fact frames.
+  */
+final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
+
+  /** Leaf-expanded pattern: dimension index → leaf id set. */
+  lazy val leafPattern: Map[Int, Seq[Int]] =
+    pattern.map { case (i, ids) => i -> cube.leafIdsOf(i, ids) }
+
+  /** Conjunctive membership predicate over the fact columns. */
+  def predicate: Column =
+    if (leafPattern.isEmpty) lit(true)
+    else leafPattern.map { case (i, ids) =>
+      if (ids.size == 1) col(s"d$i") === ids.head else col(s"d$i").isin(ids: _*)
+    }.reduce(_ && _)
+
+  private def facts: DataFrame = cube.facts
+
+  def rows: DataFrame = facts.filter(predicate)
+
+  /** Count of stored cells in the area (≙ `area.py:54-60`). */
+  def count: Long = rows.count()
+
+  /** Enumerate `(member names…, value)` records (≙ `area.py:86-114`). */
+  def records: DataFrame = {
+    var df = rows
+    cube.dimCols.indices.foreach { i =>
+      val names = cube.memberNamesDf(i)
+        .select(col("id").as(s"__id$i"), col("mname").as(cube.dimensions(i).name))
+      df = df.join(broadcast(names), col(s"d$i") === col(s"__id$i"))
+    }
+    df.select(cube.dimensions.map(d => col(d.name)) :+ col("value"): _*)
+  }
+
+  // ---- aggregates (≙ `area.py:372-447`) -----------------------------------
+
+  private def aggOne(c: Column): Option[Double] =
+    rows.agg(c).collect().headOption.flatMap(r => Option(r.get(0)).map {
+      case d: java.lang.Double => d.doubleValue()
+      case bd: java.math.BigDecimal => bd.doubleValue()
+      case l: java.lang.Long => l.doubleValue()
+    })
+  def sum: Option[Double] = aggOne(org.apache.spark.sql.functions.sum(col("value").cast(DoubleType)))
+  def min: Option[Double] = aggOne(org.apache.spark.sql.functions.min(col("value").cast(DoubleType)))
+  def max: Option[Double] = aggOne(org.apache.spark.sql.functions.max(col("value").cast(DoubleType)))
+  def avg: Option[Double] = aggOne(org.apache.spark.sql.functions.avg(col("value").cast(DoubleType)))
+
+  // ---- mutations (≙ `area.py:224-370`) ------------------------------------
+
+  /** Delete all rows in the subspace (≙ `area.py:224-233`). */
+  def clear(): Unit = cube.replaceFacts(facts.filter(!predicate))
+
+  /** Overwrite the value of every EXISTING cell (≙ `area.py:280-336`). */
+  def setValue(v: Double): Unit = transform(_ => lit(v).cast(valueType))
+
+  def multiply(factor: Double): Unit = transform(c => (c * factor).cast(valueType))
+  def increment(x: Double): Unit = transform(c => (c + x).cast(valueType))
+  def transform(f: Column => Column): Unit =
+    cube.replaceFacts(facts.withColumn("value",
+      when(predicate, f(col("value"))).otherwise(col("value"))))
+
+  private def valueType: DataType = facts.schema("value").dataType
+
+  /** Write the FULL leaf cross-product of the area with a constant value
+    * (≙ `enumerate_data_space=True`, `area.py:140-192`): cross-join of the
+    * per-dimension leaf member frames.
+    */
+  def setValueEnumerated(v: Double): Unit = {
+    val spark = cube.spark
+    var grid: DataFrame = null
+    cube.dimCols.indices.foreach { i =>
+      val ids = leafPattern.getOrElse(i, cube.dimensions(i).leafMembers.map(_.id))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(Row(_)).toList, 1),
+        StructType(Seq(StructField(s"d$i", IntegerType))))
+      grid = if (grid == null) df else grid.crossJoin(df)
+    }
+    val full = grid.withColumn("value", lit(v).cast(valueType))
+    cube.replaceFacts(facts.filter(!predicate).unionByName(full))
+  }
+
+  /** Area-to-area copy with scalar transform — `plan = actual * 1.15`
+    * (≙ `area.py:511-570, 693-743`). Source and target patterns must differ
+    * only in dimensions where both select a single member; the target member
+    * must be base-level (writeback goes to base cells). The source is read
+    * (snapshotted by DataFrame immutability, ≙ "pinning" `area.py:63-70`)
+    * before the target subspace is cleared.
+    */
+  def copyFrom(src: Area, f: Column => Column = identity): Unit = {
+    require(src.cube eq cube, "cross-cube area copy not supported")
+    val diffs = (0 until cube.nDims).filter { i =>
+      pattern.get(i).map(_.toSet) != src.pattern.get(i).map(_.toSet)
+    }
+    diffs.foreach { i =>
+      val t = pattern.getOrElse(i, Nil); val s = src.pattern.getOrElse(i, Nil)
+      require(t.size == 1 && s.size == 1,
+        s"area copy: differing dimension ${cube.dimensions(i).name} must fix exactly one member on both sides")
+      require(cube.dimensions(i).levelOf(t.head) == 0,
+        s"area copy target member must be base level in ${cube.dimensions(i).name}")
+    }
+    var mapped = src.rows
+    diffs.foreach { i => mapped = mapped.withColumn(s"d$i", lit(pattern(i).head)) }
+    mapped = mapped.withColumn("value", f(col("value")).cast(valueType))
+    cube.replaceFacts(facts.filter(!predicate).unionByName(mapped))
+  }
+}
+
+object Area {
+  /** Build from member-name pattern `("years" -> Seq("2023"), …)`. */
+  def apply(cube: Cube, byName: Seq[(String, Seq[String])]): Area = {
+    val byIdx = byName.map { case (dimName, members) =>
+      val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dimName))
+      require(i >= 0, s"unknown dimension '$dimName' in cube '${cube.name}'")
+      i -> members.map(cube.dimensions(i).idOf)
+    }.toMap
+    new Area(cube, byIdx)
+  }
+}

@@ -1,0 +1,243 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+/** Resolved cell address: member ids per dimension + super level (sum of
+  * member levels — ≙ the reference "bolt", `cube.py:601-627`).
+  * `superLevel == 0` ⇒ base cell (stored); `> 0` ⇒ computed rollup.
+  */
+final case class Bolt(superLevel: Int, ids: Vector[Int])
+
+/** An N-dimensional cube (≙ `cube.py:65`): an ordered list of [[Dimension]]s
+  * plus a fact DataFrame with schema `(d0:Int, …, dN-1:Int, value:Double)`
+  * holding base-level cells only. Aggregated cells are computed on read as
+  * broadcast closure-join + weighted sum — the Spark-native replacement for
+  * the reference's write-time ancestor inverted index (`cube.py:542-549`):
+  * fan-out happens at join time on executors, not at write time.
+  *
+  * Writes land in a driver-side overlay (point upserts/deletes) merged into
+  * the fact frame lazily; `compact()` materializes. Any write invalidates the
+  * whole result cache (≙ `cube.py:510-511`).
+  */
+final class Cube(
+    val name: String,
+    val dimensions: Seq[Dimension],
+    val spark: SparkSession,
+    initialFacts: Option[DataFrame] = None) {
+
+  require(dimensions.nonEmpty && dimensions.size <= 32, "1..32 dimensions")
+  val nDims: Int = dimensions.size
+  val dimCols: Vector[String] = Vector.tabulate(nDims)(i => s"d$i")
+
+  private val valueField: StructField =
+    initialFacts.map(df => df.schema("value")).getOrElse(StructField("value", DoubleType))
+  private def factSchema: StructType =
+    StructType(dimCols.map(StructField(_, IntegerType)) :+ valueField)
+
+  private var base: DataFrame =
+    initialFacts.getOrElse(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], factSchema))
+
+  /** Point-write overlay: address → Some(value) upsert | None delete. */
+  private val overlay = mutable.LinkedHashMap[Vector[Int], Option[Double]]()
+  private val cache = TrieMap[Vector[Int], Option[Double]]()
+  private[graft] val rules = mutable.ArrayBuffer[graft.olap.RuleDef]()
+
+  // ---- closure tables (broadcast dimension metadata) ----------------------
+
+  private val closureDfs = mutable.Map[Int, DataFrame]()
+
+  /** (anc, leaf, weight) DataFrame for dimension `i`; driver-built, small,
+    * always used under `broadcast()`.
+    */
+  def closureDf(i: Int): DataFrame = closureDfs.getOrElseUpdate(i, {
+    val rows = dimensions(i).closureRows.map(r => Row(r.anc, r.leaf, r.weight))
+    val schema = StructType(Seq(
+      StructField("anc", IntegerType), StructField("leaf", IntegerType),
+      StructField("weight", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
+  })
+
+  /** (id, name) DataFrame for dimension `i` — for record enumeration. */
+  def memberNamesDf(i: Int): DataFrame = {
+    val rows = dimensions(i).members.map(m => Row(m.id, m.name))
+    val schema = StructType(Seq(StructField("id", IntegerType), StructField("mname", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
+  }
+
+  def refreshClosures(): Unit = { closureDfs.clear(); cache.clear() }
+
+  // ---- address resolution -------------------------------------------------
+
+  /** Names → bolt (≙ `_address_to_bolt`, `cube.py:601-627`). */
+  def bolt(address: Seq[String]): Bolt = {
+    require(address.length == nDims,
+      s"address has ${address.length} parts, cube '$name' has $nDims dimensions")
+    val ids = address.zipWithIndex.map { case (m, i) => dimensions(i).idOf(m) }.toVector
+    val superLevel = ids.zipWithIndex.map { case (id, i) => dimensions(i).levelOf(id) }.sum
+    Bolt(superLevel, ids)
+  }
+
+  // ---- fact frame ---------------------------------------------------------
+
+  /** The merged fact frame (base + overlay, overlay wins). */
+  def facts: DataFrame = {
+    if (overlay.isEmpty) base
+    else {
+      val rows = overlay.toSeq.map { case (ids, v) =>
+        Row.fromSeq(ids.map(Int.box) :+ v.map(Double.box).orNull)
+      }
+      val schema = StructType(dimCols.map(StructField(_, IntegerType)) :+
+        StructField("value", DoubleType))
+      val delta = spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
+      val deltaCast =
+        if (valueField.dataType == DoubleType) delta
+        else delta.withColumn("value", col("value").cast(valueField.dataType))
+      base.join(broadcast(deltaCast.select(dimCols.map(col): _*)), dimCols, "left_anti")
+        .unionByName(deltaCast.filter(col("value").isNotNull))
+    }
+  }
+
+  private[graft] def replaceFacts(df: DataFrame): Unit = {
+    base = df.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
+    overlay.clear(); cache.clear()
+  }
+
+  /** Materialize merged facts (persist + cut lineage), clear the overlay. */
+  def compact(): Unit = {
+    val merged = facts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    merged.count()
+    base = merged
+    overlay.clear()
+  }
+
+  def cellsCount: Long = facts.count()
+
+  // ---- point read / write (≙ `facttable.py:146-170`, `cube.py:499-537`) ---
+
+  def set(address: Seq[String], value: Double): Unit = {
+    val b = bolt(address)
+    require(b.superLevel == 0,
+      s"writeback to aggregated cell ${address.mkString("[", ",", "]")} not allowed")
+    graft.olap.Rules.onEntry(this, b, value) match {
+      case Some(v) => overlay(b.ids) = Some(v)
+      case None    => overlay(b.ids) = Some(value)
+    }
+    cache.clear()
+  }
+
+  def delete(address: Seq[String]): Unit = {
+    val b = bolt(address)
+    require(b.superLevel == 0, "can only delete base cells")
+    overlay(b.ids) = None
+    cache.clear()
+  }
+
+  /** Cell read: base cells are point lookups (overlay first, then a
+    * pushed-down filter job); aggregated cells are closure-join rollups.
+    * Rules intercept per scope (≙ `cube.py:334-497`).
+    */
+  def get(address: Seq[String]): Option[Double] = getByBolt(bolt(address))
+
+  private[graft] def getByBolt(b: Bolt): Option[Double] =
+    cache.getOrElseUpdate(b.ids, {
+      graft.olap.Rules.evaluate(this, b) match {
+        case Some(v) => v
+        case None =>
+          if (b.superLevel == 0) pointRead(b.ids)
+          else rollup(b.ids)
+      }
+    })
+
+  /** Raw stored value, bypassing rules (used by the rules engine itself). */
+  private[graft] def rawGet(b: Bolt): Option[Double] =
+    if (b.superLevel == 0) pointRead(b.ids) else rollup(b.ids)
+
+  private def pointRead(ids: Vector[Int]): Option[Double] =
+    overlay.get(ids) match {
+      case Some(v) => v
+      case None =>
+        val pred = dimCols.zip(ids).map { case (c, id) => col(c) === id }.reduce(_ && _)
+        base.filter(pred).select(col("value").cast(DoubleType))
+          .collect().headOption.map(_.getDouble(0))
+    }
+
+  /** Weighted rollup of one aggregated cell: per aggregated dimension a
+    * broadcast closure join contributes its weight; leaf dimensions are plain
+    * pushed-down filters (≙ `cube.py:440-497` + `facttable.py:190-231`).
+    */
+  private def rollup(ids: Vector[Int]): Option[Double] = {
+    var df = facts
+    var weightCols = List.empty[Column]
+    ids.zipWithIndex.foreach { case (id, i) =>
+      if (dimensions(i).levelOf(id) == 0) {
+        df = df.filter(col(s"d$i") === id)
+      } else {
+        val cl = closureDf(i).filter(col("anc") === id)
+          .select(col("leaf").as(s"leaf_$i"), col("weight").as(s"w_$i"))
+        df = df.join(broadcast(cl), col(s"d$i") === col(s"leaf_$i"))
+        weightCols ::= col(s"w_$i")
+      }
+    }
+    val weighted = weightCols.foldLeft(col("value").cast(DoubleType))(_ * _)
+    df.agg(sum(weighted)).collect().headOption.flatMap(r => Option(r.get(0)).map {
+      case d: java.lang.Double => d.doubleValue()
+      case bd: java.math.BigDecimal => bd.doubleValue()
+    })
+  }
+
+  // ---- batched grid aggregation (views / query dialect) -------------------
+
+  /** One Spark job computing a whole grid of aggregated cells: for each
+    * dimension a list of requested members (leaf or aggregated, mixed). The
+    * result has one row per non-empty address combination with columns
+    * `(a0:Int, …, aN-1:Int, value)` where `a_i` is the requested member id.
+    *
+    * This replaces the reference's per-cell loop (`query.py:101-136`,
+    * `view.py:769-911`) with a single Catalyst-planned job: per dimension one
+    * broadcast join against the closure subset (fan-out = matching ancestors),
+    * then one hash aggregation. At scale this shuffles once, on the grid keys.
+    */
+  def gridAggregate(selections: Seq[Seq[Int]], valueExpr: Column => Column = identity): DataFrame = {
+    require(selections.length == nDims)
+    var df = facts
+    var weightCols = List.empty[Column]
+    val outCols = mutable.ArrayBuffer[Column]()
+    selections.zipWithIndex.foreach { case (sel, i) =>
+      val allLeaf = sel.forall(dimensions(i).levelOf(_) == 0)
+      if (allLeaf) {
+        df = if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
+             else df.filter(col(s"d$i").isin(sel: _*))
+        df = df.withColumn(s"a$i", col(s"d$i"))
+      } else {
+        val cl = closureDf(i).filter(col("anc").isin(sel: _*))
+          .select(col("anc").as(s"a$i"), col("leaf").as(s"leaf_$i"), col("weight").as(s"w_$i"))
+        df = df.join(broadcast(cl), col(s"d$i") === col(s"leaf_$i"))
+        weightCols ::= col(s"w_$i")
+      }
+      outCols += col(s"a$i")
+    }
+    val weighted = weightCols.foldLeft(valueExpr(col("value")))(_ * _)
+    df.groupBy(outCols.toSeq: _*).agg(sum(weighted).as("value"))
+  }
+
+  /** Leaf-level ids under the given members (no weights — membership only). */
+  def leafIdsOf(dimIdx: Int, memberIds: Seq[Int]): Seq[Int] = {
+    val d = dimensions(dimIdx)
+    memberIds.flatMap { id =>
+      if (d.levelOf(id) == 0) Seq(id) else d.closureRows.collect { case r if r.anc == id => r.leaf }
+    }.distinct
+  }
+
+  def area(pattern: (String, Seq[String])*): Area = Area(this, pattern)
+  def fullArea: Area = new Area(this, Map.empty)
+
+  /** Register a rule (≙ `cube.py:750-847`). */
+  def registerRule(rule: graft.olap.RuleDef): Unit = { rules += rule; cache.clear() }
+
+  private[graft] def clearCache(): Unit = cache.clear()
+}

@@ -1,0 +1,109 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.JsonDSL._
+import java.nio.file.{Files, Paths}
+
+/** Root catalog: named dimensions + cubes (≙ `database.py:28`).
+  * Persistence is Parquet per cube + a JSON metadata sidecar (the Spark-native
+  * replacement for the reference's SQLite KV store, `storage/sqlite.py` —
+  * SURVEY §2.1 S5/S7).
+  */
+final class Database(val name: String, val spark: SparkSession) {
+  private val dims = scala.collection.mutable.LinkedHashMap[String, Dimension]()
+  private val cubeMap = scala.collection.mutable.LinkedHashMap[String, Cube]()
+
+  def addDimension(dimName: String): Dimension = {
+    require(!dims.contains(dimName.toLowerCase), s"dimension '$dimName' exists")
+    val d = new Dimension(dimName); dims(dimName.toLowerCase) = d; d
+  }
+  def dimension(dimName: String): Dimension = dims(dimName.toLowerCase)
+  def dimensions: Seq[Dimension] = dims.values.toSeq
+
+  def addCube(cubeName: String, cubeDims: Seq[Dimension]): Cube = {
+    require(!cubeMap.contains(cubeName.toLowerCase), s"cube '$cubeName' exists")
+    val c = new Cube(cubeName, cubeDims, spark)
+    cubeMap(cubeName.toLowerCase) = c; c
+  }
+  def addCube(cubeName: String, cubeDims: Seq[Dimension],
+      facts: org.apache.spark.sql.DataFrame): Cube = {
+    val c = new Cube(cubeName, cubeDims, spark, Some(facts))
+    cubeMap(cubeName.toLowerCase) = c; c
+  }
+  def cube(cubeName: String): Cube = cubeMap.getOrElse(cubeName.toLowerCase,
+    throw new NoSuchElementException(s"unknown cube '$cubeName'"))
+  def cubes: Seq[Cube] = cubeMap.values.toSeq
+
+  // ---- persistence (S5/S6/S7) --------------------------------------------
+
+  /** Save: `<dir>/meta.json` + `<dir>/cubes/<name>/` parquet. */
+  def save(dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    cubeMap.values.foreach { c =>
+      c.facts.write.mode("overwrite").parquet(s"$dir/cubes/${c.name}")
+    }
+    val meta: JValue =
+      ("name" -> name) ~
+      ("dimensions" -> dims.values.map(dimToJson).toList) ~
+      ("cubes" -> cubeMap.values.map(c =>
+        ("name" -> c.name) ~ ("dims" -> c.dimensions.map(_.name).toList)).toList)
+    Files.writeString(Paths.get(s"$dir/meta.json"), JsonMethods.pretty(JsonMethods.render(meta)))
+  }
+
+  private def dimToJson(d: Dimension): JValue =
+    ("name" -> d.name) ~
+    ("members" -> d.members.map(m =>
+      ("id" -> m.id) ~ ("name" -> m.name) ~
+      ("parents" -> m.parents.toList) ~
+      ("weights" -> m.parentWeights.map { case (k, v) => k.toString -> v }) ~
+      ("format" -> m.format)).toList) ~
+    ("attributes" -> d.attributeNames.map { an =>
+      val f = d.attribute(an)
+      ("name" -> f.name) ~ ("type" -> f.valueType) ~
+      ("values" -> d.members.flatMap(m => f.get(m.id).map(v => m.id.toString -> v)).toMap)
+    }.toList)
+
+  /** Export/snapshot: full copy to a new directory (≙ `database.py:319-380`). */
+  def export(dir: String): Unit = save(dir)
+}
+
+object Database {
+  /** Load a database persisted by [[Database.save]]. */
+  def load(dir: String, spark: SparkSession): Database = {
+    implicit val fmts: Formats = DefaultFormats
+    val meta = JsonMethods.parse(Files.readString(Paths.get(s"$dir/meta.json")))
+    val db = new Database((meta \ "name").extract[String], spark)
+    (meta \ "dimensions").extract[List[JValue]].foreach { dj =>
+      val d = db.addDimension((dj \ "name").extract[String])
+      d.edit()
+      val members = (dj \ "members").extract[List[JValue]]
+      // two passes: create all names first (ids are assigned in order), then link
+      members.foreach(mj => d.add((mj \ "name").extract[String]))
+      members.foreach { mj =>
+        val mname = (mj \ "name").extract[String]
+        val weights = (mj \ "weights").extract[Map[String, Double]]
+        (mj \ "parents").extract[List[Int]].foreach { pid =>
+          val pname = members.find(x => (x \ "id").extract[Int] == pid)
+            .map(x => (x \ "name").extract[String]).get
+          d.add(pname, Seq(mname), Seq(weights.getOrElse(pid.toString, 1.0)))
+        }
+      }
+      d.commit()
+      members.foreach { mj =>
+        (mj \ "format").extractOpt[String].foreach(f => d.setFormat((mj \ "name").extract[String], f))
+      }
+      (dj \ "attributes").extract[List[JValue]].foreach { aj =>
+        val f = d.addAttribute((aj \ "name").extract[String], (aj \ "type").extract[String])
+        (aj \ "values").extract[Map[String, String]].foreach { case (id, v) => f.set(id.toInt, v) }
+      }
+    }
+    (meta \ "cubes").extract[List[JValue]].foreach { cj =>
+      val cname = (cj \ "name").extract[String]
+      val cdims = (cj \ "dims").extract[List[String]].map(db.dimension)
+      db.addCube(cname, cdims, spark.read.parquet(s"$dir/cubes/$cname"))
+    }
+    db
+  }
+}

@@ -1,0 +1,375 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Immutable snapshot of one member of a [[Dimension]].
+  *
+  * Mirrors the reference's member record (tinyolap `dimension.py:908-919`:
+  * IDX/NAME/PARENTS/CHILDREN/LEVEL/FORMAT/PARENT_WEIGHTS) but the transitive
+  * closures (ALL_PARENTS / BASE_CHILDREN) live on the dimension as a
+  * relational closure table — the Spark-native form (SURVEY §1.7).
+  */
+final case class MemberDef(
+    id: Int,
+    name: String,
+    parents: Vector[Int],
+    children: Vector[Int],
+    parentWeights: Map[Int, Double],
+    level: Int,
+    format: Option[String])
+
+/** One (ancestor, leaf, weight) row of a dimension's leaf-closure table.
+  * `weight` is the sum over all ancestor→leaf paths of the product of edge
+  * weights along the path (≙ `dimension.py:782-827` weight precompute).
+  * Leaves carry a self-row with weight 1.0.
+  */
+final case class ClosureRow(anc: Int, leaf: Int, weight: Double)
+
+/** Typed member attribute field (≙ `dimension.py:79-180`). Values stored as
+  * strings, validated against `valueType` ∈ {string, int, double, bool}.
+  */
+final class AttributeField(val name: String, val valueType: String) {
+  private[core] val values = mutable.Map[Int, String]()
+
+  def set(memberId: Int, value: Any): Unit = {
+    val s = value.toString
+    valueType match {
+      case "int"    => s.toLong
+      case "double" => s.toDouble
+      case "bool"   => s.toBoolean
+      case _        =>
+    }
+    values(memberId) = s
+  }
+  def get(memberId: Int): Option[String] = values.get(memberId)
+
+  /** fnmatch-style wildcard filter (≙ `dimension.py:135-168`). */
+  def filter(pattern: String, caseSensitive: Boolean = false): Seq[Int] = {
+    val rx = AttributeField.fnmatchToRegex(pattern, caseSensitive)
+    values.collect { case (id, v) if rx.matcher(v).matches() => id }.toSeq.sorted
+  }
+  /** Regex filter (≙ `dimension.py:170-180`). */
+  def rmatch(regex: String): Seq[Int] = {
+    val rx = java.util.regex.Pattern.compile(regex)
+    values.collect { case (id, v) if rx.matcher(v).find() => id }.toSeq.sorted
+  }
+}
+
+object AttributeField {
+  /** Translate an fnmatch wildcard (`* ? [seq]`) to a compiled regex. */
+  def fnmatchToRegex(pattern: String, caseSensitive: Boolean): java.util.regex.Pattern = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          val j = pattern.indexOf(']', i + 1)
+          if (j < 0) { sb.append("\\["); }
+          else { sb.append(pattern.substring(i, j + 1)); i = j }
+        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      i += 1
+    }
+    val flags = if (caseSensitive) 0 else java.util.regex.Pattern.CASE_INSENSITIVE
+    java.util.regex.Pattern.compile(sb.toString, flags)
+  }
+}
+
+/** Subset of a dimension's members (≙ `dimension.py:641-724`). */
+sealed trait Subset { def name: String; def resolve(dim: Dimension): Seq[Int] }
+final case class StaticSubset(name: String, members: Seq[String]) extends Subset {
+  def resolve(dim: Dimension): Seq[Int] = members.map(dim.idOf)
+}
+/** Multi-condition AND over attribute wildcard queries. */
+final case class AttributeSubset(name: String, conditions: Seq[(String, String)]) extends Subset {
+  def resolve(dim: Dimension): Seq[Int] =
+    conditions.map { case (attr, pat) => dim.attribute(attr).filter(pat).toSet }
+      .reduce(_ intersect _).toSeq.sorted
+}
+/** Custom callable subset; `volatile` ⇒ re-evaluated on every resolve. */
+final class CallableSubset(val name: String, fn: Dimension => Seq[String], volatileEval: Boolean) extends Subset {
+  private var cache: Option[Seq[Int]] = None
+  def resolve(dim: Dimension): Seq[Int] = {
+    if (volatileEval) fn(dim).map(dim.idOf)
+    else cache.getOrElse { val r = fn(dim).map(dim.idOf); cache = Some(r); r }
+  }
+}
+
+/** A named, leveled, weighted, multi-parent member hierarchy (a DAG, not a
+  * tree — ≙ `dimension.py:830`). Edit-transactional: `edit()` / `commit()` /
+  * `rollback()` (≙ `dimension.py:1054-1115`); `commit()` rebuilds levels and
+  * the leaf-closure table and rejects cycles (≙ `dimension.py:2263-2275`).
+  *
+  * Dimensions are driver-side metadata: small (≤ ~1e6 members), always
+  * broadcast to executors as closure-table DataFrames by the cube layer.
+  */
+final class Dimension(val name: String) {
+
+  private case class MutMember(
+      id: Int, name: String,
+      parents: mutable.ArrayBuffer[Int] = mutable.ArrayBuffer(),
+      children: mutable.ArrayBuffer[Int] = mutable.ArrayBuffer(),
+      parentWeights: mutable.Map[Int, Double] = mutable.Map(),
+      var format: Option[String] = None)
+
+  private val defs = mutable.ArrayBuffer[MutMember]()
+  private val byName = mutable.Map[String, Int]() // lower-cased name → id
+  private val aliasMap = mutable.Map[String, Int]() // lower-cased alias → id
+  private val attrs = mutable.LinkedHashMap[String, AttributeField]()
+  private val subsetMap = mutable.LinkedHashMap[String, Subset]()
+  private var editing = false
+  private var editBackup: Option[(Seq[MemberDef], Map[String, Int])] = None
+
+  // committed snapshot
+  private var committed: Vector[MemberDef] = Vector.empty
+  private var closure: Vector[ClosureRow] = Vector.empty
+  private var allParentsMap: Map[Int, Set[Int]] = Map.empty
+
+  // ---- edit lifecycle -----------------------------------------------------
+
+  def edit(): Dimension = {
+    require(!editing, s"dimension '$name' already in edit mode")
+    editBackup = Some((committed, byName.toMap))
+    editing = true
+    this
+  }
+
+  /** Add a member; with children, creates/links them with the given weights
+    * (default 1.0). Unknown children are auto-created (≙ `dimension.py:2144`).
+    */
+  def add(member: String, children: Seq[String] = Nil, weights: Seq[Double] = Nil): Dimension = {
+    require(editing, s"dimension '$name' not in edit mode — call edit()")
+    val mid = getOrCreate(member)
+    children.zipWithIndex.foreach { case (c, i) =>
+      val cid = getOrCreate(c)
+      val w = if (i < weights.length) weights(i) else 1.0
+      val parent = defs(mid); val child = defs(cid)
+      if (!parent.children.contains(cid)) parent.children += cid
+      if (!child.parents.contains(mid)) child.parents += mid
+      child.parentWeights(mid) = w
+    }
+    this
+  }
+
+  def addMany(members: Seq[String]): Dimension = { members.foreach(m => add(m)); this }
+
+  def remove(member: String): Dimension = {
+    require(editing, s"dimension '$name' not in edit mode")
+    val mid = idOf(member)
+    defs.foreach { m =>
+      m.parents -= mid; m.children -= mid; m.parentWeights.remove(mid)
+    }
+    byName.remove(member.toLowerCase)
+    defs(mid) = MutMember(mid, null) // tombstone; ids are stable
+    this
+  }
+
+  def commit(): Dimension = {
+    require(editing, s"dimension '$name' not in edit mode")
+    detectCycles()
+    val levels = computeLevels()
+    committed = defs.filter(_.name != null).map { m =>
+      MemberDef(m.id, m.name, m.parents.toVector, m.children.toVector,
+        m.parentWeights.toMap, levels(m.id), m.format)
+    }.toVector
+    closure = buildClosure(levels)
+    allParentsMap = buildAllParents()
+    editing = false
+    editBackup = None
+    this
+  }
+
+  def rollback(): Dimension = {
+    require(editing, s"dimension '$name' not in edit mode")
+    val (snap, names) = editBackup.get
+    defs.clear(); byName.clear()
+    snap.foreach { m =>
+      while (defs.length <= m.id) defs += MutMember(defs.length, null)
+      defs(m.id) = MutMember(m.id, m.name,
+        mutable.ArrayBuffer(m.parents: _*), mutable.ArrayBuffer(m.children: _*),
+        mutable.Map(m.parentWeights.toSeq: _*), m.format)
+    }
+    names.foreach { case (k, v) => byName(k) = v }
+    editing = false; editBackup = None
+    this
+  }
+
+  private def getOrCreate(member: String): Int =
+    byName.getOrElse(member.toLowerCase, {
+      val id = defs.length
+      defs += MutMember(id, member)
+      byName(member.toLowerCase) = id
+      id
+    })
+
+  /** DFS cycle check over parent edges (≙ `dimension.py:2263-2275`). */
+  private def detectCycles(): Unit = {
+    val state = mutable.Map[Int, Int]().withDefaultValue(0) // 0 unseen, 1 open, 2 done
+    def visit(id: Int, path: List[Int]): Unit = {
+      state(id) match {
+        case 1 => throw new IllegalArgumentException(
+          s"circular reference in dimension '$name' via member '${defs(id).name}': " +
+            path.reverse.map(defs(_).name).mkString(" -> "))
+        case 2 =>
+        case _ =>
+          state(id) = 1
+          defs(id).parents.foreach(p => visit(p, p :: path))
+          state(id) = 2
+      }
+    }
+    defs.indices.filter(defs(_).name != null).foreach(i => visit(i, List(i)))
+  }
+
+  /** Leaf level = 0; parent level = 1 + max(children levels). */
+  private def computeLevels(): Array[Int] = {
+    val levels = Array.fill(defs.length)(-1)
+    def lv(id: Int): Int = {
+      if (levels(id) >= 0) levels(id)
+      else {
+        val m = defs(id)
+        val l = if (m.children.isEmpty) 0 else 1 + m.children.map(lv).max
+        levels(id) = l; l
+      }
+    }
+    defs.indices.filter(defs(_).name != null).foreach(lv)
+    levels
+  }
+
+  /** Per member: leaf descendants with summed path-product weights
+    * (≙ `dimension.py:2284-2294` + `782-827`). A leaf reachable via two
+    * paths contributes the SUM of the per-path weight products.
+    */
+  private def buildClosure(levels: Array[Int]): Vector[ClosureRow] = {
+    val memo = mutable.Map[Int, Map[Int, Double]]()
+    def leavesOf(id: Int): Map[Int, Double] = memo.getOrElseUpdate(id, {
+      val m = defs(id)
+      if (m.children.isEmpty) Map(id -> 1.0)
+      else {
+        val acc = mutable.Map[Int, Double]().withDefaultValue(0.0)
+        m.children.foreach { c =>
+          val w = defs(c).parentWeights.getOrElse(id, 1.0)
+          leavesOf(c).foreach { case (leaf, lw) => acc(leaf) += w * lw }
+        }
+        acc.toMap
+      }
+    })
+    defs.indices.filter(defs(_).name != null).flatMap { id =>
+      leavesOf(id).toSeq.sortBy(_._1).map { case (leaf, w) => ClosureRow(id, leaf, w) }
+    }.toVector
+  }
+
+  private def buildAllParents(): Map[Int, Set[Int]] = {
+    val memo = mutable.Map[Int, Set[Int]]()
+    def up(id: Int): Set[Int] = memo.getOrElseUpdate(id,
+      defs(id).parents.toSet ++ defs(id).parents.flatMap(up))
+    defs.indices.filter(defs(_).name != null).map(i => i -> up(i)).toMap
+  }
+
+  // ---- committed read surface --------------------------------------------
+
+  def members: Vector[MemberDef] = committed
+  def memberCount: Int = committed.length
+  def contains(member: String): Boolean =
+    byName.contains(member.toLowerCase) || aliasMap.contains(member.toLowerCase)
+  def idOf(member: String): Int =
+    byName.getOrElse(member.toLowerCase,
+      aliasMap.getOrElse(member.toLowerCase,
+        throw new NoSuchElementException(s"unknown member '$member' in dimension '$name'")))
+  def apply(member: String): MemberDef = committed.find(_.id == idOf(member)).get
+  def memberById(id: Int): MemberDef = committed.find(_.id == id).get
+  def nameOf(id: Int): String = memberById(id).name
+  def levelOf(id: Int): Int = memberById(id).level
+
+  def leafMembers: Vector[MemberDef] = committed.filter(_.level == 0)
+  def aggregatedMembers: Vector[MemberDef] = committed.filter(_.level > 0)
+  def rootMembers: Vector[MemberDef] = committed.filter(_.parents.isEmpty)
+  def membersByLevel(level: Int): Vector[MemberDef] = committed.filter(_.level == level)
+  def topLevel: Int = if (committed.isEmpty) 0 else committed.map(_.level).max
+  def defaultMember: MemberDef = committed.head
+
+  /** Full leaf-closure table (incl. leaf self-rows, weight 1.0). */
+  def closureRows: Vector[ClosureRow] = closure
+  /** Leaf descendants of one member, with effective weights. */
+  def leavesOf(member: String): Vector[ClosureRow] = {
+    val id = idOf(member); closure.filter(_.anc == id)
+  }
+  def allParents(id: Int): Set[Int] = allParentsMap.getOrElse(id, Set.empty)
+
+  // ---- attributes / aliases / subsets / formats ---------------------------
+
+  def addAttribute(attrName: String, valueType: String = "string"): AttributeField = {
+    val f = new AttributeField(attrName, valueType)
+    attrs(attrName.toLowerCase) = f
+    f
+  }
+  def attribute(attrName: String): AttributeField =
+    attrs.getOrElse(attrName.toLowerCase,
+      throw new NoSuchElementException(s"unknown attribute '$attrName' in dimension '$name'"))
+  def hasAttribute(attrName: String): Boolean = attrs.contains(attrName.toLowerCase)
+  def attributeNames: Seq[String] = attrs.values.map(_.name).toSeq
+  def setAttribute(attrName: String, member: String, value: Any): Unit =
+    attribute(attrName).set(idOf(member), value)
+  def getAttribute(attrName: String, member: String): Option[String] =
+    attribute(attrName).get(idOf(member))
+  /** Members whose attribute equals `value` (≙ `dimension.py:1919-1938`). */
+  def membersByAttribute(attrName: String, value: String): Seq[MemberDef] =
+    attribute(attrName).values.collect { case (id, v) if v == value => memberById(id) }.toSeq
+
+  def addAlias(alias: String, member: String): Unit = aliasMap(alias.toLowerCase) = idOf(member)
+
+  def addSubset(subsetName: String, members: Seq[String]): Unit =
+    subsetMap(subsetName.toLowerCase) = StaticSubset(subsetName, members)
+  def addAttributeSubset(subsetName: String, conditions: Seq[(String, String)]): Unit =
+    subsetMap(subsetName.toLowerCase) = AttributeSubset(subsetName, conditions)
+  def addCallableSubset(subsetName: String, fn: Dimension => Seq[String], volatileEval: Boolean = false): Unit =
+    subsetMap(subsetName.toLowerCase) = new CallableSubset(subsetName, fn, volatileEval)
+  def hasSubset(subsetName: String): Boolean = subsetMap.contains(subsetName.toLowerCase)
+  def subset(subsetName: String): Seq[MemberDef] =
+    subsetMap(subsetName.toLowerCase).resolve(this).map(memberById)
+  def subsetNames: Seq[String] = subsetMap.values.map(_.name).toSeq
+
+  def setFormat(member: String, format: String): Unit = {
+    val id = idOf(member)
+    committed = committed.map(m => if (m.id == id) m.copy(format = Some(format)) else m)
+    if (id < defs.length && defs(id).name != null) defs(id).format = Some(format)
+  }
+
+  def member(memberName: String): Member = new Member(this, idOf(memberName))
+}
+
+/** Navigable pointer into a dimension (≙ `member.py:15`, navigation
+  * `member.py:162-565`). Ordinal navigation follows committed member order.
+  */
+final class Member(val dimension: Dimension, val id: Int) {
+  private def d: MemberDef = dimension.memberById(id)
+  def name: String = d.name
+  def level: Int = d.level
+  def format: Option[String] = d.format
+  def isLeaf: Boolean = d.level == 0
+  def isRoot: Boolean = d.parents.isEmpty
+  def isParent: Boolean = d.children.nonEmpty
+  def isChild: Boolean = d.parents.nonEmpty
+
+  private def ordinal: Int = dimension.members.indexWhere(_.id == id)
+  def hasNext: Boolean = ordinal < dimension.members.length - 1
+  def hasPrevious: Boolean = ordinal > 0
+  def next: Member = { require(hasNext, s"no member after '$name'"); new Member(dimension, dimension.members(ordinal + 1).id) }
+  def previous: Member = { require(hasPrevious, s"no member before '$name'"); new Member(dimension, dimension.members(ordinal - 1).id) }
+  def first: Member = new Member(dimension, dimension.members.head.id)
+  def last: Member = new Member(dimension, dimension.members.last.id)
+
+  def parents: Seq[Member] = d.parents.map(new Member(dimension, _))
+  def children: Seq[Member] = d.children.map(new Member(dimension, _))
+  def parent: Member = { require(d.parents.nonEmpty, s"'$name' has no parent"); new Member(dimension, d.parents.head) }
+  def up(i: Int = 0): Member = new Member(dimension, d.parents(i))
+  def down(i: Int = 0): Member = new Member(dimension, d.children(i))
+  def parentWeight(parentName: String): Double =
+    d.parentWeights.getOrElse(dimension.idOf(parentName), 1.0)
+  def leaves: Seq[Member] =
+    dimension.closureRows.filter(r => r.anc == id && r.leaf != id).map(r => new Member(dimension, r.leaf))
+  def roots: Seq[Member] = dimension.rootMembers.map(m => new Member(dimension, m.id))
+  def allParents: Seq[Member] = dimension.allParents(id).toSeq.sorted.map(new Member(dimension, _))
+  override def toString: String = s"${dimension.name}:$name"
+}

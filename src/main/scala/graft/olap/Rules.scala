@@ -1,0 +1,217 @@
+package graft.olap
+
+import graft.core.{Bolt, Cube}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Rule scopes (≙ `rules.py:24-41`). */
+sealed trait RuleScope
+object RuleScope {
+  case object AllLevels extends RuleScope        // overrides every read
+  case object AggregationLevel extends RuleScope // overrides aggregated reads
+  case object BaseLevel extends RuleScope        // computed per base cell, then aggregated
+  case object OnEntry extends RuleScope          // write-path transform
+}
+
+/** Restricted rule expression DSL. The reference allows arbitrary Python
+  * (`rules.py:122`); we define the expressible subset as an AST that compiles
+  * BOTH to a driver-side scalar evaluator (point reads) and to a Catalyst
+  * `Column` over a measure-pivoted row (grid/view reads, codegen-friendly) —
+  * see SURVEY §2.7/§7. The escape hatch is a registered Scala function.
+  *
+  * Null semantics: an empty cell reads as `None`; `+`/`-` treat `None` as 0;
+  * `*`//` propagate `None`; `/` yields `None` on zero/None denominator (the
+  * `if sales: … else None` idiom of `samples/tiny.py:137-144`).
+  */
+sealed trait RuleExpr
+object RuleExpr {
+  final case class Lit(v: Double) extends RuleExpr
+  /** Cell reference: `"Sales"` (member looked up across dimensions in order,
+    * ≙ `cell.py:251-331`) or `"months:Jul"` (dimension-qualified,
+    * ≙ `cell.py:185-211`).
+    */
+  final case class Ref(spec: String) extends RuleExpr
+  final case class Add(a: RuleExpr, b: RuleExpr) extends RuleExpr
+  final case class Sub(a: RuleExpr, b: RuleExpr) extends RuleExpr
+  final case class Mul(a: RuleExpr, b: RuleExpr) extends RuleExpr
+  final case class Div(a: RuleExpr, b: RuleExpr) extends RuleExpr
+  final case class Neg(a: RuleExpr) extends RuleExpr
+  final case class Fn(name: String, a: RuleExpr) extends RuleExpr // abs | round
+}
+
+/** A registered rule (≙ `@rule` decorator, `decorators.py:13-50`;
+  * `cube.py:750-847`). `trigger` is a partial address pattern
+  * (dimension name → member name); the first rule whose every pattern entry
+  * equals the queried address wins (≙ `rules.py:207-227`).
+  * `scalaFn` escape hatch: receives resolved sibling-measure values.
+  */
+final case class RuleDef(
+    trigger: Map[String, String],
+    scope: RuleScope,
+    expr: RuleExpr,
+    name: String = "",
+    onEntryFn: Option[Double => Double] = None)
+
+object Rules {
+
+  /** Returns Some(result) if a matching rule computed the cell; None if no
+    * rule applies and normal read semantics proceed (≙ `cube.py:334-432`).
+    */
+  def evaluate(cube: Cube, b: Bolt): Option[Option[Double]] = {
+    val m = matchRule(cube, b)
+    m.flatMap { rule =>
+      rule.scope match {
+        case RuleScope.AllLevels => Some(evalScalar(cube, b, rule.expr, 0))
+        case RuleScope.AggregationLevel if b.superLevel > 0 => Some(evalScalar(cube, b, rule.expr, 0))
+        case RuleScope.BaseLevel if b.superLevel == 0 => Some(evalScalar(cube, b, rule.expr, 0))
+        case RuleScope.BaseLevel =>
+          // base rule queried at an aggregated address: compute the rule per
+          // base cell, then aggregate (calculate-then-sum, ≙ `cube.py:416-497`)
+          Some(aggregateBaseRule(cube, b, rule))
+        case _ => None
+      }
+    }
+  }
+
+  def onEntry(cube: Cube, b: Bolt, value: Double): Option[Double] =
+    cube.rules.find(r => r.scope == RuleScope.OnEntry && matches(cube, r, b))
+      .flatMap(r => r.onEntryFn.map(_(value)))
+
+  private def matchRule(cube: Cube, b: Bolt): Option[RuleDef] =
+    cube.rules.find(r => r.scope != RuleScope.OnEntry && matches(cube, r, b))
+
+  private def matches(cube: Cube, r: RuleDef, b: Bolt): Boolean =
+    r.trigger.forall { case (dimName, member) =>
+      val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dimName))
+      i >= 0 && b.ids(i) == cube.dimensions(i).idOf(member)
+    }
+
+  /** Resolve a Ref spec against a bolt: the referenced dimension's member is
+    * replaced, everything else kept (≙ `cell.py:110-154` alter).
+    */
+  private[olap] def resolveRef(cube: Cube, b: Bolt, spec: String): Bolt = {
+    val (dimIdx, member) = spec.split(":", 2) match {
+      case Array(d, m) =>
+        val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))
+        require(i >= 0, s"unknown dimension '$d' in rule ref '$spec'")
+        (i, m)
+      case Array(m) =>
+        val i = cube.dimensions.indexWhere(_.contains(m))
+        require(i >= 0, s"member '$m' not found in any dimension of '${cube.name}'")
+        (i, m)
+    }
+    val newIds = b.ids.updated(dimIdx, cube.dimensions(dimIdx).idOf(member))
+    val sl = newIds.zipWithIndex.map { case (id, i) => cube.dimensions(i).levelOf(id) }.sum
+    Bolt(sl, newIds)
+  }
+
+  private val MaxDepth = 16
+
+  private def evalScalar(cube: Cube, b: Bolt, e: RuleExpr, depth: Int): Option[Double] = {
+    import RuleExpr._
+    require(depth < MaxDepth, s"rule recursion depth > $MaxDepth (cycle?) in cube '${cube.name}'")
+    def ev(x: RuleExpr): Option[Double] = evalScalar(cube, b, x, depth + 1)
+    e match {
+      case Lit(v) => Some(v)
+      case Ref(spec) =>
+        val rb = resolveRef(cube, b, spec)
+        // referenced cells go through the full read path so chained rules fire
+        cube.getByBolt(rb)
+      case Add(a, bb) => (ev(a), ev(bb)) match {
+        case (None, None) => None
+        case (x, y) => Some(x.getOrElse(0.0) + y.getOrElse(0.0))
+      }
+      case Sub(a, bb) => (ev(a), ev(bb)) match {
+        case (None, None) => None
+        case (x, y) => Some(x.getOrElse(0.0) - y.getOrElse(0.0))
+      }
+      case Mul(a, bb) => for (x <- ev(a); y <- ev(bb)) yield x * y
+      case Div(a, bb) => (ev(a), ev(bb)) match {
+        case (Some(x), Some(y)) if y != 0.0 => Some(x / y)
+        case _ => None
+      }
+      case Neg(a) => ev(a).map(-_)
+      case Fn("abs", a) => ev(a).map(math.abs)
+      case Fn("round", a) => ev(a).map(v => math.round(v).toDouble)
+      case Fn(n, _) => throw new IllegalArgumentException(s"unknown rule function '$n'")
+    }
+  }
+
+  /** Compile a rule expression to a Catalyst Column over a measure-pivoted
+    * row where sibling measures appear as columns named `m_<member>` (used by
+    * the grid/view compiler — single-job evaluation, no per-cell recursion).
+    * Only same-dimension (unqualified) refs are expressible in column mode.
+    */
+  def toColumn(cube: Cube, measureDim: Int, e: RuleExpr): Column = {
+    import RuleExpr._
+    def c(x: RuleExpr): Column = x match {
+      case Lit(v) => lit(v)
+      case Ref(spec) if !spec.contains(":") =>
+        coalesce(col(s"m_${cube.dimensions(measureDim).idOf(spec)}").cast("double"), lit(null))
+      case Ref(spec) => throw new IllegalArgumentException(
+        s"cross-dimension ref '$spec' not expressible in column mode")
+      case Add(a, b) => coalesce(c(a), lit(0.0)) + coalesce(c(b), lit(0.0))
+      case Sub(a, b) => coalesce(c(a), lit(0.0)) - coalesce(c(b), lit(0.0))
+      case Mul(a, b) => c(a) * c(b)
+      case Div(a, b) => when(c(b) =!= 0.0, c(a) / c(b))
+      case Neg(a) => -c(a)
+      case Fn("abs", a) => abs(c(a))
+      case Fn("round", a) => round(c(a))
+      case Fn(n, _) => throw new IllegalArgumentException(s"unknown rule function '$n'")
+    }
+    c(e)
+  }
+
+  /** BASE_LEVEL rule at an aggregated address: pivot the measure dimension at
+    * base level, compute the rule column per base address, aggregate over the
+    * remaining dimensions via closure joins (≙ feeder remap + per-row rule
+    * calls, `cube.py:416-497` — expressed as one declarative plan).
+    */
+  private def aggregateBaseRule(cube: Cube, b: Bolt, rule: RuleDef): Option[Double] = {
+    val measureDim = rule.trigger.keys.map(d =>
+      cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))).headOption.getOrElse(cube.nDims - 1)
+    val otherDims = (0 until cube.nDims).filterNot(_ == measureDim)
+    // pivot measures at base level
+    var df = cube.facts
+    var weightCols = List.empty[Column]
+    otherDims.foreach { i =>
+      val id = b.ids(i)
+      if (cube.dimensions(i).levelOf(id) == 0) df = df.filter(col(s"d$i") === id)
+      else {
+        val cl = cube.closureDf(i).filter(col("anc") === id)
+          .select(col("leaf").as(s"leaf_$i"), col("weight").as(s"w_$i"))
+        df = df.join(broadcast(cl), col(s"d$i") === col(s"leaf_$i"))
+        weightCols ::= col(s"w_$i")
+      }
+    }
+    val neededMeasures = collectRefs(rule.expr).filterNot(_.contains(":"))
+      .map(cube.dimensions(measureDim).idOf).distinct
+    df = df.filter(col(s"d$measureDim").isin(neededMeasures: _*))
+    val pivoted = df.groupBy(otherDims.map(i => col(s"d$i")) ++ weightCols.zipWithIndex.map {
+        case (c, j) => c.as(s"wj_$j") }: _*)
+      .pivot(col(s"d$measureDim"), neededMeasures.map(_.asInstanceOf[AnyRef]).toSeq)
+      .agg(sum(col("value").cast("double")))
+    val renamed = neededMeasures.foldLeft(pivoted)((d, m) =>
+      d.withColumnRenamed(m.toString, s"m_$m"))
+    val ruleCol = toColumn(cube, measureDim, rule.expr)
+    val w = weightCols.indices.foldLeft(ruleCol)((c, j) => c * col(s"wj_$j"))
+    renamed.agg(sum(w)).collect().headOption.flatMap(r => Option(r.get(0)).map {
+      case d: java.lang.Double => d.doubleValue()
+      case bd: java.math.BigDecimal => bd.doubleValue()
+    })
+  }
+
+  private def collectRefs(e: RuleExpr): Seq[String] = {
+    import RuleExpr._
+    e match {
+      case Ref(s) => Seq(s)
+      case Add(a, b) => collectRefs(a) ++ collectRefs(b)
+      case Sub(a, b) => collectRefs(a) ++ collectRefs(b)
+      case Mul(a, b) => collectRefs(a) ++ collectRefs(b)
+      case Div(a, b) => collectRefs(a) ++ collectRefs(b)
+      case Neg(a) => collectRefs(a)
+      case Fn(_, a) => collectRefs(a)
+      case _ => Nil
+    }
+  }
+}
