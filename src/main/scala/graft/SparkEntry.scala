@@ -27,7 +27,10 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$table.parquet")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
+    graft.tpch.TpchQueries.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, dir) => {
       read(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -53,5 +56,5 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
-  )
+  ) ++ graft.tpch.TpchQueries.oracleSql
 }

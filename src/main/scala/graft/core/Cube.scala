@@ -71,6 +71,23 @@ final class Cube(
 
   def refreshClosures(): Unit = { closureDfs.clear(); cache.clear() }
 
+  /** Dimensions whose closure weights are ALL 1.0 contribute no weight factor
+    * to rollups (≙ the reference keeping only non-default weights,
+    * `dimension.py:782-827`) — keeps the aggregation expression minimal.
+    */
+  private lazy val unitWeightDim: IndexedSeq[Boolean] =
+    dimensions.map(_.closureRows.forall(_.weight == 1.0)).toIndexedSeq
+
+  private def decimalValues: Boolean = valueField.dataType.isInstanceOf[DecimalType]
+
+  /** Weight column for a joined closure; cast to decimal when the fact value
+    * is decimal so weighted sums stay EXACT (order-independent).
+    */
+  private[graft] def weightExpr: Column =
+    if (decimalValues) col("weight").cast("decimal(10,4)") else col("weight")
+
+  private[graft] def needsWeight(i: Int): Boolean = !unitWeightDim(i)
+
   // ---- address resolution -------------------------------------------------
 
   /** Names → bolt (≙ `_address_to_bolt`, `cube.py:601-627`). */
@@ -178,12 +195,12 @@ final class Cube(
         df = df.filter(col(s"d$i") === id)
       } else {
         val cl = closureDf(i).filter(col("anc") === id)
-          .select(col("leaf").as(s"leaf_$i"), col("weight").as(s"w_$i"))
+          .select(col("leaf").as(s"leaf_$i"), weightExpr.as(s"w_$i"))
         df = df.join(broadcast(cl), col(s"d$i") === col(s"leaf_$i"))
-        weightCols ::= col(s"w_$i")
+        if (needsWeight(i)) weightCols ::= col(s"w_$i")
       }
     }
-    val weighted = weightCols.foldLeft(col("value").cast(DoubleType))(_ * _)
+    val weighted = weightCols.foldLeft(col("value"))(_ * _)
     df.agg(sum(weighted)).collect().headOption.flatMap(r => Option(r.get(0)).map {
       case d: java.lang.Double => d.doubleValue()
       case bd: java.math.BigDecimal => bd.doubleValue()
@@ -215,9 +232,9 @@ final class Cube(
         df = df.withColumn(s"a$i", col(s"d$i"))
       } else {
         val cl = closureDf(i).filter(col("anc").isin(sel: _*))
-          .select(col("anc").as(s"a$i"), col("leaf").as(s"leaf_$i"), col("weight").as(s"w_$i"))
+          .select(col("anc").as(s"a$i"), col("leaf").as(s"leaf_$i"), weightExpr.as(s"w_$i"))
         df = df.join(broadcast(cl), col(s"d$i") === col(s"leaf_$i"))
-        weightCols ::= col(s"w_$i")
+        if (needsWeight(i)) weightCols ::= col(s"w_$i")
       }
       outCols += col(s"a$i")
     }

@@ -146,14 +146,20 @@ object Rules {
     import RuleExpr._
     def c(x: RuleExpr): Column = x match {
       case Lit(v) => lit(v)
+      // refs keep their native type: decimal facts stay decimal through
+      // +/-/* so sums remain exact/order-independent; division drops to
+      // double (decimal division rounding is engine-specific)
       case Ref(spec) if !spec.contains(":") =>
-        coalesce(col(s"m_${cube.dimensions(measureDim).idOf(spec)}").cast("double"), lit(null))
+        col(s"m_${cube.dimensions(measureDim).idOf(spec)}")
       case Ref(spec) => throw new IllegalArgumentException(
         s"cross-dimension ref '$spec' not expressible in column mode")
-      case Add(a, b) => coalesce(c(a), lit(0.0)) + coalesce(c(b), lit(0.0))
-      case Sub(a, b) => coalesce(c(a), lit(0.0)) - coalesce(c(b), lit(0.0))
+      // integer-literal zero: promotes to the ref's own type (decimal stays
+      // decimal/exact; a 0.0 double literal would demote the whole expression)
+      case Add(a, b) => coalesce(c(a), lit(0)) + coalesce(c(b), lit(0))
+      case Sub(a, b) => coalesce(c(a), lit(0)) - coalesce(c(b), lit(0))
       case Mul(a, b) => c(a) * c(b)
-      case Div(a, b) => when(c(b) =!= 0.0, c(a) / c(b))
+      case Div(a, b) =>
+        when(c(b).cast("double") =!= 0.0, c(a).cast("double") / c(b).cast("double"))
       case Neg(a) => -c(a)
       case Fn("abs", a) => abs(c(a))
       case Fn("round", a) => round(c(a))
@@ -179,9 +185,9 @@ object Rules {
       if (cube.dimensions(i).levelOf(id) == 0) df = df.filter(col(s"d$i") === id)
       else {
         val cl = cube.closureDf(i).filter(col("anc") === id)
-          .select(col("leaf").as(s"leaf_$i"), col("weight").as(s"w_$i"))
+          .select(col("leaf").as(s"leaf_$i"), cube.weightExpr.as(s"w_$i"))
         df = df.join(broadcast(cl), col(s"d$i") === col(s"leaf_$i"))
-        weightCols ::= col(s"w_$i")
+        if (cube.needsWeight(i)) weightCols ::= col(s"w_$i")
       }
     }
     val neededMeasures = collectRefs(rule.expr).filterNot(_.contains(":"))
@@ -190,7 +196,7 @@ object Rules {
     val pivoted = df.groupBy(otherDims.map(i => col(s"d$i")) ++ weightCols.zipWithIndex.map {
         case (c, j) => c.as(s"wj_$j") }: _*)
       .pivot(col(s"d$measureDim"), neededMeasures.map(_.asInstanceOf[AnyRef]).toSeq)
-      .agg(sum(col("value").cast("double")))
+      .agg(sum(col("value")))
     val renamed = neededMeasures.foldLeft(pivoted)((d, m) =>
       d.withColumnRenamed(m.toString, s"m_$m"))
     val ruleCol = toColumn(cube, measureDim, rule.expr)

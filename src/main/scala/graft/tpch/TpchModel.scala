@@ -1,0 +1,146 @@
+package graft.tpch
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.concurrent.TrieMap
+
+/** The driver-provided TPC-H-ish star schema modeled as a graft OLAP cube
+  * (FIXTURES.md §4): the differential-testing bridge between the engine and
+  * the DuckDB oracle.
+  *
+  * Dimensions:
+  *  - `geo`:      World → region → nation → customer (`C#<custkey>`)
+  *  - `calendar`: AllTime → year → month (`1995-03`) → day (`1995-03-14`)
+  *  - `product`:  part (`P#<partkey>`) with TWO parents — its brand under
+  *                `AllBrands` and its type under `AllTypes` (multi-parent DAG,
+  *                ≙ tiny's `best sellers`, `samples/tiny.py:96-99`)
+  *  - `measures`: leaves quantity / gross / disc_amt / plan;
+  *                `net` = gross − disc_amt via weights [+1, −1]
+  *
+  * Fact values are decimal(21,4) — EXACT — so every rollup is independent of
+  * partition/summation order and hash-matches DuckDB (see SparkEntry note).
+  */
+final class TpchModel(val db: Database, val cube: Cube, val sfDir: String) {
+  def geo: Dimension = db.dimension("geo")
+  def calendar: Dimension = db.dimension("calendar")
+  def product: Dimension = db.dimension("product")
+  def measures: Dimension = db.dimension("measures")
+
+  /** Map a grid-result member-id column to member names. */
+  def named(df: DataFrame, idCol: String, dimIdx: Int, outName: String): DataFrame = {
+    val names = cube.memberNamesDf(dimIdx)
+      .select(col("id").as(s"__nid_$outName"), col("mname").as(outName))
+    df.join(broadcast(names), col(idCol) === col(s"__nid_$outName"))
+      .drop(idCol, s"__nid_$outName")
+  }
+}
+
+object TpchModel {
+  private val cache = TrieMap[String, TpchModel]()
+
+  def get(spark: SparkSession, sfDir: String): TpchModel =
+    cache.getOrElseUpdate(sfDir, build(spark, sfDir))
+
+  private def dec2(c: Column): Column = c.cast("decimal(15,2)")
+
+  private def build(spark: SparkSession, sfDir: String): TpchModel = {
+    def read(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
+
+    // ---- dimension catalogs (driver-side; dims are small by design) -------
+    val regions = read("region").collect().map(r =>
+      r.getAs[Int]("r_regionkey") -> r.getAs[String]("r_name")).toMap
+    val nations = read("nation").collect().map(r =>
+      (r.getAs[Int]("n_nationkey"), r.getAs[String]("n_name"), r.getAs[Int]("n_regionkey")))
+    val customers = read("customer").select("c_custkey", "c_nationkey").collect().map(r =>
+      (r.getAs[Long]("c_custkey"), r.getAs[Int]("c_nationkey")))
+
+    val db = new Database("tpch", spark)
+    val geo = db.addDimension("geo")
+    geo.edit()
+    geo.add("World", regions.values.toSeq.sorted)
+    nations.groupBy(_._3).foreach { case (rk, ns) =>
+      geo.add(regions(rk), ns.map(_._2).toSeq.sorted)
+    }
+    val nationName = nations.map(n => n._1 -> n._2).toMap
+    customers.groupBy(_._2).foreach { case (nk, cs) =>
+      geo.add(nationName(nk), cs.map(c => s"C#${c._1}").toSeq)
+    }
+    geo.commit()
+
+    val days = read("orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val cal = db.addDimension("calendar")
+    cal.edit()
+    val years = days.map(_.substring(0, 4)).distinct.sorted
+    cal.add("AllTime", years)
+    days.groupBy(_.substring(0, 7)).toSeq.sortBy(_._1).foreach { case (month, ds) =>
+      cal.add(month.substring(0, 4), Seq(month))
+      cal.add(month, ds.sorted)
+    }
+    cal.commit()
+
+    val parts = read("part").select("p_partkey", "p_brand", "p_type").collect().map(r =>
+      (r.getAs[Long]("p_partkey"), r.getAs[String]("p_brand"), r.getAs[String]("p_type")))
+    val prod = db.addDimension("product")
+    prod.edit()
+    prod.add("AllBrands", parts.map(_._2).distinct.sorted)
+    prod.add("AllTypes", parts.map(_._3).distinct.sorted)
+    parts.groupBy(_._2).foreach { case (brand, ps) =>
+      prod.add(brand, ps.map(p => s"P#${p._1}").toSeq)
+    }
+    parts.groupBy(_._3).foreach { case (tpe, ps) =>
+      prod.add(tpe, ps.map(p => s"P#${p._1}").toSeq)
+    }
+    prod.commit()
+
+    val meas = db.addDimension("measures")
+    meas.edit()
+    meas.addMany(Seq("quantity", "gross", "disc_amt", "plan"))
+    meas.add("net", Seq("gross", "disc_amt"), Seq(1.0, -1.0))
+    meas.commit()
+
+    // ---- fact frame -------------------------------------------------------
+    // lineitem ⋈ orders on orderkey (the one genuine shuffle join — AQE
+    // handles it at scale), then broadcast id-mapping joins, 3-way measure
+    // unpivot, and one pre-aggregation to FactTable semantics (one value per
+    // address, ≙ `facttable.py:146-164` upsert).
+    val custMap = mapDf(spark, customers.map(c => c._1 -> geo.idOf(s"C#${c._1}")), "ckey", "gid")
+    val dateMap = spark.createDataFrame(
+      spark.sparkContext.parallelize(days.map(d => Row(d, cal.idOf(d))).toList, 1),
+      StructType(Seq(StructField("dstr", StringType), StructField("did", IntegerType))))
+    val partMap = mapDf(spark, parts.map(p => p._1 -> prod.idOf(s"P#${p._1}")), "pkey", "pid")
+
+    val qid = meas.idOf("quantity"); val gid = meas.idOf("gross"); val aid = meas.idOf("disc_amt")
+
+    val joined = read("lineitem").join(
+      read("orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+      col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custMap), col("o_custkey") === col("ckey"))
+      .withColumn("dstr", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .join(broadcast(dateMap), Seq("dstr"))
+      .join(broadcast(partMap), col("l_partkey") === col("pkey"))
+
+    val unpivoted = joined.select(
+      col("gid").as("d0"), col("did").as("d1"), col("pid").as("d2"),
+      expr(s"""stack(3,
+        $qid, CAST(l_quantity AS DECIMAL(21,4)),
+        $gid, CAST(l_extendedprice AS DECIMAL(21,4)),
+        $aid, CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(5,2)) AS DECIMAL(21,4))
+      ) AS (d3, value)"""))
+
+    val facts = unpivoted.groupBy("d0", "d1", "d2", "d3")
+      .agg(sum(col("value")).cast("decimal(21,4)").as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val cube = db.addCube("sales", Seq(geo, cal, prod, meas), facts)
+    new TpchModel(db, cube, sfDir)
+  }
+
+  private def mapDf(spark: SparkSession, pairs: Seq[(Long, Int)], k: String, v: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.map(p => Row(p._1, p._2)).toList, 1),
+      StructType(Seq(StructField(k, LongType), StructField(v, IntegerType))))
+}

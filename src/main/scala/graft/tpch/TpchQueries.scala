@@ -1,0 +1,253 @@
+package graft.tpch
+
+import graft.core.Cube
+import graft.olap.{RuleDef, RuleExpr, RuleScope}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The OLAP operator battery over the TPC-H model — each query exercises a
+  * SURVEY §2 operator THROUGH the engine (closure joins, weighted rollups,
+  * overlay writes, areas, rules) and carries an equivalent DuckDB oracle.
+  *
+  * Mutating queries run on a scratch cube (fresh Cube over the same immutable
+  * fact frame) so the shared memoized model is never dirtied.
+  */
+object TpchQueries {
+
+  // exact-decimal SQL fragments mirroring the fact build (TpchModel)
+  private val GROSS = "CAST(l_extendedprice AS DECIMAL(21,4))"
+  private val DISC = "CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(5,2)) AS DECIMAL(21,4))"
+  private val STAR =
+    """FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey"""
+  private val PSTAR = STAR + " JOIN part ON l_partkey = p_partkey"
+
+  private def scratch(m: TpchModel): Cube =
+    new Cube("scratch", m.cube.dimensions, m.db.spark, Some(m.cube.facts))
+
+  /** Grid over (geo sel × calendar sel × product sel × measure sel). */
+  private def grid(m: TpchModel, c: Cube, geo: Seq[String], cal: Seq[String],
+      prod: Seq[String], meas: Seq[String]): DataFrame =
+    c.gridAggregate(Seq(
+      geo.map(m.geo.idOf), cal.map(m.calendar.idOf),
+      prod.map(m.product.idOf), meas.map(m.measures.idOf)))
+
+  private def oneValueDf(s: SparkSession, v: Option[Double]): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.parallelize(List(Row(v.map(Double.box).orNull)), 1),
+      StructType(Seq(StructField("value", DoubleType))))
+
+  /** The deterministic probe cell: the min-orderkey order's customer+date and
+    * its min partkey, measure `gross` — derivable identically in SQL.
+    */
+  private def probeAddress(s: SparkSession, dir: String): Seq[String] = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val minOrd = orders.agg(min("o_orderkey")).head.getLong(0)
+    val o = orders.filter(col("o_orderkey") === minOrd)
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("d")).head
+    val minPart = li.filter(col("l_orderkey") === minOrd).agg(min("l_partkey")).head.getLong(0)
+    Seq(s"C#${o.getLong(0)}", o.getString(1), s"P#$minPart", "gross")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1: additive rollup through the geo hierarchy (closure join + hash agg)
+    "olap_rollup_region" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val g = grid(m, m.cube, m.geo.membersByLevel(2).map(_.name),
+        Seq("AllTime"), Seq("AllBrands"), Seq("gross"))
+      m.named(g, "a0", 0, "region")
+        .select(col("region"), col("value").cast("double").as("value"))
+    }),
+
+    // A2: weighted rollup — net = gross − disc_amt via [+1,−1] weights
+    "olap_rollup_net_year" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val g = grid(m, m.cube, Seq("World"), m.calendar.membersByLevel(2).map(_.name),
+        Seq("AllBrands"), Seq("net"))
+      m.named(g, "a1", 1, "year")
+        .select(col("year"), col("value").cast("double").as("value"))
+    }),
+
+    // A6: multi-parent rollup — every part feeds its brand AND its type
+    "olap_multiparent" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val g = grid(m, m.cube, Seq("World"), Seq("AllTime"),
+        m.product.membersByLevel(1).map(_.name), Seq("gross"))
+      m.named(g, "a2", 2, "member")
+        .select(col("member"), col("value").cast("double").as("value"))
+    }),
+
+    // S1: base-cell point read (pushed-down filter / overlay hit)
+    "olap_point_read" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      oneValueDf(s, m.cube.get(probeAddress(s, dir)))
+    }),
+
+    // S2: upsert overwrites a base cell; the world total reflects it
+    "olap_upsert" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      c.set(probeAddress(s, dir), 12345.67)
+      oneValueDf(s, c.get(Seq("World", "AllTime", "AllBrands", "gross")))
+    }),
+
+    // S3: delete removes a base cell from all rollups
+    "olap_delete" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      c.delete(probeAddress(s, dir))
+      oneValueDf(s, c.get(Seq("World", "AllTime", "AllBrands", "gross")))
+    }),
+
+    // S4/F2: record enumeration of an area (names join, base cells only)
+    "olap_area_records" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      m.cube.area("calendar" -> Seq("1995"), "measures" -> Seq("gross"))
+        .records.withColumn("value", col("value").cast("double"))
+    }),
+
+    // B3: bulk in-place multiply on an area
+    "olap_area_multiply" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      c.area("calendar" -> Seq("1995"), "measures" -> Seq("gross")).multiply(2.0)
+      val g = grid(m, c, Seq("World"), m.calendar.membersByLevel(2).map(_.name),
+        Seq("AllBrands"), Seq("gross"))
+      m.named(g, "a1", 1, "year")
+        .select(col("year"), col("value").cast("double").as("value"))
+    }),
+
+    // B1: area clear (anti-join delete of a subspace)
+    "olap_area_clear" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      c.area("calendar" -> Seq("1995"), "measures" -> Seq("gross")).clear()
+      val g = grid(m, c, Seq("World"), m.calendar.membersByLevel(2).map(_.name),
+        Seq("AllBrands"), Seq("gross"))
+      m.named(g, "a1", 1, "year")
+        .select(col("year"), col("value").cast("double").as("value"))
+    }),
+
+    // B4/J2: area-to-area copy with scalar transform (plan = gross * 2)
+    "olap_area_copy" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      val src = c.area("measures" -> Seq("gross"))
+      val tgt = c.area("measures" -> Seq("plan"))
+      tgt.copyFrom(src, v => v * 2.0)
+      val g = grid(m, c, m.geo.membersByLevel(2).map(_.name), Seq("AllTime"),
+        Seq("AllBrands"), Seq("plan"))
+      m.named(g, "a0", 0, "region")
+        .select(col("region"), col("value").cast("double").as("value"))
+    }),
+
+    // A3/R3: BASE_LEVEL rule computed per base cell, then aggregated
+    "olap_rule_base" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      c.registerRule(RuleDef(
+        trigger = Map("measures" -> "plan"), scope = RuleScope.BaseLevel,
+        expr = RuleExpr.Sub(RuleExpr.Ref("gross"), RuleExpr.Ref("disc_amt")),
+        name = "net_base_rule"))
+      val rows = m.geo.membersByLevel(2).map { r =>
+        Row(r.name, c.get(Seq(r.name, "AllTime", "AllBrands", "plan")).map(Double.box).orNull)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows.toList, 1),
+        StructType(Seq(StructField("region", StringType), StructField("value", DoubleType))))
+    }),
+
+    // R3 AGG: post-aggregation rule — margin = (gross − disc) / gross
+    "olap_rule_agg" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      c.registerRule(RuleDef(
+        trigger = Map("measures" -> "plan"), scope = RuleScope.AggregationLevel,
+        expr = RuleExpr.Div(
+          RuleExpr.Sub(RuleExpr.Ref("gross"), RuleExpr.Ref("disc_amt")),
+          RuleExpr.Ref("gross")),
+        name = "margin_rule"))
+      val rows = m.geo.membersByLevel(2).map { r =>
+        Row(r.name, c.get(Seq(r.name, "AllTime", "AllBrands", "plan")).map(Double.box).orNull)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows.toList, 1),
+        StructType(Seq(StructField("region", StringType), StructField("value", DoubleType))))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "olap_rollup_region" ->
+      s"SELECT r_name AS region, CAST(SUM($GROSS) AS DOUBLE) AS value $STAR GROUP BY r_name",
+
+    "olap_rollup_net_year" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS year,
+          CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) AS value $STAR GROUP BY 1""",
+
+    "olap_multiparent" ->
+      s"""SELECT p_brand AS member, CAST(SUM($GROSS) AS DOUBLE) AS value $PSTAR GROUP BY p_brand
+          UNION ALL
+          SELECT p_type AS member, CAST(SUM($GROSS) AS DOUBLE) AS value $PSTAR GROUP BY p_type""",
+
+    "olap_point_read" ->
+      s"""SELECT CAST(SUM($GROSS) AS DOUBLE) AS value
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+            AND o_orderdate = (SELECT o_orderdate FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+            AND l_partkey = (SELECT min(l_partkey) FROM lineitem WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders))""",
+
+    "olap_upsert" ->
+      s"""SELECT CAST(
+            (SELECT SUM($GROSS) FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            - (SELECT SUM($GROSS) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AND o_orderdate = (SELECT o_orderdate FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AND l_partkey = (SELECT min(l_partkey) FROM lineitem WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders)))
+            + CAST(12345.67 AS DECIMAL(21,4)) AS DOUBLE) AS value""",
+
+    "olap_delete" ->
+      s"""SELECT CAST(
+            (SELECT SUM($GROSS) FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            - (SELECT SUM($GROSS) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AND o_orderdate = (SELECT o_orderdate FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AND l_partkey = (SELECT min(l_partkey) FROM lineitem WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders)))
+            AS DOUBLE) AS value""",
+
+    "olap_area_records" ->
+      s"""SELECT 'C#' || CAST(o_custkey AS VARCHAR) AS geo,
+          strftime(o_orderdate, '%Y-%m-%d') AS calendar,
+          'P#' || CAST(l_partkey AS VARCHAR) AS product,
+          'gross' AS measures,
+          CAST(SUM($GROSS) AS DOUBLE) AS value
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE strftime(o_orderdate, '%Y') = '1995'
+          GROUP BY 1, 2, 3""",
+
+    "olap_area_multiply" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS year,
+          CAST(SUM(CASE WHEN strftime(o_orderdate, '%Y') = '1995'
+                        THEN $GROSS * 2 ELSE $GROSS END) AS DOUBLE) AS value
+          $STAR GROUP BY 1""",
+
+    "olap_area_clear" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS year,
+          CAST(SUM($GROSS) AS DOUBLE) AS value
+          $STAR WHERE strftime(o_orderdate, '%Y') <> '1995' GROUP BY 1""",
+
+    "olap_area_copy" ->
+      s"SELECT r_name AS region, CAST(SUM($GROSS * 2) AS DOUBLE) AS value $STAR GROUP BY r_name",
+
+    "olap_rule_base" ->
+      s"SELECT r_name AS region, CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) AS value $STAR GROUP BY r_name",
+
+    "olap_rule_agg" ->
+      s"""SELECT r_name AS region,
+          (CAST(SUM($GROSS) AS DOUBLE) - CAST(SUM($DISC) AS DOUBLE)) / CAST(SUM($GROSS) AS DOUBLE) AS value
+          $STAR GROUP BY r_name""",
+  )
+}
