@@ -1,0 +1,149 @@
+package graft.olap
+
+import graft.core.{Cube, Database, Dimension}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's minimal SQL dialect (≙ `query.py:14`):
+  *
+  *   `SELECT <fields> FROM <cube> WHERE <slicers>`
+  *
+  * - fields: `*`, dimension names, `value`, `dim.attribute` (≙ `query.py:167-173,244-286`)
+  * - slicers (comma list, ≙ `query.py:158-236`): bare `'member'` (dimension
+  *   inferred, first match wins), `dim=member` / `dim:member`, `dim='*'`
+  *   (all members), a subset name, or a member list `dim=(Jan,'Feb')`;
+  *   unspecified dimensions default to their first member.
+  *
+  * Execution deviates from the reference by design (SURVEY §3.2): instead of
+  * a per-address `cube[...]` loop over the cartesian product, the whole grid
+  * is ONE Catalyst job (closure joins + hash aggregation); only non-empty
+  * cells are returned.
+  */
+final class OlapQuery(db: Database, sql: String) {
+
+  private val Pat = """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\S+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+
+  val (cube: Cube, fields: Seq[String], selections: Vector[Seq[Int]]) = sql match {
+    case Pat(fieldsStr, cubeName, whereStr) =>
+      val c = db.cube(cubeName)
+      val sels = resolveWhere(c, Option(whereStr))
+      val fs = fieldsStr.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      (c, fs, sels)
+    case _ => throw new IllegalArgumentException(s"cannot parse query: $sql")
+  }
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if ((t.startsWith("'") && t.endsWith("'")) || (t.startsWith("\"") && t.endsWith("\"")))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Split on commas not inside quotes or parentheses. */
+  private def topLevelSplit(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0; var q: Char = 0
+    s.foreach { ch =>
+      if (q != 0) { cur += ch; if (ch == q) q = 0 }
+      else ch match {
+        case '\'' | '"' => q = ch; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += ch
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def resolveWhere(c: Cube, whereStr: Option[String]): Vector[Seq[Int]] = {
+    val sel = Array.fill[Option[Seq[Int]]](c.nDims)(None)
+
+    def dimIdx(name: String): Int =
+      c.dimensions.indexWhere(_.name.equalsIgnoreCase(name))
+
+    def resolveMembers(d: Dimension, spec: String): Seq[Int] = {
+      val t = spec.trim
+      if (t == "'*'" || t == "*") d.members.map(_.id)
+      else if (t.startsWith("(") && t.endsWith(")"))
+        topLevelSplit(t.substring(1, t.length - 1)).map(m => d.idOf(unquote(m)))
+      else {
+        val m = unquote(t)
+        if (d.hasSubset(m)) d.subset(m).map(_.id)
+        else Seq(d.idOf(m))
+      }
+    }
+
+    whereStr.map(topLevelSplit).getOrElse(Nil).foreach { slicer =>
+      val eq = {
+        // find a top-level '=' or ':' separator
+        var depth = 0; var q: Char = 0; var pos = -1
+        slicer.zipWithIndex.foreach { case (ch, i) =>
+          if (q != 0) { if (ch == q) q = 0 }
+          else ch match {
+            case '\'' | '"' => q = ch
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case '=' | ':' if depth == 0 && pos < 0 => pos = i
+            case _ =>
+          }
+        }
+        pos
+      }
+      if (eq > 0 && dimIdx(unquote(slicer.substring(0, eq))) >= 0) {
+        val i = dimIdx(unquote(slicer.substring(0, eq)))
+        sel(i) = Some(resolveMembers(c.dimensions(i), slicer.substring(eq + 1)))
+      } else {
+        // bare member or subset: first dimension that knows it wins
+        val m = unquote(slicer)
+        val i = c.dimensions.indexWhere(d => d.contains(m) || d.hasSubset(m))
+        require(i >= 0, s"member '$m' not found in any dimension of cube '${c.name}'")
+        sel(i) = Some(resolveMembers(c.dimensions(i), slicer))
+      }
+    }
+    // unspecified dimensions default to the first member (≙ `query.py:233-236`)
+    sel.zipWithIndex.map { case (s, i) =>
+      s.getOrElse(Seq(c.dimensions(i).defaultMember.id))
+    }.toVector
+  }
+
+  /** Run the query as one grid job and project the requested fields. */
+  def execute(): DataFrame = {
+    var df = cube.gridAggregate(selections)
+    val projected = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
+    val wantAll = fields.exists(_ == "*")
+
+    cube.dimensions.zipWithIndex.foreach { case (d, i) =>
+      val wantDim = wantAll || fields.exists(_.equalsIgnoreCase(d.name))
+      val attrFields = fields.filter(f => f.toLowerCase.startsWith(d.name.toLowerCase + "."))
+      if (wantDim || attrFields.nonEmpty) {
+        val names = cube.memberNamesDf(i)
+          .select(col("id").as(s"__id$i"), col("mname").as(d.name))
+        df = df.join(broadcast(names), col(s"a$i") === col(s"__id$i")).drop(s"__id$i")
+        if (wantDim) projected += col(d.name)
+        attrFields.foreach { f =>
+          val attrName = f.substring(d.name.length + 1)
+          val field = d.attribute(attrName)
+          val spark = cube.spark
+          val rows = d.members.map(m => Row(m.id, field.get(m.id).orNull))
+          val attrDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toList, 1),
+            StructType(Seq(StructField(s"__aid$i", IntegerType),
+              StructField(f, StringType))))
+          df = df.join(broadcast(attrDf), col(s"a$i") === col(s"__aid$i")).drop(s"__aid$i")
+          projected += col(s"`$f`") // backticks: 'dim.attr' is a plain name, not a struct path
+        }
+      }
+    }
+    if (wantAll || fields.exists(_.equalsIgnoreCase("value")))
+      projected += col("value")
+    df.select(projected.toSeq: _*)
+  }
+}
+
+object OlapQuery {
+  def apply(db: Database, sql: String): DataFrame = new OlapQuery(db, sql).execute()
+}

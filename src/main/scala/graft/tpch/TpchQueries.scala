@@ -1,7 +1,7 @@
 package graft.tpch
 
 import graft.core.Cube
-import graft.olap.{RuleDef, RuleExpr, RuleScope}
+import graft.olap.{AxisDef, OlapQuery, RuleDef, RuleExpr, RuleScope, View, ViewDef}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -178,6 +178,25 @@ object TpchQueries {
       s.createDataFrame(s.sparkContext.parallelize(rows.toList, 1),
         StructType(Seq(StructField("region", StringType), StructField("value", DoubleType))))
     }),
+
+    // Q1-Q4: the SQL dialect — parse, slicer resolution, one-job grid exec
+    "olap_query_sql" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      OlapQuery(m.db,
+        "SELECT calendar, value FROM sales WHERE geo='World', calendar=('1995','1996'), product=AllBrands, 'net'")
+        .withColumn("value", col("value").cast("double"))
+    }),
+
+    // V1-V3: pivot view — rows=regions, cols=years, one groupBy().pivot() job
+    "olap_view_pivot" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val years = (1995 to 2001).map(_.toString)
+      val view = new View(m.cube, ViewDef(
+        filters = Seq("product" -> "AllBrands", "measures" -> "gross"),
+        rows = AxisDef(Seq("geo" -> m.geo.membersByLevel(2).map(_.name).sorted)),
+        cols = AxisDef(Seq("calendar" -> years))))
+      view.refresh()
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -249,5 +268,17 @@ object TpchQueries {
       s"""SELECT r_name AS region,
           (CAST(SUM($GROSS) AS DOUBLE) - CAST(SUM($DISC) AS DOUBLE)) / CAST(SUM($GROSS) AS DOUBLE) AS value
           $STAR GROUP BY r_name""",
+
+    "olap_query_sql" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
+          CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) AS value
+          $STAR WHERE strftime(o_orderdate, '%Y') IN ('1995','1996') GROUP BY 1""",
+
+    "olap_view_pivot" -> {
+      val cols = (1995 to 2001).map(y =>
+        s"""CAST(SUM($GROSS) FILTER (WHERE strftime(o_orderdate, '%Y') = '$y') AS DOUBLE) AS "$y"""")
+        .mkString(", ")
+      s"SELECT r_name AS geo, $cols $STAR GROUP BY r_name"
+    },
   )
 }
