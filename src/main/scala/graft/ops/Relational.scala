@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond the reference's surface (SURVEY §2.3/§2.5 —
+  * "absent in reference", exposed on fact frames for the scale-out goals).
+  * All are compositions of Spark built-ins chosen for their distributed
+  * plans: one shuffle where one is unavoidable, none where not.
+  */
+object Relational {
+
+  /** As-of join: for each left row, the single most recent right row with
+    * `(ts, tiebreak) <= (left.ts, left.tiebreak)` within the same partition
+    * key. Implemented as union + partitioned window (`last(..., ignoreNulls)`
+    * over an ordered frame) — ONE shuffle on the partition key, no per-row
+    * probing, no broadcast requirement on either side; scales to arbitrarily
+    * large both-sides (the classic streaming point-in-time join shape).
+    *
+    * `left`/`right` must share `partCols`; right contributes `rightPayload`
+    * columns (emitted with their names); both need `tsCol` and a unique
+    * numeric `tiebreakCol` for total order.
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      partCols: Seq[String], tsCol: String, tiebreakCol: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__side", lit(1))
+    val r = right.withColumn("__side", lit(0))
+    val payloadNulled = rightPayload.foldLeft(l)((d, c) =>
+      d.withColumn(s"__p_$c", lit(null).cast(right.schema(c).dataType)))
+    val rSel = r.select((partCols ++ Seq(tsCol, tiebreakCol, "__side")).map(col) ++
+      rightPayload.map(c => col(c).as(s"__p_$c")): _*)
+    val lSel = payloadNulled.select((leftCols ++ Seq("__side") ++ rightPayload.map(s"__p_" + _))
+      .map(col): _*)
+    val unioned = lSel.unionByName(rSel, allowMissingColumns = true)
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tiebreakCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(unioned)((d, c) =>
+      d.withColumn(c, last(col(s"__p_$c"), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 1)
+      .select((leftCols ++ rightPayload).map(col): _*)
+  }
+
+  /** Global top-k: `orderBy(...).limit(k)` — Spark plans TakeOrderedAndProject
+    * (per-partition heaps + driver merge of k·P rows, no full sort/shuffle).
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame = df.orderBy(order: _*).limit(k)
+
+  /** Per-group top-n via `row_number` window (single shuffle on the keys). */
+  def topNPerGroup(df: DataFrame, partCols: Seq[String], order: Seq[Column], n: Int,
+      rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
+  }
+
+  /** Gap-based sessionization: a new session starts when the time since the
+    * previous event of the same key exceeds `gapSeconds`. Session ids are a
+    * running count of session starts per key — one shuffle, codegen windows.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, tiebreakCol: String,
+      gapSeconds: Long, sessionCol: String = "session_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tiebreakCol))
+    val newSession = when(
+      col(tsCol).cast("long") - lag(col(tsCol), 1).over(w).cast("long") > gapSeconds ||
+        lag(col(tsCol), 1).over(w).isNull, 1).otherwise(0)
+    df.withColumn("__new", newSession)
+      .withColumn(sessionCol,
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+}

@@ -1,0 +1,285 @@
+package graft.tpch
+
+import graft.ops.Relational
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The scale-out relational surface (SURVEY §2.3/§2.5/§2.6 "absent in
+  * reference" rows + extension goals): joins of every flavor, windows,
+  * top-k, set ops, grouping sets, as-of/range joins, scalar functions,
+  * event-time windows and sessionization — each against a DuckDB oracle.
+  */
+object RelationalQueries {
+
+  private def read(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS) which Spark refuses
+    * natively: read ns as long, convert to µs timestamps (the data is
+    * µs-aligned — no precision loss).
+    */
+  def readEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  private def dec(c: Column): Column = c.cast("decimal(15,2)")
+  private val REV = "CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // broadcast hash join: small dim explicitly broadcast
+    "rel_join_broadcast" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .join(broadcast(read(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(5,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"), count(lit(1)).as("n"))
+    }),
+
+    // shuffle join on the two big tables (AQE-planned at scale)
+    "rel_join_shuffle" -> ((s, dir) => {
+      read(s, dir, "orders").join(read(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+    }),
+
+    // left-semi: EXISTS
+    "rel_semi_join" -> ((s, dir) => {
+      read(s, dir, "customer")
+        .join(read(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(broadcast(read(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // left-anti: NOT EXISTS
+    "rel_anti_join" -> ((s, dir) => {
+      read(s, dir, "customer")
+        .join(read(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(read(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // per-group top-n via row_number window
+    "rel_window_topn" -> ((s, dir) => {
+      Relational.topNPerGroup(read(s, dir, "orders"), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_orderkey"), col("o_custkey"), col("rn"))
+    }),
+
+    // global top-k (TakeOrderedAndProject — no full sort)
+    "rel_topk" -> ((s, dir) => {
+      Relational.topK(read(s, dir, "orders"), 10, col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // distinct aggregation
+    "rel_distinct" -> ((s, dir) => {
+      read(s, dir, "customer").groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n_customers"))
+    }),
+
+    // set ops: customers ordering in both 1995 and 1996 (INTERSECT)
+    "rel_setops" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      def keys(y: String) = o.filter(date_format(col("o_orderdate"), "yyyy") === y)
+        .select(col("o_custkey")).distinct()
+      keys("1995").intersect(keys("1996"))
+        .except(keys("1997").except(keys("1995"))) // except is a no-op filter here; exercises the op
+    }),
+
+    // grouping sets / rollup over the geo attributes
+    "rel_grouping_sets" -> ((s, dir) => {
+      read(s, dir, "customer")
+        .join(broadcast(read(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(read(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("c_acctbal"))).cast("double").as("balance"), count(lit(1)).as("n"))
+    }),
+
+    // as-of join: latest error event at-or-before each click, per user
+    "rel_asof_join" -> ((s, dir) => {
+      val e = readEvents(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_id").as("error_id"))
+      Relational.asOfJoin(clicks, errors, Seq("user_id"), "ts", "event_id", Seq("error_id"))
+        .select(col("event_id").as("click_id"), col("error_id"))
+    }),
+
+    // range join: clicks within 1h after each error, per user
+    "rel_range_join" -> ((s, dir) => {
+      val e = readEvents(s, dir)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("u"), col("ts").as("t0"), col("event_id").as("error_id"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("ct"), col("event_id").as("click_id"))
+      err.join(clk, col("u") === col("cu") &&
+          col("ct") >= col("t0") && col("ct") <= col("t0") + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy(col("error_id")).agg(count(col("click_id")).as("n_clicks"))
+    }),
+
+    // scalar function battery (string/date/math) — codegen'd built-ins only
+    "rel_scalar_funcs" -> ((s, dir) => {
+      read(s, dir, "part").filter(col("p_partkey") < 100)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          length(col("p_name")).as("name_len"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          abs(col("p_size") - 25).as("size_dist"),
+          round(col("p_retailprice") * 2, 1).as("double_price"),
+          sqrt(col("p_size").cast("double")).as("size_sqrt"))
+    }),
+
+    // date/time functions on orders
+    "rel_date_funcs" -> ((s, dir) => {
+      read(s, dir, "orders").filter(col("o_orderkey") < 400)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_format(col("o_orderdate"), "E").as("dow"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("d30"))
+    }),
+
+    // running windowed aggregation (exact decimal running sums)
+    "rel_window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      read(s, dir, "orders")
+        .select(col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running"))
+    }),
+
+    // event-time tumbling window aggregation (Structured-Streaming-shaped)
+    "rel_events_tumbling" -> ((s, dir) => {
+      readEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n"), col("total"))
+    }),
+
+    // gap-based sessionization (lag + running session counter)
+    "rel_sessionize" -> ((s, dir) => {
+      Relational.sessionize(readEvents(s, dir), "user_id", "ts", "event_id", 1800)
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rel_join_broadcast" ->
+      s"""SELECT p_brand, CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n
+          FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""",
+
+    "rel_join_shuffle" ->
+      """SELECT o_orderpriority, CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority""",
+
+    "rel_semi_join" ->
+      """SELECT n_name, COUNT(*) AS n_customers FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY n_name""",
+
+    "rel_anti_join" ->
+      """SELECT n_name, COUNT(*) AS n_customers FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY n_name""",
+
+    "rel_window_topn" ->
+      """SELECT o_orderkey, o_custkey, rn FROM (
+           SELECT o_orderkey, o_custkey,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+
+    "rel_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "rel_distinct" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
+         FROM customer GROUP BY c_mktsegment""",
+
+    "rel_setops" ->
+      """SELECT o_custkey FROM orders WHERE strftime(o_orderdate,'%Y')='1995'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE strftime(o_orderdate,'%Y')='1996'
+         EXCEPT
+         (SELECT o_custkey FROM orders WHERE strftime(o_orderdate,'%Y')='1997'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE strftime(o_orderdate,'%Y')='1995')""",
+
+    "rel_grouping_sets" ->
+      """SELECT r_name, n_name, CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS balance,
+                COUNT(*) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+
+    "rel_asof_join" ->
+      """SELECT c.event_id AS click_id,
+           (SELECT e.event_id FROM events e
+            WHERE e.user_id = c.user_id AND e.event_type = 'error'
+              AND (e.ts < c.ts OR (e.ts = c.ts AND e.event_id <= c.event_id))
+            ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS error_id
+         FROM events c WHERE c.event_type = 'click'""",
+
+    "rel_range_join" ->
+      """SELECT e.event_id AS error_id, COUNT(c.event_id) AS n_clicks
+         FROM events e LEFT JOIN events c
+           ON c.user_id = e.user_id AND c.event_type = 'click'
+          AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 1 HOUR
+         WHERE e.event_type = 'error'
+         GROUP BY e.event_id""",
+
+    "rel_scalar_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTRING(p_name, 1, 5) AS prefix,
+           LENGTH(p_name) AS name_len,
+           COALESCE(regexp_extract(p_type, '^(\w+)', 1), '') AS type_head,
+           p_brand || '|' || p_type AS brand_type,
+           ABS(p_size - 25) AS size_dist,
+           ROUND(p_retailprice * 2, 1) AS double_price,
+           SQRT(CAST(p_size AS DOUBLE)) AS size_sqrt
+         FROM part WHERE p_partkey < 100""",
+
+    "rel_date_funcs" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d,
+           CAST(strftime(o_orderdate, '%Y') AS INT) AS y,
+           CAST(strftime(o_orderdate, '%m') AS INT) AS m,
+           CAST(strftime(o_orderdate, '%d') AS INT) AS dom,
+           strftime(o_orderdate, '%a') AS dow,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS d30
+         FROM orders WHERE o_orderkey < 400""",
+
+    "rel_window_running" ->
+      """SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+         FROM orders""",
+
+    "rel_events_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2""",
+
+    "rel_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+         FROM flagged GROUP BY user_id""",
+  )
+}
