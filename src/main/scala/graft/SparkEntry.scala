@@ -28,7 +28,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
-    graft.tpch.TpchQueries.queries ++ graft.tpch.RelationalQueries.queries
+    graft.tpch.TpchQueries.queries ++ graft.tpch.RelationalQueries.queries ++
+    graft.tpch.PipelineQueries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, dir) => {
@@ -56,5 +57,6 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
-  ) ++ graft.tpch.TpchQueries.oracleSql ++ graft.tpch.RelationalQueries.oracleSql
+  ) ++ graft.tpch.TpchQueries.oracleSql ++ graft.tpch.RelationalQueries.oracleSql ++
+    graft.tpch.PipelineQueries.oracleSql
 }

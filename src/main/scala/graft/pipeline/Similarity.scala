@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Numeric convention: embeddings are quantized to integers
+  * (`round(x·1000)`) before any dot product, so similarities are computed
+  * from EXACT integer dots — bit-identical regardless of row order,
+  * partitioning, or engine (the DuckDB oracle reproduces them exactly).
+  */
+object Similarity {
+
+  /** `Array[Float]` → exact integer vector (×1000, rounded). */
+  def quantize(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine from quantized vectors — double ops over exact integers. */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against the
+    * corpus — a broadcast nested-loop whose cost is linear in the corpus and
+    * embarrassingly parallel; the per-query top-k is a window on (qid).
+    * This is the exact baseline; [[lshTopK]] is the sublinear scale path.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("sim", dotQ(col("qv"), col("cv")).cast("double") /
+        (sqrt(dotQ(col("qv"), col("qv")).cast("double")) *
+          sqrt(dotQ(col("cv"), col("cv")).cast("double"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes (fixed seed) for sign-LSH. */
+  private def hyperplanes(dim: Int, nPlanes: Int, table: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(1000L * table + 7)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket signature: one bit per hyperplane. */
+  private def signature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate cosine top-k via multi-table sign-LSH: candidates share a
+    * bucket in ≥1 of `tables` signature tables (union via posexplode), then
+    * exact re-rank of candidates only. Shuffles on bucket keys — sublinear
+    * probe cost at corpus scale; recall tunable via tables × planes.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, nPlanes: Int = 6, tables: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sigCols = (0 until tables).map(t =>
+      signature(col(vecCol), hyperplanes(dim, nPlanes, t)).as(s"sig_$t"))
+    def bucketed(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id) +: col(vecCol).as(s"v_$id") +: sigCols: _*)
+        .select(col(id), col(s"v_$id"), posexplode(
+          array((0 until tables).map(t => col(s"sig_$t")): _*)).as(Seq("table", "sig")))
+    val cb = bucketed(corpus, "cand_id")
+    val qb = bucketed(queries, "query_id")
+    val cand = qb.join(cb, Seq("table", "sig"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("v_query_id").as("qv0"), col("cand_id"),
+        col("v_cand_id").as("cv0"))
+      .distinct()
+    val scored = cand
+      .withColumn("qv", quantize(col("qv0"))).withColumn("cv", quantize(col("cv0")))
+      .withColumn("sim", dotQ(col("qv"), col("cv")).cast("double") /
+        (sqrt(dotQ(col("qv"), col("qv")).cast("double")) *
+          sqrt(dotQ(col("cv"), col("cv")).cast("double"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
+  /** Exact embedding near-dup pairs above a cosine threshold. At corpus
+    * scale, feed LSH candidates instead of the all-pairs join; the verify
+    * gate uses the exact form (oracle-checkable).
+    */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("i"), quantize(col(vecCol)).as("vi"))
+    val b = df.select(col(idCol).as("j"), quantize(col(vecCol)).as("vj"))
+    a.crossJoin(b).filter(col("i") < col("j"))
+      .withColumn("sim", dotQ(col("vi"), col("vj")).cast("double") /
+        (sqrt(dotQ(col("vi"), col("vi")).cast("double")) *
+          sqrt(dotQ(col("vj"), col("vj")).cast("double"))))
+      .filter(col("sim") >= threshold)
+      .select(col("i"), col("j"), col("sim"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality operators for training-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting. All pure codegen'd Column
+  * expressions (no UDFs) — whole-stage-codegen friendly and exactly
+  * reproducible in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword inventories (n-gram-heuristic stand-in). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "fast", "small", "key"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "klein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "petit"),
+    "es" -> Seq("el", "la", "los", "y", "de", "rapido"),
+    "zh" -> Seq("de", "shi", "bu", "le", "ren"))
+
+  private def words(textCol: Column): Column = split(textCol, " ")
+
+  /** Distinct-stopword hit count per language. */
+  def langScore(textCol: Column, lang: String): Column = {
+    val list = stopwords.toMap.apply(lang)
+    size(array_intersect(array_distinct(words(textCol)), array(list.map(lit): _*)))
+  }
+
+  /** Language-ID: argmax of stopword hits, fixed priority order on ties
+    * (the order of [[stopwords]]); `und` (undetermined) when nothing hits.
+    */
+  def langId(textCol: Column): Column = {
+    val scores = stopwords.map { case (l, _) => l -> langScore(textCol, l) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Heuristic quality score from length / punctuation / stopword ratios —
+    * integer counts, division in double at the end (deterministic).
+    */
+  def qualityColumns(textCol: Column): Seq[(String, Column)] = {
+    val nChars = length(textCol)
+    val nWords = size(words(textCol))
+    val nPunct = length(textCol) - length(regexp_replace(textCol, "[.!?,;:]", ""))
+    val nStop = langScore(textCol, "en")
+    val meanWordLen = (nChars - (nWords - 1)).cast("double") / nWords.cast("double")
+    val stopRatio = nStop.cast("double") / nWords.cast("double")
+    val punctRatio = nPunct.cast("double") / nChars.cast("double")
+    Seq(
+      "n_chars2" -> nChars,
+      "n_words" -> nWords,
+      "n_punct" -> nPunct,
+      "mean_word_len" -> meanWordLen,
+      "stop_ratio" -> stopRatio,
+      "punct_ratio" -> punctRatio,
+      "quality" -> (stopRatio * 2.0 + punctRatio * 1.0 +
+        when(meanWordLen >= 3.0 && meanWordLen <= 8.0, 0.5).otherwise(0.0)))
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(textCol: Column): Column = size(split(textCol, " "))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single symbols —
+    * a regex proxy for subword tokenizer cost estimation.
+    */
+  def tokenCountBpe(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Exact content fingerprint (md5 of the raw text). */
+  def fingerprint(textCol: Column): Column = md5(textCol)
+
+  /** Order-insensitive content fingerprint: md5 over the sorted distinct
+    * word set — a cheap canonical-document key for exact-dedup at scale.
+    */
+  def canonicalFingerprint(textCol: Column): Column =
+    md5(array_join(array_sort(array_distinct(words(textCol))), " "))
+}

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * All operators are pure DataFrame plans: the exact paths (hash / inverted
+  * index) shuffle on content keys; the probabilistic paths (MinHash-LSH,
+  * SimHash) shuffle on bucket keys so candidate generation never goes
+  * quadratic — the 100 TB-safe shapes.
+  */
+object TextDedup {
+
+  /** Distinct-word relation (id, w) — the inverted-index building block. */
+  def wordRel(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("w")).distinct()
+
+  /** Exact dedup: keep the smallest id per identical content key. */
+  def exactDedup(df: DataFrame, idCol: String, keyExpr: Column): DataFrame =
+    df.withColumn("__k", keyExpr)
+      .groupBy(col("__k")).agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .drop("__k")
+
+  /** Canonical content fingerprint: sorted distinct words — catches
+    * reordered/repeated-word duplicates that raw-text equality misses.
+    */
+  def wordSetFingerprint(textCol: Column): Column =
+    array_join(array_sort(array_distinct(split(textCol, " "))), " ")
+
+  /** EXACT n-gram/word-set Jaccard near-dup pairs via inverted-index join:
+    * docs sharing ≥1 token are joined through the token (no cross join),
+    * shared counts aggregated, Jaccard = |∩| / (|A|+|B|−|∩|). One shuffle on
+    * tokens + one on pairs; prune hopeless pairs by size ratio before the
+    * division (|A∩B| ≤ min ⇒ sim ≤ min/max).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val t = wordRel(df, idCol, textCol)
+    val sizes = t.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = t.select(col(idCol).as("i"), col("w"))
+    val b = t.select(col(idCol).as("j"), col("w"))
+    val shared = a.join(b, Seq("w")).filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col(idCol).as("i"), col("sz").as("szi")), Seq("i"))
+      .join(sizes.select(col(idCol).as("j"), col("sz").as("szj")), Seq("j"))
+      .filter(least(col("szi"), col("szj")).cast("double") / greatest(col("szi"), col("szj"))
+        >= threshold) // size-ratio prune: cheap upper bound on Jaccard
+      .withColumn("sim", col("shared").cast("double") /
+        (col("szi") + col("szj") - col("shared")).cast("double"))
+      .filter(col("sim") >= threshold)
+      .select(col("i"), col("j"), col("sim"))
+  }
+
+  /** MinHash signatures: k independent hash functions realized as seeded
+    * re-hashes `xxhash64(xxhash64(w), i)` over distinct words, min per
+    * document — k aggregate expressions, ONE shuffle (≙ the standard
+    * shingle→minhash step; re-hash instead of a·h+b so ANSI mode never sees
+    * a wrapping multiply).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val t = wordRel(df, idCol, textCol).withColumn("__h", xxhash64(col("w")))
+    val mins = (0 until k).map { i =>
+      min(xxhash64(col("__h"), lit(i))).as(s"mh_$i")
+    }
+    t.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: band the k-wide signature into `bands`
+    * groups of k/bands rows, hash each band, bucket-join candidates on
+    * (band, bandHash), then EXACT-verify candidates with word-set Jaccard.
+    * Candidate generation cost is bucket-local — never all-pairs.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.9): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignatures(df, idCol, textCol, k)
+    val banded = sig.select(col(idCol) +:
+      (0 until bands).map(bi => xxhash64(
+        (bi * rows until (bi + 1) * rows).map(i => col(s"mh_$i")): _*).as(s"b_$bi")): _*)
+    val exploded = banded.select(col(idCol), posexplode(
+      array((0 until bands).map(bi => col(s"b_$bi")): _*)).as(Seq("band", "bh")))
+    val cand = exploded.select(col(idCol).as("i"), col("band"), col("bh"))
+      .join(exploded.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    // exact verification via precomputed word arrays (bounded-size docs)
+    val words = df.select(col(idCol), array_distinct(split(col(textCol), " ")).as("ws"))
+    cand
+      .join(words.select(col(idCol).as("i"), col("ws").as("wi")), Seq("i"))
+      .join(words.select(col(idCol).as("j"), col("ws").as("wj")), Seq("j"))
+      .withColumn("sim", size(array_intersect(col("wi"), col("wj"))).cast("double") /
+        size(array_union(col("wi"), col("wj"))).cast("double"))
+      .filter(col("sim") >= threshold)
+      .select(col("i"), col("j"), col("sim"))
+  }
+
+  /** 64-bit SimHash over distinct word hashes: per bit, sum of ±1
+    * contributions; bit set iff the sum is positive. 64 aggregate
+    * expressions, one shuffle.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = wordRel(df, idCol, textCol).withColumn("__h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { p =>
+      sum(shiftright(col("__h"), p).bitwiseAND(1) * 2 - 1).as(s"s_$p")
+    }
+    val sums = t.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val hashCol = (0 until 64).map { p =>
+      when(col(s"s_$p") > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col(idCol), hashCol.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3): band
+    * the 64-bit hash into 4×16-bit chunks; by pigeonhole any pair within
+    * distance 3 shares ≥1 exact chunk — candidate generation is COMPLETE,
+    * not probabilistic, and bucket-local. Final bit_count filter is exact.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole guarantees completeness only up to 3")
+    val sh = simhash(df, idCol, textCol)
+    val banded = sh.select(col(idCol), col("simhash"), posexplode(array(
+      (0 until 4).map(b => shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+      .as(Seq("band", "chunk")))
+    banded.select(col(idCol).as("i"), col("simhash").as("hi"), col("band"), col("chunk"))
+      .join(banded.select(col(idCol).as("j"), col("simhash").as("hj"), col("band"), col("chunk")),
+        Seq("band", "chunk"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), bit_count(col("hi").bitwiseXOR(col("hj"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

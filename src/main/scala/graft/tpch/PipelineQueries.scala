@@ -1,0 +1,192 @@
+package graft.tpch
+
+import graft.pipeline.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operator battery over the `documents` and
+  * `embeddings` tables (builder-prompt first-class goals): dedup in five
+  * flavors, similarity search, text analysis, multimodal plumbing. Exact
+  * operators carry DuckDB oracles (similarities computed from quantized
+  * integer dots — bit-identical across engines); approximate ones
+  * (SimHash, sign-LSH ANN) are rows-only here and recall-tested in specs.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // DuckDB quantized-vector fragment (mirrors Similarity.quantize/dotQ)
+  private val QV = "list_transform(%s, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+  private def dot(a: String, b: String) = s"list_dot_product($a, $b)"
+
+  private val JACCARD_ORACLE =
+    """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         n AS (SELECT doc_id, count(*) AS c FROM t GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+               FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT i, j, CAST(shared AS DOUBLE) / CAST(na.c + nb.c - shared AS DOUBLE) AS sim
+       FROM p JOIN n na ON p.i = na.doc_id JOIN n nb ON p.j = nb.doc_id
+       WHERE CAST(shared AS DOUBLE) / CAST(na.c + nb.c - shared AS DOUBLE) >= 0.9"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup on raw text (hash-groupBy)
+    "pipe_dedup_exact" -> ((s, dir) => {
+      TextDedup.exactDedup(docs(s, dir), "doc_id", col("text"))
+    }),
+
+    // exact dedup on canonical word-set fingerprint (catches reorderings)
+    "pipe_dedup_fingerprint" -> ((s, dir) => {
+      TextDedup.exactDedup(docs(s, dir), "doc_id", TextDedup.wordSetFingerprint(col("text")))
+    }),
+
+    // exact word-set Jaccard near-dup pairs via inverted-index join
+    "pipe_dedup_jaccard" -> ((s, dir) => {
+      TextDedup.jaccardPairs(docs(s, dir), "doc_id", "text", 0.9)
+    }),
+
+    // MinHash-LSH near-dup: banded candidates + exact verification.
+    // With k=64/b=16 the per-pair miss probability at sim ≥ 0.9 is ~4e-8,
+    // so the verified output equals the brute-force pair set (same oracle).
+    "pipe_dedup_minhash" -> ((s, dir) => {
+      TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 64, 16, 0.9)
+    }),
+
+    // SimHash near-dup (complete via 4-band pigeonhole; hash-seeded → rows-only)
+    "pipe_dedup_simhash" -> ((s, dir) => {
+      TextDedup.simhashPairs(docs(s, dir), "doc_id", "text", 3)
+    }),
+
+    // exact embedding-cosine near-dup pairs (quantized integer dots)
+    "pipe_dedup_embed" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(emb(s, dir), 0.45)
+    }),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "pipe_ann_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 10)
+    }),
+
+    // sign-LSH approximate top-k (recall measured in specs → rows-only)
+    "pipe_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), 10, dim = 64)
+    }),
+
+    // language ID (stopword-hit argmax heuristic)
+    "pipe_lang_id" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+
+    // quality scoring (length/punct/stopword ratios)
+    "pipe_quality" -> ((s, dir) => {
+      val cols = TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+      docs(s, dir).select(col("doc_id") +: cols: _*)
+    }),
+
+    // token counting (whitespace + BPE-ish regex)
+    "pipe_tokens" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
+    }),
+
+    // document fingerprinting (md5 raw + canonical)
+    "pipe_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.canonicalFingerprint(col("text")).as("fp_canonical"))
+    }),
+
+    // multimodal plumbing: binary column → typed decode → frame sampling
+    "pipe_multimodal" -> ((s, dir) => {
+      Multimodal.sampleFrames(Multimodal.decode(Multimodal.assets(docs(s, dir))))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "pipe_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text",
+
+    "pipe_dedup_fingerprint" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
+         GROUP BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')""",
+
+    "pipe_dedup_jaccard" -> JACCARD_ORACLE,
+    "pipe_dedup_minhash" -> JACCARD_ORACLE,
+
+    "pipe_dedup_embed" -> {
+      val qa = QV.format("a.embedding"); val qb = QV.format("b.embedding")
+      s"""WITH q AS (SELECT vec_id, ${QV.format("embedding")} AS v FROM embeddings)
+          SELECT a.vec_id AS i, b.vec_id AS j,
+            ${dot("a.v", "b.v")} / (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("b.v", "b.v")})) AS sim
+          FROM q a JOIN q b ON a.vec_id < b.vec_id
+          WHERE ${dot("a.v", "b.v")} / (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("b.v", "b.v")})) >= 0.45"""
+    },
+
+    "pipe_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id, ${QV.format("embedding")} AS v FROM embeddings),
+           scored AS (
+             SELECT qq.vec_id AS query_id, c.vec_id AS cand_id,
+               ${dot("qq.v", "c.v")} / (sqrt(${dot("qq.v", "qq.v")}) * sqrt(${dot("c.v", "c.v")})) AS sim
+             FROM q qq JOIN q c ON c.vec_id <> qq.vec_id
+             WHERE qq.vec_id < 5)
+          SELECT query_id, cand_id, sim, rank FROM (
+            SELECT query_id, cand_id, sim,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+            FROM scored) WHERE rank <= 10""",
+
+    "pipe_lang_id" -> {
+      val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+        l -> ("len(list_intersect(list_distinct(string_split(text, ' ')), [" +
+          ws.map(w => s"'$w'").mkString(",") + "]))")
+      }
+      val best = "greatest(" + scores.map(_._2).mkString(", ") + ")"
+      val cases = scores.map { case (l, e) => s"WHEN $e = __best THEN '$l'" }.mkString(" ")
+      s"""SELECT doc_id, CASE WHEN __best = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+          FROM (SELECT doc_id, text, $best AS __best FROM documents)"""
+    },
+
+    "pipe_quality" -> {
+      val en = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(",")
+      s"""SELECT doc_id,
+            length(text) AS n_chars2,
+            len(string_split(text, ' ')) AS n_words,
+            length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+            CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')), [$en])) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+            CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) AS punct_ratio,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')), [$en])) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) * 2.0
+            + CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) * 1.0
+            + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 3.0 AND 8.0
+                   THEN 0.5 ELSE 0.0 END AS quality
+          FROM documents"""
+    },
+
+    "pipe_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+         FROM documents""",
+
+    "pipe_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_canonical
+         FROM documents""",
+
+    "pipe_multimodal" ->
+      """SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           unnest(range(0, octet_length(encode(text)) % 7 + 1, 2)) AS frame_idx
+         FROM documents""",
+  )
+}

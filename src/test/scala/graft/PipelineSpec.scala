@@ -1,0 +1,71 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral specs for the approximate pipeline operators (the exact ones
+  * are covered by the DuckDB oracle battery): recall of sign-LSH ANN vs the
+  * brute-force baseline, completeness of SimHash banding, MinHash-LSH
+  * equivalence to exact Jaccard at its operating threshold.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("minhash-LSH near-dup pairs equal exact Jaccard pairs at tau=0.9") {
+    val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashLshPairs(docs, "doc_id", "text", 64, 16, 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH pairs are exact-verified → never false positives")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.999, s"recall $recall; expected ~1 at tau=0.9 with 16x4 bands")
+  }
+
+  test("simhash banding is complete for hamming <= 3 (pigeonhole)") {
+    val sh = TextDedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = sh.keys.toSeq.sorted
+    val expected = (for {
+      i <- all; j <- all if i < j
+      h = java.lang.Long.bitCount(sh(i) ^ sh(j)) if h <= 3
+    } yield (i, j)).toSet
+    val got = TextDedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, "banded candidate generation must be lossless up to distance 3")
+  }
+
+  test("sign-LSH ANN: useful recall at a fraction of the comparisons") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, 10, dim = 64)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.25, s"recall@10 = $recall — uniform-random vectors are LSH-hostile, " +
+      "but the bucketed path must still find a usable fraction")
+  }
+
+  test("multimodal decode plumbing: schema, determinism, frame fan-out") {
+    val decoded = Multimodal.decode(Multimodal.assets(docs)).collect()
+    assert(decoded.length == docs.count())
+    decoded.foreach { d =>
+      assert(Set("image", "audio", "video").contains(d.modality))
+      assert(d.n_frames >= 1 && d.n_frames <= 7)
+      assert(d.width >= 1 && d.height >= 1)
+    }
+    // deterministic: same input → same checksum on re-run
+    val again = Multimodal.decode(Multimodal.assets(docs)).collect()
+    assert(decoded.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
+    val frames = Multimodal.sampleFrames(Multimodal.decode(Multimodal.assets(docs)))
+    assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) >= 1))
+  }
+
+  test("language id returns a code for every document") {
+    val got = docs.select(TextAnalysis.langId(col("text")).as("l")).collect().map(_.getString(0))
+    assert(got.forall(l => Set("en", "de", "fr", "es", "zh", "und").contains(l)))
+  }
+}
