@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.core.Cube
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface (SURVEY §2.14 — extension-only; the
+  * reference is purely interactive/in-memory). Streams are first-class
+  * inputs to the same fact frames the batch engine aggregates.
+  */
+object Streaming {
+
+  /** Continuous ingestion of cell writes `(d0…dn, value)` into a cube:
+    * each micro-batch is merged last-wins into the fact frame (the streaming
+    * analogue of the overlay upsert, `facttable.py:146-164`) and the result
+    * cache is invalidated exactly like a batch write (`cube.py:510-511`).
+    */
+  def ingestInto(cube: Cube, stream: DataFrame,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cols = cube.dimCols
+        val deduped = batch.groupBy(cols.map(col): _*)
+          .agg(last(col("value")).as("value")) // last write wins within batch
+        val merged = cube.facts
+          .join(broadcast(deduped.select(cols.map(col): _*)), cols, "left_anti")
+          .unionByName(deduped.select(cube.facts.columns.map(col).toIndexedSeq: _*))
+        cube.replaceFacts(merged)
+      }
+      .start()
+
+  /** Event-time tumbling/sliding window aggregation with a watermark —
+    * works identically on batch and streaming frames.
+    */
+  def windowedAggregate(events: DataFrame, tsCol: String, watermark: String,
+      windowLen: String, slide: Option[String] = None): DataFrame = {
+    val win = slide.map(s => window(col(tsCol), windowLen, s))
+      .getOrElse(window(col(tsCol), windowLen))
+    events.withWatermark(tsCol, watermark)
+      .groupBy(win, col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"), col("total"))
+  }
+
+  /** Gap-based session windows via the native `session_window` aggregation. */
+  def sessionWindowAggregate(events: DataFrame, tsCol: String, watermark: String,
+      gap: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .select(col("session_window.start").as("sstart"), col("user_id"),
+        col("n_events"), col("total"))
+
+  /** Streaming exact dedup: drop duplicate keys within the watermark horizon
+    * (the streaming face of `TextDedup.exactDedup`).
+    */
+  def dedupStream(stream: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState —
+    * the escape hatch for stateful logic the built-in windows can't express.
+    */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val (n, tot) = it.foldLeft((prev.n, prev.total)) { case ((c, t), e) =>
+            (c + 1, t + e.value)
+          }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

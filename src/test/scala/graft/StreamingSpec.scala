@@ -1,0 +1,118 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming ingest merges micro-batches into a cube last-wins") {
+    import spark.implicits._
+    val db = TinyModel.build(spark)
+    val cube = db.cube("sales")
+    def id(d: String, m: String) = db.dimension(d).idOf(m)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Int, Int, Int, Int, Double)]
+    val stream = mem.toDF().toDF("d0", "d1", "d2", "d3", "d4", "value")
+    mem.addData(
+      (id("years", "2021"), id("months", "Jan"), id("regions", "North"),
+        id("products", "motorcycles"), id("measures", "Sales"), 100.0),
+      (id("years", "2021"), id("months", "Jan"), id("regions", "North"),
+        id("products", "sedan"), id("measures", "Sales"), 400.0),
+      // same cell written twice in one batch — last wins
+      (id("years", "2021"), id("months", "Jan"), id("regions", "North"),
+        id("products", "motorcycles"), id("measures", "Sales"), 123.0))
+    val q = Streaming.ingestInto(cube, stream)
+    q.awaitTermination(60000)
+    assert(cube.get(Seq("2021", "Jan", "North", "motorcycles", "Sales")).contains(123.0))
+    assert(cube.get(Seq("2021", "Year", "Total", "Total", "Sales")).contains(523.0))
+  }
+
+  test("watermarked tumbling window aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streaming.windowedAggregate(events, "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("win_out").start()
+    mem.addData(
+      (ts("2024-01-01 00:10:00"), "click", 1.0),
+      (ts("2024-01-01 00:50:00"), "click", 2.0),
+      (ts("2024-01-01 01:10:00"), "click", 4.0),
+      (ts("2024-01-01 00:20:00"), "view", 8.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM win_out").collect()
+      .map(r => (r.getAs[Timestamp]("wstart").toString, r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    q.stop()
+    assert(out(("2024-01-01 00:00:00.0", "click")) == (2L, 3.0))
+    assert(out(("2024-01-01 01:00:00.0", "click")) == (1L, 4.0))
+    assert(out(("2024-01-01 00:00:00.0", "view")) == (1L, 8.0))
+  }
+
+  test("session windows group events by gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val agg = Streaming.sessionWindowAggregate(events, "ts", "10 minutes", "30 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("sess_out").start()
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (ts("2024-01-01 00:10:00"), 1L, "click", 1.0),  // same session
+      (ts("2024-01-01 02:00:00"), 1L, "click", 1.0),  // new session
+      (ts("2024-01-01 00:05:00"), 2L, "view", 1.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM sess_out").collect()
+    q.stop()
+    assert(out.count(_.getAs[Long]("user_id") == 1L) == 2)
+    assert(out.filter(_.getAs[Long]("user_id") == 1L).map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("stateful running totals via mapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.UserEvent]
+    val q = Streaming.runningTotals(mem.toDS()).writeStream
+      .outputMode(OutputMode.Update).format("memory").queryName("run_out").start()
+    mem.addData(
+      Streaming.UserEvent(1, ts("2024-01-01 00:00:00"), 5.0),
+      Streaming.UserEvent(1, ts("2024-01-01 00:01:00"), 7.0),
+      Streaming.UserEvent(2, ts("2024-01-01 00:02:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData(Streaming.UserEvent(1, ts("2024-01-01 00:03:00"), 8.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM run_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n")) -> r.getAs[Double]("total")).toMap
+    q.stop()
+    assert(out((1L, 2L)) == 12.0) // after first batch
+    assert(out((1L, 3L)) == 20.0) // state carried across batches
+    assert(out((2L, 1L)) == 1.0)
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "k")
+    val out = Streaming.dedupStream(stream, "ts", "1 hour", Seq("k"))
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), "a"),
+      (ts("2024-01-01 00:00:00"), "a"), // exact dup dropped
+      (ts("2024-01-01 00:00:00"), "b"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM dedup_out").collect()
+    q.stop()
+    assert(rows.length == 2)
+  }
+}
