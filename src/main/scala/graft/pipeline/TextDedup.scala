@@ -52,18 +52,23 @@ object TextDedup {
       .select(col("i"), col("j"), col("sim"))
   }
 
-  /** MinHash signatures: k independent hash functions realized as seeded
-    * re-hashes `xxhash64(xxhash64(w), i)` over distinct words, min per
-    * document — k aggregate expressions, ONE shuffle (≙ the standard
-    * shingle→minhash step; re-hash instead of a·h+b so ANSI mode never sees
-    * a wrapping multiply).
+  /** MinHash signatures as ONE array column: k independent hash functions
+    * realized as seeded re-hashes `xxhash64(xxhash64(w), i)` over distinct
+    * words (re-hash instead of a·h+b so ANSI mode never sees a wrapping
+    * multiply), explode → per-(doc, i) min → collect ordered array.
+    *
+    * Deliberately NOT k separate aggregate columns: that shape generates
+    * O(k)-sized codegen that janino recompiles inside every enclosing plan
+    * (measured 10× slowdown); the array form keeps expressions tiny.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val t = wordRel(df, idCol, textCol).withColumn("__h", xxhash64(col("w")))
-    val mins = (0 until k).map { i =>
-      min(xxhash64(col("__h"), lit(i))).as(s"mh_$i")
-    }
-    t.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val perHash = t.select(col(idCol), posexplode(
+      array((0 until k).map(i => xxhash64(col("__h"), lit(i))): _*)).as(Seq("hi", "hv")))
+      .groupBy(col(idCol), col("hi")).agg(min(col("hv")).as("mh"))
+    perHash.groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("hi"), col("mh")))),
+        e => e.getField("mh")).as("sig"))
   }
 
   /** MinHash-LSH near-dup pairs: band the k-wide signature into `bands`
@@ -75,17 +80,24 @@ object TextDedup {
       k: Int = 64, bands: Int = 16, threshold: Double = 0.9): DataFrame = {
     val rows = k / bands
     val sig = minhashSignatures(df, idCol, textCol, k)
-    val banded = sig.select(col(idCol) +:
-      (0 until bands).map(bi => xxhash64(
-        (bi * rows until (bi + 1) * rows).map(i => col(s"mh_$i")): _*).as(s"b_$bi")): _*)
-    val exploded = banded.select(col(idCol), posexplode(
-      array((0 until bands).map(bi => col(s"b_$bi")): _*)).as(Seq("band", "bh")))
-    val cand = exploded.select(col(idCol).as("i"), col("band"), col("bh"))
-      .join(exploded.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
+    // persisted: consumed by BOTH sides of the bucket self-join — without
+    // this the whole signature pipeline is computed twice
+    val banded = sig.select(col(idCol), posexplode(array((0 until bands).map(bi =>
+      hash(slice(col("sig"), bi * rows + 1, rows), lit(bi))): _*)).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket join emits a pair once per matching band; dedup via a lean
+    // groupBy on the bare (i, j) ids — 12-byte shuffle rows, map-side combine
+    val cand = banded.select(col(idCol).as("i"), col("band"), col("bh"))
+      .join(banded.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("i") < col("j"))
-      .select("i", "j").distinct()
-    // exact verification via precomputed word arrays (bounded-size docs)
-    val words = df.select(col(idCol), array_distinct(split(col(textCol), " ")).as("ws"))
+      .groupBy("i", "j").agg(count(lit(1)).as("__nb")).drop("__nb")
+    // exact verification via word-hash arrays (long compares, not string
+    // compares); joined on the candidate ids twice — persisted (AQE
+    // broadcasts when small; corpus-wide broadcast would not survive a real
+    // corpus, so no hint here)
+    val words = df.select(col(idCol),
+      array_sort(array_distinct(transform(split(col(textCol), " "), w => xxhash64(w)))).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(words.select(col(idCol).as("i"), col("ws").as("wi")), Seq("i"))
       .join(words.select(col(idCol).as("j"), col("ws").as("wj")), Seq("j"))

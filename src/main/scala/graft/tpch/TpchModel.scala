@@ -134,6 +134,7 @@ object TpchModel {
     val facts = unpivoted.groupBy("d0", "d1", "d2", "d3")
       .agg(sum(col("value")).cast("decimal(21,4)").as("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    facts.count() // materialize: queries measure steady-state latency
 
     val cube = db.addCube("sales", Seq(geo, cal, prod, meas), facts)
     new TpchModel(db, cube, sfDir)
