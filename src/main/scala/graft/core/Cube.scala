@@ -47,6 +47,26 @@ final class Cube(
   private val cache = TrieMap[Vector[Int], Option[Double]]()
   private[graft] val rules = mutable.ArrayBuffer[graft.olap.RuleDef]()
 
+  private var historyOpt: Option[History] = None
+  /** Per-cell comments (≙ `comments.py`); keyed by idx address. */
+  val comments = new CellComments
+
+  /** Turn on the undo/redo command log (SURVEY §2.12). */
+  def enableHistory(): History = {
+    val h = historyOpt.getOrElse(new History(this))
+    historyOpt = Some(h); h
+  }
+  def history: History = historyOpt.getOrElse(
+    throw new IllegalStateException(s"history not enabled on cube '$name' — call enableHistory()"))
+
+  private[core] def snapshotState(): Cube.State = Cube.State(base, overlay.toVector)
+  private[core] def restoreState(s: Cube.State): Unit = {
+    base = s.base
+    overlay.clear(); s.overlay.foreach { case (k, v) => overlay(k) = v }
+    cache.clear()
+  }
+  private def recordHistory(label: String): Unit = historyOpt.foreach(_.record(label))
+
   // ---- closure tables (broadcast dimension metadata) ----------------------
 
   private val closureDfs = mutable.Map[Int, DataFrame]()
@@ -122,6 +142,7 @@ final class Cube(
   private[graft] def replaceFacts(df: DataFrame): Unit = {
     base = df.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
     overlay.clear(); cache.clear()
+    recordHistory("bulk")
   }
 
   /** Materialize merged facts (persist + cut lineage), clear the overlay. */
@@ -145,6 +166,7 @@ final class Cube(
       case None    => overlay(b.ids) = Some(value)
     }
     cache.clear()
+    recordHistory(s"set ${address.mkString(",")}")
   }
 
   def delete(address: Seq[String]): Unit = {
@@ -152,6 +174,7 @@ final class Cube(
     require(b.superLevel == 0, "can only delete base cells")
     overlay(b.ids) = None
     cache.clear()
+    recordHistory(s"delete ${address.mkString(",")}")
   }
 
   /** Cell read: base cells are point lookups (overlay first, then a
@@ -257,4 +280,15 @@ final class Cube(
   def registerRule(rule: graft.olap.RuleDef): Unit = { rules += rule; cache.clear() }
 
   private[graft] def clearCache(): Unit = cache.clear()
+
+  /** Comment helpers addressed by member names. */
+  def addComment(address: Seq[String], text: String, user: String = ""): Unit =
+    comments.add(bolt(address).ids, text, user)
+  def commentsAt(address: Seq[String]): Seq[CellComments#Comment] =
+    comments.get(bolt(address).ids)
+}
+
+object Cube {
+  /** Immutable mutation-log state handle (see [[History]]). */
+  final case class State(base: DataFrame, overlay: Vector[(Vector[Int], Option[Double])])
 }

@@ -17,9 +17,11 @@ object Similarity {
   def quantize(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors — a native codegen'd
+    * Catalyst expression ([[graft.functions.LongDotProduct]]); the
+    * `aggregate(zip_with(...))` built-in form evaluates lambdas interpreted.
+    */
+  def dotQ(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot_q(a, b)
 
   /** Cosine from quantized vectors — double ops over exact integers. */
   def cosineQ(a: Column, b: Column): Column =
