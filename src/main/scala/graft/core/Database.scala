@@ -48,7 +48,9 @@ final class Database(val name: String, val spark: SparkSession) {
       ("name" -> name) ~
       ("dimensions" -> dims.values.map(dimToJson).toList) ~
       ("cubes" -> cubeMap.values.map(c =>
-        ("name" -> c.name) ~ ("dims" -> c.dimensions.map(_.name).toList)).toList)
+        ("name" -> c.name) ~ ("dims" -> c.dimensions.map(_.name).toList) ~
+          ("rules" -> c.rules.filter(_.onEntryFn.isEmpty)
+            .map(graft.olap.Rules.ruleToJson).toList)).toList)
     Files.writeString(Paths.get(s"$dir/meta.json"), JsonMethods.pretty(JsonMethods.render(meta)))
   }
 
@@ -102,7 +104,9 @@ object Database {
     (meta \ "cubes").extract[List[JValue]].foreach { cj =>
       val cname = (cj \ "name").extract[String]
       val cdims = (cj \ "dims").extract[List[String]].map(db.dimension)
-      db.addCube(cname, cdims, spark.read.parquet(s"$dir/cubes/$cname"))
+      val cube = db.addCube(cname, cdims, spark.read.parquet(s"$dir/cubes/$cname"))
+      (cj \ "rules").toOption.toList.flatMap(_.extract[List[JValue]])
+        .foreach(rj => cube.registerRule(graft.olap.Rules.ruleFromJson(rj)))
     }
     db
   }

@@ -207,6 +207,71 @@ object Rules {
     })
   }
 
+  // ---- persistence (≙ R7 `rules.py:45-88` / codemanager.py — but as a
+  // declarative JSON AST, not arbitrary code: recompiled safely at load) ----
+
+  import org.json4s._
+  import org.json4s.JsonDSL._
+
+  def exprToJson(e: RuleExpr): JValue = {
+    import RuleExpr._
+    e match {
+      case Lit(v) => ("op" -> "lit") ~ ("v" -> v)
+      case Ref(s) => ("op" -> "ref") ~ ("ref" -> s)
+      case Add(a, b) => ("op" -> "add") ~ ("a" -> exprToJson(a)) ~ ("b" -> exprToJson(b))
+      case Sub(a, b) => ("op" -> "sub") ~ ("a" -> exprToJson(a)) ~ ("b" -> exprToJson(b))
+      case Mul(a, b) => ("op" -> "mul") ~ ("a" -> exprToJson(a)) ~ ("b" -> exprToJson(b))
+      case Div(a, b) => ("op" -> "div") ~ ("a" -> exprToJson(a)) ~ ("b" -> exprToJson(b))
+      case Neg(a) => ("op" -> "neg") ~ ("a" -> exprToJson(a))
+      case Fn(n, a) => ("op" -> "fn") ~ ("fn" -> n) ~ ("a" -> exprToJson(a))
+    }
+  }
+
+  def exprFromJson(j: JValue): RuleExpr = {
+    import RuleExpr._
+    implicit val fmts: Formats = DefaultFormats
+    (j \ "op").extract[String] match {
+      case "lit" => Lit((j \ "v").extract[Double])
+      case "ref" => Ref((j \ "ref").extract[String])
+      case "add" => Add(exprFromJson(j \ "a"), exprFromJson(j \ "b"))
+      case "sub" => Sub(exprFromJson(j \ "a"), exprFromJson(j \ "b"))
+      case "mul" => Mul(exprFromJson(j \ "a"), exprFromJson(j \ "b"))
+      case "div" => Div(exprFromJson(j \ "a"), exprFromJson(j \ "b"))
+      case "neg" => Neg(exprFromJson(j \ "a"))
+      case "fn" => Fn((j \ "fn").extract[String], exprFromJson(j \ "a"))
+      case op => throw new IllegalArgumentException(s"unknown rule op '$op'")
+    }
+  }
+
+  private def scopeName(s: RuleScope): String = s match {
+    case RuleScope.AllLevels => "all"
+    case RuleScope.AggregationLevel => "agg"
+    case RuleScope.BaseLevel => "base"
+    case RuleScope.OnEntry => "on_entry"
+  }
+  private def scopeFromName(n: String): RuleScope = n match {
+    case "all" => RuleScope.AllLevels
+    case "agg" => RuleScope.AggregationLevel
+    case "base" => RuleScope.BaseLevel
+    case "on_entry" => RuleScope.OnEntry
+  }
+
+  /** OnEntry Scala functions are not persistable (the reference pickles
+    * arbitrary code, `rules.py:45-88` — we deliberately do not).
+    */
+  def ruleToJson(r: RuleDef): JValue =
+    ("name" -> r.name) ~ ("scope" -> scopeName(r.scope)) ~
+      ("trigger" -> r.trigger) ~ ("expr" -> exprToJson(r.expr))
+
+  def ruleFromJson(j: JValue): RuleDef = {
+    implicit val fmts: Formats = DefaultFormats
+    RuleDef(
+      trigger = (j \ "trigger").extract[Map[String, String]],
+      scope = scopeFromName((j \ "scope").extract[String]),
+      expr = exprFromJson(j \ "expr"),
+      name = (j \ "name").extract[String])
+  }
+
   private def collectRefs(e: RuleExpr): Seq[String] = {
     import RuleExpr._
     e match {
