@@ -14,10 +14,16 @@ object ScratchPerf {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val explain = sys.env.contains("SP_EXPLAIN")
     names.foreach { name =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"cold $name ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+      if (explain) {
+        println(s"===== $name =====")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      } else {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"cold $name ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+      }
     }
     spark.stop()
   }
