@@ -276,8 +276,11 @@ final class Cube(
   def area(pattern: (String, Seq[String])*): Area = Area(this, pattern)
   def fullArea: Area = new Area(this, Map.empty)
 
-  /** Register a rule (≙ `cube.py:750-847`). */
-  def registerRule(rule: graft.olap.RuleDef): Unit = { rules += rule; cache.clear() }
+  /** Register a rule after smoke validation (≙ `cube.py:750-847` + R8). */
+  def registerRule(rule: graft.olap.RuleDef): Unit = {
+    graft.olap.Rules.validate(this, rule)
+    rules += rule; cache.clear()
+  }
 
   private[graft] def clearCache(): Unit = cache.clear()
 

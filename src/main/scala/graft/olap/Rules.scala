@@ -37,6 +37,13 @@ object RuleExpr {
   final case class Div(a: RuleExpr, b: RuleExpr) extends RuleExpr
   final case class Neg(a: RuleExpr) extends RuleExpr
   final case class Fn(name: String, a: RuleExpr) extends RuleExpr // abs | round
+  /** Relative member shift: the referenced cell is the current address with
+    * dimension `dim`'s member moved by `offset` in committed member order
+    * (≙ `cell.alter` + `member.next/previous`, `cell.py:110-154`,
+    * `member.py:185-225` — prior-period references). Evaluates to None when
+    * the shift runs off either end.
+    */
+  final case class Shift(dim: String, offset: Int) extends RuleExpr
 }
 
 /** A registered rule (≙ `@rule` decorator, `decorators.py:13-50`;
@@ -117,6 +124,18 @@ object Rules {
         val rb = resolveRef(cube, b, spec)
         // referenced cells go through the full read path so chained rules fire
         cube.getByBolt(rb)
+      case Shift(dimName, offset) =>
+        val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dimName))
+        require(i >= 0, s"unknown dimension '$dimName' in rule shift")
+        val d = cube.dimensions(i)
+        val ord = d.members.indexWhere(_.id == b.ids(i))
+        val target = ord + offset
+        if (target < 0 || target >= d.members.length) None
+        else {
+          val newIds = b.ids.updated(i, d.members(target).id)
+          val sl = newIds.zipWithIndex.map { case (id, j) => cube.dimensions(j).levelOf(id) }.sum
+          cube.getByBolt(Bolt(sl, newIds))
+        }
       case Add(a, bb) => (ev(a), ev(bb)) match {
         case (None, None) => None
         case (x, y) => Some(x.getOrElse(0.0) + y.getOrElse(0.0))
@@ -164,8 +183,49 @@ object Rules {
       case Fn("abs", a) => abs(c(a))
       case Fn("round", a) => round(c(a))
       case Fn(n, _) => throw new IllegalArgumentException(s"unknown rule function '$n'")
+      case Shift(d, _) => throw new IllegalArgumentException(
+        s"relative shift on '$d' not expressible in column mode")
     }
     c(e)
+  }
+
+  /** Registration-time smoke validation (≙ R8 `cube.py:849-872`, a stub
+    * there): trigger dimensions/members must exist and every ref/shift must
+    * resolve against the cube's dimensions.
+    */
+  def validate(cube: Cube, r: RuleDef): Unit = {
+    r.trigger.foreach { case (dimName, member) =>
+      val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dimName))
+      require(i >= 0, s"rule '${r.name}': unknown trigger dimension '$dimName'")
+      require(cube.dimensions(i).contains(member),
+        s"rule '${r.name}': unknown trigger member '$member' in '$dimName'")
+    }
+    def check(e: RuleExpr): Unit = {
+      import RuleExpr._
+      e match {
+        case Ref(spec) => spec.split(":", 2) match {
+          case Array(d, m) =>
+            val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))
+            require(i >= 0, s"rule '${r.name}': unknown dimension '$d' in ref '$spec'")
+            require(cube.dimensions(i).contains(m),
+              s"rule '${r.name}': unknown member '$m' in ref '$spec'")
+          case Array(m) =>
+            require(cube.dimensions.exists(_.contains(m)),
+              s"rule '${r.name}': member '$m' not found in any dimension")
+        }
+        case Shift(d, _) =>
+          require(cube.dimensions.exists(_.name.equalsIgnoreCase(d)),
+            s"rule '${r.name}': unknown dimension '$d' in shift")
+        case Add(a, b) => check(a); check(b)
+        case Sub(a, b) => check(a); check(b)
+        case Mul(a, b) => check(a); check(b)
+        case Div(a, b) => check(a); check(b)
+        case Neg(a) => check(a)
+        case Fn(_, a) => check(a)
+        case _ =>
+      }
+    }
+    check(r.expr)
   }
 
   /** BASE_LEVEL rule at an aggregated address: pivot the measure dimension at
@@ -224,6 +284,7 @@ object Rules {
       case Div(a, b) => ("op" -> "div") ~ ("a" -> exprToJson(a)) ~ ("b" -> exprToJson(b))
       case Neg(a) => ("op" -> "neg") ~ ("a" -> exprToJson(a))
       case Fn(n, a) => ("op" -> "fn") ~ ("fn" -> n) ~ ("a" -> exprToJson(a))
+      case Shift(d, o) => ("op" -> "shift") ~ ("dim" -> d) ~ ("offset" -> o)
     }
   }
 
@@ -239,6 +300,7 @@ object Rules {
       case "div" => Div(exprFromJson(j \ "a"), exprFromJson(j \ "b"))
       case "neg" => Neg(exprFromJson(j \ "a"))
       case "fn" => Fn((j \ "fn").extract[String], exprFromJson(j \ "a"))
+      case "shift" => Shift((j \ "dim").extract[String], (j \ "offset").extract[Int])
       case op => throw new IllegalArgumentException(s"unknown rule op '$op'")
     }
   }

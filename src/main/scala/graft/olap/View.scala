@@ -145,6 +145,8 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     case RuleExpr.Fn("abs", a) => abs(exprByName(a))
     case RuleExpr.Fn("round", a) => round(exprByName(a))
     case RuleExpr.Fn(n, _) => throw new IllegalArgumentException(s"unknown rule function '$n'")
+    case RuleExpr.Shift(d, _) => throw new IllegalArgumentException(
+      s"relative shift on '$d' not expressible in a view column")
   }
 
   // ---- windowed / rendered output (≙ `view.py:746-767, 984-1331`) ---------
@@ -193,18 +195,57 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     (line(cols) +: line(widths.map("-" * _)) +: rendered.map(line)).mkString("\n")
   }
 
+  /** Full idx address of one grid cell (filters + row members + the column
+    * member + defaults) — used to surface cell comments (≙ `view.py:870-871`).
+    */
+  private def cellAddress(rowMembers: Map[String, String], colMember: String): Vector[Int] = {
+    val cd = dimIdx(dfn.cols.entries.head._1)
+    Vector.tabulate(cube.nDims) { i =>
+      val d = cube.dimensions(i)
+      if (i == cd) d.idOf(colMember)
+      else rowMembers.get(d.name.toLowerCase).map(d.idOf).getOrElse {
+        dfn.filters.find(_._1.equalsIgnoreCase(d.name))
+          .map(f => d.idOf(f._2)).getOrElse(d.defaultMember.id)
+      }
+    }
+  }
+
   def toHtml(window: Option[ViewWindow] = None): String = {
     val (cols, rows) = collect(window)
+    val nRowKeys = dfn.rows.entries.size
     val head = cols.map(c => s"<th>$c</th>").mkString
-    val body = rows.map(r => "<tr>" + r.zip(cols).map { case (v, c) =>
-      val s = v match {
-        case null => ""
-        case d: java.lang.Double => ViewFormat(fmtFor(c), d)
-        case x => x.toString
-      }
-      s"<td>$s</td>"
-    }.mkString + "</tr>").mkString("\n")
+    val body = rows.map { r =>
+      val rowMembers = cols.take(nRowKeys).zip(r.take(nRowKeys))
+        .map { case (c, v) => c.toLowerCase -> String.valueOf(v) }.toMap
+      "<tr>" + r.zip(cols).zipWithIndex.map { case ((v, c), idx) =>
+        val s = v match {
+          case null => ""
+          case d: java.lang.Double => ViewFormat(fmtFor(c), d)
+          case x => x.toString
+        }
+        val tooltip = if (idx < nRowKeys) "" else {
+          val cs = cube.comments.get(cellAddress(rowMembers, c))
+          if (cs.isEmpty) ""
+          else " title=\"" + cs.map(cm => s"${cm.user}: ${cm.text}").mkString("; ")
+            .replace("\"", "&quot;") + "\""
+        }
+        s"<td$tooltip>$s</td>"
+      }.mkString + "</tr>"
+    }.mkString("\n")
     s"<table><thead><tr>$head</tr></thead><tbody>\n$body\n</tbody></table>"
+  }
+
+  /** CSV render (≙ the Slice CSV export, `slice.py:669-671`). */
+  def toCsv(window: Option[ViewWindow] = None): String = {
+    val (cols, rows) = collect(window)
+    def esc(s: String) =
+      if (s.exists(c => c == ',' || c == '"' || c == '\n')) "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    (cols.map(esc).mkString(",") +: rows.map(_.map {
+      case null => ""
+      case d: java.lang.Double => d.toString
+      case x => x.toString
+    }.map(esc).mkString(","))).mkString("\n")
   }
 
   def toJson(window: Option[ViewWindow] = None): String = {

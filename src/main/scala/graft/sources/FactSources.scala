@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.core.Cube
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fact-frame sources/sinks beyond the canonical parquet store (SURVEY §2.1;
+  * the reference's only store is SQLite KV — `storage/sqlite.py`). Spark's
+  * readers give csv/json/orc for free; this layer adds the cube-schema
+  * contract (d0…dn int columns + value) and name-addressed import.
+  */
+object FactSources {
+
+  def factSchema(nDims: Int, valueType: DataType = DoubleType): StructType =
+    StructType((0 until nDims).map(i => StructField(s"d$i", IntegerType)) :+
+      StructField("value", valueType))
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, nDims: Int): DataFrame =
+    spark.read.option("header", "true").schema(factSchema(nDims)).csv(path)
+
+  def readJson(spark: SparkSession, path: String, nDims: Int): DataFrame =
+    spark.read.schema(factSchema(nDims)).json(path)
+
+  /** Import NAME-addressed records `(dimName0, …, dimNameN, value)` into id
+    * space via broadcast member-name joins — the bulk-load path
+    * (≙ per-cell `cube[...]` loading, `samples/huge.py:115-133`, done as one
+    * job).
+    */
+  def importNamed(cube: Cube, records: DataFrame): DataFrame = {
+    var df = records
+    cube.dimensions.zipWithIndex.foreach { case (d, i) =>
+      val names = cube.memberNamesDf(i)
+        .select(col("id").as(s"d$i"), lower(col("mname")).as(s"__n$i"))
+      df = df.join(broadcast(names), lower(col(d.name)) === col(s"__n$i"))
+        .drop(d.name, s"__n$i")
+    }
+    df.select((cube.dimCols.map(col) :+ col("value")): _*)
+  }
+
+  /** Partitioned parquet sink: directory-partition on the given dimension
+    * columns so downstream reads get partition pruning on those dims (the
+    * 100 TB layout knob — e.g. partition a sales cube by the time dim).
+    */
+  def writePartitioned(facts: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    facts.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  def writeCsv(facts: DataFrame, path: String): Unit =
+    facts.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+}
