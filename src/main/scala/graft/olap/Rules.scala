@@ -11,6 +11,7 @@ object RuleScope {
   case object AggregationLevel extends RuleScope // overrides aggregated reads
   case object BaseLevel extends RuleScope        // computed per base cell, then aggregated
   case object OnEntry extends RuleScope          // write-path transform
+  case object Command extends RuleScope          // explicit action (`rules.py:24-41` scope 5)
 }
 
 /** Restricted rule expression DSL. The reference allows arbitrary Python
@@ -85,7 +86,21 @@ object Rules {
       .flatMap(r => r.onEntryFn.map(_(value)))
 
   private def matchRule(cube: Cube, b: Bolt): Option[RuleDef] =
-    cube.rules.find(r => r.scope != RuleScope.OnEntry && matches(cube, r, b))
+    cube.rules.find(r => r.scope != RuleScope.OnEntry &&
+      r.scope != RuleScope.Command && matches(cube, r, b))
+
+  /** COMMAND rule: evaluate the named rule's expression at an address and
+    * write the result back to that (base) cell — an explicit action, never
+    * fired by reads (≙ scope 5 dispatch `cube.py:527-537`).
+    */
+  def executeCommand(cube: Cube, ruleName: String, address: Seq[String]): Option[Double] = {
+    val r = cube.rules.find(x => x.scope == RuleScope.Command && x.name == ruleName)
+      .getOrElse(throw new NoSuchElementException(s"no command rule '$ruleName'"))
+    val b = cube.bolt(address)
+    val result = evalScalar(cube, b, r.expr, 0)
+    result.foreach(v => cube.set(address, v))
+    result
+  }
 
   private def matches(cube: Cube, r: RuleDef, b: Bolt): Boolean =
     r.trigger.forall { case (dimName, member) =>
@@ -310,12 +325,14 @@ object Rules {
     case RuleScope.AggregationLevel => "agg"
     case RuleScope.BaseLevel => "base"
     case RuleScope.OnEntry => "on_entry"
+    case RuleScope.Command => "command"
   }
   private def scopeFromName(n: String): RuleScope = n match {
     case "all" => RuleScope.AllLevels
     case "agg" => RuleScope.AggregationLevel
     case "base" => RuleScope.BaseLevel
     case "on_entry" => RuleScope.OnEntry
+    case "command" => RuleScope.Command
   }
 
   /** OnEntry Scala functions are not persistable (the reference pickles

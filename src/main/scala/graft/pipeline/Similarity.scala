@@ -53,13 +53,12 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket signature: one bit per hyperplane. */
+  /** Sign-LSH bucket signature: one bit per hyperplane — a codegen'd
+    * Catalyst expression evaluating all planes in one loop
+    * ([[graft.functions.SignLshBits]]).
+    */
   private def signature(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.SignLshBits(vec, planes)
 
   /** Approximate cosine top-k via multi-table sign-LSH: candidates share a
     * bucket in ≥1 of `tables` signature tables (union via posexplode), then

@@ -168,6 +168,14 @@ object RelationalQueries {
           col("event_type"), col("n"), col("total"))
     }),
 
+    // HLL sketch distinct (rows-only: sketch internals are engine-specific;
+    // error bound asserted in specs against the exact count)
+    "rel_approx_distinct" -> ((s, dir) => {
+      read(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"),
+          count(lit(1)).as("n"))
+    }),
+
     // gap-based sessionization (lag + running session counter)
     "rel_sessionize" -> ((s, dir) => {
       Relational.sessionize(readEvents(s, dir), "user_id", "ts", "event_id", 1800)

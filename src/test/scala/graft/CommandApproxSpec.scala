@@ -1,0 +1,40 @@
+package graft
+
+import graft.olap._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CommandApproxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("COMMAND rule fires only explicitly and writes back") {
+    val db = TinyModel.build(spark)
+    val cube = db.addCube("cmdsales", db.cube("sales").dimensions)
+    cube.registerRule(RuleDef(
+      trigger = Map("measures" -> "Cost"), scope = RuleScope.Command,
+      expr = RuleExpr.Mul(RuleExpr.Ref("Sales"), RuleExpr.Lit(0.4)),
+      name = "seed_costs"))
+    cube.set(Seq("2021", "Jan", "North", "sedan", "Sales"), 100.0)
+    // a read does NOT fire a command rule
+    assert(cube.get(Seq("2021", "Jan", "North", "sedan", "Cost")).isEmpty)
+    // explicit execution computes and writes the cell
+    val got = Rules.executeCommand(cube, "seed_costs", Seq("2021", "Jan", "North", "sedan", "Cost"))
+    assert(got.contains(40.0))
+    assert(cube.get(Seq("2021", "Jan", "North", "sedan", "Cost")).contains(40.0))
+  }
+
+  test("approx_count_distinct stays within 5% of exact") {
+    val s = spark
+    val dir = "/root/testdata/sf0.01"
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val approx = SparkEntry.queries("rel_approx_distinct")(s, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: approx $ap vs exact $ex")
+    }
+  }
+}
