@@ -91,6 +91,56 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * (fixed seed) partitions the corpus into `nCentroids` cells; each query
+    * probes its `nProbe` nearest cells and exact-re-ranks only those
+    * candidates. The classic sublinear ANN layout: probe cost ≈
+    * corpus × nProbe / nCentroids, and the cell assignment is a plain
+    * column the corpus can be partitioned/bucketed by at 100 TB.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusVec = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__fv"))
+    val km = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("__fv").setPredictionCol("__cell")
+    val model = km.fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv0"), col("__cell"))
+    val centroids = model.clusterCenters.map(_.toArray)
+    // nProbe nearest centroids per query, computed driver-free via a small
+    // exploded centroid frame (nCentroids rows — broadcast)
+    val spark = corpus.sparkSession
+    val centDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(centroids.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c.toSeq) }.toList, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cell", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cent",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv0"))
+    val qCells = q.crossJoin(broadcast(centDf))
+      .withColumn("dist", aggregate(zip_with(col("qv0"), col("cent"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)), lit(0.0), (a, v) => a + v))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("__cell").asc)))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qv0"), col("__cell"))
+    val cand = qCells.join(assigned, Seq("__cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+    val scored = cand
+      .withColumn("qv", quantize(col("qv0"))).withColumn("cv", quantize(col("cv0")))
+      .withColumn("sim", dotQ(col("qv"), col("cv")).cast("double") /
+        (sqrt(dotQ(col("qv"), col("qv")).cast("double")) *
+          sqrt(dotQ(col("cv"), col("cv")).cast("double"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
   /** Exact embedding near-dup pairs above a cosine threshold. At corpus
     * scale, feed LSH candidates instead of the all-pairs join; the verify
     * gate uses the exact form (oracle-checkable).

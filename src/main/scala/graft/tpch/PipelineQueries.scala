@@ -77,6 +77,12 @@ object PipelineQueries {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5), 10, dim = 64)
     }),
 
+    // IVF approximate top-k: KMeans coarse cells + nProbe re-rank (rows-only)
+    "pipe_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), 10)
+    }),
+
     // language ID (stopword-hit argmax heuristic)
     "pipe_lang_id" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))

@@ -168,6 +168,16 @@ object RelationalQueries {
           col("event_type"), col("n"), col("total"))
     }),
 
+    // 3-way join: revenue by supplier nation (supplier ⋈ lineitem ⋈ nation)
+    "rel_join_threeway" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .join(broadcast(read(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(read(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+    }),
+
     // HLL sketch distinct (rows-only: sketch internals are engine-specific;
     // error bound asserted in specs against the exact count)
     "rel_approx_distinct" -> ((s, dir) => {
@@ -280,6 +290,13 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
            COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2""",
+
+    "rel_join_threeway" ->
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT s_suppkey) AS n_suppliers
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
 
     "rel_sessionize" ->
       """WITH flagged AS (

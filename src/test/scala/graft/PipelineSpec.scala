@@ -49,6 +49,16 @@ class PipelineSpec extends AnyFunSuite {
       "but the bucketed path must still find a usable fraction")
   }
 
+  test("IVF ANN: probing a fraction of cells still finds most true neighbors") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 10, nCentroids = 16, nProbe = 6)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@10 = $recall with 6/16 cells probed")
+  }
+
   test("multimodal decode plumbing: schema, determinism, frame fan-out") {
     val decoded = Multimodal.decode(Multimodal.assets(docs)).collect()
     assert(decoded.length == docs.count())
