@@ -179,6 +179,19 @@ object TpchQueries {
         StructType(Seq(StructField("region", StringType), StructField("value", DoubleType))))
     }),
 
+    // dense grid: every (month × nation) aggregated cell in ONE job — the
+    // throughput shape the reference measures as "aggregated cells/sec"
+    // (`samples/huge.py:159-173`), here a single closure-join + hash agg
+    "olap_grid_dense" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val g = grid(m, m.cube,
+        m.geo.membersByLevel(1).map(_.name),      // nations
+        m.calendar.membersByLevel(1).map(_.name), // months
+        Seq("AllBrands"), Seq("gross"))
+      m.named(m.named(g, "a0", 0, "nation"), "a1", 1, "month")
+        .select(col("nation"), col("month"), col("value").cast("double").as("value"))
+    }),
+
     // Q1-Q4: the SQL dialect — parse, slicer resolution, one-job grid exec
     "olap_query_sql" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
@@ -268,6 +281,11 @@ object TpchQueries {
       s"""SELECT r_name AS region,
           (CAST(SUM($GROSS) AS DOUBLE) - CAST(SUM($DISC) AS DOUBLE)) / CAST(SUM($GROSS) AS DOUBLE) AS value
           $STAR GROUP BY r_name""",
+
+    "olap_grid_dense" ->
+      s"""SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+          CAST(SUM($GROSS) AS DOUBLE) AS value
+          $STAR GROUP BY 1, 2""",
 
     "olap_query_sql" ->
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
