@@ -36,6 +36,29 @@ final class Database(val name: String, val spark: SparkSession) {
     throw new NoSuchElementException(s"unknown cube '$cubeName'"))
   def cubes: Seq[Cube] = cubeMap.values.toSeq
 
+  /** Expose the whole model to `spark.sql`: per cube `<cube>_facts`, per
+    * dimension `<dim>_members` (id, name, level, format) and
+    * `<dim>_closure` (anc, leaf, weight) — so any Spark SQL client can run
+    * rollups as plain SQL joins over the same frames the engine plans.
+    */
+  def registerTempViews(): Unit = {
+    cubeMap.values.foreach { c =>
+      c.facts.createOrReplaceTempView(s"${c.name}_facts")
+      c.dimensions.zipWithIndex.foreach { case (d, i) =>
+        val rows = d.members.map(m =>
+          org.apache.spark.sql.Row(m.id, m.name, m.level, m.format.orNull))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("level", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("format", org.apache.spark.sql.types.StringType)))
+        spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
+          .createOrReplaceTempView(s"${d.name}_members")
+        c.closureDf(i).createOrReplaceTempView(s"${d.name}_closure")
+      }
+    }
+  }
+
   // ---- persistence (S5/S6/S7) --------------------------------------------
 
   /** Save: `<dir>/meta.json` + `<dir>/cubes/<name>/` parquet. */
