@@ -45,6 +45,14 @@ final class Cube(
   /** Point-write overlay: address → Some(value) upsert | None delete. */
   private val overlay = mutable.LinkedHashMap[Vector[Int], Option[Double]]()
   private val cache = TrieMap[Vector[Int], Option[Double]]()
+
+  /** Result-cache switch + bound (≙ the database-level caching switch,
+    * `database.py:196-237`; the reference's per-cube dict is unbounded —
+    * ours evicts wholesale past `cacheMaxEntries`, keeping the driver's
+    * footprint flat under adversarial scan patterns).
+    */
+  @volatile var cacheEnabled: Boolean = true
+  @volatile var cacheMaxEntries: Int = 100000
   private[graft] val rules = mutable.ArrayBuffer[graft.olap.RuleDef]()
 
   private var historyOpt: Option[History] = None
@@ -183,15 +191,19 @@ final class Cube(
     */
   def get(address: Seq[String]): Option[Double] = getByBolt(bolt(address))
 
-  private[graft] def getByBolt(b: Bolt): Option[Double] =
-    cache.getOrElseUpdate(b.ids, {
-      graft.olap.Rules.evaluate(this, b) match {
-        case Some(v) => v
-        case None =>
-          if (b.superLevel == 0) pointRead(b.ids)
-          else rollup(b.ids)
-      }
-    })
+  private[graft] def getByBolt(b: Bolt): Option[Double] = {
+    def compute = graft.olap.Rules.evaluate(this, b) match {
+      case Some(v) => v
+      case None =>
+        if (b.superLevel == 0) pointRead(b.ids)
+        else rollup(b.ids)
+    }
+    if (!cacheEnabled) compute
+    else {
+      if (cache.size >= cacheMaxEntries) cache.clear()
+      cache.getOrElseUpdate(b.ids, compute)
+    }
+  }
 
   /** Raw stored value, bypassing rules (used by the rules engine itself). */
   private[graft] def rawGet(b: Bolt): Option[Double] =

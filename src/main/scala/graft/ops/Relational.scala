@@ -57,6 +57,19 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
   }
 
+  /** Skew-safe equi-join: salt the skewed (left) side's key into `salt`
+    * subkeys and replicate the right side once per subkey, so one hot key's
+    * rows spread over `salt` reducers instead of one. AQE's skew-join
+    * handles sort-merge skew adaptively; explicit salting is the portable
+    * form that also covers aggregations downstream.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)).cast("int"))
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** Gap-based sessionization: a new session starts when the time since the
     * previous event of the same key exceeds `gapSeconds`. Session ids are a
     * running count of session starts per key — one shuffle, codegen windows.

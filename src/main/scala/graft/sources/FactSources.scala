@@ -50,4 +50,16 @@ object FactSources {
 
   def writeCsv(facts: DataFrame, path: String): Unit =
     facts.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Bucketed table sink: hash-bucket + sort on the join keys so repeated
+    * co-located joins/aggregations on those keys skip the shuffle entirely
+    * (catalog tables — bucketing metadata requires `saveAsTable`).
+    */
+  def writeBucketed(facts: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int): Unit =
+    facts.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

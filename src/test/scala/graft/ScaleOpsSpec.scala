@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.Relational
+import graft.sources.FactSources
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-mechanics specs: salted skew joins preserve semantics; bucketed
+  * tables join without a shuffle; the result cache honors its switch/bound.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("salted join returns exactly the plain join's rows under skew") {
+    import spark.implicits._
+    // heavily skewed left: 10k rows of one hot key + a tail
+    val left = (Seq.fill(10000)(1) ++ (2 to 50)).toDF("k")
+    val right = (1 to 50).map(k => (k, s"v$k")).toDF("k", "v")
+    val plain = left.join(right, Seq("k")).groupBy("k").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val salted = Relational.saltedJoin(left, right, "k", salt = 8)
+      .groupBy("k").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted(1) == 10000L)
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    import spark.implicits._
+    val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "x")
+    val b = (1 to 1000).map(i => (i.toLong, i * 3.0)).toDF("k", "y")
+    FactSources.writeBucketed(a, "bk_a", Seq("k"), 4)
+    FactSources.writeBucketed(b, "bk_b", Seq("k"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_a").join(spark.table("bk_b"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("result cache toggle and bound") {
+    val db = TinyModel.build(spark)
+    val cube = db.addCube("cachesales", db.cube("sales").dimensions)
+    cube.set(Seq("2021", "Jan", "North", "sedan", "Sales"), 5.0)
+    val addr = Seq("2021", "Year", "Total", "Total", "Sales")
+    assert(cube.get(addr).contains(5.0))
+    cube.cacheEnabled = false
+    assert(cube.get(addr).contains(5.0)) // recomputed, same answer
+    cube.cacheEnabled = true
+    cube.cacheMaxEntries = 1
+    assert(cube.get(addr).contains(5.0))
+    assert(cube.get(Seq("2021", "Q1", "Total", "Total", "Sales")).contains(5.0))
+  }
+}
