@@ -23,6 +23,7 @@ object Bench {
     "olap_multiparent",     // multi-parent fan-out rollup
     "olap_view_pivot",      // whole pivot grid, one job
     "olap_grid_dense",      // ~2100 aggregated cells, one job (cells/sec story)
+    "olap_huge_top",        // reference huge bench: top cell over 1e6 cells
     "olap_area_records",    // area enumeration with name joins
     "rel_join_broadcast",   // broadcast hash join
     "rel_join_shuffle",     // shuffle join (AQE)

@@ -264,6 +264,39 @@ final class View(val cube: Cube, val dfn: ViewDef) {
   }
 }
 
+/** ViewDef ⇄ JSON (≙ `view.py:1089-1149` — definition round-trip,
+  * `tests/test_view.py:41-60`).
+  */
+object ViewDef {
+  import org.json4s._
+  import org.json4s.JsonDSL._
+  import org.json4s.jackson.JsonMethods
+
+  private def axisJson(a: AxisDef): JValue =
+    a.entries.map { case (d, ms) => ("dimension" -> d) ~ ("members" -> ms.toList) }
+
+  def toJson(v: ViewDef): String = JsonMethods.compact(JsonMethods.render(
+    ("filters" -> v.filters.map { case (d, m) =>
+      ("dimension" -> d) ~ ("member" -> m) }.toList) ~
+    ("rows" -> axisJson(v.rows)) ~
+    ("columns" -> axisJson(v.cols)) ~
+    ("zeroSuppression" -> v.zeroSuppression)))
+
+  def fromJson(s: String): ViewDef = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(s)
+    def axis(field: String): AxisDef = AxisDef(
+      (j \ field).extract[List[JValue]].map { e =>
+        ((e \ "dimension").extract[String], (e \ "members").extract[List[String]]) })
+    ViewDef(
+      filters = (j \ "filters").extract[List[JValue]].map(e =>
+        ((e \ "dimension").extract[String], (e \ "member").extract[String])),
+      rows = axis("rows"),
+      cols = axis("columns"),
+      zeroSuppression = (j \ "zeroSuppression").extract[Boolean])
+  }
+}
+
 /** Python-format-mini-language subset for member number formats
   * (≙ `dimension.py:1479-1518`, applied at `view.py:866-869`):
   * `{:.Nf}`, `{:.N%}`, `{:,.Nf}`.

@@ -1,0 +1,61 @@
+package graft.tpch
+
+import graft.core.{Cube, Database, Dimension}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** The reference's `huge` benchmark model (FIXTURES §3, `samples/huge.py:
+  * 16-77`): 8 dimensions × 100 leaf members + one `All` rollup each, 1e6
+  * pseudo-random leaf cells of value 1.0 — so every aggregate equals its
+  * contributing row count (self-verifying, engine-independent oracle).
+  *
+  * Facts are generated distributed (`spark.range` + per-dimension hashes),
+  * never on the driver; addresses collide occasionally and pre-aggregate
+  * exactly like FactTable upserts, leaving the total invariant at 1e6.
+  */
+object HugeModel {
+  val Rows: Long = 1000000L
+  val NDims = 8
+  val LeavesPerDim = 100
+
+  private val cache = TrieMap[String, Cube]()
+
+  def get(spark: SparkSession): Cube = cache.getOrElseUpdate("huge", build(spark))
+
+  private def build(spark: SparkSession): Cube = {
+    val db = new Database("huge", spark)
+    val dims: Seq[Dimension] = (0 until NDims).map { i =>
+      val d = db.addDimension(s"dim$i")
+      d.edit()
+      d.add("All", (0 until LeavesPerDim).map(m => s"m$m"))
+      d.commit()
+      d
+    }
+    // leaf ids are 1..100 ("All" gets id 0 as the first-created member)
+    val dimCols = (0 until NDims).map(i =>
+      (pmod(xxhash64(col("id"), lit(i)), lit(LeavesPerDim)) + 1).cast("int").as(s"d$i"))
+    val facts = spark.range(Rows)
+      .select(dimCols :+ lit(1.0).as("value"): _*)
+      .groupBy((0 until NDims).map(i => col(s"d$i")): _*)
+      .agg(sum(col("value")).as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    facts.count()
+    db.addCube("huge", dims, facts)
+  }
+
+  /** The full-cube top cell (`All × … × All`) as a one-row frame — equals
+    * exactly [[Rows]] by construction (≙ `benchmark_read_top_cells`,
+    * `samples/huge.py:176-187`).
+    */
+  def topCell(spark: SparkSession): DataFrame = {
+    val cube = get(spark)
+    val v = cube.get(Seq.fill(NDims)("All"))
+    import org.apache.spark.sql.{Row => SRow}
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(List(SRow(v.map(Double.box).orNull)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+}

@@ -179,6 +179,10 @@ object TpchQueries {
         StructType(Seq(StructField("region", StringType), StructField("value", DoubleType))))
     }),
 
+    // the reference's `huge` benchmark: top-cell read over 1e6 random cells
+    // (self-verifying: value-1.0 cells ⇒ aggregate == row count)
+    "olap_huge_top" -> ((s, _) => HugeModel.topCell(s)),
+
     // dense grid: every (month × nation) aggregated cell in ONE job — the
     // throughput shape the reference measures as "aggregated cells/sec"
     // (`samples/huge.py:159-173`), here a single closure-join + hash agg
@@ -281,6 +285,9 @@ object TpchQueries {
       s"""SELECT r_name AS region,
           (CAST(SUM($GROSS) AS DOUBLE) - CAST(SUM($DISC) AS DOUBLE)) / CAST(SUM($GROSS) AS DOUBLE) AS value
           $STAR GROUP BY r_name""",
+
+    "olap_huge_top" ->
+      "SELECT CAST(1000000 AS DOUBLE) AS value",
 
     "olap_grid_dense" ->
       s"""SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS month,

@@ -104,6 +104,20 @@ class QueryViewSpec extends AnyFunSuite {
     assert(view.stats.columns == 2)
   }
 
+  test("view definition JSON round-trip yields an identical grid") {
+    cube
+    val dfn = ViewDef(
+      filters = Seq("years" -> "2021", "regions" -> "Total", "products" -> "Total"),
+      rows = AxisDef(Seq("months" -> Seq("Jan", "Feb", "Q1"))),
+      cols = AxisDef(Seq("measures" -> Seq("Sales", "Cost"))),
+      zeroSuppression = true)
+    val dfn2 = ViewDef.fromJson(ViewDef.toJson(dfn))
+    assert(dfn2 == dfn)
+    val g1 = new View(cube, dfn).refresh().collect().map(_.toString).toSeq
+    val g2 = new View(cube, dfn2).refresh().collect().map(_.toString).toSeq
+    assert(g1 == g2)
+  }
+
   test("format mini-language") {
     assert(ViewFormat(Some("{:.2%}"), 0.8640239) == "86.40%")
     assert(ViewFormat(Some("{:,.0f}"), 1234567.0) == "1,234,567")
