@@ -23,7 +23,6 @@ object Bench {
     "olap_multiparent",     // multi-parent fan-out rollup
     "olap_view_pivot",      // whole pivot grid, one job
     "olap_grid_dense",      // ~2100 aggregated cells, one job (cells/sec story)
-    "olap_huge_top",        // reference huge bench: top cell over 1e6 cells
     "olap_area_records",    // area enumeration with name joins
     "rel_join_broadcast",   // broadcast hash join
     "rel_join_shuffle",     // shuffle join (AQE)
@@ -35,7 +34,9 @@ object Bench {
     "pipe_dedup_simhash",   // SimHash near-dup (banded)
     "pipe_ann_lsh",         // sign-LSH ANN top-k
     "pipe_lang_id",         // text analysis scan
-    "pipe_fingerprint")     // md5 fingerprints
+    "pipe_fingerprint",     // md5 fingerprints
+    "olap_huge_top")        // reference huge bench (1e6-cell model) — LAST:
+                            // its build leaves a large persisted frame behind
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

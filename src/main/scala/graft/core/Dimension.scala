@@ -124,6 +124,7 @@ final class Dimension(val name: String) {
 
   // committed snapshot
   private var committed: Vector[MemberDef] = Vector.empty
+  private var byId: Map[Int, MemberDef] = Map.empty
   private var closure: Vector[ClosureRow] = Vector.empty
   private var allParentsMap: Map[Int, Set[Int]] = Map.empty
 
@@ -174,6 +175,7 @@ final class Dimension(val name: String) {
       MemberDef(m.id, m.name, m.parents.toVector, m.children.toVector,
         m.parentWeights.toMap, levels(m.id), m.format)
     }.toVector
+    byId = committed.map(m => m.id -> m).toMap
     closure = buildClosure(levels)
     allParentsMap = buildAllParents()
     editing = false
@@ -277,8 +279,8 @@ final class Dimension(val name: String) {
     byName.getOrElse(member.toLowerCase,
       aliasMap.getOrElse(member.toLowerCase,
         throw new NoSuchElementException(s"unknown member '$member' in dimension '$name'")))
-  def apply(member: String): MemberDef = committed.find(_.id == idOf(member)).get
-  def memberById(id: Int): MemberDef = committed.find(_.id == id).get
+  def apply(member: String): MemberDef = byId(idOf(member))
+  def memberById(id: Int): MemberDef = byId(id)
   def nameOf(id: Int): String = memberById(id).name
   def levelOf(id: Int): Int = memberById(id).level
 
@@ -333,6 +335,7 @@ final class Dimension(val name: String) {
   def setFormat(member: String, format: String): Unit = {
     val id = idOf(member)
     committed = committed.map(m => if (m.id == id) m.copy(format = Some(format)) else m)
+    byId = byId.updated(id, byId(id).copy(format = Some(format)))
     if (id < defs.length && defs(id).name != null) defs(id).format = Some(format)
   }
 
