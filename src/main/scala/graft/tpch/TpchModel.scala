@@ -81,6 +81,8 @@ object TpchModel {
       cal.add(month, ds.sorted)
     }
     cal.commit()
+    // static subset: first half of 1995, month granularity (Q2.11 surface)
+    cal.addSubset("h1_1995", (1 to 6).map(m => f"1995-$m%02d"))
 
     val parts = read("part").select("p_partkey", "p_brand", "p_type").collect().map(r =>
       (r.getAs[Long]("p_partkey"), r.getAs[String]("p_brand"), r.getAs[String]("p_type")))
@@ -95,6 +97,10 @@ object TpchModel {
       prod.add(tpe, ps.map(p => s"P#${p._1}").toSeq)
     }
     prod.commit()
+    // typed attribute on part leaves (F3/F5 surface) + a region alias
+    prod.addAttribute("ptype")
+    parts.foreach { case (pk, _, tpe) => prod.setAttribute("ptype", s"P#$pk", tpe) }
+    geo.addAlias("EU", "EUROPE")
 
     val meas = db.addDimension("measures")
     meas.edit()

@@ -196,6 +196,34 @@ object TpchQueries {
         .select(col("nation"), col("month"), col("value").cast("double").as("value"))
     }),
 
+    // F3/F5: member selection by attribute wildcard → rollup over the hits
+    "olap_attr_filter" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val promoParts = m.product.attribute("ptype").filter("PROMO*")
+      val g = m.cube.gridAggregate(Seq(
+        Seq(m.geo.idOf("World")), Seq(m.calendar.idOf("AllTime")),
+        promoParts, Seq(m.measures.idOf("gross"))))
+      s.createDataFrame(
+        s.sparkContext.parallelize(List(org.apache.spark.sql.Row(
+          g.agg(sum(col("value"))).head.getDecimal(0).doubleValue())), 1),
+        StructType(Seq(StructField("value", DoubleType))))
+    }),
+
+    // alias resolution: querying through 'EU' hits the EUROPE member
+    "olap_alias_query" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val g = grid(m, m.cube, Seq("EU"), Seq("AllTime"), Seq("AllBrands"), Seq("gross"))
+      g.select(col("value").cast("double").as("value"))
+    }),
+
+    // subset as WHERE slicer in the SQL dialect (≙ `query.py:199-201`)
+    "olap_subset_slicer" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      OlapQuery(m.db,
+        "SELECT calendar, value FROM sales WHERE geo='World', calendar=h1_1995, product=AllBrands, 'gross'")
+        .withColumn("value", col("value").cast("double"))
+    }),
+
     // Q1-Q4: the SQL dialect — parse, slicer resolution, one-job grid exec
     "olap_query_sql" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
@@ -293,6 +321,20 @@ object TpchQueries {
       s"""SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS month,
           CAST(SUM($GROSS) AS DOUBLE) AS value
           $STAR GROUP BY 1, 2""",
+
+    "olap_attr_filter" ->
+      s"""SELECT CAST(SUM($GROSS) AS DOUBLE) AS value
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type LIKE 'PROMO%'""",
+
+    "olap_alias_query" ->
+      s"SELECT CAST(SUM($GROSS) AS DOUBLE) AS value $STAR WHERE r_name = 'EUROPE'",
+
+    "olap_subset_slicer" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS calendar,
+          CAST(SUM($GROSS) AS DOUBLE) AS value
+          $STAR WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-06'
+          GROUP BY 1""",
 
     "olap_query_sql" ->
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
