@@ -296,6 +296,19 @@ final class Cube(
 
   private[graft] def clearCache(): Unit = cache.clear()
 
+  /** Drop fact rows addressing members that no longer exist in their
+    * dimension (≙ commit-time fact deletion for removed members,
+    * `facttable.py:375-420` — here an explicit anti-filter pass after a
+    * dimension edit that removed members).
+    */
+  def purgeUnknownMembers(): Unit = {
+    val pred = dimCols.zipWithIndex.map { case (c, i) =>
+      col(c).isin(dimensions(i).leafMembers.map(_.id): _*)
+    }.reduce(_ && _)
+    replaceFacts(facts.filter(pred))
+    refreshClosures()
+  }
+
   /** Comment helpers addressed by member names. */
   def addComment(address: Seq[String], text: String, user: String = ""): Unit =
     comments.add(bolt(address).ids, text, user)
