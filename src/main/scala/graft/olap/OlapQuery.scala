@@ -110,9 +110,76 @@ final class OlapQuery(db: Database, sql: String) {
     }.toVector
   }
 
+  /** Rule backing a selected member of dimension `d`, if any (same-dim
+    * ALL_LEVELS / AGGREGATION_LEVEL exprs are grid-computable).
+    */
+  private def ruleFor(d: Dimension, memberId: Int): Option[RuleDef] =
+    cube.rules.find { r =>
+      (r.scope == RuleScope.AllLevels || r.scope == RuleScope.AggregationLevel) &&
+        r.trigger.exists { case (dim, m) =>
+          dim.equalsIgnoreCase(d.name) && d.contains(m) && d.idOf(m) == memberId }
+    }
+
+  private def refNames(e: RuleExpr): Seq[String] = e match {
+    case RuleExpr.Ref(s) if !s.contains(":") => Seq(s)
+    case RuleExpr.Add(a, b) => refNames(a) ++ refNames(b)
+    case RuleExpr.Sub(a, b) => refNames(a) ++ refNames(b)
+    case RuleExpr.Mul(a, b) => refNames(a) ++ refNames(b)
+    case RuleExpr.Div(a, b) => refNames(a) ++ refNames(b)
+    case RuleExpr.Neg(a) => refNames(a)
+    case RuleExpr.Fn(_, a) => refNames(a)
+    case _ => Nil
+  }
+
+  private def exprCol(d: Dimension, e: RuleExpr): org.apache.spark.sql.Column = e match {
+    case RuleExpr.Lit(v) => lit(v)
+    case RuleExpr.Ref(s) if !s.contains(":") => col(s"`${d.idOf(s)}`")
+    case RuleExpr.Add(a, b) => coalesce(exprCol(d, a), lit(0)) + coalesce(exprCol(d, b), lit(0))
+    case RuleExpr.Sub(a, b) => coalesce(exprCol(d, a), lit(0)) - coalesce(exprCol(d, b), lit(0))
+    case RuleExpr.Mul(a, b) => exprCol(d, a) * exprCol(d, b)
+    case RuleExpr.Div(a, b) => when(exprCol(d, b).cast("double") =!= 0.0,
+      exprCol(d, a).cast("double") / exprCol(d, b).cast("double"))
+    case RuleExpr.Neg(a) => -exprCol(d, a)
+    case RuleExpr.Fn("abs", a) => abs(exprCol(d, a))
+    case RuleExpr.Fn("round", a) => round(exprCol(d, a))
+    case other => throw new IllegalArgumentException(s"not grid-computable: $other")
+  }
+
+  /** Grid with rule-backed members of (at most) one dimension computed
+    * post-pivot inside the same job (≙ rule cells in the dialect's dense
+    * grid, `query.py:101-136` — still no per-cell loop).
+    */
+  private def gridWithRules(): DataFrame = {
+    val ruledByDim = cube.dimensions.zipWithIndex.map { case (d, i) =>
+      i -> selections(i).flatMap(id => ruleFor(d, id).map(id -> _)).toMap
+    }.filter(_._2.nonEmpty)
+    if (ruledByDim.isEmpty) return cube.gridAggregate(selections)
+    require(ruledByDim.size == 1,
+      "rule-backed members supported in one dimension per query")
+    val (di, ruled) = ruledByDim.head
+    val d = cube.dimensions(di)
+    val plain = selections(di).filterNot(ruled.contains)
+    val refIds = ruled.values.flatMap(r => refNames(r.expr)).map(d.idOf).toSeq
+    val allIds = (plain ++ refIds).distinct
+    val g = cube.gridAggregate(selections.updated(di, allIds))
+    val otherCols = cube.dimensions.indices.filterNot(_ == di).map(i => s"a$i")
+    var pivoted = g.groupBy(otherCols.map(col): _*)
+      .pivot(s"a$di", allIds.map(_.asInstanceOf[AnyRef]).toSeq)
+      .agg(first(col("value")))
+    ruled.foreach { case (id, rule) =>
+      pivoted = pivoted.withColumn(id.toString, exprCol(d, rule.expr))
+    }
+    val requested = selections(di)
+    val stackExpr = s"stack(${requested.size}, " +
+      requested.map(id => s"$id, CAST(`$id` AS DOUBLE)").mkString(", ") + s") AS (a$di, value)"
+    pivoted.select(otherCols.map(col) :+ expr(stackExpr): _*)
+      .filter(col("value").isNotNull)
+      .select(cube.dimensions.indices.map(i => col(s"a$i")) :+ col("value"): _*)
+  }
+
   /** Run the query as one grid job and project the requested fields. */
   def execute(): DataFrame = {
-    var df = cube.gridAggregate(selections)
+    var df = gridWithRules()
     val projected = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
     val wantAll = fields.exists(_ == "*")
 

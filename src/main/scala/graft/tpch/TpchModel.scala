@@ -104,7 +104,7 @@ object TpchModel {
 
     val meas = db.addDimension("measures")
     meas.edit()
-    meas.addMany(Seq("quantity", "gross", "disc_amt", "plan"))
+    meas.addMany(Seq("quantity", "gross", "disc_amt", "plan", "margin"))
     meas.add("net", Seq("gross", "disc_amt"), Seq(1.0, -1.0))
     meas.commit()
 
@@ -143,6 +143,12 @@ object TpchModel {
     facts.count() // materialize: queries measure steady-state latency
 
     val cube = db.addCube("sales", Seq(geo, cal, prod, meas), facts)
+    // standing rule-derived measure: margin = net / gross (ALL_LEVELS)
+    cube.registerRule(graft.olap.RuleDef(
+      trigger = Map("measures" -> "margin"),
+      scope = graft.olap.RuleScope.AllLevels,
+      expr = graft.olap.RuleParser.parse("[net] / [gross]"),
+      name = "margin"))
     new TpchModel(db, cube, sfDir)
   }
 

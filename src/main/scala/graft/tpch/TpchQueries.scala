@@ -224,6 +224,14 @@ object TpchQueries {
         .withColumn("value", col("value").cast("double"))
     }),
 
+    // rule-backed measure inside the SQL dialect grid (pivot-compute-unpivot)
+    "olap_query_rule" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      OlapQuery(m.db,
+        "SELECT calendar, value FROM sales WHERE geo='World', calendar=('1995','1996'), product=AllBrands, 'margin'")
+        .withColumn("value", col("value").cast("double"))
+    }),
+
     // Q1-Q4: the SQL dialect — parse, slicer resolution, one-job grid exec
     "olap_query_sql" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
@@ -335,6 +343,11 @@ object TpchQueries {
           CAST(SUM($GROSS) AS DOUBLE) AS value
           $STAR WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-06'
           GROUP BY 1""",
+
+    "olap_query_rule" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
+          CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) / CAST(SUM($GROSS) AS DOUBLE) AS value
+          $STAR WHERE strftime(o_orderdate, '%Y') IN ('1995','1996') GROUP BY 1""",
 
     "olap_query_sql" ->
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar,

@@ -60,6 +60,18 @@ class QueryViewSpec extends AnyFunSuite {
     df.collect()
   }
 
+  test("dialect: rule-backed measure computed inside the grid job") {
+    cube
+    val df = OlapQuery(db,
+      "SELECT months, value FROM sales WHERE '2021', months=('Jan','Feb'), regions='Total', products='Total', 'Profit in %'")
+    val got = df.collect().map(r =>
+      r.getAs[String]("months") -> r.getAs[Number]("value").doubleValue()).toMap
+    // Jan: Profit = 579 - 100 = 479; Profit in % = 479/579
+    assert(math.abs(got("Jan") - 479.0 / 579.0) < 1e-12)
+    // Feb: Sales 50, no Cost → Profit 50 → 100%
+    assert(math.abs(got("Feb") - 1.0) < 1e-12)
+  }
+
   test("view: pivot grid with rule-derived measure column") {
     cube
     val view = new View(cube, ViewDef(
