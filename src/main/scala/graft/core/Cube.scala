@@ -205,10 +205,6 @@ final class Cube(
     }
   }
 
-  /** Raw stored value, bypassing rules (used by the rules engine itself). */
-  private[graft] def rawGet(b: Bolt): Option[Double] =
-    if (b.superLevel == 0) pointRead(b.ids) else rollup(b.ids)
-
   private def pointRead(ids: Vector[Int]): Option[Double] =
     overlay.get(ids) match {
       case Some(v) => v

@@ -29,6 +29,7 @@ final class Database(val name: String, val spark: SparkSession) {
   }
   def addCube(cubeName: String, cubeDims: Seq[Dimension],
       facts: org.apache.spark.sql.DataFrame): Cube = {
+    require(!cubeMap.contains(cubeName.toLowerCase), s"cube '$cubeName' exists")
     val c = new Cube(cubeName, cubeDims, spark, Some(facts))
     cubeMap(cubeName.toLowerCase) = c; c
   }

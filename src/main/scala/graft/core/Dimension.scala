@@ -163,6 +163,8 @@ final class Dimension(val name: String) {
       m.parents -= mid; m.children -= mid; m.parentWeights.remove(mid)
     }
     byName.remove(member.toLowerCase)
+    aliasMap.filterInPlace((_, id) => id != mid) // aliases must not outlive the member
+    attrs.values.foreach(_.values.remove(mid))
     defs(mid) = MutMember(mid, null) // tombstone; ids are stable
     this
   }

@@ -120,16 +120,8 @@ final class OlapQuery(db: Database, sql: String) {
           dim.equalsIgnoreCase(d.name) && d.contains(m) && d.idOf(m) == memberId }
     }
 
-  private def refNames(e: RuleExpr): Seq[String] = e match {
-    case RuleExpr.Ref(s) if !s.contains(":") => Seq(s)
-    case RuleExpr.Add(a, b) => refNames(a) ++ refNames(b)
-    case RuleExpr.Sub(a, b) => refNames(a) ++ refNames(b)
-    case RuleExpr.Mul(a, b) => refNames(a) ++ refNames(b)
-    case RuleExpr.Div(a, b) => refNames(a) ++ refNames(b)
-    case RuleExpr.Neg(a) => refNames(a)
-    case RuleExpr.Fn(_, a) => refNames(a)
-    case _ => Nil
-  }
+  private def refNames(e: RuleExpr): Seq[String] =
+    Rules.collectRefs(e).filterNot(_.contains(":"))
 
   private def exprCol(d: Dimension, e: RuleExpr): org.apache.spark.sql.Column = e match {
     case RuleExpr.Lit(v) => lit(v)

@@ -351,7 +351,10 @@ object Rules {
       name = (j \ "name").extract[String])
   }
 
-  private def collectRefs(e: RuleExpr): Seq[String] = {
+  /** All Ref specs in an expression (the one shared RuleExpr walker —
+    * callers filter for unqualified refs as needed).
+    */
+  def collectRefs(e: RuleExpr): Seq[String] = {
     import RuleExpr._
     e match {
       case Ref(s) => Seq(s)

@@ -122,16 +122,8 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     ordered
   }
 
-  private def collectRefNames(e: RuleExpr): Seq[String] = e match {
-    case RuleExpr.Ref(s) if !s.contains(":") => Seq(s)
-    case RuleExpr.Add(a, b) => collectRefNames(a) ++ collectRefNames(b)
-    case RuleExpr.Sub(a, b) => collectRefNames(a) ++ collectRefNames(b)
-    case RuleExpr.Mul(a, b) => collectRefNames(a) ++ collectRefNames(b)
-    case RuleExpr.Div(a, b) => collectRefNames(a) ++ collectRefNames(b)
-    case RuleExpr.Neg(a) => collectRefNames(a)
-    case RuleExpr.Fn(_, a) => collectRefNames(a)
-    case _ => Nil
-  }
+  private def collectRefNames(e: RuleExpr): Seq[String] =
+    Rules.collectRefs(e).filterNot(_.contains(":"))
 
   private def exprByName(e: RuleExpr): Column = e match {
     case RuleExpr.Lit(v) => lit(v)
