@@ -66,6 +66,30 @@ object Streaming {
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
+  final case class Alert(user_id: Long, n_in_burst: Long, at: java.sql.Timestamp)
+
+  /** flatMapGroupsWithState: emit zero-or-more outputs per key per batch —
+    * here a burst detector that alerts when a user accumulates ≥ `threshold`
+    * events (then resets its counter). The 0..n output shape is what
+    * mapGroupsWithState cannot express.
+    */
+  def burstAlerts(events: Dataset[UserEvent], threshold: Int): Dataset[Alert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Alert](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[Long]) =>
+          var count = state.getOption.getOrElse(0L)
+          val alerts = scala.collection.mutable.ArrayBuffer[Alert]()
+          it.foreach { e =>
+            count += 1
+            if (count >= threshold) { alerts += Alert(uid, count, e.ts); count = 0L }
+          }
+          state.update(count)
+          alerts.iterator
+      }
+  }
+
   /** Custom keyed state: running per-user totals via mapGroupsWithState —
     * the escape hatch for stateful logic the built-in windows can't express.
     */

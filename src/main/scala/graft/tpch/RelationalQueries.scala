@@ -186,6 +186,17 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // exact interpolated percentiles (quantities are integer-valued, so the
+    // interpolation arithmetic is exact in double on both engines)
+    "rel_percentiles" -> ((s, dir) => {
+      read(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
+    }),
+
     // gap-based sessionization (lag + running session counter)
     "rel_sessionize" -> ((s, dir) => {
       Relational.sessionize(readEvents(s, dir), "user_id", "ts", "event_id", 1800)
@@ -297,6 +308,14 @@ object RelationalQueries {
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
          GROUP BY n_name""",
+
+    "rel_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS median,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           min(l_quantity) AS mn, max(l_quantity) AS mx
+         FROM lineitem GROUP BY l_returnflag""",
 
     "rel_sessionize" ->
       """WITH flagged AS (

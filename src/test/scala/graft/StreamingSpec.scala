@@ -98,6 +98,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out((2L, 1L)) == 1.0)
   }
 
+  test("flatMapGroupsWithState burst detector emits 0..n alerts per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.UserEvent]
+    val q = Streaming.burstAlerts(mem.toDS(), threshold = 3).writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("burst_out").start()
+    mem.addData(
+      Streaming.UserEvent(1, ts("2024-01-01 00:00:00"), 1.0),
+      Streaming.UserEvent(1, ts("2024-01-01 00:00:01"), 1.0))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM burst_out").count() == 0) // below threshold
+    mem.addData(
+      Streaming.UserEvent(1, ts("2024-01-01 00:00:02"), 1.0), // 3rd → alert, reset
+      Streaming.UserEvent(2, ts("2024-01-01 00:00:03"), 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM burst_out").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("user_id") == 1L && rows.head.getAs[Long]("n_in_burst") == 3L)
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
