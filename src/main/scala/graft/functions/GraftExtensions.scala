@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions installer: makes the graft native expressions
+  * available to plain SQL in any session built with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the standard
+  * extension wiring for a library shipping custom Catalyst expressions.
+  *
+  * {{{
+  *   SELECT graft_dot_q(a, b) FROM vectors
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot_q"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "graft_dot_q"),
+      (exprs: Seq[Expression]) => LongDotProduct(exprs(0), exprs(1))))
+  }
+}
