@@ -120,7 +120,9 @@ final class Dimension(val name: String) {
   private val attrs = mutable.LinkedHashMap[String, AttributeField]()
   private val subsetMap = mutable.LinkedHashMap[String, Subset]()
   private var editing = false
-  private var editBackup: Option[(Seq[MemberDef], Map[String, Int])] = None
+  // committed members, byName, aliasMap, per-attribute value maps — everything
+  // remove() mutates eagerly must be snapshotted, or rollback() loses it.
+  private var editBackup: Option[(Seq[MemberDef], Map[String, Int], Map[String, Int], Map[String, Map[Int, String]])] = None
 
   // committed snapshot
   private var committed: Vector[MemberDef] = Vector.empty
@@ -132,7 +134,8 @@ final class Dimension(val name: String) {
 
   def edit(): Dimension = {
     require(!editing, s"dimension '$name' already in edit mode")
-    editBackup = Some((committed, byName.toMap))
+    editBackup = Some((committed, byName.toMap, aliasMap.toMap,
+      attrs.map { case (k, f) => k -> f.values.toMap }.toMap))
     editing = true
     this
   }
@@ -187,8 +190,8 @@ final class Dimension(val name: String) {
 
   def rollback(): Dimension = {
     require(editing, s"dimension '$name' not in edit mode")
-    val (snap, names) = editBackup.get
-    defs.clear(); byName.clear()
+    val (snap, names, aliases, attrValues) = editBackup.get
+    defs.clear(); byName.clear(); aliasMap.clear()
     snap.foreach { m =>
       while (defs.length <= m.id) defs += MutMember(defs.length, null)
       defs(m.id) = MutMember(m.id, m.name,
@@ -196,6 +199,11 @@ final class Dimension(val name: String) {
         mutable.Map(m.parentWeights.toSeq: _*), m.format)
     }
     names.foreach { case (k, v) => byName(k) = v }
+    aliases.foreach { case (k, v) => aliasMap(k) = v }
+    attrs.foreach { case (k, f) =>
+      f.values.clear()
+      attrValues.get(k).foreach(_.foreach { case (id, v) => f.values(id) = v })
+    }
     editing = false; editBackup = None
     this
   }

@@ -3,6 +3,7 @@ package graft.olap
 import graft.core.{Bolt, Cube}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import scala.collection.mutable
 
 /** Rule scopes (≙ `rules.py:24-41`). */
 sealed trait RuleScope
@@ -62,12 +63,39 @@ final case class RuleDef(
 
 object Rules {
 
+  /** Bolts whose rules are being evaluated right now on this thread. Ref/Shift
+    * evaluation re-enters the full read path (`cube.getByBolt`), so the
+    * per-expression depth counter alone cannot see cross-cell chains: a rule
+    * referencing its own cell (directly or mutually) would recurse until
+    * StackOverflowError. Same-bolt re-entry ⇒ descriptive cycle error; chain
+    * length counts toward [[MaxDepth]].
+    */
+  private val inFlight = new ThreadLocal[mutable.LinkedHashSet[(String, Vector[Int])]] {
+    override def initialValue(): mutable.LinkedHashSet[(String, Vector[Int])] =
+      mutable.LinkedHashSet.empty
+  }
+
   /** Returns Some(result) if a matching rule computed the cell; None if no
     * rule applies and normal read semantics proceed (≙ `cube.py:334-432`).
     */
   def evaluate(cube: Cube, b: Bolt): Option[Option[Double]] = {
     val m = matchRule(cube, b)
-    m.flatMap { rule =>
+    if (m.isEmpty) return None
+    val open = inFlight.get()
+    val key = (cube.name, b.ids)
+    if (open.contains(key)) throw new IllegalStateException(
+      s"circular rule reference in cube '${cube.name}': " +
+        (open.iterator.map(_._2.mkString("[", ",", "]")) ++ Iterator(b.ids.mkString("[", ",", "]")))
+          .mkString(" -> "))
+    require(open.size < MaxDepth,
+      s"rule chain longer than $MaxDepth cells (cycle?) in cube '${cube.name}'")
+    open += key
+    try evaluateMatched(cube, b, m.get)
+    finally open -= key
+  }
+
+  private def evaluateMatched(cube: Cube, b: Bolt, rule: RuleDef): Option[Option[Double]] = {
+    Some(rule).flatMap { rule =>
       rule.scope match {
         case RuleScope.AllLevels => Some(evalScalar(cube, b, rule.expr, 0))
         case RuleScope.AggregationLevel if b.superLevel > 0 => Some(evalScalar(cube, b, rule.expr, 0))
@@ -188,9 +216,15 @@ object Rules {
       case Ref(spec) => throw new IllegalArgumentException(
         s"cross-dimension ref '$spec' not expressible in column mode")
       // integer-literal zero: promotes to the ref's own type (decimal stays
-      // decimal/exact; a 0.0 double literal would demote the whole expression)
-      case Add(a, b) => coalesce(c(a), lit(0)) + coalesce(c(b), lit(0))
-      case Sub(a, b) => coalesce(c(a), lit(0)) - coalesce(c(b), lit(0))
+      // decimal/exact; a 0.0 double literal would demote the whole expression).
+      // Both-null guard keeps column mode agreeing with evalScalar: an empty
+      // cell stays empty instead of reading 0.0 in grids/views.
+      case Add(a, b) =>
+        when(c(a).isNull && c(b).isNull, lit(null))
+          .otherwise(coalesce(c(a), lit(0)) + coalesce(c(b), lit(0)))
+      case Sub(a, b) =>
+        when(c(a).isNull && c(b).isNull, lit(null))
+          .otherwise(coalesce(c(a), lit(0)) - coalesce(c(b), lit(0)))
       case Mul(a, b) => c(a) * c(b)
       case Div(a, b) =>
         when(c(b).cast("double") =!= 0.0, c(a).cast("double") / c(b).cast("double"))

@@ -78,7 +78,7 @@ object Relational {
       gapSeconds: Long, sessionCol: String = "session_id"): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tiebreakCol))
     val newSession = when(
-      col(tsCol).cast("long") - lag(col(tsCol), 1).over(w).cast("long") > gapSeconds ||
+      unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w) > gapSeconds * 1000000L ||
         lag(col(tsCol), 1).over(w).isNull, 1).otherwise(0)
     df.withColumn("__new", newSession)
       .withColumn(sessionCol,

@@ -1,0 +1,85 @@
+package graft
+
+import graft.core._
+import graft.olap._
+import graft.ops.Relational
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression specs for the round-2 correctness fixes: sessionize sub-second
+  * gap arithmetic, cross-cell rule cycle detection, rollback of aliases and
+  * attribute values, and scalar/column null-parity for +/−.
+  */
+class Round2FixesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("sessionize keeps sub-second gap fractions (µs arithmetic)") {
+    import spark.implicits._
+    // gap threshold 1800 s; second pair straddles it only via the fraction:
+    // 1800.5 s apart but only 1800 whole seconds — truncating arithmetic
+    // would (wrongly) keep them in one session.
+    val rows = Seq(
+      (1, java.sql.Timestamp.valueOf("2024-01-01 00:00:10.200"), 1L),
+      (1, java.sql.Timestamp.valueOf("2024-01-01 00:30:10.700"), 2L), // +1800.5s → new session
+      (1, java.sql.Timestamp.valueOf("2024-01-01 01:00:10.600"), 3L)  // +1799.9s → same session
+    ).toDF("user_id", "ts", "event_id")
+    val out = Relational.sessionize(rows, "user_id", "ts", "event_id", 1800)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L)
+    assert(out(2L) == 2L)
+    assert(out(3L) == 2L)
+  }
+
+  test("cross-cell rule cycles raise a descriptive error, not StackOverflow") {
+    val db = new Database("cyc", spark)
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("a", "b", "c")).commit()
+    val cube = db.addCube("c", Seq(m))
+    cube.registerRule(RuleDef(Map("m" -> "a"), RuleScope.AllLevels, RuleExpr.Ref("b"), "a_from_b"))
+    cube.registerRule(RuleDef(Map("m" -> "b"), RuleScope.AllLevels, RuleExpr.Ref("a"), "b_from_a"))
+    val e = intercept[IllegalStateException](cube.get(Seq("a")))
+    assert(e.getMessage.contains("circular rule reference"))
+    // self-reference is the degenerate cycle
+    cube.registerRule(RuleDef(Map("m" -> "c"), RuleScope.AllLevels, RuleExpr.Ref("c"), "self"))
+    val e2 = intercept[IllegalStateException](cube.get(Seq("c")))
+    assert(e2.getMessage.contains("circular rule reference"))
+  }
+
+  test("rollback restores aliases and attribute values removed mid-edit") {
+    val d = new Dimension("r")
+    d.edit().add("All", Seq("a", "b")).commit()
+    d.addAlias("alpha", "a")
+    d.addAttribute("color")
+    d.setAttribute("color", "a", "red")
+    d.setAttribute("color", "b", "blue")
+    d.edit(); d.remove("a"); d.rollback()
+    assert(d.contains("alpha") && d.idOf("alpha") == d.idOf("a"))
+    assert(d.getAttribute("color", "a").contains("red"))
+    assert(d.getAttribute("color", "b").contains("blue"))
+  }
+
+  test("column-mode +/− agree with scalar mode on empty cells") {
+    val db = new Database("par", spark)
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("x", "y", "z")).commit()
+    val cube = db.addCube("c", Seq(m))
+    val expr = RuleExpr.Sub(RuleExpr.Ref("x"), RuleExpr.Ref("y"))
+    val c = Rules.toColumn(cube, 0, expr)
+    val xc = s"m_${m.idOf("x")}"; val yc = s"m_${m.idOf("y")}"
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(null, null),
+        Row(java.lang.Double.valueOf(5.0), null),
+        Row(null, java.lang.Double.valueOf(2.0))), 1),
+      StructType(Seq(StructField(xc, DoubleType), StructField(yc, DoubleType))))
+    val got = df.select(c.as("v")).collect().map(r => Option(r.get(0)))
+    assert(got(0).isEmpty)            // both empty → empty (was 0.0 pre-fix)
+    assert(got(1).contains(5.0))
+    assert(got(2).contains(-2.0))
+    // scalar path on a genuinely empty cube: both refs empty → empty cell
+    cube.registerRule(RuleDef(Map("m" -> "z"), RuleScope.AllLevels, expr, "diff"))
+    assert(cube.get(Seq("z")).isEmpty)
+  }
+}
