@@ -44,6 +44,31 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
     df.select(cube.dimensions.map(d => col(d.name)) :+ col("value"): _*)
   }
 
+  /** In-pattern membership test on raw address ids (payload cells). */
+  private def idsInArea(ids: Vector[Int]): Boolean =
+    leafPattern.forall { case (i, mids) => mids.contains(ids(i)) }
+
+  /** Records INCLUDING non-float payload cells (extra `payload` column,
+    * null on numeric rows; payload rows carry a null value — ≙ enumerating a
+    * reference area whose cells hold arbitrary objects, `cube.py:325-327`).
+    */
+  def recordsWithPayloads: DataFrame = {
+    val numeric = records.withColumn("payload", lit(null).cast(StringType))
+    val pRows = cube.payloadEntries(idsInArea).map { case (ids, p) =>
+      Row.fromSeq(ids.zipWithIndex.map { case (id, i) => cube.dimensions(i).nameOf(id) } :+
+        null :+ p)
+    }
+    if (pRows.isEmpty) numeric
+    else {
+      val schema = StructType(
+        cube.dimensions.map(d => StructField(d.name, StringType)).toIndexedSeq :+
+          StructField("value", numeric.schema("value").dataType) :+
+          StructField("payload", StringType))
+      numeric.unionByName(cube.spark.createDataFrame(
+        cube.spark.sparkContext.parallelize(pRows.toList, 1), schema))
+    }
+  }
+
   // ---- aggregates (≙ `area.py:372-447`) -----------------------------------
 
   private def aggOne(c: Column): Option[Double] =
@@ -59,8 +84,13 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
 
   // ---- mutations (≙ `area.py:224-370`) ------------------------------------
 
-  /** Delete all rows in the subspace (≙ `area.py:224-233`). */
-  def clear(): Unit = cube.replaceFacts(facts.filter(!predicate))
+  /** Delete all rows in the subspace, payload cells included
+    * (≙ `area.py:224-233`).
+    */
+  def clear(): Unit = {
+    cube.removePayloads(idsInArea)
+    cube.replaceFacts(facts.filter(!predicate))
+  }
 
   /** Overwrite the value of every EXISTING cell (≙ `area.py:280-336`). */
   def setValue(v: Double): Unit = transform(_ => lit(v).cast(valueType))

@@ -12,6 +12,24 @@ import scala.collection.mutable
   */
 final case class Bolt(superLevel: Int, ids: Vector[Int])
 
+/** What a cell read can yield (≙ the reference storing ANY object in a cell,
+  * `cube.py:325-327`, with only floats aggregating — skip checks
+  * `cube.py:468,493` — and rules returning error sentinels, `rules.py:15-20`).
+  * Numbers aggregate; text payloads are carried alongside and skipped by
+  * every rollup; errors render as their code (`#DIV/0!` …), not blank.
+  */
+sealed trait CellValue { def render: String }
+object CellValue {
+  final case class Num(v: Double) extends CellValue { def render: String = v.toString }
+  final case class Text(s: String) extends CellValue { def render: String = s }
+  final case class Err(code: String) extends CellValue { def render: String = code }
+  val DivZero = "#DIV/0!"
+
+  /** Error sentinels travel as strings of the reference's `#…!` shape. */
+  def fromPayload(s: String): CellValue =
+    if (s.length > 2 && s.startsWith("#") && s.endsWith("!")) Err(s) else Text(s)
+}
+
 /** An N-dimensional cube (≙ `cube.py:65`): an ordered list of [[Dimension]]s
   * plus a fact DataFrame with schema `(d0:Int, …, dN-1:Int, value:Double)`
   * holding base-level cells only. Aggregated cells are computed on read as
@@ -44,6 +62,12 @@ final class Cube(
 
   /** Point-write overlay: address → Some(value) upsert | None delete. */
   private val overlay = mutable.LinkedHashMap[Vector[Int], Option[Double]]()
+  /** Non-float cell payloads (≙ arbitrary-object cells, `cube.py:325-327`):
+    * driver-side — payload cells are human-entered annotations/tags, sparse
+    * by construction; they never enter the aggregation plan (the skip checks
+    * `cube.py:468,493` hold by absence).
+    */
+  private val payloads = mutable.LinkedHashMap[Vector[Int], String]()
   private val cache = TrieMap[Vector[Int], Option[Double]]()
 
   /** Result-cache switch + bound (≙ the database-level caching switch,
@@ -67,10 +91,12 @@ final class Cube(
   def history: History = historyOpt.getOrElse(
     throw new IllegalStateException(s"history not enabled on cube '$name' — call enableHistory()"))
 
-  private[core] def snapshotState(): Cube.State = Cube.State(base, overlay.toVector)
+  private[core] def snapshotState(): Cube.State =
+    Cube.State(base, overlay.toVector, payloads.toVector)
   private[core] def restoreState(s: Cube.State): Unit = {
     base = s.base
     overlay.clear(); s.overlay.foreach { case (k, v) => overlay(k) = v }
+    payloads.clear(); s.payloads.foreach { case (k, v) => payloads(k) = v }
     cache.clear()
   }
   private def recordHistory(label: String): Unit = historyOpt.foreach(_.record(label))
@@ -173,6 +199,7 @@ final class Cube(
       case Some(v) => overlay(b.ids) = Some(v)
       case None    => overlay(b.ids) = Some(value)
     }
+    payloads.remove(b.ids) // a cell holds ONE value — number replaces text
     cache.clear()
     recordHistory(s"set ${address.mkString(",")}")
   }
@@ -181,9 +208,47 @@ final class Cube(
     val b = bolt(address)
     require(b.superLevel == 0, "can only delete base cells")
     overlay(b.ids) = None
+    payloads.remove(b.ids)
     cache.clear()
     recordHistory(s"delete ${address.mkString(",")}")
   }
+
+  /** Write a non-float payload into a base cell (≙ storing any object,
+    * `cube.py:325-327`): replaces any numeric value there; the cell reads as
+    * [[CellValue.Text]]/[[CellValue.Err]] and is SKIPPED by every rollup
+    * (≙ the float-only skip checks `cube.py:468,493`).
+    */
+  def setPayload(address: Seq[String], payload: String): Unit = {
+    val b = bolt(address)
+    require(b.superLevel == 0,
+      s"writeback to aggregated cell ${address.mkString("[", ",", "]")} not allowed")
+    payloads(b.ids) = payload
+    overlay(b.ids) = None // text replaces number: remove the cell from rollups
+    cache.clear()
+    recordHistory(s"payload ${address.mkString(",")}")
+  }
+
+  def getPayload(address: Seq[String]): Option[String] = payloads.get(bolt(address).ids)
+
+  /** Typed cell read: payloads/errors first, else the numeric read path
+    * (rule-computed NaN surfaces as `#DIV/0!` — ≙ `rules.py:15-20`).
+    */
+  def getCell(address: Seq[String]): Option[CellValue] = {
+    val b = bolt(address)
+    if (b.superLevel == 0 && payloads.contains(b.ids))
+      Some(CellValue.fromPayload(payloads(b.ids)))
+    else getByBolt(b).map(v =>
+      if (v.isNaN) CellValue.Err(CellValue.DivZero) else CellValue.Num(v))
+  }
+
+  /** Payload rows within a predicate over the address ids (Area support). */
+  private[core] def payloadEntries(p: Vector[Int] => Boolean): Seq[(Vector[Int], String)] =
+    payloads.toSeq.filter { case (ids, _) => p(ids) }
+  private[core] def removePayloads(p: Vector[Int] => Boolean): Unit =
+    payloads.filterInPlace((ids, _) => !p(ids))
+  private[graft] def payloadCount: Int = payloads.size
+  private[graft] def allPayloads: Seq[(Vector[Int], String)] = payloads.toSeq
+  private[core] def restorePayload(ids: Vector[Int], p: String): Unit = payloads(ids) = p
 
   /** Cell read: base cells are point lookups (overlay first, then a
     * pushed-down filter job); aggregated cells are closure-join rollups.
@@ -314,5 +379,8 @@ final class Cube(
 
 object Cube {
   /** Immutable mutation-log state handle (see [[History]]). */
-  final case class State(base: DataFrame, overlay: Vector[(Vector[Int], Option[Double])])
+  final case class State(
+      base: DataFrame,
+      overlay: Vector[(Vector[Int], Option[Double])],
+      payloads: Vector[(Vector[Int], String)] = Vector.empty)
 }

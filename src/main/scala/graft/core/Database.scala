@@ -74,7 +74,9 @@ final class Database(val name: String, val spark: SparkSession) {
       ("cubes" -> cubeMap.values.map(c =>
         ("name" -> c.name) ~ ("dims" -> c.dimensions.map(_.name).toList) ~
           ("rules" -> c.rules.filter(_.onEntryFn.isEmpty)
-            .map(graft.olap.Rules.ruleToJson).toList)).toList)
+            .map(graft.olap.Rules.ruleToJson).toList) ~
+          ("payloads" -> c.allPayloads.map { case (ids, p) =>
+            ids.mkString(",") -> p }.toMap)).toList)
     Files.writeString(Paths.get(s"$dir/meta.json"), JsonMethods.pretty(JsonMethods.render(meta)))
   }
 
@@ -131,6 +133,9 @@ object Database {
       val cube = db.addCube(cname, cdims, spark.read.parquet(s"$dir/cubes/$cname"))
       (cj \ "rules").toOption.toList.flatMap(_.extract[List[JValue]])
         .foreach(rj => cube.registerRule(graft.olap.Rules.ruleFromJson(rj)))
+      (cj \ "payloads").extractOpt[Map[String, String]].getOrElse(Map.empty)
+        .foreach { case (ids, p) =>
+          cube.restorePayload(ids.split(",").map(_.toInt).toVector, p) }
     }
     db
   }

@@ -190,6 +190,10 @@ object Rules {
       case Mul(a, bb) => for (x <- ev(a); y <- ev(bb)) yield x * y
       case Div(a, bb) => (ev(a), ev(bb)) match {
         case (Some(x), Some(y)) if y != 0.0 => Some(x / y)
+        // explicit division by a STORED zero is an error, not an empty cell
+        // (≙ `#DIV/0!`, `rules.py:15-20`); NaN is the in-band sentinel that
+        // `Cube.getCell` / view renders surface as the error code
+        case (Some(_), Some(_)) => Some(Double.NaN)
         case _ => None
       }
       case Neg(a) => ev(a).map(-_)
@@ -228,6 +232,8 @@ object Rules {
       case Mul(a, b) => c(a) * c(b)
       case Div(a, b) =>
         when(c(b).cast("double") =!= 0.0, c(a).cast("double") / c(b).cast("double"))
+          // zero denominator with data present → #DIV/0! sentinel (NaN)
+          .otherwise(when(c(a).isNotNull && c(b).isNotNull, lit(Double.NaN)))
       case Neg(a) => -c(a)
       case Fn("abs", a) => abs(c(a))
       case Fn("round", a) => round(c(a))

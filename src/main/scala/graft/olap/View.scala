@@ -47,28 +47,32 @@ final class View(val cube: Cube, val dfn: ViewDef) {
   var stats: ViewStats = ViewStats(0, 0, 0)
 
   /** The grid as a DataFrame: one column per row-axis dimension (member
-    * names), then one column per column-axis position, ordered by axis
-    * position. Cells are doubles (null = empty).
+    * names), then one column per column-axis POSITION — the cartesian product
+    * of the column-axis member lists in entry order, last entry varying
+    * fastest (≙ `view.py:167-171`). Multi-dimension positions are named
+    * `m1/m2/…` (one member per axis entry). Cells are doubles (null = empty).
     */
   def refresh(): DataFrame = {
     val t0 = System.nanoTime()
     val rowDims = dfn.rows.entries.map(e => dimIdx(e._1))
-    val colDims = dfn.cols.entries.map(e => dimIdx(e._1))
-    require(colDims.size == 1, "column axis must hold exactly one dimension")
-    val cd = colDims.head
-    val colDim = cube.dimensions(cd)
+    val colEntries = dfn.cols.entries
+    require(colEntries.nonEmpty, "column axis needs at least one dimension")
 
-    // split requested column members into stored vs rule-derived
-    val requested = dfn.cols.entries.head._2
-    def ruleFor(m: String): Option[RuleDef] = cube.rules.find { r =>
+    // per column-axis dimension: split requested members into stored vs
+    // rule-derived (ALL_LEVELS / AGGREGATION_LEVEL with same-dim refs)
+    def ruleFor(dimI: Int, m: String): Option[RuleDef] = cube.rules.find { r =>
       (r.scope == RuleScope.AllLevels || r.scope == RuleScope.AggregationLevel) &&
         r.trigger.exists { case (d, mm) =>
-          d.equalsIgnoreCase(colDim.name) && mm.equalsIgnoreCase(m) }
+          d.equalsIgnoreCase(cube.dimensions(dimI).name) && mm.equalsIgnoreCase(m) }
     }
-    val ruled = requested.flatMap(m => ruleFor(m).map(m -> _)).toMap
-    val plain = requested.filterNot(ruled.contains)
-    val refMembers = ruled.values.flatMap(r => collectRefNames(r.expr)).toSeq.distinct
-    val colMembers = (plain ++ refMembers.filterNot(plain.contains)).distinct
+    // (dimIdx, requested, ruled members, members to fetch from storage)
+    val perDim = colEntries.map { case (dName, requested) =>
+      val cd = dimIdx(dName)
+      val ruled = requested.flatMap(m => ruleFor(cd, m).map(m -> _)).toMap
+      val plain = requested.filterNot(ruled.contains)
+      val refs = ruled.values.flatMap(r => collectRefNames(r.expr)).toSeq.distinct
+      (cd, requested, ruled, (plain ++ refs.filterNot(plain.contains)).distinct)
+    }
 
     // selections: filters fix single members; unmentioned dims → default
     val sel = Array.tabulate(cube.nDims) { i =>
@@ -78,7 +82,7 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     dfn.rows.entries.zip(rowDims).foreach { case ((_, ms), i) =>
       sel(i) = ms.map(cube.dimensions(i).idOf)
     }
-    sel(cd) = colMembers.map(colDim.idOf)
+    perDim.foreach { case (cd, _, _, fetch) => sel(cd) = fetch.map(cube.dimensions(cd).idOf) }
 
     var df = cube.gridAggregate(sel.toIndexedSeq)
 
@@ -96,49 +100,81 @@ final class View(val cube: Cube, val dfn: ViewDef) {
       df = df.join(broadcast(names), col(s"a$i") === col(s"__id$i")).drop(s"__id$i")
     }
 
-    // pivot by column member name
-    val colNameById = colMembers.map(m => colDim.idOf(m) -> m).toMap
-    val mapExpr = map(colNameById.toSeq.flatMap { case (id, n) => Seq(lit(id), lit(n)) }: _*)
-    df = df.withColumn("__colName", mapExpr(col(s"a$cd")))
+    // pivot on the composite position key: per column dim an id→name map,
+    // joined with '/' — ONE pivot regardless of axis dimensionality
+    val nameCols = perDim.map { case (cd, _, _, fetch) =>
+      val byId = fetch.map(m => cube.dimensions(cd).idOf(m) -> m)
+      map(byId.flatMap { case (id, n) => Seq(lit(id), lit(n)) }: _*)(col(s"a$cd"))
+    }
+    df = df.withColumn("__colName",
+      if (nameCols.size == 1) nameCols.head else concat_ws("/", nameCols: _*))
+    val fetchNames = cartesian(perDim.map(_._4)).map(_.mkString("/"))
     val rowKeyCols = rowDims.zip(dfn.rows.entries).map(_._2._1)
     val ordCols = rowDims.map(i => s"__ord$i")
     var grid = df.groupBy((rowKeyCols ++ ordCols).map(col): _*)
-      .pivot("__colName", colMembers)
+      .pivot("__colName", fetchNames)
       .agg(first(col("value").cast("double")))
 
-    // rule-derived columns post-pivot (one job, no per-cell recursion)
-    ruled.foreach { case (m, rule) =>
-      grid = grid.withColumn(m, exprByName(rule.expr))
+    // requested positions: cartesian product in axis order (last fastest)
+    val reqPositions = cartesian(perDim.map(_._2))
+    // rule-derived positions post-pivot (one job, no per-cell recursion):
+    // refs resolve to the sibling position with only the ruled dim's member
+    // replaced (Jan/Profit ← Jan/Sales − Jan/Cost)
+    reqPositions.foreach { pos =>
+      val ruledAt = pos.zipWithIndex.zip(perDim).filter { case ((m, _), pd) => pd._3.contains(m) }
+      if (ruledAt.size > 1) throw new IllegalArgumentException(
+        s"position ${pos.mkString("/")}: rule-backed members on more than one " +
+          "column-axis dimension are not supported")
+      ruledAt.headOption.foreach { case ((m, k), pd) =>
+        grid = grid.withColumn(pos.mkString("/"),
+          exprByName(pd._3(m).expr, ref => pos.updated(k, ref).mkString("/")))
+      }
     }
 
+    val reqNames = reqPositions.map(_.mkString("/"))
     if (dfn.zeroSuppression) {
-      val cells = requested.map(m => abs(coalesce(col(m), lit(0.0))))
+      val cells = reqNames.map(m => abs(coalesce(col(m), lit(0.0))))
       grid = grid.filter(cells.reduce(_ + _) =!= 0.0) // ≙ `view.py:844-885`
     }
 
     val ordered = grid.orderBy(ordCols.map(col): _*)
-      .select((rowKeyCols.map(col) ++ requested.map(col)): _*)
-    stats = ViewStats((System.nanoTime() - t0) / 1000000, 0, requested.size)
+      .select((rowKeyCols.map(col) ++ reqNames.map(col)): _*)
+    stats = ViewStats((System.nanoTime() - t0) / 1000000, 0, reqNames.size)
     ordered
   }
+
+  /** Cartesian product preserving entry order; LAST list varies fastest
+    * (≙ `itertools.product`, `view.py:167-171`).
+    */
+  private def cartesian[A](xs: Seq[Seq[A]]): Seq[Seq[A]] =
+    xs.foldLeft(Seq(Seq.empty[A]))((acc, l) => acc.flatMap(p => l.map(p :+ _)))
 
   private def collectRefNames(e: RuleExpr): Seq[String] =
     Rules.collectRefs(e).filterNot(_.contains(":"))
 
-  private def exprByName(e: RuleExpr): Column = e match {
-    case RuleExpr.Lit(v) => lit(v)
-    case RuleExpr.Ref(s) => col(s)
-    case RuleExpr.Add(a, b) => coalesce(exprByName(a), lit(0)) + coalesce(exprByName(b), lit(0))
-    case RuleExpr.Sub(a, b) => coalesce(exprByName(a), lit(0)) - coalesce(exprByName(b), lit(0))
-    case RuleExpr.Mul(a, b) => exprByName(a) * exprByName(b)
-    case RuleExpr.Div(a, b) =>
-      when(exprByName(b).cast("double") =!= 0.0, exprByName(a).cast("double") / exprByName(b).cast("double"))
-    case RuleExpr.Neg(a) => -exprByName(a)
-    case RuleExpr.Fn("abs", a) => abs(exprByName(a))
-    case RuleExpr.Fn("round", a) => round(exprByName(a))
-    case RuleExpr.Fn(n, _) => throw new IllegalArgumentException(s"unknown rule function '$n'")
-    case RuleExpr.Shift(d, _) => throw new IllegalArgumentException(
-      s"relative shift on '$d' not expressible in a view column")
+  private def exprByName(e: RuleExpr, rename: String => String = identity): Column = {
+    def c(x: RuleExpr): Column = x match {
+      case RuleExpr.Lit(v) => lit(v)
+      case RuleExpr.Ref(s) => col(rename(s))
+      case RuleExpr.Add(a, b) =>
+        when(c(a).isNull && c(b).isNull, lit(null))
+          .otherwise(coalesce(c(a), lit(0)) + coalesce(c(b), lit(0)))
+      case RuleExpr.Sub(a, b) =>
+        when(c(a).isNull && c(b).isNull, lit(null))
+          .otherwise(coalesce(c(a), lit(0)) - coalesce(c(b), lit(0)))
+      case RuleExpr.Mul(a, b) => c(a) * c(b)
+      case RuleExpr.Div(a, b) =>
+        when(c(b).cast("double") =!= 0.0, c(a).cast("double") / c(b).cast("double"))
+          // zero denominator with data present → #DIV/0! sentinel (NaN)
+          .otherwise(when(c(a).isNotNull && c(b).isNotNull, lit(Double.NaN)))
+      case RuleExpr.Neg(a) => -c(a)
+      case RuleExpr.Fn("abs", a) => abs(c(a))
+      case RuleExpr.Fn("round", a) => round(c(a))
+      case RuleExpr.Fn(n, _) => throw new IllegalArgumentException(s"unknown rule function '$n'")
+      case RuleExpr.Shift(d, _) => throw new IllegalArgumentException(
+        s"relative shift on '$d' not expressible in a view column")
+    }
+    c(e)
   }
 
   // ---- windowed / rendered output (≙ `view.py:746-767, 984-1331`) ---------
@@ -163,13 +199,17 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     (keptCols, rows.map(r => keptCols.map(c => r.get(r.fieldIndex(c)))))
   }
 
-  /** Member number format cascade: column member format wins, else plain
-    * (≙ `view.py:791-852`, formats `dimension.py:1479-1518`).
+  /** Member number format cascade: the LAST column-axis member (usually the
+    * measure) with a defined format wins, else plain (≙ `view.py:791-852`,
+    * formats `dimension.py:1479-1518`). Multi-dim positions split on '/'.
     */
   private def fmtFor(colName: String): Option[String] = {
-    val cd = dimIdx(dfn.cols.entries.head._1)
-    val d = cube.dimensions(cd)
-    if (d.contains(colName)) d(colName).format else None
+    val parts = colName.split("/").toSeq
+    val cds = dfn.cols.entries.map(e => dimIdx(e._1))
+    cds.zip(parts).reverse.collectFirst {
+      case (cd, p) if cube.dimensions(cd).contains(p) &&
+        cube.dimensions(cd)(p).format.isDefined => cube.dimensions(cd)(p).format.get
+    }
   }
 
   def toConsole(window: Option[ViewWindow] = None): String = {
@@ -177,6 +217,7 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     val rendered = rows.map(_.zip(cols).map { case (v, c) =>
       v match {
         case null => ""
+        case d: java.lang.Double if d.isNaN => graft.core.CellValue.DivZero
         case d: java.lang.Double => ViewFormat(fmtFor(c), d)
         case x => x.toString
       }
@@ -191,13 +232,15 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     * member + defaults) — used to surface cell comments (≙ `view.py:870-871`).
     */
   private def cellAddress(rowMembers: Map[String, String], colMember: String): Vector[Int] = {
-    val cd = dimIdx(dfn.cols.entries.head._1)
+    val colByDim = dfn.cols.entries.map(e => dimIdx(e._1))
+      .zip(colMember.split("/").toSeq).toMap
     Vector.tabulate(cube.nDims) { i =>
       val d = cube.dimensions(i)
-      if (i == cd) d.idOf(colMember)
-      else rowMembers.get(d.name.toLowerCase).map(d.idOf).getOrElse {
-        dfn.filters.find(_._1.equalsIgnoreCase(d.name))
-          .map(f => d.idOf(f._2)).getOrElse(d.defaultMember.id)
+      colByDim.get(i).map(d.idOf).getOrElse {
+        rowMembers.get(d.name.toLowerCase).map(d.idOf).getOrElse {
+          dfn.filters.find(_._1.equalsIgnoreCase(d.name))
+            .map(f => d.idOf(f._2)).getOrElse(d.defaultMember.id)
+        }
       }
     }
   }
@@ -212,6 +255,7 @@ final class View(val cube: Cube, val dfn: ViewDef) {
       "<tr>" + r.zip(cols).zipWithIndex.map { case ((v, c), idx) =>
         val s = v match {
           case null => ""
+          case d: java.lang.Double if d.isNaN => graft.core.CellValue.DivZero
           case d: java.lang.Double => ViewFormat(fmtFor(c), d)
           case x => x.toString
         }
@@ -235,6 +279,7 @@ final class View(val cube: Cube, val dfn: ViewDef) {
       else s
     (cols.map(esc).mkString(",") +: rows.map(_.map {
       case null => ""
+      case d: java.lang.Double if d.isNaN => graft.core.CellValue.DivZero
       case d: java.lang.Double => d.toString
       case x => x.toString
     }.map(esc).mkString(","))).mkString("\n")
@@ -246,6 +291,7 @@ final class View(val cube: Cube, val dfn: ViewDef) {
       cols.zip(r).map { case (c, v) =>
         val vs = v match {
           case null => "null"
+          case d: java.lang.Double if d.isNaN => "\"" + graft.core.CellValue.DivZero + "\""
           case d: java.lang.Double => d.toString
           case x => "\"" + x.toString.replace("\"", "\\\"") + "\""
         }

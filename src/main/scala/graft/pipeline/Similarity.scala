@@ -141,9 +141,49 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
-  /** Exact embedding near-dup pairs above a cosine threshold. At corpus
-    * scale, feed LSH candidates instead of the all-pairs join; the verify
-    * gate uses the exact form (oracle-checkable).
+  /** Embedding near-dup pairs at scale: multi-table sign-LSH bucketing for
+    * candidate generation (pairs sharing a bucket in ≥1 table — shuffle on
+    * bucket keys, never all-pairs), then EXACT cosine verification of the
+    * candidates only. This is the user-facing operator; [[cosineNearDupPairs]]
+    * is its oracle in specs (≙ how MinHash-LSH is verified against the naive
+    * Jaccard join).
+    *
+    * Recall is tuned by `nPlanes` × `tables` against the target threshold:
+    * per-table collision probability for a pair at angle θ is
+    * `(1 − θ/π)^nPlanes`. Defaults suit true near-dups (cosine ≥ 0.7); for
+    * lower thresholds use fewer planes / more tables (each halving of
+    * nPlanes squares-root the bucket selectivity).
+    */
+  def lshNearDupPairs(df: DataFrame, threshold: Double, dim: Int,
+      nPlanes: Int = 8, tables: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sigCols = (0 until tables).map(t =>
+      signature(col(vecCol), hyperplanes(dim, nPlanes, t)).as(s"sig_$t"))
+    // persisted: both sides of the bucket self-join read it
+    val banded = df.select(col(idCol) +: sigCols: _*)
+      .select(col(idCol), posexplode(
+        array((0 until tables).map(t => col(s"sig_$t")): _*)).as(Seq("table", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lean pair dedup on bare ids (map-side combine), not distinct() on rows
+    val cand = banded.select(col(idCol).as("i"), col("table"), col("sig"))
+      .join(banded.select(col(idCol).as("j"), col("table"), col("sig")), Seq("table", "sig"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("__nb")).drop("__nb")
+    val vecs = df.select(col(idCol), quantize(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand
+      .join(vecs.select(col(idCol).as("i"), col("v").as("vi")), Seq("i"))
+      .join(vecs.select(col(idCol).as("j"), col("v").as("vj")), Seq("j"))
+      .withColumn("sim", dotQ(col("vi"), col("vj")).cast("double") /
+        (sqrt(dotQ(col("vi"), col("vi")).cast("double")) *
+          sqrt(dotQ(col("vj"), col("vj")).cast("double"))))
+      .filter(col("sim") >= threshold)
+      .select(col("i"), col("j"), col("sim"))
+  }
+
+  /** Exact embedding near-dup pairs above a cosine threshold — the all-pairs
+    * oracle baseline for [[lshNearDupPairs]] (oracle-checkable in DuckDB);
+    * quadratic, never the user-facing operator at corpus scale.
     */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -28,18 +28,49 @@ object TextDedup {
   def wordSetFingerprint(textCol: Column): Column =
     array_join(array_sort(array_distinct(split(textCol, " "))), " ")
 
-  /** EXACT n-gram/word-set Jaccard near-dup pairs via inverted-index join:
-    * docs sharing ≥1 token are joined through the token (no cross join),
-    * shared counts aggregated, Jaccard = |∩| / (|A|+|B|−|∩|). One shuffle on
-    * tokens + one on pairs; prune hopeless pairs by size ratio before the
-    * division (|A∩B| ≤ min ⇒ sim ≤ min/max).
+  /** Candidate pairs under EXACT prefix filtering (ppjoin-style): order each
+    * doc's tokens by global document frequency (rarest first, token text as
+    * tiebreak), index only the first `|d| − ⌈t·|d|⌉ + 1` tokens, and join
+    * docs through those prefix tokens only. Any pair with Jaccard ≥ t shares
+    * ≥1 prefix token (prefix-filtering principle), so the candidate set is a
+    * SUPERSET of the answer — while a hot token ("the") has near-maximal
+    * document frequency, lands at the end of every doc's order, and never
+    * enters a prefix: posting lists stay bounded at 100 TB instead of going
+    * quadratic in the hot token's corpus frequency.
+    */
+  private[graft] def jaccardCandidates(words: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docFreq = words.groupBy(col("w")).agg(count(lit(1)).as("__df"))
+    val ranked = words.join(docFreq, Seq("w"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__df").asc, col("w").asc)))
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    // ε guards FP noise in t·sz (0.9×30 = 27.000…004): erring low only
+    // lengthens the prefix — a superset, never a miss
+    val prefix = ranked.filter(
+      col("__rn") <= col("__sz") - ceil(col("__sz") * threshold - 1e-9) + 1)
+      .select(col(idCol), col("w"))
+    prefix.select(col(idCol).as("i"), col("w"))
+      .join(prefix.select(col(idCol).as("j"), col("w")), Seq("w"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("__np")).drop("__np")
+  }
+
+  /** EXACT word-set Jaccard near-dup pairs: prefix-filtered candidate
+    * generation (never quadratic in hot-token frequency), then exact
+    * verification — shared counts through the token relation restricted to
+    * candidates, Jaccard = |∩| / (|A|+|B|−|∩|). Result-identical to the
+    * naive inverted-index join.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
     val t = wordRel(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = t.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = t.select(col(idCol).as("i"), col("w"))
-    val b = t.select(col(idCol).as("j"), col("w"))
-    val shared = a.join(b, Seq("w")).filter(col("i") < col("j"))
+    val cand = jaccardCandidates(t, idCol, threshold)
+    val shared = cand
+      .join(t.select(col(idCol).as("i"), col("w")), Seq("i"))
+      .join(t.select(col(idCol).as("j"), col("w")), Seq("j", "w"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.select(col(idCol).as("i"), col("sz").as("szi")), Seq("i"))
@@ -52,24 +83,21 @@ object TextDedup {
       .select(col("i"), col("j"), col("sim"))
   }
 
-  /** MinHash signatures as ONE array column: k independent hash functions
-    * realized as seeded re-hashes `xxhash64(xxhash64(w), i)` over distinct
-    * words (re-hash instead of a·h+b so ANSI mode never sees a wrapping
-    * multiply), explode → per-(doc, i) min → collect ordered array.
+  /** MinHash signatures as ONE array column via the [[graft.functions.MinHashSketch]]
+    * aggregate: one row per (doc, word) into a single ObjectHashAggregate
+    * whose buffer holds the k running mins — no ×k row amplification, and
+    * map-side partial aggregation means the shuffle carries one k·8-byte
+    * sketch per (doc, partition). MinHash is multiset-insensitive, so the
+    * distinct-words shuffle is skipped too.
     *
-    * Deliberately NOT k separate aggregate columns: that shape generates
-    * O(k)-sized codegen that janino recompiles inside every enclosing plan
-    * (measured 10× slowdown); the array form keeps expressions tiny.
+    * Deliberately NOT k separate `min(...)` aggregate columns: that shape
+    * generates O(k)-sized codegen that janino recompiles inside every
+    * enclosing plan (measured 10× slowdown).
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val t = wordRel(df, idCol, textCol).withColumn("__h", xxhash64(col("w")))
-    val perHash = t.select(col(idCol), posexplode(
-      array((0 until k).map(i => xxhash64(col("__h"), lit(i))): _*)).as(Seq("hi", "hv")))
-      .groupBy(col(idCol), col("hi")).agg(min(col("hv")).as("mh"))
-    perHash.groupBy(col(idCol))
-      .agg(transform(array_sort(collect_list(struct(col("hi"), col("mh")))),
-        e => e.getField("mh")).as("sig"))
-  }
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.MinHashSketch(xxhash64(col("w")), k).as("sig"))
 
   /** MinHash-LSH near-dup pairs: band the k-wide signature into `bands`
     * groups of k/bands rows, hash each band, bucket-join candidates on

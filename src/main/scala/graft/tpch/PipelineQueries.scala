@@ -65,6 +65,14 @@ object PipelineQueries {
       Similarity.cosineNearDupPairs(emb(s, dir), 0.45)
     }),
 
+    // LSH-bucketed embedding near-dup — the user-facing 100 TB path: sign-LSH
+    // candidates + exact cosine verify (recall vs the exact pair set is
+    // spec-tested → rows-only gate). Few planes / many tables because the
+    // corpus' near-dup threshold sits at a wide angle (cos 0.45 ≈ 63°).
+    "pipe_dedup_embed_lsh" -> ((s, dir) => {
+      Similarity.lshNearDupPairs(emb(s, dir), 0.45, dim = 64, nPlanes = 4, tables = 24)
+    }),
+
     // brute-force cosine top-k (exact ANN baseline)
     "pipe_ann_brute" -> ((s, dir) => {
       val e = emb(s, dir)

@@ -105,6 +105,27 @@ object TpchQueries {
       oneValueDf(s, c.get(Seq("World", "AllTime", "AllBrands", "gross")))
     }),
 
+    // S2b/R5: non-float payload cell — replaces the probe cell's number, is
+    // SKIPPED by the world rollup (≙ float-only aggregation, cube.py:468,493),
+    // reads back typed, and shows up in record enumeration
+    "olap_payload_skip" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      val addr = probeAddress(s, dir)
+      c.setPayload(addr, "approved by controlling")
+      val total = c.get(Seq("World", "AllTime", "AllBrands", "gross"))
+      val pay = c.getCell(addr) match {
+        case Some(graft.core.CellValue.Text(p)) => p
+        case _ => null
+      }
+      val nPayloadRecs = c.area("measures" -> Seq("gross"))
+        .recordsWithPayloads.filter(col("payload").isNotNull).count()
+      s.createDataFrame(
+        s.sparkContext.parallelize(List(Row(total.map(Double.box).orNull, pay, nPayloadRecs)), 1),
+        StructType(Seq(StructField("value", DoubleType),
+          StructField("payload", StringType), StructField("payload_records", LongType))))
+    }),
+
     // S4/F2: record enumeration of an area (names join, base cells only)
     "olap_area_records" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
@@ -250,6 +271,20 @@ object TpchQueries {
         cols = AxisDef(Seq("calendar" -> years))))
       view.refresh()
     }),
+
+    // V1 multi-dim column axis: cols = calendar × measures (cartesian product
+    // of member lists, ≙ view.py:167-171) — still ONE groupBy().pivot() job on
+    // the composite position key
+    "olap_view_pivot2" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val view = new View(m.cube, ViewDef(
+        filters = Seq("product" -> "AllBrands"),
+        rows = AxisDef(Seq("geo" -> m.geo.membersByLevel(2).map(_.name).sorted)),
+        cols = AxisDef(Seq(
+          "calendar" -> Seq("1995", "1996"),
+          "measures" -> Seq("gross", "net")))))
+      view.refresh()
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -289,6 +324,17 @@ object TpchQueries {
                  AND o_orderdate = (SELECT o_orderdate FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
                  AND l_partkey = (SELECT min(l_partkey) FROM lineitem WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders)))
             AS DOUBLE) AS value""",
+
+    "olap_payload_skip" ->
+      s"""SELECT CAST(
+            (SELECT SUM($GROSS) FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            - (SELECT SUM($GROSS) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AND o_orderdate = (SELECT o_orderdate FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AND l_partkey = (SELECT min(l_partkey) FROM lineitem WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders)))
+            AS DOUBLE) AS value,
+            'approved by controlling' AS payload,
+            CAST(1 AS BIGINT) AS payload_records""",
 
     "olap_area_records" ->
       s"""SELECT 'C#' || CAST(o_custkey AS VARCHAR) AS geo,
@@ -358,6 +404,16 @@ object TpchQueries {
       val cols = (1995 to 2001).map(y =>
         s"""CAST(SUM($GROSS) FILTER (WHERE strftime(o_orderdate, '%Y') = '$y') AS DOUBLE) AS "$y"""")
         .mkString(", ")
+      s"SELECT r_name AS geo, $cols $STAR GROUP BY r_name"
+    },
+
+    "olap_view_pivot2" -> {
+      val cols = Seq("1995", "1996").flatMap { y =>
+        val f = s"FILTER (WHERE strftime(o_orderdate, '%Y') = '$y')"
+        Seq(
+          s"""CAST(SUM($GROSS) $f AS DOUBLE) AS "$y/gross"""",
+          s"""CAST(SUM($GROSS) $f - SUM($DISC) $f AS DOUBLE) AS "$y/net"""")
+      }.mkString(", ")
       s"SELECT r_name AS geo, $cols $STAR GROUP BY r_name"
     },
   )

@@ -25,6 +25,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.999, s"recall $recall; expected ~1 at tau=0.9 with 16x4 bands")
   }
 
+  test("prefix-filtered jaccard equals driver-side brute force") {
+    val sets = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      inter = sets(i).intersect(sets(j)).size
+      sim = inter.toDouble / (sets(i).size + sets(j).size - inter) if sim >= 0.9
+    } yield (i, j)).toSet
+    val got = TextDedup.jaccardPairs(docs, "doc_id", "text", 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, "prefix filtering must be result-identical to brute force")
+  }
+
+  test("prefix filtering: hot tokens generate no candidate explosion") {
+    import spark.implicits._
+    // every doc shares the hot token "the" but is otherwise disjoint — the
+    // naive token self-join would emit 60·59/2 = 1770 candidate pairs
+    val df = (0L until 60L)
+      .map(i => (i, ("the" +: (0 until 9).map(j => s"tok_${i}_$j")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val cand = TextDedup.jaccardCandidates(
+      TextDedup.wordRel(df, "doc_id", "text"), "doc_id", 0.9)
+    assert(cand.count() == 0, "hot token must never enter a prefix")
+    assert(TextDedup.jaccardPairs(df, "doc_id", "text", 0.9).count() == 0)
+  }
+
   test("simhash banding is complete for hamming <= 3 (pigeonhole)") {
     val sh = TextDedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -36,6 +63,16 @@ class PipelineSpec extends AnyFunSuite {
     val got = TextDedup.simhashPairs(docs, "doc_id", "text", 3)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected, "banded candidate generation must be lossless up to distance 3")
+  }
+
+  test("LSH embedding near-dup: no false positives, recall >= 0.95 vs exact") {
+    val exact = Similarity.cosineNearDupPairs(emb, 0.45)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(emb, 0.45, dim = 64, nPlanes = 4, tables = 24)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "candidates are exact-verified → never false positives")
+    val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall with 24 tables x 4 planes at cos >= 0.45")
   }
 
   test("sign-LSH ANN: useful recall at a fraction of the comparisons") {

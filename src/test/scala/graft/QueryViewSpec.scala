@@ -91,6 +91,26 @@ class QueryViewSpec extends AnyFunSuite {
     assert(grid.map(_.getAs[String]("months")).toSeq == Seq("Jan", "Feb", "Q1", "Year"))
   }
 
+  test("view: multi-dimension column axis (months x measures, ruled member)") {
+    cube
+    val v = new View(cube, ViewDef(
+      filters = Seq("regions" -> "Total", "products" -> "Total", "months" -> "Year"),
+      rows = AxisDef(Seq("years" -> Seq("2021", "2022"))),
+      cols = AxisDef(Seq(
+        "months" -> Seq("Jan", "Feb"),
+        "measures" -> Seq("Sales", "Profit in %")))))
+    val grid = v.refresh()
+    // cartesian positions in order: last axis entry varies fastest
+    assert(grid.columns.toSeq ==
+      Seq("years", "Jan/Sales", "Jan/Profit in %", "Feb/Sales", "Feb/Profit in %"))
+    val y2021 = grid.collect().map(r => r.getAs[String]("years") -> r).toMap.apply("2021")
+    assert(y2021.getAs[Double]("Jan/Sales") == 579.0)
+    // ruled member resolves refs WITHIN its position: Jan/Profit ÷ Jan/Sales
+    assert(math.abs(y2021.getAs[Double]("Jan/Profit in %") - 479.0 / 579.0) < 1e-12)
+    assert(y2021.getAs[Double]("Feb/Sales") == 50.0)
+    assert(math.abs(y2021.getAs[Double]("Feb/Profit in %") - 1.0) < 1e-12)
+  }
+
   test("view: zero suppression drops empty rows") {
     cube
     val view = new View(cube, ViewDef(

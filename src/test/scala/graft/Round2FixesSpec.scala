@@ -60,6 +60,61 @@ class Round2FixesSpec extends AnyFunSuite {
     assert(d.getAttribute("color", "b").contains("blue"))
   }
 
+  test("payload cells: typed read-back, rollup skip, number replaces text") {
+    val db = new Database("pay", spark)
+    val t = db.addDimension("t")
+    t.edit().add("All", Seq("Jan", "Feb")).commit()
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("Sales")).commit()
+    val cube = db.addCube("c", Seq(t, m))
+    cube.set(Seq("Jan", "Sales"), 10.0)
+    cube.set(Seq("Feb", "Sales"), 5.0)
+    assert(cube.get(Seq("All", "Sales")).contains(15.0))
+    // text replaces the number: numeric read empty, typed read returns it,
+    // rollup skips the cell (float-only aggregation)
+    cube.setPayload(Seq("Feb", "Sales"), "todo: revisit")
+    assert(cube.get(Seq("Feb", "Sales")).isEmpty)
+    assert(cube.getCell(Seq("Feb", "Sales")).contains(CellValue.Text("todo: revisit")))
+    assert(cube.get(Seq("All", "Sales")).contains(10.0))
+    // record enumeration surfaces the payload cell
+    val recs = cube.fullArea.recordsWithPayloads
+    assert(recs.filter(recs("payload").isNotNull).count() == 1)
+    assert(recs.count() == 2)
+    // error-shaped payloads read back as Err; save/load round-trips payloads
+    cube.setPayload(Seq("Jan", "Sales"), "#REF!")
+    assert(cube.getCell(Seq("Jan", "Sales")).contains(CellValue.Err("#REF!")))
+    val dir = java.nio.file.Files.createTempDirectory("graftpay").toString
+    db.save(dir)
+    val db2 = Database.load(dir, spark)
+    assert(db2.cube("c").getCell(Seq("Feb", "Sales")).contains(CellValue.Text("todo: revisit")))
+    // writing a number clears the payload again
+    cube.set(Seq("Feb", "Sales"), 7.0)
+    assert(cube.getPayload(Seq("Feb", "Sales")).isEmpty)
+    assert(cube.get(Seq("Feb", "Sales")).contains(7.0))
+  }
+
+  test("division by stored zero renders #DIV/0!, not blank") {
+    val db = new Database("sent", spark)
+    val t = db.addDimension("t")
+    t.edit().addMany(Seq("Jan", "Feb")).commit()
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("Sales", "Cost", "Margin")).commit()
+    val cube = db.addCube("c", Seq(t, m))
+    cube.registerRule(RuleDef(Map("m" -> "Margin"), RuleScope.AllLevels,
+      RuleExpr.Div(RuleExpr.Ref("Cost"), RuleExpr.Ref("Sales")), "margin"))
+    cube.set(Seq("Jan", "Sales"), 0.0)
+    cube.set(Seq("Jan", "Cost"), 5.0)
+    // scalar read path: error sentinel, distinguishable from "no data"
+    assert(cube.getCell(Seq("Jan", "Margin")).contains(CellValue.Err(CellValue.DivZero)))
+    assert(cube.getCell(Seq("Feb", "Margin")).isEmpty) // truly empty stays empty
+    // grid/view path: renders the code in console and HTML
+    val view = new olap.View(cube, olap.ViewDef(
+      rows = olap.AxisDef(Seq("t" -> Seq("Jan"))),
+      cols = olap.AxisDef(Seq("m" -> Seq("Sales", "Cost", "Margin")))))
+    assert(view.toConsole().contains(CellValue.DivZero))
+    assert(view.toHtml().contains(CellValue.DivZero))
+  }
+
   test("column-mode +/− agree with scalar mode on empty cells") {
     val db = new Database("par", spark)
     val m = db.addDimension("m")
