@@ -35,8 +35,9 @@ object Bench {
     "pipe_ann_lsh",         // sign-LSH ANN top-k
     "pipe_lang_id",         // text analysis scan
     "pipe_fingerprint",     // md5 fingerprints
-    "olap_huge_top")        // reference huge bench (1e6-cell model) — LAST:
-                            // its build leaves a large persisted frame behind
+    "olap_huge_top")        // reference huge bench top-cell read — LAST: the
+                            // build (timed separately as huge_build) leaves a
+                            // large persisted frame behind
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,12 +65,22 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("model_build") = buildSec
     headline.foreach { name =>
+      // the 1e6-cell huge model builds lazily inside its first read — time
+      // build and read separately (≙ samples/huge.py:115-201 load vs reads)
+      if (name == "olap_huge_top")
+        results("huge_build") = try time { graft.tpch.HugeModel.get(spark) }
+          catch { case _: Throwable => -1.0 }
       SparkEntry.queries.get(name).foreach { fn =>
         results(name) =
           try time { fn(spark, sfDir).count() }
           catch { case _: Throwable => -1.0 }
       }
     }
+    // batched random point reads over the huge model: 10k cells, ONE job
+    // (the reference's reads/sec headline, batched the Spark-native way)
+    results("huge_point_reads_10k") =
+      try time { graft.tpch.HugeModel.pointReadBatch(spark, 10000).count() }
+      catch { case _: Throwable => -1.0 }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -55,6 +55,16 @@ final class AttributeField(val name: String, val valueType: String) {
   }
 }
 
+object Dimension {
+  /** Hard boundary for driver-side member catalogs (see ARCHITECTURE.md §7):
+    * closures up to here broadcast comfortably; past it the model should use
+    * degenerate fact columns.
+    */
+  val MaxMembers: Int = 2000000
+  /** Soft boundary — warn, still works. */
+  val WarnMembers: Int = 1000000
+}
+
 object AttributeField {
   /** Translate an fnmatch wildcard (`* ? [seq]`) to a compiled regex. */
   def fnmatchToRegex(pattern: String, caseSensitive: Boolean): java.util.regex.Pattern = {
@@ -174,6 +184,20 @@ final class Dimension(val name: String) {
 
   def commit(): Dimension = {
     require(editing, s"dimension '$name' not in edit mode")
+    // Dimensions are driver-side catalogs whose closures broadcast to every
+    // executor (ARCHITECTURE §1). That design holds to ~1e6 members (tens of
+    // MB of closure); beyond it, model the key as a degenerate fact column
+    // (plain `d<i>` values with no hierarchy — filters/groupBys need no
+    // catalog) or pre-aggregate the grain before modeling.
+    val live = defs.count(_.name != null)
+    require(live <= Dimension.MaxMembers,
+      s"dimension '$name' has $live members — above the ${Dimension.MaxMembers} " +
+        "driver-catalog boundary; model this key as a degenerate fact column " +
+        "instead (see ARCHITECTURE.md §7)")
+    if (live > Dimension.WarnMembers)
+      System.err.println(s"[graft] dimension '$name': $live members — driver " +
+        s"catalogs + broadcast closures get expensive past ${Dimension.WarnMembers}; " +
+        "consider a degenerate fact column (ARCHITECTURE.md §7)")
     detectCycles()
     val levels = computeLevels()
     committed = defs.filter(_.name != null).map { m =>

@@ -283,24 +283,31 @@ object Rules {
     check(r.expr)
   }
 
-  /** BASE_LEVEL rule at an aggregated address: pivot the measure dimension at
-    * base level, compute the rule column per base address, aggregate over the
-    * remaining dimensions via closure joins (≙ feeder remap + per-row rule
-    * calls, `cube.py:416-497` — expressed as one declarative plan).
+  /** BASE_LEVEL rule over a GRID of aggregated addresses in ONE job: pivot
+    * the measure dimension at base grain, compute the rule column per base
+    * address, then aggregate over the remaining dimensions via closure joins
+    * (≙ feeder remap + per-row rule calls, `cube.py:416-497` — expressed as
+    * one declarative plan; calc-then-aggregate order is preserved, so
+    * nonlinear exprs stay correct). `selections(measureDim)` is ignored.
+    *
+    * Output: one row per non-empty grid address, columns `a<i>` for each
+    * non-measure dimension plus `value`.
     */
-  private def aggregateBaseRule(cube: Cube, b: Bolt, rule: RuleDef): Option[Double] = {
-    val measureDim = rule.trigger.keys.map(d =>
-      cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))).headOption.getOrElse(cube.nDims - 1)
+  def baseRuleGrid(cube: Cube, rule: RuleDef, selections: Seq[Seq[Int]],
+      measureDim: Int): org.apache.spark.sql.DataFrame = {
     val otherDims = (0 until cube.nDims).filterNot(_ == measureDim)
-    // pivot measures at base level
     var df = cube.facts
     var weightCols = List.empty[Column]
     otherDims.foreach { i =>
-      val id = b.ids(i)
-      if (cube.dimensions(i).levelOf(id) == 0) df = df.filter(col(s"d$i") === id)
-      else {
-        val cl = cube.closureDf(i).filter(col("anc") === id)
-          .select(col("leaf").as(s"leaf_$i"), cube.weightExpr.as(s"w_$i"))
+      val sel = selections(i)
+      val allLeaf = sel.forall(cube.dimensions(i).levelOf(_) == 0)
+      if (allLeaf) {
+        df = (if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
+              else df.filter(col(s"d$i").isin(sel: _*)))
+          .withColumn(s"a$i", col(s"d$i"))
+      } else {
+        val cl = cube.closureDf(i).filter(col("anc").isin(sel: _*))
+          .select(col("anc").as(s"a$i"), col("leaf").as(s"leaf_$i"), cube.weightExpr.as(s"w_$i"))
         df = df.join(broadcast(cl), col(s"d$i") === col(s"leaf_$i"))
         if (cube.needsWeight(i)) weightCols ::= col(s"w_$i")
       }
@@ -308,18 +315,31 @@ object Rules {
     val neededMeasures = collectRefs(rule.expr).filterNot(_.contains(":"))
       .map(cube.dimensions(measureDim).idOf).distinct
     df = df.filter(col(s"d$measureDim").isin(neededMeasures: _*))
-    val pivoted = df.groupBy(otherDims.map(i => col(s"d$i")) ++ weightCols.zipWithIndex.map {
-        case (c, j) => c.as(s"wj_$j") }: _*)
+    // pivot at BASE grain (base address + grid keys + weight factors)
+    val baseKeys = otherDims.map(i => col(s"d$i")) ++ otherDims.map(i => col(s"a$i")) ++
+      weightCols.zipWithIndex.map { case (c, j) => c.as(s"wj_$j") }
+    val pivoted = df.groupBy(baseKeys: _*)
       .pivot(col(s"d$measureDim"), neededMeasures.map(_.asInstanceOf[AnyRef]).toSeq)
       .agg(sum(col("value")))
     val renamed = neededMeasures.foldLeft(pivoted)((d, m) =>
       d.withColumnRenamed(m.toString, s"m_$m"))
     val ruleCol = toColumn(cube, measureDim, rule.expr)
     val w = weightCols.indices.foldLeft(ruleCol)((c, j) => c * col(s"wj_$j"))
-    renamed.agg(sum(w)).collect().headOption.flatMap(r => Option(r.get(0)).map {
-      case d: java.lang.Double => d.doubleValue()
-      case bd: java.math.BigDecimal => bd.doubleValue()
-    })
+    renamed.groupBy(otherDims.map(i => col(s"a$i")): _*).agg(sum(w).as("value"))
+  }
+
+  /** BASE_LEVEL rule at one aggregated address — the single-cell case of
+    * [[baseRuleGrid]] (scalar read path).
+    */
+  private def aggregateBaseRule(cube: Cube, b: Bolt, rule: RuleDef): Option[Double] = {
+    val measureDim = rule.trigger.keys.map(d =>
+      cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))).headOption.getOrElse(cube.nDims - 1)
+    val sels = (0 until cube.nDims).map(i => if (i == measureDim) Nil else Seq(b.ids(i)))
+    baseRuleGrid(cube, rule, sels, measureDim)
+      .agg(sum(col("value"))).collect().headOption.flatMap(r => Option(r.get(0)).map {
+        case d: java.lang.Double => d.doubleValue()
+        case bd: java.math.BigDecimal => bd.doubleValue()
+      })
   }
 
   // ---- persistence (≙ R7 `rules.py:45-88` / codemanager.py — but as a

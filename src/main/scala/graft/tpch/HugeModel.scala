@@ -44,6 +44,21 @@ object HugeModel {
     db.addCube("huge", dims, facts)
   }
 
+  /** Batched random base-cell point reads: `n` pseudo-random addresses
+    * resolved in ONE broadcast-join job — the Spark-native form of the
+    * reference's point-read loop (`samples/huge.py:134-157`, 100k reads/sec
+    * headline). Per-cell driver round-trips can never amortize Spark's
+    * per-job floor; batching restores the reads/sec story at any scale.
+    */
+  def pointReadBatch(spark: SparkSession, n: Int): DataFrame = {
+    val cube = get(spark)
+    // address generation mirrors the build's hash scheme, different seed
+    val addrCols = (0 until NDims).map(i =>
+      (pmod(xxhash64(col("id"), lit(i + 31)), lit(LeavesPerDim)) + 1).cast("int").as(s"d$i"))
+    val addrs = spark.range(n).select(addrCols: _*)
+    cube.facts.join(broadcast(addrs), (0 until NDims).map(i => s"d$i"), "left_semi")
+  }
+
   /** The full-cube top cell (`All × … × All`) as a one-row frame — equals
     * exactly [[Rows]] by construction (≙ `benchmark_read_top_cells`,
     * `samples/huge.py:176-187`).

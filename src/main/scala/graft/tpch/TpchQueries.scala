@@ -168,36 +168,48 @@ object TpchQueries {
         .select(col("region"), col("value").cast("double").as("value"))
     }),
 
-    // A3/R3: BASE_LEVEL rule computed per base cell, then aggregated
+    // A3/R3: BASE_LEVEL rule computed per base cell, then aggregated — the
+    // BATCHED path: all 5 region cells in ONE Rules.baseRuleGrid job (pivot
+    // at base grain → rule column → closure-join aggregation), no per-cell
+    // cube.get loop
     "olap_rule_base" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
       val c = scratch(m)
-      c.registerRule(RuleDef(
+      val rule = RuleDef(
         trigger = Map("measures" -> "plan"), scope = RuleScope.BaseLevel,
         expr = RuleExpr.Sub(RuleExpr.Ref("gross"), RuleExpr.Ref("disc_amt")),
-        name = "net_base_rule"))
-      val rows = m.geo.membersByLevel(2).map { r =>
-        Row(r.name, c.get(Seq(r.name, "AllTime", "AllBrands", "plan")).map(Double.box).orNull)
-      }
-      s.createDataFrame(s.sparkContext.parallelize(rows.toList, 1),
-        StructType(Seq(StructField("region", StringType), StructField("value", DoubleType))))
+        name = "net_base_rule")
+      c.registerRule(rule)
+      val g = graft.olap.Rules.baseRuleGrid(c, rule, Seq(
+        m.geo.membersByLevel(2).map(x => m.geo.idOf(x.name)),
+        Seq(m.calendar.idOf("AllTime")), Seq(m.product.idOf("AllBrands")), Nil), 3)
+      m.named(g, "a0", 0, "region")
+        .select(col("region"), col("value").cast("double").as("value"))
     }),
 
-    // R3 AGG: post-aggregation rule — margin = (gross − disc) / gross
+    // R3 AGG: post-aggregation rule — margin = (gross − disc) / gross — the
+    // BATCHED path: one gridAggregate over the ref measures, pivot, rule
+    // column post-pivot (≙ the dialect's gridWithRules), no per-cell loop
     "olap_rule_agg" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
       val c = scratch(m)
-      c.registerRule(RuleDef(
+      val rule = RuleDef(
         trigger = Map("measures" -> "plan"), scope = RuleScope.AggregationLevel,
         expr = RuleExpr.Div(
           RuleExpr.Sub(RuleExpr.Ref("gross"), RuleExpr.Ref("disc_amt")),
           RuleExpr.Ref("gross")),
-        name = "margin_rule"))
-      val rows = m.geo.membersByLevel(2).map { r =>
-        Row(r.name, c.get(Seq(r.name, "AllTime", "AllBrands", "plan")).map(Double.box).orNull)
-      }
-      s.createDataFrame(s.sparkContext.parallelize(rows.toList, 1),
-        StructType(Seq(StructField("region", StringType), StructField("value", DoubleType))))
+        name = "margin_rule")
+      c.registerRule(rule)
+      val refIds = Seq("gross", "disc_amt").map(m.measures.idOf)
+      val g = grid(m, c, m.geo.membersByLevel(2).map(_.name), Seq("AllTime"),
+        Seq("AllBrands"), Seq("gross", "disc_amt"))
+      val pivoted = g.groupBy(col("a0"))
+        .pivot("a3", refIds.map(_.asInstanceOf[AnyRef])).agg(first(col("value")))
+      val renamed = refIds.foldLeft(pivoted)((d, id) =>
+        d.withColumnRenamed(id.toString, s"m_$id"))
+      val out = renamed.withColumn("value",
+        graft.olap.Rules.toColumn(c, 3, rule.expr).cast("double"))
+      m.named(out, "a0", 0, "region").select(col("region"), col("value"))
     }),
 
     // the reference's `huge` benchmark: top-cell read over 1e6 random cells
@@ -365,7 +377,7 @@ object TpchQueries {
 
     "olap_rule_agg" ->
       s"""SELECT r_name AS region,
-          (CAST(SUM($GROSS) AS DOUBLE) - CAST(SUM($DISC) AS DOUBLE)) / CAST(SUM($GROSS) AS DOUBLE) AS value
+          CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) / CAST(SUM($GROSS) AS DOUBLE) AS value
           $STAR GROUP BY r_name""",
 
     "olap_huge_top" ->

@@ -115,6 +115,34 @@ class Round2FixesSpec extends AnyFunSuite {
     assert(view.toHtml().contains(CellValue.DivZero))
   }
 
+  test("snapshot manager: create, inventory, restore, delete") {
+    val db = new Database("snap", spark)
+    val t = db.addDimension("t")
+    t.edit().add("All", Seq("Jan", "Feb")).commit()
+    val cube = db.addCube("c", Seq(t))
+    cube.set(Seq("Jan"), 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graftsnaps").toString
+    val mgr = db.snapshots(dir)
+    val s1 = mgr.create("before feb")
+    cube.set(Seq("Feb"), 2.0)
+    Thread.sleep(5) // distinct timestamp ids
+    val s2 = mgr.create("after feb")
+    assert(mgr.list.map(_.id) == Seq(s1.id, s2.id))
+    assert(mgr(s1.id).description == "before feb")
+    // a fresh manager over the same folder rediscovers the inventory
+    assert(db.snapshots(dir).size == 2)
+    // restore the older snapshot: Feb is gone there, Jan survives
+    val oldDb = mgr.restore(s1.id)
+    assert(oldDb.cube("c").get(Seq("Feb")).isEmpty)
+    assert(oldDb.cube("c").get(Seq("All")).contains(1.0))
+    // the restore wrote a safety restore point (unmanaged, ≙ reference)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator(); var restorePoints = 0
+    while (files.hasNext) if (files.next().toString.endsWith(".restore")) restorePoints += 1
+    assert(restorePoints == 1)
+    assert(mgr.delete() == 2 && mgr.size == 0)
+  }
+
   test("column-mode +/− agree with scalar mode on empty cells") {
     val db = new Database("par", spark)
     val m = db.addDimension("m")
