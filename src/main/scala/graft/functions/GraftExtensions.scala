@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_q"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "graft_dot_q"),
       (exprs: Seq[Expression]) => LongDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
   }
 }

@@ -68,8 +68,11 @@ object GraftFunctions {
   def dot_q(a: Column, b: Column): Column =
     Bridge.column(LongDotProduct(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Register `graft_dot_q` for SQL use. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register the graft expressions for SQL use in an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_q", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -15,4 +15,28 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(got == 4 + 10 + 18)
   }
+
+  test("graft_sorted_intersect merge walk equals array_intersect size") {
+    TestSpark.spark
+    val s = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate().newSession()
+    graft.functions.GraftFunctions.register(s)
+    val got = s.sql(
+      "SELECT graft_sorted_intersect(array(1L,3L,5L,9L), array(2L,3L,5L,8L,9L)) AS n")
+      .collect().head.getLong(0)
+    assert(got == 3) // {3, 5, 9}
+    // property: equals size(array_intersect) on random sorted distinct arrays
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val expect = a.toSet.intersect(b.toSet).size
+      def lit(xs: Seq[Long]) =
+        if (xs.isEmpty) "CAST(array() AS ARRAY<BIGINT>)" else xs.mkString("array(", "L,", "L)")
+      val n = s.sql(s"SELECT graft_sorted_intersect(${lit(a)}, ${lit(b)}) AS n")
+        .collect().head.getLong(0)
+      assert(n == expect, s"a=$a b=$b")
+    }
+  }
 }
