@@ -25,7 +25,15 @@ final case class ViewDef(
   */
 final case class ViewWindow(top: Int, left: Int, bottom: Int, right: Int)
 
-final case class ViewStats(durationMs: Long, rows: Long, columns: Int)
+/** Refresh statistics (≙ `ViewStatistics`, `view.py:46-63`): wall time, grid
+  * extent, how many positions were served from storage vs computed by rules.
+  */
+final case class ViewStats(
+    durationMs: Long,
+    rows: Long,
+    columns: Int,
+    aggregatedPositions: Int = 0,
+    rulePositions: Int = 0)
 
 /** Pivot-grid report over a cube. The whole grid — every axis combination —
   * is ONE Spark job: closure-join grid aggregation, then `groupBy(rowKeys)
@@ -139,7 +147,10 @@ final class View(val cube: Cube, val dfn: ViewDef) {
 
     val ordered = grid.orderBy(ordCols.map(col): _*)
       .select((rowKeyCols.map(col) ++ reqNames.map(col)): _*)
-    stats = ViewStats((System.nanoTime() - t0) / 1000000, 0, reqNames.size)
+    val nRuled = reqPositions.count(pos =>
+      pos.zip(perDim).exists { case (m, pd) => pd._3.contains(m) })
+    stats = ViewStats((System.nanoTime() - t0) / 1000000, 0, reqNames.size,
+      aggregatedPositions = reqNames.size - nRuled, rulePositions = nRuled)
     ordered
   }
 

@@ -134,6 +134,14 @@ class QueryViewSpec extends AnyFunSuite {
     assert(view.toHtml().startsWith("<table>"))
     assert(view.toJson().startsWith("["))
     assert(view.stats.columns == 2)
+    assert(view.stats.aggregatedPositions == 2 && view.stats.rulePositions == 0)
+    // rule-backed column counted separately in stats
+    val vr = new View(cube, ViewDef(
+      filters = Seq("years" -> "2021", "regions" -> "Total", "products" -> "Total"),
+      rows = AxisDef(Seq("months" -> Seq("Jan"))),
+      cols = AxisDef(Seq("measures" -> Seq("Sales", "Profit in %")))))
+    vr.refresh()
+    assert(vr.stats.aggregatedPositions == 1 && vr.stats.rulePositions == 1)
   }
 
   test("view definition JSON round-trip yields an identical grid") {
