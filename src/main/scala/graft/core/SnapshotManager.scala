@@ -51,15 +51,20 @@ final class SnapshotManager(db: Database, dir: String) {
   def contains(id: String): Boolean = snapshots.contains(id)
   def latest: Option[SnapshotInfo] = list.lastOption
 
+  private def listDir(p: Path): Seq[Path] = {
+    val stream = Files.list(p)
+    try stream.iterator().asScala.toList finally stream.close()
+  }
+
   /** Re-scan the snapshot folder (≙ `refresh`, `snapshot.py:121-123`). */
   def refresh(): Unit = {
     snapshots.clear()
     val p = Paths.get(dir)
     if (Files.isDirectory(p)) {
-      Files.list(p).iterator().asScala
+      listDir(p)
         .filter(f => f.getFileName.toString.startsWith(s"${db.name}.") &&
           f.getFileName.toString.endsWith(".snapshot"))
-        .toSeq.sortBy(_.getFileName.toString)
+        .sortBy(_.getFileName.toString)
         .foreach { f =>
           readSidecar(f).foreach(info => snapshots(info.id) = info)
         }
@@ -104,8 +109,7 @@ final class SnapshotManager(db: Database, dir: String) {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }
