@@ -45,13 +45,7 @@ case class MinHashSketch(
   override def prettyName: String = "graft_minhash"
 
   // deterministic per-slot seeds (splitmix64 stream)
-  private lazy val seeds: Array[Long] = {
-    val out = new Array[Long](k)
-    var s = 42L
-    var i = 0
-    while (i < k) { s += 0x9E3779B97F4A7C15L; out(i) = MinHashSketch.mix(s); i += 1 }
-    out
-  }
+  private lazy val seeds: Array[Long] = MinHashSketch.seedsFor(k)
 
   override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
 
@@ -108,6 +102,15 @@ object MinHashSketch {
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
+  }
+
+  /** Deterministic per-slot seeds (splitmix64 stream from 42). */
+  def seedsFor(k: Int): Array[Long] = {
+    val out = new Array[Long](k)
+    var s = 42L
+    var i = 0
+    while (i < k) { s += 0x9E3779B97F4A7C15L; out(i) = mix(s); i += 1 }
+    out
   }
 
   /** Aggregate Column: k-slot MinHash signature of a BIGINT hash column. */

@@ -39,6 +39,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected, "prefix filtering must be result-identical to brute force")
   }
 
+  test("MinHashSketch aggregate equals driver-side per-slot min across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val k = 16
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).flatMap(id =>
+      Seq.fill(5 + rnd.nextInt(20))((id, s"w${rnd.nextInt(200)}")))
+    // many partitions → partial buffers MUST merge (and serialize) correctly
+    val df = rows.toDF("id", "w").repartition(8)
+    val got = df.groupBy(col("id"))
+      .agg(graft.functions.MinHashSketch(xxhash64(col("w")), k).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val seeds = graft.functions.MinHashSketch.seedsFor(k)
+    val wordHash = rows.map(_._2).distinct.toDF("w")
+      .withColumn("h", xxhash64(col("w"))).as[(String, Long)].collect().toMap
+    rows.map(_._1).distinct.foreach { id =>
+      val hs = rows.filter(_._1 == id).map(r => wordHash(r._2))
+      val expected = seeds.map(s => hs.map(h => graft.functions.MinHashSketch.mix(h ^ s)).min).toSeq
+      assert(got(id) == expected, s"doc $id")
+    }
+  }
+
   test("prefix filtering: hot tokens generate no candidate explosion") {
     import spark.implicits._
     // every doc shares the hot token "the" but is otherwise disjoint — the
