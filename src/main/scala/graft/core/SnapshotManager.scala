@@ -38,8 +38,12 @@ final class SnapshotManager(db: Database, dir: String) {
     while (snapshots.contains(id)) id = fmt(System.currentTimeMillis())
     val path = s"$dir/${db.name}.$id.snapshot"
     db.save(path)
+    // proper JSON serialization: descriptions may contain quotes/newlines/
+    // backslashes — a malformed sidecar would poison the whole inventory
+    import org.json4s.JsonDSL._
     Files.writeString(Paths.get(s"$path/snapshot.json"),
-      s"""{"id":"$id","description":"${description.replace("\"", "\\\"")}","createdAt":$now}""")
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+        ("id" -> id) ~ ("description" -> description) ~ ("createdAt" -> now))))
     val info = SnapshotInfo(id, description, now, path)
     snapshots(id) = info
     info
@@ -71,15 +75,20 @@ final class SnapshotManager(db: Database, dir: String) {
     }
   }
 
+  /** One unreadable sidecar must not poison the rest of the inventory. */
   private def readSidecar(f: Path): Option[SnapshotInfo] = {
     val sidecar = f.resolve("snapshot.json")
     if (!Files.exists(sidecar)) None
-    else {
+    else try {
       import org.json4s._
       implicit val fmts: Formats = DefaultFormats
       val j = org.json4s.jackson.JsonMethods.parse(Files.readString(sidecar))
       Some(SnapshotInfo((j \ "id").extract[String], (j \ "description").extract[String],
         (j \ "createdAt").extract[Long], f.toString))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft] skipping unreadable snapshot sidecar $sidecar: ${e.getMessage}")
+        None
     }
   }
 

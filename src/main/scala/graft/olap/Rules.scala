@@ -87,8 +87,12 @@ object Rules {
       s"circular rule reference in cube '${cube.name}': " +
         (open.iterator.map(_._2.mkString("[", ",", "]")) ++ Iterator(b.ids.mkString("[", ",", "]")))
           .mkString(" -> "))
-    require(open.size < MaxDepth,
-      s"rule chain longer than $MaxDepth cells (cycle?) in cube '${cube.name}'")
+    // acyclic chains are legal and can legitimately telescope across a whole
+    // dimension (cumulative Shift rules) — bound generously, the same-bolt
+    // set above is the actual cycle detector
+    require(open.size < MaxChain,
+      s"rule chain longer than $MaxChain cells in cube '${cube.name}' — " +
+        "runaway chained rules? (each link costs a read)")
     open += key
     try evaluateMatched(cube, b, m.get)
     finally open -= key
@@ -156,6 +160,10 @@ object Rules {
   }
 
   private val MaxDepth = 16
+  /** Cross-cell chain bound — generous: telescoping Shift rules walk one
+    * link per dimension position (e.g. cumulative-over-months).
+    */
+  private val MaxChain = 1000
 
   private def evalScalar(cube: Cube, b: Bolt, e: RuleExpr, depth: Int): Option[Double] = {
     import RuleExpr._
@@ -203,20 +211,20 @@ object Rules {
     }
   }
 
-  /** Compile a rule expression to a Catalyst Column over a measure-pivoted
-    * row where sibling measures appear as columns named `m_<member>` (used by
-    * the grid/view compiler — single-job evaluation, no per-cell recursion).
-    * Only same-dimension (unqualified) refs are expressible in column mode.
+  /** THE column-mode rule compiler: one shared translation of RuleExpr
+    * arithmetic to Catalyst Columns (null semantics, decimal preservation,
+    * `#DIV/0!` NaN sentinel), parameterized only by how an unqualified Ref
+    * resolves to a Column. Every grid/view/dialect path goes through here —
+    * a single site for arithmetic-semantics changes.
     */
-  def toColumn(cube: Cube, measureDim: Int, e: RuleExpr): Column = {
+  def toColumnWith(resolve: String => Column)(e: RuleExpr): Column = {
     import RuleExpr._
     def c(x: RuleExpr): Column = x match {
       case Lit(v) => lit(v)
       // refs keep their native type: decimal facts stay decimal through
       // +/-/* so sums remain exact/order-independent; division drops to
       // double (decimal division rounding is engine-specific)
-      case Ref(spec) if !spec.contains(":") =>
-        col(s"m_${cube.dimensions(measureDim).idOf(spec)}")
+      case Ref(spec) if !spec.contains(":") => resolve(spec)
       case Ref(spec) => throw new IllegalArgumentException(
         s"cross-dimension ref '$spec' not expressible in column mode")
       // integer-literal zero: promotes to the ref's own type (decimal stays
@@ -243,6 +251,12 @@ object Rules {
     }
     c(e)
   }
+
+  /** Column compiler over a measure-pivoted row where sibling measures appear
+    * as columns named `m_<member id>`.
+    */
+  def toColumn(cube: Cube, measureDim: Int, e: RuleExpr): Column =
+    toColumnWith(spec => col(s"m_${cube.dimensions(measureDim).idOf(spec)}"))(e)
 
   /** Registration-time smoke validation (≙ R8 `cube.py:849-872`, a stub
     * there): trigger dimensions/members must exist and every ref/shift must

@@ -73,13 +73,50 @@ final class View(val cube: Cube, val dfn: ViewDef) {
         r.trigger.exists { case (d, mm) =>
           d.equalsIgnoreCase(cube.dimensions(dimI).name) && mm.equalsIgnoreCase(m) }
     }
-    // (dimIdx, requested, ruled members, members to fetch from storage)
+    // Transitive rule expansion per dimension: requested ruled members pull
+    // in their refs; a ref that is itself rule-backed joins the computed set
+    // (chained rules, e.g. Margin → Profit → Sales/Cost) instead of being
+    // read as an (empty) stored column. Members dedupe by RESOLVED id, first
+    // spelling wins — "Sales" requested + "sales" ref'd are one pivot column.
     val perDim = colEntries.map { case (dName, requested) =>
       val cd = dimIdx(dName)
-      val ruled = requested.flatMap(m => ruleFor(cd, m).map(m -> _)).toMap
-      val plain = requested.filterNot(ruled.contains)
-      val refs = ruled.values.flatMap(r => collectRefNames(r.expr)).toSeq.distinct
-      (cd, requested, ruled, (plain ++ refs.filterNot(plain.contains)).distinct)
+      val d = cube.dimensions(cd)
+      val ruled = scala.collection.mutable.LinkedHashMap[String, RuleDef]()
+      val fetchById = scala.collection.mutable.LinkedHashMap[Int, String]()
+      val nameById = scala.collection.mutable.LinkedHashMap[Int, String]()
+      val queue = scala.collection.mutable.Queue[String](requested: _*)
+      while (queue.nonEmpty) {
+        val m = queue.dequeue()
+        val id = d.idOf(m)
+        if (!nameById.contains(id)) {
+          nameById(id) = m
+          ruleFor(cd, m) match {
+            case Some(r) => ruled(m) = r; collectRefNames(r.expr).foreach(queue += _)
+            case None => fetchById(id) = m
+          }
+        }
+      }
+      require(fetchById.nonEmpty,
+        s"column axis dimension '$dName': no stored members to fetch — every " +
+          "requested member is rule-backed with no stored refs; include at least one stored member")
+      if (colEntries.size > 1) nameById.values.foreach(m => require(!m.contains("/"),
+        s"member '$m': '/' is reserved as the position separator on multi-dimension column axes"))
+      // topological order over chained ruled members (deps first)
+      val deps: Map[String, Seq[String]] = ruled.map { case (m, r) =>
+        m -> collectRefNames(r.expr).map(ref => nameById(d.idOf(ref))).filter(ruled.contains)
+      }.toMap
+      val topo = scala.collection.mutable.ArrayBuffer[String]()
+      val remaining = scala.collection.mutable.LinkedHashSet(ruled.keys.toSeq: _*)
+      var progress = true
+      while (remaining.nonEmpty && progress) {
+        progress = false
+        remaining.toSeq.foreach { m =>
+          if (deps(m).forall(topo.contains)) { topo += m; remaining -= m; progress = true }
+        }
+      }
+      require(remaining.isEmpty,
+        s"circular rule references among column members of '$dName': ${remaining.mkString(", ")}")
+      ColDim(cd, requested, ruled.toMap, fetchById.values.toSeq, nameById.toMap, topo.toSeq)
     }
 
     // selections: filters fix single members; unmentioned dims → default
@@ -90,7 +127,7 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     dfn.rows.entries.zip(rowDims).foreach { case ((_, ms), i) =>
       sel(i) = ms.map(cube.dimensions(i).idOf)
     }
-    perDim.foreach { case (cd, _, _, fetch) => sel(cd) = fetch.map(cube.dimensions(cd).idOf) }
+    perDim.foreach(pd => sel(pd.cd) = pd.fetch.map(cube.dimensions(pd.cd).idOf))
 
     var df = cube.gridAggregate(sel.toIndexedSeq)
 
@@ -110,13 +147,13 @@ final class View(val cube: Cube, val dfn: ViewDef) {
 
     // pivot on the composite position key: per column dim an id→name map,
     // joined with '/' — ONE pivot regardless of axis dimensionality
-    val nameCols = perDim.map { case (cd, _, _, fetch) =>
-      val byId = fetch.map(m => cube.dimensions(cd).idOf(m) -> m)
-      map(byId.flatMap { case (id, n) => Seq(lit(id), lit(n)) }: _*)(col(s"a$cd"))
+    val nameCols = perDim.map { pd =>
+      val byId = pd.fetch.map(m => cube.dimensions(pd.cd).idOf(m) -> m)
+      map(byId.flatMap { case (id, n) => Seq(lit(id), lit(n)) }: _*)(col(s"a${pd.cd}"))
     }
     df = df.withColumn("__colName",
       if (nameCols.size == 1) nameCols.head else concat_ws("/", nameCols: _*))
-    val fetchNames = cartesian(perDim.map(_._4)).map(_.mkString("/"))
+    val fetchNames = cartesian(perDim.map(_.fetch)).map(_.mkString("/"))
     val rowKeyCols = rowDims.zip(dfn.rows.entries).map(_._2._1)
     val ordCols = rowDims.map(i => s"__ord$i")
     var grid = df.groupBy((rowKeyCols ++ ordCols).map(col): _*)
@@ -124,18 +161,34 @@ final class View(val cube: Cube, val dfn: ViewDef) {
       .agg(first(col("value").cast("double")))
 
     // requested positions: cartesian product in axis order (last fastest)
-    val reqPositions = cartesian(perDim.map(_._2))
+    val reqPositions = cartesian(perDim.map(_.requested))
+    // a position may carry a ruled member on at most ONE dimension
+    reqPositions.foreach { pos =>
+      val n = pos.zip(perDim).count { case (m, pd) => pd.ruled.contains(m) }
+      require(n <= 1, s"position ${pos.mkString("/")}: rule-backed members on " +
+        "more than one column-axis dimension are not supported")
+    }
     // rule-derived positions post-pivot (one job, no per-cell recursion):
     // refs resolve to the sibling position with only the ruled dim's member
-    // replaced (Jan/Profit ← Jan/Sales − Jan/Cost)
-    reqPositions.foreach { pos =>
-      val ruledAt = pos.zipWithIndex.zip(perDim).filter { case ((m, _), pd) => pd._3.contains(m) }
-      if (ruledAt.size > 1) throw new IllegalArgumentException(
-        s"position ${pos.mkString("/")}: rule-backed members on more than one " +
-          "column-axis dimension are not supported")
-      ruledAt.headOption.foreach { case ((m, k), pd) =>
-        grid = grid.withColumn(pos.mkString("/"),
-          exprByName(pd._3(m).expr, ref => pos.updated(k, ref).mkString("/")))
+    // replaced (Jan/Profit ← Jan/Sales − Jan/Cost). Chained ruled members are
+    // computed deps-first (topo order), so Margin sees the COMPUTED Profit
+    // column, not the empty stored one — for every context over the other
+    // dims' requested members.
+    perDim.zipWithIndex.filter(_._1.ruled.nonEmpty).foreach { case (pd, k) =>
+      val d = cube.dimensions(pd.cd)
+      val contexts = cartesian(perDim.zipWithIndex.map { case (pd2, j) =>
+        if (j == k) Seq("") else pd2.requested
+      }).filterNot(_.zip(perDim).zipWithIndex.exists { case ((cm, pdj), j) =>
+        j != k && pdj.ruled.contains(cm) // two-ruled-dims positions already rejected
+      })
+      pd.topo.foreach { m =>
+        val rule = pd.ruled(m)
+        contexts.foreach { ctx =>
+          val pos = ctx.updated(k, m)
+          grid = grid.withColumn(pos.mkString("/"),
+            Rules.toColumnWith(ref =>
+              col(pos.updated(k, pd.nameById(d.idOf(ref))).mkString("/")))(rule.expr))
+        }
       }
     }
 
@@ -148,11 +201,23 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     val ordered = grid.orderBy(ordCols.map(col): _*)
       .select((rowKeyCols.map(col) ++ reqNames.map(col)): _*)
     val nRuled = reqPositions.count(pos =>
-      pos.zip(perDim).exists { case (m, pd) => pd._3.contains(m) })
+      pos.zip(perDim).exists { case (m, pd) => pd.ruled.contains(m) })
     stats = ViewStats((System.nanoTime() - t0) / 1000000, 0, reqNames.size,
       aggregatedPositions = reqNames.size - nRuled, rulePositions = nRuled)
     ordered
   }
+
+  /** One column-axis dimension's resolved request: stored members to fetch,
+    * rule-backed members (with their transitive refs) and their dependency
+    * order, and the id→retained-spelling map used for ref renaming.
+    */
+  private case class ColDim(
+      cd: Int,
+      requested: Seq[String],
+      ruled: Map[String, RuleDef],
+      fetch: Seq[String],
+      nameById: Map[Int, String],
+      topo: Seq[String])
 
   /** Cartesian product preserving entry order; LAST list varies fastest
     * (≙ `itertools.product`, `view.py:167-171`).
@@ -163,30 +228,12 @@ final class View(val cube: Cube, val dfn: ViewDef) {
   private def collectRefNames(e: RuleExpr): Seq[String] =
     Rules.collectRefs(e).filterNot(_.contains(":"))
 
-  private def exprByName(e: RuleExpr, rename: String => String = identity): Column = {
-    def c(x: RuleExpr): Column = x match {
-      case RuleExpr.Lit(v) => lit(v)
-      case RuleExpr.Ref(s) => col(rename(s))
-      case RuleExpr.Add(a, b) =>
-        when(c(a).isNull && c(b).isNull, lit(null))
-          .otherwise(coalesce(c(a), lit(0)) + coalesce(c(b), lit(0)))
-      case RuleExpr.Sub(a, b) =>
-        when(c(a).isNull && c(b).isNull, lit(null))
-          .otherwise(coalesce(c(a), lit(0)) - coalesce(c(b), lit(0)))
-      case RuleExpr.Mul(a, b) => c(a) * c(b)
-      case RuleExpr.Div(a, b) =>
-        when(c(b).cast("double") =!= 0.0, c(a).cast("double") / c(b).cast("double"))
-          // zero denominator with data present → #DIV/0! sentinel (NaN)
-          .otherwise(when(c(a).isNotNull && c(b).isNotNull, lit(Double.NaN)))
-      case RuleExpr.Neg(a) => -c(a)
-      case RuleExpr.Fn("abs", a) => abs(c(a))
-      case RuleExpr.Fn("round", a) => round(c(a))
-      case RuleExpr.Fn(n, _) => throw new IllegalArgumentException(s"unknown rule function '$n'")
-      case RuleExpr.Shift(d, _) => throw new IllegalArgumentException(
-        s"relative shift on '$d' not expressible in a view column")
-    }
-    c(e)
-  }
+  /** Position name → one member per column-axis entry. Single-dim axes use
+    * the whole name verbatim (members may contain '/'); multi-dim axes split
+    * on the reserved separator (enforced at refresh).
+    */
+  private def positionMembers(colName: String): Seq[String] =
+    if (dfn.cols.entries.size == 1) Seq(colName) else colName.split("/").toSeq
 
   // ---- windowed / rendered output (≙ `view.py:746-767, 984-1331`) ---------
 
@@ -215,9 +262,8 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     * formats `dimension.py:1479-1518`). Multi-dim positions split on '/'.
     */
   private def fmtFor(colName: String): Option[String] = {
-    val parts = colName.split("/").toSeq
     val cds = dfn.cols.entries.map(e => dimIdx(e._1))
-    cds.zip(parts).reverse.collectFirst {
+    cds.zip(positionMembers(colName)).reverse.collectFirst {
       case (cd, p) if cube.dimensions(cd).contains(p) &&
         cube.dimensions(cd)(p).format.isDefined => cube.dimensions(cd)(p).format.get
     }
@@ -244,7 +290,7 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     */
   private def cellAddress(rowMembers: Map[String, String], colMember: String): Vector[Int] = {
     val colByDim = dfn.cols.entries.map(e => dimIdx(e._1))
-      .zip(colMember.split("/").toSeq).toMap
+      .zip(positionMembers(colMember)).toMap
     Vector.tabulate(cube.nDims) { i =>
       val d = cube.dimensions(i)
       colByDim.get(i).map(d.idOf).getOrElse {

@@ -171,7 +171,7 @@ object Similarity {
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("__nb")).drop("__nb")
     val vecs = df.select(col(idCol), quantize(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand
+    val result = cand
       .join(vecs.select(col(idCol).as("i"), col("v").as("vi")), Seq("i"))
       .join(vecs.select(col(idCol).as("j"), col("v").as("vj")), Seq("j"))
       .withColumn("sim", dotQ(col("vi"), col("vj")).cast("double") /
@@ -179,6 +179,12 @@ object Similarity {
           sqrt(dotQ(col("vj"), col("vj")).cast("double"))))
       .filter(col("sim") >= threshold)
       .select(col("i"), col("j"), col("sim"))
+    // bounded cache lifecycle: materialize the output, release intermediates
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    banded.unpersist(blocking = false)
+    vecs.unpersist(blocking = false)
+    out
   }
 
   /** Exact embedding near-dup pairs above a cosine threshold — the all-pairs

@@ -72,7 +72,7 @@ object TextDedup {
       .join(t.select(col(idCol).as("i"), col("w")), Seq("i"))
       .join(t.select(col(idCol).as("j"), col("w")), Seq("j", "w"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("shared"))
-    shared
+    val result = shared
       .join(sizes.select(col(idCol).as("i"), col("sz").as("szi")), Seq("i"))
       .join(sizes.select(col(idCol).as("j"), col("sz").as("szj")), Seq("j"))
       .filter(least(col("szi"), col("szj")).cast("double") / greatest(col("szi"), col("szj"))
@@ -81,6 +81,19 @@ object TextDedup {
         (col("szi") + col("szj") - col("shared")).cast("double"))
       .filter(col("sim") >= threshold)
       .select(col("i"), col("j"), col("sim"))
+    materializeAndRelease(result, t)
+  }
+
+  /** Bounded cache lifecycle for multi-consumer plans: materialize the
+    * (output-sized) result, then release the internal intermediates so
+    * repeated operator calls don't pin executor memory for the session
+    * lifetime. Callers may `unpersist()` the returned frame when done.
+    */
+  private def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** MinHash signatures as ONE array column via the [[graft.functions.MinHashSketch]]
@@ -126,7 +139,7 @@ object TextDedup {
     val words = df.select(col(idCol),
       array_sort(array_distinct(transform(split(col(textCol), " "), w => xxhash64(w)))).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand
+    val result = cand
       .join(words.select(col(idCol).as("i"), col("ws").as("wi")), Seq("i"))
       .join(words.select(col(idCol).as("j"), col("ws").as("wj")), Seq("j"))
       // codegen'd merge walk over the sorted arrays (array_intersect builds a
@@ -136,6 +149,7 @@ object TextDedup {
         (size(col("wi")) + size(col("wj")) - col("__inter")).cast("double"))
       .filter(col("sim") >= threshold)
       .select(col("i"), col("j"), col("sim"))
+    materializeAndRelease(result, banded, words)
   }
 
   /** 64-bit SimHash over distinct word hashes: per bit, sum of ±1

@@ -115,6 +115,45 @@ class Round2FixesSpec extends AnyFunSuite {
     assert(view.toHtml().contains(CellValue.DivZero))
   }
 
+  test("view: chained rule measures compute deps-first, intermediates implicit") {
+    val db = new Database("chain", spark)
+    val t = db.addDimension("t")
+    t.edit().addMany(Seq("r1")).commit()
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("a", "b", "x", "y")).commit()
+    val cube = db.addCube("c", Seq(t, m))
+    cube.registerRule(RuleDef(Map("m" -> "x"), RuleScope.AllLevels,
+      RuleParser.parse("[a] - [b]"), "x_rule"))
+    // chained: y refs ruled x; ref "A" also exercises case-insensitive dedup
+    cube.registerRule(RuleDef(Map("m" -> "y"), RuleScope.AllLevels,
+      RuleParser.parse("[x] / [A]"), "y_rule"))
+    cube.set(Seq("r1", "a"), 10.0)
+    cube.set(Seq("r1", "b"), 4.0)
+    // x is NOT requested — it must be computed as an implicit intermediate,
+    // not read as the (empty) stored column
+    val v = new olap.View(cube, olap.ViewDef(
+      rows = olap.AxisDef(Seq("t" -> Seq("r1"))),
+      cols = olap.AxisDef(Seq("m" -> Seq("a", "y")))))
+    val row = v.refresh().collect().head
+    assert(row.getAs[Double]("a") == 10.0)
+    assert(math.abs(row.getAs[Double]("y") - 0.6) < 1e-12) // (10−4)/10
+    assert(cube.get(Seq("r1", "y")).contains(0.6)) // scalar path agrees
+  }
+
+  test("telescoping shift chains longer than 16 positions evaluate") {
+    val db = new Database("tele", spark)
+    val t = db.addDimension("t")
+    t.edit().addMany((1 to 25).map(i => s"p$i")).commit()
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("v", "cum")).commit()
+    val cube = db.addCube("c", Seq(t, m))
+    // cum(p_k) = v(p_k) + cum(p_{k-1}) — telescopes across all 25 positions
+    cube.registerRule(RuleDef(Map("m" -> "cum"), RuleScope.AllLevels,
+      RuleExpr.Add(RuleExpr.Ref("v"), RuleExpr.Shift("t", -1)), "cum_rule"))
+    (1 to 25).foreach(i => cube.set(Seq(s"p$i", "v"), 1.0))
+    assert(cube.get(Seq("p25", "cum")).contains(25.0))
+  }
+
   test("snapshot manager: create, inventory, restore, delete") {
     val db = new Database("snap", spark)
     val t = db.addDimension("t")
