@@ -123,23 +123,12 @@ final class OlapQuery(db: Database, sql: String) {
   private def refNames(e: RuleExpr): Seq[String] =
     Rules.collectRefs(e).filterNot(_.contains(":"))
 
-  private def exprCol(d: Dimension, e: RuleExpr): org.apache.spark.sql.Column = e match {
-    case RuleExpr.Lit(v) => lit(v)
-    case RuleExpr.Ref(s) if !s.contains(":") => col(s"`${d.idOf(s)}`")
-    case RuleExpr.Add(a, b) => coalesce(exprCol(d, a), lit(0)) + coalesce(exprCol(d, b), lit(0))
-    case RuleExpr.Sub(a, b) => coalesce(exprCol(d, a), lit(0)) - coalesce(exprCol(d, b), lit(0))
-    case RuleExpr.Mul(a, b) => exprCol(d, a) * exprCol(d, b)
-    case RuleExpr.Div(a, b) => when(exprCol(d, b).cast("double") =!= 0.0,
-      exprCol(d, a).cast("double") / exprCol(d, b).cast("double"))
-    case RuleExpr.Neg(a) => -exprCol(d, a)
-    case RuleExpr.Fn("abs", a) => abs(exprCol(d, a))
-    case RuleExpr.Fn("round", a) => round(exprCol(d, a))
-    case other => throw new IllegalArgumentException(s"not grid-computable: $other")
-  }
-
   /** Grid with rule-backed members of (at most) one dimension computed
     * post-pivot inside the same job (≙ rule cells in the dialect's dense
-    * grid, `query.py:101-136` — still no per-cell loop).
+    * grid, `query.py:101-136` — still no per-cell loop). Rule refs expand
+    * transitively and chained ruled members compute deps-first, exactly as
+    * in [[View]]: a ref that is itself rule-backed is computed, never read
+    * as an (empty) stored column.
     */
   private def gridWithRules(): DataFrame = {
     val ruledByDim = cube.dimensions.zipWithIndex.map { case (d, i) =>
@@ -148,18 +137,48 @@ final class OlapQuery(db: Database, sql: String) {
     if (ruledByDim.isEmpty) return cube.gridAggregate(selections)
     require(ruledByDim.size == 1,
       "rule-backed members supported in one dimension per query")
-    val (di, ruled) = ruledByDim.head
+    val (di, requestedRuled) = ruledByDim.head
     val d = cube.dimensions(di)
-    val plain = selections(di).filterNot(ruled.contains)
-    val refIds = ruled.values.flatMap(r => refNames(r.expr)).map(d.idOf).toSeq
-    val allIds = (plain ++ refIds).distinct
+    // transitive expansion over ids (worklist): stored ids get fetched,
+    // ruled ids get computed
+    val ruled = scala.collection.mutable.LinkedHashMap[Int, RuleDef]()
+    val fetchIds = scala.collection.mutable.LinkedHashSet[Int]()
+    val seen = scala.collection.mutable.Set[Int]()
+    val queue = scala.collection.mutable.Queue[Int](selections(di): _*)
+    while (queue.nonEmpty) {
+      val id = queue.dequeue()
+      if (seen.add(id)) {
+        requestedRuled.get(id).orElse(ruleFor(d, id)) match {
+          case Some(r) => ruled(id) = r; refNames(r.expr).map(d.idOf).foreach(queue += _)
+          case None => fetchIds += id
+        }
+      }
+    }
+    require(fetchIds.nonEmpty,
+      s"dimension '${d.name}': every selected member is rule-backed with no stored refs")
+    val allIds = fetchIds.toSeq
     val g = cube.gridAggregate(selections.updated(di, allIds))
     val otherCols = cube.dimensions.indices.filterNot(_ == di).map(i => s"a$i")
     var pivoted = g.groupBy(otherCols.map(col): _*)
       .pivot(s"a$di", allIds.map(_.asInstanceOf[AnyRef]).toSeq)
       .agg(first(col("value")))
-    ruled.foreach { case (id, rule) =>
-      pivoted = pivoted.withColumn(id.toString, exprCol(d, rule.expr))
+    // deps-first (topological) order so chained rules see computed columns
+    val deps: Map[Int, Seq[Int]] = ruled.map { case (id, r) =>
+      id -> refNames(r.expr).map(d.idOf).filter(ruled.contains)
+    }.toMap
+    val order = scala.collection.mutable.ArrayBuffer[Int]()
+    val remaining = scala.collection.mutable.LinkedHashSet(ruled.keys.toSeq: _*)
+    var progress = true
+    while (remaining.nonEmpty && progress) {
+      progress = false
+      remaining.toSeq.foreach { id =>
+        if (deps(id).forall(order.contains)) { order += id; remaining -= id; progress = true }
+      }
+    }
+    require(remaining.isEmpty, s"circular rule references among members of '${d.name}'")
+    order.foreach { id =>
+      pivoted = pivoted.withColumn(id.toString,
+        Rules.toColumnWith(spec => col(s"`${d.idOf(spec)}`"))(ruled(id).expr))
     }
     val requested = selections(di)
     val stackExpr = s"stack(${requested.size}, " +

@@ -140,6 +140,25 @@ class Round2FixesSpec extends AnyFunSuite {
     assert(cube.get(Seq("r1", "y")).contains(0.6)) // scalar path agrees
   }
 
+  test("dialect: chained rule measures compute inside the grid job") {
+    val db = new Database("dchain", spark)
+    val t = db.addDimension("t")
+    t.edit().addMany(Seq("r1")).commit()
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("a", "b", "x", "y")).commit()
+    val cube = db.addCube("c", Seq(t, m))
+    cube.registerRule(RuleDef(Map("m" -> "x"), RuleScope.AllLevels,
+      RuleParser.parse("[a] - [b]"), "x_rule"))
+    cube.registerRule(RuleDef(Map("m" -> "y"), RuleScope.AllLevels,
+      RuleParser.parse("[x] / [a]"), "y_rule"))
+    cube.set(Seq("r1", "a"), 10.0)
+    cube.set(Seq("r1", "b"), 4.0)
+    val got = OlapQuery(db, "SELECT m, value FROM c WHERE t='r1', m=('a','y')")
+      .collect().map(r => r.getAs[String]("m") -> r.getAs[Number]("value").doubleValue()).toMap
+    assert(got("a") == 10.0)
+    assert(math.abs(got("y") - 0.6) < 1e-12)
+  }
+
   test("telescoping shift chains longer than 16 positions evaluate") {
     val db = new Database("tele", spark)
     val t = db.addDimension("t")
