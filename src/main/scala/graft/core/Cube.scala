@@ -79,6 +79,17 @@ final class Cube(
   @volatile var cacheMaxEntries: Int = 100000
   private[graft] val rules = mutable.ArrayBuffer[graft.olap.RuleDef]()
 
+  /** Read-path counters (≙ `cube.py:183-207`): requests, rule evaluations,
+    * aggregation jobs, cache hits. Driver-side observability only.
+    */
+  private val counters = new java.util.concurrent.atomic.AtomicLongArray(4)
+  private def bump(i: Int): Unit = { counters.incrementAndGet(i); () }
+  def counterCellRequests: Long = counters.get(0)
+  def counterRuleRequests: Long = counters.get(1)
+  def counterAggregations: Long = counters.get(2)
+  def counterCacheHits: Long = counters.get(3)
+  def resetCounters(): Unit = (0 until 4).foreach(counters.set(_, 0L))
+
   private var historyOpt: Option[History] = None
   /** Per-cell comments (≙ `comments.py`); keyed by idx address. */
   val comments = new CellComments
@@ -257,16 +268,20 @@ final class Cube(
   def get(address: Seq[String]): Option[Double] = getByBolt(bolt(address))
 
   private[graft] def getByBolt(b: Bolt): Option[Double] = {
+    bump(0)
     def compute = graft.olap.Rules.evaluate(this, b) match {
-      case Some(v) => v
+      case Some(v) => bump(1); v
       case None =>
         if (b.superLevel == 0) pointRead(b.ids)
-        else rollup(b.ids)
+        else { bump(2); rollup(b.ids) }
     }
     if (!cacheEnabled) compute
     else {
       if (cache.size >= cacheMaxEntries) cache.clear()
-      cache.getOrElseUpdate(b.ids, compute)
+      var hit = true
+      val r = cache.getOrElseUpdate(b.ids, { hit = false; compute })
+      if (hit) bump(3)
+      r
     }
   }
 
@@ -348,6 +363,15 @@ final class Cube(
 
   def area(pattern: (String, Seq[String])*): Area = Area(this, pattern)
   def fullArea: Area = new Area(this, Map.empty)
+
+  /** Drop ALL cells — facts, overlay, payloads (≙ `cube.py:306-310`). */
+  def clear(): Unit = {
+    payloads.clear()
+    replaceFacts(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], factSchema))
+  }
+
+  /** Navigable cell pointer (≙ `cube.cell(...)`, `cell.py`). */
+  def cell(address: String*): Cell = new Cell(this, bolt(address).ids)
 
   /** Register a rule after smoke validation (≙ `cube.py:750-847` + R8). */
   def registerRule(rule: graft.olap.RuleDef): Unit = {

@@ -15,12 +15,26 @@ final class Database(val name: String, val spark: SparkSession) {
   private val dims = scala.collection.mutable.LinkedHashMap[String, Dimension]()
   private val cubeMap = scala.collection.mutable.LinkedHashMap[String, Cube]()
 
+  /** Free-text metadata (≙ `database.py:162-170`). */
+  @volatile var description: String = ""
+
   def addDimension(dimName: String): Dimension = {
     require(!dims.contains(dimName.toLowerCase), s"dimension '$dimName' exists")
     val d = new Dimension(dimName); dims(dimName.toLowerCase) = d; d
   }
   def dimension(dimName: String): Dimension = dims(dimName.toLowerCase)
   def dimensions: Seq[Dimension] = dims.values.toSeq
+  def dimensionExists(dimName: String): Boolean = dims.contains(dimName.toLowerCase)
+
+  /** Remove a dimension not used by any cube (≙ `database.py:444-465`). */
+  def removeDimension(dimName: String): Unit = {
+    val d = dims.getOrElse(dimName.toLowerCase,
+      throw new NoSuchElementException(s"unknown dimension '$dimName'"))
+    val users = cubeMap.values.filter(_.dimensions.exists(_ eq d)).map(_.name)
+    require(users.isEmpty,
+      s"dimension '$dimName' is used by cube(s) ${users.mkString(", ")} — remove them first")
+    dims.remove(dimName.toLowerCase)
+  }
 
   def addCube(cubeName: String, cubeDims: Seq[Dimension]): Cube = {
     require(!cubeMap.contains(cubeName.toLowerCase), s"cube '$cubeName' exists")
@@ -36,6 +50,21 @@ final class Database(val name: String, val spark: SparkSession) {
   def cube(cubeName: String): Cube = cubeMap.getOrElse(cubeName.toLowerCase,
     throw new NoSuchElementException(s"unknown cube '$cubeName'"))
   def cubes: Seq[Cube] = cubeMap.values.toSeq
+  def cubeExists(cubeName: String): Boolean = cubeMap.contains(cubeName.toLowerCase)
+
+  /** Cell read/write passthrough (≙ `database.py:573-600`). */
+  def get(cubeName: String, address: Seq[String]): Option[Double] = cube(cubeName).get(address)
+  def set(cubeName: String, address: Seq[String], value: Double): Unit =
+    cube(cubeName).set(address, value)
+
+  /** Database-wide caching switch (≙ `database.py:196-237`): toggles every
+    * cube's result cache; disabling also drops current entries.
+    */
+  def caching: Boolean = cubeMap.values.forall(_.cacheEnabled)
+  def caching_=(on: Boolean): Unit = cubeMap.values.foreach { c =>
+    c.cacheEnabled = on
+    if (!on) c.clearCache()
+  }
 
   /** Expose the whole model to `spark.sql`: per cube `<cube>_facts`, per
     * dimension `<dim>_members` (id, name, level, format) and

@@ -173,6 +173,44 @@ class Round2FixesSpec extends AnyFunSuite {
     assert(cube.get(Seq("p25", "cum")).contains(25.0))
   }
 
+  test("cell object, read counters, and database-level sugar") {
+    val db = new Database("cellapi", spark)
+    val t = db.addDimension("t")
+    t.edit().add("All", Seq("Jan", "Feb")).commit()
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("Sales", "Cost")).commit()
+    val cube = db.addCube("c", Seq(t, m))
+    cube.set(Seq("Jan", "Sales"), 10.0)
+    cube.set(Seq("Feb", "Sales"), 5.0)
+    cube.set(Seq("Jan", "Cost"), 4.0)
+    // cell navigation + arithmetic
+    val c = cube.cell("Jan", "Sales")
+    assert(c.value.contains(10.0) && !c.isAggregated)
+    assert(c.alter("t" -> "Feb").value.contains(5.0))
+    assert(c.shift("t", 1).value.contains(5.0)) // Jan → Feb in member order
+    assert(c - c.alter("m" -> "Cost") == 6.0)
+    assert(c.member("t").name == "Jan")
+    val top = cube.cell("All", "Sales")
+    assert(top.isAggregated && top.value.contains(15.0))
+    // counters: second identical read is a cache hit; rollup counted
+    // (fresh address — (All, Sales) is already cached from the reads above)
+    cube.resetCounters()
+    cube.get(Seq("All", "Cost")); cube.get(Seq("All", "Cost"))
+    assert(cube.counterCellRequests == 2)
+    assert(cube.counterCacheHits == 1)
+    assert(cube.counterAggregations == 1)
+    // database-level passthrough + existence checks + caching switch
+    assert(db.get("c", Seq("Jan", "Sales")).contains(10.0))
+    assert(db.cubeExists("c") && db.dimensionExists("t") && !db.dimensionExists("zz"))
+    intercept[IllegalArgumentException](db.removeDimension("t")) // in use
+    db.caching = false
+    assert(!cube.cacheEnabled)
+    db.caching = true
+    // cube.clear drops everything
+    cube.clear()
+    assert(cube.cellsCount == 0 && cube.get(Seq("All", "Sales")).isEmpty)
+  }
+
   test("snapshot manager: create, inventory, restore, delete") {
     val db = new Database("snap", spark)
     val t = db.addDimension("t")
