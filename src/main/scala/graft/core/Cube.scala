@@ -373,6 +373,9 @@ final class Cube(
   /** Navigable cell pointer (≙ `cube.cell(...)`, `cell.py`). */
   def cell(address: String*): Cell = new Cell(this, bolt(address).ids)
 
+  /** Named view registry (≙ `cube.views`, `view.py:1334-1390`). */
+  lazy val views: graft.olap.ViewList = new graft.olap.ViewList(this)
+
   /** Register a rule after smoke validation (≙ `cube.py:750-847` + R8). */
   def registerRule(rule: graft.olap.RuleDef): Unit = {
     graft.olap.Rules.validate(this, rule)

@@ -105,7 +105,8 @@ final class Database(val name: String, val spark: SparkSession) {
           ("rules" -> c.rules.filter(_.onEntryFn.isEmpty)
             .map(graft.olap.Rules.ruleToJson).toList) ~
           ("payloads" -> c.allPayloads.map { case (ids, p) =>
-            ids.mkString(",") -> p }.toMap)).toList)
+            ids.mkString(",") -> p }.toMap) ~
+          ("views" -> JsonMethods.parse(c.views.toJson))).toList)
     Files.writeString(Paths.get(s"$dir/meta.json"), JsonMethods.pretty(JsonMethods.render(meta)))
   }
 
@@ -168,6 +169,8 @@ object Database {
       (cj \ "payloads").extractOpt[Map[String, String]].getOrElse(Map.empty)
         .foreach { case (ids, p) =>
           cube.restorePayload(ids.split(",").map(_.toInt).toVector, p) }
+      (cj \ "views").toOption.filter(_ != JNothing)
+        .foreach(v => cube.views.loadJson(JsonMethods.compact(JsonMethods.render(v))))
     }
     db
   }

@@ -359,6 +359,44 @@ final class View(val cube: Cube, val dfn: ViewDef) {
   }
 }
 
+/** Named view registry per cube (≙ `ViewList`, `view.py:1334-1390`):
+  * definitions register by name and instantiate fresh [[View]]s on demand;
+  * definitions serialize with [[ViewDef]]'s JSON round-trip.
+  */
+final class ViewList(val cube: Cube) {
+  private val defs = scala.collection.mutable.LinkedHashMap[String, ViewDef]()
+
+  def define(name: String, dfn: ViewDef): View = {
+    defs(name.toLowerCase) = dfn
+    new View(cube, dfn)
+  }
+  def apply(name: String): View = new View(cube,
+    defs.getOrElse(name.toLowerCase,
+      throw new NoSuchElementException(s"unknown view '$name' on cube '${cube.name}'")))
+  def definition(name: String): ViewDef = defs(name.toLowerCase)
+  def contains(name: String): Boolean = defs.contains(name.toLowerCase)
+  def names: Seq[String] = defs.keys.toSeq
+  def size: Int = defs.size
+  def remove(name: String): Unit = defs.remove(name.toLowerCase)
+
+  def toJson: String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      defs.toList.map { case (n, d) =>
+        ("name" -> n) ~ ("definition" -> org.json4s.jackson.JsonMethods.parse(ViewDef.toJson(d)))
+      }))
+  }
+  def loadJson(s: String): Unit = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    org.json4s.jackson.JsonMethods.parse(s).extract[List[JValue]].foreach { j =>
+      defs((j \ "name").extract[String]) =
+        ViewDef.fromJson(org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(j \ "definition")))
+    }
+  }
+}
+
 /** ViewDef ⇄ JSON (≙ `view.py:1089-1149` — definition round-trip,
   * `tests/test_view.py:41-60`).
   */

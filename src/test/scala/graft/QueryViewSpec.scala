@@ -144,6 +144,29 @@ class QueryViewSpec extends AnyFunSuite {
     assert(vr.stats.aggregatedPositions == 1 && vr.stats.rulePositions == 1)
   }
 
+  test("named view registry: define, fetch, JSON round-trip") {
+    cube
+    val dfn = ViewDef(
+      filters = Seq("years" -> "2021", "regions" -> "Total", "products" -> "Total"),
+      rows = AxisDef(Seq("months" -> Seq("Jan", "Feb"))),
+      cols = AxisDef(Seq("measures" -> Seq("Sales"))))
+    cube.views.define("monthly sales", dfn)
+    assert(cube.views.contains("Monthly Sales")) // case-insensitive
+    val grid = cube.views("monthly sales").refresh().collect()
+    assert(grid.map(_.getAs[String]("months")).toSeq == Seq("Jan", "Feb"))
+    // registry round-trips through JSON into a fresh cube handle
+    val other = new graft.core.Cube("copy", cube.dimensions, spark, Some(cube.facts))
+    other.views.loadJson(cube.views.toJson)
+    assert(other.views.names == Seq("monthly sales"))
+    assert(other.views.definition("monthly sales") == dfn)
+    // and through full database save/load
+    val dir = java.nio.file.Files.createTempDirectory("graftviews").toString
+    db.save(dir)
+    val db2 = graft.core.Database.load(dir, spark)
+    assert(db2.cube("sales").views.contains("monthly sales"))
+    assert(db2.cube("sales").views.definition("monthly sales") == dfn)
+  }
+
   test("view definition JSON round-trip yields an identical grid") {
     cube
     val dfn = ViewDef(
