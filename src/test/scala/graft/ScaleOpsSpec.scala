@@ -40,6 +40,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("gridAggregate plan shape: broadcast closure joins, ONE shuffle") {
+    val db = TinyModel.build(spark)
+    val cube = db.addCube("plansales", db.cube("sales").dimensions)
+    cube.set(Seq("2021", "Jan", "North", "sedan", "Sales"), 5.0)
+    cube.compact() // pin the fact frame so the plan reads the stable shape
+    val months = db.dimension("months")
+    val grid = cube.gridAggregate(Seq(
+      Seq(db.dimension("years").idOf("All years")),
+      Seq("Q1", "Q2", "Q3", "Q4").map(months.idOf),
+      Seq(db.dimension("regions").idOf("Total")),
+      Seq(db.dimension("products").idOf("Total")),
+      Seq(db.dimension("measures").idOf("Sales"))))
+    val plan = grid.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"closure joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"no all-pairs / shuffle joins in a grid:\n$plan")
+    // exactly one real shuffle: the final hash aggregation on the grid keys
+    // (broadcast exchanges don't count)
+    val shuffles = "(?m)^.*Exchange (hash|range|SinglePartition)".r
+      .findAllIn(plan).size
+    assert(shuffles <= 1, s"grid must shuffle at most once, saw $shuffles:\n$plan")
+  }
+
   test("result cache toggle and bound") {
     val db = TinyModel.build(spark)
     val cube = db.addCube("cachesales", db.cube("sales").dimensions)
