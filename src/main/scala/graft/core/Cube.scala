@@ -364,9 +364,12 @@ final class Cube(
   def area(pattern: (String, Seq[String])*): Area = Area(this, pattern)
   def fullArea: Area = new Area(this, Map.empty)
 
-  /** Drop ALL cells — facts, overlay, payloads (≙ `cube.py:306-310`). */
+  /** Drop ALL cells — facts, overlay, payloads, comments
+    * (≙ `cube.py:306-310`).
+    */
   def clear(): Unit = {
     payloads.clear()
+    comments.clear()
     replaceFacts(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], factSchema))
   }
 

@@ -39,12 +39,14 @@ final class Database(val name: String, val spark: SparkSession) {
   def addCube(cubeName: String, cubeDims: Seq[Dimension]): Cube = {
     require(!cubeMap.contains(cubeName.toLowerCase), s"cube '$cubeName' exists")
     val c = new Cube(cubeName, cubeDims, spark)
+    c.cacheEnabled = cachingFlag
     cubeMap(cubeName.toLowerCase) = c; c
   }
   def addCube(cubeName: String, cubeDims: Seq[Dimension],
       facts: org.apache.spark.sql.DataFrame): Cube = {
     require(!cubeMap.contains(cubeName.toLowerCase), s"cube '$cubeName' exists")
     val c = new Cube(cubeName, cubeDims, spark, Some(facts))
+    c.cacheEnabled = cachingFlag
     cubeMap(cubeName.toLowerCase) = c; c
   }
   def cube(cubeName: String): Cube = cubeMap.getOrElse(cubeName.toLowerCase,
@@ -58,12 +60,17 @@ final class Database(val name: String, val spark: SparkSession) {
     cube(cubeName).set(address, value)
 
   /** Database-wide caching switch (≙ `database.py:196-237`): toggles every
-    * cube's result cache; disabling also drops current entries.
+    * existing cube's result cache (disabling also drops current entries)
+    * AND applies to cubes added later.
     */
-  def caching: Boolean = cubeMap.values.forall(_.cacheEnabled)
-  def caching_=(on: Boolean): Unit = cubeMap.values.foreach { c =>
-    c.cacheEnabled = on
-    if (!on) c.clearCache()
+  private var cachingFlag = true
+  def caching: Boolean = cachingFlag
+  def caching_=(on: Boolean): Unit = {
+    cachingFlag = on
+    cubeMap.values.foreach { c =>
+      c.cacheEnabled = on
+      if (!on) c.clearCache()
+    }
   }
 
   /** Expose the whole model to `spark.sql`: per cube `<cube>_facts`, per

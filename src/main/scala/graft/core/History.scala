@@ -66,5 +66,6 @@ final class CellComments {
     map.getOrElseUpdate(ids, mutable.ArrayBuffer()) += Comment(text, user, System.currentTimeMillis())
   def get(ids: Vector[Int]): Seq[Comment] = map.getOrElse(ids, Nil).toSeq
   def remove(ids: Vector[Int]): Unit = map.remove(ids)
+  def clear(): Unit = map.clear()
   def count: Int = map.valuesIterator.map(_.size).sum
 }

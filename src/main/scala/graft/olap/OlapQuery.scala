@@ -110,72 +110,32 @@ final class OlapQuery(db: Database, sql: String) {
     }.toVector
   }
 
-  /** Rule backing a selected member of dimension `d`, if any (same-dim
-    * ALL_LEVELS / AGGREGATION_LEVEL exprs are grid-computable).
-    */
-  private def ruleFor(d: Dimension, memberId: Int): Option[RuleDef] =
-    cube.rules.find { r =>
-      (r.scope == RuleScope.AllLevels || r.scope == RuleScope.AggregationLevel) &&
-        r.trigger.exists { case (dim, m) =>
-          dim.equalsIgnoreCase(d.name) && d.contains(m) && d.idOf(m) == memberId }
-    }
-
-  private def refNames(e: RuleExpr): Seq[String] =
-    Rules.collectRefs(e).filterNot(_.contains(":"))
-
   /** Grid with rule-backed members of (at most) one dimension computed
     * post-pivot inside the same job (≙ rule cells in the dialect's dense
-    * grid, `query.py:101-136` — still no per-cell loop). Rule refs expand
-    * transitively and chained ruled members compute deps-first, exactly as
-    * in [[View]]: a ref that is itself rule-backed is computed, never read
-    * as an (empty) stored column.
+    * grid, `query.py:101-136` — still no per-cell loop). Rule matching,
+    * transitive ref expansion, and deps-first ordering are the shared
+    * [[Rules.gridRuleFor]]/[[Rules.expandRuled]] helpers — one semantics
+    * for dialect grids, views, and the scalar path.
     */
   private def gridWithRules(): DataFrame = {
-    val ruledByDim = cube.dimensions.zipWithIndex.map { case (d, i) =>
-      i -> selections(i).flatMap(id => ruleFor(d, id).map(id -> _)).toMap
-    }.filter(_._2.nonEmpty)
-    if (ruledByDim.isEmpty) return cube.gridAggregate(selections)
-    require(ruledByDim.size == 1,
+    def ruleAt(di: Int)(id: Int): Option[RuleDef] =
+      Rules.gridRuleFor(cube, di, id, selections(_))
+    val ruledDims = cube.dimensions.indices
+      .filter(i => selections(i).exists(id => ruleAt(i)(id).isDefined))
+    if (ruledDims.isEmpty) return cube.gridAggregate(selections)
+    require(ruledDims.size == 1,
       "rule-backed members supported in one dimension per query")
-    val (di, requestedRuled) = ruledByDim.head
+    val di = ruledDims.head
     val d = cube.dimensions(di)
-    // transitive expansion over ids (worklist): stored ids get fetched,
-    // ruled ids get computed
-    val ruled = scala.collection.mutable.LinkedHashMap[Int, RuleDef]()
-    val fetchIds = scala.collection.mutable.LinkedHashSet[Int]()
-    val seen = scala.collection.mutable.Set[Int]()
-    val queue = scala.collection.mutable.Queue[Int](selections(di): _*)
-    while (queue.nonEmpty) {
-      val id = queue.dequeue()
-      if (seen.add(id)) {
-        requestedRuled.get(id).orElse(ruleFor(d, id)) match {
-          case Some(r) => ruled(id) = r; refNames(r.expr).map(d.idOf).foreach(queue += _)
-          case None => fetchIds += id
-        }
-      }
-    }
+    val (ruled, fetchIds, order) = Rules.expandRuled(cube, di, selections(di), ruleAt(di))
     require(fetchIds.nonEmpty,
       s"dimension '${d.name}': every selected member is rule-backed with no stored refs")
-    val allIds = fetchIds.toSeq
+    val allIds = fetchIds
     val g = cube.gridAggregate(selections.updated(di, allIds))
     val otherCols = cube.dimensions.indices.filterNot(_ == di).map(i => s"a$i")
     var pivoted = g.groupBy(otherCols.map(col): _*)
       .pivot(s"a$di", allIds.map(_.asInstanceOf[AnyRef]).toSeq)
       .agg(first(col("value")))
-    // deps-first (topological) order so chained rules see computed columns
-    val deps: Map[Int, Seq[Int]] = ruled.map { case (id, r) =>
-      id -> refNames(r.expr).map(d.idOf).filter(ruled.contains)
-    }.toMap
-    val order = scala.collection.mutable.ArrayBuffer[Int]()
-    val remaining = scala.collection.mutable.LinkedHashSet(ruled.keys.toSeq: _*)
-    var progress = true
-    while (remaining.nonEmpty && progress) {
-      progress = false
-      remaining.toSeq.foreach { id =>
-        if (deps(id).forall(order.contains)) { order += id; remaining -= id; progress = true }
-      }
-    }
-    require(remaining.isEmpty, s"circular rule references among members of '${d.name}'")
     order.foreach { id =>
       pivoted = pivoted.withColumn(id.toString,
         Rules.toColumnWith(spec => col(s"`${d.idOf(spec)}`"))(ruled(id).expr))

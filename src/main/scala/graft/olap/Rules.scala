@@ -66,9 +66,9 @@ object Rules {
   /** Bolts whose rules are being evaluated right now on this thread. Ref/Shift
     * evaluation re-enters the full read path (`cube.getByBolt`), so the
     * per-expression depth counter alone cannot see cross-cell chains: a rule
-    * referencing its own cell (directly or mutually) would recurse until
-    * StackOverflowError. Same-bolt re-entry ⇒ descriptive cycle error; chain
-    * length counts toward [[MaxDepth]].
+    * referencing its own cell (directly or mutually) would recurse without
+    * bound. Same-bolt re-entry ⇒ descriptive cycle error; acyclic chain
+    * length is separately bounded by [[MaxChain]] (stack-depth budget).
     */
   private val inFlight = new ThreadLocal[mutable.LinkedHashSet[(String, Vector[Int])]] {
     override def initialValue(): mutable.LinkedHashSet[(String, Vector[Int])] =
@@ -160,10 +160,14 @@ object Rules {
   }
 
   private val MaxDepth = 16
-  /** Cross-cell chain bound — generous: telescoping Shift rules walk one
-    * link per dimension position (e.g. cumulative-over-months).
+  /** Cross-cell chain bound. Telescoping Shift rules legitimately walk one
+    * link per dimension position (cumulative-over-months), but every link
+    * also nests ~15 JVM frames (getByBolt → evaluate → evalScalar), so the
+    * bound must trip well before the driver stack (default 1 MB) does.
+    * 256 links ≈ 4k frames — deep cumulative chains beyond that should be
+    * expressed as grid/window computations, not per-cell recursion.
     */
-  private val MaxChain = 1000
+  private val MaxChain = 256
 
   private def evalScalar(cube: Cube, b: Bolt, e: RuleExpr, depth: Int): Option[Double] = {
     import RuleExpr._
@@ -257,6 +261,87 @@ object Rules {
     */
   def toColumn(cube: Cube, measureDim: Int, e: RuleExpr): Column =
     toColumnWith(spec => col(s"m_${cube.dimensions(measureDim).idOf(spec)}"))(e)
+
+  /** Grid-computable rule backing member `memberId` of dimension `dimI`, if
+    * any — matching by RESOLVED id (aliases and case differences behave like
+    * the scalar path). A multi-entry trigger is CARRIED by its highest-index
+    * trigger dimension (the measure dim by convention), and qualifies only
+    * when every other trigger entry is either pinned by the grid (its
+    * dimension's selection is exactly that single member → rule applies) or
+    * excluded (member not selected → rule can never fire → stored). A
+    * selection that MIXES the trigger member with others would need per-row
+    * conditional evaluation — rejected explicitly rather than computed
+    * wrongly for every row.
+    */
+  def gridRuleFor(cube: Cube, dimI: Int, memberId: Int,
+      selAt: Int => Seq[Int]): Option[RuleDef] = {
+    val d = cube.dimensions(dimI)
+    def dimOf(dn: String): Int = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dn))
+    cube.rules
+      .find { r =>
+        (r.scope == RuleScope.AllLevels || r.scope == RuleScope.AggregationLevel) &&
+          r.trigger.exists { case (dn, mm) =>
+            dn.equalsIgnoreCase(d.name) && d.contains(mm) && d.idOf(mm) == memberId }
+      }
+      .flatMap { r =>
+        if (r.trigger.keys.map(dimOf).max != dimI) None // not the carrier dim
+        else {
+          val others = r.trigger.toSeq.filter(e => dimOf(e._1) != dimI)
+            .map { case (dn, mm) =>
+              val j = dimOf(dn)
+              (dn, cube.dimensions(j).idOf(mm), selAt(j))
+            }
+          if (others.exists { case (_, mid, sel) => !sel.contains(mid) }) None // never fires
+          else {
+            others.foreach { case (dn, mid, sel) =>
+              if (sel != Seq(mid)) throw new UnsupportedOperationException(
+                s"rule '${r.name}': trigger on '$dn' must be pinned to a single " +
+                  "member in grid queries (per-row conditional rules are not grid-computable)")
+            }
+            Some(r)
+          }
+        }
+      }
+  }
+
+  /** Transitive rule expansion + dependency order for one dimension's member
+    * selection, id-keyed: refs of rule-backed members are pulled in (a ref
+    * that is itself rule-backed joins the computed set instead of being read
+    * as an empty stored column). Returns (ruled, stored ids to fetch,
+    * deps-first order over the ruled ids).
+    */
+  def expandRuled(cube: Cube, dimI: Int, selected: Seq[Int],
+      ruleAt: Int => Option[RuleDef]): (Map[Int, RuleDef], Seq[Int], Seq[Int]) = {
+    val d = cube.dimensions(dimI)
+    val ruled = mutable.LinkedHashMap[Int, RuleDef]()
+    val fetch = mutable.LinkedHashSet[Int]()
+    val seen = mutable.Set[Int]()
+    val queue = mutable.Queue[Int](selected: _*)
+    while (queue.nonEmpty) {
+      val id = queue.dequeue()
+      if (seen.add(id)) ruleAt(id) match {
+        case Some(r) =>
+          ruled(id) = r
+          collectRefs(r.expr).filterNot(_.contains(":")).map(d.idOf).foreach(queue += _)
+        case None => fetch += id
+      }
+    }
+    val deps: Map[Int, Seq[Int]] = ruled.map { case (id, r) =>
+      id -> collectRefs(r.expr).filterNot(_.contains(":")).map(d.idOf).filter(ruled.contains)
+    }.toMap
+    val order = mutable.ArrayBuffer[Int]()
+    val remaining = mutable.LinkedHashSet(ruled.keys.toSeq: _*)
+    var progress = true
+    while (remaining.nonEmpty && progress) {
+      progress = false
+      remaining.toSeq.foreach { id =>
+        if (deps(id).forall(order.contains)) { order += id; remaining -= id; progress = true }
+      }
+    }
+    require(remaining.isEmpty, s"circular rule references among members of " +
+      s"'${d.name}': ${remaining.map(d.nameOf).mkString(", ")}")
+    (ruled.toMap, fetch.toSeq, order.toSeq)
+  }
 
   /** Registration-time smoke validation (≙ R8 `cube.py:849-872`, a stub
     * there): trigger dimensions/members must exist and every ref/shift must

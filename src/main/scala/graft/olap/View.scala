@@ -66,57 +66,44 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     val colEntries = dfn.cols.entries
     require(colEntries.nonEmpty, "column axis needs at least one dimension")
 
-    // per column-axis dimension: split requested members into stored vs
-    // rule-derived (ALL_LEVELS / AGGREGATION_LEVEL with same-dim refs)
-    def ruleFor(dimI: Int, m: String): Option[RuleDef] = cube.rules.find { r =>
-      (r.scope == RuleScope.AllLevels || r.scope == RuleScope.AggregationLevel) &&
-        r.trigger.exists { case (d, mm) =>
-          d.equalsIgnoreCase(cube.dimensions(dimI).name) && mm.equalsIgnoreCase(m) }
+    // preliminary per-dimension selections (for multi-trigger rule pinning):
+    // filters fix single members, axes select their requested members,
+    // unmentioned dimensions default
+    val prelim: Int => Seq[Int] = {
+      val p = Array.tabulate(cube.nDims)(i => Seq(cube.dimensions(i).defaultMember.id))
+      dfn.filters.foreach { case (dn, mm) =>
+        val i = dimIdx(dn); p(i) = Seq(cube.dimensions(i).idOf(mm)) }
+      dfn.rows.entries.foreach { case (dn, ms) =>
+        val i = dimIdx(dn); p(i) = ms.map(cube.dimensions(i).idOf) }
+      colEntries.foreach { case (dn, ms) =>
+        val i = dimIdx(dn); p(i) = ms.map(cube.dimensions(i).idOf) }
+      p(_)
     }
-    // Transitive rule expansion per dimension: requested ruled members pull
-    // in their refs; a ref that is itself rule-backed joins the computed set
-    // (chained rules, e.g. Margin → Profit → Sales/Cost) instead of being
-    // read as an (empty) stored column. Members dedupe by RESOLVED id, first
-    // spelling wins — "Sales" requested + "sales" ref'd are one pivot column.
+    // Transitive rule expansion per dimension through the SHARED helpers
+    // (same semantics as dialect grids and scalar reads): rule matching by
+    // resolved id (aliases behave like the scalar path), refs of ruled
+    // members pulled in, chained ruled refs computed not fetched. Members
+    // dedupe by id, first spelling wins — "Sales" requested + "sales" ref'd
+    // are one pivot column.
     val perDim = colEntries.map { case (dName, requested) =>
       val cd = dimIdx(dName)
       val d = cube.dimensions(cd)
-      val ruled = scala.collection.mutable.LinkedHashMap[String, RuleDef]()
-      val fetchById = scala.collection.mutable.LinkedHashMap[Int, String]()
-      val nameById = scala.collection.mutable.LinkedHashMap[Int, String]()
-      val queue = scala.collection.mutable.Queue[String](requested: _*)
-      while (queue.nonEmpty) {
-        val m = queue.dequeue()
-        val id = d.idOf(m)
-        if (!nameById.contains(id)) {
-          nameById(id) = m
-          ruleFor(cd, m) match {
-            case Some(r) => ruled(m) = r; collectRefNames(r.expr).foreach(queue += _)
-            case None => fetchById(id) = m
-          }
-        }
-      }
-      require(fetchById.nonEmpty,
+      val (ruledIds, fetchIds, topoIds) = Rules.expandRuled(
+        cube, cd, requested.map(d.idOf),
+        id => Rules.gridRuleFor(cube, cd, id, prelim))
+      require(fetchIds.nonEmpty,
         s"column axis dimension '$dName': no stored members to fetch — every " +
           "requested member is rule-backed with no stored refs; include at least one stored member")
+      val nameById = scala.collection.mutable.LinkedHashMap[Int, String]()
+      requested.foreach(m => nameById.getOrElseUpdate(d.idOf(m), m))
+      (fetchIds ++ topoIds).foreach(id => nameById.getOrElseUpdate(id, d.nameOf(id)))
       if (colEntries.size > 1) nameById.values.foreach(m => require(!m.contains("/"),
         s"member '$m': '/' is reserved as the position separator on multi-dimension column axes"))
-      // topological order over chained ruled members (deps first)
-      val deps: Map[String, Seq[String]] = ruled.map { case (m, r) =>
-        m -> collectRefNames(r.expr).map(ref => nameById(d.idOf(ref))).filter(ruled.contains)
-      }.toMap
-      val topo = scala.collection.mutable.ArrayBuffer[String]()
-      val remaining = scala.collection.mutable.LinkedHashSet(ruled.keys.toSeq: _*)
-      var progress = true
-      while (remaining.nonEmpty && progress) {
-        progress = false
-        remaining.toSeq.foreach { m =>
-          if (deps(m).forall(topo.contains)) { topo += m; remaining -= m; progress = true }
-        }
-      }
-      require(remaining.isEmpty,
-        s"circular rule references among column members of '$dName': ${remaining.mkString(", ")}")
-      ColDim(cd, requested, ruled.toMap, fetchById.values.toSeq, nameById.toMap, topo.toSeq)
+      ColDim(cd, requested,
+        ruledIds.map { case (id, r) => nameById(id) -> r },
+        fetchIds.map(nameById),
+        nameById.toMap,
+        topoIds.map(nameById))
     }
 
     // selections: filters fix single members; unmentioned dims → default
@@ -390,7 +377,7 @@ final class ViewList(val cube: Cube) {
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
     org.json4s.jackson.JsonMethods.parse(s).extract[List[JValue]].foreach { j =>
-      defs((j \ "name").extract[String]) =
+      defs((j \ "name").extract[String].toLowerCase) =
         ViewDef.fromJson(org.json4s.jackson.JsonMethods.compact(
           org.json4s.jackson.JsonMethods.render(j \ "definition")))
     }

@@ -179,12 +179,7 @@ object Similarity {
           sqrt(dotQ(col("vj"), col("vj")).cast("double"))))
       .filter(col("sim") >= threshold)
       .select(col("i"), col("j"), col("sim"))
-    // bounded cache lifecycle: materialize the output, release intermediates
-    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    banded.unpersist(blocking = false)
-    vecs.unpersist(blocking = false)
-    out
+    Lifecycle.materializeAndRelease(result, banded, vecs)
   }
 
   /** Exact embedding near-dup pairs above a cosine threshold — the all-pairs

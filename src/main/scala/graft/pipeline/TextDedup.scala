@@ -81,19 +81,7 @@ object TextDedup {
         (col("szi") + col("szj") - col("shared")).cast("double"))
       .filter(col("sim") >= threshold)
       .select(col("i"), col("j"), col("sim"))
-    materializeAndRelease(result, t)
-  }
-
-  /** Bounded cache lifecycle for multi-consumer plans: materialize the
-    * (output-sized) result, then release the internal intermediates so
-    * repeated operator calls don't pin executor memory for the session
-    * lifetime. Callers may `unpersist()` the returned frame when done.
-    */
-  private def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
-    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    intermediates.foreach(_.unpersist(blocking = false))
-    out
+    Lifecycle.materializeAndRelease(result, t)
   }
 
   /** MinHash signatures as ONE array column via the [[graft.functions.MinHashSketch]]
@@ -149,7 +137,7 @@ object TextDedup {
         (size(col("wi")) + size(col("wj")) - col("__inter")).cast("double"))
       .filter(col("sim") >= threshold)
       .select(col("i"), col("j"), col("sim"))
-    materializeAndRelease(result, banded, words)
+    Lifecycle.materializeAndRelease(result, banded, words)
   }
 
   /** 64-bit SimHash over distinct word hashes: per bit, sum of ±1

@@ -159,6 +159,55 @@ class Round2FixesSpec extends AnyFunSuite {
     assert(math.abs(got("y") - 0.6) < 1e-12)
   }
 
+  test("grid rules match by resolved id: alias-spelled members compute") {
+    val db = new Database("alias", spark)
+    val t = db.addDimension("t")
+    t.edit().addMany(Seq("r1")).commit()
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("Sales", "Cost", "Profit")).commit()
+    m.addAlias("GM", "Profit")
+    val cube = db.addCube("c", Seq(t, m))
+    cube.registerRule(RuleDef(Map("m" -> "Profit"), RuleScope.AllLevels,
+      RuleParser.parse("[Sales] - [Cost]"), "profit_rule"))
+    cube.set(Seq("r1", "Sales"), 10.0)
+    cube.set(Seq("r1", "Cost"), 4.0)
+    // view requests the ALIAS spelling — must still hit the rule (id match),
+    // not silently read the empty stored column
+    val v = new olap.View(cube, olap.ViewDef(
+      rows = olap.AxisDef(Seq("t" -> Seq("r1"))),
+      cols = olap.AxisDef(Seq("m" -> Seq("GM")))))
+    assert(v.refresh().collect().head.getAs[Double]("GM") == 6.0)
+    assert(cube.get(Seq("r1", "GM")).contains(6.0)) // scalar agrees
+  }
+
+  test("multi-entry rule triggers: pinned applies, excluded is stored, mixed rejects") {
+    val db = new Database("pin", spark)
+    val t = db.addDimension("t")
+    t.edit().addMany(Seq("r1", "r2")).commit()
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("a", "x")).commit()
+    val cube = db.addCube("c", Seq(t, m))
+    cube.registerRule(RuleDef(Map("m" -> "x", "t" -> "r1"), RuleScope.AllLevels,
+      RuleParser.parse("[a] * 2"), "x_at_r1"))
+    cube.set(Seq("r1", "a"), 5.0)
+    cube.set(Seq("r2", "a"), 7.0)
+    cube.set(Seq("r2", "x"), 99.0) // stored value where the rule never fires
+    def q(where: String) =
+      OlapQuery(db, s"SELECT t, m, value FROM c WHERE $where, m=('a','x')")
+        .collect().map(r => (r.getAs[String]("t"), r.getAs[String]("m")) ->
+          r.getAs[Number]("value").doubleValue()).toMap
+    // trigger pinned to the single selected member → rule applies
+    assert(q("t='r1'")(("r1", "x")) == 10.0)
+    // selection excludes the trigger member → rule never fires, stored wins
+    assert(q("t='r2'")(("r2", "x")) == 99.0)
+    // selection mixes matching and non-matching rows → explicit rejection,
+    // never a silently-wrong grid
+    intercept[UnsupportedOperationException](q("t=('r1','r2')"))
+    // scalar path for comparison
+    assert(cube.get(Seq("r1", "x")).contains(10.0))
+    assert(cube.get(Seq("r2", "x")).contains(99.0))
+  }
+
   test("telescoping shift chains longer than 16 positions evaluate") {
     val db = new Database("tele", spark)
     val t = db.addDimension("t")
