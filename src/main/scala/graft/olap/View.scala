@@ -212,9 +212,6 @@ final class View(val cube: Cube, val dfn: ViewDef) {
   private def cartesian[A](xs: Seq[Seq[A]]): Seq[Seq[A]] =
     xs.foldLeft(Seq(Seq.empty[A]))((acc, l) => acc.flatMap(p => l.map(p :+ _)))
 
-  private def collectRefNames(e: RuleExpr): Seq[String] =
-    Rules.collectRefs(e).filterNot(_.contains(":"))
-
   /** Position name → one member per column-axis entry. Single-dim axes use
     * the whole name verbatim (members may contain '/'); multi-dim axes split
     * on the reserved separator (enforced at refresh).
