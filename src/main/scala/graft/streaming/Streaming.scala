@@ -63,6 +63,26 @@ object Streaming {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Streaming training-data intake — the streaming face of the batch
+    * pipeline operators, composed as one transform: language-ID + quality
+    * scoring (pure codegen'd columns, stream-safe), a quality floor, and
+    * canonical-fingerprint dedup with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark` — reordered/repeated-word duplicates
+    * collapse, state evicts as the watermark advances; at scale the dedup
+    * state shuffles on the fingerprint, never on the document).
+    */
+  def documentIntake(docs: DataFrame, tsCol: String, watermark: String,
+      textCol: String = "text", minQuality: Double = 0.0): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    val quality = TextAnalysis.qualityColumns(col(textCol)).toMap.apply("quality")
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .withColumn("quality", quality)
+      .withColumn("fp_canonical", TextAnalysis.canonicalFingerprint(col(textCol)))
+      .filter(col("quality") >= minQuality)
+      .dropDuplicatesWithinWatermark("fp_canonical")
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 

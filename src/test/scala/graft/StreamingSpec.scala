@@ -57,6 +57,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(("2024-01-01 00:00:00.0", "view")) == (1L, 8.0))
   }
 
+  test("streaming document intake: scoring, quality floor, fingerprint dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = Streaming.documentIntake(docs, "ts", "10 minutes", minQuality = 0.0)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("intake_out").start()
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), 1L, "the quick brown fox and the lazy dog"),
+      // word-set duplicate of doc 1 (reordered + repeated) → dropped
+      (ts("2024-01-01 00:01:00"), 2L, "lazy dog and the quick quick brown fox"),
+      (ts("2024-01-01 00:02:00"), 3L, "completely different content here"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM intake_out").collect()
+    q.stop()
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.contains(3L))
+    assert((ids - 3L).size == 1, s"exactly one of the near-dup pair survives, got $ids")
+    assert(rows.forall(_.getAs[String]("lang_pred") != null))
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("quality"))))
+  }
+
   test("session windows group events by gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
