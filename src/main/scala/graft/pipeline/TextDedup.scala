@@ -140,21 +140,17 @@ object TextDedup {
     Lifecycle.materializeAndRelease(result, banded, words)
   }
 
-  /** 64-bit SimHash over distinct word hashes: per bit, sum of ±1
-    * contributions; bit set iff the sum is positive. 64 aggregate
-    * expressions, one shuffle.
+  /** 64-bit SimHash over DISTINCT word hashes (vote sums are multiset-
+    * sensitive, so the distinct matters here): per bit, sum of ±1
+    * contributions; bit set iff the sum is positive. ONE
+    * [[graft.functions.SimHashBits]] aggregate holding all 64 vote counters
+    * in a single buffer — not 64 aggregate columns, whose O(64) codegen
+    * janino recompiles inside every enclosing plan.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = wordRel(df, idCol, textCol).withColumn("__h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { p =>
-      sum(shiftright(col("__h"), p).bitwiseAND(1) * 2 - 1).as(s"s_$p")
-    }
-    val sums = t.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hashCol = (0 until 64).map { p =>
-      when(col(s"s_$p") > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    sums.select(col(idCol), hashCol.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    wordRel(df, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(graft.functions.SimHashBits(xxhash64(col("w"))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3): band
     * the 64-bit hash into 4×16-bit chunks; by pigeonhole any pair within
