@@ -47,6 +47,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // sf0.1 parquet is a few hundred MB: the default 128 MB split gives a
+      // handful of scan tasks on 32 cores — smaller splits parallelize the
+      // scan+join map side (a real cluster tunes this per file layout)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
