@@ -161,15 +161,20 @@ object TextDedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantees completeness only up to 3")
     val sh = simhash(df, idCol, textCol)
+    // persisted: BOTH sides of the bucket self-join read it — without this
+    // the whole simhash aggregation pipeline is computed twice
     val banded = sh.select(col(idCol), col("simhash"), posexplode(array(
       (0 until 4).map(b => shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
       .as(Seq("band", "chunk")))
-    banded.select(col(idCol).as("i"), col("simhash").as("hi"), col("band"), col("chunk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = banded
+      .select(col(idCol).as("i"), col("simhash").as("hi"), col("band"), col("chunk"))
       .join(banded.select(col(idCol).as("j"), col("simhash").as("hj"), col("band"), col("chunk")),
         Seq("band", "chunk"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"), bit_count(col("hi").bitwiseXOR(col("hj"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    Lifecycle.materializeAndRelease(result, banded)
   }
 }

@@ -76,10 +76,14 @@ object Streaming {
     import graft.pipeline.TextAnalysis
     val quality = TextAnalysis.qualityColumns(col(textCol)).toMap.apply("quality")
     docs.withWatermark(tsCol, watermark)
+      // empty docs make the quality ratios 0/0 — a DIVIDE_BY_ZERO error
+      // under ANSI mode and a NaN (which sorts ABOVE every double, silently
+      // passing any floor) otherwise; drop them before the ratios evaluate
+      .filter(length(col(textCol)) > 0)
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
       .withColumn("quality", quality)
       .withColumn("fp_canonical", TextAnalysis.canonicalFingerprint(col(textCol)))
-      .filter(col("quality") >= minQuality)
+      .filter(!isnan(col("quality")) && col("quality") >= minQuality)
       .dropDuplicatesWithinWatermark("fp_canonical")
   }
 

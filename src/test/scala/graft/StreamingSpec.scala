@@ -62,22 +62,27 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
     val docs = mem.toDF().toDF("ts", "doc_id", "text")
-    val out = Streaming.documentIntake(docs, "ts", "10 minutes", minQuality = 0.0)
+    val out = Streaming.documentIntake(docs, "ts", "10 minutes", minQuality = 0.5)
     val q = out.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("intake_out").start()
     mem.addData(
       (ts("2024-01-01 00:00:00"), 1L, "the quick brown fox and the lazy dog"),
       // word-set duplicate of doc 1 (reordered + repeated) → dropped
       (ts("2024-01-01 00:01:00"), 2L, "lazy dog and the quick quick brown fox"),
-      (ts("2024-01-01 00:02:00"), 3L, "completely different content here"))
+      (ts("2024-01-01 00:02:00"), 3L, "the sun and the moon go to the sea in the night"),
+      // no stopwords, overlong words → quality 0, below the floor → dropped
+      (ts("2024-01-01 00:03:00"), 4L, "zzzzzzzzzzzz qqqqqqqqqqqq xxxxxxxxxxxx"),
+      // empty doc → NaN ratios → must FAIL the floor, not bypass it
+      (ts("2024-01-01 00:04:00"), 5L, ""))
     q.processAllAvailable()
     val rows = spark.sql("SELECT * FROM intake_out").collect()
     q.stop()
     val ids = rows.map(_.getAs[Long]("doc_id")).toSet
     assert(ids.contains(3L))
+    assert(!ids.contains(4L), "low-quality doc must be dropped by the floor")
+    assert(!ids.contains(5L), "NaN-quality (empty) doc must be dropped by the floor")
     assert((ids - 3L).size == 1, s"exactly one of the near-dup pair survives, got $ids")
     assert(rows.forall(_.getAs[String]("lang_pred") != null))
-    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("quality"))))
   }
 
   test("session windows group events by gap") {
