@@ -47,10 +47,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // sf0.1 parquet is a few hundred MB: the default 128 MB split gives a
-      // handful of scan tasks on 32 cores — smaller splits parallelize the
-      // scan+join map side (a real cluster tunes this per file layout)
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // Scan-split size, measured per query at sf0.1 (round 3): the 16 MB
+      // splits tried in round 2 flooded local[32] with tasks and regressed
+      // the scan/join queries up to 6.9× — task scheduling overhead exceeds
+      // what the extra map-side parallelism buys on these plans. The Spark
+      // default (128 MB) wins; env-overridable for re-measurement.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "128m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -240,16 +240,24 @@ final class Cube(
   }
 
   def getPayload(address: Seq[String]): Option[String] = payloads.get(bolt(address).ids)
+  private[graft] def payloadAt(ids: Vector[Int]): Option[String] = payloads.get(ids)
 
-  /** Typed cell read: payloads/errors first, else the numeric read path
-    * (rule-computed NaN surfaces as `#DIV/0!` — ≙ `rules.py:15-20`).
+  /** Typed cell read: payloads/errors first, else the numeric read path.
+    * Rule evaluation failures surface as typed error cells instead of
+    * exceptions (≙ `rules.py:15-20` + dispatch `cube.py:362-367`): `#REF!`
+    * for dangling refs, `#VALUE!` for arithmetic over text, `#ERR!`
+    * otherwise; rule-computed NaN reads as `#DIV/0!`. The numeric [[get]]
+    * path lets [[graft.olap.RuleError]] propagate (code in the message).
     */
   def getCell(address: Seq[String]): Option[CellValue] = {
     val b = bolt(address)
     if (b.superLevel == 0 && payloads.contains(b.ids))
       Some(CellValue.fromPayload(payloads(b.ids)))
-    else getByBolt(b).map(v =>
+    else try getByBolt(b).map(v =>
       if (v.isNaN) CellValue.Err(CellValue.DivZero) else CellValue.Num(v))
+    catch {
+      case e: graft.olap.RuleError => Some(CellValue.Err(e.code))
+    }
   }
 
   /** Payload rows within a predicate over the address ids (Area support). */
@@ -278,6 +286,10 @@ final class Cube(
     if (!cacheEnabled) compute
     else {
       if (cache.size >= cacheMaxEntries) cache.clear()
+      // hit-detection via the thunk flag can misreport under concurrent
+      // reads (TrieMap may discard a losing thread's computed value and
+      // return the winner's) — acceptable for driver-side observability;
+      // the returned VALUE is always consistent.
       var hit = true
       val r = cache.getOrElseUpdate(b.ids, { hit = false; compute })
       if (hit) bump(3)

@@ -107,13 +107,21 @@ final class Database(val name: String, val spark: SparkSession) {
     val meta: JValue =
       ("name" -> name) ~
       ("dimensions" -> dims.values.map(dimToJson).toList) ~
-      ("cubes" -> cubeMap.values.map(c =>
+      ("cubes" -> cubeMap.values.map(c => {
+        // Scala on-entry functions cannot be serialized (no code pickling,
+        // unlike ref `rules.py:45-88`) — warn LOUDLY instead of silently
+        // resurrecting a no-op rule on load; Input-expr transforms persist.
+        c.rules.filter(_.onEntryFn.nonEmpty).foreach(r => System.err.println(
+          s"[graft] WARNING: rule '${r.name}' on cube '${c.name}' has a Scala " +
+            "onEntryFn which is NOT persistable — it will be MISSING after load. " +
+            "Express the transform as a RuleExpr using RuleExpr.Input to persist it."))
         ("name" -> c.name) ~ ("dims" -> c.dimensions.map(_.name).toList) ~
           ("rules" -> c.rules.filter(_.onEntryFn.isEmpty)
             .map(graft.olap.Rules.ruleToJson).toList) ~
           ("payloads" -> c.allPayloads.map { case (ids, p) =>
             ids.mkString(",") -> p }.toMap) ~
-          ("views" -> JsonMethods.parse(c.views.toJson))).toList)
+          ("views" -> JsonMethods.parse(c.views.toJson))
+      }).toList)
     Files.writeString(Paths.get(s"$dir/meta.json"), JsonMethods.pretty(JsonMethods.render(meta)))
   }
 

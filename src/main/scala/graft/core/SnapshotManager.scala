@@ -104,10 +104,15 @@ final class SnapshotManager(db: Database, dir: String) {
     Database.load(info.path, db.spark)
   }
 
-  /** Delete snapshots by age bounds; both unset deletes ALL
-    * (≙ `delete`, `snapshot.py:111-118` — a NotImplementedError there).
+  /** Delete snapshots by age bounds (≙ `delete`, `snapshot.py:111-118` — a
+    * NotImplementedError there). A full wipe is destructive enough that it
+    * must be explicit: pass `all = true`; calling with no bounds and
+    * `all = false` is rejected.
     */
-  def delete(beforeMillis: Option[Long] = None, afterMillis: Option[Long] = None): Int = {
+  def delete(beforeMillis: Option[Long] = None, afterMillis: Option[Long] = None,
+      all: Boolean = false): Int = {
+    require(all || beforeMillis.isDefined || afterMillis.isDefined,
+      "delete() with no bounds would remove ALL snapshots; pass all = true to confirm")
     val doomed = snapshots.values.filter(s =>
       beforeMillis.forall(s.createdAt < _) && afterMillis.forall(s.createdAt > _)).toSeq
     doomed.foreach { s =>

@@ -36,7 +36,10 @@ case class SimHashBits(
   override def nullable: Boolean = true
   override def prettyName: String = "graft_simhash"
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+  // slot 64 counts non-null inputs so an all-null/empty group evals to null
+  // (mirroring MinHashSketch) instead of an all-zero signature that would
+  // read as hamming-0 "identical" to another empty group.
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](65)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -47,17 +50,19 @@ case class SimHashBits(
         buf(p) += ((h >>> p) & 1L) * 2 - 1
         p += 1
       }
+      buf(64) += 1
     }
     buf
   }
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var p = 0
-    while (p < 64) { b1(p) += b2(p); p += 1 }
+    while (p < 65) { b1(p) += b2(p); p += 1 }
     b1
   }
 
   override def eval(buf: Array[Long]): Any = {
+    if (buf(64) == 0) return null
     var bits = 0L
     var p = 0
     while (p < 64) { if (buf(p) > 0) bits |= (1L << p); p += 1 }

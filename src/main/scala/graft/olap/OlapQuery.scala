@@ -127,7 +127,11 @@ final class OlapQuery(db: Database, sql: String) {
       "rule-backed members supported in one dimension per query")
     val di = ruledDims.head
     val d = cube.dimensions(di)
-    val (ruled, fetchIds, order) = Rules.expandRuled(cube, di, selections(di), ruleAt(di))
+    val (ruled, fetchIds, order, errs) = Rules.expandRuled(cube, di, selections(di), ruleAt(di))
+    // the dialect's result is a numeric value column — no cell-level error
+    // channel, so a broken rule is a typed failure here (views render codes)
+    errs.headOption.foreach { case (id, code) =>
+      throw RuleError(code, s"rule-backed member '${d.nameOf(id)}' has a dangling reference") }
     require(fetchIds.nonEmpty,
       s"dimension '${d.name}': every selected member is rule-backed with no stored refs")
     val allIds = fetchIds

@@ -46,7 +46,24 @@ object RuleExpr {
     * the shift runs off either end.
     */
   final case class Shift(dim: String, offset: Int) extends RuleExpr
+  /** The value being written — valid only inside an ON_ENTRY rule's expr,
+    * where the whole expression is the write-path transform. Unlike a Scala
+    * `onEntryFn`, an Input-based transform is a declarative AST and survives
+    * save/load (≙ the pickled on-entry code of `rules.py:45-88`, minus the
+    * code pickling).
+    */
+  case object Input extends RuleExpr
 }
+
+/** A typed rule-evaluation error carrying the reference's `#…!` sentinel code
+  * (≙ `rules.py:15-20`): `#REF!` for dangling member/dimension references,
+  * `#VALUE!` for arithmetic over a non-numeric (text) cell, `#ERR!` for any
+  * other evaluation failure. [[graft.core.Cube.getCell]] and view renders
+  * surface the code in place of the cell (≙ dispatch `cube.py:362-367`);
+  * the numeric `get` path lets it propagate as a typed exception.
+  */
+final case class RuleError(code: String, detail: String)
+    extends RuntimeException(s"$code $detail")
 
 /** A registered rule (≙ `@rule` decorator, `decorators.py:13-50`;
   * `cube.py:750-847`). `trigger` is a partial address pattern
@@ -113,9 +130,16 @@ object Rules {
     }
   }
 
+  /** Write-path transform: a Scala `onEntryFn` wins when present (escape
+    * hatch, not persistable); otherwise the rule's expr is the transform,
+    * evaluated with [[RuleExpr.Input]] bound to the incoming value.
+    */
   def onEntry(cube: Cube, b: Bolt, value: Double): Option[Double] =
     cube.rules.find(r => r.scope == RuleScope.OnEntry && matches(cube, r, b))
-      .flatMap(r => r.onEntryFn.map(_(value)))
+      .flatMap { r =>
+        r.onEntryFn.map(_(value))
+          .orElse(evalScalar(cube, b, r.expr, 0, input = Some(value)))
+      }
 
   private def matchRule(cube: Cube, b: Bolt): Option[RuleDef] =
     cube.rules.find(r => r.scope != RuleScope.OnEntry &&
@@ -137,23 +161,35 @@ object Rules {
   private def matches(cube: Cube, r: RuleDef, b: Bolt): Boolean =
     r.trigger.forall { case (dimName, member) =>
       val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dimName))
-      i >= 0 && b.ids(i) == cube.dimensions(i).idOf(member)
+      // a trigger member removed by a later dimension edit silently never
+      // matches (instead of exploding every read of the cube)
+      i >= 0 && cube.dimensions(i).contains(member) &&
+        b.ids(i) == cube.dimensions(i).idOf(member)
     }
 
   /** Resolve a Ref spec against a bolt: the referenced dimension's member is
     * replaced, everything else kept (≙ `cell.py:110-154` alter).
     */
+  /** Dangling references — a dimension or member no longer present (e.g.
+    * removed by a dimension edit after the rule was registered) — raise
+    * typed [[RuleError]] `#REF!` so reads render the sentinel rather than
+    * exploding (≙ `rules.py:15-20`).
+    */
   private[olap] def resolveRef(cube: Cube, b: Bolt, spec: String): Bolt = {
     val (dimIdx, member) = spec.split(":", 2) match {
       case Array(d, m) =>
         val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))
-        require(i >= 0, s"unknown dimension '$d' in rule ref '$spec'")
+        if (i < 0) throw RuleError("#REF!", s"unknown dimension '$d' in rule ref '$spec'")
         (i, m)
       case Array(m) =>
         val i = cube.dimensions.indexWhere(_.contains(m))
-        require(i >= 0, s"member '$m' not found in any dimension of '${cube.name}'")
+        if (i < 0) throw RuleError("#REF!",
+          s"member '$m' not found in any dimension of '${cube.name}'")
         (i, m)
     }
+    if (!cube.dimensions(dimIdx).contains(member))
+      throw RuleError("#REF!",
+        s"unknown member '$member' in dimension '${cube.dimensions(dimIdx).name}' (ref '$spec')")
     val newIds = b.ids.updated(dimIdx, cube.dimensions(dimIdx).idOf(member))
     val sl = newIds.zipWithIndex.map { case (id, i) => cube.dimensions(i).levelOf(id) }.sum
     Bolt(sl, newIds)
@@ -169,19 +205,36 @@ object Rules {
     */
   private val MaxChain = 256
 
-  private def evalScalar(cube: Cube, b: Bolt, e: RuleExpr, depth: Int): Option[Double] = {
+  private def evalScalar(cube: Cube, b: Bolt, e: RuleExpr, depth: Int,
+      input: Option[Double] = None): Option[Double] = {
     import RuleExpr._
     require(depth < MaxDepth, s"rule recursion depth > $MaxDepth (cycle?) in cube '${cube.name}'")
-    def ev(x: RuleExpr): Option[Double] = evalScalar(cube, b, x, depth + 1)
+    def ev(x: RuleExpr): Option[Double] = evalScalar(cube, b, x, depth + 1, input)
     e match {
       case Lit(v) => Some(v)
+      case Input => input match {
+        case s @ Some(_) => s
+        case None => throw RuleError("#ERR!",
+          "Input is only valid inside an ON_ENTRY rule's expression")
+      }
       case Ref(spec) =>
         val rb = resolveRef(cube, b, spec)
+        // a referenced cell holding a text payload is not a number: its own
+        // error code propagates; plain text raises #VALUE! (≙ the reference's
+        // float-only arithmetic over arbitrary-object cells)
+        if (rb.superLevel == 0) cube.payloadAt(rb.ids).foreach { p =>
+          graft.core.CellValue.fromPayload(p) match {
+            case graft.core.CellValue.Err(code) => throw RuleError(code,
+              s"ref '$spec' reads an error cell")
+            case _ => throw RuleError("#VALUE!",
+              s"ref '$spec' reads a text cell ('${p.take(40)}')")
+          }
+        }
         // referenced cells go through the full read path so chained rules fire
         cube.getByBolt(rb)
       case Shift(dimName, offset) =>
         val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dimName))
-        require(i >= 0, s"unknown dimension '$dimName' in rule shift")
+        if (i < 0) throw RuleError("#REF!", s"unknown dimension '$dimName' in rule shift")
         val d = cube.dimensions(i)
         val ord = d.members.indexWhere(_.id == b.ids(i))
         val target = ord + offset
@@ -211,7 +264,7 @@ object Rules {
       case Neg(a) => ev(a).map(-_)
       case Fn("abs", a) => ev(a).map(math.abs)
       case Fn("round", a) => ev(a).map(v => math.round(v).toDouble)
-      case Fn(n, _) => throw new IllegalArgumentException(s"unknown rule function '$n'")
+      case Fn(n, _) => throw RuleError("#ERR!", s"unknown rule function '$n'")
     }
   }
 
@@ -249,9 +302,11 @@ object Rules {
       case Neg(a) => -c(a)
       case Fn("abs", a) => abs(c(a))
       case Fn("round", a) => round(c(a))
-      case Fn(n, _) => throw new IllegalArgumentException(s"unknown rule function '$n'")
+      case Fn(n, _) => throw RuleError("#ERR!", s"unknown rule function '$n'")
       case Shift(d, _) => throw new IllegalArgumentException(
         s"relative shift on '$d' not expressible in column mode")
+      case Input => throw new IllegalArgumentException(
+        "on-entry Input is not expressible in column mode")
     }
     c(e)
   }
@@ -308,22 +363,48 @@ object Rules {
     * selection, id-keyed: refs of rule-backed members are pulled in (a ref
     * that is itself rule-backed joins the computed set instead of being read
     * as an empty stored column). Returns (ruled, stored ids to fetch,
-    * deps-first order over the ruled ids).
+    * deps-first order over the ruled ids, errored ids → sentinel code).
+    *
+    * A ruled member whose ref names a member that exists in NO dimension
+    * (removed by a later dimension edit) is returned in the error map as
+    * `#REF!` instead of throwing — grids render the code (≙ `rules.py:15-20`);
+    * the error cascades to rules referencing the broken member.
     */
   def expandRuled(cube: Cube, dimI: Int, selected: Seq[Int],
-      ruleAt: Int => Option[RuleDef]): (Map[Int, RuleDef], Seq[Int], Seq[Int]) = {
+      ruleAt: Int => Option[RuleDef]): (Map[Int, RuleDef], Seq[Int], Seq[Int], Map[Int, String]) = {
     val d = cube.dimensions(dimI)
     val ruled = mutable.LinkedHashMap[Int, RuleDef]()
     val fetch = mutable.LinkedHashSet[Int]()
+    val errors = mutable.LinkedHashMap[Int, String]()
     val seen = mutable.Set[Int]()
     val queue = mutable.Queue[Int](selected: _*)
     while (queue.nonEmpty) {
       val id = queue.dequeue()
       if (seen.add(id)) ruleAt(id) match {
         case Some(r) =>
-          ruled(id) = r
-          collectRefs(r.expr).filterNot(_.contains(":")).map(d.idOf).foreach(queue += _)
+          val refs = collectRefs(r.expr).filterNot(_.contains(":"))
+          if (refs.exists(m => !cube.dimensions.exists(_.contains(m)))) errors(id) = "#REF!"
+          else {
+            // a ref resolving to ANOTHER dimension is grid-incomputable (the
+            // scalar path handles it) — reject loudly, it is not a data error
+            refs.filterNot(d.contains).headOption.foreach(m =>
+              throw new UnsupportedOperationException(s"rule '${r.name}': ref '$m' " +
+                s"resolves outside dimension '${d.name}' — not grid-computable"))
+            ruled(id) = r
+            refs.map(d.idOf).foreach(queue += _)
+          }
         case None => fetch += id
+      }
+    }
+    // #REF! cascades: a rule referencing a broken member is itself broken
+    var cascading = true
+    while (cascading) {
+      cascading = false
+      ruled.keys.toSeq.foreach { id =>
+        val refIds = collectRefs(ruled(id).expr).filterNot(_.contains(":")).map(d.idOf)
+        refIds.find(errors.contains).foreach { bad =>
+          errors(id) = errors(bad); ruled -= id; cascading = true
+        }
       }
     }
     val deps: Map[Int, Seq[Int]] = ruled.map { case (id, r) =>
@@ -340,7 +421,7 @@ object Rules {
     }
     require(remaining.isEmpty, s"circular rule references among members of " +
       s"'${d.name}': ${remaining.map(d.nameOf).mkString(", ")}")
-    (ruled.toMap, fetch.toSeq, order.toSeq)
+    (ruled.toMap, fetch.toSeq, order.toSeq, errors.toMap)
   }
 
   /** Registration-time smoke validation (≙ R8 `cube.py:849-872`, a stub
@@ -459,6 +540,7 @@ object Rules {
       case Neg(a) => ("op" -> "neg") ~ ("a" -> exprToJson(a))
       case Fn(n, a) => ("op" -> "fn") ~ ("fn" -> n) ~ ("a" -> exprToJson(a))
       case Shift(d, o) => ("op" -> "shift") ~ ("dim" -> d) ~ ("offset" -> o)
+      case Input => JObject(List("op" -> JString("input")))
     }
   }
 
@@ -475,6 +557,7 @@ object Rules {
       case "neg" => Neg(exprFromJson(j \ "a"))
       case "fn" => Fn((j \ "fn").extract[String], exprFromJson(j \ "a"))
       case "shift" => Shift((j \ "dim").extract[String], (j \ "offset").extract[Int])
+      case "input" => Input
       case op => throw new IllegalArgumentException(s"unknown rule op '$op'")
     }
   }
@@ -494,8 +577,10 @@ object Rules {
     case "command" => RuleScope.Command
   }
 
-  /** OnEntry Scala functions are not persistable (the reference pickles
-    * arbitrary code, `rules.py:45-88` — we deliberately do not).
+  /** OnEntry SCALA FUNCTIONS are not persistable (the reference pickles
+    * arbitrary code, `rules.py:45-88` — we deliberately do not; save warns
+    * and skips them). An ON_ENTRY rule whose transform is a declarative
+    * expr over [[RuleExpr.Input]] round-trips losslessly.
     */
   def ruleToJson(r: RuleDef): JValue =
     ("name" -> r.name) ~ ("scope" -> scopeName(r.scope)) ~

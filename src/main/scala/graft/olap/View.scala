@@ -88,7 +88,7 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     val perDim = colEntries.map { case (dName, requested) =>
       val cd = dimIdx(dName)
       val d = cube.dimensions(cd)
-      val (ruledIds, fetchIds, topoIds) = Rules.expandRuled(
+      val (ruledIds, fetchIds, topoIds, errIds) = Rules.expandRuled(
         cube, cd, requested.map(d.idOf),
         id => Rules.gridRuleFor(cube, cd, id, prelim))
       require(fetchIds.nonEmpty,
@@ -103,7 +103,8 @@ final class View(val cube: Cube, val dfn: ViewDef) {
         ruledIds.map { case (id, r) => nameById(id) -> r },
         fetchIds.map(nameById),
         nameById.toMap,
-        topoIds.map(nameById))
+        topoIds.map(nameById),
+        errIds.map { case (id, code) => nameById.getOrElse(id, d.nameOf(id)) -> code })
     }
 
     // selections: filters fix single members; unmentioned dims → default
@@ -155,6 +156,18 @@ final class View(val cube: Cube, val dfn: ViewDef) {
       require(n <= 1, s"position ${pos.mkString("/")}: rule-backed members on " +
         "more than one column-axis dimension are not supported")
     }
+    // positions carrying a BROKEN ruled member (dangling ref after a
+    // dimension edit, cascaded through referencing rules) render the
+    // sentinel code in every cell instead of aborting the whole view
+    // (≙ `rules.py:15-20`): the column is a string literal the renders
+    // pass through verbatim.
+    val errorPositions = reqPositions.filter(pos =>
+      pos.zip(perDim).exists { case (m, pd) => pd.errs.contains(m) })
+    errorPositions.foreach { pos =>
+      val code = pos.zip(perDim).collectFirst {
+        case (m, pd) if pd.errs.contains(m) => pd.errs(m) }.get
+      grid = grid.withColumn(pos.mkString("/"), lit(code))
+    }
     // rule-derived positions post-pivot (one job, no per-cell recursion):
     // refs resolve to the sibling position with only the ruled dim's member
     // replaced (Jan/Profit ← Jan/Sales − Jan/Cost). Chained ruled members are
@@ -166,21 +179,30 @@ final class View(val cube: Cube, val dfn: ViewDef) {
       val contexts = cartesian(perDim.zipWithIndex.map { case (pd2, j) =>
         if (j == k) Seq("") else pd2.requested
       }).filterNot(_.zip(perDim).zipWithIndex.exists { case ((cm, pdj), j) =>
-        j != k && pdj.ruled.contains(cm) // two-ruled-dims positions already rejected
+        // two-ruled-dims positions already rejected; errored-member contexts
+        // already carry their sentinel column
+        j != k && (pdj.ruled.contains(cm) || pdj.errs.contains(cm))
       })
       pd.topo.foreach { m =>
         val rule = pd.ruled(m)
         contexts.foreach { ctx =>
           val pos = ctx.updated(k, m)
-          grid = grid.withColumn(pos.mkString("/"),
+          val posName = pos.mkString("/")
+          grid = try grid.withColumn(posName,
             Rules.toColumnWith(ref =>
               col(pos.updated(k, pd.nameById(d.idOf(ref))).mkString("/")))(rule.expr))
+          catch { // unknown fn / unresolvable ref at compile → sentinel column
+            case e: RuleError => grid.withColumn(posName, lit(e.code))
+            case _: NoSuchElementException => grid.withColumn(posName, lit("#REF!"))
+          }
         }
       }
     }
 
     val reqNames = reqPositions.map(_.mkString("/"))
-    if (dfn.zeroSuppression) {
+    // an error column makes every row non-empty (sentinels are content),
+    // so suppression only applies when no position errored
+    if (dfn.zeroSuppression && errorPositions.isEmpty) {
       val cells = reqNames.map(m => abs(coalesce(col(m), lit(0.0))))
       grid = grid.filter(cells.reduce(_ + _) =!= 0.0) // ≙ `view.py:844-885`
     }
@@ -204,7 +226,8 @@ final class View(val cube: Cube, val dfn: ViewDef) {
       ruled: Map[String, RuleDef],
       fetch: Seq[String],
       nameById: Map[Int, String],
-      topo: Seq[String])
+      topo: Seq[String],
+      errs: Map[String, String])
 
   /** Cartesian product preserving entry order; LAST list varies fastest
     * (≙ `itertools.product`, `view.py:167-171`).

@@ -12,6 +12,12 @@ private[pipeline] object Lifecycle {
   def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try out.count()
+    catch {
+      case e: Throwable =>
+        // no handle escapes on failure — release the result too
+        out.unpersist(blocking = false)
+        throw e
+    }
     finally intermediates.foreach(_.unpersist(blocking = false))
     out
   }

@@ -100,14 +100,24 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainCap: Long = 200_000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val corpusVec = corpus.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("__fv"))
+    // Training contract: the coarse quantizer is fit on a seeded sample of at
+    // most `trainCap` vectors — centroid quality needs only a representative
+    // sample, and a full-corpus fit would be the one non-sublinear step at
+    // 100 TB. When the corpus is within the cap the sample IS the corpus
+    // (fraction 1.0), so small-scale results are unchanged.
+    val n = corpusVec.count()
+    val trainSet =
+      if (n <= trainCap) corpusVec
+      else corpusVec.sample(withReplacement = false, trainCap.toDouble / n, seed = 42L)
     val km = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("__fv").setPredictionCol("__cell")
-    val model = km.fit(corpusVec)
+    val model = km.fit(trainSet)
     val assigned = model.transform(corpusVec)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv0"), col("__cell"))
     val centroids = model.clusterCenters.map(_.toArray)

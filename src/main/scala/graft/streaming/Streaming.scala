@@ -15,20 +15,30 @@ object Streaming {
     * each micro-batch is merged last-wins into the fact frame (the streaming
     * analogue of the overlay upsert, `facttable.py:146-164`) and the result
     * cache is invalidated exactly like a batch write (`cube.py:510-511`).
+    *
+    * Lineage bound: the per-batch merge stacks one anti-join+union layer on
+    * the fact plan, which would grow without bound over a long-running
+    * stream (analysis cost alone becomes quadratic). Every `compactEvery`
+    * batches the merged frame is checkpointed (`localCheckpoint`, eager) so
+    * the plan resets to a flat scan; on a real cluster prefer a reliable
+    * checkpoint dir, but the shape — O(1) plan depth — is the same.
     */
   def ingestInto(cube: Cube, stream: DataFrame,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 10): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cols = cube.dimCols
         val deduped = batch.groupBy(cols.map(col): _*)
           .agg(last(col("value")).as("value")) // last write wins within batch
         val merged = cube.facts
           .join(broadcast(deduped.select(cols.map(col): _*)), cols, "left_anti")
           .unionByName(deduped.select(cube.facts.columns.map(col).toIndexedSeq: _*))
-        cube.replaceFacts(merged)
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          cube.replaceFacts(merged.localCheckpoint(true))
+        else cube.replaceFacts(merged)
       }
       .start()
 

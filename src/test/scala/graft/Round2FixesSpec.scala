@@ -285,7 +285,10 @@ class Round2FixesSpec extends AnyFunSuite {
       .iterator(); var restorePoints = 0
     while (files.hasNext) if (files.next().toString.endsWith(".restore")) restorePoints += 1
     assert(restorePoints == 1)
-    assert(mgr.delete() == 2 && mgr.size == 0)
+    // a no-bounds wipe must be explicit
+    intercept[IllegalArgumentException] { mgr.delete() }
+    assert(mgr.size == 2)
+    assert(mgr.delete(all = true) == 2 && mgr.size == 0)
   }
 
   test("column-mode +/− agree with scalar mode on empty cells") {
