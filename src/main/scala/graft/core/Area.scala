@@ -77,10 +77,16 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
       case bd: java.math.BigDecimal => bd.doubleValue()
       case l: java.lang.Long => l.doubleValue()
     })
-  def sum: Option[Double] = aggOne(org.apache.spark.sql.functions.sum(col("value").cast(DoubleType)))
+  // sum/avg aggregate in the fact frame's NATIVE type first (decimal facts
+  // sum exactly, independent of partition order) and convert to double at
+  // the end; avg divides the exact sum by the count in double rather than
+  // using decimal division, whose rounding is engine-specific.
+  def sum: Option[Double] = aggOne(org.apache.spark.sql.functions.sum(col("value")))
   def min: Option[Double] = aggOne(org.apache.spark.sql.functions.min(col("value").cast(DoubleType)))
   def max: Option[Double] = aggOne(org.apache.spark.sql.functions.max(col("value").cast(DoubleType)))
-  def avg: Option[Double] = aggOne(org.apache.spark.sql.functions.avg(col("value").cast(DoubleType)))
+  def avg: Option[Double] = aggOne(
+    org.apache.spark.sql.functions.sum(col("value")).cast(DoubleType) /
+      org.apache.spark.sql.functions.count(col("value")))
 
   // ---- mutations (≙ `area.py:224-370`) ------------------------------------
 

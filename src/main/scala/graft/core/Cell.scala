@@ -25,11 +25,13 @@ final class Cell(val cube: Cube, val ids: Vector[Int]) {
   def isEmpty: Boolean = value.isEmpty
 
   /** Sibling cell with the given dimensions' members replaced
-    * (≙ `cell.alter`, `cell.py:110-154`).
+    * (≙ `cell.alter`, `cell.py:110-154`). Dimensions address by name or by
+    * 0-based ordinal — `alter("1" -> "Mar")` ≙ the reference's `c["1:Mar"]`
+    * (`cell.py:251-331`).
     */
   def alter(dimMember: (String, String)*): Cell = {
     val newIds = dimMember.foldLeft(ids) { case (acc, (dn, m)) =>
-      val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dn))
+      val i = graft.olap.Rules.dimIndexOf(cube, dn)
       require(i >= 0, s"unknown dimension '$dn' in cube '${cube.name}'")
       acc.updated(i, cube.dimensions(i).idOf(m))
     }

@@ -170,6 +170,17 @@ object Rules {
   /** Resolve a Ref spec against a bolt: the referenced dimension's member is
     * replaced, everything else kept (≙ `cell.py:110-154` alter).
     */
+  /** Dimension qualifier of a qualified ref: a dimension NAME
+    * (case-insensitive) or a 0-based ORDINAL index — `"months:Jul"` and
+    * `"1:Jul"` address the same cell (≙ ordinal-indexed refs,
+    * `cell.py:251-331`). Returns -1 when unknown/out of range.
+    */
+  private[graft] def dimIndexOf(cube: Cube, d: String): Int =
+    if (d.nonEmpty && d.forall(_.isDigit)) {
+      val ord = d.toInt
+      if (ord < cube.nDims) ord else -1
+    } else cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))
+
   /** Dangling references — a dimension or member no longer present (e.g.
     * removed by a dimension edit after the rule was registered) — raise
     * typed [[RuleError]] `#REF!` so reads render the sentinel rather than
@@ -178,7 +189,7 @@ object Rules {
   private[olap] def resolveRef(cube: Cube, b: Bolt, spec: String): Bolt = {
     val (dimIdx, member) = spec.split(":", 2) match {
       case Array(d, m) =>
-        val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))
+        val i = dimIndexOf(cube, d)
         if (i < 0) throw RuleError("#REF!", s"unknown dimension '$d' in rule ref '$spec'")
         (i, m)
       case Array(m) =>
@@ -440,7 +451,7 @@ object Rules {
       e match {
         case Ref(spec) => spec.split(":", 2) match {
           case Array(d, m) =>
-            val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))
+            val i = dimIndexOf(cube, d)
             require(i >= 0, s"rule '${r.name}': unknown dimension '$d' in ref '$spec'")
             require(cube.dimensions(i).contains(m),
               s"rule '${r.name}': unknown member '$m' in ref '$spec'")

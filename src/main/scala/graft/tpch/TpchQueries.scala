@@ -229,6 +229,67 @@ object TpchQueries {
         .select(col("nation"), col("month"), col("value").cast("double").as("value"))
     }),
 
+    // A4/A5: area aggregates — min/max/sum/avg/count over the 1995 gross
+    // subspace, each through the Area operator (native-type exact sum;
+    // avg = exact-sum ÷ count in double)
+    "olap_area_stats" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val a = m.cube.area("calendar" -> Seq("1995"), "measures" -> Seq("gross"))
+      s.createDataFrame(
+        s.sparkContext.parallelize(List(Row(
+          a.min.map(Double.box).orNull, a.max.map(Double.box).orNull,
+          a.sum.map(Double.box).orNull, a.avg.map(Double.box).orNull,
+          a.count)), 1),
+        StructType(Seq(StructField("mn", DoubleType), StructField("mx", DoubleType),
+          StructField("total", DoubleType), StructField("mean", DoubleType),
+          StructField("n", LongType))))
+    }),
+
+    // F4: regex attribute filter (anchors + alternation) → rollup over hits
+    "olap_attr_regex" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val hits = m.product.attribute("ptype").rmatch("^(STA|ECO)")
+      val g = m.cube.gridAggregate(Seq(
+        Seq(m.geo.idOf("World")), Seq(m.calendar.idOf("AllTime")),
+        hits, Seq(m.measures.idOf("gross"))))
+      s.createDataFrame(
+        s.sparkContext.parallelize(List(Row(
+          g.agg(sum(col("value"))).head.getDecimal(0).doubleValue())), 1),
+        StructType(Seq(StructField("value", DoubleType))))
+    }),
+
+    // F6/N3: member enumeration by hierarchy level — geo level 1 = nations
+    "olap_level_members" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val names = m.geo.membersByLevel(1).map(_.name)
+      s.createDataFrame(s.sparkContext.parallelize(names.map(Row(_)).toList, 1),
+        StructType(Seq(StructField("nation", StringType))))
+    }),
+
+    // V5: zero suppression — 1995 gross zeroed in a scratch cube; the view
+    // drops the all-zero 1995 row (without suppression it would render zeros)
+    "olap_view_zero_suppress" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      c.area("calendar" -> Seq("1995"), "measures" -> Seq("gross")).setValue(0.0)
+      val view = new View(c, ViewDef(
+        filters = Seq("product" -> "AllBrands", "measures" -> "gross"),
+        rows = AxisDef(Seq("calendar" -> (1995 to 2001).map(_.toString))),
+        cols = AxisDef(Seq("geo" -> m.geo.membersByLevel(2).map(_.name).sorted)),
+        zeroSuppression = true))
+      view.refresh()
+    }),
+
+    // H2: undo — a write followed by history.undo() restores the prior total
+    "olap_undo" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      c.enableHistory()
+      c.set(probeAddress(s, dir), 99999.0)
+      c.history.undo()
+      oneValueDf(s, c.get(Seq("World", "AllTime", "AllBrands", "gross")))
+    }),
+
     // F3/F5: member selection by attribute wildcard → rollup over the hits
     "olap_attr_filter" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
@@ -387,6 +448,39 @@ object TpchQueries {
       s"""SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS month,
           CAST(SUM($GROSS) AS DOUBLE) AS value
           $STAR GROUP BY 1, 2""",
+
+    "olap_area_stats" ->
+      s"""WITH cells AS (
+            SELECT SUM($GROSS) AS v
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE strftime(o_orderdate, '%Y') = '1995'
+            GROUP BY o_custkey, o_orderdate, l_partkey)
+          SELECT CAST(MIN(v) AS DOUBLE) AS mn, CAST(MAX(v) AS DOUBLE) AS mx,
+                 CAST(SUM(v) AS DOUBLE) AS total,
+                 CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
+                 COUNT(*) AS n
+          FROM cells""",
+
+    "olap_attr_regex" ->
+      s"""SELECT CAST(SUM($GROSS) AS DOUBLE) AS value
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE regexp_matches(p_type, '^(STA|ECO)')""",
+
+    "olap_level_members" ->
+      "SELECT n_name AS nation FROM nation",
+
+    "olap_view_zero_suppress" -> {
+      val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+      val cols = regions.map(r =>
+        s"""CAST(SUM($GROSS) FILTER (WHERE r_name = '$r') AS DOUBLE) AS "$r"""")
+        .mkString(", ")
+      s"""SELECT strftime(o_orderdate, '%Y') AS calendar, $cols
+          $STAR WHERE strftime(o_orderdate, '%Y') <> '1995' GROUP BY 1"""
+    },
+
+    "olap_undo" ->
+      s"""SELECT CAST((SELECT SUM($GROSS)
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS DOUBLE) AS value""",
 
     "olap_attr_filter" ->
       s"""SELECT CAST(SUM($GROSS) AS DOUBLE) AS value

@@ -148,6 +148,27 @@ class Round3FixesSpec extends AnyFunSuite {
     assert(cube.get(Seq("a")).contains(50.0)) // last write wins end-to-end
   }
 
+  test("unwritten base-cell point reads hit the bounded cache on repeat") {
+    val db = new Database("prc", spark)
+    val m = db.addDimension("m")
+    m.edit().add("All", Seq("x", "y")).commit()
+    val cube = db.addCube("c", Seq(m))
+    cube.set(Seq("x"), 1.0)
+    cube.set(Seq("y"), 2.0)
+    cube.compact() // overlay -> base frame, so reads take the job path
+    cube.resetCounters()
+    assert(cube.get(Seq("x")).contains(1.0)) // cold read: one Spark job
+    assert(cube.counterCacheHits == 0)
+    assert(cube.get(Seq("x")).contains(1.0)) // repeat: driver-side cache hit
+    assert(cube.counterCacheHits == 1)
+    assert(cube.get(Seq("All")).contains(3.0)) // aggregated reads cache too
+    assert(cube.get(Seq("All")).contains(3.0))
+    assert(cube.counterCacheHits == 2)
+    cube.set(Seq("y"), 5.0) // any write invalidates the whole cache
+    assert(cube.get(Seq("x")).contains(1.0))
+    assert(cube.counterCacheHits == 2) // cold again after invalidation
+  }
+
   test("SimHash of an all-null group is null, not a zero signature") {
     import spark.implicits._
     val df = Seq(
