@@ -1,7 +1,7 @@
 package graft.tpch
 
 import graft.core.Cube
-import graft.olap.{AxisDef, OlapQuery, RuleDef, RuleExpr, RuleScope, View, ViewDef}
+import graft.olap.{AxisDef, OlapQuery, RuleDef, RuleExpr, RuleScope, View, ViewDef, ViewWindow}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -290,6 +290,53 @@ object TpchQueries {
       oneValueDf(s, c.get(Seq("World", "AllTime", "AllBrands", "gross")))
     }),
 
+    // S5/S7/R7: full persistence round-trip — save the database (facts
+    // parquet + dimensions/weights/rules/views JSON), load it into a FRESH
+    // Database, and run the rule-backed margin query through the SQL dialect
+    // on the LOADED model; matches the oracle iff hierarchy, weights, facts,
+    // and the rule AST all survived the trip
+    "olap_saveload" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_saveload").toString
+      m.db.save(tmp)
+      val loaded = graft.core.Database.load(tmp, s)
+      OlapQuery(loaded,
+        "SELECT calendar, value FROM sales WHERE geo='World', calendar=('1997','1998'), product=AllBrands, 'margin'")
+        .withColumn("value", col("value").cast("double"))
+    }),
+
+    // B5: enumerated cross-product write — the probe customer × every 1995
+    // calendar leaf × the probe part × gross is OVERWRITTEN with the full
+    // leaf cross-product at value 10 (existing cells in the area replaced,
+    // absent combinations materialized, ≙ enumerate_data_space=True)
+    "olap_setvalue_enum" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      val addr = probeAddress(s, dir)
+      c.area("geo" -> Seq(addr(0)), "calendar" -> Seq("1995"),
+        "product" -> Seq(addr(2)), "measures" -> Seq("gross"))
+        .setValueEnumerated(10.0)
+      oneValueDf(s, c.get(Seq("World", "AllTime", "AllBrands", "gross")))
+    }),
+
+    // V6: windowed refresh — ViewWindow pages rows 2..4 × value columns 1..3
+    // out of the months×regions grid (driver-side crop of the ordered grid)
+    "olap_view_window" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val months = (1 to 12).map(mm => f"1995-$mm%02d")
+      val view = new View(m.cube, ViewDef(
+        filters = Seq("product" -> "AllBrands", "measures" -> "gross"),
+        rows = AxisDef(Seq("calendar" -> months)),
+        cols = AxisDef(Seq("geo" -> m.geo.membersByLevel(2).map(_.name).sorted))))
+      val (cols, rows) = view.collect(Some(ViewWindow(top = 2, left = 1, bottom = 4, right = 3)))
+      val schema = StructType(cols.map {
+        case "calendar" => StructField("calendar", StringType)
+        case c => StructField(c, DoubleType)
+      })
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.map(Row.fromSeq).toList, 1), schema)
+    }),
+
     // F3/F5: member selection by attribute wildcard → rollup over the hits
     "olap_attr_filter" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
@@ -481,6 +528,30 @@ object TpchQueries {
     "olap_undo" ->
       s"""SELECT CAST((SELECT SUM($GROSS)
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS DOUBLE) AS value""",
+
+    "olap_saveload" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
+          CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) / CAST(SUM($GROSS) AS DOUBLE) AS value
+          $STAR WHERE strftime(o_orderdate, '%Y') IN ('1997','1998') GROUP BY 1""",
+
+    "olap_setvalue_enum" ->
+      s"""SELECT CAST(
+            (SELECT SUM($GROSS) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE NOT (o_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AND strftime(o_orderdate, '%Y') = '1995'
+                 AND l_partkey = (SELECT min(l_partkey) FROM lineitem WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders))))
+            + CAST(10 AS DECIMAL(21,4)) * (SELECT COUNT(DISTINCT o_orderdate) FROM orders
+                 WHERE strftime(o_orderdate, '%Y') = '1995')
+            AS DOUBLE) AS value""",
+
+    "olap_view_window" -> {
+      val cols = Seq("AMERICA", "ASIA", "EUROPE").map(r =>
+        s"""CAST(SUM($GROSS) FILTER (WHERE r_name = '$r') AS DOUBLE) AS "$r"""")
+        .mkString(", ")
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS calendar, $cols
+          $STAR WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-03','1995-04','1995-05')
+          GROUP BY 1"""
+    },
 
     "olap_attr_filter" ->
       s"""SELECT CAST(SUM($GROSS) AS DOUBLE) AS value
