@@ -1,6 +1,6 @@
 package graft.tpch
 
-import graft.pipeline.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.pipeline.{Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -120,6 +120,24 @@ object PipelineQueries {
     "pipe_multimodal" -> ((s, dir) => {
       Multimodal.sampleFrames(Multimodal.decode(Multimodal.assets(docs(s, dir))))
     }),
+
+    // deterministic stratified sampling — a language-mix recipe applied as a
+    // pure md5-threshold filter: no RNG state, no shuffle, same subset at any
+    // partitioning (reproducible training mixes)
+    "pipe_sample_stratified" -> ((s, dir) => {
+      Curation.sampleStratified(docs(s, dir), col("doc_id"), col("lang"),
+        Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25),
+        0.125, "s42").select("doc_id", "lang", "source")
+    }),
+
+    // per-source quality selection: keep each source's 5 best-scoring
+    // documents (single window shuffle on the stratum key, ties by doc_id)
+    "pipe_topk_quality" -> ((s, dir) => {
+      val quality = TextAnalysis.qualityColumns(col("text")).toMap.apply("quality")
+      Curation.topKPerStratum(
+        docs(s, dir).withColumn("quality", quality).select("doc_id", "source", "quality"),
+        col("doc_id"), col("source"), col("quality"), 5)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -202,5 +220,30 @@ object PipelineQueries {
            octet_length(encode(text)) AS n_bytes,
            unnest(range(0, octet_length(encode(text)) % 7 + 1, 2)) AS frame_idx
          FROM documents""",
+
+    // mirrors Curation.sampleStratified: floor(rate·65536) as 4-hex-digit
+    // threshold; 'g' = keep-all (sorts above every hex digit)
+    "pipe_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 4) <
+           CASE lang WHEN 'en' THEN 'g' WHEN 'de' THEN '8000' WHEN 'fr' THEN '8000'
+                     WHEN 'es' THEN '4000' WHEN 'zh' THEN '4000' ELSE '2000' END""",
+
+    "pipe_topk_quality" -> {
+      val en = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(",")
+      s"""WITH q AS (SELECT doc_id, source,
+              CAST(len(list_intersect(list_distinct(string_split(text, ' ')), [$en])) AS DOUBLE)
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) * 2.0
+              + CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE) * 1.0
+              + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                          / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 3.0 AND 8.0
+                     THEN 0.5 ELSE 0.0 END AS quality
+            FROM documents)
+          SELECT doc_id, source, quality, rank FROM (
+            SELECT doc_id, source, quality,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+            FROM q) WHERE rank <= 5"""
+    },
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-curation operators: deterministic stratified sampling and
+  * per-stratum quality top-k.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = (0L until 4000L).map { i =>
+    (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else if (i % 4 == 2) "zh" else "ko")
+  }.toDF("id", "lang")
+
+  test("sampleStratified applies per-stratum rates within binomial noise") {
+    val sampled = Curation.sampleStratified(corpus, col("id"), col("lang"),
+      Map("en" -> 1.0, "de" -> 0.5, "zh" -> 0.25), 0.125, "seed1")
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 1000)                       // rate 1.0 keeps all
+    assert(byLang("de") > 400 && byLang("de") < 600)   // 500 ± noise
+    assert(byLang("zh") > 175 && byLang("zh") < 325)   // 250 ± noise
+    assert(byLang("ko") > 75 && byLang("ko") < 175)    // default 0.125 → 125 ± noise
+  }
+
+  test("sampleStratified is deterministic and partitioning-independent") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Curation.sampleStratified(df, col("id"), col("lang"), Map("en" -> 0.5), 0.25, "s")
+        .select("id").as[Long].collect().sorted.toSeq
+    val once = ids(corpus)
+    assert(ids(corpus.repartition(17)) == once) // same subset, any layout
+    assert(ids(corpus.repartition(1)) == once)
+  }
+
+  test("different salts draw (near-)independent samples") {
+    def keep(salt: String) = Curation.sampleStratified(
+      corpus, col("id"), col("lang"), Map.empty, 0.5, salt)
+      .select("id").as[Long].collect().toSet
+    val a = keep("salt-a"); val b = keep("salt-b")
+    val overlap = (a & b).size.toDouble / math.max(1, a.size)
+    assert(overlap > 0.35 && overlap < 0.65) // ~rate of the second draw, not ~1
+  }
+
+  test("topKPerStratum keeps the k best per stratum with deterministic ties") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.8), ("a", 4L, 0.1),
+      ("b", 5L, 0.5), ("b", 6L, 0.5)).toDF("src", "id", "score")
+    val top = Curation.topKPerStratum(df, col("id"), col("src"), col("score"), 2)
+      .select("src", "id", "rank").as[(String, Long, Int)].collect().toSet
+    // ties broken by ascending id: (a,2) ranks before (a,3); (b,5) before (b,6)
+    assert(top == Set(("a", 1L, 1), ("a", 2L, 2), ("b", 5L, 1), ("b", 6L, 2)))
+  }
+}
