@@ -132,14 +132,34 @@ object Rules {
 
   /** Write-path transform: a Scala `onEntryFn` wins when present (escape
     * hatch, not persistable); otherwise the rule's expr is the transform,
-    * evaluated with [[RuleExpr.Input]] bound to the incoming value.
+    * evaluated with [[RuleExpr.Input]] bound to the incoming value — but ONLY
+    * when the expr actually mentions `Input`. An expr without `Input` is a
+    * placeholder (the documented idiom for fn-backed on-entry rules, and what
+    * pre-Input databases persisted) and must stay a no-op: treating
+    * `Lit(0)` as the transform would silently rewrite every written value.
     */
   def onEntry(cube: Cube, b: Bolt, value: Double): Option[Double] =
     cube.rules.find(r => r.scope == RuleScope.OnEntry && matches(cube, r, b))
       .flatMap { r =>
-        r.onEntryFn.map(_(value))
-          .orElse(evalScalar(cube, b, r.expr, 0, input = Some(value)))
+        r.onEntryFn.map(_(value)).orElse {
+          if (usesInput(r.expr)) evalScalar(cube, b, r.expr, 0, input = Some(value))
+          else None
+        }
       }
+
+  private def usesInput(e: RuleExpr): Boolean = {
+    import RuleExpr._
+    e match {
+      case Input => true
+      case Add(a, b) => usesInput(a) || usesInput(b)
+      case Sub(a, b) => usesInput(a) || usesInput(b)
+      case Mul(a, b) => usesInput(a) || usesInput(b)
+      case Div(a, b) => usesInput(a) || usesInput(b)
+      case Neg(a) => usesInput(a)
+      case Fn(_, a) => usesInput(a)
+      case Lit(_) | Ref(_) | Shift(_, _) => false
+    }
+  }
 
   private def matchRule(cube: Cube, b: Bolt): Option[RuleDef] =
     cube.rules.find(r => r.scope != RuleScope.OnEntry &&
@@ -173,13 +193,18 @@ object Rules {
   /** Dimension qualifier of a qualified ref: a dimension NAME
     * (case-insensitive) or a 0-based ORDINAL index — `"months:Jul"` and
     * `"1:Jul"` address the same cell (≙ ordinal-indexed refs,
-    * `cell.py:251-331`). Returns -1 when unknown/out of range.
+    * `cell.py:251-331`). A name match wins over the ordinal reading (a
+    * dimension literally named "1" stays addressable); out-of-range ordinals
+    * and over-long digit strings return -1 rather than throwing.
     */
-  private[graft] def dimIndexOf(cube: Cube, d: String): Int =
-    if (d.nonEmpty && d.forall(_.isDigit)) {
+  private[graft] def dimIndexOf(cube: Cube, d: String): Int = {
+    val byName = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))
+    if (byName >= 0) byName
+    else if (d.nonEmpty && d.length <= 9 && d.forall(_.isDigit)) {
       val ord = d.toInt
       if (ord < cube.nDims) ord else -1
-    } else cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))
+    } else -1
+  }
 
   /** Dangling references — a dimension or member no longer present (e.g.
     * removed by a dimension edit after the rule was registered) — raise
@@ -395,12 +420,13 @@ object Rules {
         case Some(r) =>
           val refs = collectRefs(r.expr).filterNot(_.contains(":"))
           if (refs.exists(m => !cube.dimensions.exists(_.contains(m)))) errors(id) = "#REF!"
+          else if (refs.exists(!d.contains(_)))
+            // a ref resolving only to ANOTHER dimension is grid-incomputable
+            // (the scalar path handles it; a member REMOVED from this dim but
+            // name-colliding elsewhere also lands here) — render a sentinel
+            // column rather than aborting the whole grid/view
+            errors(id) = "#ERR!"
           else {
-            // a ref resolving to ANOTHER dimension is grid-incomputable (the
-            // scalar path handles it) — reject loudly, it is not a data error
-            refs.filterNot(d.contains).headOption.foreach(m =>
-              throw new UnsupportedOperationException(s"rule '${r.name}': ref '$m' " +
-                s"resolves outside dimension '${d.name}' — not grid-computable"))
             ruled(id) = r
             refs.map(d.idOf).foreach(queue += _)
           }

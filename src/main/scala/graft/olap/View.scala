@@ -91,7 +91,7 @@ final class View(val cube: Cube, val dfn: ViewDef) {
       val (ruledIds, fetchIds, topoIds, errIds) = Rules.expandRuled(
         cube, cd, requested.map(d.idOf),
         id => Rules.gridRuleFor(cube, cd, id, prelim))
-      require(fetchIds.nonEmpty,
+      require(fetchIds.nonEmpty || errIds.nonEmpty,
         s"column axis dimension '$dName': no stored members to fetch — every " +
           "requested member is rule-backed with no stored refs; include at least one stored member")
       val nameById = scala.collection.mutable.LinkedHashMap[Int, String]()
@@ -105,6 +105,27 @@ final class View(val cube: Cube, val dfn: ViewDef) {
         nameById.toMap,
         topoIds.map(nameById),
         errIds.map { case (id, code) => nameById.getOrElse(id, d.nameOf(id)) -> code })
+    }
+
+    // a column dimension whose every requested member's rule chain is broken
+    // has nothing to fetch — render the whole grid as sentinel codes (the
+    // promise of the #REF! machinery) instead of issuing an empty-selection
+    // aggregation: rows from the row-axis member lists, one code per position
+    if (perDim.exists(_.fetch.isEmpty)) {
+      val reqPositions = cartesian(perDim.map(_.requested))
+      val posCode: Seq[(String, String)] = reqPositions.map { pos =>
+        pos.mkString("/") -> pos.zip(perDim).collectFirst {
+          case (m, pd) if pd.errs.contains(m) => pd.errs(m) }.getOrElse("#REF!")
+      }
+      val rowTuples = cartesian(dfn.rows.entries.map(_._2))
+      val schema = org.apache.spark.sql.types.StructType(
+        (dfn.rows.entries.map(_._1) ++ posCode.map(_._1)).map(n =>
+          org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+      val rows = rowTuples.map(rt => org.apache.spark.sql.Row.fromSeq(rt ++ posCode.map(_._2)))
+      stats = ViewStats((System.nanoTime() - t0) / 1000000, rowTuples.size,
+        posCode.size, aggregatedPositions = 0, rulePositions = 0)
+      return cube.spark.createDataFrame(
+        cube.spark.sparkContext.parallelize(rows.toList, 1), schema)
     }
 
     // selections: filters fix single members; unmentioned dims → default
@@ -160,13 +181,17 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     // dimension edit, cascaded through referencing rules) render the
     // sentinel code in every cell instead of aborting the whole view
     // (≙ `rules.py:15-20`): the column is a string literal the renders
-    // pass through verbatim.
-    val errorPositions = reqPositions.filter(pos =>
-      pos.zip(perDim).exists { case (m, pd) => pd.errs.contains(m) })
-    errorPositions.foreach { pos =>
-      val code = pos.zip(perDim).collectFirst {
-        case (m, pd) if pd.errs.contains(m) => pd.errs(m) }.get
-      grid = grid.withColumn(pos.mkString("/"), lit(code))
+    // pass through verbatim. `errPosCode` accumulates EVERY sentinel column
+    // (including rule-compile failures below) so chained rules propagate the
+    // code instead of doing string arithmetic, and zero suppression knows
+    // the grid carries non-numeric content.
+    val errPosCode = scala.collection.mutable.LinkedHashMap[String, String]()
+    reqPositions.foreach { pos =>
+      pos.zip(perDim).collectFirst {
+        case (m, pd) if pd.errs.contains(m) => pd.errs(m) }.foreach { code =>
+        errPosCode(pos.mkString("/")) = code
+        grid = grid.withColumn(pos.mkString("/"), lit(code))
+      }
     }
     // rule-derived positions post-pivot (one job, no per-cell recursion):
     // refs resolve to the sibling position with only the ruled dim's member
@@ -189,11 +214,21 @@ final class View(val cube: Cube, val dfn: ViewDef) {
           val pos = ctx.updated(k, m)
           val posName = pos.mkString("/")
           grid = try grid.withColumn(posName,
-            Rules.toColumnWith(ref =>
-              col(pos.updated(k, pd.nameById(d.idOf(ref))).mkString("/")))(rule.expr))
+            Rules.toColumnWith { ref =>
+              val refPos = pos.updated(k, pd.nameById(d.idOf(ref))).mkString("/")
+              // a ref to a sentinel column propagates the code (string
+              // arithmetic would silently cast "#ERR!" to null)
+              errPosCode.get(refPos).foreach(code =>
+                throw RuleError(code, s"position '$posName' reads error column '$refPos'"))
+              col(refPos)
+            }(rule.expr))
           catch { // unknown fn / unresolvable ref at compile → sentinel column
-            case e: RuleError => grid.withColumn(posName, lit(e.code))
-            case _: NoSuchElementException => grid.withColumn(posName, lit("#REF!"))
+            case e: RuleError =>
+              errPosCode(posName) = e.code
+              grid.withColumn(posName, lit(e.code))
+            case _: NoSuchElementException =>
+              errPosCode(posName) = "#REF!"
+              grid.withColumn(posName, lit("#REF!"))
           }
         }
       }
@@ -201,8 +236,10 @@ final class View(val cube: Cube, val dfn: ViewDef) {
 
     val reqNames = reqPositions.map(_.mkString("/"))
     // an error column makes every row non-empty (sentinels are content),
-    // so suppression only applies when no position errored
-    if (dfn.zeroSuppression && errorPositions.isEmpty) {
+    // so suppression only applies when no position errored — including
+    // rule-compile failures caught above, whose string columns would poison
+    // the numeric suppression sum (coalesce(string, double) is a string)
+    if (dfn.zeroSuppression && errPosCode.isEmpty) {
       val cells = reqNames.map(m => abs(coalesce(col(m), lit(0.0))))
       grid = grid.filter(cells.reduce(_ + _) =!= 0.0) // ≙ `view.py:844-885`
     }

@@ -107,14 +107,18 @@ object Similarity {
     val corpusVec = corpus.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("__fv"))
     // Training contract: the coarse quantizer is fit on a seeded sample of at
-    // most `trainCap` vectors — centroid quality needs only a representative
+    // most ~`trainCap` vectors — centroid quality needs only a representative
     // sample, and a full-corpus fit would be the one non-sublinear step at
-    // 100 TB. When the corpus is within the cap the sample IS the corpus
-    // (fraction 1.0), so small-scale results are unchanged.
-    val n = corpusVec.count()
+    // 100 TB. The cap probe is a `limit(cap+1).count()` (stops scanning once
+    // the limit is hit) so a within-cap corpus — the common case, unchanged
+    // results — never pays a full count; only an over-cap corpus pays one
+    // exact count to derive the sampling fraction, amortized against the fit.
+    val overCap = corpusVec.limit(math.min(trainCap + 1, Int.MaxValue.toLong).toInt)
+      .count() > trainCap
     val trainSet =
-      if (n <= trainCap) corpusVec
-      else corpusVec.sample(withReplacement = false, trainCap.toDouble / n, seed = 42L)
+      if (!overCap) corpusVec
+      else corpusVec.sample(withReplacement = false,
+        trainCap.toDouble / corpusVec.count(), seed = 42L)
     val km = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("__fv").setPredictionCol("__cell")
     val model = km.fit(trainSet)

@@ -22,6 +22,20 @@ object PipelineQueries {
   private val QV = "list_transform(%s, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
   private def dot(a: String, b: String) = s"list_dot_product($a, $b)"
 
+  // the quality-score scalar over `text`, shared by the pipe_quality and
+  // pipe_topk_quality oracles (mirrors TextAnalysis.qualityColumns' "quality")
+  private val QUALITY_EXPR: String = {
+    val en = graft.pipeline.TextAnalysis.stopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString(",")
+    s"""CAST(len(list_intersect(list_distinct(string_split(text, ' ')), [$en])) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) * 2.0
+        + CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE) * 1.0
+        + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 3.0 AND 8.0
+               THEN 0.5 ELSE 0.0 END"""
+  }
+
   private val JACCARD_ORACLE =
     """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          n AS (SELECT doc_id, count(*) AS c FROM t GROUP BY doc_id),
@@ -195,13 +209,7 @@ object PipelineQueries {
               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
             CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
               / CAST(length(text) AS DOUBLE) AS punct_ratio,
-            CAST(len(list_intersect(list_distinct(string_split(text, ' ')), [$en])) AS DOUBLE)
-              / CAST(len(string_split(text, ' ')) AS DOUBLE) * 2.0
-            + CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
-              / CAST(length(text) AS DOUBLE) * 1.0
-            + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-                        / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 3.0 AND 8.0
-                   THEN 0.5 ELSE 0.0 END AS quality
+            $QUALITY_EXPR AS quality
           FROM documents"""
     },
 
@@ -229,21 +237,11 @@ object PipelineQueries {
            CASE lang WHEN 'en' THEN 'g' WHEN 'de' THEN '8000' WHEN 'fr' THEN '8000'
                      WHEN 'es' THEN '4000' WHEN 'zh' THEN '4000' ELSE '2000' END""",
 
-    "pipe_topk_quality" -> {
-      val en = TextAnalysis.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(",")
-      s"""WITH q AS (SELECT doc_id, source,
-              CAST(len(list_intersect(list_distinct(string_split(text, ' ')), [$en])) AS DOUBLE)
-                / CAST(len(string_split(text, ' ')) AS DOUBLE) * 2.0
-              + CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
-                / CAST(length(text) AS DOUBLE) * 1.0
-              + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-                          / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 3.0 AND 8.0
-                     THEN 0.5 ELSE 0.0 END AS quality
-            FROM documents)
+    "pipe_topk_quality" ->
+      s"""WITH q AS (SELECT doc_id, source, $QUALITY_EXPR AS quality FROM documents)
           SELECT doc_id, source, quality, rank FROM (
             SELECT doc_id, source, quality,
               ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
-            FROM q) WHERE rank <= 5"""
-    },
+            FROM q) WHERE rank <= 5""",
   )
 }

@@ -79,6 +79,88 @@ class Round3FixesSpec extends AnyFunSuite {
     assert(cube.getCell(Seq("Feb", "Cost")).contains(CellValue.Err("#ERR!")))
   }
 
+  test("rule-compile sentinels don't poison zero suppression or chained rules") {
+    val (_, cube) = profitModel()
+    // unknown fn on a REQUESTED column member: compiles to a sentinel column
+    cube.registerRule(RuleDef(Map("m" -> "Cost"), RuleScope.AllLevels,
+      RuleExpr.Fn("sqrt", RuleExpr.Ref("Sales")), "bad_fn"))
+    val v = new View(cube, ViewDef(
+      rows = AxisDef(Seq("t" -> Seq("Jan", "Feb"))),
+      cols = AxisDef(Seq("m" -> Seq("Sales", "Cost", "Profit"))),
+      zeroSuppression = true))
+    val grid = v.refresh().collect()
+    // suppression must NOT run on the string sentinel (it would null the
+    // suppression sum and drop every row)
+    assert(grid.length == 2)
+    assert(grid.forall(_.getAs[Any]("Cost") == "#ERR!"))
+    // the chained rule (Profit = Sales − Cost) propagates the code instead
+    // of string arithmetic (which would cast "#ERR!" to null → blank cells)
+    assert(grid.forall(_.getAs[Any]("Profit") == "#ERR!"))
+    // intact columns still carry data
+    assert(grid.exists(_.getAs[Any]("Sales") == 10.0))
+  }
+
+  test("a column axis whose every member's rule chain is broken renders sentinels") {
+    val (db, cube) = profitModel()
+    db.dimension("m").edit().remove("Cost").commit()
+    cube.purgeUnknownMembers()
+    // Profit's ref 'Cost' is gone; requesting ONLY Profit leaves nothing to
+    // fetch — must render a #REF! grid, not throw "no stored members"
+    val v = new View(cube, ViewDef(
+      rows = AxisDef(Seq("t" -> Seq("Jan", "Feb"))),
+      cols = AxisDef(Seq("m" -> Seq("Profit")))))
+    val grid = v.refresh().collect()
+    assert(grid.length == 2)
+    assert(grid.forall(_.getAs[Any]("Profit") == "#REF!"))
+    assert(grid.map(_.getAs[String]("t")).toSet == Set("Jan", "Feb"))
+  }
+
+  test("a grid ref dangling in its own dim but colliding elsewhere renders a sentinel") {
+    val (db, cube) = profitModel()
+    // dimension t gains a member named Cost, then m loses its Cost: the ref
+    // now resolves only outside m — sentinel column, not an exception
+    db.dimension("t").edit().add("All", Seq("Cost")).commit()
+    db.dimension("m").edit().remove("Cost").commit()
+    cube.purgeUnknownMembers()
+    val v = new View(cube, ViewDef(
+      rows = AxisDef(Seq("t" -> Seq("Jan", "Feb"))),
+      cols = AxisDef(Seq("m" -> Seq("Sales", "Profit")))))
+    val grid = v.refresh().collect()
+    assert(grid.forall(_.getAs[Any]("Profit") == "#ERR!"))
+    assert(grid.exists(_.getAs[Any]("Sales") == 10.0))
+  }
+
+  test("ON_ENTRY placeholder exprs (no Input) stay no-ops; ordinal refs guard") {
+    val db = new Database("oph", spark)
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("Sales", "Cost")).commit()
+    val cube = db.addCube("c", Seq(m))
+    // the documented fn-less placeholder idiom: expr Lit(0) must NOT become
+    // a transform that rewrites every write to 0.0
+    cube.registerRule(RuleDef(Map("m" -> "Cost"), RuleScope.OnEntry,
+      RuleExpr.Lit(0), "placeholder"))
+    cube.set(Seq("Cost"), 42.0)
+    assert(cube.get(Seq("Cost")).contains(42.0))
+    // over-long digit qualifiers fail the lookup (typed), not NumberFormat
+    val e = intercept[IllegalArgumentException](
+      new Cell(cube, Vector(m.idOf("Sales"))).alter("99999999999" -> "Cost"))
+    assert(e.getMessage.contains("unknown dimension"))
+  }
+
+  test("a dimension literally named with digits wins over the ordinal reading") {
+    val db = new Database("dnum", spark)
+    val d1 = db.addDimension("1") // dimension NAMED "1", at ordinal 0
+    d1.edit().addMany(Seq("x", "y")).commit()
+    val d2 = db.addDimension("other")
+    d2.edit().addMany(Seq("p", "q")).commit()
+    val cube = db.addCube("c", Seq(d1, d2))
+    cube.set(Seq("x", "p"), 1.0)
+    cube.set(Seq("y", "p"), 2.0)
+    // "1:y" must address dimension "1" by NAME (not ordinal 1 = "other")
+    val c = new Cell(cube, Vector(d1.idOf("x"), d2.idOf("p"))).alter("1" -> "y")
+    assert(c.value.contains(2.0))
+  }
+
   test("ON_ENTRY transform expressed as Input AST survives save/load") {
     val db = new Database("oe", spark)
     val m = db.addDimension("m")
