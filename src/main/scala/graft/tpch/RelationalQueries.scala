@@ -200,6 +200,18 @@ object RelationalQueries {
           min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
     }),
 
+    // window navigation battery: lag (inter-event gap), lead (next value),
+    // ntile (quartile buckets) over the deterministic (ts, event_id) order
+    "rel_window_lag" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      readEvents(s, dir).select(
+        col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        ntile(4).over(w).as("quartile"))
+    }),
+
     // gap-based sessionization (lag + running session counter)
     "rel_sessionize" -> ((s, dir) => {
       Relational.sessionize(readEvents(s, dir), "user_id", "ts", "event_id", 1800)
@@ -319,6 +331,13 @@ object RelationalQueries {
            quantile_cont(l_quantity, 0.75) AS q75,
            min(l_quantity) AS mn, max(l_quantity) AS mx
          FROM lineitem GROUP BY l_returnflag""",
+
+    "rel_window_lag" ->
+      """SELECT event_id, user_id,
+           epoch_ns(ts) // 1000 - epoch_ns(LAG(ts) OVER w) // 1000 AS gap_us,
+           LEAD(event_type) OVER w AS next_type,
+           NTILE(4) OVER w AS quartile
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
 
     "rel_sessionize" ->
       """WITH flagged AS (
