@@ -177,4 +177,52 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
     Lifecycle.materializeAndRelease(result, banded)
   }
+
+  /** Connected components over a near-dup pair list: every doc's
+    * `cluster_id` converges to the MIN doc id in its component via
+    * min-label propagation — one shuffle join + agg per round, rounds =
+    * graph diameter. Near-dup components are dense and shallow (a duplicate
+    * set is close to a clique), so 2–3 rounds in practice; `maxIters`
+    * bounds pathological chains and convergence is detected by the strictly
+    * decreasing label sum (one scalar action per round, no extra join).
+    *
+    * This is the dedup-group step after any pairs operator (Jaccard,
+    * MinHash, SimHash, embedding-LSH): keep `id === cluster_id` rows as the
+    * canonical representative, anti-join the rest out of the corpus. Only
+    * docs that appear in `pairs` are returned — absent docs are singleton
+    * clusters of themselves by definition.
+    *
+    * The iterative driver loop coordinates plain DataFrame jobs (the
+    * standard Spark shape for graph fixpoints); per-round frames are
+    * persisted and the previous round released, so lineage stays bounded.
+    */
+  def dedupClusters(pairs: DataFrame, iCol: String = "i", jCol: String = "j",
+      maxIters: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(iCol).cast("long").as("a"), col(jCol).cast("long").as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).persist(lvl)
+    var labels = sym.groupBy(col("a").as("id"))
+      .agg(min(least(col("a"), col("b"))).as("label")).persist(lvl)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .persist(lvl)
+      val nextSum = labelSum(next) // also materializes `next`
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      it += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
 }
