@@ -193,8 +193,10 @@ object TextDedup {
     * clusters of themselves by definition.
     *
     * The iterative driver loop coordinates plain DataFrame jobs (the
-    * standard Spark shape for graph fixpoints); per-round frames are
-    * persisted and the previous round released, so lineage stays bounded.
+    * standard Spark shape for graph fixpoints); each round's labels are
+    * `localCheckpoint`ed — persist alone keeps the full lineage, whose
+    * nested-join plan grows EXPONENTIALLY with rounds (a deep chain OOMs
+    * the driver just printing the plan) — so lineage stays O(1) per round.
     */
   def dedupClusters(pairs: DataFrame, iCol: String = "i", jCol: String = "j",
       maxIters: Int = 25): DataFrame = {
@@ -202,9 +204,12 @@ object TextDedup {
     val edges = pairs.select(col(iCol).cast("long").as("a"), col(jCol).cast("long").as("b"))
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).persist(lvl)
     var labels = sym.groupBy(col("a").as("id"))
-      .agg(min(least(col("a"), col("b"))).as("label")).persist(lvl)
+      .agg(min(least(col("a"), col("b"))).as("label")).localCheckpoint(true)
+    // coalesce: SUM over an empty frame is null — an empty pair list (zero
+    // near-dups in the corpus) must yield an empty result, not an NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var it = 0
     var converged = false
@@ -214,8 +219,8 @@ object TextDedup {
       val next = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .persist(lvl)
-      val nextSum = labelSum(next) // also materializes `next`
+        .localCheckpoint(true) // eager: materializes AND truncates lineage
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
@@ -224,5 +229,26 @@ object TextDedup {
     }
     sym.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** End-to-end near-dup purge — the corpus-in → cleaned-corpus-out
+    * composition a training-data pipeline actually runs: near-dup pairs
+    * (MinHash-LSH by default) → connected components → drop every doc that
+    * is NOT its component's canonical representative (the MIN doc id).
+    * Docs in no pair are singleton components and survive untouched — the
+    * anti-join removes only `id =!= cluster_id` rows, so no join against
+    * the full corpus is needed for the keep-side.
+    *
+    * Shape at 100 TB: pairs are banded (never all-pairs), components are
+    * one bounded shuffle per diameter round, and the final purge is a
+    * broadcast-friendly left-anti join against the (small) losers set.
+    */
+  def purgeNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.9): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, k, bands, threshold)
+    val losers = dedupClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -45,6 +45,26 @@ object PipelineQueries {
        FROM p JOIN n na ON p.i = na.doc_id JOIN n nb ON p.j = nb.doc_id
        WHERE CAST(shared AS DOUBLE) / CAST(na.c + nb.c - shared AS DOUBLE) >= 0.9"""
 
+  // shared CTE prefix for the clusters/purge oracles: exact Jaccard pairs
+  // (same pair set the MinHash-LSH path verifies to) → symmetric edges →
+  // recursive reachability closure → min reachable id per doc
+  private val CLUSTERS_CTE =
+    """WITH RECURSIVE
+         t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         n AS (SELECT doc_id, count(*) AS c FROM t GROUP BY doc_id),
+         p0 AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+                FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         p AS (SELECT i, j FROM p0
+               JOIN n na ON p0.i = na.doc_id JOIN n nb ON p0.j = nb.doc_id
+               WHERE CAST(shared AS DOUBLE) / CAST(na.c + nb.c - shared AS DOUBLE) >= 0.9),
+         e AS (SELECT CAST(i AS BIGINT) AS a, CAST(j AS BIGINT) AS b FROM p
+               UNION SELECT CAST(j AS BIGINT), CAST(i AS BIGINT) FROM p),
+         reach(id, r) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup on raw text (hash-groupBy)
@@ -67,6 +87,22 @@ object PipelineQueries {
     // so the verified output equals the brute-force pair set (same oracle).
     "pipe_dedup_minhash" -> ((s, dir) => {
       TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 64, 16, 0.9)
+    }),
+
+    // near-dup pairs → connected components: every doc in a pair gets the
+    // MIN doc id of its component as cluster_id (min-label propagation;
+    // oracle is a recursive-CTE reachability closure over the same pairs)
+    "pipe_dedup_clusters" -> ((s, dir) => {
+      TextDedup.dedupClusters(
+        TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 64, 16, 0.9))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
+    // the end-to-end product: corpus in, near-dup-purged corpus out — keep
+    // each component's canonical representative plus all singletons
+    "pipe_dedup_purge" -> ((s, dir) => {
+      TextDedup.purgeNearDups(docs(s, dir), "doc_id", "text", 64, 16, 0.9)
+        .select("doc_id", "lang", "source")
     }),
 
     // SimHash near-dup (complete via 4-band pigeonhole; hash-seeded → rows-only)
@@ -164,6 +200,15 @@ object PipelineQueries {
 
     "pipe_dedup_jaccard" -> JACCARD_ORACLE,
     "pipe_dedup_minhash" -> JACCARD_ORACLE,
+
+    "pipe_dedup_clusters" ->
+      s"""$CLUSTERS_CTE
+          SELECT id AS doc_id, cluster_id FROM clusters""",
+
+    "pipe_dedup_purge" ->
+      s"""$CLUSTERS_CTE
+          SELECT doc_id, lang, source FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""",
 
     "pipe_dedup_embed" -> {
       val qa = QV.format("a.embedding"); val qb = QV.format("b.embedding")
