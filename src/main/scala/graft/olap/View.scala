@@ -110,8 +110,18 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     // a column dimension whose every requested member's rule chain is broken
     // has nothing to fetch — render the whole grid as sentinel codes (the
     // promise of the #REF! machinery) instead of issuing an empty-selection
-    // aggregation: rows from the row-axis member lists, one code per position
+    // aggregation: rows from the row-axis member lists, one code per position.
+    // Only legitimate when every requested member IS broken: a fetch-empty
+    // dimension that still carries a computable ruled member (a ref-free
+    // expr) must fail loudly, not silently render #REF! over a real value.
     if (perDim.exists(_.fetch.isEmpty)) {
+      perDim.filter(_.fetch.isEmpty).foreach { pd =>
+        val computable = pd.requested.filterNot(pd.errs.contains)
+        require(computable.isEmpty,
+          s"column axis dimension '${cube.dimensions(pd.cd).name}': no stored members " +
+            s"to fetch, but ${computable.mkString(", ")} are computable ruled members — " +
+            "include at least one stored member to anchor the grid")
+      }
       val reqPositions = cartesian(perDim.map(_.requested))
       val posCode: Seq[(String, String)] = reqPositions.map { pos =>
         pos.mkString("/") -> pos.zip(perDim).collectFirst {

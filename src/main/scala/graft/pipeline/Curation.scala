@@ -38,9 +38,15 @@ object Curation {
     * `scoreCol`, ties broken by id for determinism. One shuffle on the
     * stratum key; with a bounded stratum count and k, AQE handles skew and
     * the window never materializes more than a partition.
+    *
+    * Output contract: the result carries a `rank` column (1 = best in
+    * stratum). The input must not already have one — silently overwriting a
+    * caller's column would corrupt it, so that is rejected loudly.
     */
   def topKPerStratum(df: DataFrame, idCol: Column, stratumCol: Column,
       scoreCol: Column, k: Int): DataFrame = {
+    require(!df.columns.contains("rank"),
+      "topKPerStratum emits a `rank` output column; rename the input's `rank` first")
     val w = Window.partitionBy(stratumCol).orderBy(scoreCol.desc, idCol.asc)
     df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

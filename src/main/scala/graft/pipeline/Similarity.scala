@@ -106,19 +106,23 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val corpusVec = corpus.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("__fv"))
-    // Training contract: the coarse quantizer is fit on a seeded sample of at
-    // most ~`trainCap` vectors — centroid quality needs only a representative
-    // sample, and a full-corpus fit would be the one non-sublinear step at
-    // 100 TB. The cap probe is a `limit(cap+1).count()` (stops scanning once
-    // the limit is hit) so a within-cap corpus — the common case, unchanged
-    // results — never pays a full count; only an over-cap corpus pays one
-    // exact count to derive the sampling fraction, amortized against the fit.
+    // Training contract: the coarse quantizer is fit on a deterministic
+    // subset of at most `trainCap` vectors — centroid quality needs only a
+    // representative sample, and a full-corpus fit would be the one
+    // non-sublinear step at 100 TB. The cap probe is a `limit(cap+1).count()`
+    // (stops scanning once the limit is hit) so a within-cap corpus — the
+    // common case, unchanged results — never pays a full scan. An over-cap
+    // corpus takes the trainCap SMALLEST id-hashes (TakeOrdered: per-
+    // partition top-k, then a single bounded merge) — a uniform,
+    // partitioning-independent pseudo-sample of exactly trainCap rows in the
+    // one pass the fit reads anyway; no full count() action, no fraction to
+    // derive.
     val overCap = corpusVec.limit(math.min(trainCap + 1, Int.MaxValue.toLong).toInt)
       .count() > trainCap
     val trainSet =
       if (!overCap) corpusVec
-      else corpusVec.sample(withReplacement = false,
-        trainCap.toDouble / corpusVec.count(), seed = 42L)
+      else corpusVec.withColumn("__h", xxhash64(col(idCol)))
+        .orderBy(col("__h")).limit(trainCap.toInt).drop("__h")
     val km = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("__fv").setPredictionCol("__cell")
     val model = km.fit(trainSet)

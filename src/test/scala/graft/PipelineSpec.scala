@@ -118,6 +118,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@10 = $recall with 6/16 cells probed")
   }
 
+  test("IVF ANN over-cap trains on a bounded hash-ordered sample, same recall floor") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // trainCap far below the corpus size forces the over-cap branch: fit on
+    // the trainCap smallest id-hashes (uniform pseudo-sample, no full count)
+    val ivf = Similarity.ivfTopK(emb, queries, 10, nCentroids = 16, nProbe = 6,
+      trainCap = 64L)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"over-cap IVF recall@10 = $recall (64-vector train sample)")
+  }
+
   test("multimodal decode plumbing: schema, determinism, frame fan-out") {
     val decoded = Multimodal.decode(Multimodal.assets(docs)).collect()
     assert(decoded.length == docs.count())
