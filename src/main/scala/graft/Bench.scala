@@ -31,13 +31,30 @@ object Bench {
     "rel_asof_join",        // union+window as-of join
     "rel_sessionize",       // gap sessionization
     "pipe_dedup_minhash",   // MinHash-LSH near-dup (bucketed, verified)
-    "pipe_dedup_simhash",   // SimHash near-dup (banded)
-    "pipe_ann_lsh",         // sign-LSH ANN top-k
+    "pipe_dedup_simhash",   // SimHash near-dup (banded; raw op, see rawOps)
+    "pipe_ann_lsh",         // sign-LSH ANN top-k (raw op, see rawOps)
+    "pipe_dedup_clusters",  // pairs -> connected components (graph fixpoint)
     "pipe_lang_id",         // text analysis scan
     "pipe_fingerprint",     // md5 fingerprints
     "olap_huge_top")        // reference huge bench top-cell read — LAST: the
                             // build (timed separately as huge_build) leaves a
                             // large persisted frame behind
+
+  /** Bench-side overrides: gates whose SparkEntry entry is a verification
+    * summary (raw operator + an O(n²) exact baseline + recall compare) are
+    * timed here on the RAW scalable operator alone — the bench measures the
+    * production path, not the correctness harness around it.
+    */
+  private val rawOps: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    Map(
+      "pipe_dedup_simhash" -> ((s, dir) => graft.pipeline.TextDedup.simhashPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3)),
+      "pipe_ann_lsh" -> ((s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        graft.pipeline.Similarity.lshTopK(e, e.filter(col("vec_id") < 5), 10, dim = 64)
+      }))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,7 +123,7 @@ object Bench {
         if (name == "olap_huge_top" && pass == 1)
           results("huge_build") = try time { graft.tpch.HugeModel.get(spark) }
             catch { case _: Throwable => -1.0 }
-        SparkEntry.queries.get(name).foreach { fn =>
+        rawOps.get(name).orElse(SparkEntry.queries.get(name)).foreach { fn =>
           record(name, try time { fn(spark, sfDir).count() }
                        catch { case _: Throwable => -1.0 })
         }

@@ -45,6 +45,41 @@ object PipelineQueries {
        FROM p JOIN n na ON p.i = na.doc_id JOIN n nb ON p.j = nb.doc_id
        WHERE CAST(shared AS DOUBLE) / CAST(na.c + nb.c - shared AS DOUBLE) >= 0.9"""
 
+  /** One-row containment count: how many of `base`'s key tuples appear in
+    * `other` — a single left join + agg, no driver-side actions.
+    */
+  private def containment(base: DataFrame, other: DataFrame, keys: Seq[String],
+      nCol: String, hitCol: String): DataFrame = {
+    val o = other.select(keys.map(col): _*).distinct().withColumn("__m", lit(1))
+    base.select(keys.map(col): _*).distinct().join(o, keys, "left")
+      .agg(count(lit(1)).as(nCol),
+        coalesce(sum(when(col("__m").isNotNull, 1L).otherwise(0L)), lit(0L)).as(hitCol))
+  }
+
+  /** Verification summary for an approximate operator, as ORACLE-CHECKABLE
+    * booleans: recall of the exact result inside the approximate one (and
+    * optionally precision the other way) measured IN Spark against the
+    * in-engine exact baseline, then thresholded. The DuckDB oracle is the
+    * constant all-true row — so the driver's hash compare now FAILS the gate
+    * whenever measured recall drops below the floor, instead of recording a
+    * rows-only `no_oracle` check. `nonempty_ok` guards against a vacuous
+    * pass on an empty exact set.
+    */
+  private def approxSummary(exact: DataFrame, approx: DataFrame, keys: Seq[String],
+      recallFloor: Double, precisionFloor: Double = 0.0): DataFrame = {
+    val r = containment(exact, approx, keys, "n_exact", "hit_r")
+    val p = containment(approx, exact, keys, "n_approx", "hit_p")
+    r.crossJoin(p).select(
+      (col("hit_r").cast("double") >= col("n_exact").cast("double") * recallFloor)
+        .as("recall_ok"),
+      (col("hit_p").cast("double") >= col("n_approx").cast("double") * precisionFloor)
+        .as("precision_ok"),
+      (col("n_exact") > 0).as("nonempty_ok"))
+  }
+
+  private val SUMMARY_ORACLE =
+    "SELECT TRUE AS recall_ok, TRUE AS precision_ok, TRUE AS nonempty_ok"
+
   // shared CTE prefix for the clusters/purge oracles: exact Jaccard pairs
   // (same pair set the MinHash-LSH path verifies to) → symmetric edges →
   // recursive reachability closure → min reachable id per doc
@@ -105,9 +140,20 @@ object PipelineQueries {
         .select("doc_id", "lang", "source")
     }),
 
-    // SimHash near-dup (complete via 4-band pigeonhole; hash-seeded → rows-only)
+    // SimHash near-dup, verified: the 4-band pigeonhole makes candidate
+    // generation COMPLETE at hamming ≤ 3, so the banded output must equal
+    // the brute-force hamming pair set exactly — recall AND precision 1.0,
+    // surfaced as oracle-checkable booleans (sims are hash-seeded, so the
+    // pair values themselves have no DuckDB twin)
     "pipe_dedup_simhash" -> ((s, dir) => {
-      TextDedup.simhashPairs(docs(s, dir), "doc_id", "text", 3)
+      val d = docs(s, dir)
+      val approx = TextDedup.simhashPairs(d, "doc_id", "text", 3)
+      val sh = TextDedup.simhash(d, "doc_id", "text")
+      val exact = sh.select(col("doc_id").as("i"), col("simhash").as("hi"))
+        .join(sh.select(col("doc_id").as("j"), col("simhash").as("hj")), col("i") < col("j"))
+        .filter(bit_count(col("hi").bitwiseXOR(col("hj"))) <= 3)
+        .select("i", "j")
+      approxSummary(exact, approx, Seq("i", "j"), recallFloor = 1.0, precisionFloor = 1.0)
     }),
 
     // exact embedding-cosine near-dup pairs (quantized integer dots)
@@ -116,11 +162,16 @@ object PipelineQueries {
     }),
 
     // LSH-bucketed embedding near-dup — the user-facing 100 TB path: sign-LSH
-    // candidates + exact cosine verify (recall vs the exact pair set is
-    // spec-tested → rows-only gate). Few planes / many tables because the
-    // corpus' near-dup threshold sits at a wide angle (cos 0.45 ≈ 63°).
+    // candidates + exact cosine verify, measured against the in-engine exact
+    // pair set: recall ≥ 0.95 and precision 1.0 (verification is exact, so
+    // every emitted pair must be a true near-dup) as oracle-checked booleans.
+    // Few planes / many tables because the corpus' near-dup threshold sits
+    // at a wide angle (cos 0.45 ≈ 63°).
     "pipe_dedup_embed_lsh" -> ((s, dir) => {
-      Similarity.lshNearDupPairs(emb(s, dir), 0.45, dim = 64, nPlanes = 4, tables = 24)
+      val e = emb(s, dir)
+      val approx = Similarity.lshNearDupPairs(e, 0.45, dim = 64, nPlanes = 4, tables = 24)
+      val exact = Similarity.cosineNearDupPairs(e, 0.45)
+      approxSummary(exact, approx, Seq("i", "j"), recallFloor = 0.95, precisionFloor = 1.0)
     }),
 
     // brute-force cosine top-k (exact ANN baseline)
@@ -129,16 +180,26 @@ object PipelineQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 10)
     }),
 
-    // sign-LSH approximate top-k (recall measured in specs → rows-only)
+    // sign-LSH approximate top-k, verified: recall@10 vs the in-engine
+    // brute-force baseline, thresholded at the uniform-random-vector floor
+    // (these embeddings have no cluster structure — LSH-hostile; real
+    // embedding corpora sit far higher) and oracle-checked as a boolean
     "pipe_ann_lsh" -> ((s, dir) => {
-      val e = emb(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), 10, dim = 64)
+      val e = emb(s, dir); val q = e.filter(col("vec_id") < 5)
+      approxSummary(
+        Similarity.bruteForceTopK(e, q, 10),
+        Similarity.lshTopK(e, q, 10, dim = 64),
+        Seq("query_id", "cand_id"), recallFloor = 0.25)
     }),
 
-    // IVF approximate top-k: KMeans coarse cells + nProbe re-rank (rows-only)
+    // IVF approximate top-k, verified: recall@10 vs brute force with the
+    // default 4/16 cells probed, oracle-checked as a boolean
     "pipe_ann_ivf" -> ((s, dir) => {
-      val e = emb(s, dir)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), 10)
+      val e = emb(s, dir); val q = e.filter(col("vec_id") < 5)
+      approxSummary(
+        Similarity.bruteForceTopK(e, q, 10),
+        Similarity.ivfTopK(e, q, 10),
+        Seq("query_id", "cand_id"), recallFloor = 0.3)
     }),
 
     // language ID (stopword-hit argmax heuristic)
@@ -200,6 +261,15 @@ object PipelineQueries {
 
     "pipe_dedup_jaccard" -> JACCARD_ORACLE,
     "pipe_dedup_minhash" -> JACCARD_ORACLE,
+
+    // approximate operators: the gate result IS the verification summary —
+    // booleans measured in Spark against the in-engine exact baseline; the
+    // oracle is the constant all-true row, so a recall/precision regression
+    // hash-mismatches and fails the gate
+    "pipe_dedup_simhash" -> SUMMARY_ORACLE,
+    "pipe_dedup_embed_lsh" -> SUMMARY_ORACLE,
+    "pipe_ann_lsh" -> SUMMARY_ORACLE,
+    "pipe_ann_ivf" -> SUMMARY_ORACLE,
 
     "pipe_dedup_clusters" ->
       s"""$CLUSTERS_CTE

@@ -183,10 +183,19 @@ object RelationalQueries {
 
     // HLL sketch distinct (rows-only: sketch internals are engine-specific;
     // error bound asserted in specs against the exact count)
+    // HLL approximate distinct, verified: per-group relative error vs the
+    // in-engine exact countDistinct, thresholded at 5% (HLL rsd=0.01 sits
+    // far inside) and oracle-checked as booleans — the sketch value itself
+    // has no DuckDB twin, but a drifting sketch now FAILS the gate
     "rel_approx_distinct" -> ((s, dir) => {
       read(s, dir, "orders").groupBy(col("o_orderpriority"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"),
-          count(lit(1)).as("n"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx"),
+          countDistinct(col("o_custkey")).as("exact"))
+        .agg(
+          max(abs(col("approx") - col("exact")).cast("double") /
+            col("exact").cast("double")).as("__maxerr"),
+          count(lit(1)).as("__n"))
+        .select((col("__maxerr") <= 0.05).as("err_ok"), (col("__n") > 0).as("nonempty_ok"))
     }),
 
     // exact interpolated percentiles (quantities are integer-valued, so the
@@ -221,6 +230,9 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // error-bound verification summary: Spark measures HLL vs exact and
+    // emits booleans; the oracle is the constant all-true row
+    "rel_approx_distinct" -> "SELECT TRUE AS err_ok, TRUE AS nonempty_ok",
     "rel_join_broadcast" ->
       s"""SELECT p_brand, CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n
           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""",

