@@ -29,7 +29,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
     graft.tpch.TpchQueries.queries ++ graft.tpch.RelationalQueries.queries ++
-    graft.tpch.PipelineQueries.queries
+    graft.tpch.PipelineQueries.queries ++ graft.tpch.StreamingQueries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, dir) => {
@@ -58,5 +58,5 @@ object SparkEntry {
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
   ) ++ graft.tpch.TpchQueries.oracleSql ++ graft.tpch.RelationalQueries.oracleSql ++
-    graft.tpch.PipelineQueries.oracleSql
+    graft.tpch.PipelineQueries.oracleSql ++ graft.tpch.StreamingQueries.oracleSql
 }

@@ -1,0 +1,73 @@
+package graft.tpch
+
+import graft.core.Database
+import graft.streaming.Streaming
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
+
+/** The streaming-ingest correctness gate: a cube filled ONLY through the
+  * Structured Streaming path (`Streaming.ingestInto`, AvailableNow file
+  * stream, one file per micro-batch) must roll up to exactly what the batch
+  * engine computes from the same slice — which DuckDB can oracle directly
+  * from the events table. ~25 micro-batches cross the `compactEvery=10`
+  * boundary twice, so the bounded-lineage localCheckpoint path is exercised
+  * by the gate itself, not just a spec.
+  */
+object StreamingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_stream_ingest" -> ((s, dir) => {
+      val ev = RelationalQueries.readEvents(s, dir).filter(col("event_id") < 5000)
+
+      // model: etype × ubucket, decimal(21,4) cells (exact rollups)
+      val db = new Database("streamdb", s)
+      val etypes = ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq // tiny driver catalog
+      val et = db.addDimension("etype")
+      et.edit().addMany(etypes).add("AllTypes", etypes).commit()
+      val buckets = (0 until 10).map(i => s"u$i")
+      val ub = db.addDimension("ubucket")
+      ub.edit().addMany(buckets).add("AllUsers", buckets).commit()
+      val emptyFacts = s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("d0", IntegerType), StructField("d1", IntegerType),
+          StructField("value", DecimalType(21, 4)))))
+      val cube = db.addCube("streamcube", Seq(et, ub), emptyFacts)
+
+      // one cell per (etype, ubucket): decimal-exact event-value sums, keyed
+      // by member id via tiny broadcast name→id frames (no driver data path)
+      val etDf = s.createDataFrame(etypes.map(n => (n, et.idOf(n))))
+        .toDF("event_type", "d0")
+      val ubDf = s.createDataFrame(buckets.map(n => (n, ub.idOf(n))))
+        .toDF("ub", "d1")
+      val cells = ev
+        .withColumn("ub", concat(lit("u"), pmod(col("user_id"), lit(10))))
+        .groupBy("event_type", "ub")
+        .agg(sum(col("value").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+        .join(broadcast(etDf), Seq("event_type")).join(broadcast(ubDf), Seq("ub"))
+        .select(col("d0"), col("d1"), col("value"))
+
+      // spread the cells over ~25 files; the file stream feeds them back one
+      // file per micro-batch (order-independent: cell keys are unique)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
+      cells.withColumn("part", pmod(hash(col("d0"), col("d1")), lit(25)))
+        .repartition(25, col("part")).drop("part")
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(cells.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val q = Streaming.ingestInto(cube, stream, Trigger.AvailableNow(), compactEvery = 10)
+      q.awaitTermination()
+
+      // rollup through the cube's closure-join aggregation: per-type totals
+      // across the AllUsers parent — equals the batch slice's decimal sums
+      val g = cube.gridAggregate(Seq(etypes.map(et.idOf), Seq(ub.idOf("AllUsers"))))
+      g.join(broadcast(etDf.withColumnRenamed("d0", "a0")), Seq("a0"))
+        .select(col("event_type"), col("value").cast("double").as("value"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "olap_stream_ingest" ->
+      """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS value
+         FROM events WHERE event_id < 5000 GROUP BY event_type""")
+}

@@ -34,6 +34,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(cube.get(Seq("2021", "Year", "Total", "Total", "Sales")).contains(523.0))
   }
 
+  test("file-stream ingest over 25 micro-batches keeps fact lineage bounded") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val db = TinyModel.build(spark)
+    val cube = db.addCube("streamlineage", db.cube("sales").dimensions)
+    def id(d: String, m: String) = db.dimension(d).idOf(m)
+    // 25 one-row files → 25 micro-batches (maxFilesPerTrigger=1); each batch
+    // stacks an anti-join+union layer, compacted every 10 batches
+    val months = Seq("Jan", "Feb", "Mar", "Apr", "Mai", "Jun", "Jul", "Aug",
+      "Sep", "Oct", "Nov", "Dec")
+    val rows = (0 until 25).map { i =>
+      Row(id("years", "2021"), id("months", months(i % 12)), id("regions", "North"),
+        if (i < 12) id("products", "sedan")
+        else if (i < 24) id("products", "coupe") else id("products", "sports"),
+        id("measures", "Sales"), (i + 1) * 10.0)
+    }
+    val schema = StructType((0 to 4).map(i => StructField(s"d$i", IntegerType)) :+
+      StructField("value", DoubleType))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lineage").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 25), schema)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(tmp)
+    val q = Streaming.ingestInto(cube, stream,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), compactEvery = 10)
+    q.awaitTermination(120000)
+    // correctness: every distinct cell landed; totals match the batch sum
+    assert(cube.cellsCount == 25)
+    val expected = rows.map(_.getDouble(5)).sum
+    assert(cube.get(Seq("2021", "Year", "Total", "Total", "Sales")).contains(expected))
+    // bounded lineage: without the every-10-batches localCheckpoint the plan
+    // would carry 25 stacked anti-join+union layers; compaction resets it to
+    // a flat scan plus at most compactEvery stacked layers
+    val planLines = cube.facts.queryExecution.logical.numberedTreeString.linesIterator.size
+    assert(planLines < 400, s"fact plan has $planLines lines — lineage not bounded")
+  }
+
   test("watermarked tumbling window aggregation over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
