@@ -34,25 +34,78 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("content")).as[Asset]
   }
 
-  /** STUB ??? — real implementation would call an image/audio/video codec
+  private def payloadChecksum(bytes: Array[Byte]): Long = {
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+    checksum
+  }
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 | (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | (b(o + 1) & 0xff) << 8
+
+  /** REAL decode, BMP: dimensions from the BITMAPINFOHEADER — magic "BM",
+    * little-endian width at offset 18, height at 22 (negative = top-down
+    * row order, same magnitude). Pure JVM header parse, no codec library.
+    * Plausibility bounds reject text bytes that happen to start with "BM"
+    * (ASCII payload bytes make the size fields astronomically large).
+    */
+  private[pipeline] def decodeBmp(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
+      val w = le32(b, 18); val h = math.abs(le32(b, 22))
+      if (w > 0 && w < (1 << 20) && h > 0 && h < (1 << 20)) Some((w, h)) else None
+    } else None
+
+  /** REAL decode, WAV: RIFF chunk walk — "fmt " yields channels / sample
+    * rate / bit depth, "data" yields payload size; duration =
+    * dataSize / (rate × channels × bytesPerSample), reported in whole
+    * seconds (min 1). Pure JVM header parse; declared sizes are trusted so
+    * truncated payloads still decode their metadata.
+    */
+  private[pipeline] def decodeWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 44 ||
+        !(b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte) ||
+        !(b(8) == 'W'.toByte && b(9) == 'A'.toByte && b(10) == 'V'.toByte && b(11) == 'E'.toByte))
+      return None
+    var off = 12
+    var rate = 0; var ch = 0; var bits = 0; var dataLen = -1L
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val sz = le32(b, off + 4).toLong & 0xFFFFFFFFL
+      if (id == "fmt " && off + 24 <= b.length) {
+        ch = le16(b, off + 10); rate = le32(b, off + 12); bits = le16(b, off + 22)
+      } else if (id == "data") dataLen = sz
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (rate > 0 && rate <= 1000000 && ch > 0 && ch <= 16 &&
+        Set(8, 16, 24, 32).contains(bits) && dataLen >= 0) {
+      val bytesPerSec = rate.toLong * ch * (bits / 8)
+      Some((rate, ch, math.max(1L, (dataLen + bytesPerSec - 1) / bytesPerSec).toInt))
+    } else None
+  }
+
+  /** STUB ??? — fallback for payloads that are not a JVM-parseable format:
+    * a real implementation would call an image/audio/video codec
     * (e.g. libjpeg / ffmpeg) on `bytes`. This container has no media libs,
     * so metadata is derived deterministically from the payload so the
     * pipeline shape (schema, batching, downstream ops) is fully testable.
     */
-  private def decodeStub(modality: String, bytes: Array[Byte]): (Int, Int, Int, Long) = {
+  private def decodeStub(modality: String, bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
-    var checksum = 0L
-    var i = 0
-    while (i < n) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
     val width = n % 640 + 1
     val height = (n * 7) % 480 + 1
     val frames = n % 7 + 1
-    (width, height, frames, checksum)
+    (width, height, frames)
   }
 
   /** Decode pass: typed mapPartitions — one codec context per partition
     * (the expensive-init pattern batch UDFs exist for), streaming the
-    * iterator (no materialization of the partition in memory).
+    * iterator (no materialization of the partition in memory). BMP and WAV
+    * payloads decode for REAL (pure-JVM header parse: BMP → width/height,
+    * one frame; WAV → sample rate as width, channels as height, duration
+    * seconds as n_frames); anything else falls back to the documented stub.
     */
   def decode(in: Dataset[Asset]): Dataset[DecodedAsset] = {
     val spark = in.sparkSession
@@ -60,8 +113,11 @@ object Multimodal {
     in.mapPartitions { it =>
       // per-partition codec init would happen here
       it.map { a =>
-        val (w, h, f, c) = decodeStub(a.modality, a.content)
-        DecodedAsset(a.doc_id, a.modality, a.content.length, w, h, f, c)
+        val (w, h, f) = decodeBmp(a.content).map { case (bw, bh) => (bw, bh, 1) }
+          .orElse(decodeWav(a.content).map { case (rate, ch, secs) => (rate, ch, secs) })
+          .getOrElse(decodeStub(a.modality, a.content))
+        DecodedAsset(a.doc_id, a.modality, a.content.length, w, h, f,
+          payloadChecksum(a.content))
       }
     }
   }

@@ -131,6 +131,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"over-cap IVF recall@10 = $recall (64-vector train sample)")
   }
 
+  test("multimodal BMP/WAV decode from actual bytes (hand-built files)") {
+    import spark.implicits._
+    def le32(v: Int): Seq[Byte] =
+      Seq(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    def le16(v: Int): Seq[Byte] = Seq(v, v >> 8).map(x => (x & 0xff).toByte)
+    // minimal 54-byte BMP header: "BM", file size, reserved, pixel offset,
+    // BITMAPINFOHEADER(40), width=17, height=-9 (top-down → reported as 9)
+    val bmp: Array[Byte] = (
+      "BM".getBytes("US-ASCII").toSeq ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(17) ++ le32(-9) ++ le16(1) ++ le16(24) ++
+      Seq.fill(24)(0.toByte)).toArray
+    // minimal WAV: RIFF/WAVE, fmt chunk (PCM, 2ch, 8000 Hz, 16-bit),
+    // data chunk DECLARING 3.5 s of payload (truncated body — headers rule)
+    val dataBytes = (3.5 * 8000 * 2 * 2).toInt
+    val wav: Array[Byte] = (
+      "RIFF".getBytes("US-ASCII").toSeq ++ le32(36 + dataBytes) ++
+      "WAVE".getBytes("US-ASCII").toSeq ++
+      "fmt ".getBytes("US-ASCII").toSeq ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000) ++ le32(8000 * 2 * 2) ++ le16(4) ++ le16(16) ++
+      "data".getBytes("US-ASCII").toSeq ++ le32(dataBytes)).toArray
+    val in = Seq(
+      Multimodal.Asset(1L, "image", bmp),
+      Multimodal.Asset(2L, "audio", wav),
+      Multimodal.Asset(3L, "image", "plain text, not a bitmap".getBytes("UTF-8")))
+      .toDS()
+    val out = Multimodal.decode(in).collect().map(d => d.doc_id -> d).toMap
+    // BMP: real dimensions from the header bytes, single frame
+    assert(out(1L).width == 17 && out(1L).height == 9 && out(1L).n_frames == 1)
+    // WAV: rate/channels/whole-second duration (ceil 3.5 → 4)
+    assert(out(2L).width == 8000 && out(2L).height == 2 && out(2L).n_frames == 4)
+    // non-media payload falls back to the deterministic stub (n = 24 bytes)
+    assert(out(3L).width == 24 % 640 + 1 && out(3L).n_frames == 24 % 7 + 1)
+  }
+
   test("multimodal decode plumbing: schema, determinism, frame fan-out") {
     val decoded = Multimodal.decode(Multimodal.assets(docs)).collect()
     assert(decoded.length == docs.count())
