@@ -281,6 +281,63 @@ object TpchQueries {
     }),
 
     // H2: undo — a write followed by history.undo() restores the prior total
+    // V7: CSV render — the grid travels THROUGH the toCsv string (header +
+    // Double.toString cells, lossless round-trip) and is parsed back to a
+    // typed frame the oracle can hash-match; proves the render emits exactly
+    // the grid, not a lookalike
+    "olap_view_csv" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val years = (1995 to 2001).map(_.toString)
+      val view = new View(m.cube, ViewDef(
+        filters = Seq("product" -> "AllBrands", "geo" -> "World"),
+        rows = AxisDef(Seq("calendar" -> years)),
+        cols = AxisDef(Seq("measures" -> Seq("gross", "net")))))
+      view.refresh()
+      val lines = view.toCsv().split("\n")
+      require(lines.head == "calendar,gross,net", s"unexpected CSV header: ${lines.head}")
+      val rows = lines.tail.toIndexedSeq.map { ln =>
+        val p = ln.split(",", -1)
+        def d(v: String) = if (v.isEmpty) null else java.lang.Double.valueOf(v)
+        Row(p(0), d(p(1)), d(p(2)))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows.toList, 1),
+        StructType(Seq(StructField("calendar", StringType),
+          StructField("gross", DoubleType), StructField("net", DoubleType))))
+    }),
+
+    // H1: writeback to an aggregated cell is rejected and leaves the cube
+    // untouched — the boolean and the unchanged world total are both oracled
+    "olap_write_reject" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      val rejected =
+        try { c.set(Seq("World", "AllTime", "AllBrands", "gross"), 1.0); false }
+        catch { case _: IllegalArgumentException => true }
+      val total = c.get(Seq("World", "AllTime", "AllBrands", "gross"))
+      s.createDataFrame(
+        s.sparkContext.parallelize(List(Row(Boolean.box(rejected),
+          total.map(Double.box).orNull)), 1),
+        StructType(Seq(StructField("rejected", BooleanType),
+          StructField("value", DoubleType))))
+    }),
+
+    // H3: cell comments round-trip — annotations attach to the probe cell,
+    // read back in insertion order, and the cell VALUE stays data-plane-pure
+    "olap_comments" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      val addr = probeAddress(s, dir)
+      c.addComment(addr, "checked against ledger", "alice")
+      c.addComment(addr, "restated in Q3", "bob")
+      val got = c.commentsAt(addr)
+      val joined = got.map(cm => s"${cm.user}:${cm.text}").mkString("|")
+      s.createDataFrame(
+        s.sparkContext.parallelize(List(Row(joined, got.size,
+          c.get(addr).map(Double.box).orNull)), 1),
+        StructType(Seq(StructField("comments", StringType),
+          StructField("n", IntegerType), StructField("value", DoubleType))))
+    }),
+
     "olap_undo" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
       val c = scratch(m)
@@ -524,6 +581,24 @@ object TpchQueries {
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar, $cols
           $STAR WHERE strftime(o_orderdate, '%Y') <> '1995' GROUP BY 1"""
     },
+
+    "olap_view_csv" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
+          CAST(SUM($GROSS) AS DOUBLE) AS gross,
+          CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) AS net
+          $STAR GROUP BY 1""",
+
+    "olap_write_reject" ->
+      s"""SELECT TRUE AS rejected, CAST((SELECT SUM($GROSS)
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS DOUBLE) AS value""",
+
+    "olap_comments" ->
+      s"""SELECT 'alice:checked against ledger|bob:restated in Q3' AS comments, 2 AS n,
+          (SELECT CAST(SUM($GROSS) AS DOUBLE)
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+             AND o_orderdate = (SELECT o_orderdate FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+             AND l_partkey = (SELECT min(l_partkey) FROM lineitem WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders))) AS value""",
 
     "olap_undo" ->
       s"""SELECT CAST((SELECT SUM($GROSS)
