@@ -120,6 +120,9 @@ final class Cube(
     * always used under `broadcast()`.
     */
   def closureDf(i: Int): DataFrame = closureDfs.getOrElseUpdate(i, {
+    require(!dimensions(i).isDegenerate,
+      s"dimension '${dimensions(i).name}' is degenerate — it has no closure; " +
+        "grid/rollup paths must skip the join (this is a bug if reached)")
     val rows = dimensions(i).closureRows.map(r => Row(r.anc, r.leaf, r.weight))
     val schema = StructType(Seq(
       StructField("anc", IntegerType), StructField("leaf", IntegerType),
@@ -314,7 +317,11 @@ final class Cube(
     var df = facts
     var weightCols = List.empty[Column]
     ids.zipWithIndex.foreach { case (id, i) =>
-      if (dimensions(i).levelOf(id) == 0) {
+      if (dimensions(i).isDegenerate) {
+        // leaf = pushed-down filter on the raw key; the "all" rollup needs
+        // NO closure (and none exists) — just don't filter this dimension
+        if (id != Dimension.DegenerateAllId) df = df.filter(col(s"d$i") === id)
+      } else if (dimensions(i).levelOf(id) == 0) {
         df = df.filter(col(s"d$i") === id)
       } else {
         val cl = closureDf(i).filter(col("anc") === id)
@@ -348,18 +355,34 @@ final class Cube(
     var weightCols = List.empty[Column]
     val outCols = mutable.ArrayBuffer[Column]()
     selections.zipWithIndex.foreach { case (sel, i) =>
-      val allLeaf = sel.forall(dimensions(i).levelOf(_) == 0)
-      if (allLeaf) {
-        df = if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
-             else df.filter(col(s"d$i").isin(sel: _*))
-        df = df.withColumn(s"a$i", col(s"d$i"))
+      if (dimensions(i).isDegenerate) {
+        // raw keys: pushed-down filter, group key = the fact column itself.
+        // The "all" member: no filter, constant group key — never a closure.
+        require(!sel.contains(Dimension.DegenerateAllId) || sel.size == 1,
+          s"degenerate dimension '${dimensions(i).name}': the all-member " +
+            "cannot be mixed with raw keys in one grid selection")
+        if (sel == Seq(Dimension.DegenerateAllId)) {
+          df = df.withColumn(s"a$i", lit(Dimension.DegenerateAllId))
+        } else {
+          df = if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
+               else df.filter(col(s"d$i").isin(sel: _*))
+          df = df.withColumn(s"a$i", col(s"d$i"))
+        }
+        outCols += col(s"a$i")
       } else {
-        val cl = closureDf(i).filter(col("anc").isin(sel: _*))
-          .select(col("anc").as(s"a$i"), col("leaf").as(s"leaf_$i"), weightExpr.as(s"w_$i"))
-        df = df.join(broadcast(cl), col(s"d$i") === col(s"leaf_$i"))
-        if (needsWeight(i)) weightCols ::= col(s"w_$i")
+        val allLeaf = sel.forall(dimensions(i).levelOf(_) == 0)
+        if (allLeaf) {
+          df = if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
+               else df.filter(col(s"d$i").isin(sel: _*))
+          df = df.withColumn(s"a$i", col(s"d$i"))
+        } else {
+          val cl = closureDf(i).filter(col("anc").isin(sel: _*))
+            .select(col("anc").as(s"a$i"), col("leaf").as(s"leaf_$i"), weightExpr.as(s"w_$i"))
+          df = df.join(broadcast(cl), col(s"d$i") === col(s"leaf_$i"))
+          if (needsWeight(i)) weightCols ::= col(s"w_$i")
+        }
+        outCols += col(s"a$i")
       }
-      outCols += col(s"a$i")
     }
     val weighted = weightCols.foldLeft(valueExpr(col("value")))(_ * _)
     df.groupBy(outCols.toSeq: _*).agg(sum(weighted).as("value"))

@@ -22,6 +22,17 @@ final class Database(val name: String, val spark: SparkSession) {
     require(!dims.contains(dimName.toLowerCase), s"dimension '$dimName' exists")
     val d = new Dimension(dimName); dims(dimName.toLowerCase) = d; d
   }
+
+  /** Register a DEGENERATE dimension (see [[Dimension.degenerate]]): members
+    * are the fact-column values themselves — the unbounded-cardinality path
+    * past the driver-catalog boundary (ARCHITECTURE §7).
+    */
+  def addDegenerateDimension(dimName: String, prefix: String = "",
+      allName: String = "All"): Dimension = {
+    require(!dims.contains(dimName.toLowerCase), s"dimension '$dimName' exists")
+    val d = Dimension.degenerate(dimName, prefix, allName)
+    dims(dimName.toLowerCase) = d; d
+  }
   def dimension(dimName: String): Dimension = dims(dimName.toLowerCase)
   def dimensions: Seq[Dimension] = dims.values.toSeq
   def dimensionExists(dimName: String): Boolean = dims.contains(dimName.toLowerCase)

@@ -58,11 +58,31 @@ final class AttributeField(val name: String, val valueType: String) {
 object Dimension {
   /** Hard boundary for driver-side member catalogs (see ARCHITECTURE.md §7):
     * closures up to here broadcast comfortably; past it the model should use
-    * degenerate fact columns.
+    * degenerate fact columns — see [[Dimension.degenerate]].
     */
   val MaxMembers: Int = 2000000
   /** Soft boundary — warn, still works. */
   val WarnMembers: Int = 1000000
+
+  /** Sentinel member id of a degenerate dimension's implicit "all" rollup —
+    * aggregated (level 1) so writes to it are rejected, reads roll up.
+    */
+  val DegenerateAllId: Int = Int.MaxValue
+
+  /** A DEGENERATE dimension: leaf members live only as fact-column values —
+    * no driver catalog, no broadcast closure, unbounded cardinality (the
+    * customer-grain answer past [[MaxMembers]], ARCHITECTURE §7). Member
+    * names are `prefix + <fact id>` (functional mapping, parsed not looked
+    * up); the single aggregated member `allName` rolls up across every key
+    * WITHOUT a closure join — the grid/rollup paths simply skip the filter.
+    * No hierarchy, attributes, aliases or subsets: filters and group-bys
+    * only, which is exactly what a 10M+-member grain supports at scale.
+    */
+  def degenerate(name: String, prefix: String = "", allName: String = "All"): Dimension = {
+    val d = new Dimension(name)
+    d.degenerateMode = Some((prefix, allName))
+    d
+  }
 }
 
 object AttributeField {
@@ -140,9 +160,33 @@ final class Dimension(val name: String) {
   private var closure: Vector[ClosureRow] = Vector.empty
   private var allParentsMap: Map[Int, Set[Int]] = Map.empty
 
+  // ---- degenerate mode (see Dimension.degenerate) -------------------------
+
+  private[core] var degenerateMode: Option[(String, String)] = None
+  def isDegenerate: Boolean = degenerateMode.isDefined
+  private def degMember(id: Int): MemberDef = {
+    val (prefix, allName) = degenerateMode.get
+    if (id == Dimension.DegenerateAllId)
+      MemberDef(id, allName, Vector.empty, Vector.empty, Map.empty, 1, None)
+    else MemberDef(id, prefix + id, Vector.empty, Vector.empty,
+      Map(Dimension.DegenerateAllId -> 1.0), 0, None)
+  }
+  /** Parse `prefix<id>` / `allName` → id; functional, no catalog. */
+  private def degIdOf(member: String): Option[Int] = {
+    val (prefix, allName) = degenerateMode.get
+    if (member.equalsIgnoreCase(allName)) Some(Dimension.DegenerateAllId)
+    else if (member.length > prefix.length && member.startsWith(prefix))
+      member.substring(prefix.length).toIntOption.filter(id =>
+        id >= 0 && id != Dimension.DegenerateAllId)
+    else None
+  }
+
   // ---- edit lifecycle -----------------------------------------------------
 
   def edit(): Dimension = {
+    require(!isDegenerate,
+      s"dimension '$name' is degenerate — its members ARE the fact-column " +
+        "values; there is no catalog to edit")
     require(!editing, s"dimension '$name' already in edit mode")
     editBackup = Some((committed, byName.toMap, aliasMap.toMap,
       attrs.map { case (k, f) => k -> f.values.toMap }.toMap))
@@ -192,12 +236,13 @@ final class Dimension(val name: String) {
     val live = defs.count(_.name != null)
     require(live <= Dimension.MaxMembers,
       s"dimension '$name' has $live members — above the ${Dimension.MaxMembers} " +
-        "driver-catalog boundary; model this key as a degenerate fact column " +
-        "instead (see ARCHITECTURE.md §7)")
+        "driver-catalog boundary; build it as Dimension.degenerate(name, prefix) " +
+        "instead: members stay fact-column values, no catalog, no broadcast " +
+        "closure (ARCHITECTURE.md §7)")
     if (live > Dimension.WarnMembers)
       System.err.println(s"[graft] dimension '$name': $live members — driver " +
         s"catalogs + broadcast closures get expensive past ${Dimension.WarnMembers}; " +
-        "consider a degenerate fact column (ARCHITECTURE.md §7)")
+        "consider Dimension.degenerate(name, prefix) (ARCHITECTURE.md §7)")
     detectCycles()
     val levels = computeLevels()
     committed = defs.filter(_.name != null).map { m =>
@@ -308,13 +353,18 @@ final class Dimension(val name: String) {
   def members: Vector[MemberDef] = committed
   def memberCount: Int = committed.length
   def contains(member: String): Boolean =
-    byName.contains(member.toLowerCase) || aliasMap.contains(member.toLowerCase)
+    if (isDegenerate) degIdOf(member).isDefined
+    else byName.contains(member.toLowerCase) || aliasMap.contains(member.toLowerCase)
   def idOf(member: String): Int =
-    byName.getOrElse(member.toLowerCase,
+    if (isDegenerate) degIdOf(member).getOrElse(throw new NoSuchElementException(
+      s"member '$member' does not parse in degenerate dimension '$name' " +
+        s"(expected '${degenerateMode.get._1}<id>' or '${degenerateMode.get._2}')"))
+    else byName.getOrElse(member.toLowerCase,
       aliasMap.getOrElse(member.toLowerCase,
         throw new NoSuchElementException(s"unknown member '$member' in dimension '$name'")))
-  def apply(member: String): MemberDef = byId(idOf(member))
-  def memberById(id: Int): MemberDef = byId(id)
+  def apply(member: String): MemberDef = memberById(idOf(member))
+  def memberById(id: Int): MemberDef =
+    if (isDegenerate) degMember(id) else byId(id)
   def nameOf(id: Int): String = memberById(id).name
   def levelOf(id: Int): Int = memberById(id).level
 
@@ -322,8 +372,10 @@ final class Dimension(val name: String) {
   def aggregatedMembers: Vector[MemberDef] = committed.filter(_.level > 0)
   def rootMembers: Vector[MemberDef] = committed.filter(_.parents.isEmpty)
   def membersByLevel(level: Int): Vector[MemberDef] = committed.filter(_.level == level)
-  def topLevel: Int = if (committed.isEmpty) 0 else committed.map(_.level).max
-  def defaultMember: MemberDef = committed.head
+  def topLevel: Int =
+    if (isDegenerate) 1 else if (committed.isEmpty) 0 else committed.map(_.level).max
+  def defaultMember: MemberDef =
+    if (isDegenerate) degMember(Dimension.DegenerateAllId) else committed.head
 
   /** Full leaf-closure table (incl. leaf self-rows, weight 1.0). */
   def closureRows: Vector[ClosureRow] = closure

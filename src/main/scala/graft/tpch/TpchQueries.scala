@@ -281,6 +281,31 @@ object TpchQueries {
     }),
 
     // H2: undo — a write followed by history.undo() restores the prior total
+    // Degenerate dimension (ARCHITECTURE §7): customer grain as fact-column
+    // values — no driver catalog, no closure broadcast. The grid filters and
+    // groups on the raw key; AllPrio rolls up through the catalog dimension
+    "olap_degenerate_grid" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new graft.core.Database("degentpch", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq // tiny driver catalog
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val prioDf = s.createDataFrame(prios.map(p => (p, prio.idOf(p))))
+        .toDF("o_orderpriority", "d1")
+      val facts = orders
+        .join(broadcast(prioDf), Seq("o_orderpriority"))
+        .groupBy(col("o_custkey").cast("int").as("d0"), col("d1"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+      val cube = db.addCube("sales", Seq(cust, prio), facts)
+      val keys = orders.select(col("o_custkey").cast("int")).distinct()
+        .orderBy(col("o_custkey")).limit(5).collect().map(_.getInt(0)).toSeq
+      cube.gridAggregate(Seq(keys, Seq(prio.idOf("AllPrio"))))
+        .select(col("a0").cast("long").as("custkey"),
+          col("value").cast("double").as("value"))
+    }),
+
     // V7: CSV render — the grid travels THROUGH the toCsv string (header +
     // Double.toString cells, lossless round-trip) and is parsed back to a
     // typed frame the oracle can hash-match; proves the render emits exactly
@@ -581,6 +606,13 @@ object TpchQueries {
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar, $cols
           $STAR WHERE strftime(o_orderdate, '%Y') <> '1995' GROUP BY 1"""
     },
+
+    "olap_degenerate_grid" ->
+      """SELECT o_custkey AS custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+          FROM orders
+          WHERE o_custkey IN (SELECT DISTINCT o_custkey FROM orders ORDER BY 1 LIMIT 5)
+          GROUP BY 1""",
 
     "olap_view_csv" ->
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar,

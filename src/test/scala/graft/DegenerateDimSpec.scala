@@ -1,0 +1,102 @@
+package graft
+
+import graft.core.{Database, Dimension}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate dimensions (ARCHITECTURE §7): member ids live only as fact-
+  * column values — no driver catalog, no broadcast closure — so a 10M-member
+  * customer grain builds and queries far past the Dimension.MaxMembers
+  * boundary that refuses catalog dimensions.
+  */
+class DegenerateDimSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** 200k fact rows whose customer keys spread over [0, 10M) in steps of 50 —
+    * a 10M-member key space no catalog could hold on the driver.
+    */
+  private lazy val model: (Database, graft.core.Cube) = {
+    val db = new Database("degendb", spark)
+    val cust = db.addDegenerateDimension("customer", "C#")
+    val reg = db.addDimension("region")
+    reg.edit().add("Total", Seq("North", "South")).commit()
+    val n = 200000
+    val rows = (0 until n).map { i =>
+      Row(i * 50, reg.idOf(if (i % 2 == 0) "North" else "South"), (i % 100).toDouble)
+    }
+    val schema = StructType(Seq(StructField("d0", IntegerType),
+      StructField("d1", IntegerType), StructField("value", DoubleType)))
+    val facts = spark.createDataFrame(spark.sparkContext.parallelize(rows, 8), schema)
+    val cube = db.addCube("sales", Seq(cust, reg), facts)
+    (db, cube)
+  }
+
+  test("functional member mapping: parse ids anywhere in the 10M space") {
+    val cust = model._1.dimension("customer")
+    assert(cust.isDegenerate)
+    assert(cust.idOf("C#9999950") == 9999950)
+    assert(cust.nameOf(9999950) == "C#9999950")
+    assert(cust.idOf("All") == Dimension.DegenerateAllId)
+    assert(cust.levelOf(9999950) == 0 && cust.levelOf(Dimension.DegenerateAllId) == 1)
+    assert(cust.contains("C#0") && !cust.contains("D#5") && !cust.contains("C#x"))
+    assert(cust.defaultMember.name == "All")
+  }
+
+  test("no catalog to edit — and the cap guard names the degenerate API") {
+    val cust = model._1.dimension("customer")
+    val e = intercept[IllegalArgumentException](cust.edit())
+    assert(e.getMessage.contains("degenerate"))
+  }
+
+  test("point read / write at raw keys; aggregated write to All rejected") {
+    val cube = model._2
+    // row i=124 (even → North): key 6200, value 24
+    assert(cube.get(Seq("C#6200", "North")).contains(24.0))
+    assert(cube.get(Seq("C#37", "North")).isEmpty) // off-grid key: no cell
+    val e = intercept[IllegalArgumentException](cube.set(Seq("All", "North"), 1.0))
+    assert(e.getMessage.contains("aggregated"))
+    cube.set(Seq("C#6200", "North"), 1000.0)
+    assert(cube.get(Seq("C#6200", "North")).contains(1000.0))
+    assert(cube.get(Seq("C#6200", "Total")).contains(1000.0))
+    cube.set(Seq("C#6200", "North"), 24.0) // restore for later tests
+  }
+
+  test("the All member rolls up the whole key space without any closure") {
+    val cube = model._2
+    val expected = (0 until 200000).map(i => (i % 100).toDouble).sum
+    assert(cube.get(Seq("All", "Total")).contains(expected))
+    // unmentioned degenerate dimension defaults to All in grids
+    val g = cube.gridAggregate(Seq(
+      Seq(Dimension.DegenerateAllId),
+      Seq(model._1.dimension("region").idOf("North"))))
+    val v = g.select(col("value").cast("double")).collect().map(_.getDouble(0))
+    val expN = (0 until 200000 by 2).map(i => (i % 100).toDouble).sum
+    assert(v.toSeq == Seq(expN))
+  }
+
+  test("grids group by raw keys via pushed-down filters (no join)") {
+    val cube = model._2
+    val reg = model._1.dimension("region")
+    val keys = Seq(0, 50, 100, 9999950)
+    val g = cube.gridAggregate(Seq(keys, Seq(reg.idOf("Total"))))
+    val got = g.select(col("a0"), col("value").cast("double")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // keys i*50 for i=0,1,2 and i=199999 → values i%100
+    assert(got == Map(0 -> 0.0, 50 -> 1.0, 100 -> 2.0, 9999950 -> 99.0))
+    // the plan must contain no join for the degenerate dimension: only the
+    // region closure join survives (one BroadcastHashJoin / BroadcastNLJ max)
+    val plan = g.queryExecution.executedPlan.toString
+    val nJoins = "(?i)join".r.findAllIn(plan).length
+    assert(nJoins <= 4, s"unexpected join fan in degenerate grid plan:\n$plan")
+  }
+
+  test("mixing All with raw keys in one selection is rejected loudly") {
+    val cube = model._2
+    val e = intercept[IllegalArgumentException](cube.gridAggregate(Seq(
+      Seq(Dimension.DegenerateAllId, 50),
+      Seq(model._1.dimension("region").idOf("Total")))))
+    assert(e.getMessage.contains("all-member"))
+  }
+}
