@@ -202,7 +202,10 @@ object TextDedup {
       maxIters: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(iCol).cast("long").as("a"), col(jCol).cast("long").as("b"))
-    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).persist(lvl)
+    // partitioned ONCE by the per-round join key: every edge round reuses
+    // this partitioning, so only the (small) label table shuffles per round
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b")).persist(lvl)
     var labels = sym.groupBy(col("a").as("id"))
       .agg(min(least(col("a"), col("b"))).as("label")).localCheckpoint(true)
     // coalesce: SUM over an empty frame is null — an empty pair list (zero
@@ -216,11 +219,37 @@ object TextDedup {
     while (!converged && it < maxIters) {
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
+      var next = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint(true) // eager: materializes AND truncates lineage
-      val nextSum = labelSum(next)
+      // Pointer jumping: label(x) := min(label(x), label(label(x))) — joins
+      // the LABEL table with itself (labels are always node ids, so every
+      // label has a row), never the ×|E| edge frame. Chains collapse
+      // exponentially, so expensive edge rounds drop from O(diameter) to
+      // O(log diameter); on shallow near-dup cliques the first jump is a
+      // no-op and costs one cheap small-frame round-trip.
+      var jumpSum = labelSum(next)
+      var jumping = true
+      while (jumping) {
+        val jumped = next.join(
+          next.select(col("id").as("__lid"), col("label").as("__ll")),
+          col("label") === col("__lid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        val s = labelSum(jumped)
+        next.unpersist()
+        next = jumped
+        jumping = s.compareTo(jumpSum) != 0
+        jumpSum = s
+      }
+      // NOTE: do NOT prune "same-label" edges here — an edge whose endpoints
+      // currently agree can be the very bridge one endpoint's label came
+      // through (equality ≠ redundancy); dropping it cuts that endpoint off
+      // from future smaller labels. The union-find property spec catches
+      // this class of bug on random graphs.
+      val nextSum = jumpSum
       labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

@@ -54,6 +54,16 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L)) // one component, labelled by its min
   }
 
+  test("pointer jumping converges a 64-path in O(log diameter) edge rounds") {
+    // plain 1-hop min propagation would need ~64 rounds; with the in-round
+    // pointer-jump compression ~log2(64)+2 edge rounds suffice — a budget of
+    // 10 only passes with the acceleration in place
+    val pairs = (0L until 64L).map(i => (i, i + 1))
+    val got = run(pairs, maxIters = 10)
+    assert(got == unionFindOracle(pairs))
+    assert(got.values.toSet == Set(0L))
+  }
+
   test("maxIters caps the rounds (deep path with tiny budget still returns)") {
     val pairs = (0L until 16L).map(i => (i, i + 1))
     val got = run(pairs, maxIters = 2) // not converged — but total and sane
