@@ -84,31 +84,66 @@ object TextDedup {
     Lifecycle.materializeAndRelease(result, t)
   }
 
+  /** One row per (doc, shingle): `shingle = 1` is the word relation;
+    * `shingle = n` emits n-word shingles (w_i … w_{i+n-1} joined by a
+    * non-text separator), which make MinHash order-sensitive — reordered
+    * documents stop colliding, the classic shingling upgrade. The shingle
+    * array is built with `transform`+`slice` over the split (scan-shaped,
+    * no join); hashing happens downstream so the shingle text never
+    * shuffles.
+    */
+  private def shingleRel(df: DataFrame, idCol: String, textCol: String,
+      shingle: Int): DataFrame =
+    if (shingle <= 1)
+      df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    else {
+      val words = split(col(textCol), " ")
+      df.select(col(idCol), explode(transform(
+        sequence(lit(1), greatest(size(words) - (shingle - 1), lit(1))),
+        i => array_join(slice(words, i, lit(shingle)), ""))).as("w"))
+    }
+
   /** MinHash signatures as ONE array column via the [[graft.functions.MinHashSketch]]
-    * aggregate: one row per (doc, word) into a single ObjectHashAggregate
+    * aggregate: one row per (doc, shingle) into a single ObjectHashAggregate
     * whose buffer holds the k running mins — no ×k row amplification, and
     * map-side partial aggregation means the shuffle carries one k·8-byte
     * sketch per (doc, partition). MinHash is multiset-insensitive, so the
-    * distinct-words shuffle is skipped too.
+    * distinct-shingles shuffle is skipped too.
     *
     * Deliberately NOT k separate `min(...)` aggregate columns: that shape
     * generates O(k)-sized codegen that janino recompiles inside every
     * enclosing plan (measured 10× slowdown).
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int,
+      shingle: Int = 1): DataFrame =
+    shingleRel(df, idCol, textCol, shingle)
       .groupBy(col(idCol))
       .agg(graft.functions.MinHashSketch(xxhash64(col("w")), k).as("sig"))
 
+  /** Sorted distinct shingle-hash array per document (the exact-verify side
+    * of [[minhashLshPairs]]); `shingle = 1` hashes words, `shingle = n`
+    * hashes n-word shingles — long compares downstream, never strings.
+    */
+  private def shingleHashArr(textCol: Column, shingle: Int): Column = {
+    val words = split(textCol, " ")
+    if (shingle <= 1) array_sort(array_distinct(transform(words, w => xxhash64(w))))
+    else array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - (shingle - 1), lit(1))),
+      i => xxhash64(array_join(slice(words, i, lit(shingle)), "")))))
+  }
+
   /** MinHash-LSH near-dup pairs: band the k-wide signature into `bands`
     * groups of k/bands rows, hash each band, bucket-join candidates on
-    * (band, bandHash), then EXACT-verify candidates with word-set Jaccard.
-    * Candidate generation cost is bucket-local — never all-pairs.
+    * (band, bandHash), then EXACT-verify candidates with shingle-set
+    * Jaccard. Candidate generation cost is bucket-local — never all-pairs.
+    * `shingle > 1` switches from word-set to n-word-shingle similarity
+    * (order-sensitive: reordered documents stop colliding).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 64, bands: Int = 16, threshold: Double = 0.9): DataFrame = {
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.9,
+      shingle: Int = 1): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, k)
+    val sig = minhashSignatures(df, idCol, textCol, k, shingle)
     // persisted: consumed by BOTH sides of the bucket self-join — without
     // this the whole signature pipeline is computed twice
     val banded = sig.select(col(idCol), posexplode(array((0 until bands).map(bi =>
@@ -124,8 +159,7 @@ object TextDedup {
     // compares); joined on the candidate ids twice — persisted (AQE
     // broadcasts when small; corpus-wide broadcast would not survive a real
     // corpus, so no hint here)
-    val words = df.select(col(idCol),
-      array_sort(array_distinct(transform(split(col(textCol), " "), w => xxhash64(w)))).as("ws"))
+    val words = df.select(col(idCol), shingleHashArr(col(textCol), shingle).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val result = cand
       .join(words.select(col(idCol).as("i"), col("ws").as("wi")), Seq("i"))

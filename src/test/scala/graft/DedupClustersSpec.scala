@@ -91,6 +91,27 @@ class DedupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("shingled MinHash is order-sensitive where word-set MinHash is not") {
+    // doc 2 is doc 1 reversed: identical word SET (1-gram Jaccard 1.0) but
+    // almost no shared 2-word shingles; doc 3 is a true near-copy of doc 1
+    val text1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val text3 = (1 to 30).map(i => if (i == 30) "changed" else s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, text1),
+      (2L, text1.split(" ").reverse.mkString(" ")),
+      (3L, text3)).toDF("doc_id", "text")
+    def pairsOf(shingle: Int, thr: Double) =
+      TextDedup.minhashLshPairs(docs, "doc_id", "text", 64, 16, thr, shingle)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+    // word-set view: 1↔2 are duplicates (and 1↔3, 2↔3 near-dups at 29/31)
+    assert(pairsOf(1, 0.9).contains((1L, 2L)))
+    // 2-shingle view: the reversal no longer collides; the true near-copy
+    // (shares 28/31 shingles ≈ 0.90... wait, 29 shingles each, 28 shared)
+    val sh = pairsOf(2, 0.8)
+    assert(!sh.contains((1L, 2L)), s"reversed doc still paired under shingles: $sh")
+    assert(sh.contains((1L, 3L)), s"true near-copy lost under shingles: $sh")
+  }
+
   test("purgeNearDups keeps one representative per duplicate set and all singletons") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
