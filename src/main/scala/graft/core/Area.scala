@@ -37,9 +37,18 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
   def records: DataFrame = {
     var df = rows
     cube.dimCols.indices.foreach { i =>
-      val names = cube.memberNamesDf(i)
-        .select(col("id").as(s"__id$i"), col("mname").as(cube.dimensions(i).name))
-      df = df.join(broadcast(names), col(s"d$i") === col(s"__id$i"))
+      val d = cube.dimensions(i)
+      if (d.isDegenerate) {
+        // names are functional (prefix + id): computed in place — a catalog
+        // join would be an inner join against an EMPTY frame and silently
+        // drop every record
+        df = df.withColumn(d.name,
+          concat(lit(d.degeneratePrefix.get), col(s"d$i").cast("string")))
+      } else {
+        val names = cube.memberNamesDf(i)
+          .select(col("id").as(s"__id$i"), col("mname").as(d.name))
+        df = df.join(broadcast(names), col(s"d$i") === col(s"__id$i"))
+      }
     }
     df.select(cube.dimensions.map(d => col(d.name)) :+ col("value"): _*)
   }
@@ -117,6 +126,9 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
     val spark = cube.spark
     var grid: DataFrame = null
     cube.dimCols.indices.foreach { i =>
+      require(!(cube.dimensions(i).isDegenerate && !leafPattern.contains(i)),
+        s"dimension '${cube.dimensions(i).name}' is degenerate — enumeration " +
+          "needs explicit raw keys in the area pattern (its key space has no catalog)")
       val ids = leafPattern.getOrElse(i, cube.dimensions(i).leafMembers.map(_.id))
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(ids.map(Row(_)).toList, 1),

@@ -391,7 +391,15 @@ final class Cube(
   /** Leaf-level ids under the given members (no weights — membership only). */
   def leafIdsOf(dimIdx: Int, memberIds: Seq[Int]): Seq[Int] = {
     val d = dimensions(dimIdx)
-    memberIds.flatMap { id =>
+    if (d.isDegenerate) {
+      // raw keys are their own leaves; the All member's key space is the
+      // fact column itself and CANNOT be enumerated driver-side — silent
+      // empty here would make areas quietly see zero cells
+      require(!memberIds.contains(Dimension.DegenerateAllId),
+        s"dimension '${d.name}' is degenerate — 'All' cannot be enumerated; " +
+          "list raw keys explicitly (areas/enumeration need concrete members)")
+      memberIds.distinct
+    } else memberIds.flatMap { id =>
       if (d.levelOf(id) == 0) Seq(id) else d.closureRows.collect { case r if r.anc == id => r.leaf }
     }.distinct
   }
@@ -428,10 +436,14 @@ final class Cube(
     * dimension edit that removed members).
     */
   def purgeUnknownMembers(): Unit = {
-    val pred = dimCols.zipWithIndex.map { case (c, i) =>
-      col(c).isin(dimensions(i).leafMembers.map(_.id): _*)
-    }.reduce(_ && _)
-    replaceFacts(facts.filter(pred))
+    // degenerate dimensions have no catalog to be "unknown" against — every
+    // fact value IS a member; an empty isin() here would silently drop ALL
+    // rows, so those dimensions contribute no predicate
+    val preds = dimCols.zipWithIndex.collect {
+      case (c, i) if !dimensions(i).isDegenerate =>
+        col(c).isin(dimensions(i).leafMembers.map(_.id): _*)
+    }
+    if (preds.nonEmpty) replaceFacts(facts.filter(preds.reduce(_ && _)))
     refreshClosures()
   }
 

@@ -93,16 +93,20 @@ final class Database(val name: String, val spark: SparkSession) {
     cubeMap.values.foreach { c =>
       c.facts.createOrReplaceTempView(s"${c.name}_facts")
       c.dimensions.zipWithIndex.foreach { case (d, i) =>
-        val rows = d.members.map(m =>
-          org.apache.spark.sql.Row(m.id, m.name, m.level, m.format.orNull))
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("level", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("format", org.apache.spark.sql.types.StringType)))
-        spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
-          .createOrReplaceTempView(s"${d.name}_members")
-        c.closureDf(i).createOrReplaceTempView(s"${d.name}_closure")
+        // degenerate dimensions have neither a member catalog nor a closure
+        // (their members are the fact column itself) — nothing to register
+        if (!d.isDegenerate) {
+          val rows = d.members.map(m =>
+            org.apache.spark.sql.Row(m.id, m.name, m.level, m.format.orNull))
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("level", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("format", org.apache.spark.sql.types.StringType)))
+          spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
+            .createOrReplaceTempView(s"${d.name}_members")
+          c.closureDf(i).createOrReplaceTempView(s"${d.name}_closure")
+        }
       }
     }
   }
@@ -138,6 +142,8 @@ final class Database(val name: String, val spark: SparkSession) {
 
   private def dimToJson(d: Dimension): JValue =
     ("name" -> d.name) ~
+    ("degenerate" -> d.degenerateMode.map { case (prefix, allName) =>
+      ("prefix" -> prefix) ~ ("all" -> allName): JValue }) ~
     ("members" -> d.members.map(m =>
       ("id" -> m.id) ~ ("name" -> m.name) ~
       ("parents" -> m.parents.toList) ~
@@ -163,6 +169,16 @@ object Database {
     val meta = JsonMethods.parse(Files.readString(Paths.get(s"$dir/meta.json")))
     val db = new Database((meta \ "name").extract[String], spark)
     (meta \ "dimensions").extract[List[JValue]].foreach { dj =>
+      val degenerate = dj \ "degenerate" match {
+        case JNothing | JNull => None
+        case dg => Some(((dg \ "prefix").extract[String], (dg \ "all").extract[String]))
+      }
+      degenerate match {
+        case Some((prefix, allName)) =>
+          // degenerate dimensions round-trip as their (prefix, all) contract —
+          // there are no members/attributes to restore
+          db.addDegenerateDimension((dj \ "name").extract[String], prefix, allName)
+        case None =>
       val d = db.addDimension((dj \ "name").extract[String])
       d.edit()
       val members = (dj \ "members").extract[List[JValue]]
@@ -184,6 +200,7 @@ object Database {
       (dj \ "attributes").extract[List[JValue]].foreach { aj =>
         val f = d.addAttribute((aj \ "name").extract[String], (aj \ "type").extract[String])
         (aj \ "values").extract[Map[String, String]].foreach { case (id, v) => f.set(id.toInt, v) }
+      }
       }
     }
     (meta \ "cubes").extract[List[JValue]].foreach { cj =>

@@ -164,6 +164,8 @@ final class Dimension(val name: String) {
 
   private[core] var degenerateMode: Option[(String, String)] = None
   def isDegenerate: Boolean = degenerateMode.isDefined
+  /** The functional-name prefix of a degenerate dimension (None otherwise). */
+  def degeneratePrefix: Option[String] = degenerateMode.map(_._1)
   private def degMember(id: Int): MemberDef = {
     val (prefix, allName) = degenerateMode.get
     if (id == Dimension.DegenerateAllId)
@@ -171,14 +173,20 @@ final class Dimension(val name: String) {
     else MemberDef(id, prefix + id, Vector.empty, Vector.empty,
       Map(Dimension.DegenerateAllId -> 1.0), 0, None)
   }
-  /** Parse `prefix<id>` / `allName` → id; functional, no catalog. */
+  /** Parse `prefix<id>` / `allName` → id; functional, no catalog. The
+    * prefix matches case-insensitively (catalog dimensions resolve names
+    * case-insensitively — same contract) but the numeral must be CANONICAL:
+    * "C#007" / "C#+7" do not alias "C#7", one spelling per member.
+    */
   private def degIdOf(member: String): Option[Int] = {
     val (prefix, allName) = degenerateMode.get
     if (member.equalsIgnoreCase(allName)) Some(Dimension.DegenerateAllId)
-    else if (member.length > prefix.length && member.startsWith(prefix))
-      member.substring(prefix.length).toIntOption.filter(id =>
-        id >= 0 && id != Dimension.DegenerateAllId)
-    else None
+    else if (member.length > prefix.length &&
+        member.regionMatches(true, 0, prefix, 0, prefix.length)) {
+      val digits = member.substring(prefix.length)
+      digits.toIntOption.filter(id =>
+        id >= 0 && id != Dimension.DegenerateAllId && digits == id.toString)
+    } else None
   }
 
   // ---- edit lifecycle -----------------------------------------------------

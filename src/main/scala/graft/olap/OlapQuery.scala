@@ -162,9 +162,21 @@ final class OlapQuery(db: Database, sql: String) {
       val wantDim = wantAll || fields.exists(_.equalsIgnoreCase(d.name))
       val attrFields = fields.filter(f => f.toLowerCase.startsWith(d.name.toLowerCase + "."))
       if (wantDim || attrFields.nonEmpty) {
-        val names = cube.memberNamesDf(i)
-          .select(col("id").as(s"__id$i"), col("mname").as(d.name))
-        df = df.join(broadcast(names), col(s"a$i") === col(s"__id$i")).drop(s"__id$i")
+        require(!(d.isDegenerate && attrFields.nonEmpty),
+          s"dimension '${d.name}' is degenerate — it has no attributes")
+        if (d.isDegenerate) {
+          // functional name: computed, never joined (the catalog is empty —
+          // an inner name join would silently drop every row)
+          df = df.withColumn(d.name,
+            when(col(s"a$i") === graft.core.Dimension.DegenerateAllId,
+              lit(d.defaultMember.name))
+              .otherwise(concat(lit(d.degeneratePrefix.get),
+                col(s"a$i").cast("string"))))
+        } else {
+          val names = cube.memberNamesDf(i)
+            .select(col("id").as(s"__id$i"), col("mname").as(d.name))
+          df = df.join(broadcast(names), col(s"a$i") === col(s"__id$i")).drop(s"__id$i")
+        }
         if (wantDim) projected += col(d.name)
         attrFields.foreach { f =>
           val attrName = f.substring(d.name.length + 1)

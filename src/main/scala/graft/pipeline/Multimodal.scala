@@ -69,15 +69,19 @@ object Multimodal {
         !(b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte) ||
         !(b(8) == 'W'.toByte && b(9) == 'A'.toByte && b(10) == 'V'.toByte && b(11) == 'E'.toByte))
       return None
-    var off = 12
+    // chunk walk in LONG arithmetic: declared sizes are untrusted bytes — a
+    // corrupt/adversarial size must neither spin the loop (advance ≤ 0) nor
+    // overflow the offset (OOB read); malformed input falls back to the stub
+    var off = 12L
     var rate = 0; var ch = 0; var bits = 0; var dataLen = -1L
     while (off + 8 <= b.length) {
-      val id = new String(b, off, 4, "US-ASCII")
-      val sz = le32(b, off + 4).toLong & 0xFFFFFFFFL
+      val o = off.toInt
+      val id = new String(b, o, 4, "US-ASCII")
+      val sz = le32(b, o + 4).toLong & 0xFFFFFFFFL
       if (id == "fmt " && off + 24 <= b.length) {
-        ch = le16(b, off + 10); rate = le32(b, off + 12); bits = le16(b, off + 22)
+        ch = le16(b, o + 10); rate = le32(b, o + 12); bits = le16(b, o + 22)
       } else if (id == "data") dataLen = sz
-      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      off += 8L + sz + (sz & 1L) // chunks are word-aligned; strictly advances
     }
     if (rate > 0 && rate <= 1000000 && ch > 0 && ch <= 16 &&
         Set(8, 16, 24, 32).contains(bits) && dataLen >= 0) {

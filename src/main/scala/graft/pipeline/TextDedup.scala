@@ -227,10 +227,16 @@ object TextDedup {
     * clusters of themselves by definition.
     *
     * The iterative driver loop coordinates plain DataFrame jobs (the
-    * standard Spark shape for graph fixpoints); each round's labels are
-    * `localCheckpoint`ed — persist alone keeps the full lineage, whose
-    * nested-join plan grows EXPONENTIALLY with rounds (a deep chain OOMs
-    * the driver just printing the plan) — so lineage stays O(1) per round.
+    * standard Spark shape for graph fixpoints). Every per-round label frame
+    * is eagerly `localCheckpoint`ed: lineage MUST be cut at every
+    * materialization — the pointer-jump self-join doubles the analyzed plan
+    * per round, so deferring the cut (persist+count, lineage intact) blows
+    * Catalyst analysis up exponentially (measured 3.8× slower end-to-end at
+    * sf0.1 with a 6-round cut cadence). Checkpoint blocks are freed by the
+    * ContextCleaner once the superseded frame is dropped; rounds are
+    * bounded by `maxIters` and label frames are one row per paired doc, so
+    * peak storage is a few times the label table — acceptable, and the
+    * deterministic-unpersist alternative is the thing that was 3.8× slower.
     */
   def dedupClusters(pairs: DataFrame, iCol: String = "i", jCol: String = "j",
       maxIters: Int = 25): DataFrame = {
@@ -253,38 +259,34 @@ object TextDedup {
     while (!converged && it < maxIters) {
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid")).agg(min(col("label")).as("nbr"))
-      var next = labels.join(nbrMin, col("id") === col("nid"), "left")
+      val prop = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint(true) // eager: materializes AND truncates lineage
-      // Pointer jumping: label(x) := min(label(x), label(label(x))) — joins
-      // the LABEL table with itself (labels are always node ids, so every
-      // label has a row), never the ×|E| edge frame. Chains collapse
-      // exponentially, so expensive edge rounds drop from O(diameter) to
-      // O(log diameter); on shallow near-dup cliques the first jump is a
-      // no-op and costs one cheap small-frame round-trip.
-      var jumpSum = labelSum(next)
-      var jumping = true
-      while (jumping) {
-        val jumped = next.join(
-          next.select(col("id").as("__lid"), col("label").as("__ll")),
-          col("label") === col("__lid"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
-          .localCheckpoint(true)
-        val s = labelSum(jumped)
-        next.unpersist()
-        next = jumped
-        jumping = s.compareTo(jumpSum) != 0
-        jumpSum = s
-      }
+      // ONE pointer jump per round: label(x) := min(label(x), label(label(x)))
+      // — joins the LABEL table with itself (labels are always node ids, so
+      // every label has a row), never the ×|E| edge frame. Hook+jump per
+      // round collapses chains in O(log diameter) expensive edge rounds; an
+      // inner jump-to-fixpoint loop is NOT worth it (each extra jump is a
+      // full materialize + action, and near-dup components are shallow
+      // cliques where the first jump is already a no-op).
+      val next = prop.join(
+        prop.select(col("id").as("__lid"), col("label").as("__ll")),
+        col("label") === col("__lid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
       // NOTE: do NOT prune "same-label" edges here — an edge whose endpoints
       // currently agree can be the very bridge one endpoint's label came
       // through (equality ≠ redundancy); dropping it cuts that endpoint off
       // from future smaller labels. The union-find property spec catches
       // this class of bug on random graphs.
-      val nextSum = jumpSum
-      labels.unpersist()
+      //
+      // Convergence: both steps only ever DECREASE labels elementwise, so an
+      // unchanged total sum across the round means the edge step AND the
+      // jump were both no-ops — a true fixpoint, where every sym edge has
+      // equal-labelled endpoints (both directions present ⇒ ≤ both ways).
+      val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

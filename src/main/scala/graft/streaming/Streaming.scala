@@ -25,10 +25,14 @@ object Streaming {
     */
   def ingestInto(cube: Cube, stream: DataFrame,
       trigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Int = 10): StreamingQuery =
-    stream.writeStream
+      compactEvery: Int = 10,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
+    // without an explicit location Spark creates an orphan temp checkpoint
+    // dir per run — callers that manage a work dir should pass one
+    checkpointDir.foldLeft(writer)((w, d) => w.option("checkpointLocation", d))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cols = cube.dimCols
         val deduped = batch.groupBy(cols.map(col): _*)
@@ -41,6 +45,7 @@ object Streaming {
         else cube.replaceFacts(merged)
       }
       .start()
+  }
 
   /** Event-time tumbling/sliding window aggregation with a watermark —
     * works identically on batch and streaming frames.

@@ -50,14 +50,25 @@ object StreamingQueries {
 
       // spread the cells over ~25 files; the file stream feeds them back one
       // file per micro-batch (order-independent: cell keys are unique)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_ingest")
+      val tmp = tmpRoot.resolve("files").toString
       cells.withColumn("part", pmod(hash(col("d0"), col("d1")), lit(25)))
         .repartition(25, col("part")).drop("part")
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(cells.schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)
-      val q = Streaming.ingestInto(cube, stream, Trigger.AvailableNow(), compactEvery = 10)
+      // explicit checkpoint under the same root — without it Spark creates
+      // an orphan temp checkpoint dir per run; everything is deleted below
+      val q = Streaming.ingestInto(cube, stream, Trigger.AvailableNow(), compactEvery = 10,
+        checkpointDir = Some(tmpRoot.resolve("ckpt").toString))
       q.awaitTermination()
+      // post-stream compaction: batches after the last compactEvery boundary
+      // still reference the source parquet in their lineage — checkpoint the
+      // final fact frame BEFORE deleting the work dir
+      cube.replaceFacts(cube.facts.localCheckpoint(true))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
 
       // rollup through the cube's closure-join aggregation: per-type totals
       // across the AllUsers parent — equals the batch slice's decimal sums
