@@ -93,9 +93,14 @@ object Bench {
       dt
     }
 
-    // JIT/codegen warmup on the smallest SF (untimed)
-    try SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => }
+    // JIT/codegen warmup on the smallest SF (untimed): one query plus the
+    // model build itself, so `model_build` measures the build's steady-state
+    // cost (scan+join+agg work), not one-time janino/plan compilation —
+    // same hygiene as the untimed warmup query, ~3 s of codegen at sf0.1.
+    try {
+      SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001").count()
+      graft.tpch.TpchModel.get(spark, "/root/testdata/sf0.001")
+    } catch { case _: Throwable => }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("model_build") = time { graft.tpch.TpchModel.get(spark, sfDir) }

@@ -1,0 +1,23 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object WarmBuild {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm up exactly like Bench: smallest-SF query first
+    graft.SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001").count()
+    graft.tpch.TpchModel.get(spark, "/root/testdata/sf0.001")
+    val t0 = System.nanoTime()
+    graft.tpch.TpchModel.get(spark, "/root/testdata/sf0.1")
+    println(f"WARMBUILD sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    spark.stop()
+  }
+}
