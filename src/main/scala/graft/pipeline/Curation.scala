@@ -34,6 +34,40 @@ object Curation {
     df.filter(substring(md5(concat(idCol.cast("string"), lit(":" + salt))), 1, 4) < thrCol)
   }
 
+  /** Deterministic stratified RESAMPLING — [[sampleStratified]] extended to
+    * rates above 1.0 for domain upsampling (training-mix epochs per source):
+    * every row yields `floor(rate)` whole copies plus one more iff the same
+    * md5-threshold draw as [[sampleStratified]] selects it for the
+    * fractional remainder. Output carries a `copy` index (0-based) so
+    * repeated rows stay distinguishable downstream (shufflable, groupable).
+    *
+    * Same determinism contract: no RNG state, no shuffle — a pure
+    * scan-shaped explode whose output is identical at any partitioning, so
+    * a 100 TB mix is reproducible and resumable. `rates` ≤ 1.0 reproduce
+    * [[sampleStratified]] exactly (with `copy = 0`).
+    */
+  def resampleStratified(df: DataFrame, idCol: Column, stratumCol: Column,
+      rates: Map[String, Double], defaultRate: Double, salt: String): DataFrame = {
+    def fracThr(r: Double): String = {
+      val frac = r - math.floor(r)
+      f"${math.max(0.0, math.floor(frac * 65536)).toInt}%04x"
+    }
+    val wholeCol = rates.foldLeft(lit(math.floor(defaultRate).toInt)) {
+      case (acc, (k, r)) => when(stratumCol === k, lit(math.floor(r).toInt)).otherwise(acc)
+    }
+    val thrCol = rates.foldLeft(lit(fracThr(defaultRate))) { case (acc, (k, r)) =>
+      when(stratumCol === k, lit(fracThr(r))).otherwise(acc)
+    }
+    val extra = when(
+      substring(md5(concat(idCol.cast("string"), lit(":" + salt))), 1, 4) < thrCol, 1)
+      .otherwise(0)
+    val n = wholeCol + extra
+    // guard: sequence(0, -1) would generate a DESCENDING [0, -1] — empty
+    // array (dropped by explode) is the correct zero-copy case
+    df.withColumn("copy", explode(when(n > 0, sequence(lit(0), n - 1))
+      .otherwise(array().cast("array<int>"))))
+  }
+
   /** Per-stratum quality selection: the k best rows of each stratum by
     * `scoreCol`, ties broken by id for determinism. One shuffle on the
     * stratum key; with a bounded stratum count and k, AQE handles skew and

@@ -77,4 +77,15 @@ object TextAnalysis {
     */
   def canonicalFingerprint(textCol: Column): Column =
     md5(array_join(array_sort(array_distinct(words(textCol))), " "))
+
+  /** PII scrub: redact e-mail addresses and phone-shaped digit runs with
+    * typed placeholders. Pure codegen'd `regexp_replace` (replaces ALL
+    * matches), scan-shaped at any scale; the patterns deliberately stay in
+    * the regex subset whose semantics agree across engines so the oracle
+    * can replicate them verbatim.
+    */
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PHONE_RE = "[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+  def scrubPii(textCol: Column): Column =
+    regexp_replace(regexp_replace(textCol, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
 }

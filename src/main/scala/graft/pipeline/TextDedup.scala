@@ -316,4 +316,34 @@ object TextDedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Eval-set decontamination — drop every corpus document that shares at
+    * least `minHits` distinct n-word shingles with ANY document of the
+    * (small) benchmark/eval set, the standard guard against test-set
+    * leakage into training data.
+    *
+    * Shape at 100 TB: the eval shingle set is tiny (benchmarks are KBs to
+    * MBs) — distinct'd once and hash-joined against the corpus shingle
+    * stream (AQE broadcasts it), then a per-doc distinct-hit count and a
+    * left-anti join. The corpus side is scan-shaped: no self-join, no
+    * all-pairs anywhere. Shingles join as raw strings so the operator is
+    * exactly reproducible in the SQL oracle; swap in `xxhash64(w)` on both
+    * join sides if shingle text ever dominates the shuffle.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalTextCol: String,
+      shingle: Int = 3, minHits: Int = 1): DataFrame = {
+    require(shingle >= 1 && minHits >= 1, "shingle and minHits must be >= 1")
+    val evalShingles = shingleRel(
+      evalDf.select(lit(0).as("__eid"), col(evalTextCol).as("__etext")),
+      "__eid", "__etext", shingle)
+      .select(col("w")).distinct()
+    val contaminated = shingleRel(corpus, idCol, textCol, shingle)
+      .join(evalShingles, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("w")).as("__hits"))
+      .filter(col("__hits") >= minHits)
+      .select(col(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

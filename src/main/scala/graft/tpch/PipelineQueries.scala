@@ -249,6 +249,36 @@ object PipelineQueries {
         docs(s, dir).withColumn("quality", quality).select("doc_id", "source", "quality"),
         col("doc_id"), col("source"), col("quality"), 5)
     }),
+
+    // stratified RESAMPLING with upsampling: en×2.5, fr×1.25 (whole copies
+    // + deterministic fractional draw), es×0.25 downsample, zh×0 drop —
+    // scan-shaped explode, `copy` index keeps repeats distinguishable
+    "pipe_resample" -> ((s, dir) => {
+      Curation.resampleStratified(docs(s, dir), col("doc_id"), col("lang"),
+        Map("en" -> 2.5, "de" -> 1.0, "fr" -> 1.25, "es" -> 0.25, "zh" -> 0.0),
+        0.125, "s42")
+        .select(col("doc_id"), col("lang"), col("source"), col("copy").cast("long").as("copy"))
+    }),
+
+    // eval-set decontamination: docs sharing >= 2 distinct 3-word shingles
+    // with the benchmark slice (doc_id % 97 == 0) are purged — the eval
+    // shingle set broadcasts, the corpus side stays scan-shaped
+    "pipe_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextDedup.decontaminate(d, "doc_id", "text",
+        d.filter(col("doc_id") % 97 === 0), "text", shingle = 3, minHits = 2)
+        .select("doc_id", "lang", "source")
+    }),
+
+    // PII scrub over a derived text with known plants (the synthetic corpus
+    // has no organic PII, so both sides inject a deterministic e-mail +
+    // phone per doc, then redact them)
+    "pipe_scrub_pii" -> ((s, dir) => {
+      val planted = concat(lit("contact user"), col("doc_id"), lit("@example.com or 555-012-3456 "),
+        col("text"))
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.scrubPii(planted).as("scrubbed"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -358,5 +388,42 @@ object PipelineQueries {
             SELECT doc_id, source, quality,
               ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
             FROM q) WHERE rank <= 5""",
+
+    // whole copies = floor(rate); one extra iff the same md5 draw as
+    // pipe_sample_stratified selects the fractional remainder; range(n) is
+    // end-exclusive so n = 0 emits nothing (zh dropped entirely)
+    "pipe_resample" ->
+      """WITH r AS (
+           SELECT doc_id, lang, source,
+             CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 WHEN 'fr' THEN 1 ELSE 0 END
+             + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 4) <
+                 CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '0000' WHEN 'fr' THEN '4000'
+                           WHEN 'es' THEN '4000' WHEN 'zh' THEN '0000' ELSE '2000' END
+               THEN 1 ELSE 0 END AS n
+           FROM documents)
+         SELECT doc_id, lang, source, unnest(range(n)) AS copy FROM r""",
+
+    // 3-word shingles joined by chr(1) on both sides; slice clamps at the
+    // end identically in both engines; cs is pre-distinct'd so count(*) is
+    // the distinct-shingle hit count
+    "pipe_decontaminate" ->
+      """WITH ew AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0),
+           ei AS (SELECT w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM ew),
+           evs AS (SELECT DISTINCT array_to_string(w[i : i + 2], chr(1)) AS s FROM ei),
+           cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           ci AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM cw),
+           cs AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 2], chr(1)) AS s FROM ci),
+           cont AS (SELECT doc_id FROM cs JOIN evs USING (s)
+                    GROUP BY doc_id HAVING count(*) >= 2)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM cont)""",
+
+    "pipe_scrub_pii" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(
+             'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-012-3456 ' || text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+         FROM documents""",
   )
 }

@@ -44,6 +44,39 @@ class CurationSpec extends AnyFunSuite {
     assert(overlap > 0.35 && overlap < 0.65) // ~rate of the second draw, not ~1
   }
 
+  test("resampleStratified upsamples with whole copies plus a fractional draw") {
+    val out = Curation.resampleStratified(corpus, col("id"), col("lang"),
+      Map("en" -> 2.5, "de" -> 1.0, "zh" -> 0.0), 0.25, "seed1")
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") > 2300 && byLang("en") < 2700)  // 1000 docs × 2.5 ± noise
+    assert(byLang("de") == 1000)                        // exactly one copy each
+    assert(!byLang.contains("zh"))                      // rate 0 drops the stratum
+    assert(byLang("ko") > 175 && byLang("ko") < 325)    // default 0.25 → 250 ± noise
+    // copy indices are dense 0..n-1 per row
+    val copies = out.filter(col("lang") === "en").groupBy("id")
+      .agg(collect_list("copy").as("cs")).select("cs").as[Seq[Int]].collect()
+    assert(copies.forall(cs => cs.sorted == (0 until cs.size)))
+    assert(copies.forall(cs => cs.size == 2 || cs.size == 3))
+  }
+
+  test("resampleStratified at rates <= 1 equals sampleStratified with copy 0") {
+    val rates = Map("en" -> 0.5, "de" -> 1.0)
+    val sample = Curation.sampleStratified(corpus, col("id"), col("lang"), rates, 0.125, "s7")
+      .select("id").as[Long].collect().sorted.toSeq
+    val resample = Curation.resampleStratified(corpus, col("id"), col("lang"), rates, 0.125, "s7")
+    assert(resample.select("id").as[Long].collect().sorted.toSeq == sample)
+    assert(resample.select("copy").distinct().as[Int].collect().toSeq == Seq(0))
+  }
+
+  test("resampleStratified is partitioning-independent") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Curation.resampleStratified(df, col("id"), col("lang"), Map("en" -> 3.25), 0.5, "s")
+        .select("id", "copy").as[(Long, Int)].collect().sorted.toSeq
+    val once = rows(corpus)
+    assert(rows(corpus.repartition(17)) == once)
+  }
+
   test("topKPerStratum keeps the k best per stratum with deterministic ties") {
     val df = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.8), ("a", 4L, 0.1),

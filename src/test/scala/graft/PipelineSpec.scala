@@ -184,4 +184,37 @@ class PipelineSpec extends AnyFunSuite {
     val got = docs.select(TextAnalysis.langId(col("text")).as("l")).collect().map(_.getString(0))
     assert(got.forall(l => Set("en", "de", "fr", "es", "zh", "und").contains(l)))
   }
+
+  test("decontaminate drops docs sharing >= minHits distinct shingles with the eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // contains 2 eval shingles
+      (2L, "quick brown fox at rest"),                       // 1 shingle ("quick brown fox")
+      (3L, "completely unrelated text about spark engines"), // 0
+      (4L, "quick brown fox jumps high today")               // "quick brown fox"+"brown fox jumps" = 2
+    ).toDF("doc_id", "text")
+    val eval = Seq("a quick brown fox jumps away").toDF("text")
+    val out2 = TextDedup.decontaminate(corpus, "doc_id", "text", eval, "text",
+      shingle = 3, minHits = 2).select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(2L, 3L)) // 1 and 4 share >= 2 shingles → purged
+    val out1 = TextDedup.decontaminate(corpus, "doc_id", "text", eval, "text",
+      shingle = 3, minHits = 1).select("doc_id").as[Long].collect().toSet
+    assert(out1 == Set(3L))     // at minHits=1 even one shared shingle purges
+    // empty eval set → corpus unchanged
+    val none = TextDedup.decontaminate(corpus, "doc_id", "text",
+      eval.filter(col("text") === "nope"), "text", 3, 1).count()
+    assert(none == 4)
+  }
+
+  test("scrubPii redacts emails and phone runs, leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail me at jane.doe+x@sub.example.org please",
+      "call 555-123-4567 or 555-0123-4567 now",
+      "nothing sensitive here").toDF("text")
+      .select(TextAnalysis.scrubPii(col("text")).as("s")).as[String].collect()
+    assert(rows(0) == "mail me at <EMAIL> please")
+    assert(rows(1) == "call <PHONE> or <PHONE> now")
+    assert(rows(2) == "nothing sensitive here")
+  }
 }
