@@ -68,6 +68,37 @@ object Curation {
       .otherwise(array().cast("array<int>"))))
   }
 
+  /** The composed corpus-in → training-mix-out pipeline a pretraining user
+    * actually runs, each stage the scale shape documented on its operator:
+    *
+    *   1. near-dup purge   — MinHash-LSH pairs → connected components →
+    *                         keep canonical representative ([[TextDedup.purgeNearDups]])
+    *   2. decontamination  — drop docs overlapping the eval set
+    *                         ([[TextDedup.decontaminate]], broadcast eval shingles)
+    *   3. quality floor    — codegen'd score filter ([[TextAnalysis.qualityColumns]])
+    *   4. stratified resample — deterministic domain mixing, rates > 1
+    *                         upsample ([[resampleStratified]])
+    *
+    * Stage order is part of the contract (dedup before decontamination
+    * keeps the purge's canonical-representative choice independent of the
+    * eval set; quality before resampling so upsampling never multiplies
+    * junk). Output carries (original columns + `quality` + `copy`).
+    */
+  def curateCorpus(df: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalTextCol: String,
+      qualityFloor: Double, stratumCol: Column,
+      rates: Map[String, Double], defaultRate: Double, salt: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.9,
+      shingle: Int = 3, minHits: Int = 2): DataFrame = {
+    val deduped = TextDedup.purgeNearDups(df, idCol, textCol, k, bands, threshold)
+    val clean = TextDedup.decontaminate(deduped, idCol, textCol,
+      evalDf, evalTextCol, shingle, minHits)
+    val scored = clean.withColumn("quality",
+      TextAnalysis.qualityColumns(col(textCol)).toMap.apply("quality"))
+    val kept = scored.filter(col("quality") >= qualityFloor)
+    resampleStratified(kept, col(idCol), stratumCol, rates, defaultRate, salt)
+  }
+
   /** Per-stratum quality selection: the k best rows of each stratum by
     * `scoreCol`, ties broken by id for determinism. One shuffle on the
     * stratum key; with a bounded stratum count and k, AQE handles skew and

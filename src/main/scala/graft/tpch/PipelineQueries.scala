@@ -270,6 +270,19 @@ object PipelineQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // the composed corpus-in -> training-mix-out pipeline: near-dup purge ->
+    // eval-set decontamination -> quality floor -> stratified resample (en
+    // upsampled x2); one gated operator per the stage contract in Curation
+    "pipe_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.curateCorpus(d, "doc_id", "text",
+        d.filter(col("doc_id") % 97 === 0), "text",
+        qualityFloor = 0.6, stratumCol = col("lang"),
+        rates = Map("en" -> 2.0, "fr" -> 0.75), defaultRate = 0.25, salt = "s42")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("copy").cast("long").as("copy"))
+    }),
+
     // PII scrub over a derived text with known plants (the synthetic corpus
     // has no organic PII, so both sides inject a deterministic e-mail +
     // phone per doc, then redact them)
@@ -417,6 +430,31 @@ object PipelineQueries {
                     GROUP BY doc_id HAVING count(*) >= 2)
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM cont)""",
+
+    // the composed pipeline, stage for stage: clusters CTE -> purge ->
+    // 3-shingle decontamination vs the doc_id%97 eval slice -> quality
+    // floor -> resample (same md5 draws as the standalone gates)
+    "pipe_curate" ->
+      s"""$CLUSTERS_CTE,
+          ded AS (SELECT * FROM documents
+                  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)),
+          ew AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0),
+          ei AS (SELECT w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM ew),
+          evs AS (SELECT DISTINCT array_to_string(w[i : i + 2], chr(1)) AS s FROM ei),
+          cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM ded),
+          ci AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM cw),
+          cs AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 2], chr(1)) AS s FROM ci),
+          cont AS (SELECT doc_id FROM cs JOIN evs USING (s)
+                   GROUP BY doc_id HAVING count(*) >= 2),
+          clean AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+          kept AS (SELECT doc_id, lang, source FROM clean WHERE $QUALITY_EXPR >= 0.6),
+          r AS (SELECT doc_id, lang, source,
+                  CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 0 ELSE 0 END
+                  + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 4) <
+                      CASE lang WHEN 'en' THEN '0000' WHEN 'fr' THEN 'c000' ELSE '4000' END
+                    THEN 1 ELSE 0 END AS n
+                FROM kept)
+          SELECT doc_id, lang, source, unnest(range(n)) AS copy FROM r""",
 
     "pipe_scrub_pii" ->
       """SELECT doc_id,

@@ -77,6 +77,26 @@ class CurationSpec extends AnyFunSuite {
     assert(rows(corpus.repartition(17)) == once)
   }
 
+  test("curateCorpus composes purge, decontamination, quality floor, resample") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+    val out = Curation.curateCorpus(docs, "doc_id", "text", eval, "text",
+      qualityFloor = 0.6, stratumCol = col("lang"),
+      rates = Map("en" -> 2.0, "fr" -> 0.75), defaultRate = 0.25, salt = "s42")
+    val rows = out.select("doc_id", "lang", "copy").as[(Long, String, Int)].collect()
+    assert(rows.nonEmpty)
+    // en rate 2.0 = exactly two copies of every surviving en doc
+    val enCopies = rows.filter(_._2 == "en").groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq)
+    assert(enCopies.nonEmpty && enCopies.values.forall(_ == Seq(0, 1)))
+    // eval docs with >= 2 distinct 3-shingles always collide with themselves
+    // (if they survived dedup) -> none may appear in the curated mix
+    val evalIds = eval.filter(size(split(col("text"), " ")) >= 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet.intersect(evalIds).isEmpty)
+    // quality floor: every surviving doc scores >= 0.6
+    assert(out.select("quality").as[Double].collect().forall(_ >= 0.6))
+  }
+
   test("topKPerStratum keeps the k best per stratum with deterministic ties") {
     val df = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.8), ("a", 4L, 0.1),
