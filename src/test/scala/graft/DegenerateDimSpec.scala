@@ -99,4 +99,61 @@ class DegenerateDimSpec extends AnyFunSuite {
       Seq(model._1.dimension("region").idOf("Total")))))
     assert(e.getMessage.contains("all-member"))
   }
+
+  test("area records compute functional names in place (no catalog join)") {
+    val cube = model._2
+    val area = cube.area("customer" -> Seq("C#0", "C#50", "C#100"))
+    val recs = area.records.collect()
+      .map(r => (r.getAs[String]("customer"), r.getAs[String]("region"),
+        r.getAs[Number]("value").doubleValue()))
+    // a catalog join against the EMPTY degenerate member frame would have
+    // silently dropped every record
+    assert(recs.toSet == Set(("C#0", "North", 0.0), ("C#50", "South", 1.0),
+      ("C#100", "North", 2.0)))
+  }
+
+  test("enumeration demands explicit raw keys; purge keeps catalog-less dims") {
+    val cube = model._2
+    // enumeration without explicit keys for the degenerate dim: loud reject
+    val e = intercept[IllegalArgumentException](
+      cube.area("region" -> Seq("North")).setValueEnumerated(7.0))
+    assert(e.getMessage.contains("degenerate"))
+    // with explicit keys it enumerates the cross product
+    cube.area("customer" -> Seq("C#25"), "region" -> Seq("North")).setValueEnumerated(7.0)
+    assert(cube.get(Seq("C#25", "North")).contains(7.0))
+    // purgeUnknownMembers must not treat the catalog-less dim as all-unknown
+    val before = cube.cellsCount
+    cube.purgeUnknownMembers()
+    assert(cube.cellsCount == before)
+    cube.delete(Seq("C#25", "North")) // restore
+  }
+
+  test("degenerate contract round-trips through JSON save/load") {
+    val dir = java.nio.file.Files.createTempDirectory("degen_saveload").toString
+    model._1.save(dir)
+    val db2 = Database.load(dir, spark)
+    val cust2 = db2.dimension("customer")
+    assert(cust2.isDegenerate && cust2.degeneratePrefix.contains("C#"))
+    assert(cust2.idOf("C#9999950") == 9999950 && cust2.idOf("All") == Dimension.DegenerateAllId)
+    assert(db2.cube("sales").get(Seq("C#6200", "North")).contains(24.0))
+  }
+
+  test("functional name parse: case-insensitive prefix, canonical numerals only") {
+    val cust = model._1.dimension("customer")
+    assert(cust.idOf("c#7") == 7)        // prefix case-insensitive
+    assert(!cust.contains("C#007"))      // zero-padded alias rejected
+    assert(!cust.contains("C#+7"))       // signed spelling rejected
+    assert(!cust.contains("C#"))         // empty numeral
+  }
+
+  test("SQL grids name degenerate members functionally; attributes rejected") {
+    val df = graft.olap.OlapQuery(model._1,
+      "SELECT customer, value FROM sales WHERE customer = 'C#6200', region = North")
+    val rows = df.collect().map(r =>
+      (r.getAs[String]("customer"), r.getAs[Number]("value").doubleValue()))
+    assert(rows.toSeq == Seq(("C#6200", 24.0)))
+    val e = intercept[IllegalArgumentException](graft.olap.OlapQuery(model._1,
+      "SELECT customer.segment, value FROM sales WHERE region = North"))
+    assert(e.getMessage.contains("no attributes"))
+  }
 }
