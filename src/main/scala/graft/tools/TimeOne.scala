@@ -21,9 +21,12 @@ object TimeOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
-    val t0 = System.nanoTime()
-    val n = fn(spark, sfDir).count()
-    println(f"TIMEONE $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    val reps = if (args.length > 2) args(2).toInt else 1
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"TIMEONE $name rep=$r rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
     spark.stop()
   }
 }
