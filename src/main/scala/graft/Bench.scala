@@ -56,8 +56,11 @@ object Bench {
       }))
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** The bench SparkSession config — the diagnostic tools (TimeOne,
+    * WarmBuild) build theirs HERE so a measurement can never silently run
+    * under a different configuration than the bench it isolates.
+    */
+  def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,6 +78,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
@@ -99,7 +108,10 @@ object Bench {
     // same hygiene as the untimed warmup query, ~3 s of codegen at sf0.1.
     try {
       SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001").count()
-      graft.tpch.TpchModel.get(spark, "/root/testdata/sf0.001")
+      // guard: TpchModel.get memoizes per sfDir — warming on the MEASURED
+      // dir would make model_build time a cache hit (~0 s, silently)
+      if (sfDir != "/root/testdata/sf0.001")
+        graft.tpch.TpchModel.get(spark, "/root/testdata/sf0.001")
     } catch { case _: Throwable => }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()

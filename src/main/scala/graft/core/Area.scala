@@ -42,8 +42,7 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
         // names are functional (prefix + id): computed in place — a catalog
         // join would be an inner join against an EMPTY frame and silently
         // drop every record
-        df = df.withColumn(d.name,
-          concat(lit(d.degeneratePrefix.get), col(s"d$i").cast("string")))
+        df = df.withColumn(d.name, d.functionalNameColumn(col(s"d$i")))
       } else {
         val names = cube.memberNamesDf(i)
           .select(col("id").as(s"__id$i"), col("mname").as(d.name))

@@ -166,6 +166,19 @@ final class Dimension(val name: String) {
   def isDegenerate: Boolean = degenerateMode.isDefined
   /** The functional-name prefix of a degenerate dimension (None otherwise). */
   def degeneratePrefix: Option[String] = degenerateMode.map(_._1)
+  /** Functional member-name Column for a degenerate dimension's id column:
+    * `prefix + id`, with the All sentinel rendered by its configured name.
+    * The ONE place this mapping lives — Area.records and OlapQuery grids
+    * both render through it (two hand copies with inconsistent All handling
+    * is how a sentinel once printed as `C#2147483647`).
+    */
+  def functionalNameColumn(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    val (prefix, allName) = degenerateMode.getOrElse(
+      throw new IllegalStateException(s"dimension '$name' is not degenerate"))
+    when(idCol === Dimension.DegenerateAllId, lit(allName))
+      .otherwise(concat(lit(prefix), idCol.cast("string")))
+  }
   private def degMember(id: Int): MemberDef = {
     val (prefix, allName) = degenerateMode.get
     if (id == Dimension.DegenerateAllId)

@@ -167,11 +167,7 @@ final class OlapQuery(db: Database, sql: String) {
         if (d.isDegenerate) {
           // functional name: computed, never joined (the catalog is empty —
           // an inner name join would silently drop every row)
-          df = df.withColumn(d.name,
-            when(col(s"a$i") === graft.core.Dimension.DegenerateAllId,
-              lit(d.defaultMember.name))
-              .otherwise(concat(lit(d.degeneratePrefix.get),
-                col(s"a$i").cast("string"))))
+          df = df.withColumn(d.name, d.functionalNameColumn(col(s"a$i")))
         } else {
           val names = cube.memberNamesDf(i)
             .select(col("id").as(s"__id$i"), col("mname").as(d.name))

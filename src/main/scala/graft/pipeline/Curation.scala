@@ -48,6 +48,8 @@ object Curation {
     */
   def resampleStratified(df: DataFrame, idCol: Column, stratumCol: Column,
       rates: Map[String, Double], defaultRate: Double, salt: String): DataFrame = {
+    require(!df.columns.contains("copy"),
+      "resampleStratified emits a `copy` output column; rename the input's `copy` first")
     def fracThr(r: Double): String = {
       val frac = r - math.floor(r)
       f"${math.max(0.0, math.floor(frac * 65536)).toInt}%04x"
@@ -90,6 +92,8 @@ object Curation {
       rates: Map[String, Double], defaultRate: Double, salt: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.9,
       shingle: Int = 3, minHits: Int = 2): DataFrame = {
+    require(!df.columns.contains("quality"),
+      "curateCorpus emits a `quality` output column; rename the input's `quality` first")
     val deduped = TextDedup.purgeNearDups(df, idCol, textCol, k, bands, threshold)
     val clean = TextDedup.decontaminate(deduped, idCol, textCol,
       evalDf, evalTextCol, shingle, minHits)

@@ -287,6 +287,11 @@ object TextDedup {
       // jump were both no-ops — a true fixpoint, where every sym edge has
       // equal-labelled endpoints (both directions present ⇒ ≤ both ways).
       val nextSum = labelSum(next)
+      // release SUPERSEDED checkpoints deterministically: unpersist their
+      // backing RDDs (DataFrame.unpersist cannot reach RDD-level checkpoint
+      // blocks; the ContextCleaner only frees them at driver GC time) —
+      // peak storage stays ~2 label frames regardless of round count
+      release(prop); release(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -295,6 +300,10 @@ object TextDedup {
     sym.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
   }
+
+  private def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.Bridge.checkpointRdd(df)
+      .foreach(_.unpersist(blocking = false))
 
   /** End-to-end near-dup purge — the corpus-in → cleaned-corpus-out
     * composition a training-data pipeline actually runs: near-dup pairs

@@ -33,10 +33,29 @@ object FactSources {
   def importNamed(cube: Cube, records: DataFrame): DataFrame = {
     var df = records
     cube.dimensions.zipWithIndex.foreach { case (d, i) =>
-      val names = cube.memberNamesDf(i)
-        .select(col("id").as(s"d$i"), lower(col("mname")).as(s"__n$i"))
-      df = df.join(broadcast(names), lower(col(d.name)) === col(s"__n$i"))
-        .drop(d.name, s"__n$i")
+      if (d.isDegenerate) {
+        // functional parse in place — the catalog is EMPTY, so a name join
+        // would silently drop every record. Same canonical contract as the
+        // driver-side parse: case-insensitive prefix, canonical numeral;
+        // non-parsing names drop like catalog-unknown names do (inner join
+        // semantics), never silently mis-map.
+        val prefix = d.degeneratePrefix.get
+        val name = col(d.name)
+        val digits = name.substr(lit(prefix.length + 1), length(name))
+        df = df.withColumn(s"d$i",
+          when(lower(substring(name, 1, prefix.length)) === prefix.toLowerCase &&
+            digits.rlike("^[0-9]{1,10}$") &&
+            digits.cast("long").between(0, Int.MaxValue - 1) &&
+            digits === digits.cast("long").cast("string"), // canonical: no 007
+            digits.cast("int")))
+          .filter(col(s"d$i").isNotNull)
+          .drop(d.name)
+      } else {
+        val names = cube.memberNamesDf(i)
+          .select(col("id").as(s"d$i"), lower(col("mname")).as(s"__n$i"))
+        df = df.join(broadcast(names), lower(col(d.name)) === col(s"__n$i"))
+          .drop(d.name, s"__n$i")
+      }
     }
     df.select((cube.dimCols.map(col) :+ col("value")): _*)
   }

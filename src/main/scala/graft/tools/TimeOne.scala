@@ -1,24 +1,17 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Diagnostic: time a single SparkEntry query by name (not part of the
   * driver contract — used to isolate per-query regressions without the
   * full bench sweep).
   *
-  * Usage: runMain graft.tools.TimeOne <queryName> [sfDir]
+  * Usage: runMain graft.tools.TimeOne <queryName> [sfDir] [reps]
+  * (reps > 1 separates cold first-run cost from warm steady state.)
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Bench.session()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
     val reps = if (args.length > 2) args(2).toInt else 1

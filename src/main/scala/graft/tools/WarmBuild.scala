@@ -1,17 +1,8 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 object WarmBuild {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.Bench.session()
     // warm up exactly like Bench: smallest-SF query first
     graft.SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001").count()
     graft.tpch.TpchModel.get(spark, "/root/testdata/sf0.001")

@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The materialized RDD behind a `localCheckpoint`ed DataFrame (its plan
+    * is a `LogicalRDD` over the checkpoint blocks). Exposed so iterative
+    * drivers can `unpersist` a SUPERSEDED checkpoint deterministically —
+    * the ContextCleaner only frees those blocks at driver GC time.
+    */
+  def checkpointRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }

@@ -71,6 +71,17 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got.values.forall(_ >= 0L))
   }
 
+  test("superseded checkpoints are released: persistent-RDD count stays bounded") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // 64-path: many rounds, each materializing two checkpointed label frames
+    run((0L until 64L).map(i => (i, i + 1)), maxIters = 25)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // without per-round release every round leaks 2 checkpoint RDDs (10+
+    // here); only the final labels frame (and any test-suite leftovers) may
+    // remain
+    assert(after - before <= 2, s"leaked checkpoint RDDs: $before -> $after")
+  }
+
   test("labels only decrease round over round (convergence test soundness)") {
     // The label-sum convergence check assumes monotone non-increase; verify
     // the invariant on a graph whose propagation takes several rounds.

@@ -146,6 +146,20 @@ class DegenerateDimSpec extends AnyFunSuite {
     assert(!cust.contains("C#"))         // empty numeral
   }
 
+  test("importNamed parses functional names in place; junk names drop, never mis-map") {
+    import spark.implicits._
+    val recs = Seq(
+      ("C#6200", "North", 5.0),  // valid
+      ("c#50", "South", 6.0),    // prefix case-insensitive
+      ("C#007", "North", 7.0),   // non-canonical numeral: dropped
+      ("D#1", "North", 8.0),     // wrong prefix: dropped
+      ("All", "North", 9.0))     // aggregated name: dropped (not a base key)
+      .toDF("customer", "region", "value")
+    val got = graft.sources.FactSources.importNamed(model._2, recs)
+      .collect().map(r => (r.getInt(0), r.getDouble(2))).toSet
+    assert(got == Set((6200, 5.0), (50, 6.0)))
+  }
+
   test("SQL grids name degenerate members functionally; attributes rejected") {
     val df = graft.olap.OlapQuery(model._1,
       "SELECT customer, value FROM sales WHERE customer = 'C#6200', region = North")
