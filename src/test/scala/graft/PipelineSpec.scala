@@ -206,6 +206,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(none == 4)
   }
 
+  test("shingles never alias across word boundaries (separator regression pin)") {
+    import spark.implicits._
+    // 'ab c d' and 'a bc d' concatenate identically — only the 
+    // separator keeps their 3-shingles distinct. If someone "simplifies"
+    // the separator away, this purges doc 1 spuriously and fails.
+    val corpus = Seq((1L, "ab c d")).toDF("doc_id", "text")
+    val eval = Seq("a bc d").toDF("text")
+    val out = TextDedup.decontaminate(corpus, "doc_id", "text", eval, "text",
+      shingle = 3, minHits = 1)
+    assert(out.count() == 1, "cross-boundary shingle alias: separator lost")
+  }
+
   test("scrubPii redacts emails and phone runs, leaves clean text alone") {
     import spark.implicits._
     val rows = Seq(

@@ -121,6 +121,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("lang_pred") != null))
   }
 
+  test("stateless curation ops run unchanged on a stream: scrub + sample + resample") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "lang", "text")
+    // scrub + deterministic resample are pure scan shapes (no state, no
+    // shuffle), so the SAME call works on batch and streaming frames
+    val curated = graft.pipeline.Curation.resampleStratified(
+      docs.withColumn("text", graft.pipeline.TextAnalysis.scrubPii(col("text"))),
+      col("doc_id"), col("lang"), Map("en" -> 2.0, "zh" -> 0.0), 1.0, "s1")
+    val q = curated.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("curate_stream").start()
+    mem.addData(
+      (1L, "en", "mail jane@example.org now"),
+      (2L, "zh", "dropped entirely"),
+      (3L, "de", "kept once"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM curate_stream").collect()
+    q.stop()
+    val byId = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byId(1L).length == 2 && !byId.contains(2L) && byId(3L).length == 1)
+    assert(byId(1L).forall(_.getAs[String]("text") == "mail <EMAIL> now"))
+    // batch twin computes the identical multiset
+    val batch = graft.pipeline.Curation.resampleStratified(
+      Seq((1L, "en", "mail <EMAIL> now"), (3L, "de", "kept once"))
+        .toDF("doc_id", "lang", "text"),
+      col("doc_id"), col("lang"), Map("en" -> 2.0, "zh" -> 0.0), 1.0, "s1")
+      .select("doc_id", "copy").as[(Long, Int)].collect().sorted.toSeq
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("copy"))).sorted.toSeq == batch)
+  }
+
   test("session windows group events by gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
