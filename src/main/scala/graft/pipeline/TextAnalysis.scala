@@ -78,6 +78,31 @@ object TextAnalysis {
   def canonicalFingerprint(textCol: Column): Column =
     md5(array_join(array_sort(array_distinct(words(textCol))), " "))
 
+  /** Context-window chunking: split each document into word chunks of
+    * `chunkSize` with `overlap` words shared between neighbors — the
+    * standard pretraining prep for bounded-context training. Chunk starts
+    * are `1 + i·(chunkSize − overlap)` for `i in [0, n)` with
+    * `n = max(ceil((len − overlap) / (chunkSize − overlap)), 1)`, which
+    * tiles the document completely (the final chunk clamps at the end).
+    * Pure scan shape: one `explode` over computed offsets, no shuffle, no
+    * state — identical output at any partitioning or on a stream.
+    *
+    * Output: input columns + (`chunk_id`, `chunk_text`, `chunk_tokens`).
+    */
+  def chunkDocuments(df: DataFrame, textCol: Column,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got ($chunkSize, $overlap)")
+    val step = chunkSize - overlap
+    val w = words(textCol)
+    val n = greatest(ceil((size(w) - overlap).cast("double") / step).cast("int"), lit(1))
+    val withId = df.withColumn("chunk_id", explode(sequence(lit(0), n - 1)))
+    val start = col("chunk_id") * step + 1
+    withId
+      .withColumn("chunk_text", array_join(slice(words(textCol), start, lit(chunkSize)), " "))
+      .withColumn("chunk_tokens", least(lit(chunkSize), size(words(textCol)) - col("chunk_id") * step))
+  }
+
   /** PII scrub: redact e-mail addresses and phone-shaped digit runs with
     * typed placeholders. Pure codegen'd `regexp_replace` (replaces ALL
     * matches), scan-shaped at any scale; the patterns deliberately stay in
