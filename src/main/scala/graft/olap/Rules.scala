@@ -1,6 +1,6 @@
 package graft.olap
 
-import graft.core.{Bolt, Cube}
+import graft.core.{Bolt, Cube, Dimension}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
@@ -517,6 +517,20 @@ object Rules {
     var weightCols = List.empty[Column]
     otherDims.foreach { i =>
       val sel = selections(i)
+      if (cube.dimensions(i).isDegenerate) {
+        // mirror gridAggregate: raw keys = pushed-down filter with a<i>=d<i>;
+        // the All member = no filter + constant key; NEVER a closure join
+        require(!sel.contains(Dimension.DegenerateAllId) || sel.size == 1,
+          s"degenerate dimension '${cube.dimensions(i).name}': the all-member " +
+            "cannot be mixed with raw keys in one grid selection")
+        df = if (sel == Seq(Dimension.DegenerateAllId)) {
+          df.withColumn(s"a$i", lit(Dimension.DegenerateAllId))
+        } else {
+          (if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
+           else df.filter(col(s"d$i").isin(sel: _*)))
+            .withColumn(s"a$i", col(s"d$i"))
+        }
+      } else {
       val allLeaf = sel.forall(cube.dimensions(i).levelOf(_) == 0)
       if (allLeaf) {
         df = (if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
@@ -527,6 +541,7 @@ object Rules {
           .select(col("anc").as(s"a$i"), col("leaf").as(s"leaf_$i"), cube.weightExpr.as(s"w_$i"))
         df = df.join(broadcast(cl), col(s"d$i") === col(s"leaf_$i"))
         if (cube.needsWeight(i)) weightCols ::= col(s"w_$i")
+      }
       }
     }
     val neededMeasures = collectRefs(rule.expr).filterNot(_.contains(":"))

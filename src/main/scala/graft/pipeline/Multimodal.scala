@@ -86,7 +86,10 @@ object Multimodal {
     if (rate > 0 && rate <= 1000000 && ch > 0 && ch <= 16 &&
         Set(8, 16, 24, 32).contains(bits) && dataLen >= 0) {
       val bytesPerSec = rate.toLong * ch * (bits / 8)
-      Some((rate, ch, math.max(1L, (dataLen + bytesPerSec - 1) / bytesPerSec).toInt))
+      val secs = math.max(1L, (dataLen + bytesPerSec - 1) / bytesPerSec)
+      // dataLen is an untrusted u32 and bytesPerSec can be 1 (rate=1, ch=1,
+      // bits=8) — a duration past 24h is implausible, not audio: stub it
+      if (secs <= 86400L) Some((rate, ch, secs.toInt)) else None
     } else None
   }
 
@@ -117,9 +120,14 @@ object Multimodal {
     in.mapPartitions { it =>
       // per-partition codec init would happen here
       it.map { a =>
-        val (w, h, f) = decodeBmp(a.content).map { case (bw, bh) => (bw, bh, 1) }
-          .orElse(decodeWav(a.content).map { case (rate, ch, secs) => (rate, ch, secs) })
-          .getOrElse(decodeStub(a.modality, a.content))
+        // header sniffing is gated on the DECLARED modality: a text/video
+        // payload that happens to start with a plausible "BM"/"RIFF…WAVE"
+        // header must not be reported with image/audio-shaped metadata
+        val real =
+          if (a.modality == "image") decodeBmp(a.content).map { case (bw, bh) => (bw, bh, 1) }
+          else if (a.modality == "audio") decodeWav(a.content)
+          else None
+        val (w, h, f) = real.getOrElse(decodeStub(a.modality, a.content))
         DecodedAsset(a.doc_id, a.modality, a.content.length, w, h, f,
           payloadChecksum(a.content))
       }

@@ -160,6 +160,49 @@ class DegenerateDimSpec extends AnyFunSuite {
     assert(got == Set((6200, 5.0), (50, 6.0)))
   }
 
+  test("baseRuleGrid on a degenerate dim: All → constant key, raw keys → pushed filter") {
+    import graft.olap.{RuleDef, RuleExpr, RuleScope, Rules}
+    val db = new Database("degenrule", spark)
+    val cust = db.addDegenerateDimension("customer", "K#")
+    val reg = db.addDimension("region")
+    reg.edit().add("Total", Seq("North", "South")).commit()
+    val meas = db.addDimension("measures")
+    meas.edit().addMany(Seq("gross", "disc", "plan")).commit()
+    val rows = Seq(
+      Row(5, reg.idOf("North"), meas.idOf("gross"), 100.0),
+      Row(5, reg.idOf("North"), meas.idOf("disc"), 10.0),
+      Row(10, reg.idOf("South"), meas.idOf("gross"), 50.0),
+      Row(10, reg.idOf("South"), meas.idOf("disc"), 5.0))
+    val schema = StructType(Seq(StructField("d0", IntegerType),
+      StructField("d1", IntegerType), StructField("d2", IntegerType),
+      StructField("value", DoubleType)))
+    val cube = db.addCube("ruled", Seq(cust, reg, meas),
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema))
+    val rule = RuleDef(trigger = Map("measures" -> "plan"), scope = RuleScope.BaseLevel,
+      expr = RuleExpr.Sub(RuleExpr.Ref("gross"), RuleExpr.Ref("disc")), name = "plan_rule")
+    cube.registerRule(rule)
+    // the All member previously crashed here: level 1 ⇒ not allLeaf ⇒
+    // closureDf on a closure-less degenerate dim
+    val gAll = Rules.baseRuleGrid(cube, rule,
+      Seq(Seq(Dimension.DegenerateAllId), Seq(reg.idOf("Total")), Nil), 2)
+    val vAll = gAll.select(col("a0"), col("value").cast("double")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+    assert(vAll.toSeq == Seq(Dimension.DegenerateAllId -> 135.0))
+    // raw keys: grouped by the fact column itself, filter pushed down
+    val gRaw = Rules.baseRuleGrid(cube, rule,
+      Seq(Seq(5, 10), Seq(reg.idOf("Total")), Nil), 2)
+    val vRaw = gRaw.select(col("a0"), col("value").cast("double")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(vRaw == Map(5 -> 90.0, 10 -> 45.0))
+    // no closure join may appear for the degenerate dimension
+    val plan = gRaw.queryExecution.executedPlan.toString
+    assert(!plan.contains("leaf_0"), s"degenerate dim leaked a closure join:\n$plan")
+    // mixing All with raw keys stays loudly rejected on this path too
+    val e = intercept[IllegalArgumentException](Rules.baseRuleGrid(cube, rule,
+      Seq(Seq(Dimension.DegenerateAllId, 5), Seq(reg.idOf("Total")), Nil), 2))
+    assert(e.getMessage.contains("all-member"))
+  }
+
   test("SQL grids name degenerate members functionally; attributes rejected") {
     val df = graft.olap.OlapQuery(model._1,
       "SELECT customer, value FROM sales WHERE customer = 'C#6200', region = North")

@@ -165,6 +165,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L).width == 24 % 640 + 1 && out(3L).n_frames == 24 % 7 + 1)
   }
 
+  test("multimodal decode is gated on the declared modality; hostile WAV sizes stub") {
+    import spark.implicits._
+    def le32(v: Int): Seq[Byte] =
+      Seq(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    def le16(v: Int): Seq[Byte] = Seq(v, v >> 8).map(x => (x & 0xff).toByte)
+    val bmp: Array[Byte] = (
+      "BM".getBytes("US-ASCII").toSeq ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(17) ++ le32(-9) ++ le16(1) ++ le16(24) ++
+      Seq.fill(24)(0.toByte)).toArray
+    // valid-looking WAV but rate=1/ch=1/bits=8 (bytesPerSec=1) and a u32-max
+    // data size: computed duration ≈ 4.29e9 s would wrap a naive .toInt —
+    // the >24h plausibility cut must route it to the stub instead
+    val hostileWav: Array[Byte] = (
+      "RIFF".getBytes("US-ASCII").toSeq ++ le32(36) ++
+      "WAVE".getBytes("US-ASCII").toSeq ++
+      "fmt ".getBytes("US-ASCII").toSeq ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(1) ++ le32(1) ++ le16(1) ++ le16(8) ++
+      "data".getBytes("US-ASCII").toSeq ++ le32(-1)).toArray
+    val in = Seq(
+      // BMP bytes, but DECLARED video: must not get image-shaped metadata
+      Multimodal.Asset(1L, "video", bmp),
+      Multimodal.Asset(2L, "audio", hostileWav),
+      // real BMP under the right modality still decodes
+      Multimodal.Asset(3L, "image", bmp)).toDS()
+    val out = Multimodal.decode(in).collect().map(d => d.doc_id -> d).toMap
+    val stubOf = (n: Int) => (n % 640 + 1, (n * 7) % 480 + 1, n % 7 + 1)
+    val (w1, h1, f1) = stubOf(bmp.length)
+    assert(out(1L).width == w1 && out(1L).height == h1 && out(1L).n_frames == f1,
+      s"video-declared BMP must stub, got ${out(1L)}")
+    val (w2, h2, f2) = stubOf(hostileWav.length)
+    assert(out(2L).n_frames == f2 && out(2L).width == w2 && out(2L).height == h2,
+      s"hostile WAV duration must stub (never a negative n_frames), got ${out(2L)}")
+    assert(out(2L).n_frames > 0)
+    assert(out(3L).width == 17 && out(3L).height == 9 && out(3L).n_frames == 1)
+  }
+
   test("multimodal decode plumbing: schema, determinism, frame fan-out") {
     val decoded = Multimodal.decode(Multimodal.assets(docs)).collect()
     assert(decoded.length == docs.count())
