@@ -227,6 +227,13 @@ object PipelineQueries {
         TextAnalysis.canonicalFingerprint(col("text")).as("fp_canonical"))
     }),
 
+    // context-window chunking: tile each document into 40-word chunks with
+    // an 8-word overlap — one explode over computed offsets, no shuffle
+    "pipe_chunk" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(docs(s, dir).select("doc_id", "text"), col("text"), 40, 8)
+        .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+    }),
+
     // multimodal plumbing: binary column → typed decode → frame sampling
     "pipe_multimodal" -> ((s, dir) => {
       Multimodal.sampleFrames(Multimodal.decode(Multimodal.assets(docs(s, dir))))
@@ -380,6 +387,19 @@ object PipelineQueries {
       """SELECT doc_id, md5(text) AS fp,
            md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_canonical
          FROM documents""",
+
+    // mirrors TextAnalysis.chunkDocuments(…, 40, 8): step = 32,
+    // n = max(ceil((len−8)/32), 1); DuckDB list slices are 1-based inclusive
+    // (≙ Spark slice(arr, start, 40) → ws[start : start+39])
+    "pipe_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           c AS (SELECT doc_id, ws,
+                   unnest(range(0, greatest(CAST(ceil((len(ws) - 8) / 32.0) AS BIGINT), 1))) AS chunk_id
+                 FROM w)
+         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(ws[CAST(chunk_id*32 + 1 AS INT) : CAST(chunk_id*32 + 40 AS INT)], ' ') AS chunk_text,
+           least(40, len(ws) - CAST(chunk_id AS INT)*32) AS chunk_tokens
+         FROM c""",
 
     "pipe_multimodal" ->
       """SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,

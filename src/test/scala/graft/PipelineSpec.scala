@@ -216,6 +216,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) >= 1))
   }
 
+  test("chunkDocuments boundaries: clamp, exact multiple, overlap 0, single word") {
+    import spark.implicits._
+    def mk(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    def chunksOf(text: String, size: Int, overlap: Int): Seq[(Int, String, Int)] = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      TextAnalysis.chunkDocuments(df, col("text"), size, overlap)
+        .select("chunk_id", "chunk_text", "chunk_tokens").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    }
+    // doc shorter than chunkSize: exactly one clamped chunk
+    assert(chunksOf(mk(3), 5, 2) == Seq((0, "w1 w2 w3", 3)))
+    // single word
+    assert(chunksOf("solo", 5, 2) == Seq((0, "solo", 1)))
+    // overlap 0, exact multiple: clean tiling, concatenation reconstructs
+    val flat = chunksOf(mk(10), 5, 0)
+    assert(flat == Seq((0, "w1 w2 w3 w4 w5", 5), (1, "w6 w7 w8 w9 w10", 5)))
+    assert(flat.map(_._2).mkString(" ") == mk(10))
+    // overlap 2, len 11 = exact tiling end: final chunk is full-size
+    val tiled = chunksOf(mk(11), 5, 2)
+    assert(tiled.map(_._1) == Seq(0, 1, 2))
+    assert(tiled.last == ((2, "w7 w8 w9 w10 w11", 5)))
+    // overlap 2, len 12: final chunk clamps to the remaining 3 words and the
+    // tiling still reaches the last word
+    val clamped = chunksOf(mk(12), 5, 2)
+    assert(clamped.map(_._3) == Seq(5, 5, 5, 3))
+    assert(clamped.last._2 == "w10 w11 w12")
+    // neighbors share exactly `overlap` words
+    clamped.sliding(2).foreach { case Seq((_, a, _), (_, b, _)) =>
+      assert(a.split(" ").takeRight(2).sameElements(b.split(" ").take(2)))
+    case _ => }
+    // invalid parameters are rejected loudly
+    intercept[IllegalArgumentException](chunksOf(mk(5), 3, 3))
+  }
+
   test("language id returns a code for every document") {
     val got = docs.select(TextAnalysis.langId(col("text")).as("l")).collect().map(_.getString(0))
     assert(got.forall(l => Set("en", "de", "fr", "es", "zh", "und").contains(l)))
