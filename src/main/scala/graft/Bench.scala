@@ -141,8 +141,25 @@ object Bench {
           results("huge_build") = try time { graft.tpch.HugeModel.get(spark) }
             catch { case _: Throwable => -1.0 }
         rawOps.get(name).orElse(SparkEntry.queries.get(name)).foreach { fn =>
-          record(name, try time { fn(spark, sfDir).count() }
-                       catch { case _: Throwable => -1.0 })
+          if (name == "olap_huge_top") {
+            // the reference baseline quotes this read with caching OFF
+            // (samples/huge.py:176-187) — under min-of-passes, pass 2 would
+            // otherwise record a driver TrieMap hit, not the 1M-row
+            // aggregation. Cold and cached are BOTH real product shapes, so
+            // they are timed as separate entries.
+            val cube = graft.tpch.HugeModel.get(spark)
+            cube.cacheEnabled = false
+            cube.clearCache()
+            record(name, try time { fn(spark, sfDir).count() }
+                         catch { case _: Throwable => -1.0 })
+            cube.cacheEnabled = true
+            try fn(spark, sfDir).count() catch { case _: Throwable => } // fill cache
+            record("huge_top_cached", try time { fn(spark, sfDir).count() }
+                                      catch { case _: Throwable => -1.0 })
+          } else {
+            record(name, try time { fn(spark, sfDir).count() }
+                         catch { case _: Throwable => -1.0 })
+          }
         }
       }
       // batched random point reads over the huge model: 10k cells, ONE job
@@ -156,7 +173,10 @@ object Bench {
       .mkString("{", ",", "}")
     val canary = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"canary_spin_sec":$canary}""")
+    // "timing" is the semantics marker: per-query values are the MINIMUM
+    // over `passes` warmed in-process passes (steady state), not one cold
+    // pass — artifacts before round 4 were single-pass and not comparable
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","canary_spin_sec":$canary}""")
     spark.stop()
   }
 }
