@@ -45,7 +45,7 @@ object Bench {
     * timed here on the RAW scalable operator alone — the bench measures the
     * production path, not the correctness harness around it.
     */
-  private val rawOps: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+  private[graft] val rawOps: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions.col
     Map(
       "pipe_dedup_simhash" -> ((s, dir) => graft.pipeline.TextDedup.simhashPairs(

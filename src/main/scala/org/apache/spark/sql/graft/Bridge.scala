@@ -22,4 +22,13 @@ object Bridge {
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
+
+  /** Whether a catalyst predicate can be translated into a data-source
+    * `Filter` (i.e. is pushdown-eligible). Used by the plan-shape
+    * regression spec to tell "scan ignored a pushable filter" (a bug)
+    * apart from "filter is inherently non-pushable" (md5 ranges etc.).
+    */
+  def isPushable(e: Expression): Boolean =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true).isDefined
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.graft.Bridge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard over the WHOLE gate set: every
+  * `SparkEntry.queries` plan is checked for quadratic join shapes
+  * (`CartesianProduct` / `BroadcastNestedLoopJoin`) and for parquet scans
+  * that ignore a pushdown-eligible literal predicate. Point-wise plan
+  * asserts exist in DegenerateDimSpec and Round2FixesSpec; this spec keeps
+  * the NEXT operator from shipping the first plan that happened to pass.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Gates whose deliverable IS an exact all-pairs baseline — correctness
+    * oracles, excluded from the bench by design (see Bench.rawOps scaladoc).
+    */
+  private val bruteForceBaselines = Set("pipe_ann_brute", "pipe_dedup_embed")
+
+  /** Gates that return a verification SUMMARY: the raw scalable operator
+    * PLUS an exact brute-force baseline PLUS a recall/containment compare
+    * in one frame. Any quadratic shape in these plans belongs to the
+    * embedded baseline; the raw operators themselves are asserted
+    * quadratic-free via `Bench.rawOps` below.
+    */
+  private val verificationSummaries = Set(
+    "pipe_ann_lsh", "pipe_ann_ivf", "pipe_dedup_simhash",
+    "pipe_dedup_embed_lsh")
+
+  // one planning pass shared by both tests (some gate closures also run
+  // driver-side setup — streams, scratch-cube writes — so build once)
+  private lazy val plans: Seq[(String, DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sfDir)
+    } ++ Bench.rawOps.toSeq.sortBy(_._1).map { case (name, fn) =>
+      s"raw:$name" -> fn(spark, sfDir)
+    }
+
+  test("no gated plan contains a quadratic join shape outside the declared baselines") {
+    val offenders = plans.collect {
+      case (name, df)
+          if !bruteForceBaselines(name) && !verificationSummaries(name) &&
+            { val p = df.queryExecution.sparkPlan.toString
+              p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin") } =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"quadratic join shapes leaked into gated plans: ${offenders.mkString(", ")}")
+  }
+
+  test("every parquet scan pushes its pushdown-eligible data filters") {
+    // a scan carrying a translatable predicate in dataFilters but pushing
+    // NOTHING to the source reads rows it was told how to skip
+    val offenders = plans.flatMap { case (name, df) =>
+      df.queryExecution.sparkPlan.collect {
+        case scan: FileSourceScanExec
+            if scan.dataFilters.exists(Bridge.isPushable) &&
+              scan.metadata.get("PushedFilters").contains("[]") =>
+          s"$name (${scan.dataFilters.mkString(", ")})"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"pushable filters left unpushed at the parquet scan: ${offenders.mkString("; ")}")
+  }
+}
