@@ -42,12 +42,16 @@ object FactSources {
         val prefix = d.degeneratePrefix.get
         val name = col(d.name)
         val digits = name.substr(lit(prefix.length + 1), length(name))
+        // try_cast, not cast: under ANSI mode a plain cast of a malformed
+        // numeral ('12x4') THROWS even behind an rlike guard in the same
+        // conjunction — conjunct evaluation order isn't guaranteed after
+        // optimization. try_cast yields null and the row drops.
+        val parsed = digits.try_cast("long")
         df = df.withColumn(s"d$i",
           when(lower(substring(name, 1, prefix.length)) === prefix.toLowerCase &&
-            digits.rlike("^[0-9]{1,10}$") &&
-            digits.cast("long").between(0, Int.MaxValue - 1) &&
-            digits === digits.cast("long").cast("string"), // canonical: no 007
-            digits.cast("int")))
+            parsed.isNotNull && parsed.between(0, Int.MaxValue - 1) &&
+            digits === parsed.cast("string"), // canonical: no 007
+            parsed.cast("int")))
           .filter(col(s"d$i").isNotNull)
           .drop(d.name)
       } else {

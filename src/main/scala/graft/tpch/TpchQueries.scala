@@ -306,6 +306,53 @@ object TpchQueries {
           col("value").cast("double").as("value"))
     }),
 
+    // S+: name-addressed bulk import (FactSources.importNamed) — records
+    // addressed as (customer-name, priority-name, value) travel through the
+    // broadcast name-resolution joins into id space: the degenerate customer
+    // dim parses functionally (case-insensitive prefix, canonical numeral),
+    // the catalog priority dim joins case-insensitively, and junk names
+    // (wrong prefix, non-canonical '007', non-numeric key, unknown catalog
+    // member) DROP instead of mis-mapping — any surviving junk row shifts a
+    // sum and fails the hash
+    "olap_import_named" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new graft.core.Database("importnamed", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq // tiny driver catalog
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val loader = db.addCube("loader", Seq(cust, prio))
+      // name-addressed records at unique addresses (≙ per-cell bulk load,
+      // `samples/huge.py:115-133`); deterministic case-mangling exercises the
+      // case-insensitive contract without touching the oracle
+      val recs = orders
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+        .select(
+          when(pmod(col("o_custkey"), lit(3)) === 0, concat(lit("c#"), col("o_custkey")))
+            .otherwise(concat(lit("C#"), col("o_custkey"))).as("customer"),
+          when(pmod(col("o_custkey"), lit(2)) === 0, lower(col("o_orderpriority")))
+            .otherwise(col("o_orderpriority")).as("priority"),
+          col("value"))
+      val junk = s.sql(
+        s"""SELECT * FROM VALUES
+            ('B#1',    '${prios.head}',     CAST(999 AS DECIMAL(21,4))),
+            ('C#007',  '${prios.head}',     CAST(999 AS DECIMAL(21,4))),
+            ('C#12x4', '${prios.head}',     CAST(999 AS DECIMAL(21,4))),
+            ('C#1',    'NO-SUCH-PRIORITY',  CAST(999 AS DECIMAL(21,4)))
+            AS t(customer, priority, value)""")
+      val imported = graft.sources.FactSources.importNamed(loader, recs.unionByName(junk))
+      val cube = db.addCube("sales", Seq(cust, prio), imported)
+      val g = cube.gridAggregate(Seq(
+        Seq(graft.core.Dimension.DegenerateAllId),
+        prios.map(prio.idOf) :+ prio.idOf("AllPrio")))
+      val names = cube.memberNamesDf(1)
+        .select(col("id").as("a1"), col("mname").as("priority"))
+      g.join(broadcast(names), "a1")
+        .select(col("priority"), col("value").cast("double").as("value"))
+    }),
+
     // V7: CSV render — the grid travels THROUGH the toCsv string (header +
     // Double.toString cells, lossless round-trip) and is parsed back to a
     // typed frame the oracle can hash-match; proves the render emits exactly
@@ -613,6 +660,15 @@ object TpchQueries {
           FROM orders
           WHERE o_custkey IN (SELECT DISTINCT o_custkey FROM orders ORDER BY 1 LIMIT 5)
           GROUP BY 1""",
+
+    "olap_import_named" ->
+      """SELECT o_orderpriority AS priority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+          FROM orders GROUP BY 1
+          UNION ALL
+          SELECT 'AllPrio' AS priority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+          FROM orders""",
 
     "olap_view_csv" ->
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
