@@ -68,7 +68,27 @@ final class Cube(
     * `cube.py:468,493` hold by absence).
     */
   private val payloads = mutable.LinkedHashMap[Vector[Int], String]()
-  private val cache = TrieMap[Vector[Int], Option[Double]]()
+
+  /** Concurrency contract (ARCHITECTURE §2): the reference is single-threaded
+    * by design; this engine hands out lazily-evaluated frames, and streaming
+    * ingest (`Streaming.ingestInto`'s foreachBatch) mutates a cube from the
+    * stream execution thread while interactive readers may be active. All
+    * driver-side mutable state (base/overlay/payloads) is therefore guarded
+    * by one per-cube lock: mutations are atomic, and every read path takes a
+    * consistent snapshot under the lock, then runs its Spark job lock-free
+    * (frames are immutable). Read-modify-write merges (streaming batches)
+    * are atomic per batch; an interactive write racing a stream batch may be
+    * superseded by the batch's merge — last-writer-wins at batch granularity,
+    * never a torn state.
+    */
+  private val stateLock = new Object
+  /** Bumped on every logical-state mutation; result-cache entries are keyed
+    * by the version they were computed against, so a reader racing a write
+    * can never install a stale entry that outlives the write (it lands under
+    * the superseded version and is never read again).
+    */
+  @volatile private var stateVersion: Long = 0L
+  private val cache = TrieMap[(Long, Vector[Int]), Option[Double]]()
 
   /** Result-cache switch + bound (≙ the database-level caching switch,
     * `database.py:196-237`; the reference's per-cube dict is unbounded —
@@ -102,12 +122,14 @@ final class Cube(
   def history: History = historyOpt.getOrElse(
     throw new IllegalStateException(s"history not enabled on cube '$name' — call enableHistory()"))
 
-  private[core] def snapshotState(): Cube.State =
+  private[core] def snapshotState(): Cube.State = stateLock.synchronized {
     Cube.State(base, overlay.toVector, payloads.toVector)
-  private[core] def restoreState(s: Cube.State): Unit = {
+  }
+  private[core] def restoreState(s: Cube.State): Unit = stateLock.synchronized {
     base = s.base
     overlay.clear(); s.overlay.foreach { case (k, v) => overlay(k) = v }
     payloads.clear(); s.payloads.foreach { case (k, v) => payloads(k) = v }
+    stateVersion += 1
     cache.clear()
   }
   private def recordHistory(label: String): Unit = historyOpt.foreach(_.record(label))
@@ -119,7 +141,7 @@ final class Cube(
   /** (anc, leaf, weight) DataFrame for dimension `i`; driver-built, small,
     * always used under `broadcast()`.
     */
-  def closureDf(i: Int): DataFrame = closureDfs.getOrElseUpdate(i, {
+  def closureDf(i: Int): DataFrame = stateLock.synchronized { closureDfs.getOrElseUpdate(i, {
     require(!dimensions(i).isDegenerate,
       s"dimension '${dimensions(i).name}' is degenerate — it has no closure; " +
         "grid/rollup paths must skip the join (this is a bug if reached)")
@@ -128,7 +150,7 @@ final class Cube(
       StructField("anc", IntegerType), StructField("leaf", IntegerType),
       StructField("weight", DoubleType)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
-  })
+  }) }
 
   /** (id, name) DataFrame for dimension `i` — for record enumeration. */
   def memberNamesDf(i: Int): DataFrame = {
@@ -137,7 +159,9 @@ final class Cube(
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
   }
 
-  def refreshClosures(): Unit = { closureDfs.clear(); cache.clear() }
+  def refreshClosures(): Unit = stateLock.synchronized {
+    closureDfs.clear(); stateVersion += 1; cache.clear()
+  }
 
   /** Dimensions whose closure weights are ALL 1.0 contribute no weight factor
     * to rollups (≙ the reference keeping only non-default weights,
@@ -169,8 +193,11 @@ final class Cube(
 
   // ---- fact frame ---------------------------------------------------------
 
-  /** The merged fact frame (base + overlay, overlay wins). */
-  def facts: DataFrame = {
+  /** The merged fact frame (base + overlay, overlay wins) — a consistent
+    * snapshot taken under the state lock; the returned frame is immutable,
+    * so jobs planned from it run lock-free.
+    */
+  def facts: DataFrame = stateLock.synchronized {
     if (overlay.isEmpty) base
     else {
       val rows = overlay.toSeq.map { case (ids, v) =>
@@ -187,14 +214,18 @@ final class Cube(
     }
   }
 
-  private[graft] def replaceFacts(df: DataFrame): Unit = {
+  private[graft] def replaceFacts(df: DataFrame): Unit = stateLock.synchronized {
     base = df.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
-    overlay.clear(); cache.clear()
+    overlay.clear(); stateVersion += 1; cache.clear()
     recordHistory("bulk")
   }
 
-  /** Materialize merged facts (persist + cut lineage), clear the overlay. */
-  def compact(): Unit = {
+  /** Materialize merged facts (persist + cut lineage), clear the overlay.
+    * Holds the state lock across the materializing count so no write can
+    * land between the snapshot and the swap (logical content is unchanged,
+    * so the result-cache version does not move).
+    */
+  def compact(): Unit = stateLock.synchronized {
     val merged = facts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     merged.count()
     base = merged
@@ -209,22 +240,27 @@ final class Cube(
     val b = bolt(address)
     require(b.superLevel == 0,
       s"writeback to aggregated cell ${address.mkString("[", ",", "]")} not allowed")
-    graft.olap.Rules.onEntry(this, b, value) match {
-      case Some(v) => overlay(b.ids) = Some(v)
-      case None    => overlay(b.ids) = Some(value)
+    // ON_ENTRY rules may read other cells — evaluate OUTSIDE the lock
+    val v = graft.olap.Rules.onEntry(this, b, value).getOrElse(value)
+    stateLock.synchronized {
+      overlay(b.ids) = Some(v)
+      payloads.remove(b.ids) // a cell holds ONE value — number replaces text
+      stateVersion += 1
+      cache.clear()
+      recordHistory(s"set ${address.mkString(",")}")
     }
-    payloads.remove(b.ids) // a cell holds ONE value — number replaces text
-    cache.clear()
-    recordHistory(s"set ${address.mkString(",")}")
   }
 
   def delete(address: Seq[String]): Unit = {
     val b = bolt(address)
     require(b.superLevel == 0, "can only delete base cells")
-    overlay(b.ids) = None
-    payloads.remove(b.ids)
-    cache.clear()
-    recordHistory(s"delete ${address.mkString(",")}")
+    stateLock.synchronized {
+      overlay(b.ids) = None
+      payloads.remove(b.ids)
+      stateVersion += 1
+      cache.clear()
+      recordHistory(s"delete ${address.mkString(",")}")
+    }
   }
 
   /** Write a non-float payload into a base cell (≙ storing any object,
@@ -236,14 +272,19 @@ final class Cube(
     val b = bolt(address)
     require(b.superLevel == 0,
       s"writeback to aggregated cell ${address.mkString("[", ",", "]")} not allowed")
-    payloads(b.ids) = payload
-    overlay(b.ids) = None // text replaces number: remove the cell from rollups
-    cache.clear()
-    recordHistory(s"payload ${address.mkString(",")}")
+    stateLock.synchronized {
+      payloads(b.ids) = payload
+      overlay(b.ids) = None // text replaces number: remove the cell from rollups
+      stateVersion += 1
+      cache.clear()
+      recordHistory(s"payload ${address.mkString(",")}")
+    }
   }
 
-  def getPayload(address: Seq[String]): Option[String] = payloads.get(bolt(address).ids)
-  private[graft] def payloadAt(ids: Vector[Int]): Option[String] = payloads.get(ids)
+  def getPayload(address: Seq[String]): Option[String] =
+    stateLock.synchronized(payloads.get(bolt(address).ids))
+  private[graft] def payloadAt(ids: Vector[Int]): Option[String] =
+    stateLock.synchronized(payloads.get(ids))
 
   /** Typed cell read: payloads/errors first, else the numeric read path.
     * Rule evaluation failures surface as typed error cells instead of
@@ -254,8 +295,9 @@ final class Cube(
     */
   def getCell(address: Seq[String]): Option[CellValue] = {
     val b = bolt(address)
-    if (b.superLevel == 0 && payloads.contains(b.ids))
-      Some(CellValue.fromPayload(payloads(b.ids)))
+    val payload = if (b.superLevel == 0) payloadAt(b.ids) else None
+    if (payload.isDefined)
+      payload.map(CellValue.fromPayload)
     else try getByBolt(b).map(v =>
       if (v.isNaN) CellValue.Err(CellValue.DivZero) else CellValue.Num(v))
     catch {
@@ -265,12 +307,17 @@ final class Cube(
 
   /** Payload rows within a predicate over the address ids (Area support). */
   private[core] def payloadEntries(p: Vector[Int] => Boolean): Seq[(Vector[Int], String)] =
-    payloads.toSeq.filter { case (ids, _) => p(ids) }
+    stateLock.synchronized(payloads.toSeq.filter { case (ids, _) => p(ids) })
   private[core] def removePayloads(p: Vector[Int] => Boolean): Unit =
-    payloads.filterInPlace((ids, _) => !p(ids))
-  private[graft] def payloadCount: Int = payloads.size
-  private[graft] def allPayloads: Seq[(Vector[Int], String)] = payloads.toSeq
-  private[core] def restorePayload(ids: Vector[Int], p: String): Unit = payloads(ids) = p
+    stateLock.synchronized {
+      payloads.filterInPlace((ids, _) => !p(ids))
+      stateVersion += 1; cache.clear()
+    }
+  private[graft] def payloadCount: Int = stateLock.synchronized(payloads.size)
+  private[graft] def allPayloads: Seq[(Vector[Int], String)] =
+    stateLock.synchronized(payloads.toSeq)
+  private[core] def restorePayload(ids: Vector[Int], p: String): Unit =
+    stateLock.synchronized { payloads(ids) = p; stateVersion += 1; cache.clear() }
 
   /** Cell read: base cells are point lookups (overlay first, then a
     * pushed-down filter job); aggregated cells are closure-join rollups.
@@ -289,25 +336,39 @@ final class Cube(
     if (!cacheEnabled) compute
     else {
       if (cache.size >= cacheMaxEntries) cache.clear()
+      // the cache key carries the state version the value was computed
+      // against: a reader racing a write installs its (now stale) result
+      // under the OLD version, which no later read ever looks up — the
+      // wholesale clear() on write is memory hygiene, not correctness.
+      val key = (stateVersion, b.ids)
       // hit-detection via the thunk flag can misreport under concurrent
       // reads (TrieMap may discard a losing thread's computed value and
       // return the winner's) — acceptable for driver-side observability;
       // the returned VALUE is always consistent.
       var hit = true
-      val r = cache.getOrElseUpdate(b.ids, { hit = false; compute })
+      val r = cache.getOrElseUpdate(key, { hit = false; compute })
       if (hit) bump(3)
       r
     }
   }
 
-  private def pointRead(ids: Vector[Int]): Option[Double] =
-    overlay.get(ids) match {
-      case Some(v) => v
-      case None =>
+  private def pointRead(ids: Vector[Int]): Option[Double] = {
+    // snapshot overlay-hit-or-base under the lock; the filter job (if any)
+    // then runs lock-free on the immutable base frame
+    val snapshot: Either[Option[Double], DataFrame] = stateLock.synchronized {
+      overlay.get(ids) match {
+        case Some(v) => Left(v)
+        case None => Right(base)
+      }
+    }
+    snapshot match {
+      case Left(v) => v
+      case Right(b) =>
         val pred = dimCols.zip(ids).map { case (c, id) => col(c) === id }.reduce(_ && _)
-        base.filter(pred).select(col("value").cast(DoubleType))
+        b.filter(pred).select(col("value").cast(DoubleType))
           .collect().headOption.map(_.getDouble(0))
     }
+  }
 
   /** Weighted rollup of one aggregated cell: per aggregated dimension a
     * broadcast closure join contributes its weight; leaf dimensions are plain
@@ -410,7 +471,7 @@ final class Cube(
   /** Drop ALL cells — facts, overlay, payloads, comments
     * (≙ `cube.py:306-310`).
     */
-  def clear(): Unit = {
+  def clear(): Unit = stateLock.synchronized {
     payloads.clear()
     comments.clear()
     replaceFacts(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], factSchema))
@@ -425,7 +486,7 @@ final class Cube(
   /** Register a rule after smoke validation (≙ `cube.py:750-847` + R8). */
   def registerRule(rule: graft.olap.RuleDef): Unit = {
     graft.olap.Rules.validate(this, rule)
-    rules += rule; cache.clear()
+    stateLock.synchronized { rules += rule; stateVersion += 1; cache.clear() }
   }
 
   private[graft] def clearCache(): Unit = cache.clear()
@@ -435,7 +496,7 @@ final class Cube(
     * `facttable.py:375-420` — here an explicit anti-filter pass after a
     * dimension edit that removed members).
     */
-  def purgeUnknownMembers(): Unit = {
+  def purgeUnknownMembers(): Unit = stateLock.synchronized {
     // degenerate dimensions have no catalog to be "unknown" against — every
     // fact value IS a member; an empty isin() here would silently drop ALL
     // rows, so those dimensions contribute no predicate

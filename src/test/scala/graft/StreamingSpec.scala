@@ -70,6 +70,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(planLines < 400, s"fact plan has $planLines lines — lineage not bounded")
   }
 
+  test("concurrent reads during streaming ingest are consistent and lose nothing") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val db = TinyModel.build(spark)
+    val cube = db.addCube("streamconc", db.cube("sales").dimensions)
+    def id(d: String, m: String) = db.dimension(d).idOf(m)
+    val months = Seq("Jan", "Feb", "Mar", "Apr", "Mai", "Jun", "Jul", "Aug",
+      "Sep", "Oct", "Nov", "Dec")
+    // 25 equal-value cells over 25 micro-batches: every atomic batch merge
+    // only ADDS whole cells, so any consistent read must be a multiple of
+    // the cell value and the sequence non-decreasing — a torn read (partial
+    // merge, half-lost overlay) shows up as a regression or an off-grid
+    // value. Equal values keep the invariant independent of the (unordered)
+    // file-to-batch assignment.
+    val rows = (0 until 25).map { i =>
+      Row(id("years", "2021"), id("months", months(i % 12)), id("regions", "North"),
+        if (i < 12) id("products", "sedan")
+        else if (i < 24) id("products", "coupe") else id("products", "sports"),
+        id("measures", "Sales"), 10.0)
+    }
+    val schema = StructType((0 to 4).map(i => StructField(s"d$i", IntegerType)) :+
+      StructField("value", DoubleType))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_conc").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 25), schema)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(tmp)
+
+    val readErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    @volatile var stopReader = false
+    val reader = new Thread(() => {
+      try while (!stopReader) {
+        val v = cube.get(Seq("2021", "Year", "Total", "Total", "Sales")).getOrElse(0.0)
+        observed.add(v)
+      } catch { case t: Throwable => readErr.set(t) }
+    }, "graft-conc-reader")
+    reader.start()
+    val q = Streaming.ingestInto(cube, stream,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), compactEvery = 10)
+    q.awaitTermination(180000)
+    stopReader = true
+    reader.join(30000)
+    assert(readErr.get() == null, s"concurrent reader failed: ${readErr.get()}")
+    val seq = observed.asScala.toVector
+    assert(seq.nonEmpty, "reader never completed a read")
+    assert(seq.zip(seq.tail).forall { case (a, b) => b >= a },
+      s"totals regressed during ingest: ${seq.take(50)}")
+    // whole-cell consistency: every observed total is k × 10 for some batch
+    // count k — a fractional/partial state is a torn read
+    assert(seq.forall(v => v >= 0 && v <= 250 && v % 10.0 == 0.0),
+      s"observed an off-grid total: ${seq.filterNot(v => v % 10.0 == 0.0).take(5)}")
+    // nothing lost: the final total is the full sum
+    assert(cube.get(Seq("2021", "Year", "Total", "Total", "Sales"))
+      .contains(rows.map(_.getDouble(5)).sum))
+  }
+
   test("watermarked tumbling window aggregation over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
