@@ -21,10 +21,17 @@ object HugeModel {
 
   private val cache = TrieMap[String, Cube]()
 
-  def get(spark: SparkSession): Cube = cache.getOrElseUpdate("huge", build(spark))
+  def get(spark: SparkSession): Cube = at(spark, Rows)
 
-  private def build(spark: SparkSession): Cube = {
-    val db = new Database("huge", spark)
+  /** The same self-verifying model at an arbitrary row count — the scale
+    * stress path (HugeScaleSpec runs it one order up at 1e7; the build is
+    * `spark.range`-distributed, so nothing driver-side grows with `rows`).
+    */
+  def at(spark: SparkSession, rows: Long): Cube =
+    cache.getOrElseUpdate(s"huge-$rows", build(spark, rows))
+
+  private def build(spark: SparkSession, rows: Long): Cube = {
+    val db = new Database(s"huge$rows", spark)
     val dims: Seq[Dimension] = (0 until NDims).map { i =>
       val d = db.addDimension(s"dim$i")
       d.edit()
@@ -35,7 +42,7 @@ object HugeModel {
     // leaf ids are 1..100 ("All" gets id 0 as the first-created member)
     val dimCols = (0 until NDims).map(i =>
       (pmod(xxhash64(col("id"), lit(i)), lit(LeavesPerDim)) + 1).cast("int").as(s"d$i"))
-    val facts = spark.range(Rows)
+    val facts = spark.range(rows)
       .select(dimCols :+ lit(1.0).as("value"): _*)
       .groupBy((0 until NDims).map(i => col(s"d$i")): _*)
       .agg(sum(col("value")).as("value"))
@@ -50,8 +57,11 @@ object HugeModel {
     * headline). Per-cell driver round-trips can never amortize Spark's
     * per-job floor; batching restores the reads/sec story at any scale.
     */
-  def pointReadBatch(spark: SparkSession, n: Int): DataFrame = {
-    val cube = get(spark)
+  def pointReadBatch(spark: SparkSession, n: Int): DataFrame =
+    pointReadBatch(get(spark), n)
+
+  def pointReadBatch(cube: Cube, n: Int): DataFrame = {
+    val spark = cube.spark
     // address generation mirrors the build's hash scheme, different seed
     val addrCols = (0 until NDims).map(i =>
       (pmod(xxhash64(col("id"), lit(i + 31)), lit(LeavesPerDim)) + 1).cast("int").as(s"d$i"))

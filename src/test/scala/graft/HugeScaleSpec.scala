@@ -1,0 +1,71 @@
+package graft
+
+import graft.tpch.HugeModel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The huge model ONE ORDER UP from the reference's 1e6 benchmark: 1e7 rows,
+  * where a local[4] run genuinely multi-waves its tasks and the groupBy
+  * shuffle/AQE engage — the paths are the production ones (same build, same
+  * closure-join rollup, same batched point-read shape), only the row count
+  * moves. Self-verifying like HugeModelSpec: value-1.0 cells ⇒ every
+  * aggregate equals its contributing row count.
+  *
+  * Measured numbers are recorded in ARCHITECTURE §6d.
+  */
+class HugeScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("1e7-row model: build, cold top cell, slice, dense grid, 10k point batch") {
+    val rows = 10000000L
+    val (cube, tBuild) = time(HugeModel.at(spark, rows))
+
+    // cold full-cube aggregation (caching off — the baseline-comparable read)
+    cube.cacheEnabled = false
+    val (top, tTop) = time(cube.get(Seq.fill(HugeModel.NDims)("All")))
+    cube.cacheEnabled = true
+    assert(top.contains(rows.toDouble))
+
+    // one-dim slice equals its filter count (closure join + pushed filter)
+    val m5Id = cube.dimensions(0).idOf("m5")
+    val expected = cube.facts.filter(col("d0") === m5Id)
+      .agg(sum("value")).head.getDouble(0)
+    assert(cube.get(Seq("m5") ++ Seq.fill(HugeModel.NDims - 1)("All")).contains(expected))
+
+    // dense grid: all 100 d0 leaves × All^7 in ONE job — cells partition the
+    // row space, so the grid total must be exactly `rows`
+    val sel = Seq(cube.dimensions(0).leafMembers.map(_.id)) ++
+      (1 until HugeModel.NDims).map(i => Seq(cube.dimensions(i).idOf("All")))
+    val (gridRow, tGrid) = time(
+      cube.gridAggregate(sel).agg(count(lit(1)).as("n"), sum("value").as("total")).head)
+    assert(gridRow.getLong(0) == HugeModel.LeavesPerDim.toLong)
+    assert(gridRow.getDouble(1) == rows.toDouble)
+
+    // 10k batched point reads in one broadcast-semi-join job. The bench's
+    // random addresses nearly never land on occupied cells in a 100^8 space,
+    // so here the addresses reuse the BUILD's hash seeds: every address is a
+    // real cell, and the semi-join must return exactly one fact row per
+    // distinct requested address
+    val addrCols = (0 until HugeModel.NDims).map(i =>
+      (pmod(xxhash64(col("id"), lit(i)), lit(HugeModel.LeavesPerDim)) + 1)
+        .cast("int").as(s"d$i"))
+    val addrs = spark.range(10000).select(addrCols: _*)
+    val nDistinct = addrs.distinct().count()
+    val (nHit, tReads) = time(
+      cube.facts.join(broadcast(addrs),
+        (0 until HugeModel.NDims).map(i => s"d$i"), "left_semi").count())
+    assert(nHit == nDistinct,
+      s"expected every requested address to resolve: $nHit of $nDistinct")
+
+    info(f"1e7 rows: build=$tBuild%.1fs coldTop=$tTop%.2fs grid100=$tGrid%.2fs " +
+      f"pointBatch10k=$tReads%.2fs hits=$nHit")
+
+    // release the ~1e7-row persisted frame so later suites in the shared
+    // session don't carry it
+    cube.facts.unpersist(blocking = true)
+  }
+}
