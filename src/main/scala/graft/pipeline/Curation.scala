@@ -119,4 +119,36 @@ object Curation {
     val w = Window.partitionBy(stratumCol).orderBy(scoreCol.desc, idCol.asc)
     df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Sequence packing — concat-and-cut: documents are concatenated in
+    * deterministic id order within each stratum and the token stream is cut
+    * into fixed `contextSize` windows (the standard pretraining batch prep).
+    * Each document is assigned the pack its FIRST token lands in:
+    * `pack_id = start_offset / contextSize`, `start_in_pack = start_offset %
+    * contextSize` (a document may spill into the next pack — concat-and-cut
+    * semantics, not bin packing, which is inherently sequential and does not
+    * distribute).
+    *
+    * One window shuffle on the stratum key, cumulative sum per stratum —
+    * deterministic at any partitioning. At 100 TB a handful of huge strata
+    * would serialize the window; pack within composite strata instead (e.g.
+    * `lang` × a hash bucket of the id) — packs never cross strata, so
+    * sub-stratifying only adds one partial tail pack per bucket.
+    *
+    * Output: input columns + (`n_tokens`, `pack_id`, `start_in_pack`).
+    */
+  def packSequences(df: DataFrame, idCol: Column, stratumCol: Column,
+      tokensCol: Column, contextSize: Int): DataFrame = {
+    require(contextSize > 0, s"contextSize must be positive, got $contextSize")
+    Seq("n_tokens", "pack_id", "start_in_pack").foreach(c =>
+      require(!df.columns.contains(c),
+        s"packSequences emits a `$c` output column; rename the input's `$c` first"))
+    val w = Window.partitionBy(stratumCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", (col("__start") / contextSize).cast("long"))
+      .withColumn("start_in_pack", col("__start") % contextSize)
+      .drop("__start")
+  }
 }

@@ -103,6 +103,44 @@ object TextAnalysis {
       .withColumn("chunk_tokens", least(lit(chunkSize), size(words(textCol)) - col("chunk_id") * step))
   }
 
+  /** Gopher-style repetition signals: the fraction of duplicated words /
+    * bigrams / trigrams in a document (1 − distinct/total). Heavily
+    * repetitive documents (boilerplate, keyword stuffing, decoding loops)
+    * show high duplicate-n-gram fractions and get filtered before training.
+    * Pure codegen'd array expressions — scan-shaped at any scale, no
+    * shuffle, stream-safe. N-grams join on `` so multi-word tokens
+    * can't alias.
+    */
+  def repetitionSignals(textCol: Column): Seq[(String, Column)] = {
+    val w = words(textCol)
+    val n = size(w)
+    def ngrams(k: Int): Column =
+      transform(sequence(lit(1), n - (k - 1)),
+        i => array_join(slice(w, i, lit(k)), ""))
+    // guards keep sequence() endpoints ordered (Spark generates a DESCENDING
+    // sequence when start > stop — a silent wrong answer, not an error)
+    def dupFrac(k: Int): Column =
+      if (k == 1) lit(1.0) - size(array_distinct(w)).cast("double") / n.cast("double")
+      else when(n >= k,
+        lit(1.0) - size(array_distinct(ngrams(k))).cast("double")
+          / (n - (k - 1)).cast("double"))
+        .otherwise(0.0)
+    Seq(
+      "dup_word_frac" -> dupFrac(1),
+      "dup_bigram_frac" -> dupFrac(2),
+      "dup_trigram_frac" -> dupFrac(3))
+  }
+
+  /** Repetition filter flag over [[repetitionSignals]] at the given maxima —
+    * true means "too repetitive, drop before training".
+    */
+  def repetitiveFlag(textCol: Column, maxWordDup: Double = 0.55,
+      maxBigramDup: Double = 0.06, maxTrigramDup: Double = 0.02): Column = {
+    val s = repetitionSignals(textCol).toMap
+    s("dup_word_frac") > maxWordDup || s("dup_bigram_frac") > maxBigramDup ||
+      s("dup_trigram_frac") > maxTrigramDup
+  }
+
   /** PII scrub: redact e-mail addresses and phone-shaped digit runs with
     * typed placeholders. Pure codegen'd `regexp_replace` (replaces ALL
     * matches), scan-shaped at any scale; the patterns deliberately stay in

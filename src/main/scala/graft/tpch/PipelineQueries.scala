@@ -234,6 +234,25 @@ object PipelineQueries {
         .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
     }),
 
+    // Gopher-style repetition signals: duplicate word/bigram/trigram
+    // fractions + the drop flag — pure codegen'd array expressions
+    "pipe_repetition" -> ((s, dir) => {
+      val sig = TextAnalysis.repetitionSignals(col("text")).map { case (n, c) => c.as(n) }
+      docs(s, dir).select(col("doc_id") +: sig :+
+        TextAnalysis.repetitiveFlag(col("text")).as("repetitive"): _*)
+    }),
+
+    // sequence packing (concat-and-cut): id-ordered token stream per lang
+    // cut into 512-token windows; each doc assigned the pack its first
+    // token lands in — one window shuffle on the stratum key
+    "pipe_pack" -> ((s, dir) => {
+      Curation.packSequences(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCountWs(col("text")).as("tok")),
+        col("doc_id"), col("lang"), col("tok"), 512)
+        .select("doc_id", "lang", "n_tokens", "pack_id", "start_in_pack")
+    }),
+
     // multimodal plumbing: binary column → typed decode → frame sampling
     "pipe_multimodal" -> ((s, dir) => {
       Multimodal.sampleFrames(Multimodal.decode(Multimodal.assets(docs(s, dir))))
@@ -400,6 +419,38 @@ object PipelineQueries {
            array_to_string(ws[CAST(chunk_id*32 + 1 AS INT) : CAST(chunk_id*32 + 40 AS INT)], ' ') AS chunk_text,
            least(40, len(ws) - CAST(chunk_id AS INT)*32) AS chunk_tokens
          FROM c""",
+
+    // mirrors TextAnalysis.repetitionSignals: n-grams joined on chr(1),
+    // dup fraction = 1 − distinct/total, short docs guard to 0.0
+    "pipe_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           s AS (SELECT doc_id,
+             1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
+             CASE WHEN len(ws) >= 2 THEN
+               1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws)),
+                 i -> ws[i] || chr(1) || ws[i+1]))) AS DOUBLE) / (len(ws) - 1)
+             ELSE 0.0 END AS dup_bigram_frac,
+             CASE WHEN len(ws) >= 3 THEN
+               1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2]))) AS DOUBLE) / (len(ws) - 2)
+             ELSE 0.0 END AS dup_trigram_frac
+           FROM w)
+         SELECT doc_id, dup_word_frac, dup_bigram_frac, dup_trigram_frac,
+           (dup_word_frac > 0.55 OR dup_bigram_frac > 0.06 OR dup_trigram_frac > 0.02)
+             AS repetitive
+         FROM s""",
+
+    // mirrors Curation.packSequences(…, 512): start offset = exclusive
+    // prefix sum of token counts per lang in doc_id order
+    "pipe_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+           o AS (SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+           FROM t)
+         SELECT doc_id, lang, n_tokens, so // 512 AS pack_id, so % 512 AS start_in_pack
+         FROM o""",
 
     "pipe_multimodal" ->
       """SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,

@@ -216,6 +216,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) >= 1))
   }
 
+  test("repetition signals: hand-computed fractions, short-doc guards, flag") {
+    import spark.implicits._
+    def sig(text: String): (Double, Double, Double, Boolean) = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val cols = TextAnalysis.repetitionSignals(col("text")).map { case (n, c) => c.as(n) }
+      val r = df.select(cols :+ TextAnalysis.repetitiveFlag(col("text")).as("rep"): _*).head
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+    }
+    // "a a a": words 3 distinct 1 → 2/3; bigrams ("a a","a a") → 1/2;
+    // trigram single → 0
+    val (dw, db, dt, rep) = sig("a a a")
+    assert(dw == 1.0 - 1.0 / 3 && db == 0.5 && dt == 0.0 && rep)
+    // all-distinct doc: every fraction 0, flag false
+    assert(sig("the quick brown fox") == ((0.0, 0.0, 0.0, false)))
+    // repeated bigram across distinct positions: "x y x y x" bigrams
+    // (xy, yx, xy, yx) → 2 distinct of 4 → 0.5; trigrams (xyx, yxy, xyx)
+    // → 2 of 3 → 1/3
+    val (dw2, db2, dt2, _) = sig("x y x y x")
+    assert(dw2 == 1.0 - 2.0 / 5 && db2 == 0.5 && dt2 == 1.0 - 2.0 / 3)
+    // single word: n-gram guards yield 0, never a descending-sequence value
+    assert(sig("solo") == ((0.0, 0.0, 0.0, false)))
+    // the bigram signal separates docs the word signal can't: both have
+    // dup_word 1/2, but "a b a b" repeats the (a,b) bigram and "a b b a"
+    // repeats none
+    val (w3, b3, _, _) = sig("a b a b")
+    val (w4, b4, _, _) = sig("a b b a")
+    assert(w3 == w4 && b3 == 1.0 - 2.0 / 3 && b4 == 0.0)
+  }
+
+  test("packSequences: concat-and-cut offsets, stratum isolation, collision guard") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", 300L), (2L, "en", 300L), (3L, "en", 300L),
+      (4L, "de", 600L), (5L, "de", 100L)).toDF("doc_id", "lang", "tok")
+    val out = Curation.packSequences(df, col("doc_id"), col("lang"), col("tok"), 512)
+      .select("doc_id", "pack_id", "start_in_pack").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // en stream: starts 0, 300, 600 → packs 0, 0, 1; offsets 0, 300, 88
+    assert(out(1L) == ((0L, 0L)) && out(2L) == ((0L, 300L)) && out(3L) == ((1L, 88L)))
+    // de stream packs independently: starts 0, 600
+    assert(out(4L) == ((0L, 0L)) && out(5L) == ((1L, 88L)))
+    // output-column collision is rejected loudly
+    intercept[IllegalArgumentException](
+      Curation.packSequences(df.withColumnRenamed("tok", "pack_id"),
+        col("doc_id"), col("lang"), col("pack_id"), 512))
+    intercept[IllegalArgumentException](
+      Curation.packSequences(df, col("doc_id"), col("lang"), col("tok"), 0))
+  }
+
   test("chunkDocuments boundaries: clamp, exact multiple, overlap 0, single word") {
     import spark.implicits._
     def mk(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
