@@ -384,6 +384,13 @@ final class Cube(
         if (id != Dimension.DegenerateAllId) df = df.filter(col(s"d$i") === id)
       } else if (dimensions(i).levelOf(id) == 0) {
         df = df.filter(col(s"d$i") === id)
+      } else if (dimensions(i).coversAllLeavesUnit(id)) {
+        // identity rollup (full coverage at unit weight — the top `All`):
+        // the closure join would match every row exactly once with weight
+        // 1, so skip it. Contract: facts addressing members REMOVED from
+        // the catalog are undefined until purgeUnknownMembers()
+        // (ARCHITECTURE §1) — the join was never a reliable orphan filter,
+        // since leaf point reads don't closure-join either.
       } else {
         val cl = closureDf(i).filter(col("anc") === id)
           .select(col("leaf").as(s"leaf_$i"), weightExpr.as(s"w_$i"))
@@ -436,6 +443,9 @@ final class Cube(
           df = if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
                else df.filter(col(s"d$i").isin(sel: _*))
           df = df.withColumn(s"a$i", col(s"d$i"))
+        } else if (sel.size == 1 && dimensions(i).coversAllLeavesUnit(sel.head)) {
+          // identity rollup (see Cube.rollup): constant grid key, no join
+          df = df.withColumn(s"a$i", lit(sel.head))
         } else {
           val cl = closureDf(i).filter(col("anc").isin(sel: _*))
             .select(col("anc").as(s"a$i"), col("leaf").as(s"leaf_$i"), weightExpr.as(s"w_$i"))

@@ -400,6 +400,21 @@ final class Dimension(val name: String) {
 
   /** Full leaf-closure table (incl. leaf self-rows, weight 1.0). */
   def closureRows: Vector[ClosureRow] = closure
+
+  /** True iff this member's closure covers EVERY current leaf exactly once
+    * at weight 1.0 — aggregating over it is the IDENTITY rollup (the usual
+    * top `All` member), so aggregation paths skip the closure join
+    * entirely: no filter, no fan-out, no weight factor. False for leaves,
+    * weighted/multi-parent covers, and degenerate dims (those use
+    * [[Dimension.DegenerateAllId]]). Closure rows are one-per-(anc, leaf)
+    * with leaf-only descendants, so a row count equal to the leaf count is
+    * full coverage.
+    */
+  def coversAllLeavesUnit(id: Int): Boolean =
+    !isDegenerate && levelOf(id) > 0 && {
+      val rows = closure.filter(_.anc == id)
+      rows.size == leafMembers.size && rows.forall(_.weight == 1.0)
+    }
   /** Leaf descendants of one member, with effective weights. */
   def leavesOf(member: String): Vector[ClosureRow] = {
     val id = idOf(member); closure.filter(_.anc == id)

@@ -536,6 +536,9 @@ object Rules {
         df = (if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
               else df.filter(col(s"d$i").isin(sel: _*)))
           .withColumn(s"a$i", col(s"d$i"))
+      } else if (sel.size == 1 && cube.dimensions(i).coversAllLeavesUnit(sel.head)) {
+        // identity rollup (see Cube.rollup): constant grid key, no join
+        df = df.withColumn(s"a$i", lit(sel.head))
       } else {
         val cl = cube.closureDf(i).filter(col("anc").isin(sel: _*))
           .select(col("anc").as(s"a$i"), col("leaf").as(s"leaf_$i"), cube.weightExpr.as(s"w_$i"))

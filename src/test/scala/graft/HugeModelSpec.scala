@@ -24,4 +24,24 @@ class HugeModelSpec extends AnyFunSuite {
       .agg(sum("value")).head.getDouble(0)
     assert(cube.get(Seq("m5", "m7") ++ Seq.fill(6)("All")).contains(expected2))
   }
+
+  test("identity rollups skip the closure join; partial/weighted covers keep it") {
+    val cube = HugeModel.get(spark)
+    // All^8: every dimension's All covers every leaf at weight 1 — the plan
+    // must be a bare scan + aggregate, zero joins
+    val allIds = cube.dimensions.map(d => Seq(d.idOf("All")))
+    val plan = cube.gridAggregate(allIds).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"top-cell grid should have no joins:\n$plan")
+    // weighted cover (tiny model Profit = Sales − Cost) keeps its closure
+    // join — it is neither full-coverage nor unit-weight
+    val db = TinyModel.build(spark)
+    val tc = db.cube("sales")
+    def mid(d: String, m: String) = db.dimension(d).idOf(m)
+    val g = tc.gridAggregate(Seq(
+      Seq(mid("years", "2021")), Seq(mid("months", "Year")),
+      Seq(mid("regions", "Total")), Seq(mid("products", "Total")),
+      Seq(mid("measures", "Profit"))))
+    assert(g.queryExecution.executedPlan.toString.contains("Join"),
+      "weighted rollup must keep its closure join")
+  }
 }
