@@ -36,6 +36,8 @@ object Bench {
     "pipe_dedup_clusters",  // pairs -> connected components (graph fixpoint)
     "pipe_lang_id",         // text analysis scan
     "pipe_fingerprint",     // md5 fingerprints
+    "pipe_repetition",      // duplicate-n-gram repetition signals (scan)
+    "pipe_pack",            // sequence packing (one window shuffle)
     "olap_huge_top")        // reference huge bench top-cell read — LAST: the
                             // build (timed separately as huge_build) leaves a
                             // large persisted frame behind
@@ -53,7 +55,16 @@ object Bench {
       "pipe_ann_lsh" -> ((s, dir) => {
         val e = s.read.parquet(s"$dir/embeddings.parquet")
         graft.pipeline.Similarity.lshTopK(e, e.filter(col("vec_id") < 5), 10, dim = 64)
-      }))
+      }),
+      // not in the bench headline set — listed so PlanShapeSpec asserts the
+      // raw scalable operators of EVERY verification-summary gate, not just
+      // the benched two
+      "pipe_ann_ivf" -> ((s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        graft.pipeline.Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), 10)
+      }),
+      "pipe_dedup_embed_lsh" -> ((s, dir) => graft.pipeline.Similarity.lshNearDupPairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), 0.45, dim = 64, nPlanes = 4, tables = 24)))
   }
 
   /** The bench SparkSession config — the diagnostic tools (TimeOne,

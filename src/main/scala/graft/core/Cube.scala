@@ -97,7 +97,14 @@ final class Cube(
     */
   @volatile var cacheEnabled: Boolean = true
   @volatile var cacheMaxEntries: Int = 100000
-  private[graft] val rules = mutable.ArrayBuffer[graft.olap.RuleDef]()
+  /** Registered rules. The buffer mutates only under [[stateLock]]; readers
+    * get an immutable snapshot — a lock-free ArrayBuffer read racing a
+    * registerRule append could observe a grown size with an unpublished
+    * slot (NPE) or silently miss the rule.
+    */
+  private val rulesBuf = mutable.ArrayBuffer[graft.olap.RuleDef]()
+  private[graft] def rules: Vector[graft.olap.RuleDef] =
+    stateLock.synchronized(rulesBuf.toVector)
 
   /** Read-path counters (≙ `cube.py:183-207`): requests, rule evaluations,
     * aggregation jobs, cache hits. Driver-side observability only.
@@ -220,6 +227,30 @@ final class Cube(
     recordHistory("bulk")
   }
 
+  /** Consistent (merged facts, overlay entries) pair for a read-modify-write
+    * bulk merge whose job runs OUTSIDE the lock (streaming batches). The
+    * overlay snapshot records exactly which point writes the merge
+    * incorporates.
+    */
+  private[graft] def bulkMergeSnapshot(): (DataFrame, Vector[(Vector[Int], Option[Double])]) =
+    stateLock.synchronized((facts, overlay.toVector))
+
+  /** Swap in a frame built from a [[bulkMergeSnapshot]], dropping ONLY the
+    * overlay entries that snapshot incorporated: an interactive write that
+    * landed while the merge job ran (new key, or changed value) survives in
+    * the overlay and wins over the batch's older data for its cell —
+    * a plain replaceFacts here would erase it wholesale.
+    */
+  private[graft] def commitBulkMerge(df: DataFrame,
+      incorporated: Vector[(Vector[Int], Option[Double])]): Unit =
+    stateLock.synchronized {
+      base = df.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
+      val inc = incorporated.toMap
+      overlay.filterInPlace((k, v) => !inc.get(k).contains(v))
+      stateVersion += 1; cache.clear()
+      recordHistory("bulk")
+    }
+
   /** Materialize merged facts (persist + cut lineage), clear the overlay.
     * Holds the state lock across the materializing count so no write can
     * land between the snapshot and the swap (logical content is unchanged,
@@ -308,16 +339,16 @@ final class Cube(
   /** Payload rows within a predicate over the address ids (Area support). */
   private[core] def payloadEntries(p: Vector[Int] => Boolean): Seq[(Vector[Int], String)] =
     stateLock.synchronized(payloads.toSeq.filter { case (ids, _) => p(ids) })
+  // payload-only mutations do NOT touch the result cache: cached entries
+  // are numeric pointRead/rollup values, and getCell consults payloads
+  // BEFORE the cached path — invalidating here would only waste recomputes
   private[core] def removePayloads(p: Vector[Int] => Boolean): Unit =
-    stateLock.synchronized {
-      payloads.filterInPlace((ids, _) => !p(ids))
-      stateVersion += 1; cache.clear()
-    }
+    stateLock.synchronized { payloads.filterInPlace((ids, _) => !p(ids)) }
   private[graft] def payloadCount: Int = stateLock.synchronized(payloads.size)
   private[graft] def allPayloads: Seq[(Vector[Int], String)] =
     stateLock.synchronized(payloads.toSeq)
   private[core] def restorePayload(ids: Vector[Int], p: String): Unit =
-    stateLock.synchronized { payloads(ids) = p; stateVersion += 1; cache.clear() }
+    stateLock.synchronized { payloads(ids) = p }
 
   /** Cell read: base cells are point lookups (overlay first, then a
     * pushed-down filter job); aggregated cells are closure-join rollups.
@@ -496,7 +527,7 @@ final class Cube(
   /** Register a rule after smoke validation (≙ `cube.py:750-847` + R8). */
   def registerRule(rule: graft.olap.RuleDef): Unit = {
     graft.olap.Rules.validate(this, rule)
-    stateLock.synchronized { rules += rule; stateVersion += 1; cache.clear() }
+    stateLock.synchronized { rulesBuf += rule; stateVersion += 1; cache.clear() }
   }
 
   private[graft] def clearCache(): Unit = cache.clear()

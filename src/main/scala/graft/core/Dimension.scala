@@ -234,6 +234,12 @@ final class Dimension(val name: String) {
 
   def addMany(members: Seq[String]): Dimension = { members.foreach(m => add(m)); this }
 
+  /** Remove a member (edit mode). After commit, cubes using this dimension
+    * must run `purgeUnknownMembers()` (which also refreshes their broadcast
+    * closures): until then, fact rows addressing the removed member are
+    * UNDEFINED in aggregates — identity rollups include them while leaf
+    * selections exclude them (ARCHITECTURE §1).
+    */
   def remove(member: String): Dimension = {
     require(editing, s"dimension '$name' not in edit mode")
     val mid = idOf(member)
@@ -272,6 +278,7 @@ final class Dimension(val name: String) {
     }.toVector
     byId = committed.map(m => m.id -> m).toMap
     closure = buildClosure(levels)
+    identityCovers = null // recomputed lazily from the new closure
     allParentsMap = buildAllParents()
     editing = false
     editBackup = None
@@ -412,9 +419,18 @@ final class Dimension(val name: String) {
     */
   def coversAllLeavesUnit(id: Int): Boolean =
     !isDegenerate && levelOf(id) > 0 && {
-      val rows = closure.filter(_.anc == id)
-      rows.size == leafMembers.size && rows.forall(_.weight == 1.0)
+      // memoized per closure build — this sits on the aggregation planning
+      // hot path (per dimension per rollup/grid call), and a per-call
+      // O(closure) scan would cost real driver time on §7-scale dims
+      if (identityCovers == null) {
+        val nLeaves = leafMembers.size
+        identityCovers = closure.groupBy(_.anc).collect {
+          case (anc, rows) if rows.size == nLeaves && rows.forall(_.weight == 1.0) => anc
+        }.toSet
+      }
+      identityCovers(id)
     }
+  private var identityCovers: Set[Int] = null
   /** Leaf descendants of one member, with effective weights. */
   def leavesOf(member: String): Vector[ClosureRow] = {
     val id = idOf(member); closure.filter(_.anc == id)

@@ -140,9 +140,9 @@ object Curation {
   def packSequences(df: DataFrame, idCol: Column, stratumCol: Column,
       tokensCol: Column, contextSize: Int): DataFrame = {
     require(contextSize > 0, s"contextSize must be positive, got $contextSize")
-    Seq("n_tokens", "pack_id", "start_in_pack").foreach(c =>
+    Seq("n_tokens", "pack_id", "start_in_pack", "__start").foreach(c =>
       require(!df.columns.contains(c),
-        s"packSequences emits a `$c` output column; rename the input's `$c` first"))
+        s"packSequences emits or overwrites a `$c` column; rename the input's `$c` first"))
     val w = Window.partitionBy(stratumCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("n_tokens", tokensCol.cast("long"))

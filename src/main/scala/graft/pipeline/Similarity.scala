@@ -129,18 +129,16 @@ object Similarity {
     val assigned = model.transform(corpusVec)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv0"), col("__cell"))
     val centroids = model.clusterCenters.map(_.toArray)
-    // nProbe nearest centroids per query, computed driver-free via a small
-    // exploded centroid frame (nCentroids rows — broadcast)
-    val spark = corpus.sparkSession
-    val centDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(centroids.zipWithIndex.map { case (c, i) =>
-        org.apache.spark.sql.Row(i, c.toSeq) }.toList, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__cell", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("cent",
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+    // nProbe nearest centroids per query: the centroids are driver-side
+    // model output, so they attach as an exploded LITERAL array — a pure
+    // Generate (fan-out nCentroids per query), no join in the plan at all
+    // (a crossJoin against even a 16-row broadcast frame plans as a
+    // BroadcastNestedLoopJoin and trips the plan-shape guard)
+    val centLit = typedlit(centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv0"))
-    val qCells = q.crossJoin(broadcast(centDf))
+    val qCells = q.select(col("query_id"), col("qv0"), explode(centLit).as("__c"))
+      .withColumn("__cell", col("__c._1"))
+      .withColumn("cent", col("__c._2"))
       .withColumn("dist", aggregate(zip_with(col("qv0"), col("cent"),
         (x, c) => (x.cast("double") - c) * (x.cast("double") - c)), lit(0.0), (a, v) => a + v))
       .withColumn("rk", row_number().over(

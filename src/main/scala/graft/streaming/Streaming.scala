@@ -37,12 +37,15 @@ object Streaming {
         val cols = cube.dimCols
         val deduped = batch.groupBy(cols.map(col): _*)
           .agg(last(col("value")).as("value")) // last write wins within batch
-        val merged = cube.facts
+        // snapshot facts AND the overlay entries the merge bakes in, so the
+        // commit can preserve interactive writes that land mid-merge
+        val (facts0, incorporated) = cube.bulkMergeSnapshot()
+        val merged = facts0
           .join(broadcast(deduped.select(cols.map(col): _*)), cols, "left_anti")
-          .unionByName(deduped.select(cube.facts.columns.map(col).toIndexedSeq: _*))
+          .unionByName(deduped.select(facts0.columns.map(col).toIndexedSeq: _*))
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
-          cube.replaceFacts(merged.localCheckpoint(true))
-        else cube.replaceFacts(merged)
+          cube.commitBulkMerge(merged.localCheckpoint(true), incorporated)
+        else cube.commitBulkMerge(merged, incorporated)
       }
       .start()
   }

@@ -127,6 +127,24 @@ class StreamingSpec extends AnyFunSuite {
       .contains(rows.map(_.getDouble(5)).sum))
   }
 
+  test("commitBulkMerge preserves interactive writes that land mid-merge") {
+    val db = TinyModel.build(spark)
+    val cube = db.addCube("mergekeep", db.cube("sales").dimensions)
+    def addr(p: String) = Seq("2021", "Jan", "North", p, "Sales")
+    cube.set(addr("sedan"), 100.0) // in the overlay BEFORE the snapshot
+    // the streaming batch takes its snapshot (incorporating sedan=100)…
+    val (facts0, inc) = cube.bulkMergeSnapshot()
+    // …and while its merge job "runs", two interactive writes land:
+    cube.set(addr("coupe"), 50.0) // new key — must survive the swap
+    cube.set(addr("sedan"), 77.0) // changed value — must survive the swap
+    cube.commitBulkMerge(facts0, inc)
+    // a plain replaceFacts here would have erased both racing writes
+    assert(cube.get(addr("sedan")).contains(77.0))
+    assert(cube.get(addr("coupe")).contains(50.0))
+    // the incorporated write lives on in the base; totals see all three
+    assert(cube.get(Seq("2021", "Jan", "North", "Total", "Sales")).contains(127.0))
+  }
+
   test("watermarked tumbling window aggregation over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
