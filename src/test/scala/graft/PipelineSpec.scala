@@ -263,6 +263,13 @@ class PipelineSpec extends AnyFunSuite {
         col("doc_id"), col("lang"), col("pack_id"), 512))
     intercept[IllegalArgumentException](
       Curation.packSequences(df, col("doc_id"), col("lang"), col("tok"), 0))
+    // partitioning-independent: the window orders by id within stratum, so
+    // any input partitioning yields the identical packing
+    val repart = Curation.packSequences(df.repartition(7), col("doc_id"),
+      col("lang"), col("tok"), 512)
+      .select("doc_id", "pack_id", "start_in_pack").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(repart == out)
   }
 
   test("chunkDocuments boundaries: clamp, exact multiple, overlap 0, single word") {

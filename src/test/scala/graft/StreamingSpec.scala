@@ -227,6 +227,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("copy"))).sorted.toSeq == batch)
   }
 
+  test("chunking and repetition signals run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    // both are pure scan shapes (explode / array expressions): the SAME
+    // calls work on batch and streaming frames with identical output
+    val out = graft.pipeline.TextAnalysis.chunkDocuments(docs, col("text"), 3, 1)
+      .withColumn("rep",
+        graft.pipeline.TextAnalysis.repetitionSignals(col("text")).toMap.apply("dup_word_frac"))
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("chunk_stream").start()
+    mem.addData((1L, "a b c d e"), (2L, "x x x"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM chunk_stream").collect()
+    q.stop()
+    val batch = graft.pipeline.TextAnalysis.chunkDocuments(
+      Seq((1L, "a b c d e"), (2L, "x x x")).toDF("doc_id", "text"), col("text"), 3, 1)
+      .withColumn("rep",
+        graft.pipeline.TextAnalysis.repetitionSignals(col("text")).toMap.apply("dup_word_frac"))
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[String]("chunk_text"), r.getAs[Double]("rep"))
+    assert(rows.map(key).sorted.toSeq == batch.map(key).sorted.toSeq)
+    assert(rows.nonEmpty)
+  }
+
   test("session windows group events by gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
