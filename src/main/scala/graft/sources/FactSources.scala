@@ -25,6 +25,12 @@ object FactSources {
   def readJson(spark: SparkSession, path: String, nDims: Int): DataFrame =
     spark.read.schema(factSchema(nDims)).json(path)
 
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(facts: DataFrame, path: String): Unit =
+    facts.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Import NAME-addressed records `(dimName0, …, dimNameN, value)` into id
     * space via broadcast member-name joins — the bulk-load path
     * (≙ per-cell `cube[...]` loading, `samples/huge.py:115-133`, done as one

@@ -61,6 +61,19 @@ class SourcesShiftSpec extends AnyFunSuite {
     assert(cube.get(Seq("2022", "Year", "Total", "Total", "Cost")).contains(3.0))
   }
 
+  test("fact sources: orc round-trip") {
+    val db = TinyModel.build(spark)
+    val cube = db.addCube("osales", db.cube("sales").dimensions)
+    cube.set(Seq("2021", "Jan", "North", "sedan", "Sales"), 42.0)
+    cube.set(Seq("2021", "Feb", "South", "coupe", "Cost"), 7.0)
+    cube.compact()
+    val tmp = java.nio.file.Files.createTempDirectory("graftorc").toString
+    FactSources.writeOrc(cube.facts, s"$tmp/facts")
+    val back = FactSources.readOrc(spark, s"$tmp/facts")
+    assert(back.schema == cube.facts.schema)
+    assert(back.collect().toSet == cube.facts.collect().toSet)
+  }
+
   test("partitioned parquet sink enables partition pruning") {
     val db = TinyModel.build(spark)
     val cube = db.addCube("psales", db.cube("sales").dimensions)
