@@ -25,8 +25,13 @@ object FactSources {
   def readJson(spark: SparkSession, path: String, nDims: Int): DataFrame =
     spark.read.schema(factSchema(nDims)).json(path)
 
-  def readOrc(spark: SparkSession, path: String): DataFrame =
-    spark.read.orc(path)
+  def readOrc(spark: SparkSession, path: String, nDims: Int): DataFrame = {
+    // same fact-schema contract as readCsv/readJson: pin (d0..dn, value) at
+    // the source boundary so a mis-shaped file fails fast, not deep inside
+    // a cube join
+    val schema = factSchema(nDims)
+    spark.read.orc(path).select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 
   def writeOrc(facts: DataFrame, path: String): Unit =
     facts.write.mode(SaveMode.Overwrite).orc(path)

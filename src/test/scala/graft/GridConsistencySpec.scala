@@ -37,7 +37,7 @@ class GridConsistencySpec extends AnyFunSuite {
       // random non-empty selection per dimension (1..3 members)
       val sel: Seq[Seq[String]] = pools.map { pool =>
         val n = 1 + rnd.nextInt(3)
-        rnd.shuffle(pool).take(n).distinct
+        rnd.shuffle(pool).take(n)
       }
       val ids = sel.zipWithIndex.map { case (ms, i) =>
         ms.map(cube.dimensions(i).idOf)
@@ -52,7 +52,7 @@ class GridConsistencySpec extends AnyFunSuite {
                          a3 <- ids(3); a4 <- ids(4)) yield Vector(a0, a1, a2, a3, a4)
       for (addr <- rnd.shuffle(product).take(8)) {
         val names = addr.zipWithIndex.map { case (id, i) =>
-          cube.dimensions(i).members.find(_.id == id).get.name
+          cube.dimensions(i).nameOf(id)
         }
         val got = cube.get(names)
         grid.get(addr) match {

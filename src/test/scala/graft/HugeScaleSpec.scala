@@ -20,7 +20,7 @@ class HugeScaleSpec extends AnyFunSuite {
     val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  test("1e7-row model: build, cold top cell, slice, dense grid, 10k point batch") {
+  test("order-up model: build, cold top cell, slice, dense grid, 10k point batch") {
     // default 1e7 keeps CI fast; SPARK_GRAFT_HUGE_ROWS=100000000 was run
     // once to record the 1e8 numbers in ARCHITECTURE §6d
     val rows = sys.env.getOrElse("SPARK_GRAFT_HUGE_ROWS", "10000000").toLong
@@ -66,7 +66,7 @@ class HugeScaleSpec extends AnyFunSuite {
     info(f"$rows rows: build=$tBuild%.1fs coldTop=$tTop%.2fs grid100=$tGrid%.2fs " +
       f"pointBatch10k=$tReads%.2fs hits=$nHit")
 
-    // release the ~1e7-row persisted frame so later suites in the shared
+    // release the large persisted frame so later suites in the shared
     // session don't carry it
     cube.facts.unpersist(blocking = true)
   }

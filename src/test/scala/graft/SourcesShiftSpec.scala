@@ -69,7 +69,7 @@ class SourcesShiftSpec extends AnyFunSuite {
     cube.compact()
     val tmp = java.nio.file.Files.createTempDirectory("graftorc").toString
     FactSources.writeOrc(cube.facts, s"$tmp/facts")
-    val back = FactSources.readOrc(spark, s"$tmp/facts")
+    val back = FactSources.readOrc(spark, s"$tmp/facts", cube.nDims)
     assert(back.schema == cube.facts.schema)
     assert(back.collect().toSet == cube.facts.collect().toSet)
   }
