@@ -38,9 +38,13 @@ object Bench {
     "pipe_fingerprint",     // md5 fingerprints
     "pipe_repetition",      // duplicate-n-gram repetition signals (scan)
     "pipe_pack",            // sequence packing (one window shuffle)
-    "olap_huge_top")        // reference huge bench top-cell read — LAST: the
-                            // build (timed separately as huge_build) leaves a
-                            // large persisted frame behind
+    "olap_huge_top",        // reference huge bench top-cell read — the huge
+                            // entries come LAST: the build (timed separately
+                            // as huge_build on this entry's first pass — keep
+                            // it the FIRST huge entry) leaves a large
+                            // persisted frame behind
+    "huge_writes_10k")      // write-back: 10k overlay upserts (BASELINE row:
+                            // "up to 100,000 records/sec", index.rst:283)
 
   /** Bench-side overrides: gates whose SparkEntry entry is a verification
     * summary (raw operator + an O(n²) exact baseline + recall compare) are
@@ -64,7 +68,28 @@ object Bench {
         graft.pipeline.Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), 10)
       }),
       "pipe_dedup_embed_lsh" -> ((s, dir) => graft.pipeline.Similarity.lshNearDupPairs(
-        s.read.parquet(s"$dir/embeddings.parquet"), 0.45, dim = 64, nPlanes = 4, tables = 24)))
+        s.read.parquet(s"$dir/embeddings.parquet"), 0.45, dim = 64, nPlanes = 4, tables = 24)),
+      // write-back bench (≙ the reference's 100k records/sec write path,
+      // `doc/source/index.rst:283` — a dict write + cache invalidation;
+      // ours is the same driver shape: name→bolt resolution + overlay
+      // upsert, the merge into the fact frame is deferred exactly like the
+      // reference defers persistence). Scratch cube: the shared huge model
+      // stays clean. Returns the last written cell read back through the
+      // overlay (no job) so the timed work can't be dead-code-eliminated.
+      "huge_writes_10k" -> ((s, _) => {
+        val base = graft.tpch.HugeModel.get(s)
+        val c = new graft.core.Cube("hugewrites", base.dimensions, s, Some(base.facts))
+        var i = 0
+        var addr: Seq[String] = Nil
+        while (i < 10000) {
+          addr = Seq.tabulate(graft.tpch.HugeModel.NDims)(d =>
+            s"m${(i * (d + 3)) % graft.tpch.HugeModel.LeavesPerDim}")
+          c.set(addr, i.toDouble)
+          i += 1
+        }
+        val v = c.get(addr).getOrElse(Double.NaN)
+        s.range(1).select(org.apache.spark.sql.functions.lit(v).as("last_write"))
+      }))
   }
 
   /** The bench SparkSession config — the diagnostic tools (TimeOne,
