@@ -125,17 +125,28 @@ object Bench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
-    // Load canary: a fixed single-threaded CPU spin (2^26 xorshift steps,
-    // ~80 ms on an idle host). A contended host stretches it proportionally,
-    // so a poisoned measurement is self-evident in the artifact — round-3's
-    // official bench recorded 2-9× inflated numbers with nothing to flag it.
-    def spinCanary(): Double = {
-      var x = 0x9E3779B97F4A7C15L; var i = 0
-      val t0 = System.nanoTime()
-      while (i < (1 << 26)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (x == 42L) print("") // defeat dead-code elimination
-      dt
+    // Load canary: `nSpin` CONCURRENT CPU spins (2^26 xorshift steps each,
+    // ~0.15 s/thread on an idle host), reported as (median, max) over the
+    // threads. The former single-threaded spin was blind to partial-core
+    // contention — a concurrent 32-way job barely grazes one spinning core,
+    // and BENCH_r05 recorded 2× inflated totals with nominal canaries. With
+    // a spin pinned on every core, any competing load must time-slice
+    // against us and stretches the median measurably.
+    val nSpin = math.max(2, Runtime.getRuntime.availableProcessors())
+    def spinCanary(): (Double, Double) = {
+      val times = new Array[Double](nSpin)
+      val threads = (0 until nSpin).map { t =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L ^ t; var i = 0
+          val t0 = System.nanoTime()
+          while (i < (1 << 26)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          times(t) = (System.nanoTime() - t0) / 1e9
+          if (x == 42L) print("") // defeat dead-code elimination
+        }, s"graft-canary-$t")
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val sorted = times.sorted
+      (sorted(nSpin / 2), sorted.last)
     }
 
     // JIT/codegen warmup on the smallest SF (untimed): one query plus the
@@ -159,7 +170,9 @@ object Bench {
     // transient host spike (e.g. round-3's official artifact, 2× inflated by
     // a concurrent driver job) poisons one pass, not the min of two.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val canaries = scala.collection.mutable.ArrayBuffer[Double]()
+    spinCanary() // untimed: JIT-compile the spin loop + warm thread startup,
+    // else the first timed canary reads ~1.4× high on an idle host
+    val canaries = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     // min over successful passes; -1 only if every pass failed
     def record(name: String, t: Double): Unit = results(name) =
       (results.get(name).filter(_ >= 0), Some(t).filter(_ >= 0)) match {
@@ -207,12 +220,22 @@ object Bench {
     canaries += spinCanary()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val canary = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val canaryMed = canaries.map(c => f"${c._1}%.3f").mkString("[", ",", "]")
+    val canaryMax = canaries.map(c => f"${c._2}%.3f").mkString("[", ",", "]")
+    // Contention verdict: idle-floor per-thread spin is ~0.15 s on this
+    // host (env-overridable for other hardware); any canary MEDIAN past
+    // 1.3× the floor means a competing load time-sliced against the spins
+    // and the artifact is NOT trustworthy — never publish a contended run.
+    val floor = sys.env.getOrElse("SPARK_GRAFT_CANARY_FLOOR", "0.17").toDouble
+    val contended = canaries.exists(_._1 > 1.3 * floor)
     val total = results.values.filter(_ >= 0).sum
     // "timing" is the semantics marker: per-query values are the MINIMUM
     // over `passes` warmed in-process passes (steady state), not one cold
     // pass — artifacts before round 4 were single-pass and not comparable
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","canary_spin_sec":$canary}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"contended":$contended}""")
+    if (contended) System.err.println(
+      s"[graft.Bench] WARNING: contended run — canary median exceeded 1.3x the " +
+      s"${floor}s idle floor; numbers above are inflated, DO NOT publish this artifact")
     spark.stop()
   }
 }

@@ -166,6 +166,18 @@ final class Cube(
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
   }
 
+  /** (id, name) DataFrame of LEAF members only. Bulk import resolves names
+    * against this (mirroring `set`'s leaf-only gate): a record addressed at
+    * an aggregate name must NOT land at the aggregate id — the identity-
+    * rollup elision reads raw fact ids, so such a row would be invisible to
+    * leaf reads yet double-counted in top-cell reads.
+    */
+  def leafNamesDf(i: Int): DataFrame = {
+    val rows = dimensions(i).leafMembers.map(m => Row(m.id, m.name))
+    val schema = StructType(Seq(StructField("id", IntegerType), StructField("mname", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
+  }
+
   def refreshClosures(): Unit = stateLock.synchronized {
     closureDfs.clear(); stateVersion += 1; cache.clear()
   }
@@ -251,16 +263,26 @@ final class Cube(
       recordHistory("bulk")
     }
 
-  /** Materialize merged facts (persist + cut lineage), clear the overlay.
-    * Holds the state lock across the materializing count so no write can
-    * land between the snapshot and the swap (logical content is unchanged,
-    * so the result-cache version does not move).
+  /** Materialize merged facts (persist + cut lineage), dropping the overlay
+    * entries the materialization incorporated. Same snapshot/merge-outside/
+    * commit shape as [[bulkMergeSnapshot]]/[[commitBulkMerge]]: the
+    * materializing count runs OUTSIDE the state lock so readers and writers
+    * (including streaming ingest) stay live for the job's duration; a write
+    * that lands mid-materialization survives in the overlay and wins over
+    * the compacted base. Logical content is unchanged by the swap, so the
+    * result-cache version does not move.
     */
-  def compact(): Unit = stateLock.synchronized {
-    val merged = facts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    merged.count()
-    base = merged
-    overlay.clear()
+  def compact(): Unit = {
+    val (merged, incorporated) = bulkMergeSnapshot()
+    val persisted = merged
+      .select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.count()
+    stateLock.synchronized {
+      base = persisted
+      val inc = incorporated.toMap
+      overlay.filterInPlace((k, v) => !inc.get(k).contains(v))
+    }
   }
 
   def cellsCount: Long = facts.count()

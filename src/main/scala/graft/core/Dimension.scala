@@ -278,7 +278,9 @@ final class Dimension(val name: String) {
     }.toVector
     byId = committed.map(m => m.id -> m).toMap
     closure = buildClosure(levels)
-    identityCovers = null // recomputed lazily from the new closure
+    // eager: publish the memo with the new closure so concurrent readers
+    // never observe a stale identity set after a dimension edit
+    identityCovers = computeIdentityCovers()
     allParentsMap = buildAllParents()
     editing = false
     editBackup = None
@@ -421,16 +423,20 @@ final class Dimension(val name: String) {
     !isDegenerate && levelOf(id) > 0 && {
       // memoized per closure build — this sits on the aggregation planning
       // hot path (per dimension per rollup/grid call), and a per-call
-      // O(closure) scan would cost real driver time on §7-scale dims
-      if (identityCovers == null) {
-        val nLeaves = leafMembers.size
-        identityCovers = closure.groupBy(_.anc).collect {
-          case (anc, rows) if rows.size == nLeaves && rows.forall(_.weight == 1.0) => anc
-        }.toSet
-      }
+      // O(closure) scan would cost real driver time on §7-scale dims.
+      // @volatile: read concurrently by interactive readers + the streaming
+      // thread; the compute is idempotent, so a benign double-compute race
+      // is fine, but a stale read past a commit() reset is not.
+      if (identityCovers == null) identityCovers = computeIdentityCovers()
       identityCovers(id)
     }
-  private var identityCovers: Set[Int] = null
+  @volatile private var identityCovers: Set[Int] = null
+  private def computeIdentityCovers(): Set[Int] = {
+    val nLeaves = leafMembers.size
+    closure.groupBy(_.anc).collect {
+      case (anc, rows) if rows.size == nLeaves && rows.forall(_.weight == 1.0) => anc
+    }.toSet
+  }
   /** Leaf descendants of one member, with effective weights. */
   def leavesOf(member: String): Vector[ClosureRow] = {
     val id = idOf(member); closure.filter(_.anc == id)

@@ -39,7 +39,10 @@ object FactSources {
   /** Import NAME-addressed records `(dimName0, …, dimNameN, value)` into id
     * space via broadcast member-name joins — the bulk-load path
     * (≙ per-cell `cube[...]` loading, `samples/huge.py:115-133`, done as one
-    * job).
+    * job). Names resolve against LEAF members only, mirroring `Cube.set`
+    * (the reference rejects writes to aggregated cells, `cube.py:527`):
+    * records addressed at aggregate or unknown names drop (inner-join
+    * semantics), never silently land at a non-leaf id.
     */
   def importNamed(cube: Cube, records: DataFrame): DataFrame = {
     var df = records
@@ -66,7 +69,11 @@ object FactSources {
           .filter(col(s"d$i").isNotNull)
           .drop(d.name)
       } else {
-        val names = cube.memberNamesDf(i)
+        // LEAF names only (mirrors `Cube.set`'s leaf gate): a record
+        // addressed at an aggregate member name drops like an unknown name
+        // — landing it at the aggregate id would be invisible to leaf reads
+        // but double-counted by the identity-rollup elision's raw-id scan.
+        val names = cube.leafNamesDf(i)
           .select(col("id").as(s"d$i"), lower(col("mname")).as(s"__n$i"))
         df = df.join(broadcast(names), lower(col(d.name)) === col(s"__n$i"))
           .drop(d.name, s"__n$i")

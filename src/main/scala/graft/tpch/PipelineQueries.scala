@@ -446,8 +446,8 @@ object PipelineQueries {
       """WITH t AS (SELECT doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
            o AS (SELECT doc_id, lang, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS so
            FROM t)
          SELECT doc_id, lang, n_tokens, so // 512 AS pack_id, so % 512 AS start_in_pack
          FROM o""",

@@ -59,6 +59,13 @@ class SourcesShiftSpec extends AnyFunSuite {
     cube.replaceFacts(cube.facts.unionByName(ids))
     assert(cube.get(Seq("2022", "Feb", "South", "van", "Sales")).contains(7.0))
     assert(cube.get(Seq("2022", "Year", "Total", "Total", "Cost")).contains(3.0))
+
+    // aggregate-addressed records drop like unknown names (leaf-only
+    // resolution, mirroring set's leaf gate): landing 'Total' at its
+    // aggregate id would double-count under the identity-rollup elision
+    val agg = Seq(("2022", "Feb", "Total", "van", "Sales", 99.0))
+      .toDF("years", "months", "regions", "products", "measures", "value")
+    assert(FactSources.importNamed(cube, agg).isEmpty)
   }
 
   test("fact sources: orc round-trip") {

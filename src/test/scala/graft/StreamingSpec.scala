@@ -105,12 +105,16 @@ class StreamingSpec extends AnyFunSuite {
       try while (!stopReader) {
         val v = cube.get(Seq("2021", "Year", "Total", "Total", "Sales")).getOrElse(0.0)
         observed.add(v)
+        Thread.sleep(20) // backoff: don't saturate the scheduler — an
+        // unthrottled job loop starves the stream on a contended host
       } catch { case t: Throwable => readErr.set(t) }
     }, "graft-conc-reader")
     reader.start()
     val q = Streaming.ingestInto(cube, stream,
       org.apache.spark.sql.streaming.Trigger.AvailableNow(), compactEvery = 10)
-    q.awaitTermination(180000)
+    // the boolean matters: false = still mid-ingest → every assert below
+    // would be testing an unfinished stream, not the code under test
+    assert(q.awaitTermination(180000), "stream did not finish within 180s")
     stopReader = true
     reader.join(30000)
     assert(readErr.get() == null, s"concurrent reader failed: ${readErr.get()}")
