@@ -113,7 +113,17 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
   def increment(x: Double): Unit = transform(c => (c + x).cast(valueType))
   def transform(f: Column => Column): Unit =
     cube.replaceFacts(facts.withColumn("value",
-      when(predicate, f(col("value"))).otherwise(col("value"))))
+      when(predicate, onEntryHooked(f)(col("value"))).otherwise(col("value"))))
+
+  /** Compose a value transform with the cube's bulk ON_ENTRY hook
+    * (reference parity: every write passes the hook, `cube.py:527-537`) —
+    * identity when the cube has no ON_ENTRY rules, keeping the single-pass
+    * plan shape.
+    */
+  private def onEntryHooked(f: Column => Column): Column => Column =
+    graft.olap.Rules.onEntryBulk(cube)
+      .map(h => (c: Column) => h(f(c)).cast(valueType))
+      .getOrElse(f)
 
   private def valueType: DataType = facts.schema("value").dataType
 
@@ -134,7 +144,7 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
         StructType(Seq(StructField(s"d$i", IntegerType))))
       grid = if (grid == null) df else grid.crossJoin(df)
     }
-    val full = grid.withColumn("value", lit(v).cast(valueType))
+    val full = grid.withColumn("value", onEntryHooked(_ => lit(v).cast(valueType))(lit(v)))
     cube.replaceFacts(facts.filter(!predicate).unionByName(full))
   }
 
@@ -159,7 +169,10 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
     }
     var mapped = src.rows
     diffs.foreach { i => mapped = mapped.withColumn(s"d$i", lit(pattern(i).head)) }
-    mapped = mapped.withColumn("value", f(col("value")).cast(valueType))
+    // hook applies AFTER the address rewrite above: ON_ENTRY triggers match
+    // the TARGET address the values land at, as per-cell set would
+    mapped = mapped.withColumn("value",
+      onEntryHooked(c => f(c).cast(valueType))(col("value")))
     cube.replaceFacts(facts.filter(!predicate).unionByName(mapped))
   }
 }

@@ -161,6 +161,68 @@ object Rules {
     }
   }
 
+  private def usesCellReads(e: RuleExpr): Boolean = {
+    import RuleExpr._
+    e match {
+      case Ref(_) | Shift(_, _) => true
+      case Add(a, b) => usesCellReads(a) || usesCellReads(b)
+      case Sub(a, b) => usesCellReads(a) || usesCellReads(b)
+      case Mul(a, b) => usesCellReads(a) || usesCellReads(b)
+      case Div(a, b) => usesCellReads(a) || usesCellReads(b)
+      case Neg(a) => usesCellReads(a)
+      case Fn(_, a) => usesCellReads(a)
+      case Lit(_) | Input => false
+    }
+  }
+
+  /** Bulk write-path hook: the cube's ON_ENTRY rules compiled to ONE
+    * declarative value-column transform, first matching rule wins per row —
+    * the same dispatch as the scalar [[onEntry]], applied by every bulk
+    * write path (name-addressed import, area transforms/copies, streaming
+    * ingest) so reference parity holds: every write passes the hook
+    * (≙ `cube.py:527-537`), not just per-cell `set`.
+    *
+    * None ⇔ the cube has no ON_ENTRY rules (fast path: callers keep their
+    * single-pass plan shape untouched). The boundary is LOUD, not silent:
+    * an ON_ENTRY rule carrying an opaque Scala `onEntryFn`, or whose expr
+    * reads other cells (Ref/Shift — a per-row driver read, not a Column),
+    * throws here rather than letting a bulk load silently skip the hook —
+    * route such loads through per-cell `set`, or register an Input-AST rule.
+    */
+  def onEntryBulk(cube: Cube): Option[Column => Column] = {
+    val rules = cube.rules.filter(_.scope == RuleScope.OnEntry).toVector
+    if (rules.isEmpty) None
+    else {
+      rules.foreach { r =>
+        require(r.onEntryFn.isEmpty,
+          s"ON_ENTRY rule '${r.name}' carries an opaque Scala onEntryFn — " +
+            "not applicable on bulk write paths; use per-cell set() or an Input-AST rule")
+        require(!usesCellReads(r.expr),
+          s"ON_ENTRY rule '${r.name}' reads other cells (Ref/Shift) — " +
+            "not applicable on bulk write paths; use per-cell set()")
+      }
+      def cond(r: RuleDef): Column =
+        r.trigger.foldLeft(lit(true)) { case (acc, (dimName, member)) =>
+          val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dimName))
+          // same silent-never-match contract as the scalar path for trigger
+          // members removed by a later dimension edit
+          if (i < 0 || !cube.dimensions(i).contains(member)) lit(false)
+          else acc && col(s"d$i") === cube.dimensions(i).idOf(member)
+        }
+      val noRefs: String => Column = spec => throw new IllegalStateException(
+        s"unreachable: ref '$spec' in a bulk ON_ENTRY expr (rejected above)")
+      Some { valueCol =>
+        // first-match-wins INCLUDING rules with no usable transform (a
+        // matching rule without Input shadows later rules, like onEntry)
+        rules.foldRight(valueCol) { (r, acc) =>
+          val t = if (usesInput(r.expr)) toColumnWith(noRefs, Some(valueCol))(r.expr)
+                  else valueCol
+          when(cond(r), t).otherwise(acc)
+        }
+      }
+    }
+  }
+
   private def matchRule(cube: Cube, b: Bolt): Option[RuleDef] =
     cube.rules.find(r => r.scope != RuleScope.OnEntry &&
       r.scope != RuleScope.Command && matches(cube, r, b))
@@ -307,10 +369,12 @@ object Rules {
   /** THE column-mode rule compiler: one shared translation of RuleExpr
     * arithmetic to Catalyst Columns (null semantics, decimal preservation,
     * `#DIV/0!` NaN sentinel), parameterized only by how an unqualified Ref
-    * resolves to a Column. Every grid/view/dialect path goes through here —
-    * a single site for arithmetic-semantics changes.
+    * resolves to a Column and (for bulk ON_ENTRY) what Column the incoming
+    * `Input` value binds to. Every grid/view/dialect path goes through
+    * here — a single site for arithmetic-semantics changes.
     */
-  def toColumnWith(resolve: String => Column)(e: RuleExpr): Column = {
+  def toColumnWith(resolve: String => Column,
+      input: Option[Column] = None)(e: RuleExpr): Column = {
     import RuleExpr._
     def c(x: RuleExpr): Column = x match {
       case Lit(v) => lit(v)
@@ -341,8 +405,8 @@ object Rules {
       case Fn(n, _) => throw RuleError("#ERR!", s"unknown rule function '$n'")
       case Shift(d, _) => throw new IllegalArgumentException(
         s"relative shift on '$d' not expressible in column mode")
-      case Input => throw new IllegalArgumentException(
-        "on-entry Input is not expressible in column mode")
+      case Input => input.getOrElse(throw new IllegalArgumentException(
+        "on-entry Input is not expressible in column mode"))
     }
     c(e)
   }

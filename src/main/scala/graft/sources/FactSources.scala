@@ -79,7 +79,14 @@ object FactSources {
           .drop(d.name, s"__n$i")
       }
     }
-    df.select((cube.dimCols.map(col) :+ col("value")): _*)
+    val resolved = df.select((cube.dimCols.map(col) :+ col("value")): _*)
+    // reference parity: EVERY write passes the ON_ENTRY hook (cube.py:527-537)
+    // — bulk import included, as one declarative column transform
+    graft.olap.Rules.onEntryBulk(cube) match {
+      case Some(hook) => resolved.withColumn("value",
+        hook(col("value")).cast(resolved.schema("value").dataType))
+      case None => resolved
+    }
   }
 
   /** Partitioned parquet sink: directory-partition on the given dimension

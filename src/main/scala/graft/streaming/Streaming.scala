@@ -35,8 +35,14 @@ object Streaming {
     checkpointDir.foldLeft(writer)((w, d) => w.option("checkpointLocation", d))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cols = cube.dimCols
-        val deduped = batch.groupBy(cols.map(col): _*)
+        val raw = batch.groupBy(cols.map(col): _*)
           .agg(last(col("value")).as("value")) // last write wins within batch
+        // reference parity: streamed writes pass the ON_ENTRY hook too
+        // (cube.py:527-537); resolved per batch — rules can change mid-stream
+        val deduped = graft.olap.Rules.onEntryBulk(cube)
+          .map(h => raw.withColumn("value",
+            h(col("value")).cast(raw.schema("value").dataType)))
+          .getOrElse(raw)
         // snapshot facts AND the overlay entries the merge bakes in, so the
         // commit can preserve interactive writes that land mid-merge
         val (facts0, incorporated) = cube.bulkMergeSnapshot()

@@ -353,6 +353,39 @@ object TpchQueries {
         .select(col("priority"), col("value").cast("double").as("value"))
     }),
 
+    // R3+S+: ON_ENTRY on the BULK import path — the loader cube carries an
+    // Input-AST write rule (lowest-priority records enter negated:
+    // −abs(input)); importNamed applies it as one declarative column
+    // transform (Rules.onEntryBulk), reference parity with per-cell set
+    // (every write passes the hook, `cube.py:527-537`). Decimal-exact end
+    // to end: abs/neg keep decimal(21,4), so sums are order-independent.
+    "olap_import_on_entry" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new graft.core.Database("importoe", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val loader = db.addCube("loader", Seq(cust, prio))
+      loader.registerRule(RuleDef(Map("priority" -> prios.head), RuleScope.OnEntry,
+        RuleExpr.Neg(RuleExpr.Fn("abs", RuleExpr.Input)), "negate_first_prio"))
+      val recs = orders
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+        .select(concat(lit("C#"), col("o_custkey")).as("customer"),
+          col("o_orderpriority").as("priority"), col("value"))
+      val imported = graft.sources.FactSources.importNamed(loader, recs)
+      val cube = db.addCube("sales", Seq(cust, prio), imported)
+      val g = cube.gridAggregate(Seq(
+        Seq(graft.core.Dimension.DegenerateAllId),
+        prios.map(prio.idOf) :+ prio.idOf("AllPrio")))
+      val names = cube.memberNamesDf(1)
+        .select(col("id").as("a1"), col("mname").as("priority"))
+      g.join(broadcast(names), "a1")
+        .select(col("priority"), col("value").cast("double").as("value"))
+    }),
+
     // V7: CSV render — the grid travels THROUGH the toCsv string (header +
     // Double.toString cells, lossless round-trip) and is parsed back to a
     // typed frame the oracle can hash-match; proves the render emits exactly
@@ -669,6 +702,21 @@ object TpchQueries {
           SELECT 'AllPrio' AS priority,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
           FROM orders""",
+
+    // mirrors the engine's per-address record grain: the ON_ENTRY transform
+    // applies to each imported (customer, priority) record, then rolls up
+    "olap_import_on_entry" ->
+      """WITH g AS (SELECT o_custkey, o_orderpriority,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(21,4)) AS v
+          FROM orders GROUP BY 1, 2),
+        h AS (SELECT o_orderpriority,
+            CASE WHEN o_orderpriority = (SELECT MIN(o_orderpriority) FROM orders)
+              THEN -ABS(v) ELSE v END AS v
+          FROM g)
+        SELECT o_orderpriority AS priority, CAST(SUM(v) AS DOUBLE) AS value
+        FROM h GROUP BY 1
+        UNION ALL
+        SELECT 'AllPrio' AS priority, CAST(SUM(v) AS DOUBLE) AS value FROM h""",
 
     "olap_view_csv" ->
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar,

@@ -1,0 +1,136 @@
+package graft
+
+import graft.core._
+import graft.olap._
+import graft.sources.FactSources
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference parity for the write-path hook on BULK writes: every write
+  * passes ON_ENTRY (≙ `cube.py:527-537`), not just per-cell `set` — bulk
+  * import, area transforms/copies, and streaming ingest apply the cube's
+  * Input-AST ON_ENTRY rules as one declarative column transform
+  * ([[graft.olap.Rules.onEntryBulk]]), first matching rule wins per row.
+  * Non-bulk-expressible rules (opaque `onEntryFn`, cell-reading exprs)
+  * reject LOUDLY instead of silently skipping the hook.
+  */
+class OnEntryBulkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** t: All → (Jan, Feb); m: Sales, Cost — Cost enters negated: −abs(input). */
+  private def model(tag: String): (Database, Cube) = {
+    val db = new Database(s"oeb_$tag", spark)
+    val t = db.addDimension("t")
+    t.edit().add("All", Seq("Jan", "Feb")).commit()
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("Sales", "Cost")).commit()
+    val cube = db.addCube("c", Seq(t, m))
+    cube.registerRule(RuleDef(Map("m" -> "Cost"), RuleScope.OnEntry,
+      RuleExpr.Neg(RuleExpr.Fn("abs", RuleExpr.Input)), "negate_costs"))
+    (db, cube)
+  }
+
+  test("bulk import equals per-cell set under an ON_ENTRY rule") {
+    import spark.implicits._
+    val (db, cube) = model("imp")
+    val recs = Seq(("Jan", "Sales", 10.0), ("Jan", "Cost", 5.0), ("Feb", "Cost", -3.0))
+      .toDF("t", "m", "value")
+    cube.replaceFacts(FactSources.importNamed(cube, recs))
+
+    // per-cell reference: same rule, same writes through set()
+    val ref = db.addCube("cref", cube.dimensions)
+    ref.registerRule(cube.rules.head)
+    ref.set(Seq("Jan", "Sales"), 10.0)
+    ref.set(Seq("Jan", "Cost"), 5.0)
+    ref.set(Seq("Feb", "Cost"), -3.0)
+    for (addr <- Seq(Seq("Jan", "Sales"), Seq("Jan", "Cost"), Seq("Feb", "Cost"),
+        Seq("All", "Cost"), Seq("All", "Sales")))
+      assert(cube.get(addr) == ref.get(addr), s"mismatch at $addr")
+    assert(cube.get(Seq("Jan", "Cost")).contains(-5.0)) // hook actually fired
+    assert(cube.get(Seq("Feb", "Cost")).contains(-3.0)) // −abs(−3) = −3
+  }
+
+  test("area setValue/multiply/copyFrom pass the hook at the TARGET address") {
+    val (_, cube) = model("area")
+    cube.set(Seq("Jan", "Sales"), 10.0)
+    cube.set(Seq("Feb", "Sales"), 20.0)
+    cube.set(Seq("Jan", "Cost"), 4.0) // enters as −4 via the scalar hook
+
+    // setValue on the Cost slice: 9.0 enters as −abs(9) = −9 per cell
+    Area(cube, Seq("m" -> Seq("Cost"))).setValue(9.0)
+    assert(cube.get(Seq("Jan", "Cost")).contains(-9.0))
+
+    // multiply: (−9 × 2) = −18 enters as −abs(−18) = −18
+    Area(cube, Seq("m" -> Seq("Cost"))).multiply(2.0)
+    assert(cube.get(Seq("Jan", "Cost")).contains(-18.0))
+
+    // area copy Sales → Cost: values land at m=Cost, so the hook fires for
+    // them there (target-address trigger semantics, as per-cell set would)
+    Area(cube, Seq("m" -> Seq("Cost")))
+      .copyFrom(Area(cube, Seq("m" -> Seq("Sales"))))
+    assert(cube.get(Seq("Jan", "Cost")).contains(-10.0))
+    assert(cube.get(Seq("Feb", "Cost")).contains(-20.0))
+    assert(cube.get(Seq("Jan", "Sales")).contains(10.0)) // source untouched
+
+    // enumerated constant write over the Cost slice
+    Area(cube, Seq("m" -> Seq("Cost"))).setValueEnumerated(7.0)
+    assert(cube.get(Seq("Jan", "Cost")).contains(-7.0))
+    assert(cube.get(Seq("All", "Cost")).contains(-14.0))
+  }
+
+  test("streaming ingest passes the hook per batch") {
+    val (_, cube) = model("stream")
+    val schema = StructType(Seq(StructField("d0", IntegerType),
+      StructField("d1", IntegerType), StructField("value", DoubleType)))
+    val t = cube.dimensions(0); val m = cube.dimensions(1)
+    val rows = Seq(
+      Row(t.idOf("Jan"), m.idOf("Cost"), 6.0),
+      Row(t.idOf("Feb"), m.idOf("Sales"), 8.0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_oe_stream").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val q = graft.streaming.Streaming.ingestInto(cube, stream,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q.awaitTermination(120000), "stream did not finish")
+    assert(cube.get(Seq("Jan", "Cost")).contains(-6.0)) // hook fired
+    assert(cube.get(Seq("Feb", "Sales")).contains(8.0)) // untriggered row clean
+  }
+
+  test("first matching rule wins, including transformless placeholders") {
+    import spark.implicits._
+    val (_, cube) = model("order")
+    // a PLACEHOLDER (no Input) registered FIRST for Sales shadows a later
+    // doubling rule — same dispatch as the scalar path
+    cube.registerRule(RuleDef(Map("m" -> "Sales"), RuleScope.OnEntry,
+      RuleExpr.Lit(0), "placeholder_sales"))
+    cube.registerRule(RuleDef(Map("m" -> "Sales"), RuleScope.OnEntry,
+      RuleExpr.Mul(RuleExpr.Input, RuleExpr.Lit(2)), "double_sales_shadowed"))
+    val recs = Seq(("Jan", "Sales", 11.0)).toDF("t", "m", "value")
+    cube.replaceFacts(FactSources.importNamed(cube, recs))
+    assert(cube.get(Seq("Jan", "Sales")).contains(11.0)) // neither 0 nor 22
+  }
+
+  test("opaque onEntryFn and cell-reading exprs reject bulk writes loudly") {
+    import spark.implicits._
+    val (_, fnCube) = model("fn")
+    fnCube.registerRule(RuleDef(Map("m" -> "Sales"), RuleScope.OnEntry,
+      RuleExpr.Input, "scala_fn", onEntryFn = Some(v => v * 2)))
+    val recs = Seq(("Jan", "Sales", 1.0)).toDF("t", "m", "value")
+    val e1 = intercept[IllegalArgumentException](FactSources.importNamed(fnCube, recs))
+    assert(e1.getMessage.contains("onEntryFn"))
+
+    val (_, refCube) = model("ref")
+    refCube.registerRule(RuleDef(Map("m" -> "Sales"), RuleScope.OnEntry,
+      RuleExpr.Add(RuleExpr.Input, RuleExpr.Ref("Cost")), "reads_cells"))
+    val e2 = intercept[IllegalArgumentException](FactSources.importNamed(refCube, recs))
+    assert(e2.getMessage.contains("reads other cells"))
+    // …and the per-cell path still works for exactly these rules
+    refCube.set(Seq("Jan", "Cost"), 4.0)
+    refCube.set(Seq("Jan", "Sales"), 1.0)
+    assert(refCube.get(Seq("Jan", "Sales")).contains(1.0 + -4.0)) // Cost entered as −4
+  }
+}
