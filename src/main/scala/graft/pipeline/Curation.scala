@@ -131,8 +131,8 @@ object Curation {
     *
     * One window shuffle on the stratum key, cumulative sum per stratum —
     * deterministic at any partitioning. At 100 TB a handful of huge strata
-    * would serialize the window; pack within composite strata instead (e.g.
-    * `lang` × a hash bucket of the id) — packs never cross strata, so
+    * would serialize the window; use [[packSequencesBucketed]] there — it
+    * packs within composite (stratum × id-hash-bucket) strata, so
     * sub-stratifying only adds one partial tail pack per bucket.
     *
     * Output: input columns + (`n_tokens`, `pack_id`, `start_in_pack`).
@@ -148,6 +148,50 @@ object Curation {
     df.withColumn("n_tokens", tokensCol.cast("long"))
       .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("pack_id", (col("__start") / contextSize).cast("long"))
+      .withColumn("start_in_pack", col("__start") % contextSize)
+      .drop("__start")
+  }
+
+  /** Bucketed sequence packing — the 100 TB shape [[packSequences]]'s
+    * scaladoc promises: a handful of huge strata (one giant `lang`) would
+    * serialize its cumulative-sum window on one task, so the effective
+    * stratum becomes the composite (stratum × hash-bucket of id). Window
+    * parallelism multiplies by `nBuckets`; packs still never cross a
+    * (stratum, bucket) pair, so the only cost vs [[packSequences]] is at
+    * most ONE partial tail pack per bucket instead of one per stratum.
+    *
+    * The bucket hash is the same portable md5-hex construction as
+    * [[sampleStratified]] (any engine with md5 reproduces the layout —
+    * deliberately NOT xxhash64, which other engines cannot mirror): the
+    * first 4 hex digits of `md5(id ++ ":" ++ salt)` mod `nBuckets`.
+    *
+    * Pack ids are bucket-unique by construction — the bucket sits in the
+    * high bits (`pack_id = bucket·2⁴⁰ + per-bucket pack`): ids stay longs,
+    * never collide across buckets, and decode trivially (`pack_id >> 40` =
+    * bucket, low 40 bits = pack ordinal). 2⁴⁰ packs × contextSize tokens
+    * per (stratum, bucket) is beyond any real corpus.
+    *
+    * Output: input columns + (`bucket`, `n_tokens`, `pack_id`,
+    * `start_in_pack`).
+    */
+  def packSequencesBucketed(df: DataFrame, idCol: Column, stratumCol: Column,
+      tokensCol: Column, contextSize: Int, nBuckets: Int,
+      salt: String = "pk"): DataFrame = {
+    require(contextSize > 0, s"contextSize must be positive, got $contextSize")
+    require(nBuckets > 0 && nBuckets <= 65536,
+      s"nBuckets must be in 1..65536 (16-bit bucket hash), got $nBuckets")
+    Seq("bucket", "n_tokens", "pack_id", "start_in_pack", "__start").foreach(c =>
+      require(!df.columns.contains(c),
+        s"packSequencesBucketed emits or overwrites a `$c` column; rename the input's `$c` first"))
+    val hex = substring(md5(concat(idCol.cast("string"), lit(":" + salt))), 1, 4)
+    val bucket = pmod(conv(hex, 16, 10).cast("long"), lit(nBuckets)).cast("int")
+    val w = Window.partitionBy(stratumCol, col("bucket")).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bucket", bucket)
+      .withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id",
+        shiftleft(col("bucket").cast("long"), 40) + (col("__start") / contextSize).cast("long"))
       .withColumn("start_in_pack", col("__start") % contextSize)
       .drop("__start")
   }

@@ -253,6 +253,17 @@ object PipelineQueries {
         .select("doc_id", "lang", "n_tokens", "pack_id", "start_in_pack")
     }),
 
+    // the 100 TB packing shape: composite (lang × md5-bucket-of-id) strata —
+    // window parallelism × nBuckets, pack ids bucket-unique via the high
+    // bits, at most one partial tail pack per bucket
+    "pipe_pack_bucketed" -> ((s, dir) => {
+      Curation.packSequencesBucketed(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCountWs(col("text")).as("tok")),
+        col("doc_id"), col("lang"), col("tok"), 512, 8)
+        .select("doc_id", "lang", "bucket", "n_tokens", "pack_id", "start_in_pack")
+    }),
+
     // multimodal plumbing: binary column → typed decode → frame sampling
     "pipe_multimodal" -> ((s, dir) => {
       Multimodal.sampleFrames(Multimodal.decode(Multimodal.assets(docs(s, dir))))
@@ -450,6 +461,25 @@ object PipelineQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS so
            FROM t)
          SELECT doc_id, lang, n_tokens, so // 512 AS pack_id, so % 512 AS start_in_pack
+         FROM o""",
+
+    // mirrors Curation.packSequencesBucketed(…, 512, 8): the bucket is the
+    // first 4 md5 hex digits of `doc_id ++ ':pk'` mod 8 (same portable
+    // construction as the stratified-sampling oracle); prefix sums run per
+    // (lang, bucket); pack ids carry the bucket in the high bits (2^40)
+    "pipe_pack_bucketed" ->
+      """WITH t AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':pk'), 1, 4)
+               AS INTEGER) % 8 AS INTEGER) AS bucket
+           FROM documents),
+           o AS (SELECT doc_id, lang, n_tokens, bucket,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS so
+           FROM t)
+         SELECT doc_id, lang, bucket, n_tokens,
+           CAST(CAST(bucket AS BIGINT) * 1099511627776 + so // 512 AS BIGINT) AS pack_id,
+           so % 512 AS start_in_pack
          FROM o""",
 
     "pipe_multimodal" ->

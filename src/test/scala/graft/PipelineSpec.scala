@@ -272,6 +272,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(repart == out)
   }
 
+  test("packSequencesBucketed: per-bucket offsets, bucket-unique ids, tail bound") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, "en", 100L)).toDF("doc_id", "lang", "tok")
+    val nBuckets = 4
+    val rows = Curation.packSequencesBucketed(
+      df, col("doc_id"), col("lang"), col("tok"), 512, nBuckets)
+      .select("doc_id", "bucket", "n_tokens", "pack_id", "start_in_pack").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // per-bucket offset correctness: within each (bucket), the exclusive
+    // prefix sum of tokens in doc_id order must reproduce pack/offset —
+    // checked against an independent driver-side computation
+    rows.groupBy(_._2).foreach { case (b, rs) =>
+      var start = 0L
+      rs.sortBy(_._1).foreach { case (id, _, n, packId, inPack) =>
+        assert(packId == (b.toLong << 40) + start / 512,
+          s"doc $id bucket $b: pack_id mismatch")
+        assert(inPack == start % 512, s"doc $id bucket $b: offset mismatch")
+        start += n
+      }
+    }
+    // the bucket in the high bits makes pack ids disjoint across buckets
+    val byBucket = rows.groupBy(_._2).view.mapValues(_.map(_._4).toSet).toMap
+    for (a <- byBucket.keys; b <- byBucket.keys if a < b)
+      assert(byBucket(a).intersect(byBucket(b)).isEmpty)
+    assert(rows.map(_._4 >> 40).toSet == rows.map(_._2.toLong).toSet) // decode
+
+    // ≤ 1 partial tail pack per bucket vs plain packSequences: total packs
+    // grow by at most (nBuckets − 1) extra partial tails
+    def nPacks(ps: Iterable[Long]) = ps.toSet.size
+    val plain = Curation.packSequences(df, col("doc_id"), col("lang"), col("tok"), 512)
+      .select("pack_id").collect().map(_.getLong(0))
+    assert(nPacks(rows.map(_._4).toSeq) <= nPacks(plain.toSeq) + (nBuckets - 1))
+
+    // partition-independence: identical layout at any input partitioning
+    val repart = Curation.packSequencesBucketed(
+      df.repartition(13), col("doc_id"), col("lang"), col("tok"), 512, nBuckets)
+      .select("doc_id", "pack_id", "start_in_pack").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(repart == rows.map(r => (r._1, r._4, r._5)).toSet)
+  }
+
   test("chunkDocuments boundaries: clamp, exact multiple, overlap 0, single word") {
     import spark.implicits._
     def mk(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
