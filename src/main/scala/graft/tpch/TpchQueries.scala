@@ -467,6 +467,24 @@ object TpchQueries {
         .withColumn("value", col("value").cast("double"))
     }),
 
+    // S6: snapshot manager — create a named snapshot of the model database,
+    // rescan the folder with a FRESH manager (inventory from sidecars, not
+    // driver memory), restore it into a new Database, and roll up from the
+    // restored cube; a restore that lost facts, dimension state, or rules
+    // would shift the margins
+    "olap_snapshot_restore" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snap").toString
+      val info = m.db.snapshots(tmp).create("round-6 gate snapshot")
+      val mgr = m.db.snapshots(tmp) // fresh instance — inventory re-scanned
+      require(mgr.contains(info.id) && mgr.latest.exists(_.id == info.id),
+        s"snapshot '${info.id}' missing from re-scanned inventory")
+      val restored = mgr.restore(info.id, createRestorePoint = false)
+      OlapQuery(restored,
+        "SELECT calendar, value FROM sales WHERE geo='World', calendar=('1996','1998'), product=AllBrands, 'margin'")
+        .withColumn("value", col("value").cast("double"))
+    }),
+
     // B5: enumerated cross-product write — the probe customer × every 1995
     // calendar leaf × the probe part × gross is OVERWRITTEN with the full
     // leaf cross-product at value 10 (existing cells in the area replaced,
@@ -744,6 +762,11 @@ object TpchQueries {
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
           CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) / CAST(SUM($GROSS) AS DOUBLE) AS value
           $STAR WHERE strftime(o_orderdate, '%Y') IN ('1997','1998') GROUP BY 1""",
+
+    "olap_snapshot_restore" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
+          CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) / CAST(SUM($GROSS) AS DOUBLE) AS value
+          $STAR WHERE strftime(o_orderdate, '%Y') IN ('1996','1998') GROUP BY 1""",
 
     "olap_setvalue_enum" ->
       s"""SELECT CAST(
