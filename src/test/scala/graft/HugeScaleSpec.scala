@@ -70,4 +70,76 @@ class HugeScaleSpec extends AnyFunSuite {
     // session don't carry it
     cube.facts.unpersist(blocking = true)
   }
+
+  test("bucketed fact layout: exchange-free fact side for repeated key joins") {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_HUGE_ROWS", "10000000").toLong
+    val cube = HugeModel.at(spark, rows)
+    val dimCols = (0 until HugeModel.NDims).map(i => s"d$i")
+    // the previous test released the persist; re-pin so the two writes
+    // below don't each recompute the build
+    cube.facts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+
+    // the layout knob: facts hash-bucketed + sorted on the full address so
+    // repeated key joins/aggs co-locate without shuffling the fact side —
+    // the 100 TB answer to the point-batch spill re-read (§6d: 10.2 s at
+    // 1e8 was the persisted frame re-read against a broadcast)
+    spark.sql("DROP TABLE IF EXISTS huge_bucketed")
+    val tmpPlain = java.nio.file.Files.createTempDirectory("graft_plainfacts").toString
+    cube.facts.write.mode("overwrite").parquet(tmpPlain)
+    val plain = spark.read.parquet(tmpPlain)
+    val (_, tWrite) = time(
+      graft.sources.FactSources.writeBucketed(cube.facts, "huge_bucketed", dimCols, 8))
+    val bucketed = spark.table("huge_bucketed")
+
+    // build-seed addresses: every one a real cell (same contract as the
+    // point-batch test above)
+    val addrCols = (0 until HugeModel.NDims).map(i =>
+      (pmod(xxhash64(col("id"), lit(i)), lit(HugeModel.LeavesPerDim)) + 1)
+        .cast("int").as(s"d$i"))
+    val addrs = spark.range(10000).select(addrCols: _*)
+    val nDistinct = addrs.distinct().count()
+
+    // force the shuffle-join shape (the 100 TB shape: an address list too
+    // big to broadcast) and compare layouts
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqeBc = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // node lines print as "+- Exchange …" / ":- Exchange …" at any tree
+      // depth; ReusedExchange deliberately not counted ("- Reused…")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "[+:]- Exchange".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+
+      val plainJoin = plain.join(addrs, dimCols, "left_semi")
+      val bucketedJoin = bucketed.join(addrs, dimCols, "left_semi")
+      // plain layout shuffles BOTH sides; bucketed shuffles only the
+      // (small) address side — the fact side reads its buckets in place
+      assert(exchanges(plainJoin) == 2,
+        s"expected 2 exchanges on the plain layout:\n${plainJoin.queryExecution.executedPlan}")
+      assert(exchanges(bucketedJoin) == 1,
+        s"expected the fact side exchange-free:\n${bucketedJoin.queryExecution.executedPlan}")
+
+      val (nPlain, tPlain) = time(plainJoin.count())
+      val (nBucketed, tBucketed) = time(bucketedJoin.count())
+      assert(nPlain == nDistinct && nBucketed == nDistinct)
+
+      // address-grain aggregation over the bucketed table: NO exchange at
+      // all — the shuffle the cube build pays once, amortized forever after
+      val agg = bucketed.groupBy(dimCols.map(col): _*).agg(sum("value").as("v"))
+      assert(exchanges(agg) == 0,
+        s"bucketed address-grain agg must not shuffle:\n${agg.queryExecution.executedPlan}")
+      assert(agg.count() == bucketed.count())
+
+      info(f"$rows rows: bucketedWrite=$tWrite%.1fs shuffleSemiJoin " +
+        f"plain=$tPlain%.2fs bucketed=$tBucketed%.2fs hits=$nBucketed")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      prevAqeBc.foreach(v =>
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
+      spark.sql("DROP TABLE IF EXISTS huge_bucketed")
+      cube.facts.unpersist(blocking = true)
+    }
+  }
 }
