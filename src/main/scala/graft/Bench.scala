@@ -249,8 +249,13 @@ object Bench {
             .count()
         } finally {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
-          prevA.foreach(v =>
-            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
+          // unset, not skip: leaving -1 behind would run every later pass
+          // with AQE broadcast conversion disabled — a different planner
+          // config than pass 1, poisoning min_of_passes comparability
+          prevA match {
+            case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+            case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+          }
         }
       } catch { case t: Throwable =>
         System.err.println(s"[graft.Bench] huge_reads_bucketed_10k failed: $t"); -1.0 })

@@ -159,12 +159,14 @@ final class Cube(
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
   }) }
 
-  /** (id, name) DataFrame for dimension `i` — for record enumeration. */
-  def memberNamesDf(i: Int): DataFrame = {
-    val rows = dimensions(i).members.map(m => Row(m.id, m.name))
+  private def namesDf(members: Seq[MemberDef]): DataFrame = {
+    val rows = members.map(m => Row(m.id, m.name))
     val schema = StructType(Seq(StructField("id", IntegerType), StructField("mname", StringType)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
   }
+
+  /** (id, name) DataFrame for dimension `i` — for record enumeration. */
+  def memberNamesDf(i: Int): DataFrame = namesDf(dimensions(i).members)
 
   /** (id, name) DataFrame of LEAF members only. Bulk import resolves names
     * against this (mirroring `set`'s leaf-only gate): a record addressed at
@@ -172,11 +174,7 @@ final class Cube(
     * rollup elision reads raw fact ids, so such a row would be invisible to
     * leaf reads yet double-counted in top-cell reads.
     */
-  def leafNamesDf(i: Int): DataFrame = {
-    val rows = dimensions(i).leafMembers.map(m => Row(m.id, m.name))
-    val schema = StructType(Seq(StructField("id", IntegerType), StructField("mname", StringType)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
-  }
+  def leafNamesDf(i: Int): DataFrame = namesDf(dimensions(i).leafMembers)
 
   def refreshClosures(): Unit = stateLock.synchronized {
     closureDfs.clear(); stateVersion += 1; cache.clear()
@@ -267,21 +265,37 @@ final class Cube(
     * entries the materialization incorporated. Same snapshot/merge-outside/
     * commit shape as [[bulkMergeSnapshot]]/[[commitBulkMerge]]: the
     * materializing count runs OUTSIDE the state lock so readers and writers
-    * (including streaming ingest) stay live for the job's duration; a write
-    * that lands mid-materialization survives in the overlay and wins over
-    * the compacted base. Logical content is unchanged by the swap, so the
-    * result-cache version does not move.
+    * (including streaming ingest) stay live for the job's duration. A POINT
+    * write that lands mid-materialization survives in the overlay and wins
+    * over the compacted base; a BULK write (streaming batch commit, area
+    * transform) replaces `base` itself, so the swap is abandoned rather
+    * than silently reverting it — compact() is an optimization, re-call it.
+    * Logical content is unchanged by a successful swap, so the result-cache
+    * version does not move.
     */
   def compact(): Unit = {
-    val (merged, incorporated) = bulkMergeSnapshot()
+    val (base0, merged, incorporated) =
+      stateLock.synchronized((base, facts, overlay.toVector))
     val persisted = merged
       .select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persisted.count()
-    stateLock.synchronized {
-      base = persisted
-      val inc = incorporated.toMap
-      overlay.filterInPlace((k, v) => !inc.get(k).contains(v))
+    val swapped = stateLock.synchronized {
+      // a BULK write (commitBulkMerge / replaceFacts) that landed while the
+      // count ran replaced `base` with data this materialization never saw —
+      // swapping over it would silently revert that write. Point writes are
+      // fine: they live in the overlay and the filter below preserves them.
+      if (base eq base0) {
+        base = persisted
+        val inc = incorporated.toMap
+        overlay.filterInPlace((k, v) => !inc.get(k).contains(v))
+        true
+      } else false
+    }
+    if (!swapped) {
+      persisted.unpersist(blocking = false)
+      System.err.println(s"[graft] cube '$name': compact() skipped — a bulk " +
+        "write landed mid-materialization; call compact() again")
     }
   }
 

@@ -361,7 +361,12 @@ object Rules {
       }
       case Neg(a) => ev(a).map(-_)
       case Fn("abs", a) => ev(a).map(math.abs)
-      case Fn("round", a) => ev(a).map(v => math.round(v).toDouble)
+      // HALF_UP away from zero, matching column mode's Spark `round` —
+      // math.round (floor(x+0.5)) would disagree on negative halves
+      // (round(-2.5): -2 vs -3) and break scalar/bulk/grid parity
+      case Fn("round", a) => ev(a).map(v =>
+        if (v.isNaN || v.isInfinite) v
+        else BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
       case Fn(n, _) => throw RuleError("#ERR!", s"unknown rule function '$n'")
     }
   }

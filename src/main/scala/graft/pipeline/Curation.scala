@@ -143,11 +143,22 @@ object Curation {
     Seq("n_tokens", "pack_id", "start_in_pack", "__start").foreach(c =>
       require(!df.columns.contains(c),
         s"packSequences emits or overwrites a `$c` column; rename the input's `$c` first"))
-    val w = Window.partitionBy(stratumCol).orderBy(idCol)
+    packCore(df, idCol, tokensCol, contextSize, Seq(stratumCol), identity)
+  }
+
+  /** The one packing core both variants share — cumulative-sum window over
+    * `partitionCols` in id order, concat-and-cut offsets — so the two can
+    * never drift semantically. `packId` maps the per-partition pack ordinal
+    * to the emitted id (identity, or bucket-prefixed).
+    */
+  private def packCore(df: DataFrame, idCol: Column, tokensCol: Column,
+      contextSize: Int, partitionCols: Seq[Column],
+      packId: Column => Column): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("n_tokens", tokensCol.cast("long"))
       .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("pack_id", (col("__start") / contextSize).cast("long"))
+      .withColumn("pack_id", packId((col("__start") / contextSize).cast("long")))
       .withColumn("start_in_pack", col("__start") % contextSize)
       .drop("__start")
   }
@@ -163,7 +174,9 @@ object Curation {
     * The bucket hash is the same portable md5-hex construction as
     * [[sampleStratified]] (any engine with md5 reproduces the layout —
     * deliberately NOT xxhash64, which other engines cannot mirror): the
-    * first 4 hex digits of `md5(id ++ ":" ++ salt)` mod `nBuckets`.
+    * first 8 hex digits (32 bits — wide enough that `mod nBuckets` stays
+    * uniform for any allowed nBuckets) of `md5(id ++ ":" ++ salt)` mod
+    * `nBuckets`.
     *
     * Pack ids are bucket-unique by construction — the bucket sits in the
     * high bits (`pack_id = bucket·2⁴⁰ + per-bucket pack`): ids stay longs,
@@ -179,20 +192,14 @@ object Curation {
       salt: String = "pk"): DataFrame = {
     require(contextSize > 0, s"contextSize must be positive, got $contextSize")
     require(nBuckets > 0 && nBuckets <= 65536,
-      s"nBuckets must be in 1..65536 (16-bit bucket hash), got $nBuckets")
+      s"nBuckets must be in 1..65536, got $nBuckets")
     Seq("bucket", "n_tokens", "pack_id", "start_in_pack", "__start").foreach(c =>
       require(!df.columns.contains(c),
         s"packSequencesBucketed emits or overwrites a `$c` column; rename the input's `$c` first"))
-    val hex = substring(md5(concat(idCol.cast("string"), lit(":" + salt))), 1, 4)
+    val hex = substring(md5(concat(idCol.cast("string"), lit(":" + salt))), 1, 8)
     val bucket = pmod(conv(hex, 16, 10).cast("long"), lit(nBuckets)).cast("int")
-    val w = Window.partitionBy(stratumCol, col("bucket")).orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("bucket", bucket)
-      .withColumn("n_tokens", tokensCol.cast("long"))
-      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("pack_id",
-        shiftleft(col("bucket").cast("long"), 40) + (col("__start") / contextSize).cast("long"))
-      .withColumn("start_in_pack", col("__start") % contextSize)
-      .drop("__start")
+    packCore(df.withColumn("bucket", bucket), idCol, tokensCol, contextSize,
+      Seq(stratumCol, col("bucket")),
+      local => shiftleft(col("bucket").cast("long"), 40) + local)
   }
 }

@@ -464,14 +464,15 @@ object PipelineQueries {
          FROM o""",
 
     // mirrors Curation.packSequencesBucketed(…, 512, 8): the bucket is the
-    // first 4 md5 hex digits of `doc_id ++ ':pk'` mod 8 (same portable
-    // construction as the stratified-sampling oracle); prefix sums run per
-    // (lang, bucket); pack ids carry the bucket in the high bits (2^40)
+    // first 8 md5 hex digits (32 bits) of `doc_id ++ ':pk'` mod 8 (same
+    // portable construction as the stratified-sampling oracle); prefix sums
+    // run per (lang, bucket); pack ids carry the bucket in the high bits
+    // (2^40)
     "pipe_pack_bucketed" ->
       """WITH t AS (SELECT doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':pk'), 1, 4)
-               AS INTEGER) % 8 AS INTEGER) AS bucket
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':pk'), 1, 8)
+               AS BIGINT) % 8 AS INTEGER) AS bucket
            FROM documents),
            o AS (SELECT doc_id, lang, n_tokens, bucket,
              CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id

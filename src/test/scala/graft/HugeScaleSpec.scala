@@ -136,8 +136,12 @@ class HugeScaleSpec extends AnyFunSuite {
         f"plain=$tPlain%.2fs bucketed=$tBucketed%.2fs hits=$nBucketed")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
-      prevAqeBc.foreach(v =>
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
+      // unset when originally unset — restoring nothing would leak -1 into
+      // the shared session and disable AQE broadcast joins for later suites
+      prevAqeBc match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
       spark.sql("DROP TABLE IF EXISTS huge_bucketed")
       cube.facts.unpersist(blocking = true)
     }

@@ -114,6 +114,20 @@ class OnEntryBulkSpec extends AnyFunSuite {
     assert(cube.get(Seq("Jan", "Sales")).contains(11.0)) // neither 0 nor 22
   }
 
+  test("round() agrees between scalar and bulk paths on negative halves") {
+    import spark.implicits._
+    val (_, cube) = model("round")
+    cube.registerRule(RuleDef(Map("m" -> "Sales"), RuleScope.OnEntry,
+      RuleExpr.Fn("round", RuleExpr.Input), "round_sales"))
+    cube.set(Seq("Jan", "Sales"), -2.5) // scalar hook
+    val recs = Seq(("Feb", "Sales", -2.5)).toDF("t", "m", "value")
+    cube.replaceFacts(cube.facts.unionByName(FactSources.importNamed(cube, recs)))
+    // both paths HALF_UP away from zero (Spark round semantics) — the old
+    // scalar math.round would store -2 here while bulk stored -3
+    assert(cube.get(Seq("Jan", "Sales")).contains(-3.0))
+    assert(cube.get(Seq("Feb", "Sales")).contains(-3.0))
+  }
+
   test("opaque onEntryFn and cell-reading exprs reject bulk writes loudly") {
     import spark.implicits._
     val (_, fnCube) = model("fn")
