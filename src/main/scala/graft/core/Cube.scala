@@ -273,13 +273,19 @@ final class Cube(
     * Logical content is unchanged by a successful swap, so the result-cache
     * version does not move.
     */
-  def compact(): Unit = {
+  def compact(): Unit = compactImpl(() => ())
+
+  /** Test seam: `midMaterialize` runs after the materializing count and
+    * before the swap attempt — the window a concurrent write can land in.
+    */
+  private[graft] def compactImpl(midMaterialize: () => Unit): Unit = {
     val (base0, merged, incorporated) =
       stateLock.synchronized((base, facts, overlay.toVector))
     val persisted = merged
       .select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persisted.count()
+    midMaterialize()
     val swapped = stateLock.synchronized {
       // a BULK write (commitBulkMerge / replaceFacts) that landed while the
       // count ran replaced `base` with data this materialization never saw —

@@ -149,6 +149,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(cube.get(Seq("2021", "Jan", "North", "Total", "Sales")).contains(127.0))
   }
 
+  test("compact() aborts the swap when a bulk write lands mid-materialization") {
+    val db = TinyModel.build(spark)
+    val cube = db.addCube("compactrace", db.cube("sales").dimensions)
+    def addr(p: String) = Seq("2021", "Jan", "North", p, "Sales")
+    cube.set(addr("sedan"), 100.0)
+    cube.compact() // baseline: a clean compact drains the overlay
+    assert(cube.get(addr("sedan")).contains(100.0))
+
+    // a bulk write (the streaming-batch shape) lands INSIDE compact's
+    // materialize-outside-the-lock window: swapping the stale frame in
+    // would silently revert it — compact must abandon the swap instead
+    import org.apache.spark.sql.functions.{col, lit}
+    cube.compactImpl { () =>
+      cube.replaceFacts(cube.facts.withColumn("value", col("value") + lit(1.0)))
+    }
+    assert(cube.get(addr("sedan")).contains(101.0),
+      "compact() reverted a bulk write that landed mid-materialization")
+
+    // point writes in the window are preserved by the overlay filter even
+    // when the swap goes through
+    cube.compactImpl { () => cube.set(addr("coupe"), 7.0) }
+    assert(cube.get(addr("coupe")).contains(7.0))
+    assert(cube.get(addr("sedan")).contains(101.0))
+  }
+
   test("watermarked tumbling window aggregation over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
