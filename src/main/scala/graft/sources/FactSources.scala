@@ -36,6 +36,12 @@ object FactSources {
   def writeOrc(facts: DataFrame, path: String): Unit =
     facts.write.mode(SaveMode.Overwrite).orc(path)
 
+  def writeParquet(facts: DataFrame, path: String): Unit =
+    facts.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeJson(facts: DataFrame, path: String): Unit =
+    facts.write.mode(SaveMode.Overwrite).json(path)
+
   /** Import NAME-addressed records `(dimName0, …, dimNameN, value)` into id
     * space via broadcast member-name joins — the bulk-load path
     * (≙ per-cell `cube[...]` loading, `samples/huge.py:115-133`, done as one

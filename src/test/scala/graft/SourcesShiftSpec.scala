@@ -81,6 +81,22 @@ class SourcesShiftSpec extends AnyFunSuite {
     assert(back.collect().toSet == cube.facts.collect().toSet)
   }
 
+  test("fact sources: json and parquet round-trips") {
+    val db = TinyModel.build(spark)
+    val cube = db.addCube("jsales", db.cube("sales").dimensions)
+    cube.set(Seq("2021", "Jan", "North", "sedan", "Sales"), 42.0)
+    cube.set(Seq("2021", "Feb", "South", "coupe", "Cost"), 7.0)
+    cube.compact()
+    val tmp = java.nio.file.Files.createTempDirectory("graftjson").toString
+    FactSources.writeJson(cube.facts, s"$tmp/jfacts")
+    val jback = FactSources.readJson(spark, s"$tmp/jfacts", cube.nDims)
+    assert(jback.schema == cube.facts.schema)
+    assert(jback.collect().toSet == cube.facts.collect().toSet)
+    FactSources.writeParquet(cube.facts, s"$tmp/pfacts")
+    val pback = FactSources.readParquet(spark, s"$tmp/pfacts")
+    assert(pback.collect().toSet == cube.facts.collect().toSet)
+  }
+
   test("partitioned parquet sink enables partition pruning") {
     val db = TinyModel.build(spark)
     val cube = db.addCube("psales", db.cube("sales").dimensions)
