@@ -501,6 +501,26 @@ object TpchQueries {
 
     // V6: windowed refresh — ViewWindow pages rows 2..4 × value columns 1..3
     // out of the months×regions grid (driver-side crop of the ordered grid)
+    // V9: view statistics — the refresh's self-reported grid extent and
+    // storage-vs-rule position split, oracle-grounded: with zero
+    // suppression ON, the post-suppression row count equals the number of
+    // requested 1995 months that actually carry data; the (gross, margin)
+    // column axis splits 1 aggregated + 1 ruled position
+    "olap_view_stats" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val months = (1 to 12).map(mm => f"1995-$mm%02d")
+      val view = new View(m.cube, ViewDef(
+        filters = Seq("product" -> "AllBrands", "geo" -> "World"),
+        rows = AxisDef(Seq("calendar" -> months)),
+        cols = AxisDef(Seq("measures" -> Seq("gross", "margin"))),
+        zeroSuppression = true))
+      view.collect()
+      val st = view.stats
+      import s.implicits._
+      Seq((st.rows, st.columns, st.aggregatedPositions, st.rulePositions))
+        .toDF("n_rows", "n_cols", "agg_positions", "rule_positions")
+    }),
+
     "olap_view_window" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
       val months = (1 to 12).map(mm => f"1995-$mm%02d")
@@ -777,6 +797,11 @@ object TpchQueries {
             + CAST(10 AS DECIMAL(21,4)) * (SELECT COUNT(DISTINCT o_orderdate) FROM orders
                  WHERE strftime(o_orderdate, '%Y') = '1995')
             AS DOUBLE) AS value""",
+
+    "olap_view_stats" ->
+      s"""SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT) AS n_rows,
+          2 AS n_cols, 1 AS agg_positions, 1 AS rule_positions
+          $STAR WHERE strftime(o_orderdate, '%Y') = '1995'""",
 
     "olap_view_window" -> {
       val cols = Seq("AMERICA", "ASIA", "EUROPE").map(r =>
