@@ -388,11 +388,14 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     def esc(s: String) =
       if (s.exists(c => c == ',' || c == '"' || c == '\n')) "\"" + s.replace("\"", "\"\"") + "\""
       else s
-    (cols.map(esc).mkString(",") +: rows.map(_.map {
-      case null => ""
-      case d: java.lang.Double if d.isNaN => graft.core.CellValue.DivZero
-      case d: java.lang.Double => d.toString
-      case x => x.toString
+    (cols.map(esc).mkString(",") +: rows.map(_.zip(cols).map {
+      case (null, _) => ""
+      case (d: java.lang.Double, _) if d.isNaN => graft.core.CellValue.DivZero
+      // member number formats apply here like console/HTML (≙ the render
+      // formatting of `view.py:791-852`); a member WITHOUT a format keeps
+      // the lossless Double.toString round-trip
+      case (d: java.lang.Double, c) => fmtFor(c).fold(d.toString)(f => ViewFormat(Some(f), d))
+      case (x, _) => x.toString
     }.map(esc).mkString(","))).mkString("\n")
   }
 

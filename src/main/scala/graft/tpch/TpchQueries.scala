@@ -410,6 +410,33 @@ object TpchQueries {
           StructField("gross", DoubleType), StructField("net", DoubleType))))
     }),
 
+    // SF2: member number formats — renders format cells by the LAST
+    // column-axis member's format (the cascade); "{:.2f}" on quantity
+    // travels through the CSV string and is hash-compared as STRINGS
+    // against DuckDB's own format(). quantity is 4-decimal-exact in the
+    // facts, so 2-decimal formatting never hits an FP rounding tie, and no
+    // other gate renders it — the shared model's other strings stay
+    // pristine.
+    "olap_view_format" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      m.measures.setFormat("quantity", "{:.2f}")
+      val years = (1995 to 2001).map(_.toString)
+      val view = new View(m.cube, ViewDef(
+        filters = Seq("product" -> "AllBrands", "geo" -> "World"),
+        rows = AxisDef(Seq("calendar" -> years)),
+        cols = AxisDef(Seq("measures" -> Seq("quantity")))))
+      view.refresh()
+      val lines = view.toCsv().split("\n")
+      require(lines.head == "calendar,quantity", s"unexpected CSV header: ${lines.head}")
+      val rows = lines.tail.toIndexedSeq.map { ln =>
+        val p = ln.split(",", -1)
+        Row(p(0), p(1))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows.toList, 1),
+        StructType(Seq(StructField("calendar", StringType),
+          StructField("quantity", StringType))))
+    }),
+
     // H1: writeback to an aggregated cell is rejected and leaves the cube
     // untouched — the boolean and the unchanged world total are both oracled
     "olap_write_reject" -> ((s, dir) => {
@@ -802,6 +829,11 @@ object TpchQueries {
       s"""SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT) AS n_rows,
           2 AS n_cols, 1 AS agg_positions, 1 AS rule_positions
           $STAR WHERE strftime(o_orderdate, '%Y') = '1995'""",
+
+    "olap_view_format" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
+          format('{:.2f}', CAST(SUM(CAST(l_quantity AS DECIMAL(21,4))) AS DOUBLE)) AS quantity
+          $STAR GROUP BY 1""",
 
     "olap_view_window" -> {
       val cols = Seq("AMERICA", "ASIA", "EUROPE").map(r =>
