@@ -526,6 +526,29 @@ object TpchQueries {
       oneValueDf(s, c.get(Seq("World", "AllTime", "AllBrands", "gross")))
     }),
 
+    // R5: the #DIV/0! sentinel — margin = net/gross over a STORED-zero
+    // gross reads as the typed error code through getCell (never a silent
+    // null or 0), and the sentinel cell does not poison the rest of the
+    // cube: the world margin over everything-but-the-zeroed-cell still
+    // matches the oracle exactly
+    "olap_rule_divzero" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      m.cube.rules.foreach(c.registerRule)
+      val addr = probeAddress(s, dir) // (customer, date, part, gross)
+      c.set(addr, 0.0) // explicit stored zero — an ERROR divisor, not empty
+      c.set(addr.updated(3, "disc_amt"), 0.0)
+      val code = c.getCell(addr.updated(3, "margin")).collect {
+        case graft.core.CellValue.Err(cd) => cd
+      }.getOrElse("no-error")
+      val world = c.get(Seq("World", "AllTime", "AllBrands", "margin"))
+      s.createDataFrame(
+        s.sparkContext.parallelize(
+          List(Row(code, world.map(Double.box).orNull)), 1),
+        StructType(Seq(StructField("code", StringType),
+          StructField("value", DoubleType))))
+    }),
+
     // V6: windowed refresh — ViewWindow pages rows 2..4 × value columns 1..3
     // out of the months×regions grid (driver-side crop of the ordered grid)
     // V9: view statistics — the refresh's self-reported grid extent and
@@ -829,6 +852,20 @@ object TpchQueries {
       s"""SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT) AS n_rows,
           2 AS n_cols, 1 AS agg_positions, 1 AS rule_positions
           $STAR WHERE strftime(o_orderdate, '%Y') = '1995'""",
+
+    // mirrors the engine: net is the decimal-exact weighted rollup
+    // (gross − disc) and margin divides AS DOUBLES at read time; the probe
+    // cell's gross and disc were overwritten with 0, so the world sums
+    // simply exclude it
+    "olap_rule_divzero" ->
+      s"""WITH x AS (
+            SELECT SUM($GROSS) AS g, SUM($DISC) AS d
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE NOT (o_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+              AND o_orderdate = (SELECT o_orderdate FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+              AND l_partkey = (SELECT min(l_partkey) FROM lineitem WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders))))
+          SELECT '#DIV/0!' AS code, CAST(g - d AS DOUBLE) / CAST(g AS DOUBLE) AS value
+          FROM x""",
 
     "olap_view_format" ->
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
