@@ -526,6 +526,32 @@ object TpchQueries {
       oneValueDf(s, c.get(Seq("World", "AllTime", "AllBrands", "gross")))
     }),
 
+    // R8: rule validation — a rule naming an unknown trigger dimension or
+    // an unknown ref member is rejected AT REGISTRATION (typed, loud), the
+    // rule set stays unchanged, and the standing margin rule still computes
+    // the oracle-exact world value afterwards
+    "olap_rule_validate" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      m.cube.rules.foreach(c.registerRule)
+      def rejected(r: RuleDef): Boolean =
+        try { c.registerRule(r); false }
+        catch { case _: IllegalArgumentException => true }
+      val badTrigger = rejected(RuleDef(Map("no_such_dim" -> "gross"),
+        RuleScope.AllLevels, RuleExpr.Lit(1), "bad1"))
+      val badRef = rejected(RuleDef(Map("measures" -> "plan"),
+        RuleScope.AllLevels, RuleExpr.Ref("no_such_member"), "bad2"))
+      val world = c.get(Seq("World", "AllTime", "AllBrands", "margin"))
+      s.createDataFrame(
+        s.sparkContext.parallelize(List(Row(Boolean.box(badTrigger),
+          Boolean.box(badRef), Int.box(c.rules.size),
+          world.map(Double.box).orNull)), 1),
+        StructType(Seq(StructField("bad_trigger_rejected", BooleanType),
+          StructField("bad_ref_rejected", BooleanType),
+          StructField("n_rules", IntegerType),
+          StructField("value", DoubleType))))
+    }),
+
     // R5: the #DIV/0! sentinel — margin = net/gross over a STORED-zero
     // gross reads as the typed error code through getCell (never a silent
     // null or 0), and the sentinel cell does not poison the rest of the
@@ -852,6 +878,12 @@ object TpchQueries {
       s"""SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT) AS n_rows,
           2 AS n_cols, 1 AS agg_positions, 1 AS rule_positions
           $STAR WHERE strftime(o_orderdate, '%Y') = '1995'""",
+
+    "olap_rule_validate" ->
+      s"""SELECT TRUE AS bad_trigger_rejected, TRUE AS bad_ref_rejected,
+          1 AS n_rules,
+          CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) / CAST(SUM($GROSS) AS DOUBLE) AS value
+          $STAR""",
 
     // mirrors the engine: net is the decimal-exact weighted rollup
     // (gross − disc) and margin divides AS DOUBLES at read time; the probe
