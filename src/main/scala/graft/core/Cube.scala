@@ -51,6 +51,10 @@ final class Cube(
   val nDims: Int = dimensions.size
   val dimCols: Vector[String] = Vector.tabulate(nDims)(i => s"d$i")
 
+  // register with each dimension so a later dimension edit reaches this cube
+  // (commit-time fact purge of removed members + closure refresh)
+  dimensions.distinct.foreach(_.registerCube(this))
+
   private val valueField: StructField =
     initialFacts.map(df => df.schema("value")).getOrElse(StructField("value", DoubleType))
   private def factSchema: StructType =
@@ -231,10 +235,40 @@ final class Cube(
     }
   }
 
+  /** RAW bulk swap of the fact frame — a hook-BYPASSING primitive, on
+    * purpose: every in-package caller (Area transforms/copies/enumeration,
+    * importNamed, streaming ingest) pre-applies the ON_ENTRY hook to the
+    * frame it passes in (`Rules.onEntryBulk` — the values are already
+    * post-hook when they land here), and applying it again would
+    * double-transform. Callers introducing a NEW bulk write path must route
+    * values through the hook themselves, or the documented every-write-
+    * passes-the-hook contract (≙ `cube.py:527-537`) breaks.
+    */
   private[graft] def replaceFacts(df: DataFrame): Unit = stateLock.synchronized {
     base = df.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
     overlay.clear(); stateVersion += 1; cache.clear()
     recordHistory("bulk")
+  }
+
+  /** Dimension-commit callback (see `Dimension.commit`): drop every fact,
+    * overlay entry, and payload addressing a member this edit removed, then
+    * refresh the broadcast closures. Runs synchronously inside commit() so
+    * aggregates never transit a state where the new hierarchy reads old
+    * orphan facts (the identity-rollup elision scans raw ids).
+    */
+  private[core] def onDimensionCommitted(d: Dimension, removedIds: Seq[Int]): Unit = {
+    val idxs = dimensions.zipWithIndex.collect { case (dd, i) if dd eq d => i }
+    if (idxs.nonEmpty && removedIds.nonEmpty) stateLock.synchronized {
+      val rm = removedIds.toSet
+      val pred = idxs.map(i => !col(s"d$i").isin(removedIds: _*)).reduce(_ && _)
+      base = base.filter(pred)
+      overlay.filterInPlace((k, _) => !idxs.exists(i => rm(k(i))))
+      payloads.filterInPlace((k, _) => !idxs.exists(i => rm(k(i))))
+      stateVersion += 1
+      cache.clear()
+      recordHistory(s"purge removed members of ${d.name}")
+    }
+    if (idxs.nonEmpty) refreshClosures() // hierarchy changed on ANY commit
   }
 
   /** Consistent (merged facts, overlay entries) pair for a read-modify-write
@@ -272,13 +306,17 @@ final class Cube(
     * than silently reverting it — compact() is an optimization, re-call it.
     * Logical content is unchanged by a successful swap, so the result-cache
     * version does not move.
+    *
+    * @return true iff the swap landed; false means a concurrent bulk write
+    *         superseded the materialization — observable, so callers (e.g. a
+    *         streaming compaction policy) can retry instead of guessing
     */
-  def compact(): Unit = compactImpl(() => ())
+  def compact(): Boolean = compactImpl(() => ())
 
   /** Test seam: `midMaterialize` runs after the materializing count and
     * before the swap attempt — the window a concurrent write can land in.
     */
-  private[graft] def compactImpl(midMaterialize: () => Unit): Unit = {
+  private[graft] def compactImpl(midMaterialize: () => Unit): Boolean = {
     val (base0, merged, incorporated) =
       stateLock.synchronized((base, facts, overlay.toVector))
     val persisted = merged
@@ -303,6 +341,7 @@ final class Cube(
       System.err.println(s"[graft] cube '$name': compact() skipped — a bulk " +
         "write landed mid-materialization; call compact() again")
     }
+    swapped
   }
 
   def cellsCount: Long = facts.count()
@@ -575,9 +614,10 @@ final class Cube(
   private[graft] def clearCache(): Unit = cache.clear()
 
   /** Drop fact rows addressing members that no longer exist in their
-    * dimension (≙ commit-time fact deletion for removed members,
-    * `facttable.py:375-420` — here an explicit anti-filter pass after a
-    * dimension edit that removed members).
+    * dimension (≙ `facttable.py:375-420`). Member removals through
+    * `Dimension.commit()` purge AUTOMATICALLY ([[onDimensionCommitted]]);
+    * this manual full pass remains for facts that arrived unknown from the
+    * outside (e.g. a bulk frame loaded against a since-edited catalog).
     */
   def purgeUnknownMembers(): Unit = stateLock.synchronized {
     // degenerate dimensions have no catalog to be "unknown" against — every

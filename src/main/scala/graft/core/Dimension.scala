@@ -160,6 +160,22 @@ final class Dimension(val name: String) {
   private var closure: Vector[ClosureRow] = Vector.empty
   private var allParentsMap: Map[Int, Set[Int]] = Map.empty
 
+  /** Cubes built over this dimension, registered by the Cube constructor so
+    * `commit()` can push edits to them (fact purge of removed members +
+    * closure refresh, ≙ `dimension.py:1079-1081` → `facttable.py:375-420`).
+    * Weak refs: scratch cubes (one per mutating gate/spec) must stay
+    * collectible — the catalog must not pin every cube ever built on it.
+    */
+  private val usingCubes = mutable.ArrayBuffer[java.lang.ref.WeakReference[Cube]]()
+  private[core] def registerCube(c: Cube): Unit = synchronized {
+    usingCubes.filterInPlace(_.get != null)
+    usingCubes += new java.lang.ref.WeakReference(c)
+  }
+  private def liveCubes: Seq[Cube] = synchronized {
+    usingCubes.filterInPlace(_.get != null)
+    usingCubes.iterator.flatMap(r => Option(r.get)).toSeq
+  }
+
   // ---- degenerate mode (see Dimension.degenerate) -------------------------
 
   private[core] var degenerateMode: Option[(String, String)] = None
@@ -234,11 +250,12 @@ final class Dimension(val name: String) {
 
   def addMany(members: Seq[String]): Dimension = { members.foreach(m => add(m)); this }
 
-  /** Remove a member (edit mode). After commit, cubes using this dimension
-    * must run `purgeUnknownMembers()` (which also refreshes their broadcast
-    * closures): until then, fact rows addressing the removed member are
-    * UNDEFINED in aggregates — identity rollups include them while leaf
-    * selections exclude them (ARCHITECTURE §1).
+  /** Remove a member (edit mode). `commit()` automatically purges fact rows
+    * addressing the removed member from every registered cube and refreshes
+    * their broadcast closures (≙ commit-time fact deletion,
+    * `dimension.py:1079-1081` → `facttable.py:375-420`) — without the purge,
+    * identity-rollup elision would keep counting the orphan rows in top
+    * cells while leaf selections exclude them.
     */
   def remove(member: String): Dimension = {
     require(editing, s"dimension '$name' not in edit mode")
@@ -282,8 +299,18 @@ final class Dimension(val name: String) {
     // never observe a stale identity set after a dimension edit
     identityCovers = computeIdentityCovers()
     allParentsMap = buildAllParents()
+    // members REMOVED by this edit: ids committed before the edit whose slot
+    // is now a tombstone — their facts must not survive the commit
+    val removedIds = editBackup.get._1.collect {
+      case m if m.id >= defs.length || defs(m.id).name == null => m.id
+    }
     editing = false
     editBackup = None
+    // push the edit to every cube built over this dimension: purge facts of
+    // removed members, refresh broadcast closures — BEFORE commit() returns,
+    // so no read can ever observe the new hierarchy over unpurged facts (the
+    // double-count window the manual-purgeUnknownMembers era had)
+    liveCubes.foreach(_.onDimensionCommitted(this, removedIds))
     this
   }
 

@@ -386,6 +386,42 @@ object TpchQueries {
         .select(col("priority"), col("value").cast("double").as("value"))
     }),
 
+    // S+/N edit parity: member removal at dimension commit AUTO-PURGES the
+    // removed member's facts from every registered cube (≙ dimension.py:
+    // 1079-1081 → facttable.py:375-420) — NO manual purgeUnknownMembers.
+    // The rollup after the removal must exclude the removed priority's rows
+    // both per-leaf AND through the AllPrio identity rollup (which scans raw
+    // fact ids — the double-count trap the auto-purge closes).
+    "olap_member_remove" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new graft.core.Database("memberremove", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val loader = db.addCube("loader", Seq(cust, prio))
+      val recs = orders
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+        .select(concat(lit("C#"), col("o_custkey")).as("customer"),
+          col("o_orderpriority").as("priority"), col("value"))
+      val cube = db.addCube("sales", Seq(cust, prio),
+        graft.sources.FactSources.importNamed(loader, recs))
+      val removed = prios.head // deterministic: min priority name
+      prio.edit().remove(removed).commit() // purge fires INSIDE commit
+      val keep = prios.tail
+      val all = Seq(graft.core.Dimension.DegenerateAllId)
+      val leaves = cube.gridAggregate(Seq(all, keep.map(prio.idOf)))
+      // single-member AllPrio selection → identity-rollup ELISION (raw-id
+      // scan, no closure join): this is the path that double-counts orphans
+      val top = cube.gridAggregate(Seq(all, Seq(prio.idOf("AllPrio"))))
+      val names = cube.memberNamesDf(1)
+        .select(col("id").as("a1"), col("mname").as("priority"))
+      leaves.unionByName(top).join(broadcast(names), "a1")
+        .select(col("priority"), col("value").cast("double").as("value"))
+    }),
+
     // V7: CSV render — the grid travels THROUGH the toCsv string (header +
     // Double.toString cells, lossless round-trip) and is parsed back to a
     // typed frame the oracle can hash-match; proves the render emits exactly
@@ -816,6 +852,21 @@ object TpchQueries {
           SELECT 'AllPrio' AS priority,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
           FROM orders""",
+
+    // the removed (min-name) priority's rows are excluded per-leaf AND from
+    // the AllPrio rollup — if the commit-time purge ever regressed, AllPrio
+    // would carry the orphan sum and the hash would split
+    "olap_member_remove" ->
+      """SELECT o_orderpriority AS priority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+          FROM orders
+          WHERE o_orderpriority <> (SELECT min(o_orderpriority) FROM orders)
+          GROUP BY 1
+          UNION ALL
+          SELECT 'AllPrio' AS priority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+          FROM orders
+          WHERE o_orderpriority <> (SELECT min(o_orderpriority) FROM orders)""",
 
     // mirrors the engine's per-address record grain: the ON_ENTRY transform
     // applies to each imported (customer, priority) record, then rolls up

@@ -1,0 +1,104 @@
+package graft
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 behavioral parity fixes.
+  *
+  * Member removal: the reference deletes facts of removed members when the
+  * dimension edit commits (`dimension.py:1079-1081` → `facttable.py:375-420`);
+  * the engine now does the same for every cube registered on the dimension —
+  * no manual `purgeUnknownMembers()` step, no window where the new hierarchy
+  * reads old orphan facts (the identity-rollup elision scans raw fact ids, so
+  * an unpurged orphan is counted in top cells but invisible to leaf reads).
+  */
+class Round7FixesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def model(tag: String): (Database, Cube) = {
+    val db = new Database(s"r7_$tag", spark)
+    val d = db.addDimension("d")
+    d.edit().add("All", Seq("x", "y", "z")).commit()
+    val o = db.addDimension("o")
+    o.edit().add("ALL", Seq("p", "q")).commit()
+    (db, db.addCube("c", Seq(d, o)))
+  }
+
+  test("dimension commit auto-purges facts of removed members — no manual step") {
+    val (db, cube) = model("auto")
+    cube.set(Seq("x", "p"), 10.0)
+    cube.set(Seq("y", "p"), 5.0)
+    cube.set(Seq("z", "q"), 2.0)
+    cube.compact() // removed member facts must purge from BASE, not just overlay
+    assert(cube.get(Seq("All", "ALL")).contains(17.0))
+    db.dimension("d").edit().remove("y").commit()
+    // IMMEDIATELY after commit — the top cell (identity elision, raw-id scan)
+    // must never transit through the 15.0+2.0 double-count state
+    assert(cube.get(Seq("All", "ALL")).contains(12.0))
+    assert(cube.cellsCount == 2)
+  }
+
+  test("auto-purge drops pending OVERLAY writes and payloads of the removed member") {
+    val (db, cube) = model("overlay")
+    cube.set(Seq("x", "p"), 1.0)
+    cube.set(Seq("y", "p"), 100.0)        // overlay-only — never compacted
+    cube.setPayload(Seq("y", "q"), "note") // payload at the removed member
+    db.dimension("d").edit().remove("y").commit()
+    assert(cube.get(Seq("All", "ALL")).contains(1.0))
+    assert(cube.payloadCount == 0)
+  }
+
+  test("every cube on the dimension purges; unrelated cubes are untouched") {
+    val (db, cube) = model("multi")
+    val second = db.addCube("c2", cube.dimensions)
+    val other = {
+      val w = db.addDimension("w"); w.edit().add("W", Seq("u", "v")).commit()
+      val c = db.addCube("c3", Seq(w))
+      c.set(Seq("u"), 7.0); c
+    }
+    cube.set(Seq("y", "p"), 5.0)
+    second.set(Seq("y", "q"), 6.0)
+    second.set(Seq("z", "q"), 1.0)
+    db.dimension("d").edit().remove("y").commit()
+    assert(cube.get(Seq("All", "ALL")).isEmpty)
+    assert(second.get(Seq("All", "ALL")).contains(1.0))
+    assert(other.get(Seq("W")).contains(7.0))
+  }
+
+  test("a plain commit (no removal) refreshes registered cubes' closures") {
+    val (db, cube) = model("closure")
+    cube.set(Seq("x", "p"), 3.0)
+    assert(cube.get(Seq("All", "ALL")).contains(3.0)) // closure df now cached
+    db.dimension("d").edit().add("All", Seq("w")).commit()
+    cube.set(Seq("w", "p"), 4.0)
+    // without the auto refreshClosures the cached closure would miss 'w'
+    assert(cube.get(Seq("All", "ALL")).contains(7.0))
+    // the All cover memo refreshed too: All still identity-covers x,z,w
+    val d = db.dimension("d")
+    assert(d.coversAllLeavesUnit(d.idOf("All")))
+  }
+
+  test("rollback after remove() leaves cubes untouched — no purge fires") {
+    val (db, cube) = model("rollback")
+    cube.set(Seq("y", "p"), 5.0)
+    db.dimension("d").edit()
+    db.dimension("d").remove("y")
+    db.dimension("d").rollback()
+    assert(cube.get(Seq("All", "ALL")).contains(5.0))
+    assert(cube.get(Seq("y", "p")).contains(5.0))
+  }
+
+  test("compact() reports whether the swap landed") {
+    val (_, cube) = model("compactbool")
+    cube.set(Seq("x", "p"), 1.0)
+    assert(cube.compact(), "clean compact must report swapped=true")
+    // a bulk write mid-materialization abandons the swap — observable now
+    val aborted = cube.compactImpl { () =>
+      cube.replaceFacts(cube.facts.withColumn("value",
+        org.apache.spark.sql.functions.col("value") * 2))
+    }
+    assert(!aborted, "superseded compact must report swapped=false")
+    assert(cube.get(Seq("x", "p")).contains(2.0)) // the bulk write survived
+    assert(cube.compact(), "retry after abort must land")
+  }
+}
