@@ -42,23 +42,22 @@ object FactSources {
   def writeJson(facts: DataFrame, path: String): Unit =
     facts.write.mode(SaveMode.Overwrite).json(path)
 
-  /** Import NAME-addressed records `(dimName0, …, dimNameN, value)` into id
-    * space via broadcast member-name joins — the bulk-load path
-    * (≙ per-cell `cube[...]` loading, `samples/huge.py:115-133`, done as one
-    * job). Names resolve against LEAF members only, mirroring `Cube.set`
-    * (the reference rejects writes to aggregated cells, `cube.py:527`):
-    * records addressed at aggregate or unknown names drop (inner-join
-    * semantics), never silently land at a non-leaf id.
+  /** Name resolution of `(dimName0, …, dimNameN, value)` records into id
+    * space with LEFT semantics: every input row survives, carrying nullable
+    * `d<i>` columns — null where the name did not resolve. Names resolve
+    * against LEAF members only, mirroring `Cube.set` (the reference rejects
+    * writes to aggregated cells, `cube.py:527`): a record addressed at an
+    * aggregate or unknown name must never land at a non-leaf id.
     */
-  def importNamed(cube: Cube, records: DataFrame): DataFrame = {
+  private def resolveNamed(cube: Cube, records: DataFrame): DataFrame = {
     var df = records
     cube.dimensions.zipWithIndex.foreach { case (d, i) =>
       if (d.isDegenerate) {
         // functional parse in place — the catalog is EMPTY, so a name join
         // would silently drop every record. Same canonical contract as the
         // driver-side parse: case-insensitive prefix, canonical numeral;
-        // non-parsing names drop like catalog-unknown names do (inner join
-        // semantics), never silently mis-map.
+        // non-parsing names yield null like catalog-unknown names do,
+        // never a silent mis-map.
         val prefix = d.degeneratePrefix.get
         val name = col(d.name)
         val digits = name.substr(lit(prefix.length + 1), length(name))
@@ -72,20 +71,21 @@ object FactSources {
             parsed.isNotNull && parsed.between(0, Int.MaxValue - 1) &&
             digits === parsed.cast("string"), // canonical: no 007
             parsed.cast("int")))
-          .filter(col(s"d$i").isNotNull)
           .drop(d.name)
       } else {
-        // LEAF names only (mirrors `Cube.set`'s leaf gate): a record
-        // addressed at an aggregate member name drops like an unknown name
-        // — landing it at the aggregate id would be invisible to leaf reads
-        // but double-counted by the identity-rollup elision's raw-id scan.
         val names = cube.leafNamesDf(i)
           .select(col("id").as(s"d$i"), lower(col("mname")).as(s"__n$i"))
-        df = df.join(broadcast(names), lower(col(d.name)) === col(s"__n$i"))
+        df = df.join(broadcast(names), lower(col(d.name)) === col(s"__n$i"), "left")
           .drop(d.name, s"__n$i")
       }
     }
-    val resolved = df.select((cube.dimCols.map(col) :+ col("value")): _*)
+    df
+  }
+
+  private def resolvedPred(cube: Cube): org.apache.spark.sql.Column =
+    cube.dimCols.map(col(_).isNotNull).reduce(_ && _)
+
+  private def hooked(cube: Cube, resolved: DataFrame): DataFrame =
     // reference parity: EVERY write passes the ON_ENTRY hook (cube.py:527-537)
     // — bulk import included, as one declarative column transform
     graft.olap.Rules.onEntryBulk(cube) match {
@@ -93,6 +93,61 @@ object FactSources {
         hook(col("value")).cast(resolved.schema("value").dataType))
       case None => resolved
     }
+
+  /** Import NAME-addressed records `(dimName0, …, dimNameN, value)` into id
+    * space via broadcast member-name joins — the bulk-load path
+    * (≙ per-cell `cube[...]` loading, `samples/huge.py:115-133`, done as one
+    * job). Records addressed at aggregate or unknown names DROP, silently:
+    * this zero-extra-jobs fast path is for pre-validated feeds. At scale a
+    * silent drop of 3% of a load is a catastrophe nobody sees — loads that
+    * can contain junk should use [[importNamedReport]] (same semantics plus
+    * an exact dropped-row count, one extra counting pass) or
+    * [[importNamedStrict]] (throws on any drop — the reference's per-cell
+    * semantics, `cube.py:601-627`).
+    */
+  def importNamed(cube: Cube, records: DataFrame): DataFrame =
+    hooked(cube, resolveNamed(cube, records).filter(resolvedPred(cube))
+      .select((cube.dimCols.map(col) :+ col("value")): _*))
+
+  /** The result of a counted name-addressed import: the resolved fact frame
+    * plus exact input/resolved row counts, so a bulk load can never lose
+    * records without the caller being able to see it.
+    */
+  final case class ImportReport(facts: DataFrame, inputRows: Long, resolvedRows: Long) {
+    def droppedRows: Long = inputRows - resolvedRows
+  }
+
+  /** [[importNamed]] with loss accounting: one extra aggregation pass over
+    * the name-resolution frame counts input vs resolved rows BEFORE the load
+    * materializes; a non-zero drop is also logged loudly. The fact frame is
+    * identical to `importNamed`'s.
+    */
+  def importNamedReport(cube: Cube, records: DataFrame): ImportReport = {
+    val joined = resolveNamed(cube, records)
+    val ok = resolvedPred(cube)
+    val counts = joined.agg(
+      count(lit(1)).as("n"), count(when(ok, lit(1))).as("r")).head()
+    val report = ImportReport(
+      hooked(cube, joined.filter(ok).select((cube.dimCols.map(col) :+ col("value")): _*)),
+      counts.getLong(0), counts.getLong(1))
+    if (report.droppedRows > 0)
+      System.err.println(s"[graft] importNamed into cube '${cube.name}': " +
+        s"${report.droppedRows} of ${report.inputRows} records did not resolve " +
+        "to leaf members and were DROPPED (aggregate-addressed or unknown names)")
+    report
+  }
+
+  /** Strict name-addressed import: any unresolvable record aborts the load
+    * (≙ the reference raising on unknown-member lookups in per-cell loading,
+    * `cube.py:601-627`). Returns the fully-resolved fact frame.
+    */
+  def importNamedStrict(cube: Cube, records: DataFrame): DataFrame = {
+    val report = importNamedReport(cube, records)
+    require(report.droppedRows == 0L,
+      s"strict import into cube '${cube.name}': ${report.droppedRows} of " +
+        s"${report.inputRows} records did not resolve to leaf members " +
+        "(aggregate-addressed or unknown names)")
+    report.facts
   }
 
   /** Partitioned parquet sink: directory-partition on the given dimension

@@ -88,6 +88,30 @@ class Round7FixesSpec extends AnyFunSuite {
     assert(cube.get(Seq("y", "p")).contains(5.0))
   }
 
+  test("importNamedReport counts dropped records exactly; strict import throws") {
+    import spark.implicits._
+    import graft.sources.FactSources
+    val (_, cube) = model("import")
+    val good = Seq(("x", "p", 1.0), ("y", "q", 2.0), ("Z", "P", 3.0)) // case-insensitive
+    val junk = Seq(
+      ("nope", "p", 99.0),  // unknown member
+      ("All", "p", 99.0),   // aggregate-addressed (leaf-only contract)
+      ("x", "ALL", 99.0),   // aggregate on the other dim
+      ("x", "zzz", 99.0))   // unknown on the other dim
+    val recs = (good ++ junk).toDF("d", "o", "value")
+    val report = FactSources.importNamedReport(cube, recs)
+    assert(report.inputRows == 7 && report.resolvedRows == 3 && report.droppedRows == 4)
+    assert(report.facts.count() == 3)
+    // the fast path loads the identical frame (silently)
+    assert(FactSources.importNamed(cube, recs).count() == 3)
+    val e = intercept[IllegalArgumentException](FactSources.importNamedStrict(cube, recs))
+    assert(e.getMessage.contains("4 of 7"))
+    // a clean feed passes strict and reports zero drops
+    val clean = good.toDF("d", "o", "value")
+    assert(FactSources.importNamedStrict(cube, clean).count() == 3)
+    assert(FactSources.importNamedReport(cube, clean).droppedRows == 0)
+  }
+
   test("compact() reports whether the swap landed") {
     val (_, cube) = model("compactbool")
     cube.set(Seq("x", "p"), 1.0)
