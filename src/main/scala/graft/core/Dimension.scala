@@ -503,11 +503,14 @@ final class Dimension(val name: String) {
     subsetMap(subsetName.toLowerCase).resolve(this).map(memberById)
   def subsetNames: Seq[String] = subsetMap.values.map(_.name).toSeq
 
-  def setFormat(member: String, format: String): Unit = {
+  def setFormat(member: String, format: String): Unit = setFormatOpt(member, Some(format))
+  /** Remove a member's number format (renders fall back to the default). */
+  def clearFormat(member: String): Unit = setFormatOpt(member, None)
+  private def setFormatOpt(member: String, format: Option[String]): Unit = {
     val id = idOf(member)
-    committed = committed.map(m => if (m.id == id) m.copy(format = Some(format)) else m)
-    byId = byId.updated(id, byId(id).copy(format = Some(format)))
-    if (id < defs.length && defs(id).name != null) defs(id).format = Some(format)
+    committed = committed.map(m => if (m.id == id) m.copy(format = format) else m)
+    byId = byId.updated(id, byId(id).copy(format = format))
+    if (id < defs.length && defs(id).name != null) defs(id).format = format
   }
 
   def member(memberName: String): Member = new Member(this, idOf(memberName))

@@ -462,7 +462,10 @@ object TpchQueries {
         rows = AxisDef(Seq("calendar" -> years)),
         cols = AxisDef(Seq("measures" -> Seq("quantity")))))
       view.refresh()
-      val lines = view.toCsv().split("\n")
+      // render INSIDE the format scope, then restore the shared model so no
+      // later gate's quantity render depends on execution order
+      val csv = try view.toCsv() finally m.measures.clearFormat("quantity")
+      val lines = csv.split("\n")
       require(lines.head == "calendar,quantity", s"unexpected CSV header: ${lines.head}")
       val rows = lines.tail.toIndexedSeq.map { ln =>
         val p = ln.split(",", -1)
