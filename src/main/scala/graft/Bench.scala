@@ -178,6 +178,8 @@ object Bench {
     // warm thread startup, else the first timed canary reads ~1.4× high on
     // an idle host and flirts with the contention threshold
     val canaries = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    // the bucketed-backed scratch cube: built once on pass 1, read per pass
+    var bucketedCube: graft.core.Cube = null
     // min over successful passes; -1 only if every pass failed
     def record(name: String, t: Double): Unit = results(name) =
       (results.get(name).filter(_ >= 0), Some(t).filter(_ >= 0)) match {
@@ -221,31 +223,27 @@ object Bench {
       record("huge_point_reads_10k",
         try time { graft.tpch.HugeModel.pointReadBatch(spark, 10000).count() }
         catch { case _: Throwable => -1.0 })
-      // the bucketed-layout read path (ARCHITECTURE §6d): facts laid out
-      // hash-bucketed+sorted on the address answer repeated key joins with
-      // NO Exchange on the fact side. The one-time layout write is timed on
-      // pass 1; the per-pass read is the shuffle semi join with broadcast
-      // disabled — the 100 TB shape, an address list too big to broadcast.
+      // the bucketed-layout read path (ARCHITECTURE §6d), THROUGH the cube
+      // API: compactToBucketed swaps in a hash-bucketed+sorted backing so
+      // repeated key joins plan with NO Exchange on the fact side. The
+      // one-time compaction is timed on pass 1; the per-pass read is the
+      // cube's batched point read with broadcast disabled — the 100 TB
+      // shape, an address list too big to broadcast.
       if (pass == 1) record("huge_bucketed_write", try time {
         spark.sql("DROP TABLE IF EXISTS bench_huge_bucketed")
-        graft.sources.FactSources.writeBucketed(graft.tpch.HugeModel.get(spark).facts,
-          "bench_huge_bucketed",
-          (0 until graft.tpch.HugeModel.NDims).map(i => s"d$i"), 8)
+        val base = graft.tpch.HugeModel.get(spark)
+        bucketedCube = new graft.core.Cube("hugebucketed", base.dimensions,
+          spark, Some(base.facts))
+        bucketedCube.compactToBucketed("bench_huge_bucketed", 8)
       } catch { case _: Throwable => -1.0 })
       record("huge_reads_bucketed_10k", try {
-        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
         val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         try time {
-          // same address construction as HugeModel.pointReadBatch
-          val addrCols = (0 until graft.tpch.HugeModel.NDims).map(i =>
-            (pmod(xxhash64(col("id"), lit(i + 31)), lit(graft.tpch.HugeModel.LeavesPerDim)) + 1)
-              .cast("int").as(s"d$i"))
-          val addrs = spark.range(10000).select(addrCols: _*)
-          spark.table("bench_huge_bucketed")
-            .join(addrs, (0 until graft.tpch.HugeModel.NDims).map(i => s"d$i"), "left_semi")
+          graft.tpch.HugeModel
+            .pointReadBatch(bucketedCube, 10000, broadcastAddrs = false)
             .count()
         } finally {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)

@@ -60,13 +60,16 @@ object HugeModel {
   def pointReadBatch(spark: SparkSession, n: Int): DataFrame =
     pointReadBatch(get(spark), n)
 
-  def pointReadBatch(cube: Cube, n: Int): DataFrame = {
-    val spark = cube.spark
-    // address generation mirrors the build's hash scheme, different seed
+  def pointReadBatch(cube: Cube, n: Int, broadcastAddrs: Boolean = true): DataFrame =
+    cube.readBatch(randomAddrs(cube.spark, n), broadcastAddrs)
+
+  /** Pseudo-random addresses mirroring the build's hash scheme (different
+    * seed) — the shared address generator for the point-batch benches.
+    */
+  def randomAddrs(spark: SparkSession, n: Int): DataFrame = {
     val addrCols = (0 until NDims).map(i =>
       (pmod(xxhash64(col("id"), lit(i + 31)), lit(LeavesPerDim)) + 1).cast("int").as(s"d$i"))
-    val addrs = spark.range(n).select(addrCols: _*)
-    cube.facts.join(broadcast(addrs), (0 until NDims).map(i => s"d$i"), "left_semi")
+    spark.range(n).select(addrCols: _*)
   }
 
   /** The full-cube top cell (`All × … × All`) as a one-row frame — equals

@@ -71,25 +71,27 @@ class HugeScaleSpec extends AnyFunSuite {
     cube.facts.unpersist(blocking = true)
   }
 
-  test("bucketed fact layout: exchange-free fact side for repeated key joins") {
+  test("bucketed fact layout: exchange-free fact side THROUGH the cube API") {
     val rows = sys.env.getOrElse("SPARK_GRAFT_HUGE_ROWS", "10000000").toLong
     val cube = HugeModel.at(spark, rows)
     val dimCols = (0 until HugeModel.NDims).map(i => s"d$i")
-    // the previous test released the persist; re-pin so the two writes
-    // below don't each recompute the build
+    // the previous test released the persist; re-pin so the writes below
+    // don't each recompute the build
     cube.facts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
 
-    // the layout knob: facts hash-bucketed + sorted on the full address so
-    // repeated key joins/aggs co-locate without shuffling the fact side —
-    // the 100 TB answer to the point-batch spill re-read (§6d: 10.2 s at
-    // 1e8 was the persisted frame re-read against a broadcast)
+    // the layout knob, now a CUBE MODE: compactToBucketed materializes the
+    // facts hash-bucketed + sorted on the full address and swaps them in as
+    // the cube's backing frame, so repeated key joins/aggs co-locate without
+    // shuffling the fact side — the 100 TB answer to the point-batch spill
+    // re-read (§6d: 10.2 s at 1e8 was the persisted frame re-read against a
+    // broadcast)
     spark.sql("DROP TABLE IF EXISTS huge_bucketed")
     val tmpPlain = java.nio.file.Files.createTempDirectory("graft_plainfacts").toString
     cube.facts.write.mode("overwrite").parquet(tmpPlain)
     val plain = spark.read.parquet(tmpPlain)
-    val (_, tWrite) = time(
-      graft.sources.FactSources.writeBucketed(cube.facts, "huge_bucketed", dimCols, 8))
-    val bucketed = spark.table("huge_bucketed")
+    val bcube = new graft.core.Cube("hugeb", cube.dimensions, spark, Some(cube.facts))
+    val (swapped, tWrite) = time(bcube.compactToBucketed("huge_bucketed", 8))
+    assert(swapped, "compactToBucketed must land on an uncontended cube")
 
     // build-seed addresses: every one a real cell (same contract as the
     // point-batch test above)
@@ -113,7 +115,8 @@ class HugeScaleSpec extends AnyFunSuite {
           .findAllIn(df.queryExecution.executedPlan.toString).length
 
       val plainJoin = plain.join(addrs, dimCols, "left_semi")
-      val bucketedJoin = bucketed.join(addrs, dimCols, "left_semi")
+      // the CUBE-API read over the bucketed-backed cube — not a hand join
+      val bucketedJoin = bcube.readBatch(addrs, broadcastAddrs = false)
       // plain layout shuffles BOTH sides; bucketed shuffles only the
       // (small) address side — the fact side reads its buckets in place
       assert(exchanges(plainJoin) == 2,
@@ -125,14 +128,26 @@ class HugeScaleSpec extends AnyFunSuite {
       val (nBucketed, tBucketed) = time(bucketedJoin.count())
       assert(nPlain == nDistinct && nBucketed == nDistinct)
 
-      // address-grain aggregation over the bucketed table: NO exchange at
-      // all — the shuffle the cube build pays once, amortized forever after
-      val agg = bucketed.groupBy(dimCols.map(col): _*).agg(sum("value").as("v"))
+      // address-grain aggregation over the bucketed-backed cube: NO exchange
+      // at all — the shuffle the compaction pays once, amortized forever after
+      val agg = bcube.facts.groupBy(dimCols.map(col): _*).agg(sum("value").as("v"))
       assert(exchanges(agg) == 0,
         s"bucketed address-grain agg must not shuffle:\n${agg.queryExecution.executedPlan}")
-      assert(agg.count() == bucketed.count())
+      assert(agg.count() == bcube.facts.count())
 
-      info(f"$rows rows: bucketedWrite=$tWrite%.1fs shuffleSemiJoin " +
+      // the bucketed backing serves the whole read surface, not just joins:
+      // the top cell still aggregates to the row count
+      assert(bcube.get(Seq.fill(HugeModel.NDims)("All")).contains(rows.toDouble))
+
+      // a point write degrades gracefully: overlay merges over the bucketed
+      // base (exchanges return), reads stay CORRECT
+      val probe = addrs.limit(1).head()
+      val probeAddr = (0 until HugeModel.NDims).map(i => s"m${probe.getInt(i) - 1}")
+      bcube.set(probeAddr, 123.0)
+      assert(bcube.readBatch(addrs, broadcastAddrs = false).count() == nDistinct)
+      assert(bcube.get(probeAddr).contains(123.0))
+
+      info(f"$rows rows: bucketedCompact=$tWrite%.1fs shuffleSemiJoin " +
         f"plain=$tPlain%.2fs bucketed=$tBucketed%.2fs hits=$nBucketed")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
