@@ -199,16 +199,10 @@ object Rules {
             "not applicable on bulk write paths; use per-cell set() or an Input-AST rule")
         require(!usesCellReads(r.expr),
           s"ON_ENTRY rule '${r.name}' reads other cells (Ref/Shift) — " +
-            "not applicable on bulk write paths; use per-cell set()")
+            "not applicable on this bulk write path; use per-cell set(), or " +
+            "bulk import (importNamed evaluates Ref rules against the " +
+            "post-write state)")
       }
-      def cond(r: RuleDef): Column =
-        r.trigger.foldLeft(lit(true)) { case (acc, (dimName, member)) =>
-          val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dimName))
-          // same silent-never-match contract as the scalar path for trigger
-          // members removed by a later dimension edit
-          if (i < 0 || !cube.dimensions(i).contains(member)) lit(false)
-          else acc && col(s"d$i") === cube.dimensions(i).idOf(member)
-        }
       val noRefs: String => Column = spec => throw new IllegalStateException(
         s"unreachable: ref '$spec' in a bulk ON_ENTRY expr (rejected above)")
       Some { valueCol =>
@@ -217,10 +211,137 @@ object Rules {
         rules.foldRight(valueCol) { (r, acc) =>
           val t = if (usesInput(r.expr)) toColumnWith(noRefs, Some(valueCol))(r.expr)
                   else valueCol
-          when(cond(r), t).otherwise(acc)
+          when(triggerCond(cube, r), t).otherwise(acc)
         }
       }
     }
+  }
+
+  /** Row predicate of a rule's trigger over fact columns — the column-mode
+    * mirror of [[matches]], with the same silent-never-match contract for
+    * trigger members removed by a later dimension edit.
+    */
+  private def triggerCond(cube: Cube, r: RuleDef): Column =
+    r.trigger.foldLeft(lit(true)) { case (acc, (dimName, member)) =>
+      val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dimName))
+      if (i < 0 || !cube.dimensions(i).contains(member)) lit(false)
+      else acc && col(s"d$i") === cube.dimensions(i).idOf(member)
+    }
+
+  private def usesShift(e: RuleExpr): Boolean = {
+    import RuleExpr._
+    e match {
+      case Shift(_, _) => true
+      case Add(a, b) => usesShift(a) || usesShift(b)
+      case Sub(a, b) => usesShift(a) || usesShift(b)
+      case Mul(a, b) => usesShift(a) || usesShift(b)
+      case Div(a, b) => usesShift(a) || usesShift(b)
+      case Neg(a) => usesShift(a)
+      case Fn(_, a) => usesShift(a)
+      case Lit(_) | Ref(_) | Input => false
+    }
+  }
+
+  /** Apply the cube's ON_ENTRY rules to a whole resolved fact frame
+    * `(d0…dN-1, value)` being bulk-imported — the compute-then-write face of
+    * the hook. Column-expressible rule sets take the [[onEntryBulk]] single
+    * column transform untouched; rule sets with unqualified Refs are
+    * evaluated per imported row against the POST-WRITE state (existing
+    * facts overridden by the incoming batch at equal addresses), via the
+    * same measure-pivot the grid compiler uses (≙ every write passing
+    * `cube.py:527-537`, where a rule may read sibling cells): one pivot of
+    * the ref measures at base-address grain, one left join onto the batch,
+    * one declarative transform column. A rule computing None for a row
+    * (e.g. a Ref over an absent cell under `*`) keeps the incoming value,
+    * exactly like per-cell `set`'s `getOrElse`.
+    *
+    * LOUD boundaries, never silent skips (the bulk path must not invent
+    * write-order semantics the per-cell path doesn't have):
+    *  - opaque Scala `onEntryFn`s and relative `Shift` refs reject;
+    *  - refs must all resolve in ONE dimension, unqualified;
+    *  - every transforming rule must pin that dimension in its trigger, and
+    *    no referenced member may itself be rule-transformed — otherwise what
+    *    a ref reads would depend on the order rows are written, which a
+    *    distributed batch does not have.
+    */
+  def applyOnEntryBulk(cube: Cube, resolved: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rules = cube.rules.filter(_.scope == RuleScope.OnEntry).toVector
+    if (rules.isEmpty) return resolved
+    val vType = resolved.schema("value").dataType
+    if (rules.forall(r => r.onEntryFn.isEmpty && !usesCellReads(r.expr)))
+      return onEntryBulk(cube)
+        .map(h => resolved.withColumn("value", h(col("value")).cast(vType)))
+        .getOrElse(resolved)
+
+    // ---- Ref-bearing compute-then-write path -----------------------------
+    rules.foreach { r =>
+      require(r.onEntryFn.isEmpty,
+        s"ON_ENTRY rule '${r.name}' carries an opaque Scala onEntryFn — " +
+          "not applicable on bulk write paths; use per-cell set() or an Input-AST rule")
+      require(!usesShift(r.expr),
+        s"ON_ENTRY rule '${r.name}' uses a relative Shift ref — not " +
+          "bulk-importable (ordinal shifts are per-cell); use per-cell set()")
+      collectRefs(r.expr).foreach(spec => require(!spec.contains(":"),
+        s"ON_ENTRY rule '${r.name}': dimension-qualified ref '$spec' is not " +
+          "bulk-importable; use an unqualified ref or per-cell set()"))
+    }
+    val refSpecs = rules.flatMap(r => collectRefs(r.expr)).distinct
+    val refDimPerSpec = refSpecs.map { m =>
+      val i = cube.dimensions.indexWhere(_.contains(m))
+      if (i < 0) throw RuleError("#REF!",
+        s"ON_ENTRY ref member '$m' not found in any dimension of '${cube.name}'")
+      i
+    }
+    require(refDimPerSpec.distinct.size == 1,
+      s"ON_ENTRY refs resolve across multiple dimensions " +
+        s"(${refSpecs.mkString(", ")}) — not bulk-importable; use per-cell set()")
+    val refDim = refDimPerSpec.head
+    val d = cube.dimensions(refDim)
+    val refIds = refSpecs.map(d.idOf).toSet
+    rules.filter(r => usesInput(r.expr)).foreach { r =>
+      val pin = r.trigger.collectFirst {
+        case (dn, mm) if cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dn)) == refDim => mm
+      }
+      require(pin.exists(d.contains),
+        s"ON_ENTRY rule '${r.name}': bulk import with cell-reading rules " +
+          s"requires every transforming rule to pin dimension '${d.name}' in " +
+          "its trigger — otherwise which cells are transformed vs read is " +
+          "write-order-dependent; use per-cell set()")
+      require(!refIds.contains(d.idOf(pin.get)),
+        s"ON_ENTRY rule '${r.name}': member '${pin.get}' is both " +
+          "rule-transformed and referenced by an ON_ENTRY rule — what a ref " +
+          "reads would depend on write order; use per-cell set()")
+    }
+
+    val dimCols = cube.dimCols
+    val keyCols = dimCols.indices.filterNot(_ == refDim).map(i => s"d$i")
+    // post-write state at base grain: the batch wins over existing facts
+    val post = cube.facts
+      .select((dimCols.map(col) :+ col("value").cast(vType).as("value")): _*)
+      .join(resolved.select(dimCols.map(col): _*), dimCols, "left_anti")
+      .unionByName(resolved.select((dimCols.map(col) :+ col("value")): _*))
+    val needed = refIds.toSeq.sorted
+    val pivoted = post.filter(col(s"d$refDim").isin(needed: _*))
+      .groupBy(keyCols.map(col): _*)
+      .pivot(col(s"d$refDim"), needed.map(_.asInstanceOf[AnyRef]))
+      .agg(sum(col("value")))
+    val refFrame = needed.foldLeft(pivoted)((df, m) =>
+      df.withColumnRenamed(m.toString, s"m_$m"))
+    val joined =
+      if (keyCols.isEmpty) resolved.crossJoin(broadcast(refFrame)) // 1-dim cube
+      else resolved.join(refFrame, keyCols, "left")
+    val resolve: String => Column = spec => col(s"m_${d.idOf(spec)}")
+    val transformed = rules.foldRight(col("value")) { (r, acc) =>
+      // None-result parity with scalar set(): a transform evaluating to
+      // null keeps the incoming value (NaN — the #DIV/0! sentinel — is NOT
+      // null and passes through)
+      val t = if (usesInput(r.expr))
+        coalesce(toColumnWith(resolve, Some(col("value")))(r.expr), col("value"))
+      else col("value")
+      when(triggerCond(cube, r), t).otherwise(acc)
+    }
+    joined.withColumn("value", transformed.cast(vType))
+      .select((dimCols.map(col) :+ col("value")): _*)
   }
 
   private def matchRule(cube: Cube, b: Bolt): Option[RuleDef] =

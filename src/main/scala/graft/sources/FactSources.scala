@@ -87,12 +87,10 @@ object FactSources {
 
   private def hooked(cube: Cube, resolved: DataFrame): DataFrame =
     // reference parity: EVERY write passes the ON_ENTRY hook (cube.py:527-537)
-    // — bulk import included, as one declarative column transform
-    graft.olap.Rules.onEntryBulk(cube) match {
-      case Some(hook) => resolved.withColumn("value",
-        hook(col("value")).cast(resolved.schema("value").dataType))
-      case None => resolved
-    }
+    // — bulk import included. Column-expressible rules apply as one
+    // declarative transform; Ref-bearing rules evaluate per imported row
+    // against the post-write state (Rules.applyOnEntryBulk compute-then-write)
+    graft.olap.Rules.applyOnEntryBulk(cube, resolved)
 
   /** Import NAME-addressed records `(dimName0, …, dimNameN, value)` into id
     * space via broadcast member-name joins — the bulk-load path

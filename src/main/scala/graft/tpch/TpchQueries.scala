@@ -422,6 +422,39 @@ object TpchQueries {
         .select(col("priority"), col("value").cast("double").as("value"))
     }),
 
+    // R3+S+ (round 7): a CELL-READING ON_ENTRY rule on the BULK import path
+    // — records entering at the min-name priority gain the same customer's
+    // max-name priority cell: input + [maxprio], evaluated per imported row
+    // against the POST-WRITE state (compute-then-write,
+    // Rules.applyOnEntryBulk). Customers without maxprio orders take the
+    // absent-ref branch (+0). Decimal-exact end to end.
+    "olap_import_ref_rule" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new graft.core.Database("importref", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val loader = db.addCube("loader", Seq(cust, prio))
+      loader.registerRule(RuleDef(Map("priority" -> prios.head), RuleScope.OnEntry,
+        RuleExpr.Add(RuleExpr.Input, RuleExpr.Ref(prios.last)), "min_plus_max"))
+      val recs = orders
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+        .select(concat(lit("C#"), col("o_custkey")).as("customer"),
+          col("o_orderpriority").as("priority"), col("value"))
+      val imported = graft.sources.FactSources.importNamed(loader, recs)
+      val cube = db.addCube("sales", Seq(cust, prio), imported)
+      val g = cube.gridAggregate(Seq(
+        Seq(graft.core.Dimension.DegenerateAllId),
+        prios.map(prio.idOf) :+ prio.idOf("AllPrio")))
+      val names = cube.memberNamesDf(1)
+        .select(col("id").as("a1"), col("mname").as("priority"))
+      g.join(broadcast(names), "a1")
+        .select(col("priority"), col("value").cast("double").as("value"))
+    }),
+
     // V7: CSV render — the grid travels THROUGH the toCsv string (header +
     // Double.toString cells, lossless round-trip) and is parsed back to a
     // typed frame the oracle can hash-match; proves the render emits exactly
@@ -870,6 +903,23 @@ object TpchQueries {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
           FROM orders
           WHERE o_orderpriority <> (SELECT min(o_orderpriority) FROM orders)""",
+
+    // mirrors the engine's per-address record grain + post-write ref
+    // resolution: each min-priority record adds its customer's max-priority
+    // cell (absent → +0), then rolls up
+    "olap_import_ref_rule" ->
+      """WITH g AS (SELECT o_custkey AS ck, o_orderpriority AS p,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(21,4)) AS v
+          FROM orders GROUP BY 1, 2),
+        h AS (SELECT ck, p,
+            CASE WHEN p = (SELECT min(o_orderpriority) FROM orders)
+              THEN v + COALESCE((SELECT g2.v FROM g g2 WHERE g2.ck = g.ck
+                  AND g2.p = (SELECT max(o_orderpriority) FROM orders)), 0)
+              ELSE v END AS v
+          FROM g)
+        SELECT p AS priority, CAST(SUM(v) AS DOUBLE) AS value FROM h GROUP BY 1
+        UNION ALL
+        SELECT 'AllPrio' AS priority, CAST(SUM(v) AS DOUBLE) AS value FROM h""",
 
     // mirrors the engine's per-address record grain: the ON_ENTRY transform
     // applies to each imported (customer, priority) record, then rolls up

@@ -128,7 +128,7 @@ class OnEntryBulkSpec extends AnyFunSuite {
     assert(cube.get(Seq("Feb", "Sales")).contains(-3.0))
   }
 
-  test("opaque onEntryFn and cell-reading exprs reject bulk writes loudly") {
+  test("opaque onEntryFn rejects bulk writes; Ref rules reject AREA writes loudly") {
     import spark.implicits._
     val (_, fnCube) = model("fn")
     fnCube.registerRule(RuleDef(Map("m" -> "Sales"), RuleScope.OnEntry,
@@ -137,14 +137,118 @@ class OnEntryBulkSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException](FactSources.importNamed(fnCube, recs))
     assert(e1.getMessage.contains("onEntryFn"))
 
-    val (_, refCube) = model("ref")
+    // Ref-bearing ON_ENTRY rules are importable (compute-then-write below)
+    // but AREA transforms keep the loud column-only boundary
+    val (_, refCube) = model("ref2")
     refCube.registerRule(RuleDef(Map("m" -> "Sales"), RuleScope.OnEntry,
       RuleExpr.Add(RuleExpr.Input, RuleExpr.Ref("Cost")), "reads_cells"))
-    val e2 = intercept[IllegalArgumentException](FactSources.importNamed(refCube, recs))
+    val e2 = intercept[IllegalArgumentException](
+      Area(refCube, Seq("m" -> Seq("Sales"))).setValue(9.0))
     assert(e2.getMessage.contains("reads other cells"))
     // …and the per-cell path still works for exactly these rules
     refCube.set(Seq("Jan", "Cost"), 4.0)
     refCube.set(Seq("Jan", "Sales"), 1.0)
     assert(refCube.get(Seq("Jan", "Sales")).contains(1.0 + -4.0)) // Cost entered as −4
+  }
+
+  /** t: All → (Jan, Feb); m: Sales, Cost, Fx — no standing rules. */
+  private def refModel(tag: String): (Database, Cube) = {
+    val db = new Database(s"oer_$tag", spark)
+    val t = db.addDimension("t")
+    t.edit().add("All", Seq("Jan", "Feb")).commit()
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("Sales", "Cost", "Fx")).commit()
+    (db, db.addCube("c", Seq(t, m)))
+  }
+
+  test("ON_ENTRY rule with a Ref applies identically via per-cell set and bulk import") {
+    import spark.implicits._
+    val (db, cube) = refModel("imp")
+    // Cost enters scaled by the sibling Fx cell: input × [Fx]
+    val rule = RuleDef(Map("m" -> "Cost"), RuleScope.OnEntry,
+      RuleExpr.Mul(RuleExpr.Input, RuleExpr.Ref("Fx")), "cost_times_fx")
+    cube.registerRule(rule)
+    cube.set(Seq("Jan", "Fx"), 10.0) // PRE-EXISTING ref cell
+    val recs = Seq(
+      ("Jan", "Cost", 3.0),  // ref reads the pre-existing Fx → 30
+      ("Feb", "Fx", 5.0),    // ref cell arriving IN the same batch
+      ("Feb", "Cost", 2.0),  // reads the post-write state → 10
+      ("Feb", "Sales", 7.0)) // untriggered row passes through
+      .toDF("t", "m", "value")
+    cube.replaceFacts(cube.facts.unionByName(FactSources.importNamed(cube, recs)))
+
+    // per-cell reference: same rule, ref cells written BEFORE their readers
+    // (the write order the post-write bulk semantics correspond to)
+    val ref = db.addCube("cref", cube.dimensions)
+    ref.registerRule(rule)
+    ref.set(Seq("Jan", "Fx"), 10.0)
+    ref.set(Seq("Feb", "Fx"), 5.0)
+    ref.set(Seq("Jan", "Cost"), 3.0)
+    ref.set(Seq("Feb", "Cost"), 2.0)
+    ref.set(Seq("Feb", "Sales"), 7.0)
+    for (addr <- Seq(Seq("Jan", "Cost"), Seq("Feb", "Cost"), Seq("Feb", "Sales"),
+        Seq("Jan", "Fx"), Seq("Feb", "Fx"), Seq("All", "Cost"), Seq("All", "Sales")))
+      assert(cube.get(addr) == ref.get(addr), s"mismatch at $addr")
+    assert(cube.get(Seq("Jan", "Cost")).contains(30.0))
+    assert(cube.get(Seq("Feb", "Cost")).contains(10.0))
+  }
+
+  test("bulk Ref rule over an ABSENT ref cell keeps the incoming value (None parity)") {
+    import spark.implicits._
+    val (db, cube) = refModel("absent")
+    val rule = RuleDef(Map("m" -> "Cost"), RuleScope.OnEntry,
+      RuleExpr.Mul(RuleExpr.Input, RuleExpr.Ref("Fx")), "cost_times_fx")
+    cube.registerRule(rule)
+    // no Fx anywhere: scalar set() computes None and keeps the input
+    val recs = Seq(("Jan", "Cost", 2.0)).toDF("t", "m", "value")
+    cube.replaceFacts(FactSources.importNamed(cube, recs))
+    val ref = db.addCube("cref", cube.dimensions)
+    ref.registerRule(rule)
+    ref.set(Seq("Jan", "Cost"), 2.0)
+    assert(ref.get(Seq("Jan", "Cost")).contains(2.0))
+    assert(cube.get(Seq("Jan", "Cost")) == ref.get(Seq("Jan", "Cost")))
+    // Add treats the absent ref as 0 in BOTH paths (not None)
+    val (db2, cube2) = refModel("absent2")
+    val addRule = RuleDef(Map("m" -> "Cost"), RuleScope.OnEntry,
+      RuleExpr.Add(RuleExpr.Input, RuleExpr.Ref("Fx")), "cost_plus_fx")
+    cube2.registerRule(addRule)
+    cube2.replaceFacts(FactSources.importNamed(cube2,
+      Seq(("Jan", "Cost", 2.0)).toDF("t", "m", "value")))
+    val ref2 = db2.addCube("cref", cube2.dimensions)
+    ref2.registerRule(addRule)
+    ref2.set(Seq("Jan", "Cost"), 2.0)
+    assert(cube2.get(Seq("Jan", "Cost")) == ref2.get(Seq("Jan", "Cost")))
+  }
+
+  test("order-dependent bulk Ref shapes reject loudly instead of guessing") {
+    import spark.implicits._
+    val recs = Seq(("Jan", "Cost", 1.0)).toDF("t", "m", "value")
+
+    // a referenced member that is itself rule-transformed: what the ref
+    // reads depends on write order — reject
+    val (_, c1) = refModel("both")
+    c1.registerRule(RuleDef(Map("m" -> "Fx"), RuleScope.OnEntry,
+      RuleExpr.Mul(RuleExpr.Input, RuleExpr.Lit(2)), "double_fx"))
+    c1.registerRule(RuleDef(Map("m" -> "Cost"), RuleScope.OnEntry,
+      RuleExpr.Mul(RuleExpr.Input, RuleExpr.Ref("Fx")), "cost_times_fx"))
+    val e1 = intercept[IllegalArgumentException](FactSources.importNamed(c1, recs))
+    assert(e1.getMessage.contains("write order"))
+
+    // a transforming rule that does NOT pin the ref dimension can transform
+    // arbitrary cells of it, including ref'd ones — reject
+    val (_, c2) = refModel("nopin")
+    c2.registerRule(RuleDef(Map("t" -> "Jan"), RuleScope.OnEntry,
+      RuleExpr.Mul(RuleExpr.Input, RuleExpr.Lit(2)), "double_jan"))
+    c2.registerRule(RuleDef(Map("m" -> "Cost"), RuleScope.OnEntry,
+      RuleExpr.Mul(RuleExpr.Input, RuleExpr.Ref("Fx")), "cost_times_fx"))
+    val e2 = intercept[IllegalArgumentException](FactSources.importNamed(c2, recs))
+    assert(e2.getMessage.contains("pin"))
+
+    // relative Shift refs stay per-cell-only
+    val (_, c3) = refModel("shift")
+    c3.registerRule(RuleDef(Map("m" -> "Cost"), RuleScope.OnEntry,
+      RuleExpr.Add(RuleExpr.Input, RuleExpr.Shift("t", -1)), "prev_month"))
+    val e3 = intercept[IllegalArgumentException](FactSources.importNamed(c3, recs))
+    assert(e3.getMessage.contains("Shift"))
   }
 }
