@@ -199,8 +199,9 @@ object Rules {
             "not applicable on bulk write paths; use per-cell set() or an Input-AST rule")
         require(!usesCellReads(r.expr),
           s"ON_ENTRY rule '${r.name}' reads other cells (Ref/Shift) — " +
-            "not applicable on this bulk write path; use per-cell set(), or " +
-            "bulk import (importNamed evaluates Ref rules against the " +
+            "not applicable on area transforms (the transform's own output " +
+            "would be its input); use per-cell set(), or bulk import / " +
+            "streaming ingest (both evaluate Ref rules against the " +
             "post-write state)")
       }
       val noRefs: String => Column = spec => throw new IllegalStateException(
@@ -264,7 +265,12 @@ object Rules {
     *    a ref reads would depend on the order rows are written, which a
     *    distributed batch does not have.
     */
-  def applyOnEntryBulk(cube: Cube, resolved: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** `existing` overrides the pre-write fact frame the post-write state is
+    * built from — streaming batches pass their `bulkMergeSnapshot` frame so
+    * ref evaluation and the subsequent merge see the SAME snapshot.
+    */
+  def applyOnEntryBulk(cube: Cube, resolved: org.apache.spark.sql.DataFrame,
+      existing: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
     val rules = cube.rules.filter(_.scope == RuleScope.OnEntry).toVector
     if (rules.isEmpty) return resolved
     val vType = resolved.schema("value").dataType
@@ -316,7 +322,7 @@ object Rules {
     val dimCols = cube.dimCols
     val keyCols = dimCols.indices.filterNot(_ == refDim).map(i => s"d$i")
     // post-write state at base grain: the batch wins over existing facts
-    val post = cube.facts
+    val post = existing.getOrElse(cube.facts)
       .select((dimCols.map(col) :+ col("value").cast(vType).as("value")): _*)
       .join(resolved.select(dimCols.map(col): _*), dimCols, "left_anti")
       .unionByName(resolved.select((dimCols.map(col) :+ col("value")): _*))

@@ -37,15 +37,15 @@ object Streaming {
         val cols = cube.dimCols
         val raw = batch.groupBy(cols.map(col): _*)
           .agg(last(col("value")).as("value")) // last write wins within batch
-        // reference parity: streamed writes pass the ON_ENTRY hook too
-        // (cube.py:527-537); resolved per batch — rules can change mid-stream
-        val deduped = graft.olap.Rules.onEntryBulk(cube)
-          .map(h => raw.withColumn("value",
-            h(col("value")).cast(raw.schema("value").dataType)))
-          .getOrElse(raw)
         // snapshot facts AND the overlay entries the merge bakes in, so the
         // commit can preserve interactive writes that land mid-merge
         val (facts0, incorporated) = cube.bulkMergeSnapshot()
+        // reference parity: streamed writes pass the ON_ENTRY hook too
+        // (cube.py:527-537); resolved per batch — rules can change
+        // mid-stream. Each micro-batch is exactly the bulk-import shape, so
+        // cell-reading (Ref) rules evaluate against the batch's post-write
+        // state over the SAME facts snapshot the merge below uses.
+        val deduped = graft.olap.Rules.applyOnEntryBulk(cube, raw, Some(facts0))
         val merged = facts0
           .join(broadcast(deduped.select(cols.map(col): _*)), cols, "left_anti")
           .unionByName(deduped.select(facts0.columns.map(col).toIndexedSeq: _*))

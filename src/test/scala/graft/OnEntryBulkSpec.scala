@@ -100,6 +100,30 @@ class OnEntryBulkSpec extends AnyFunSuite {
     assert(cube.get(Seq("Feb", "Sales")).contains(8.0)) // untriggered row clean
   }
 
+  test("streaming ingest evaluates Ref rules against the batch's post-write state") {
+    val (_, cube) = refModel("stream")
+    cube.registerRule(RuleDef(Map("m" -> "Cost"), RuleScope.OnEntry,
+      RuleExpr.Mul(RuleExpr.Input, RuleExpr.Ref("Fx")), "cost_times_fx"))
+    cube.set(Seq("Jan", "Fx"), 10.0) // pre-existing ref cell
+    val t = cube.dimensions(0); val m = cube.dimensions(1)
+    val schema = StructType(Seq(StructField("d0", IntegerType),
+      StructField("d1", IntegerType), StructField("value", DoubleType)))
+    val rows = Seq(
+      Row(t.idOf("Jan"), m.idOf("Cost"), 3.0),  // ref from pre-existing Fx
+      Row(t.idOf("Feb"), m.idOf("Fx"), 5.0),    // ref cell IN the batch
+      Row(t.idOf("Feb"), m.idOf("Cost"), 2.0))  // reads post-write state
+    val tmp = java.nio.file.Files.createTempDirectory("graft_oeref_stream").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(schema).parquet(tmp)
+    val q = graft.streaming.Streaming.ingestInto(cube, stream,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q.awaitTermination(120000), "stream did not finish")
+    assert(cube.get(Seq("Jan", "Cost")).contains(30.0))
+    assert(cube.get(Seq("Feb", "Cost")).contains(10.0))
+    assert(cube.get(Seq("Feb", "Fx")).contains(5.0)) // untriggered row clean
+  }
+
   test("first matching rule wins, including transformless placeholders") {
     import spark.implicits._
     val (_, cube) = model("order")
