@@ -17,6 +17,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed-table gates saveAsTable — land in a scratch warehouse,
+      // never the working directory's spark-warehouse
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graftverifywh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -422,6 +422,44 @@ object TpchQueries {
         .select(col("priority"), col("value").cast("double").as("value"))
     }),
 
+    // S+ (round 7): the BUCKETED cube backing serves the whole read surface
+    // — compactToBucketed swaps a hash-bucketed catalog table in as the
+    // fact frame, then a point DELETE lands in the overlay ON TOP of it,
+    // and the rollup must read the merged state (bucketed base minus the
+    // tombstoned cell). A backing swap that lost rows, or a merge that
+    // ignored the overlay over a table-backed base, shifts a sum and
+    // fails the hash.
+    "olap_bucketed_read" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new graft.core.Database("bucketedread", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val loader = db.addCube("loader", Seq(cust, prio))
+      val recs = orders
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+        .select(concat(lit("C#"), col("o_custkey")).as("customer"),
+          col("o_orderpriority").as("priority"), col("value"))
+      val cube = db.addCube("sales", Seq(cust, prio),
+        graft.sources.FactSources.importNamed(loader, recs))
+      s.sql("DROP TABLE IF EXISTS olap_gate_bucketed")
+      require(cube.compactToBucketed("olap_gate_bucketed", 4),
+        "bucketed compaction must land on an uncontended cube")
+      // overlay-over-bucketed-base: tombstone one known cell AFTER the swap
+      val minCust = orders.agg(min("o_custkey")).head().getLong(0)
+      cube.delete(Seq(s"C#$minCust", prios.head))
+      val g = cube.gridAggregate(Seq(
+        Seq(graft.core.Dimension.DegenerateAllId),
+        prios.map(prio.idOf) :+ prio.idOf("AllPrio")))
+      val names = cube.memberNamesDf(1)
+        .select(col("id").as("a1"), col("mname").as("priority"))
+      g.join(broadcast(names), "a1")
+        .select(col("priority"), col("value").cast("double").as("value"))
+    }),
+
     // R3+S+ (round 7): a CELL-READING ON_ENTRY rule on the BULK import path
     // — records entering at the min-name priority gain the same customer's
     // max-name priority cell: input + [maxprio], evaluated per imported row
@@ -903,6 +941,23 @@ object TpchQueries {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
           FROM orders
           WHERE o_orderpriority <> (SELECT min(o_orderpriority) FROM orders)""",
+
+    // the tombstoned (min-custkey, min-priority) cell is excluded from its
+    // leaf sum and the AllPrio rollup; everything else reads from the
+    // bucketed backing unchanged
+    "olap_bucketed_read" ->
+      """SELECT o_orderpriority AS priority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+          FROM orders
+          WHERE NOT (o_custkey = (SELECT min(o_custkey) FROM orders)
+                 AND o_orderpriority = (SELECT min(o_orderpriority) FROM orders))
+          GROUP BY 1
+          UNION ALL
+          SELECT 'AllPrio' AS priority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+          FROM orders
+          WHERE NOT (o_custkey = (SELECT min(o_custkey) FROM orders)
+                 AND o_orderpriority = (SELECT min(o_orderpriority) FROM orders))""",
 
     // mirrors the engine's per-address record grain + post-write ref
     // resolution: each min-priority record adds its customer's max-priority
