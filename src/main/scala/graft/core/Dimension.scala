@@ -108,15 +108,22 @@ object AttributeField {
 }
 
 /** Subset of a dimension's members (≙ `dimension.py:641-724`). */
-sealed trait Subset { def name: String; def resolve(dim: Dimension): Seq[Int] }
+sealed trait Subset {
+  def name: String
+  def resolve(dim: Dimension): Seq[Int]
+  /** Same subset under a new name (≙ `rename_subset`, `dimension.py:2013`). */
+  def renamed(newName: String): Subset
+}
 final case class StaticSubset(name: String, members: Seq[String]) extends Subset {
   def resolve(dim: Dimension): Seq[Int] = members.map(dim.idOf)
+  def renamed(newName: String): Subset = copy(name = newName)
 }
 /** Multi-condition AND over attribute wildcard queries. */
 final case class AttributeSubset(name: String, conditions: Seq[(String, String)]) extends Subset {
   def resolve(dim: Dimension): Seq[Int] =
     conditions.map { case (attr, pat) => dim.attribute(attr).filter(pat).toSet }
       .reduce(_ intersect _).toSeq.sorted
+  def renamed(newName: String): Subset = copy(name = newName)
 }
 /** Custom callable subset; `volatile` ⇒ re-evaluated on every resolve. */
 final class CallableSubset(val name: String, fn: Dimension => Seq[String], volatileEval: Boolean) extends Subset {
@@ -125,6 +132,7 @@ final class CallableSubset(val name: String, fn: Dimension => Seq[String], volat
     if (volatileEval) fn(dim).map(dim.idOf)
     else cache.getOrElse { val r = fn(dim).map(dim.idOf); cache = Some(r); r }
   }
+  def renamed(newName: String): Subset = new CallableSubset(newName, fn, volatileEval)
 }
 
 /** A named, leveled, weighted, multi-parent member hierarchy (a DAG, not a
@@ -150,9 +158,10 @@ final class Dimension(val name: String) {
   private val attrs = mutable.LinkedHashMap[String, AttributeField]()
   private val subsetMap = mutable.LinkedHashMap[String, Subset]()
   private var editing = false
-  // committed members, byName, aliasMap, per-attribute value maps — everything
-  // remove() mutates eagerly must be snapshotted, or rollback() loses it.
-  private var editBackup: Option[(Seq[MemberDef], Map[String, Int], Map[String, Int], Map[String, Map[Int, String]])] = None
+  // committed members, byName, aliasMap, per-attribute value maps, subsets —
+  // everything remove()/renameMember() mutates eagerly must be snapshotted,
+  // or rollback() loses it.
+  private var editBackup: Option[(Seq[MemberDef], Map[String, Int], Map[String, Int], Map[String, Map[Int, String]], Seq[(String, Subset)])] = None
 
   // committed snapshot
   private var committed: Vector[MemberDef] = Vector.empty
@@ -226,7 +235,7 @@ final class Dimension(val name: String) {
         "values; there is no catalog to edit")
     require(!editing, s"dimension '$name' already in edit mode")
     editBackup = Some((committed, byName.toMap, aliasMap.toMap,
-      attrs.map { case (k, f) => k -> f.values.toMap }.toMap))
+      attrs.map { case (k, f) => k -> f.values.toMap }.toMap, subsetMap.toSeq))
     editing = true
     this
   }
@@ -267,6 +276,32 @@ final class Dimension(val name: String) {
     aliasMap.filterInPlace((_, id) => id != mid) // aliases must not outlive the member
     attrs.values.foreach(_.values.remove(mid))
     defs(mid) = MutMember(mid, null) // tombstone; ids are stable
+    this
+  }
+
+  /** Rename a member in place (edit mode; ≙ `rename_member`,
+    * `dimension.py:1299`). Member ids are STABLE, so existing facts keep
+    * addressing the member — only the name catalog moves; aliases and
+    * attributes follow the id untouched. Name-stored references move with
+    * it: static subsets listing the old name are rewritten (the reference
+    * stores subset members by index, which survives renames — same
+    * semantics, different mechanism).
+    */
+  def renameMember(member: String, newName: String): Dimension = {
+    require(editing, s"dimension '$name' not in edit mode — call edit()")
+    val mid = idOf(member)
+    val oldName = defs(mid).name
+    val clash = byName.get(newName.toLowerCase)
+    require(clash.forall(_ == mid),
+      s"member '$newName' already exists in dimension '$name'")
+    byName.remove(oldName.toLowerCase)
+    defs(mid) = defs(mid).copy(name = newName)
+    byName(newName.toLowerCase) = mid
+    subsetMap.mapValuesInPlace {
+      case (_, StaticSubset(sn, ms)) if ms.exists(_.equalsIgnoreCase(oldName)) =>
+        StaticSubset(sn, ms.map(m => if (m.equalsIgnoreCase(oldName)) newName else m))
+      case (_, s) => s
+    }
     this
   }
 
@@ -316,7 +351,7 @@ final class Dimension(val name: String) {
 
   def rollback(): Dimension = {
     require(editing, s"dimension '$name' not in edit mode")
-    val (snap, names, aliases, attrValues) = editBackup.get
+    val (snap, names, aliases, attrValues, subsets) = editBackup.get
     defs.clear(); byName.clear(); aliasMap.clear()
     snap.foreach { m =>
       while (defs.length <= m.id) defs += MutMember(defs.length, null)
@@ -330,6 +365,7 @@ final class Dimension(val name: String) {
       f.values.clear()
       attrValues.get(k).foreach(_.foreach { case (id, v) => f.values(id) = v })
     }
+    subsetMap.clear(); subsets.foreach { case (k, v) => subsetMap(k) = v }
     editing = false; editBackup = None
     this
   }
@@ -492,12 +528,62 @@ final class Dimension(val name: String) {
 
   def addAlias(alias: String, member: String): Unit = aliasMap(alias.toLowerCase) = idOf(member)
 
+  /** Rename an attribute field, values intact (≙ `rename_attribute`,
+    * `dimension.py:1878`). Not part of the edit transaction (matching the
+    * reference) — so not while an edit is open, to keep rollback exact.
+    */
+  def renameAttribute(attrName: String, newName: String): Unit = {
+    require(!editing,
+      s"dimension '$name': attribute renames are not part of the edit " +
+        "transaction — commit() or rollback() first")
+    val f = attribute(attrName)
+    require(!attrs.contains(newName.toLowerCase),
+      s"attribute '$newName' already exists in dimension '$name'")
+    attrs.remove(f.name.toLowerCase)
+    val nf = new AttributeField(newName, f.valueType)
+    nf.values ++= f.values
+    attrs(newName.toLowerCase) = nf
+  }
+
+  /** Drop an attribute field and its values (≙ `Attributes.remove`,
+    * `dimension.py:293`).
+    */
+  def removeAttribute(attrName: String): Unit = {
+    require(!editing,
+      s"dimension '$name': attribute removal is not part of the edit " +
+        "transaction — commit() or rollback() first")
+    require(attrs.remove(attrName.toLowerCase).isDefined,
+      s"unknown attribute '$attrName' in dimension '$name'")
+  }
+
   def addSubset(subsetName: String, members: Seq[String]): Unit =
     subsetMap(subsetName.toLowerCase) = StaticSubset(subsetName, members)
   def addAttributeSubset(subsetName: String, conditions: Seq[(String, String)]): Unit =
     subsetMap(subsetName.toLowerCase) = AttributeSubset(subsetName, conditions)
   def addCallableSubset(subsetName: String, fn: Dimension => Seq[String], volatileEval: Boolean = false): Unit =
     subsetMap(subsetName.toLowerCase) = new CallableSubset(subsetName, fn, volatileEval)
+  /** Rename a subset in place (≙ `rename_subset`, `dimension.py:2013`). */
+  def renameSubset(subsetName: String, newName: String): Unit = {
+    require(!editing,
+      s"dimension '$name': subset renames are not part of the edit " +
+        "transaction — commit() or rollback() first")
+    val s = subsetMap.getOrElse(subsetName.toLowerCase,
+      throw new NoSuchElementException(s"unknown subset '$subsetName' in dimension '$name'"))
+    require(!subsetMap.contains(newName.toLowerCase),
+      s"subset '$newName' already exists in dimension '$name'")
+    subsetMap.remove(subsetName.toLowerCase)
+    subsetMap(newName.toLowerCase) = s.renamed(newName)
+  }
+
+  /** Drop a subset (≙ `Subsets.remove`, `dimension.py:623`). */
+  def removeSubset(subsetName: String): Unit = {
+    require(!editing,
+      s"dimension '$name': subset removal is not part of the edit " +
+        "transaction — commit() or rollback() first")
+    require(subsetMap.remove(subsetName.toLowerCase).isDefined,
+      s"unknown subset '$subsetName' in dimension '$name'")
+  }
+
   def hasSubset(subsetName: String): Boolean = subsetMap.contains(subsetName.toLowerCase)
   def subset(subsetName: String): Seq[MemberDef] =
     subsetMap(subsetName.toLowerCase).resolve(this).map(memberById)

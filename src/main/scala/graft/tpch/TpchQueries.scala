@@ -422,6 +422,36 @@ object TpchQueries {
         .select(col("priority"), col("value").cast("double").as("value"))
     }),
 
+    // N+ (round 7): member RENAME at commit — ids are stable, so facts
+    // imported under the OLD name keep addressing the member and aggregate
+    // under the NEW one (≙ rename_member, dimension.py:1299); the rollup
+    // addressed by the new name must carry the old name's full sum
+    "olap_member_rename" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new graft.core.Database("memberrename", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val loader = db.addCube("loader", Seq(cust, prio))
+      val recs = orders
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+        .select(concat(lit("C#"), col("o_custkey")).as("customer"),
+          col("o_orderpriority").as("priority"), col("value"))
+      val cube = db.addCube("sales", Seq(cust, prio),
+        graft.sources.FactSources.importNamed(loader, recs))
+      prio.edit().renameMember(prios.head, "Renamed-P0").commit()
+      val sel = ("Renamed-P0" +: prios.tail).map(prio.idOf) :+ prio.idOf("AllPrio")
+      val g = cube.gridAggregate(Seq(
+        Seq(graft.core.Dimension.DegenerateAllId), sel))
+      val names = cube.memberNamesDf(1)
+        .select(col("id").as("a1"), col("mname").as("priority"))
+      g.join(broadcast(names), "a1")
+        .select(col("priority"), col("value").cast("double").as("value"))
+    }),
+
     // S+ (round 7): the BUCKETED cube backing serves the whole read surface
     // — compactToBucketed swaps a hash-bucketed catalog table in as the
     // fact frame, then a point DELETE lands in the overlay ON TOP of it,
@@ -941,6 +971,18 @@ object TpchQueries {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
           FROM orders
           WHERE o_orderpriority <> (SELECT min(o_orderpriority) FROM orders)""",
+
+    // the min-name priority renders under its new name, sum unchanged —
+    // a rename that dropped or re-keyed facts would shift it
+    "olap_member_rename" ->
+      """SELECT CASE WHEN o_orderpriority = (SELECT min(o_orderpriority) FROM orders)
+            THEN 'Renamed-P0' ELSE o_orderpriority END AS priority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+          FROM orders GROUP BY 1
+          UNION ALL
+          SELECT 'AllPrio' AS priority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+          FROM orders""",
 
     // the tombstoned (min-custkey, min-priority) cell is excluded from its
     // leaf sum and the AllPrio rollup; everything else reads from the

@@ -112,6 +112,59 @@ class Round7FixesSpec extends AnyFunSuite {
     assert(FactSources.importNamedReport(cube, clean).droppedRows == 0)
   }
 
+  test("renameMember keeps ids stable: facts, aliases, attributes, subsets follow") {
+    val (db, cube) = model("rename")
+    val d = db.dimension("d")
+    d.addAttribute("color"); d.setAttribute("color", "y", "blue")
+    d.addAlias("why", "y")
+    d.addSubset("pair", Seq("x", "y"))
+    cube.set(Seq("y", "p"), 5.0)
+    d.edit().renameMember("y", "why-not").commit()
+    // facts address the member by id — the value travels to the new name
+    assert(cube.get(Seq("why-not", "p")).contains(5.0))
+    assert(cube.get(Seq("All", "ALL")).contains(5.0))
+    assert(!d.contains("y") || d.idOf("y") == d.idOf("why-not")) // old name gone (alias may still point)
+    assert(d.getAttribute("color", "why-not").contains("blue"))
+    assert(d.member("why").name == "why-not") // alias follows the id
+    // static subsets listing the old name are rewritten
+    assert(d.subset("pair").map(_.name).toSet == Set("x", "why-not"))
+    // collision rejected
+    d.edit()
+    intercept[IllegalArgumentException](d.renameMember("x", "why-not"))
+    d.rollback()
+  }
+
+  test("rollback restores names and subset rewrites after renameMember") {
+    val (db, cube) = model("renrollback")
+    val d = db.dimension("d")
+    d.addSubset("pair", Seq("x", "y"))
+    cube.set(Seq("y", "p"), 7.0)
+    d.edit().renameMember("y", "zz")
+    d.rollback()
+    assert(d.contains("y") && !d.contains("zz"))
+    assert(d.subset("pair").map(_.name).toSet == Set("x", "y"))
+    assert(cube.get(Seq("y", "p")).contains(7.0))
+  }
+
+  test("attribute and subset rename/removal keep values and reject while editing") {
+    val (db, _) = model("attrren")
+    val d = db.dimension("d")
+    d.addAttribute("color"); d.setAttribute("color", "x", "red")
+    d.addSubset("pair", Seq("x", "y"))
+    d.renameAttribute("color", "colour")
+    assert(d.getAttribute("colour", "x").contains("red"))
+    assert(!d.hasAttribute("color"))
+    d.renameSubset("pair", "duo")
+    assert(d.hasSubset("duo") && !d.hasSubset("pair"))
+    assert(d.subset("duo").map(_.name).toSet == Set("x", "y"))
+    d.edit()
+    intercept[IllegalArgumentException](d.renameAttribute("colour", "c2"))
+    intercept[IllegalArgumentException](d.renameSubset("duo", "s2"))
+    d.rollback()
+    d.removeSubset("duo"); d.removeAttribute("colour")
+    assert(!d.hasSubset("duo") && !d.hasAttribute("colour"))
+  }
+
   test("compact() reports whether the swap landed") {
     val (_, cube) = model("compactbool")
     cube.set(Seq("x", "p"), 1.0)
