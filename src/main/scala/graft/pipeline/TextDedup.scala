@@ -262,7 +262,12 @@ object TextDedup {
       val prop = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint(true) // eager: materializes AND truncates lineage
+        // eager: materializes AND truncates lineage. Keeping ONE checkpoint
+        // per round (folding prop into next's plan, where the self-join
+        // carries the edge-join subtree twice) was measured SLOWER at sf0.1
+        // (4.2 s → 5.3 s steady state, round 7): the duplicated edge join
+        // outweighs the saved action even though label frames are tiny.
+        .localCheckpoint(true)
       // ONE pointer jump per round: label(x) := min(label(x), label(label(x)))
       // — joins the LABEL table with itself (labels are always node ids, so
       // every label has a row), never the ×|E| edge frame. Hook+jump per
