@@ -111,15 +111,18 @@ final class Cube(
     stateLock.synchronized(rulesBuf.toVector)
 
   /** Read-path counters (≙ `cube.py:183-207`): requests, rule evaluations,
-    * aggregation jobs, cache hits. Driver-side observability only.
+    * aggregation jobs, cache hits, weighted aggregations (rollups whose
+    * plan carried a non-unit closure weight factor, ≙ `cube.py:198`).
+    * Driver-side observability only.
     */
-  private val counters = new java.util.concurrent.atomic.AtomicLongArray(4)
+  private val counters = new java.util.concurrent.atomic.AtomicLongArray(5)
   private def bump(i: Int): Unit = { counters.incrementAndGet(i); () }
   def counterCellRequests: Long = counters.get(0)
   def counterRuleRequests: Long = counters.get(1)
   def counterAggregations: Long = counters.get(2)
   def counterCacheHits: Long = counters.get(3)
-  def resetCounters(): Unit = (0 until 4).foreach(counters.set(_, 0L))
+  def counterWeightedAggregations: Long = counters.get(4)
+  def resetCounters(): Unit = (0 until 5).foreach(counters.set(_, 0L))
 
   private var historyOpt: Option[History] = None
   /** Per-cell comments (≙ `comments.py`); keyed by idx address. */
@@ -565,6 +568,7 @@ final class Cube(
         if (needsWeight(i)) weightCols ::= col(s"w_$i")
       }
     }
+    if (weightCols.nonEmpty) bump(4)
     val weighted = weightCols.foldLeft(col("value"))(_ * _)
     df.agg(sum(weighted)).collect().headOption.flatMap(r => Option(r.get(0)).map {
       case d: java.lang.Double => d.doubleValue()

@@ -165,6 +165,25 @@ class Round7FixesSpec extends AnyFunSuite {
     assert(!d.hasSubset("duo") && !d.hasAttribute("colour"))
   }
 
+  test("weighted-aggregation counter counts only rollups carrying a weight factor") {
+    val db = new Database("r7_wcount", spark)
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("Sales", "Cost"))
+      .add("Profit", Seq("Sales", "Cost"), Seq(1.0, -1.0)).commit()
+    val o = db.addDimension("o")
+    o.edit().add("ALL", Seq("p")).commit()
+    val cube = db.addCube("c", Seq(m, o))
+    cube.cacheEnabled = false
+    cube.set(Seq("Sales", "p"), 10.0)
+    cube.set(Seq("Cost", "p"), 4.0)
+    cube.resetCounters()
+    assert(cube.get(Seq("Profit", "p")).contains(6.0)) // [-1] weight factor
+    assert(cube.counterWeightedAggregations == 1)
+    assert(cube.get(Seq("Sales", "ALL")).contains(10.0)) // unit-weight rollup
+    assert(cube.counterWeightedAggregations == 1)
+    assert(cube.counterAggregations == 2)
+  }
+
   test("compact() reports whether the swap landed") {
     val (_, cube) = model("compactbool")
     cube.set(Seq("x", "p"), 1.0)
