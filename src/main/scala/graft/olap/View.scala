@@ -18,7 +18,11 @@ final case class ViewDef(
     filters: Seq[(String, String)] = Nil,
     rows: AxisDef,
     cols: AxisDef,
-    zeroSuppression: Boolean = false)
+    zeroSuppression: Boolean = false,
+    /** Drop column-axis positions whose every cell is empty/zero
+      * (≙ `zero_suppression_on_columns`, `view.py:409-414`).
+      */
+    zeroSuppressionColumns: Boolean = false)
 
 /** Paged refresh window (≙ `ViewWindow`, `view.py:65-105`): inclusive row and
   * column index bounds of the rendered grid.
@@ -253,13 +257,26 @@ final class View(val cube: Cube, val dfn: ViewDef) {
       val cells = reqNames.map(m => abs(coalesce(col(m), lit(0.0))))
       grid = grid.filter(cells.reduce(_ + _) =!= 0.0) // ≙ `view.py:844-885`
     }
+    // column suppression (≙ `zero_suppression_on_columns`, `view.py:409-414`):
+    // drop positions whose every cell is empty/zero — one small aggregation
+    // over the already-aggregated grid (null sum ⇔ no non-empty cell)
+    val keptNames =
+      if (dfn.zeroSuppressionColumns && errPosCode.isEmpty && reqNames.nonEmpty) {
+        val aggs = reqNames.map(m => sum(abs(col(m).cast("double"))).as(m))
+        val totals = grid.agg(aggs.head, aggs.tail: _*).head()
+        val kept = reqNames.zipWithIndex.collect {
+          case (m, i) if !totals.isNullAt(i) && totals.getDouble(i) != 0.0 => m
+        }
+        kept
+      } else reqNames
 
     val ordered = grid.orderBy(ordCols.map(col): _*)
-      .select((rowKeyCols.map(col) ++ reqNames.map(col)): _*)
-    val nRuled = reqPositions.count(pos =>
+      .select((rowKeyCols.map(col) ++ keptNames.map(col)): _*)
+    val keptPositions = reqPositions.filter(p => keptNames.contains(p.mkString("/")))
+    val nRuled = keptPositions.count(pos =>
       pos.zip(perDim).exists { case (m, pd) => pd.ruled.contains(m) })
-    stats = ViewStats((System.nanoTime() - t0) / 1000000, 0, reqNames.size,
-      aggregatedPositions = reqNames.size - nRuled, rulePositions = nRuled)
+    stats = ViewStats((System.nanoTime() - t0) / 1000000, 0, keptNames.size,
+      aggregatedPositions = keptNames.size - nRuled, rulePositions = nRuled)
     ordered
   }
 
@@ -470,7 +487,8 @@ object ViewDef {
       ("dimension" -> d) ~ ("member" -> m) }.toList) ~
     ("rows" -> axisJson(v.rows)) ~
     ("columns" -> axisJson(v.cols)) ~
-    ("zeroSuppression" -> v.zeroSuppression)))
+    ("zeroSuppression" -> v.zeroSuppression) ~
+    ("zeroSuppressionColumns" -> v.zeroSuppressionColumns)))
 
   def fromJson(s: String): ViewDef = {
     implicit val fmts: Formats = DefaultFormats
@@ -483,7 +501,10 @@ object ViewDef {
         ((e \ "dimension").extract[String], (e \ "member").extract[String])),
       rows = axis("rows"),
       cols = axis("columns"),
-      zeroSuppression = (j \ "zeroSuppression").extract[Boolean])
+      zeroSuppression = (j \ "zeroSuppression").extract[Boolean],
+      // absent in pre-round-7 saved views → default off
+      zeroSuppressionColumns =
+        (j \ "zeroSuppressionColumns").extractOpt[Boolean].getOrElse(false))
   }
 }
 

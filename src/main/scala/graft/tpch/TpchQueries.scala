@@ -547,6 +547,30 @@ object TpchQueries {
           StructField("gross", DoubleType), StructField("net", DoubleType))))
     }),
 
+    // V5b (round 7): COLUMN-axis zero suppression — 'plan' carries no data
+    // in the model, so with zeroSuppressionColumns the position drops from
+    // the grid and the CSV render entirely (≙ zero_suppression_on_columns,
+    // view.py:409-414); the surviving gross column must still be oracle-exact
+    "olap_view_col_suppress" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val years = (1995 to 2001).map(_.toString)
+      val view = new View(m.cube, ViewDef(
+        filters = Seq("product" -> "AllBrands", "geo" -> "World"),
+        rows = AxisDef(Seq("calendar" -> years)),
+        cols = AxisDef(Seq("measures" -> Seq("gross", "plan"))),
+        zeroSuppressionColumns = true))
+      val lines = view.toCsv().split("\n")
+      require(lines.head == "calendar,gross",
+        s"empty 'plan' column must be suppressed from the render: ${lines.head}")
+      val rows = lines.tail.toIndexedSeq.map { ln =>
+        val p = ln.split(",", -1)
+        Row(p(0), if (p(1).isEmpty) null else java.lang.Double.valueOf(p(1)))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows.toList, 1),
+        StructType(Seq(StructField("calendar", StringType),
+          StructField("gross", DoubleType))))
+    }),
+
     // SF2: member number formats — renders format cells by the LAST
     // column-axis member's format (the cascade); "{:.2f}" on quantity
     // travels through the CSV string and is hash-compared as STRINGS
@@ -1037,6 +1061,12 @@ object TpchQueries {
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
           CAST(SUM($GROSS) AS DOUBLE) AS gross,
           CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) AS net
+          $STAR GROUP BY 1""",
+
+    // the suppressed 'plan' column is simply absent; gross stays exact
+    "olap_view_col_suppress" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
+          CAST(SUM($GROSS) AS DOUBLE) AS gross
           $STAR GROUP BY 1""",
 
     "olap_write_reject" ->
