@@ -22,7 +22,14 @@ final case class ViewDef(
     /** Drop column-axis positions whose every cell is empty/zero
       * (≙ `zero_suppression_on_columns`, `view.py:409-414`).
       */
-    zeroSuppressionColumns: Boolean = false)
+    zeroSuppressionColumns: Boolean = false,
+    /** Report metadata (≙ `view.py:338-374`). */
+    title: String = "",
+    description: String = "",
+    /** Fallback number format for cells whose member carries none
+      * (≙ `default_number_format`, `view.py:379-385`).
+      */
+    defaultNumberFormat: Option[String] = None)
 
 /** Paged refresh window (≙ `ViewWindow`, `view.py:65-105`): inclusive row and
   * column index bounds of the rendered grid.
@@ -337,7 +344,7 @@ final class View(val cube: Cube, val dfn: ViewDef) {
     cds.zip(positionMembers(colName)).reverse.collectFirst {
       case (cd, p) if cube.dimensions(cd).contains(p) &&
         cube.dimensions(cd)(p).format.isDefined => cube.dimensions(cd)(p).format.get
-    }
+    }.orElse(dfn.defaultNumberFormat) // member format wins over the default
   }
 
   def toConsole(window: Option[ViewWindow] = None): String = {
@@ -488,7 +495,10 @@ object ViewDef {
     ("rows" -> axisJson(v.rows)) ~
     ("columns" -> axisJson(v.cols)) ~
     ("zeroSuppression" -> v.zeroSuppression) ~
-    ("zeroSuppressionColumns" -> v.zeroSuppressionColumns)))
+    ("zeroSuppressionColumns" -> v.zeroSuppressionColumns) ~
+    ("title" -> v.title) ~
+    ("description" -> v.description) ~
+    ("defaultNumberFormat" -> v.defaultNumberFormat)))
 
   def fromJson(s: String): ViewDef = {
     implicit val fmts: Formats = DefaultFormats
@@ -502,9 +512,12 @@ object ViewDef {
       rows = axis("rows"),
       cols = axis("columns"),
       zeroSuppression = (j \ "zeroSuppression").extract[Boolean],
-      // absent in pre-round-7 saved views → default off
+      // the round-7 fields are absent in pre-round-7 saved views → defaults
       zeroSuppressionColumns =
-        (j \ "zeroSuppressionColumns").extractOpt[Boolean].getOrElse(false))
+        (j \ "zeroSuppressionColumns").extractOpt[Boolean].getOrElse(false),
+      title = (j \ "title").extractOpt[String].getOrElse(""),
+      description = (j \ "description").extractOpt[String].getOrElse(""),
+      defaultNumberFormat = (j \ "defaultNumberFormat").extractOpt[String])
   }
 }
 

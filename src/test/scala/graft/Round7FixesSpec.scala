@@ -215,17 +215,39 @@ class Round7FixesSpec extends AnyFunSuite {
     assert(g3.map(_.getString(0)).toSeq == Seq("Jan")) // Feb has only Cost
   }
 
-  test("ViewDef JSON round-trips the column-suppression flag; legacy JSON defaults off") {
+  test("ViewDef JSON round-trips the round-7 fields; legacy JSON gets defaults") {
     import graft.olap._
     val v = ViewDef(rows = AxisDef(Seq("t" -> Seq("Jan"))),
       cols = AxisDef(Seq("m" -> Seq("Sales"))),
-      zeroSuppression = true, zeroSuppressionColumns = true)
+      zeroSuppression = true, zeroSuppressionColumns = true,
+      title = "Q1 report", description = "gross by month",
+      defaultNumberFormat = Some("{:.1f}"))
     assert(ViewDef.fromJson(ViewDef.toJson(v)) == v)
-    // pre-round-7 persisted definitions lack the field — must parse, off
+    // pre-round-7 persisted definitions lack the fields — must parse, defaults
     val legacy = """{"filters":[],"rows":[{"dimension":"t","members":["Jan"]}],
       "columns":[{"dimension":"m","members":["Sales"]}],"zeroSuppression":false}"""
     val parsed = ViewDef.fromJson(legacy)
     assert(!parsed.zeroSuppressionColumns && !parsed.zeroSuppression)
+    assert(parsed.title == "" && parsed.defaultNumberFormat.isEmpty)
+  }
+
+  test("default number format applies where the member carries none; member format wins") {
+    import graft.olap._
+    val db = new Database("r7_deffmt", spark)
+    val t = db.addDimension("t")
+    t.edit().add("All", Seq("Jan")).commit()
+    val m = db.addDimension("m")
+    m.edit().addMany(Seq("Sales", "Cost")).commit()
+    m.setFormat("Cost", "{:.3f}")
+    val cube = db.addCube("c", Seq(t, m))
+    cube.set(Seq("Jan", "Sales"), 1.5)
+    cube.set(Seq("Jan", "Cost"), 2.5)
+    val v = new View(cube, ViewDef(
+      rows = AxisDef(Seq("t" -> Seq("Jan"))),
+      cols = AxisDef(Seq("m" -> Seq("Sales", "Cost"))),
+      defaultNumberFormat = Some("{:.1f}")))
+    val csv = v.toCsv().split("\n")
+    assert(csv(1) == "Jan,1.5,2.500", s"unexpected render: ${csv(1)}")
   }
 
   test("compact() reports whether the swap landed") {
