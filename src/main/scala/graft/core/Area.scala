@@ -52,6 +52,44 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
     df.select(cube.dimensions.map(d => col(d.name)) :+ col("value"): _*)
   }
 
+  /** Derive a new area with some dimensions' selections replaced, the rest
+    * kept (≙ `area.alter`, `area.py:209-214`): `area.alter("years" ->
+    * Seq("2024"))` moves the slice without restating the other modifiers.
+    */
+  def alter(overrides: (String, Seq[String])*): Area = {
+    val byIdx = overrides.map { case (dimName, members) =>
+      val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dimName))
+      require(i >= 0, s"unknown dimension '$dimName' in cube '${cube.name}'")
+      i -> members.map(cube.dimensions(i).idOf)
+    }
+    new Area(cube, pattern ++ byIdx)
+  }
+
+  /** Member-name addresses of the area WITHOUT values (≙ `area.addresses`,
+    * `area.py:140-192`): stored cells only by default;
+    * `enumerateDataSpace = true` yields the FULL leaf cross-product of the
+    * pattern whether or not a cell exists there.
+    */
+  def addresses(enumerateDataSpace: Boolean = false): DataFrame =
+    if (!enumerateDataSpace) records.drop("value")
+    else {
+      val spark = cube.spark
+      var grid: DataFrame = null
+      cube.dimCols.indices.foreach { i =>
+        val d = cube.dimensions(i)
+        require(!(d.isDegenerate && !leafPattern.contains(i)),
+          s"dimension '${d.name}' is degenerate — enumeration needs explicit " +
+            "raw keys in the area pattern (its key space has no catalog)")
+        val ids = leafPattern.getOrElse(i, d.leafMembers.map(_.id))
+        val names = ids.map(id => Row(d.nameOf(id)))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(names.toList, 1),
+          StructType(Seq(StructField(d.name, StringType))))
+        grid = if (grid == null) df else grid.crossJoin(df)
+      }
+      grid
+    }
+
   /** In-pattern membership test on raw address ids (payload cells). */
   private def idsInArea(ids: Vector[Int]): Boolean =
     leafPattern.forall { case (i, mids) => mids.contains(ids(i)) }

@@ -250,6 +250,27 @@ class Round7FixesSpec extends AnyFunSuite {
     assert(csv(1) == "Jan,1.5,2.500", s"unexpected render: ${csv(1)}")
   }
 
+  test("Area.alter derives a moved slice; addresses enumerates with or without data") {
+    val (_, cube) = model("areaalter")
+    cube.set(Seq("x", "p"), 1.0)
+    cube.set(Seq("y", "p"), 2.0)
+    cube.set(Seq("y", "q"), 3.0)
+    val a = Area(cube, Seq("d" -> Seq("y")))
+    assert(a.sum.contains(5.0))
+    val moved = a.alter("d" -> Seq("x"))
+    assert(moved.sum.contains(1.0))
+    assert(a.sum.contains(5.0)) // original untouched
+    // stored addresses: only cells that exist
+    val stored = a.addresses().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(stored == Set(("y", "p"), ("y", "q")))
+    // enumerated: full leaf cross-product of the pattern, data or not
+    val enumd = a.addresses(enumerateDataSpace = true).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(enumd == Set(("y", "p"), ("y", "q")))
+    val all = Area(cube, Seq("d" -> Seq("x", "y"))).addresses(enumerateDataSpace = true)
+    assert(all.count() == 4) // (x,y) × (p,q), including empty (x,q)
+  }
+
   test("compact() reports whether the swap landed") {
     val (_, cube) = model("compactbool")
     cube.set(Seq("x", "p"), 1.0)
