@@ -48,6 +48,23 @@ final class History(cube: Cube) {
     cursor = position; restore()
   }
 
+  /** Timestamp-range introspection (≙ `history.py:88-113` any/count). */
+  def countBetween(fromMs: Long = Long.MinValue, toMs: Long = Long.MaxValue): Int =
+    log.count(e => e.at >= fromMs && e.at <= toMs)
+  def anyBetween(fromMs: Long = Long.MinValue, toMs: Long = Long.MaxValue): Boolean =
+    log.exists(e => e.at >= fromMs && e.at <= toMs)
+
+  /** Time-travel by TIMESTAMP: restore the state as of `tsMs` — the last
+    * entry recorded at or before it (the cursor form of the reference's
+    * timestamp-addressed log, `history.py:63-86`). False when `tsMs`
+    * precedes the whole log (nothing to restore).
+    */
+  def goToTime(tsMs: Long): Boolean = {
+    val pos = log.lastIndexWhere(_.at <= tsMs)
+    if (pos < 0) false
+    else { cursor = pos; restore(); true }
+  }
+
   private def restore(): Unit = {
     applying = true
     try cube.restoreState(log(cursor).state)

@@ -271,6 +271,24 @@ class Round7FixesSpec extends AnyFunSuite {
     assert(all.count() == 4) // (x,y) × (p,q), including empty (x,q)
   }
 
+  test("history time-travel by timestamp restores the as-of state") {
+    val (_, cube) = model("histtime")
+    cube.enableHistory()
+    cube.set(Seq("x", "p"), 1.0)
+    val afterFirst = System.currentTimeMillis()
+    Thread.sleep(5)
+    cube.set(Seq("x", "p"), 2.0)
+    cube.set(Seq("y", "p"), 3.0)
+    assert(cube.history.countBetween() == 4) // initial + 3 writes
+    assert(cube.history.anyBetween(fromMs = afterFirst))
+    assert(cube.history.goToTime(afterFirst))
+    assert(cube.get(Seq("x", "p")).contains(1.0)) // as-of state
+    assert(cube.get(Seq("y", "p")).isEmpty)
+    assert(!cube.history.goToTime(0L)) // before the log — nothing to restore
+    assert(cube.history.redo()) // the redo tail survives a time jump
+    assert(cube.get(Seq("x", "p")).contains(2.0))
+  }
+
   test("compact() reports whether the swap landed") {
     val (_, cube) = model("compactbool")
     cube.set(Seq("x", "p"), 1.0)
