@@ -289,6 +289,59 @@ class Round7FixesSpec extends AnyFunSuite {
     assert(cube.get(Seq("x", "p")).contains(2.0))
   }
 
+  test("commit-time purge matches a from-scratch oracle over random weighted DAGs") {
+    // seeded pseudo-property: random two-parent weighted DAGs (including
+    // zero/negative weights and occasional identity covers — the elision
+    // path), one random leaf removed, aggregates compared against sums
+    // recomputed from the GENERATED structure, never the engine's closure
+    val rnd = new scala.util.Random(42)
+    (1 to 6).foreach { k =>
+      val nLeaves = 3 + rnd.nextInt(4)
+      val leaves = (0 until nLeaves).map(i => s"L$i")
+      def pick(): Seq[String] = {
+        val s = leaves.filter(_ => rnd.nextBoolean())
+        if (s.isEmpty) Seq(leaves(rnd.nextInt(nLeaves))) else s
+      }
+      val p1 = pick(); val w1 = p1.map(_ => (rnd.nextInt(4) - 1).toDouble)
+      val p2 = pick(); val w2 = p2.map(_ => (rnd.nextInt(4) - 1).toDouble)
+      val db = new Database(s"r7_purgeprop$k", spark)
+      val d = db.addDimension("d")
+      d.edit()
+      leaves.foreach(l => d.add(l))
+      d.add("P1", p1, w1)
+      d.add("P2", p2, w2)
+      d.add("All", Seq("P1", "P2"))
+      d.commit()
+      val o = db.addDimension("o"); o.edit().add("ALL", Seq("p")).commit()
+      val cube = db.addCube("c", Seq(d, o))
+      val values = leaves.zipWithIndex.map { case (l, i) => l -> (i + 1) * 10.0 }.toMap
+      values.foreach { case (l, v) => cube.set(Seq(l, "p"), v) }
+      val removed = leaves(rnd.nextInt(nLeaves))
+      d.edit().remove(removed).commit()
+      val surviving = leaves.filterNot(_ == removed)
+      def wOf(sel: Seq[String], ws: Seq[Double], l: String): Double =
+        sel.zip(ws).find(_._1 == l).map(_._2).getOrElse(0.0)
+      def expected(sel: Seq[String], ws: Seq[Double]): Option[Double] = {
+        val terms = surviving.filter(sel.contains)
+        if (terms.isEmpty) None
+        else Some(terms.map(l => wOf(sel, ws, l) * values(l)).sum)
+      }
+      val expAll = {
+        val reach = surviving.filter(l => p1.contains(l) || p2.contains(l))
+        if (reach.isEmpty) None
+        else Some(reach.map(l => (wOf(p1, w1, l) + wOf(p2, w2, l)) * values(l)).sum)
+      }
+      val ctx = s"case $k: p1=$p1 w1=$w1 p2=$p2 w2=$w2 removed=$removed"
+      assert(cube.get(Seq("P1", "ALL")) == expected(p1, w1), s"$ctx P1")
+      assert(cube.get(Seq("P2", "ALL")) == expected(p2, w2), s"$ctx P2")
+      assert(cube.get(Seq("All", "ALL")) == expAll, s"$ctx All")
+      surviving.foreach(l =>
+        assert(cube.get(Seq(l, "p")).contains(values(l)), s"$ctx leaf $l"))
+      assert(!d.contains(removed), s"$ctx removed name must be gone")
+      intercept[NoSuchElementException](cube.get(Seq(removed, "p")))
+    }
+  }
+
   test("compact() reports whether the swap landed") {
     val (_, cube) = model("compactbool")
     cube.set(Seq("x", "p"), 1.0)
