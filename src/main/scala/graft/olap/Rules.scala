@@ -304,11 +304,18 @@ object Rules {
     val refDim = refDimPerSpec.head
     val d = cube.dimensions(refDim)
     val refIds = refSpecs.map(d.idOf).toSet
-    rules.filter(r => usesInput(r.expr)).foreach { r =>
+    // a rule whose trigger names a removed member/dimension can never match
+    // (same silent-never-match contract as the scalar path / triggerCond) —
+    // it transforms nothing, so the order-dependence guards don't apply
+    def canMatch(r: RuleDef): Boolean = r.trigger.forall { case (dn, mm) =>
+      val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dn))
+      i >= 0 && cube.dimensions(i).contains(mm)
+    }
+    rules.filter(r => usesInput(r.expr) && canMatch(r)).foreach { r =>
       val pin = r.trigger.collectFirst {
         case (dn, mm) if cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dn)) == refDim => mm
       }
-      require(pin.exists(d.contains),
+      require(pin.isDefined,
         s"ON_ENTRY rule '${r.name}': bulk import with cell-reading rules " +
           s"requires every transforming rule to pin dimension '${d.name}' in " +
           "its trigger — otherwise which cells are transformed vs read is " +

@@ -268,6 +268,20 @@ class OnEntryBulkSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](FactSources.importNamed(c2, recs))
     assert(e2.getMessage.contains("pin"))
 
+    // a transforming rule whose trigger member was REMOVED can never match:
+    // it must not trip the pin guard (scalar silent-never-match contract) —
+    // the import with the surviving ref rule still works
+    val (db4, c4) = refModel("removedtrig")
+    c4.registerRule(RuleDef(Map("m" -> "Sales"), RuleScope.OnEntry,
+      RuleExpr.Mul(RuleExpr.Input, RuleExpr.Lit(2)), "double_sales"))
+    c4.registerRule(RuleDef(Map("m" -> "Cost"), RuleScope.OnEntry,
+      RuleExpr.Mul(RuleExpr.Input, RuleExpr.Ref("Fx")), "cost_times_fx"))
+    c4.set(Seq("Jan", "Fx"), 10.0)
+    db4.dimension("m").edit().remove("Sales").commit()
+    val out = FactSources.importNamed(c4, recs) // Cost rule still applies
+    c4.replaceFacts(c4.facts.unionByName(out))
+    assert(c4.get(Seq("Jan", "Cost")).contains(10.0)) // 1.0 × Fx(10)
+
     // relative Shift refs stay per-cell-only
     val (_, c3) = refModel("shift")
     c3.registerRule(RuleDef(Map("m" -> "Cost"), RuleScope.OnEntry,
