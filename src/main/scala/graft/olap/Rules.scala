@@ -264,8 +264,8 @@ object Rules {
     *    no referenced member may itself be rule-transformed — otherwise what
     *    a ref reads would depend on the order rows are written, which a
     *    distributed batch does not have.
-    */
-  /** `existing` overrides the pre-write fact frame the post-write state is
+    *
+    * `existing` overrides the pre-write fact frame the post-write state is
     * built from — streaming batches pass their `bulkMergeSnapshot` frame so
     * ref evaluation and the subsequent merge see the SAME snapshot.
     */
