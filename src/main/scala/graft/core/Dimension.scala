@@ -289,6 +289,7 @@ final class Dimension(val name: String) {
     */
   def renameMember(member: String, newName: String): Dimension = {
     require(editing, s"dimension '$name' not in edit mode — call edit()")
+    requireValidName(newName)
     val mid = idOf(member)
     val oldName = defs(mid).name
     val clash = byName.get(newName.toLowerCase)
@@ -370,8 +371,20 @@ final class Dimension(val name: String) {
     this
   }
 
+  /** Naming convention (≙ `tests/test_dimension.py` member_naming_
+    * conventions): tabs / newlines / carriage returns are rejected — they
+    * would corrupt CSV renders and dialect parsing; anything else (unicode
+    * included) is a valid member name.
+    */
+  private def requireValidName(member: String): Unit =
+    require(!member.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"invalid member name ${member.replace("\t", "\\t").replace("\n", "\\n")
+        .replace("\r", "\\r")} in dimension '$name' — " +
+        "tabs/newlines/carriage returns are not allowed")
+
   private def getOrCreate(member: String): Int =
     byName.getOrElse(member.toLowerCase, {
+      requireValidName(member)
       val id = defs.length
       defs += MutMember(id, member)
       byName(member.toLowerCase) = id

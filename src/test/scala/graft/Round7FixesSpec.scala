@@ -342,6 +342,45 @@ class Round7FixesSpec extends AnyFunSuite {
     }
   }
 
+  test("remove-then-re-add a member: purge, then fresh writes under the new id " +
+      "(≙ tests/test_database_operations.py)") {
+    val db = new Database("r7_readd", spark)
+    val foo = db.addDimension("foo")
+    foo.edit().add("total", Seq("a", "b", "c")).commit()
+    val bar = db.addDimension("bar")
+    bar.edit().add("total", Seq("x", "y", "z")).commit()
+    val cube = db.addCube("cube", Seq(foo, bar))
+    for (m1 <- Seq("a", "b", "c"); m2 <- Seq("x", "y", "z"))
+      cube.set(Seq(m1, m2), 1.0)
+    assert(cube.get(Seq("total", "total")).contains(9.0))
+    // remove b: its 3 facts purge at commit
+    foo.edit().remove("b").commit()
+    assert(cube.get(Seq("total", "total")).contains(6.0))
+    Seq("a", "c").foreach(m => assert(cube.get(Seq(m, "total")).contains(3.0)))
+    Seq("x", "y", "z").foreach(m => assert(cube.get(Seq("total", m)).contains(2.0)))
+    // re-add b (fresh id), re-fill its row — totals return to 9
+    foo.edit().add("total", Seq("b")).commit()
+    Seq("x", "y", "z").foreach(m => cube.set(Seq("b", m), 1.0))
+    assert(cube.get(Seq("total", "total")).contains(9.0))
+    Seq("a", "b", "c").foreach(m => assert(cube.get(Seq(m, "total")).contains(3.0)))
+    Seq("x", "y", "z").foreach(m => assert(cube.get(Seq("total", m)).contains(3.0)))
+  }
+
+  test("member names reject control characters (≙ naming conventions)") {
+    val d = new Dimension("naming")
+    d.edit()
+    Seq("we", "are", "123", "ððð➜₥ℌ℉≥∭♖☀︎☀⚽︎︎").foreach(n => d.add(n))
+    Seq("no \t tabs", "no \n newlines", "no \r cr").foreach { n =>
+      intercept[IllegalArgumentException](d.add(n))
+    }
+    d.commit()
+    assert(d.contains("ððð➜₥ℌ℉≥∭♖☀︎☀⚽︎︎") && !d.contains("no \t tabs"))
+    // renames are held to the same convention
+    d.edit()
+    intercept[IllegalArgumentException](d.renameMember("we", "bad\tname"))
+    d.rollback()
+  }
+
   test("compact() reports whether the swap landed") {
     val (_, cube) = model("compactbool")
     cube.set(Seq("x", "p"), 1.0)
