@@ -353,6 +353,46 @@ object TpchQueries {
         .select(col("priority"), col("value").cast("double").as("value"))
     }),
 
+    // S+ (round 7): loss-visible bulk import — importNamedReport's counts
+    // are DATA-DERIVED: input = distinct (customer, priority) records + 4
+    // junk rows, resolved = the records, dropped = exactly the junk; the
+    // loaded cube's total carries only resolved rows. A count drifting by
+    // one, or a junk row surviving into the sum, fails the hash.
+    "olap_import_report" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new graft.core.Database("importreport", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val loader = db.addCube("loader", Seq(cust, prio))
+      val recs = orders
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+        .select(concat(lit("C#"), col("o_custkey")).as("customer"),
+          col("o_orderpriority").as("priority"), col("value"))
+      val junk = s.sql(
+        s"""SELECT * FROM VALUES
+            ('B#1',    '${prios.head}',     CAST(999 AS DECIMAL(21,4))),
+            ('C#007',  '${prios.head}',     CAST(999 AS DECIMAL(21,4))),
+            ('C#12x4', '${prios.head}',     CAST(999 AS DECIMAL(21,4))),
+            ('C#1',    'NO-SUCH-PRIORITY',  CAST(999 AS DECIMAL(21,4)))
+            AS t(customer, priority, value)""")
+      val report = graft.sources.FactSources.importNamedReport(
+        loader, recs.unionByName(junk))
+      val cube = db.addCube("sales", Seq(cust, prio), report.facts)
+      val total = cube.get(Seq("All", "AllPrio"))
+      s.createDataFrame(
+        s.sparkContext.parallelize(List(Row(report.inputRows,
+          report.resolvedRows, report.droppedRows,
+          total.map(Double.box).orNull)), 1),
+        StructType(Seq(StructField("input_rows", LongType),
+          StructField("resolved_rows", LongType),
+          StructField("dropped_rows", LongType),
+          StructField("value", DoubleType))))
+    }),
+
     // R3+S+: ON_ENTRY on the BULK import path — the loader cube carries an
     // Input-AST write rule (lowest-priority records enter negated:
     // −abs(input)); importNamed applies it as one declarative column
@@ -1041,6 +1081,16 @@ object TpchQueries {
         SELECT p AS priority, CAST(SUM(v) AS DOUBLE) AS value FROM h GROUP BY 1
         UNION ALL
         SELECT 'AllPrio' AS priority, CAST(SUM(v) AS DOUBLE) AS value FROM h""",
+
+    // input = record grain + the 4 junk rows; resolved/dropped/total all
+    // data-grounded against the same orders scan
+    "olap_import_report" ->
+      """WITH g AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+        SELECT CAST((SELECT COUNT(*) FROM g) + 4 AS BIGINT) AS input_rows,
+               CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS resolved_rows,
+               CAST(4 AS BIGINT) AS dropped_rows,
+               CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(15,2))) FROM orders)
+                 AS DOUBLE) AS value""",
 
     // mirrors the engine's per-address record grain: the ON_ENTRY transform
     // applies to each imported (customer, priority) record, then rolls up
