@@ -75,10 +75,76 @@ object StreamingQueries {
       val g = cube.gridAggregate(Seq(etypes.map(et.idOf), Seq(ub.idOf("AllUsers"))))
       g.join(broadcast(etDf.withColumnRenamed("d0", "a0")), Seq("a0"))
         .select(col("event_type"), col("value").cast("double").as("value"))
+    }),
+
+    // R3+ST1 (round 7): a CELL-READING ON_ENTRY rule on the STREAMING
+    // ingest path — records entering at the min-name priority gain the same
+    // customer's max-name priority cell (input + [maxprio]), evaluated per
+    // streamed row against the batch's post-write state
+    // (Rules.applyOnEntryBulk over the bulkMergeSnapshot). One AvailableNow
+    // batch (no per-file trigger limit) so every ref cell is in scope —
+    // the same semantics, and the same oracle, as the bulk-import gate.
+    "olap_stream_ref_rule" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new Database("streamref", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val emptyFacts = s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("d0", IntegerType), StructField("d1", IntegerType),
+          StructField("value", DecimalType(21, 4)))))
+      val cube = db.addCube("salesstream", Seq(cust, prio), emptyFacts)
+      cube.registerRule(graft.olap.RuleDef(Map("priority" -> prios.head),
+        graft.olap.RuleScope.OnEntry,
+        graft.olap.RuleExpr.Add(graft.olap.RuleExpr.Input,
+          graft.olap.RuleExpr.Ref(prios.last)), "min_plus_max"))
+      val prioDf = s.createDataFrame(prios.map(n => (n, prio.idOf(n))))
+        .toDF("o_orderpriority", "d1")
+      val cells = orders
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+        .join(broadcast(prioDf), Seq("o_orderpriority"))
+        .select(col("o_custkey").cast("int").as("d0"), col("d1"), col("value"))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_ref")
+      val tmp = tmpRoot.resolve("files").toString
+      cells.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(cells.schema).parquet(tmp)
+      val q = Streaming.ingestInto(cube, stream, Trigger.AvailableNow(),
+        checkpointDir = Some(tmpRoot.resolve("ckpt").toString))
+      q.awaitTermination()
+      cube.replaceFacts(cube.facts.localCheckpoint(true))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val g = cube.gridAggregate(Seq(
+        Seq(graft.core.Dimension.DegenerateAllId),
+        prios.map(prio.idOf) :+ prio.idOf("AllPrio")))
+      val names = cube.memberNamesDf(1)
+        .select(col("id").as("a1"), col("mname").as("priority"))
+      g.join(broadcast(names), "a1")
+        .select(col("priority"), col("value").cast("double").as("value"))
     }))
 
   val oracleSql: Map[String, String] = Map(
     "olap_stream_ingest" ->
       """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS value
-         FROM events WHERE event_id < 5000 GROUP BY event_type""")
+         FROM events WHERE event_id < 5000 GROUP BY event_type""",
+
+    // identical semantics (and oracle) to olap_import_ref_rule — the path
+    // under test is the streaming ingest hook, not the arithmetic
+    "olap_stream_ref_rule" ->
+      """WITH g AS (SELECT o_custkey AS ck, o_orderpriority AS p,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(21,4)) AS v
+          FROM orders GROUP BY 1, 2),
+        h AS (SELECT ck, p,
+            CASE WHEN p = (SELECT min(o_orderpriority) FROM orders)
+              THEN v + COALESCE((SELECT g2.v FROM g g2 WHERE g2.ck = g.ck
+                  AND g2.p = (SELECT max(o_orderpriority) FROM orders)), 0)
+              ELSE v END AS v
+          FROM g)
+        SELECT p AS priority, CAST(SUM(v) AS DOUBLE) AS value FROM h GROUP BY 1
+        UNION ALL
+        SELECT 'AllPrio' AS priority, CAST(SUM(v) AS DOUBLE) AS value FROM h""")
 }
