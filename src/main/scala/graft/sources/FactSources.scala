@@ -160,11 +160,16 @@ object FactSources {
 
   /** Bucketed table sink: hash-bucket + sort on the join keys so repeated
     * co-located joins/aggregations on those keys skip the shuffle entirely
-    * (catalog tables — bucketing metadata requires `saveAsTable`).
+    * (catalog tables — bucketing metadata requires `saveAsTable`). Written
+    * as ONE file per bucket (repartition on the bucket hash first): only
+    * then can readers trust the sortBy order and skip the fact-side Sort
+    * on merge joins (with `spark.sql.legacy.bucketedTableScan
+    * .outputOrdering=true` — `Cube.compactToBucketed` sets it).
     */
   def writeBucketed(facts: DataFrame, table: String, bucketCols: Seq[String],
       nBuckets: Int): Unit =
-    facts.write.mode(SaveMode.Overwrite)
+    facts.repartition(nBuckets, bucketCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")

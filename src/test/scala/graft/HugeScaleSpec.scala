@@ -123,6 +123,15 @@ class HugeScaleSpec extends AnyFunSuite {
         s"expected 2 exchanges on the plain layout:\n${plainJoin.queryExecution.executedPlan}")
       assert(exchanges(bucketedJoin) == 1,
         s"expected the fact side exchange-free:\n${bucketedJoin.queryExecution.executedPlan}")
+      // …and SORT-free: one file per bucket + trusted sortBy order means the
+      // merge join streams the buckets as-is (round 7; the fact branch is
+      // the SortMergeJoin's first ':-' child — it must not be a Sort)
+      val bPlan = bucketedJoin.queryExecution.executedPlan.toString
+      val factBranch = bPlan.linesIterator
+        .dropWhile(l => !l.contains("SortMergeJoin"))
+        .find(_.trim.startsWith(":-"))
+      assert(factBranch.exists(!_.contains("Sort")),
+        s"expected the fact side sort-free:\n$bPlan")
 
       val (nPlain, tPlain) = time(plainJoin.count())
       val (nBucketed, tBucketed) = time(bucketedJoin.count())
