@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
 object HugeStress {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_HUGE_ROWS", "1000000000").toLong
+    val nBuckets = sys.env.getOrElse("SPARK_GRAFT_HUGE_BUCKETS", "8").toInt
     val spark = graft.Bench.session()
     def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
@@ -44,9 +45,9 @@ object HugeStress {
     val bcube = new graft.core.Cube("hugestress", cube.dimensions, spark,
       Some(spark.read.parquet(tmpPlain)))
     spark.sql("DROP TABLE IF EXISTS hugestress_bucketed")
-    val (swapped, tBucket) = time(bcube.compactToBucketed("hugestress_bucketed", 8))
+    val (swapped, tBucket) = time(bcube.compactToBucketed("hugestress_bucketed", nBuckets))
     assert(swapped, "compactToBucketed must land")
-    println(f"HUGESTRESS bucketedCompact=$tBucket%.1fs")
+    println(f"HUGESTRESS bucketedCompact=$tBucket%.1fs nBuckets=$nBuckets")
 
     // 10k build-seed addresses (all hit), broadcast OFF — the shuffle semi
     // join shape of an address list too big to broadcast
