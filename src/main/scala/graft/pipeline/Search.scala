@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over a document corpus: BM25 ranked search and TF-IDF
+  * keyword extraction — the retrieval half of a training-data pipeline
+  * (find-related-documents for decontamination audits, corpus exploration,
+  * keyword-based quality slicing).
+  *
+  * Scale shapes, deliberately different per operator:
+  *   - [[bm25TopK]] is SCAN-shaped: one tiny global-stats aggregate (a single
+  *     row: corpus size, total length, per-query-term document frequencies),
+  *     then one pass computing each document's score from driver-literal
+  *     idf/avgdl constants, finished by a TakeOrderedAndProject top-k. No
+  *     explode, no join, no full shuffle — the 100 TB cost is two corpus
+  *     scans, embarrassingly parallel.
+  *   - [[tfidfKeywords]] is INDEX-shaped: it materializes the posting grain
+  *     (doc × term) and the document-frequency head (term grain) — the two
+  *     halves of an inverted index — with one bounded shuffle each, then a
+  *     per-document window top-k. At 100 TB the posting shuffle is the
+  *     honest cost of building an index; the df side is vocabulary-sized and
+  *     broadcasts itself when small.
+  *   - [[bm25TopKIndexed]] re-ranks from a PREBUILT postings/doc-length pair
+  *     (the repeated-query shape): the query-term filter prunes the posting
+  *     scan (bucket-prunes it if the caller persisted the index bucketed by
+  *     term), so each query touches only its own posting lists.
+  *
+  * Scores are IEEE doubles built from integer tf/df/length statistics; all
+  * rankings tie-break on the id (then term) so equal-statistics documents
+  * order identically on any engine, partitioning, or libm.
+  */
+object Search {
+
+  /** Whitespace tokens of `textCol`, lowercased, empties dropped. */
+  def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), " "), t => t =!= "")
+
+  /** The posting grain of an inverted index: one row per (id, term) with its
+    * term frequency. One shuffle at posting grain. Persist with
+    * `bucketBy(term)` to make [[bm25TopKIndexed]] queries bucket-pruned.
+    */
+  def postings(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Document lengths (token counts) at the id grain — the other half of the
+    * index [[bm25TopKIndexed]] needs. Scan-shaped.
+    */
+  def docLengths(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), size(tokens(textCol)).as("dl"))
+
+  /** BM25 top-k for a fixed `query`, directly over the corpus (no prebuilt
+    * index). Two scans: (1) a one-row global aggregate — N, Σdl, and each
+    * query term's document frequency — collected to the driver and folded
+    * into literal idf/avgdl constants; (2) a per-row score (per-term tf via
+    * a codegen'd array filter, no explode) into a top-k. Emits
+    * `doc_id, dl, tf_total, rank` — integer evidence plus the rank; the
+    * double score stays internal so results are engine-portable.
+    *
+    * idf is the Robertson–Sparck-Jones form `ln(1 + (N - df + ½)/(df + ½))`,
+    * non-negative for any df; per-term weight
+    * `idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`.
+    */
+  def bm25TopK(df: DataFrame, idCol: Column, textCol: Column,
+      query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25TopK: empty query")
+    val terms = query.map(_.toLowerCase)
+    val toks = tokens(textCol)
+    val baseCols = idCol.as("doc_id") +: size(toks).as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(toks, x => x === t)).as(s"tf_$i")
+      }
+    val base = df.select(baseCols: _*)
+    val statExprs = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val statsRow = base.agg(statExprs.head, statExprs.tail: _*).head()
+    val n = statsRow.getAs[Long]("n").toDouble
+    val avgdl = statsRow.getAs[Long]("sdl").toDouble / n
+    val idf = terms.indices.map { i =>
+      val dfi = statsRow.getAs[Long](s"df_$i").toDouble
+      math.log(1.0 + (n - dfi + 0.5) / (dfi + 0.5))
+    }
+    scoreAndRank(base, terms.indices.map(i => col(s"tf_$i")), idf, k, k1, b, avgdl)
+  }
+
+  /** BM25 top-k from a PREBUILT index — `postings(doc_id, term, tf)` +
+    * `docLengths(doc_id, dl)` as produced by [[postings]]/[[docLengths]]
+    * (typically persisted). The query-term filter hits the posting scan
+    * first (bucket pruning when the index is bucketed by term), so only the
+    * query's own posting lists are read; scoring joins them to the length
+    * side at the id grain. Same output contract as [[bm25TopK]].
+    */
+  def bm25TopKIndexed(postings: DataFrame, docLengths: DataFrame,
+      query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25TopKIndexed: empty query")
+    val terms = query.map(_.toLowerCase)
+    val qp = postings.filter(col("term").isin(terms: _*))
+    val nRow = docLengths.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).head()
+    val n = nRow.getAs[Long]("n").toDouble
+    val avgdl = nRow.getAs[Long]("sdl").toDouble / n
+    val dfRows = qp.groupBy("term").agg(countDistinct(col("doc_id")).as("df")).collect()
+    val dfByTerm = dfRows.map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    val idf = terms.map { t =>
+      val dfi = dfByTerm.getOrElse(t, 0L).toDouble
+      math.log(1.0 + (n - dfi + 0.5) / (dfi + 0.5))
+    }
+    // pivot the (≤ |query|) posting rows per doc into fixed tf_i columns
+    val tfExprs = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("term") === t, col("tf"))), lit(0L)).as(s"tf_$i")
+    }
+    val wide = qp.groupBy("doc_id").agg(tfExprs.head, tfExprs.tail: _*)
+    val base = wide.join(docLengths, "doc_id")
+    scoreAndRank(base, terms.indices.map(i => col(s"tf_$i")), idf, k, k1, b, avgdl)
+  }
+
+  private def scoreAndRank(base: DataFrame, tfCols: Seq[Column], idf: Seq[Double],
+      k: Int, k1: Double, b: Double, avgdl: Double): DataFrame = {
+    val norm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl))
+    val score = tfCols.zip(idf).map { case (tf, w) =>
+      lit(w) * (tf.cast("double") * lit(k1 + 1.0)) / (tf.cast("double") + lit(k1) * norm)
+    }.reduceLeft(_ + _)
+    val tfTotal = tfCols.map(_.cast("long")).reduceLeft(_ + _)
+    base.select(col("doc_id"), col("dl").cast("long").as("dl"),
+        tfTotal.as("tf_total"), score.as("score"))
+      .filter(col("tf_total") > 0)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .drop("score")
+  }
+
+  /** Top-k characteristic keywords per document by TF-IDF
+    * (`tf · ln(N/df)`), over the full-corpus document frequencies. Builds
+    * the inverted-index grains ([[postings]] + the term-grain df head), then
+    * a per-document window top-k. `keepDocs` optionally restricts which
+    * documents are REPORTED — the df statistics always come from the whole
+    * corpus. Emits `doc_id, term, tf, df, rank`; ranking tie-breaks on the
+    * term so equal-score keywords order identically everywhere.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: Column, textCol: Column, k: Int,
+      keepDocs: Column = lit(true)): DataFrame = {
+    val p = postings(df, idCol, textCol)
+    val dfc = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.count().toDouble
+    val scored = p.filter(keepDocs).join(dfc, "term")
+      .withColumn("score", col("tf") * log(lit(n) / col("df")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "rank")
+  }
+}

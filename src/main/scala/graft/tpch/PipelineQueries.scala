@@ -329,6 +329,23 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.scrubPii(planted).as("scrubbed"))
     }),
+
+    // BM25 ranked retrieval for a fixed query (one rare + two common terms),
+    // scan-shaped: no explode, no join — a one-row stats aggregate then a
+    // codegen'd per-row score into a top-k. Only the integer evidence
+    // (dl, tf_total) and the rank are emitted; ranking tie-breaks on doc_id
+    // so the double score never has to cross engines
+    "pipe_bm25" -> ((s, dir) =>
+      graft.pipeline.Search.bm25TopK(docs(s, dir), col("doc_id"), col("text"),
+        Seq("dup", "merge", "scan"), 15)),
+
+    // TF-IDF keyword extraction: full-corpus document frequencies (the
+    // inverted-index head), per-document top-3 keywords, reported for the
+    // doc_id < 60 slice; tie-break on the term keeps equal-score keywords
+    // engine-portable
+    "pipe_tfidf" -> ((s, dir) =>
+      graft.pipeline.Search.tfidfKeywords(docs(s, dir), col("doc_id"),
+        col("text"), 3, keepDocs = col("doc_id") < 60)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -565,5 +582,53 @@ object PipelineQueries {
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
          FROM documents""",
+
+    // mirrors Search.bm25TopK: RSJ idf over per-term dfs, k1=1.2 b=0.75,
+    // rank by score with doc_id tie-break; only integer columns + rank are
+    // compared, so the engines' ln/libm difference cannot bite
+    "pipe_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id, len(w) AS dl,
+             len(list_filter(w, x -> x = 'dup'))   AS tf0,
+             len(list_filter(w, x -> x = 'merge')) AS tf1,
+             len(list_filter(w, x -> x = 'scan'))  AS tf2
+           FROM tok),
+         g AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM s),
+         sc AS (
+           SELECT doc_id, dl, tf0 + tf1 + tf2 AS tf_total,
+             ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0*2.2)/(tf0 + 1.2*(0.25 + 0.75*dl/(sdl/n)))
+           + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*2.2)/(tf1 + 1.2*(0.25 + 0.75*dl/(sdl/n)))
+           + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2*2.2)/(tf2 + 1.2*(0.25 + 0.75*dl/(sdl/n)))
+             AS score
+           FROM s CROSS JOIN g WHERE tf0 + tf1 + tf2 > 0),
+         r AS (
+           SELECT doc_id, dl, tf_total,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+         SELECT doc_id, dl, tf_total, rank FROM r WHERE rank <= 15""",
+
+    // mirrors Search.tfidfKeywords: df over the FULL corpus postings, the
+    // reported slice filtered only at scoring time; term tie-break
+    "pipe_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         p AS (SELECT doc_id, w, count(*) AS tf FROM tok WHERE w <> '' GROUP BY 1, 2),
+         d AS (SELECT w, count(*) AS df FROM p GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         sc AS (
+           SELECT p.doc_id, p.w AS term, p.tf, d.df,
+             ROW_NUMBER() OVER (PARTITION BY p.doc_id
+               ORDER BY p.tf * ln(n.n / d.df) DESC, p.w) AS rank
+           FROM p JOIN d ON p.w = d.w CROSS JOIN n
+           WHERE p.doc_id < 60)
+         SELECT doc_id, term, tf, df, rank FROM sc WHERE rank <= 3""",
   )
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.pipeline.Search
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lexical retrieval: BM25 ranking semantics, direct-vs-indexed parity, and
+  * TF-IDF keyword selection.
+  */
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "rare common common filler filler filler"),
+      (2L, "common filler filler filler filler filler"),
+      (3L, "rare rare common filler filler filler"),
+      (4L, "filler filler filler filler filler filler"),
+      (5L, "common common common filler filler filler")
+    ).toDF("doc_id", "text")
+  }
+
+  test("bm25: rare-term evidence dominates; more tf of it ranks higher") {
+    val r = Search.bm25TopK(corpus, col("doc_id"), col("text"),
+      Seq("rare", "common"), 5).collect()
+    // docs without any query term are absent
+    assert(!r.map(_.getAs[Long]("doc_id")).contains(4L))
+    val byRank = r.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq
+    // doc 3 (rare×2) over doc 1 (rare×1) over the common-only docs;
+    // doc 5 (common×3) over doc 2 (common×1)
+    assert(byRank.take(2) == Seq(3L, 1L))
+    assert(byRank.indexOf(5L) < byRank.indexOf(2L))
+  }
+
+  test("bm25: equal-statistics docs tie-break by doc_id") {
+    val s = spark
+    import s.implicits._
+    val dup = Seq((7L, "x y"), (3L, "x y"), (5L, "x y")).toDF("doc_id", "text")
+    val r = Search.bm25TopK(dup, col("doc_id"), col("text"), Seq("x"), 3)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(r == Seq(3L, 5L, 7L))
+  }
+
+  test("bm25: direct and prebuilt-index paths agree on the documents table") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = Seq("dup", "merge", "scan")
+    val direct = Search.bm25TopK(docs, col("doc_id"), col("text"), q, 10)
+    val p = Search.postings(docs, col("doc_id"), col("text"))
+    val dl = Search.docLengths(docs, col("doc_id"), col("text"))
+    val indexed = Search.bm25TopKIndexed(p, dl, q, 10)
+    val a = direct.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+      r.getAs[Long]("tf_total"), r.getAs[Int]("rank"))).sortBy(_._4).toSeq
+    val b = indexed.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+      r.getAs[Long]("tf_total"), r.getAs[Int]("rank"))).sortBy(_._4).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("tfidf: a term in every document scores zero and loses to any rarer term") {
+    val r = Search.tfidfKeywords(corpus, col("doc_id"), col("text"), 1)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("term")).toMap
+    // "filler" is in all 5 docs -> idf = ln(1) = 0; rarer terms win wherever present
+    assert(r(1L) == "common" || r(1L) == "rare")
+    assert(r(3L) == "rare")
+    assert(r(5L) == "common")
+    // doc 4 has only "filler": rank-1 keyword is still emitted (score 0)
+    assert(r(4L) == "filler")
+  }
+
+  test("tfidf: df statistics come from the full corpus even for a reported slice") {
+    val all = Search.tfidfKeywords(corpus, col("doc_id"), col("text"), 2)
+      .filter(col("doc_id") === 3L)
+    val sliced = Search.tfidfKeywords(corpus, col("doc_id"), col("text"), 2,
+      keepDocs = col("doc_id") === 3L)
+    val a = all.collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+      r.getAs[Int]("rank"))).sortBy(_._3).toSeq
+    val b = sliced.collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+      r.getAs[Int]("rank"))).sortBy(_._3).toSeq
+    assert(a == b)
+  }
+
+  test("tokens: lowercases and drops empties") {
+    val s = spark
+    import s.implicits._
+    val r = Seq("A  b C ").toDF("t")
+      .select(Search.tokens(col("t")).as("w")).head.getSeq[String](0)
+    assert(r == Seq("a", "b", "c"))
+  }
+}
