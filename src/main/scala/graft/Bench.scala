@@ -38,6 +38,8 @@ object Bench {
     "pipe_fingerprint",     // md5 fingerprints
     "pipe_repetition",      // duplicate-n-gram repetition signals (scan)
     "pipe_pack",            // sequence packing (one window shuffle)
+    "pipe_bm25",            // BM25 retrieval: stats scan -> scored top-k
+    "pipe_tfidf",           // TF-IDF keywords: inverted-index grains + window
     "olap_huge_top",        // reference huge bench top-cell read — the huge
                             // entries come LAST: the build (timed separately
                             // as huge_build on this entry's first pass — keep
@@ -224,9 +226,14 @@ object Bench {
         case (None, Some(n))    => n
         case (None, None)       => -1.0
       }
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those headline
+    // entries (official runs leave it unset — the artifact notes nothing)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(headline)(s => headline.filter(s))
     for (pass <- 1 to passes) {
       canaries += spinCanary()
-      headline.foreach { name =>
+      selected.foreach { name =>
         // the 1e6-cell huge model builds lazily inside its first read — time
         // build and read separately (≙ samples/huge.py:115-201 load vs reads)
         if (name == "olap_huge_top" && pass == 1)
@@ -254,9 +261,10 @@ object Bench {
           }
         }
       }
+      def want(name: String): Boolean = only.forall(_.contains(name))
       // batched random point reads over the huge model: 10k cells, ONE job
       // (the reference's reads/sec headline, batched the Spark-native way)
-      record("huge_point_reads_10k",
+      if (want("huge_point_reads_10k")) record("huge_point_reads_10k",
         try time { graft.tpch.HugeModel.pointReadBatch(spark, 10000).count() }
         catch { case _: Throwable => -1.0 })
       // the bucketed-layout read path (ARCHITECTURE §6d), THROUGH the cube
@@ -265,14 +273,15 @@ object Bench {
       // one-time compaction is timed on pass 1; the per-pass read is the
       // cube's batched point read with broadcast disabled — the 100 TB
       // shape, an address list too big to broadcast.
-      if (pass == 1) record("huge_bucketed_write", try time {
+      if (pass == 1 && want("huge_reads_bucketed_10k"))
+        record("huge_bucketed_write", try time {
         spark.sql("DROP TABLE IF EXISTS bench_huge_bucketed")
         val base = graft.tpch.HugeModel.get(spark)
         bucketedCube = new graft.core.Cube("hugebucketed", base.dimensions,
           spark, Some(base.facts))
         bucketedCube.compactToBucketed("bench_huge_bucketed", 8)
       } catch { case _: Throwable => -1.0 })
-      record("huge_reads_bucketed_10k", try {
+      if (want("huge_reads_bucketed_10k")) record("huge_reads_bucketed_10k", try {
         val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

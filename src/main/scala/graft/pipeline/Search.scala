@@ -51,39 +51,98 @@ object Search {
   def docLengths(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
     df.select(idCol.as("doc_id"), size(tokens(textCol)).as("dl"))
 
-  /** BM25 top-k for a fixed `query`, directly over the corpus (no prebuilt
-    * index). Two scans: (1) a one-row global aggregate — N, Σdl, and each
-    * query term's document frequency — collected to the driver and folded
-    * into literal idf/avgdl constants; (2) a per-row score (per-term tf via
-    * a codegen'd array filter, no explode) into a top-k. Emits
-    * `doc_id, dl, tf_total, rank` — integer evidence plus the rank; the
-    * double score stays internal so results are engine-portable.
+  /** Persist the two index grains as tables for repeated-query serving:
+    * postings bucketed (and sorted) by `term`, so a query's `term IN (…)`
+    * filter BUCKET-PRUNES the scan — each query reads only the buckets
+    * holding its own terms (`SelectedBucketsCount` on the plan), never the
+    * whole index. Lengths are id-grain and small relative to postings. At
+    * 100 TB this is the difference between a per-query index scan and a
+    * per-query bounded posting-list read; size `nBuckets` to the cluster.
     *
-    * idf is the Robertson–Sparck-Jones form `ln(1 + (N - df + ½)/(df + ½))`,
-    * non-negative for any df; per-term weight
-    * `idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`.
+    * Serving sessions must set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`: a pure
+    * scoring query has no join/aggregate keyed on `term`, so Spark's
+    * DisableUnnecessaryBucketedScan otherwise reverts to a plain scan and
+    * the bucket pruning goes with it (the sorted-file `PushedFilters`
+    * row-group pruning still applies either way). Index-BUILD sessions
+    * should leave it on so full scans keep split parallelism.
     */
-  def bm25TopK(df: DataFrame, idCol: Column, textCol: Column,
-      query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(query.nonEmpty, "bm25TopK: empty query")
+  def buildIndex(df: DataFrame, idCol: Column, textCol: Column,
+      postingsTable: String, lengthsTable: String, nBuckets: Int = 16): Unit = {
+    postings(df, idCol, textCol).write.mode("overwrite")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(postingsTable)
+    docLengths(df, idCol, textCol).write.mode("overwrite")
+      .format("parquet").saveAsTable(lengthsTable)
+  }
+
+  /** The frozen corpus statistics a BM25 scorer needs: corpus size, average
+    * document length, and each query term's idf (Robertson–Sparck-Jones,
+    * `ln(1 + (N − df + ½)/(df + ½))`, non-negative for any df). One
+    * scan-shaped job collapsing to a single row.
+    */
+  final case class CorpusStats(n: Long, avgdl: Double, idf: Seq[Double])
+
+  def corpusStats(df: DataFrame, idCol: Column, textCol: Column,
+      query: Seq[String]): CorpusStats = {
     val terms = query.map(_.toLowerCase)
+    val base = tfFrame(df, idCol, textCol, terms)
+    val statExprs = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val statsRow = base.agg(statExprs.head, statExprs.tail: _*).head()
+    val n = statsRow.getAs[Long]("n")
+    val idf = terms.indices.map { i =>
+      val dfi = statsRow.getAs[Long](s"df_$i").toDouble
+      math.log(1.0 + (n.toDouble - dfi + 0.5) / (dfi + 0.5))
+    }
+    CorpusStats(n, statsRow.getAs[Long]("sdl").toDouble / n.toDouble, idf)
+  }
+
+  /** BM25 score against FROZEN statistics, as a pure Column — the
+    * streaming/serving shape: `stats` comes from an offline
+    * [[corpusStats]] (or index snapshot), so scoring is stateless and
+    * scan-shaped — usable on a structured stream, in a filter, or for
+    * re-ranking, with no action and no shuffle. Per-term weight
+    * `idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`, summed in query
+    * order.
+    */
+  def bm25Score(textCol: Column, query: Seq[String], stats: CorpusStats,
+      k1: Double = 1.2, b: Double = 0.75): Column = {
+    require(query.nonEmpty, "bm25Score: empty query")
+    val toks = tokens(textCol)
+    val norm = lit(1.0 - b) + lit(b) * (size(toks).cast("double") / lit(stats.avgdl))
+    query.map(_.toLowerCase).zip(stats.idf).map { case (t, w) =>
+      val tf = size(filter(toks, x => x === t)).cast("double")
+      lit(w) * (tf * lit(k1 + 1.0)) / (tf + lit(k1) * norm)
+    }.reduceLeft(_ + _)
+  }
+
+  // doc_id, dl, tf_<i> per query term — the shared per-document projection
+  private def tfFrame(df: DataFrame, idCol: Column, textCol: Column,
+      terms: Seq[String]): DataFrame = {
     val toks = tokens(textCol)
     val baseCols = idCol.as("doc_id") +: size(toks).as("dl") +:
       terms.zipWithIndex.map { case (t, i) =>
         size(filter(toks, x => x === t)).as(s"tf_$i")
       }
-    val base = df.select(baseCols: _*)
-    val statExprs = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
-      terms.indices.map(i =>
-        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
-    val statsRow = base.agg(statExprs.head, statExprs.tail: _*).head()
-    val n = statsRow.getAs[Long]("n").toDouble
-    val avgdl = statsRow.getAs[Long]("sdl").toDouble / n
-    val idf = terms.indices.map { i =>
-      val dfi = statsRow.getAs[Long](s"df_$i").toDouble
-      math.log(1.0 + (n - dfi + 0.5) / (dfi + 0.5))
-    }
-    scoreAndRank(base, terms.indices.map(i => col(s"tf_$i")), idf, k, k1, b, avgdl)
+    df.select(baseCols: _*)
+  }
+
+  /** BM25 top-k for a fixed `query`, directly over the corpus (no prebuilt
+    * index). Two scans: (1) [[corpusStats]] — one row, collected and folded
+    * into literal idf/avgdl constants; (2) a per-row score (per-term tf via
+    * a codegen'd array filter, no explode) into a top-k. Emits
+    * `doc_id, dl, tf_total, rank` — integer evidence plus the rank; the
+    * double score stays internal so results are engine-portable.
+    */
+  def bm25TopK(df: DataFrame, idCol: Column, textCol: Column,
+      query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25TopK: empty query")
+    val terms = query.map(_.toLowerCase)
+    val st = corpusStats(df, idCol, textCol, terms)
+    scoreAndRank(tfFrame(df, idCol, textCol, terms),
+      terms.indices.map(i => col(s"tf_$i")), st.idf, k, k1, b, st.avgdl)
   }
 
   /** BM25 top-k from a PREBUILT index — `postings(doc_id, term, tf)` +

@@ -59,6 +59,29 @@ class SearchSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("persisted index: a query's term filter bucket-prunes the posting scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Search.buildIndex(docs, col("doc_id"), col("text"), "srch_post", "srch_len", 16)
+    val q = Seq("dup", "merge", "scan")
+    // serving-session conf (see buildIndex scaladoc): keep the bucketed scan
+    // so its term-filter bucket pruning survives the planner
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val served = Search.bm25TopKIndexed(spark.table("srch_post"), spark.table("srch_len"), q, 10)
+      val scan = served.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).find(_.contains("srch_post"))
+        .getOrElse(fail("no posting scan in plan"))
+      val sel = "SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(scan)
+        .getOrElse(fail(s"posting scan not bucket-pruned: $scan")).group(1).toInt
+      assert(sel <= q.size) // at most one bucket per query term
+      // and the served results equal the direct corpus-scan path
+      val direct = Search.bm25TopK(docs, col("doc_id"), col("text"), q, 10)
+      assert(served.collect().map(_.toSeq).toSeq.sortBy(_.toString) ==
+        direct.collect().map(_.toSeq).toSeq.sortBy(_.toString))
+    } finally
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
+
   test("tfidf: a term in every document scores zero and loses to any rarer term") {
     val r = Search.tfidfKeywords(corpus, col("doc_id"), col("text"), 1)
       .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("term")).toMap
@@ -80,6 +103,46 @@ class SearchSpec extends AnyFunSuite {
     val b = sliced.collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
       r.getAs[Int]("rank"))).sortBy(_._3).toSeq
     assert(a == b)
+  }
+
+  test("bm25Score: frozen-stats column reproduces bm25TopK's ranking") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = Seq("dup", "merge", "scan")
+    val st = Search.corpusStats(docs, col("doc_id"), col("text"), q)
+    val viaColumn = docs
+      .select(col("doc_id"), Search.bm25Score(col("text"), q, st).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val viaTopK = Search.bm25TopK(docs, col("doc_id"), col("text"), q, 10)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(viaColumn == viaTopK)
+  }
+
+  test("bm25Score: stateless scoring runs unchanged on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val q = Seq("rare", "common")
+    // stats frozen OFFLINE from the batch corpus — the serving snapshot
+    val st = Search.corpusStats(corpus, col("doc_id"), col("text"), q)
+    val mem = MemoryStream[(Long, String)]
+    val scoredStream = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), Search.bm25Score(col("text"), q, st).as("score"))
+    val sq = scoredStream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("bm25_stream").start()
+    val batchRows = corpus.select("doc_id", "text").as[(Long, String)].collect()
+    mem.addData(batchRows.toIndexedSeq: _*)
+    sq.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM bm25_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    sq.stop()
+    // identical doubles to the batch twin, doc for doc
+    val batch = corpus.select(col("doc_id"), Search.bm25Score(col("text"), q, st).as("score"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(streamed == batch)
+    assert(batch.values.exists(_ > 0))
   }
 
   test("tokens: lowercases and drops empties") {
