@@ -38,6 +38,7 @@ object Bench {
     "pipe_fingerprint",     // md5 fingerprints
     "pipe_repetition",      // duplicate-n-gram repetition signals (scan)
     "pipe_pack",            // sequence packing (one window shuffle)
+    "pipe_dedup_segments",  // repeated-span removal (keep-first segments)
     "pipe_bm25",            // BM25 retrieval: stats scan -> scored top-k
     "pipe_tfidf",           // TF-IDF keywords: inverted-index grains + window
     "olap_huge_top",        // reference huge bench top-cell read — the huge

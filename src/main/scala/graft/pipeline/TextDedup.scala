@@ -331,6 +331,97 @@ object TextDedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Fixed-width word segments of each document: one row per `(id, seg_idx,
+    * segment)`, where segment `i` is words `[i*segWords, (i+1)*segWords)` of
+    * the whitespace-split text (the final segment may be shorter). The
+    * segmentation itself is a pure codegen'd Column plan — `split` +
+    * `sequence` + `slice` — so it is scan-shaped: no shuffle, no UDF, and
+    * exactly reproducible in the SQL oracle via list slicing.
+    */
+  def segments(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int): DataFrame = {
+    require(segWords >= 1, "segWords must be >= 1")
+    val arr = split(col(textCol), " ")
+    val lastIdx = floor((size(arr) - lit(1)) / lit(segWords)).cast("int")
+    val segArr = transform(
+      sequence(lit(0), lastIdx),
+      i => concat_ws(" ", slice(arr, i * segWords + 1, lit(segWords))))
+    df.select(col(idCol), posexplode(segArr))
+      .withColumnRenamed("pos", "seg_idx")
+      .withColumnRenamed("col", "segment")
+  }
+
+  /** Corpus-wide frequency of every segment — the evidence table behind
+    * [[scrubBoilerplate]], useful on its own for corpus forensics.
+    */
+  def segmentFrequencies(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int): DataFrame =
+    segments(df, idCol, textCol, segWords)
+      .groupBy(col("segment")).agg(count(lit(1)).as("freq"))
+
+  /** Reassemble per-doc text from surviving `(id, seg_idx, segment)` rows,
+    * in segment order. Docs with zero surviving segments disappear (group-by
+    * semantics) — callers wanting them back can left-join the original ids.
+    * `array_sort` on `struct(seg_idx, segment)` makes the collect order
+    * deterministic regardless of shuffle arrival order.
+    */
+  private def reassemble(segs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    segs.groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("segment")))),
+          s => s.getField("segment"))).as(textCol))
+
+  /** Corpus-wide EXACT segment dedup, keep-first: every occurrence of a
+    * repeated segment except the one with the smallest `(id, seg_idx)` is
+    * removed, and each doc's text is reassembled from its surviving
+    * segments (docs whose every segment was a later duplicate are dropped).
+    * This is the span-level exact-substring dedup of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better") restated
+    * over fixed word windows — the repeated-span removal a training
+    * pipeline runs after doc-level dedup.
+    *
+    * Shape at 100 TB: segmentation is scan-shaped, and the survivors ARE
+    * the per-segment minima — so the whole operator is exactly two
+    * aggregations, no join: `groupBy(segment).agg(min(struct(id,
+    * seg_idx)))` (partial-aggregatable map-side, so a segment repeated a
+    * billion times still combines before the exchange — no hot-key window
+    * sort anywhere) and the doc-grain reassembly.
+    */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 4): DataFrame = {
+    val segs = segments(df, idCol, textCol, segWords)
+    val kept = segs.groupBy(col("segment"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("__k"))
+      .select(col("__k").getField(idCol).as(idCol),
+        col("__k").getField("seg_idx").as("seg_idx"),
+        col("segment"))
+    reassemble(kept, idCol, textCol)
+  }
+
+  /** Boilerplate scrub, CCNet/RefinedWeb-style restated over fixed word
+    * windows: remove EVERY occurrence of any segment whose corpus frequency
+    * exceeds `maxFreq` (headers, footers, cookie banners — content that
+    * repeats across the corpus far more than natural text), reassembling
+    * each doc from what survives (docs that were pure boilerplate drop out).
+    *
+    * Shape at 100 TB: the boilerplate set (`freq > maxFreq`) is tiny
+    * relative to the corpus and born from a map-side-combinable count; the
+    * purge is a left-anti join against it — AQE broadcasts it when it fits,
+    * and the build side never scales with corpus size, only with the number
+    * of DISTINCT over-threshold segments.
+    */
+  def scrubBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 3, maxFreq: Long = 2): DataFrame = {
+    require(maxFreq >= 1, "maxFreq must be >= 1")
+    val boiler = segmentFrequencies(df, idCol, textCol, segWords)
+      .filter(col("freq") > maxFreq).select(col("segment"))
+    val kept = segments(df, idCol, textCol, segWords)
+      .join(boiler, Seq("segment"), "left_anti")
+    reassemble(kept, idCol, textCol)
+  }
+
   /** Eval-set decontamination — drop every corpus document that shares at
     * least `minHits` distinct n-word shingles with ANY document of the
     * (small) benchmark/eval set, the standard guard against test-set

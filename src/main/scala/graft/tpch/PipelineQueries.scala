@@ -112,6 +112,17 @@ object PipelineQueries {
       TextDedup.exactDedup(docs(s, dir), "doc_id", TextDedup.wordSetFingerprint(col("text")))
     }),
 
+    // corpus-wide exact segment dedup (keep-first repeated 4-word spans)
+    "pipe_dedup_segments" -> ((s, dir) => {
+      TextDedup.dedupSegments(docs(s, dir), "doc_id", "text", segWords = 4)
+    }),
+
+    // boilerplate scrub: drop every 3-word segment seen > 2 times corpus-wide
+    "pipe_scrub_boilerplate" -> ((s, dir) => {
+      TextDedup.scrubBoilerplate(docs(s, dir), "doc_id", "text",
+        segWords = 3, maxFreq = 2)
+    }),
+
     // exact word-set Jaccard near-dup pairs via inverted-index join
     "pipe_dedup_jaccard" -> ((s, dir) => {
       TextDedup.jaccardPairs(docs(s, dir), "doc_id", "text", 0.9)
@@ -355,6 +366,37 @@ object PipelineQueries {
     "pipe_dedup_fingerprint" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
          GROUP BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')""",
+
+    "pipe_dedup_segments" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         idx AS (SELECT doc_id, w,
+                        unnest(range(CAST((len(w)-1)//4 + 1 AS BIGINT))) AS i
+                 FROM arr),
+         segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+                         array_to_string(w[(i*4+1):(i*4+4)], ' ') AS segment
+                  FROM idx),
+         keep AS (SELECT doc_id, seg_idx FROM
+                    (SELECT doc_id, seg_idx,
+                            ROW_NUMBER() OVER (PARTITION BY segment
+                                               ORDER BY doc_id, seg_idx) AS rn
+                     FROM segs) WHERE rn = 1)
+         SELECT s.doc_id, string_agg(s.segment, ' ' ORDER BY s.seg_idx) AS text
+         FROM segs s JOIN keep k USING (doc_id, seg_idx)
+         GROUP BY s.doc_id""",
+
+    "pipe_scrub_boilerplate" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         idx AS (SELECT doc_id, w,
+                        unnest(range(CAST((len(w)-1)//3 + 1 AS BIGINT))) AS i
+                 FROM arr),
+         segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+                         array_to_string(w[(i*3+1):(i*3+3)], ' ') AS segment
+                  FROM idx),
+         boiler AS (SELECT segment FROM segs GROUP BY segment
+                    HAVING count(*) > 2)
+         SELECT s.doc_id, string_agg(s.segment, ' ' ORDER BY s.seg_idx) AS text
+         FROM segs s ANTI JOIN boiler b USING (segment)
+         GROUP BY s.doc_id""",
 
     "pipe_dedup_jaccard" -> JACCARD_ORACLE,
     "pipe_dedup_minhash" -> JACCARD_ORACLE,
