@@ -141,6 +141,30 @@ object TextAnalysis {
       s("dup_trigram_frac") > maxTrigramDup
   }
 
+  /** Corpus composition report: document / token / character / stopword-hit
+    * / punctuation totals per `(stratum1, stratum2)` cell with ROLLUP
+    * subtotals and a grand total — the mixture-accounting report a training
+    * pipeline publishes before choosing sampling weights. All evidence
+    * columns are INTEGER sums (no float averaging), so the report is
+    * bit-identical across engines and summation orders; consumers derive
+    * means/ratios from the totals.
+    *
+    * Shape at 100 TB: one partial-aggregatable ROLLUP over the scan —
+    * map-side combine reduces each partition to (|s1|·|s2| + |s1| + 1)
+    * rows before the single exchange.
+    */
+  def corpusReport(df: DataFrame, stratum1: String, stratum2: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.rollup(col(stratum1), col(stratum2)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCountWs(t).cast("long")).as("n_tokens"),
+      sum(length(t).cast("long")).as("n_chars"),
+      sum(langScore(t, "en").cast("long")).as("n_stop_hits"),
+      sum((length(t) - length(regexp_replace(t, "[.!?,;:]", ""))).cast("long"))
+        .as("n_punct"))
+  }
+
   /** PII scrub: redact e-mail addresses and phone-shaped digit runs with
     * typed placeholders. Pure codegen'd `regexp_replace` (replaces ALL
     * matches), scan-shaped at any scale; the patterns deliberately stay in

@@ -112,6 +112,11 @@ object PipelineQueries {
       TextDedup.exactDedup(docs(s, dir), "doc_id", TextDedup.wordSetFingerprint(col("text")))
     }),
 
+    // corpus composition report: ROLLUP totals per (lang, source)
+    "pipe_corpus_stats" -> ((s, dir) => {
+      TextAnalysis.corpusReport(docs(s, dir), "lang", "source", "text")
+    }),
+
     // corpus-wide exact segment dedup (keep-first repeated 4-word spans)
     "pipe_dedup_segments" -> ((s, dir) => {
       TextDedup.dedupSegments(docs(s, dir), "doc_id", "text", segWords = 4)
@@ -366,6 +371,20 @@ object PipelineQueries {
     "pipe_dedup_fingerprint" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
          GROUP BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')""",
+
+    "pipe_corpus_stats" -> {
+      val en = graft.pipeline.TextAnalysis.stopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString(",")
+      s"""SELECT lang, source, COUNT(*) AS n_docs,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+            CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+            CAST(SUM(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                        [$en]))) AS BIGINT) AS n_stop_hits,
+            CAST(SUM(length(text)
+                     - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) AS BIGINT)
+              AS n_punct
+          FROM documents GROUP BY ROLLUP (lang, source)"""
+    },
 
     "pipe_dedup_segments" ->
       """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

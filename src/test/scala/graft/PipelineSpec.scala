@@ -397,4 +397,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(1) == "call <PHONE> or <PHONE> now")
     assert(rows(2) == "nothing sensitive here")
   }
+
+  test("corpusReport: hand-computed rollup cells, subtotals, grand total") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "web", "the fast cat."),   // 3 tokens, 13 chars, 2 stop, 1 punct
+      ("en", "web", "of mice"),         // 2 tokens,  7 chars, 1 stop, 0 punct
+      ("en", "books", "in in in"),      // 3 tokens,  8 chars, 1 stop (distinct), 0
+      ("de", "web", "der hund!"))       // 2 tokens,  9 chars, 0 stop ('en' list), 0
+      .toDF("lang", "source", "text")
+    val out = TextAnalysis.corpusReport(docs, "lang", "source", "text")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(out((Some("en"), Some("web"))) == (2L, 5L, 20L, 3L, 1L))
+    assert(out((Some("en"), Some("books"))) == (1L, 3L, 8L, 1L, 0L))
+    assert(out((Some("de"), Some("web"))) == (1L, 2L, 9L, 0L, 1L))
+    assert(out((Some("en"), None)) == (3L, 8L, 28L, 4L, 1L))
+    assert(out((Some("de"), None)) == (1L, 2L, 9L, 0L, 1L))
+    assert(out((None, None)) == (4L, 10L, 37L, 4L, 2L))
+  }
 }
