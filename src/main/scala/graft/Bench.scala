@@ -321,12 +321,23 @@ object Bench {
     // the floor itself — the preflight's backoff exists to wait out exactly
     // that state. Never publish a run printed contended:true.
     val contended = canaries.count(_._1 > 1.3 * floor) * 2 > canaries.size
+    // Ramp verdict: host load that STARTS mid-run (observed live: hypervisor
+    // "weather" inflating totals 15-25% with an ascending canary sequence
+    // and a clean majority vote) shows as the LAST canary reading well above
+    // the floor while earlier ones sat on it. Self-reported so a reader can
+    // discount the artifact without forensics; like contended, a ramped run
+    // deserves a re-run on a settled host.
+    val ramped = canaries.nonEmpty && canaries.last._1 > 1.25 * floor
     val total = results.values.filter(_ >= 0).sum
     // "timing" is the semantics marker: per-query values are the MINIMUM
     // over `passes` warmed in-process passes (steady state), not one cold
     // pass — artifacts before round 4 were single-pass and not comparable
     val floorSource = if (envFloor.isDefined) "env" else "derived_min_observed"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","contended":$contended}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","contended":$contended,"canary_ramp":$ramped}""")
+    if (ramped && !contended) System.err.println(
+      s"[graft.Bench] WARNING: canary ramp — the final canary median read >1.25x " +
+      s"the ${floor}s floor while the run started clean; totals are likely " +
+      s"inflated by load that arrived mid-run, prefer a re-run")
     if (contended) System.err.println(
       s"[graft.Bench] WARNING: contended run — canary median exceeded 1.3x the " +
       s"${floor}s idle floor; numbers above are inflated, DO NOT publish this artifact")
