@@ -53,6 +53,47 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(strict == Map(1L -> "e f", 2L -> "x y", 3L -> "z z"))
   }
 
+  test("property: identity on an all-unique corpus; drop accounting exact") {
+    val rnd = new scala.util.Random(42)
+    // globally unique words -> every segment unique -> dedup is identity
+    var word = 0
+    val unique = (1L to 30L).map { id =>
+      id -> (0 until (3 + rnd.nextInt(12))).map { _ => word += 1; s"u$word" }
+        .mkString(" ")
+    }
+    val uniqueDf = unique.toDF("doc_id", "text")
+    assert(TextDedup.dedupSegments(uniqueDf, "doc_id", "text", segWords = 3)
+      .as[(Long, String)].collect().toMap == unique.toMap)
+    assert(TextDedup.scrubBoilerplate(uniqueDf, "doc_id", "text",
+      segWords = 3, maxFreq = 1)
+      .as[(Long, String)].collect().toMap == unique.toMap)
+
+    // random corpus over a tiny vocab (heavy repeats): the operator must
+    // equal a driver-side keep-first oracle computed from its own
+    // segmentation grain
+    val noisy = (1L to 50L).map { id =>
+      id -> (0 until (4 + rnd.nextInt(20))).map(_ => s"v${rnd.nextInt(6)}")
+        .mkString(" ")
+    }
+    val noisyDf = noisy.toDF("doc_id", "text")
+    val segs = TextDedup.segments(noisyDf, "doc_id", "text", 2)
+      .as[(Long, Int, String)].collect().toSeq
+    val keeper: Map[String, (Long, Int)] = segs.groupBy(_._3)
+      .map { case (s, occ) => s -> occ.map(o => (o._1, o._2)).min }
+    val expected = segs
+      .filter(o => keeper(o._3) == ((o._1, o._2)))
+      .groupBy(_._1)
+      .map { case (id, survivors) =>
+        id -> survivors.sortBy(_._2).map(_._3).mkString(" ") }
+    assert(TextDedup.dedupSegments(noisyDf, "doc_id", "text", 2)
+      .as[(Long, String)].collect().toMap == expected)
+    // frequency table accounts for every occurrence
+    val freqs = TextDedup.segmentFrequencies(noisyDf, "doc_id", "text", 2)
+      .as[(String, Long)].collect().toMap
+    assert(freqs.values.sum == segs.length)
+    assert(freqs.keySet == segs.map(_._3).toSet)
+  }
+
   test("reassembly order is segment order even with many segments") {
     // 40 distinct 1-word segments: collect_list arrival order is shuffle-
     // dependent; array_sort(struct(seg_idx, _)) must restore text order
