@@ -155,15 +155,22 @@ object TextAnalysis {
     */
   def corpusReport(df: DataFrame, stratum1: String, stratum2: String,
       textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.rollup(col(stratum1), col(stratum2)).agg(
-      count(lit(1)).as("n_docs"),
-      sum(tokenCountWs(t).cast("long")).as("n_tokens"),
-      sum(length(t).cast("long")).as("n_chars"),
-      sum(langScore(t, "en").cast("long")).as("n_stop_hits"),
-      sum((length(t) - length(regexp_replace(t, "[.!?,;:]", ""))).cast("long"))
-        .as("n_punct"))
+    val aggs = corpusAggs(col(textCol))
+    df.rollup(col(stratum1), col(stratum2)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The integer-sum aggregate battery behind [[corpusReport]] — shared
+    * with the streaming leaf-grain variant
+    * (`graft.streaming.Streaming.corpusReportStream`) so the two cannot
+    * drift.
+    */
+  def corpusAggs(t: Column): Seq[Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(tokenCountWs(t).cast("long")).as("n_tokens"),
+    sum(length(t).cast("long")).as("n_chars"),
+    sum(langScore(t, "en").cast("long")).as("n_stop_hits"),
+    sum((length(t) - length(regexp_replace(t, "[.!?,;:]", ""))).cast("long"))
+      .as("n_punct"))
 
   /** PII scrub: redact e-mail addresses and phone-shaped digit runs with
     * typed placeholders. Pure codegen'd `regexp_replace` (replaces ALL

@@ -111,6 +111,21 @@ object Streaming {
       .dropDuplicatesWithinWatermark("fp_canonical")
   }
 
+  /** Streaming corpus accounting: the LEAF cells of
+    * `TextAnalysis.corpusReport` maintained incrementally over a document
+    * stream (same integer-sum aggregate battery, shared via `corpusAggs`
+    * so batch and stream cannot drift). ROLLUP subtotals are not
+    * incremental streaming state in Spark — and don't need to be: they
+    * derive exactly from the leaf cells downstream. Run in Update/Complete
+    * output mode; integer sums make every emitted snapshot exact regardless
+    * of micro-batch boundaries.
+    */
+  def corpusReportStream(docs: DataFrame, stratum1: String, stratum2: String,
+      textCol: String = "text"): DataFrame = {
+    val aggs = graft.pipeline.TextAnalysis.corpusAggs(col(textCol))
+    docs.groupBy(col(stratum1), col(stratum2)).agg(aggs.head, aggs.tail: _*)
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 

@@ -256,6 +256,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("copy"))).sorted.toSeq == batch)
   }
 
+  test("streaming corpus report: incremental leaf totals equal the batch rollup leaves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "lang", "source", "text")
+    val q = graft.streaming.Streaming
+      .corpusReportStream(docs, "lang", "source", "text")
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("corpus_stream").start()
+    val batch1 = Seq(
+      (1L, "en", "web", "the fast cat."),
+      (2L, "en", "web", "of mice"),
+      (3L, "de", "web", "der hund!"))
+    val batch2 = Seq(
+      (4L, "en", "books", "in in in"),
+      (5L, "en", "web", "to be, or not"))
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM corpus_stream").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    q.stop()
+    // batch twin over the union: leaf cells only (both strata non-null)
+    val batchLeaves = graft.pipeline.TextAnalysis.corpusReport(
+      (batch1 ++ batch2).toDF("doc_id", "lang", "source", "text"),
+      "lang", "source", "text")
+      .collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(streamed == batchLeaves)
+  }
+
   test("chunking and repetition signals run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
