@@ -217,6 +217,21 @@ object Bench {
       return
     }
     val canaries = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    // Hypervisor-steal accounting around the timed passes: in-guest spin
+    // canaries CANNOT fully see steal (measured live: 1-8% `st` under
+    // all-core load inflated JVM-synchronization-heavy queries 25-35%
+    // while the independent spins moved ~10% — lock-holder preemption
+    // amplifies a stolen vCPU into a whole-JVM stall). /proc/stat's
+    // cumulative steal jiffies are the ground truth the hypervisor itself
+    // reports; the delta across the run, as a share of total cpu time,
+    // goes into the artifact so a reader can discount weather without
+    // guest-side forensics. (0.0 on hosts that don't expose steal.)
+    def cpuStat(): (Long, Long) = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      (l.sum, if (l.length > 7) l(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L) }
+    val (cpuTotal0, steal0) = cpuStat()
     // the bucketed-backed scratch cube: built once on pass 1, read per pass
     var bucketedCube: graft.core.Cube = null
     // min over successful passes; -1 only if every pass failed
@@ -328,12 +343,20 @@ object Bench {
     // discount the artifact without forensics; like contended, a ramped run
     // deserves a re-run on a settled host.
     val ramped = canaries.nonEmpty && canaries.last._1 > 1.25 * floor
+    val (cpuTotal1, steal1) = cpuStat()
+    val stealPct =
+      if (cpuTotal1 > cpuTotal0) 100.0 * (steal1 - steal0) / (cpuTotal1 - cpuTotal0)
+      else 0.0
     val total = results.values.filter(_ >= 0).sum
     // "timing" is the semantics marker: per-query values are the MINIMUM
     // over `passes` warmed in-process passes (steady state), not one cold
     // pass — artifacts before round 4 were single-pass and not comparable
     val floorSource = if (envFloor.isDefined) "env" else "derived_min_observed"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","contended":$contended,"canary_ramp":$ramped}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","contended":$contended,"canary_ramp":$ramped,"steal_pct":$stealPct%.2f}""")
+    if (stealPct > 1.0) System.err.println(
+      f"[graft.Bench] WARNING: hypervisor steal $stealPct%.2f%% of cpu time " +
+      "during this run — JVM-synchronization-heavy queries inflate far more " +
+      "than the steal share suggests; prefer per-query minima across runs")
     if (ramped && !contended) System.err.println(
       s"[graft.Bench] WARNING: canary ramp — the final canary median read >1.25x " +
       s"the ${floor}s floor while the run started clean; totals are likely " +
