@@ -227,9 +227,12 @@ object Bench {
     // goes into the artifact so a reader can discount weather without
     // guest-side forensics. (0.0 on hosts that don't expose steal.)
     def cpuStat(): (Long, Long) = try {
-      val l = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
-      (l.sum, if (l.length > 7) l(7) else 0L)
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val l = src.getLines().find(_.startsWith("cpu ")).get
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        (l.sum, if (l.length > 7) l(7) else 0L)
+      } finally src.close()
     } catch { case _: Throwable => (0L, 0L) }
     val (cpuTotal0, steal0) = cpuStat()
     // the bucketed-backed scratch cube: built once on pass 1, read per pass
