@@ -141,6 +141,39 @@ object TextAnalysis {
       s("dup_trigram_frac") > maxTrigramDup
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * algorithm): hash every `k`-word gram, slide a window of `w`
+    * consecutive gram hashes, keep each window's minimum — guaranteeing any
+    * shared run of ≥ `w + k − 1` words between two documents shares ≥ 1
+    * selected fingerprint, at a fraction of the full gram set. This is the
+    * partial-overlap detector the whole-doc md5 fingerprints can't be.
+    * Returns the sorted distinct selected hashes as an `array<bigint>`
+    * (empty when the doc has fewer than `k` words; one whole-doc window
+    * when it has fewer than `w` grams).
+    *
+    * Pure codegen'd Column — scan-shaped at any scale, stream-safe, and
+    * exactly reproducible cross-engine: gram hash = first 8 hex chars of
+    * md5 (the same portable trick as the bucketed-packing oracle; never
+    * xxhash64, which the SQL oracle cannot mirror). Grams join on chr(1)
+    * (the house n-gram separator) so multi-word tokens can't alias.
+    */
+  def winnowingFingerprints(textCol: Column, k: Int = 3, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val wds = words(textCol)
+    val n = size(wds)
+    val grams = transform(
+      sequence(lit(1), n - (k - 1)),
+      i => conv(substring(md5(array_join(slice(wds, i, lit(k)), "")), 1, 8),
+        16, 10).cast("long"))
+    val m = n - (k - 1) // gram count when n >= k
+    val starts = sequence(lit(1), greatest(m - (w - 1), lit(1)))
+    val sel = array_sort(array_distinct(
+      transform(starts, i => array_min(slice(grams, i, lit(w))))))
+    // sequence() generates DESCENDING when start > stop (silent wrong
+    // answer, same trap as repetitionSignals) — guard short docs explicitly
+    when(n >= k, sel).otherwise(array().cast("array<bigint>"))
+  }
+
   /** Corpus composition report: document / token / character / stopword-hit
     * / punctuation totals per `(stratum1, stratum2)` cell with ROLLUP
     * subtotals and a grand total — the mixture-accounting report a training

@@ -117,6 +117,12 @@ object PipelineQueries {
       TextAnalysis.corpusReport(docs(s, dir), "lang", "source", "text")
     }),
 
+    // winnowing fingerprints (MOSS): window-min gram hashes per document
+    "pipe_winnow" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.winnowingFingerprints(col("text"), 3, 4)).as("fp"))
+    }),
+
     // corpus-wide exact segment dedup (keep-first repeated 4-word spans)
     "pipe_dedup_segments" -> ((s, dir) => {
       TextDedup.dedupSegments(docs(s, dir), "doc_id", "text", segWords = 4)
@@ -385,6 +391,20 @@ object PipelineQueries {
               AS n_punct
           FROM documents GROUP BY ROLLUP (lang, source)"""
     },
+
+    "pipe_winnow" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len(w) - 3 + 2, 1)),
+                   i -> CAST('0x' || substring(md5(array_to_string(w[i:i+2], chr(1))), 1, 8)
+                        AS BIGINT)) AS hs
+               FROM tok),
+         f AS (SELECT doc_id,
+                 list_sort(list_distinct(
+                   list_transform(range(1, greatest(len(hs) - 4 + 2, 2)),
+                     i -> list_min(hs[i:i+3])))) AS fps
+               FROM g)
+         SELECT doc_id, unnest(fps) AS fp FROM f""",
 
     "pipe_dedup_segments" ->
       """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -398,6 +398,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(2) == "nothing sensitive here")
   }
 
+  test("winnowing fingerprints: subset-of-grams, overlap guarantee, edges") {
+    import spark.implicits._
+    def fps(texts: Seq[String], k: Int = 3, w: Int = 4): Seq[Seq[Long]] =
+      texts.zipWithIndex.map(_.swap).toDF("id", "text")
+        .orderBy("id")
+        .select(TextAnalysis.winnowingFingerprints(col("text"), k, w))
+        .as[Seq[Long]].collect().toSeq
+    val doc = "a b c d e f g h i j k l m n o p"
+    val Seq(f1) = fps(Seq(doc))
+    // selected fingerprints are a subset of the gram hash set
+    val grams = spark.range(1).toDF
+      .select(transform(
+        sequence(lit(1), lit(doc.split(" ").length - 2)),
+        i => conv(substring(md5(array_join(
+          slice(split(lit(doc), " "), i, lit(3)), "")), 1, 8), 16, 10)
+          .cast("long")).as("g")).as[Seq[Long]].head()
+    assert(f1.nonEmpty && f1.toSet.subsetOf(grams.toSet))
+    assert(f1 == f1.sorted && f1.distinct == f1)
+    // identical docs -> identical prints; the winnowing guarantee: a shared
+    // run of >= w+k-1 = 6 words shares >= 1 fingerprint even with different
+    // surroundings
+    val Seq(fa, fb) = fps(Seq(
+      "x1 x2 " + doc,                      // doc embedded after a prefix
+      doc + " y1 y2"))                     // doc with a suffix
+    assert(fa.toSet.intersect(fb.toSet).nonEmpty)
+    // edges: shorter than k -> empty; exactly k words -> single gram kept
+    assert(fps(Seq("one two")) == Seq(Seq.empty))
+    val Seq(single) = fps(Seq("one two three"))
+    assert(single.length == 1)
+    // unrelated vocab -> disjoint prints (no spurious collisions at 32 bits)
+    val Seq(fc, fd) = fps(Seq(doc, "q r s t u v w x y z aa bb"))
+    assert(fc.toSet.intersect(fd.toSet).isEmpty)
+  }
+
   test("corpusReport: hand-computed rollup cells, subtotals, grand total") {
     import spark.implicits._
     val docs = Seq(
