@@ -422,6 +422,42 @@ object TextDedup {
     reassemble(kept, idCol, textCol)
   }
 
+  /** Partial-overlap candidate pairs via winnowing fingerprints
+    * ([[TextAnalysis.winnowingFingerprints]]): docs sharing ≥ `minShared`
+    * selected fingerprints, with the shared count as overlap evidence. This
+    * detects CONTAINMENT — a paragraph of one doc embedded in another —
+    * which whole-doc similarity (Jaccard/MinHash/SimHash/embedding) scores
+    * near zero when the host document is large: any shared run of
+    * ≥ `w + k − 1` words guarantees a shared fingerprint regardless of
+    * the rest of either document.
+    *
+    * Shape at 100 TB: winnowing keeps ~1/w of gram hashes, so the posting
+    * relation is a fraction of an inverted index; pair generation joins
+    * through fingerprint posting lists and is quadratic ONLY in per-
+    * fingerprint df — `maxPostings` drops fingerprints seen in more docs
+    * than that (corpus boilerplate is overlap noise, not evidence; same
+    * boundedness argument as the prefix-filter hot-token cap above), so
+    * posting lists stay capped and the join never degenerates.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxPostings: Int = 1000): DataFrame = {
+    require(minShared >= 1 && maxPostings >= 2,
+      "need minShared >= 1 and maxPostings >= 2")
+    val fps = df.select(col(idCol),
+      explode(TextAnalysis.winnowingFingerprints(col(textCol), k, w)).as("fp"))
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxPostings).select(col("fp"))
+    val bounded = fps.join(keep, Seq("fp"))
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Eval-set decontamination — drop every corpus document that shares at
     * least `minHits` distinct n-word shingles with ANY document of the
     * (small) benchmark/eval set, the standard guard against test-set

@@ -123,6 +123,12 @@ object PipelineQueries {
         explode(TextAnalysis.winnowingFingerprints(col("text"), 3, 4)).as("fp"))
     }),
 
+    // containment candidates: docs sharing >= 2 winnowing fingerprints
+    "pipe_winnow_pairs" -> ((s, dir) => {
+      TextDedup.winnowPairs(docs(s, dir), "doc_id", "text",
+        k = 3, w = 4, minShared = 2, maxPostings = 50)
+    }),
+
     // corpus-wide exact segment dedup (keep-first repeated 4-word spans)
     "pipe_dedup_segments" -> ((s, dir) => {
       TextDedup.dedupSegments(docs(s, dir), "doc_id", "text", segWords = 4)
@@ -405,6 +411,25 @@ object PipelineQueries {
                      i -> list_min(hs[i:i+3])))) AS fps
                FROM g)
          SELECT doc_id, unnest(fps) AS fp FROM f""",
+
+    "pipe_winnow_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len(w) - 3 + 2, 1)),
+                   i -> CAST('0x' || substring(md5(array_to_string(w[i:i+2], chr(1))), 1, 8)
+                        AS BIGINT)) AS hs
+               FROM tok),
+         f AS (SELECT doc_id,
+                 list_sort(list_distinct(
+                   list_transform(range(1, greatest(len(hs) - 4 + 2, 2)),
+                     i -> list_min(hs[i:i+3])))) AS fps
+               FROM g),
+         e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         b AS (SELECT e.* FROM e
+               JOIN (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 50) USING (fp))
+         SELECT a.doc_id AS i, c.doc_id AS j, count(*) AS shared_fps
+         FROM b a JOIN b c ON a.fp = c.fp AND a.doc_id < c.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
 
     "pipe_dedup_segments" ->
       """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

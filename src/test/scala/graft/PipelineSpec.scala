@@ -432,6 +432,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(fc.toSet.intersect(fd.toSet).isEmpty)
   }
 
+  test("winnowPairs detects containment; posting cap drops boilerplate") {
+    import spark.implicits._
+    val shared = "s1 s2 s3 s4 s5 s6" // >= w+k-1 = 6 words: guaranteed hit
+    val docs = Seq(
+      (1L, "h1 h2 h3 h4 " + shared + " h5 h6 h7 h8 h9 h10"), // host
+      (2L, shared),                                          // contained doc
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val pairs = TextDedup.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(pairs.head._3 >= 1)
+    // a fingerprint present in EVERY doc is boilerplate: with the cap below
+    // its df it contributes no pairs
+    val boiler = Seq(
+      (1L, shared), (2L, shared), (3L, shared)).toDF("doc_id", "text")
+    assert(TextDedup.winnowPairs(boiler, "doc_id", "text",
+      k = 3, w = 4, minShared = 1, maxPostings = 2).count() == 0)
+  }
+
   test("corpusReport: hand-computed rollup cells, subtotals, grand total") {
     import spark.implicits._
     val docs = Seq(
