@@ -202,4 +202,76 @@ object Curation {
       Seq(stratumCol, col("bucket")),
       local => shiftleft(col("bucket").cast("long"), 40) + local)
   }
+
+  /** Token-budget corpus mixing — the "sample each domain down to its token
+    * allocation" step of assembling a pretraining mix (rates say HOW OFTEN,
+    * budgets say HOW MUCH): per stratum, documents are drawn in a
+    * deterministic pseudo-random order (the same md5 draw as
+    * [[sampleStratified]], id tie-break) and kept while the RUNNING token
+    * total stays within the stratum's budget — a greedy prefix, so the
+    * selected set is a function of (ids, salt, budgets) alone, identical at
+    * any partitioning or cluster size. A document that would overflow the
+    * budget is dropped but later smaller documents may still fit (the
+    * filter is per-row `cum ≤ budget`, not a hard cut at first overflow) —
+    * that fills budgets tighter and keeps the predicate scan-shaped after
+    * the one cumulative-sum window per stratum.
+    *
+    * Budgets are per stratum VALUE; unlisted strata use `defaultBudget`.
+    * `defaultBudget = Long.MaxValue` keeps unlisted strata whole.
+    *
+    * Output: input columns + `cum_tokens` (the running total INCLUDING this
+    * row — callers can audit how full each budget ran).
+    */
+  def mixtureByTokenBudget(df: DataFrame, idCol: Column, stratumCol: Column,
+      tokensCol: Column, budgets: Map[String, Long], defaultBudget: Long,
+      salt: String): DataFrame = {
+    require(!df.columns.contains("cum_tokens"),
+      "mixtureByTokenBudget emits a `cum_tokens` output column; rename the input's `cum_tokens` first")
+    val draw = substring(md5(concat(idCol.cast("string"), lit(":" + salt))), 1, 8)
+    val w = Window.partitionBy(stratumCol).orderBy(draw.asc, idCol.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, b)) =>
+      when(stratumCol === k, lit(b)).otherwise(acc)
+    }
+    df.withColumn("cum_tokens", sum(tokensCol.cast("long")).over(w))
+      .filter(col("cum_tokens") <= budgetCol)
+  }
+
+  /** Bucketed token-budget mixing — the 100 TB shape of
+    * [[mixtureByTokenBudget]], same split as [[packSequencesBucketed]]:
+    * one giant stratum would serialize its cumulative-sum window, so the
+    * stratum's budget is divided evenly across `nBuckets` md5-hash buckets
+    * (`budget / nBuckets`, integer floor) and the greedy prefix runs per
+    * (stratum, bucket). Window parallelism multiplies by `nBuckets`; the
+    * cost is approximation, and it is BOUNDED: each bucket under-fills by
+    * at most one document's tokens plus the floor remainder, so the
+    * selected total differs from the exact variant by at most
+    * `nBuckets · (maxDocTokens + 1)` tokens per stratum — negligible when
+    * budgets are millions of documents deep, which is exactly when the
+    * bucketing is needed. The draw stays the SAME md5 order, so bucket
+    * membership and within-bucket order are both engine-independent.
+    *
+    * Output: input columns + (`bucket`, `cum_tokens`).
+    */
+  def mixtureByTokenBudgetBucketed(df: DataFrame, idCol: Column,
+      stratumCol: Column, tokensCol: Column, budgets: Map[String, Long],
+      defaultBudget: Long, salt: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 65536,
+      s"nBuckets must be in 1..65536, got $nBuckets")
+    Seq("bucket", "cum_tokens").foreach(c =>
+      require(!df.columns.contains(c),
+        s"mixtureByTokenBudgetBucketed emits a `$c` output column; rename the input's `$c` first"))
+    val draw = substring(md5(concat(idCol.cast("string"), lit(":" + salt))), 1, 8)
+    val bucket = pmod(conv(draw, 16, 10).cast("long"), lit(nBuckets)).cast("int")
+    val w = Window.partitionBy(stratumCol, col("bucket")).orderBy(draw.asc, idCol.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-bucket budgets divide DRIVER-SIDE (exact integer floor — Column./
+    // is double division, a silently different semantic for odd budgets)
+    val budgetCol = budgets.foldLeft(lit(defaultBudget / nBuckets)) {
+      case (acc, (k, b)) => when(stratumCol === k, lit(b / nBuckets)).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket)
+      .withColumn("cum_tokens", sum(tokensCol.cast("long")).over(w))
+      .filter(col("cum_tokens") <= budgetCol)
+  }
 }

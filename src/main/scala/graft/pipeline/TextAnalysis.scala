@@ -141,6 +141,53 @@ object TextAnalysis {
       s("dup_trigram_frac") > maxTrigramDup
   }
 
+  /** Gopher-style heuristic document filters (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", table A1 — the standard pretraining
+    * quality gate battery): word-count bounds, mean word length, fraction
+    * of alphabetic words, distinct-stopword hits, and top-word dominance
+    * (the highest single-word frequency share — keyword stuffing and
+    * decoding loops light this up before the n-gram repetition signals do).
+    * All pure codegen'd array/regex Columns — scan-shaped, stream-safe,
+    * exactly reproducible in a SQL oracle (integer counts, one double
+    * division each).
+    *
+    * `top_word_frac` scans each doc's distinct words against its word list
+    * (O(vocab·len) per doc) — fine to ~10⁴-word documents, which the
+    * word-count ceiling enforces BEFORE this signal is consumed; a corpus
+    * of book-length docs should compute it relationally ([[TextDedup
+    * .wordRel]] → groupBy max count) instead.
+    */
+  def gopherSignals(textCol: Column): Seq[(String, Column)] = {
+    val w = words(textCol)
+    val n = size(w)
+    val meanWordLen = (length(textCol) - (n - 1)).cast("double") / n.cast("double")
+    val alphaFrac = size(filter(w, x => x.rlike("^[A-Za-z]+$"))).cast("double") /
+      n.cast("double")
+    val topCount = array_max(transform(array_distinct(w),
+      x => size(filter(w, y => y === x))))
+    Seq(
+      "n_words" -> n,
+      "mean_word_len" -> meanWordLen,
+      "alpha_word_frac" -> alphaFrac,
+      "stop_hits" -> langScore(textCol, "en"),
+      "top_word_frac" -> topCount.cast("double") / n.cast("double"))
+  }
+
+  /** Drop flag over [[gopherSignals]] at Gopher-shaped bounds — true means
+    * "fails the heuristic battery, drop before training". Bounds are
+    * parameters because every corpus re-tunes them.
+    */
+  def gopherDropFlag(textCol: Column, minWords: Int = 10, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+      maxTopWordFrac: Double = 0.2): Column = {
+    val s = gopherSignals(textCol).toMap
+    s("n_words") < minWords || s("n_words") > maxWords ||
+      s("mean_word_len") < minMeanWordLen || s("mean_word_len") > maxMeanWordLen ||
+      s("alpha_word_frac") < minAlphaFrac || s("stop_hits") < minStopHits ||
+      s("top_word_frac") > maxTopWordFrac
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
     * algorithm): hash every `k`-word gram, slide a window of `w`
     * consecutive gram hashes, keep each window's minimum — guaranteeing any

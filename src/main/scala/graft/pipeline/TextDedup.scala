@@ -28,6 +28,32 @@ object TextDedup {
   def wordSetFingerprint(textCol: Column): Column =
     array_join(array_sort(array_distinct(split(textCol, " "))), " ")
 
+  /** Exact dedup with a SOURCE-PRIORITY keep rule: among rows sharing a
+    * content key, keep the one with the smallest `priorityCol` (ties → the
+    * smallest id) — "prefer the curated mirror over the crawl" instead of
+    * [[exactDedup]]'s arbitrary min-id. The survivors ARE the per-key minima
+    * of `struct(priority, id)` (struct comparison is lexicographic and id is
+    * unique, so trailing carried fields never influence the choice): ONE
+    * aggregation, no join back against the corpus — the same
+    * aggregation-only shape that made segment dedup 4× faster than its
+    * semi-join draft. Carried columns ride inside the struct.
+    *
+    * Output: (idCol, priority, carryCols…, n_dups).
+    */
+  def dedupExactPriority(df: DataFrame, idCol: String, keyExpr: Column,
+      priorityCol: Column, carryCols: Seq[String] = Nil): DataFrame = {
+    require(!carryCols.contains(idCol) && !carryCols.contains("priority"),
+      "carryCols must not repeat the id or priority outputs")
+    val packed = struct(
+      (priorityCol.as("priority") +: col(idCol).as(idCol) +:
+        carryCols.map(col)): _*)
+    df.groupBy(keyExpr.as("__k"))
+      .agg(min(packed).as("__keep"), count(lit(1)).as("n_dups"))
+      .select((col(s"__keep.$idCol").as(idCol) +:
+        col("__keep.priority").as("priority") +:
+        carryCols.map(c => col(s"__keep.$c").as(c))) :+ col("n_dups"): _*)
+  }
+
   /** Candidate pairs under EXACT prefix filtering (ppjoin-style): order each
     * doc's tokens by global document frequency (rarest first, token text as
     * tiebreak), index only the first `|d| − ⌈t·|d|⌉ + 1` tokens, and join

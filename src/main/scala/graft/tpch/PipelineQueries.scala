@@ -140,6 +140,46 @@ object PipelineQueries {
         segWords = 3, maxFreq = 2)
     }),
 
+    // source-priority exact dedup on the word-set fingerprint: keep the
+    // best-priority source per duplicate group (priority = numeric source
+    // suffix mod 5; lower wins, id tie-break)
+    "pipe_dedup_priority" -> ((s, dir) => {
+      TextDedup.dedupExactPriority(docs(s, dir), "doc_id",
+        TextDedup.wordSetFingerprint(col("text")),
+        substring(col("source"), 4, 10).cast("int") % 5,
+        carryCols = Seq("source"))
+    }),
+
+    // token-budget corpus mixing: greedy md5-drawn prefix per lang until
+    // the stratum's token budget fills
+    "pipe_mixture" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+        .select("doc_id", "lang", "n_tokens")
+      Curation.mixtureByTokenBudget(d, col("doc_id"), col("lang"),
+        col("n_tokens"), Map("en" -> 6000L, "de" -> 2000L, "fr" -> 2000L),
+        defaultBudget = 1500L, salt = "mx7")
+    }),
+
+    // the bucketed 100 TB shape: budget split evenly over 4 md5 buckets,
+    // greedy prefix per (lang, bucket)
+    "pipe_mixture_bucketed" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+        .select("doc_id", "lang", "n_tokens")
+      Curation.mixtureByTokenBudgetBucketed(d, col("doc_id"), col("lang"),
+        col("n_tokens"), Map("en" -> 6000L, "de" -> 2000L, "fr" -> 2000L),
+        defaultBudget = 1500L, salt = "mx7", nBuckets = 4)
+    }),
+
+    // Gopher-style heuristic filter battery: five signals + the drop flag
+    "pipe_gopher_filter" -> ((s, dir) => {
+      val sig = TextAnalysis.gopherSignals(col("text"))
+      docs(s, dir).select((col("doc_id") +:
+        sig.map { case (n, c) => c.as(n) }) :+
+        TextAnalysis.gopherDropFlag(col("text")).as("dropped"): _*)
+    }),
+
     // exact word-set Jaccard near-dup pairs via inverted-index join
     "pipe_dedup_jaccard" -> ((s, dir) => {
       TextDedup.jaccardPairs(docs(s, dir), "doc_id", "text", 0.9)
@@ -461,6 +501,75 @@ object PipelineQueries {
          SELECT s.doc_id, string_agg(s.segment, ' ' ORDER BY s.seg_idx) AS text
          FROM segs s ANTI JOIN boiler b USING (segment)
          GROUP BY s.doc_id""",
+
+    // mirrors TextDedup.dedupExactPriority over the word-set fingerprint:
+    // survivor = min (priority, doc_id) per group; priority = numeric
+    // source suffix mod 5
+    "pipe_dedup_priority" ->
+      """WITH k AS (SELECT doc_id, source,
+             CAST(substring(source, 4) AS INTEGER) % 5 AS priority,
+             array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS fp
+           FROM documents),
+           r AS (SELECT doc_id, source, priority,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY priority, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY fp) AS n_dups
+           FROM k)
+         SELECT doc_id, priority, source, n_dups FROM r WHERE rn = 1""",
+
+    // mirrors Curation.mixtureByTokenBudget: greedy prefix in (md5 draw,
+    // id) order per lang, keep while the INCLUSIVE running total fits
+    "pipe_mixture" ->
+      """WITH t AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             substring(md5(CAST(doc_id AS VARCHAR) || ':mx7'), 1, 8) AS draw
+           FROM documents),
+           c AS (SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY draw, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 2000
+                                       WHEN 'fr' THEN 2000 ELSE 1500 END""",
+
+    // bucketed variant: same draw, bucket = first 8 md5 hex digits mod 4,
+    // per-bucket budget = stratum budget // 4
+    "pipe_mixture_bucketed" ->
+      """WITH t AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             substring(md5(CAST(doc_id AS VARCHAR) || ':mx7'), 1, 8) AS draw,
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mx7'), 1, 8)
+               AS BIGINT) % 4 AS INTEGER) AS bucket
+           FROM documents),
+           c AS (SELECT doc_id, lang, n_tokens, bucket,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY draw, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, lang, n_tokens, bucket, cum_tokens FROM c
+         WHERE cum_tokens <= CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 2000
+                                       WHEN 'fr' THEN 2000 ELSE 1500 END // 4""",
+
+    // mirrors TextAnalysis.gopherSignals/gopherDropFlag: integer counts,
+    // one double division per signal, bounds applied to the same doubles
+    "pipe_gopher_filter" -> {
+      val en = graft.pipeline.TextAnalysis.stopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+           s AS (SELECT doc_id,
+             CAST(len(ws) AS INTEGER) AS n_words,
+             CAST(length(text) - (len(ws) - 1) AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(ws, x -> regexp_full_match(x, '[A-Za-z]+'))) AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(ws), [$en])) AS INTEGER) AS stop_hits,
+             CAST(list_max(list_transform(list_distinct(ws),
+                 x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE) AS top_word_frac
+           FROM w)
+         SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits, top_word_frac,
+           (n_words < 10 OR n_words > 100000 OR mean_word_len < 3.0 OR mean_word_len > 10.0
+            OR alpha_word_frac < 0.8 OR stop_hits < 2 OR top_word_frac > 0.2) AS dropped
+         FROM s"""
+    },
 
     "pipe_dedup_jaccard" -> JACCARD_ORACLE,
     "pipe_dedup_minhash" -> JACCARD_ORACLE,

@@ -106,4 +106,65 @@ class CurationSpec extends AnyFunSuite {
     // ties broken by ascending id: (a,2) ranks before (a,3); (b,5) before (b,6)
     assert(top == Set(("a", 1L, 1), ("a", 2L, 2), ("b", 5L, 1), ("b", 6L, 2)))
   }
+
+  // ---- token-budget mixing --------------------------------------------------
+
+  private def md5hex8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+
+  private lazy val tokCorpus = (0L until 2000L).map { i =>
+    (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh", i % 17 + 1)
+  }.toDF("id", "lang", "n_tokens")
+
+  test("mixtureByTokenBudget matches a driver-side greedy-prefix oracle") {
+    val budgets = Map("en" -> 900L, "de" -> 400L)
+    val out = Curation.mixtureByTokenBudget(tokCorpus, col("id"), col("lang"),
+      col("n_tokens"), budgets, defaultBudget = 250L, salt = "t1")
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    // oracle: per stratum, order by (md5 draw, id), keep while inclusive
+    // running total fits — recomputed independently on the driver
+    val rows = (0L until 2000L).map { i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh", i % 17 + 1)
+    }
+    val expect = rows.groupBy(_._2).flatMap { case (lang, rs) =>
+      val budget = budgets.getOrElse(lang, 250L)
+      var cum = 0L
+      rs.sortBy(r => (md5hex8(s"${r._1}:t1"), r._1)).flatMap { r =>
+        cum += r._3
+        if (cum <= budget) Some(r._1 -> cum) else None
+      }
+    }.toMap
+    assert(out == expect)
+  }
+
+  test("mixtureByTokenBudget is deterministic and partitioning-independent") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Curation.mixtureByTokenBudget(df, col("id"), col("lang"), col("n_tokens"),
+        Map("en" -> 500L), 300L, "t2").select("id").as[Long].collect().sorted.toSeq
+    val once = ids(tokCorpus)
+    assert(once.nonEmpty)
+    assert(ids(tokCorpus.repartition(13)) == once)
+    assert(ids(tokCorpus.repartition(1)) == once)
+  }
+
+  test("mixtureByTokenBudgetBucketed respects per-bucket budgets and nests in the exact draw order") {
+    val budgets = Map("en" -> 800L, "de" -> 400L)
+    val out = Curation.mixtureByTokenBudgetBucketed(tokCorpus, col("id"),
+      col("lang"), col("n_tokens"), budgets, defaultBudget = 400L,
+      salt = "t3", nBuckets = 4)
+    val perBucket = out.groupBy("lang", "bucket")
+      .agg(max("cum_tokens").as("t")).select("lang", "t")
+      .as[(String, Long)].collect()
+    // every (stratum, bucket) prefix fits its budget/4 slice
+    assert(perBucket.forall { case (lang, t) => t <= budgets.getOrElse(lang, 400L) / 4 })
+    // the split never overfills a stratum, and every stratum kept something
+    assert(out.select("lang").distinct().count() == 3)
+    // determinism across partitionings
+    val a = out.select("id").as[Long].collect().sorted.toSeq
+    val b = Curation.mixtureByTokenBudgetBucketed(tokCorpus.repartition(11),
+      col("id"), col("lang"), col("n_tokens"), budgets, 400L, "t3", 4)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

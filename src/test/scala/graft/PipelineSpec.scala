@@ -471,4 +471,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(out((Some("de"), None)) == (1L, 2L, 9L, 0L, 1L))
     assert(out((None, None)) == (4L, 10L, 37L, 4L, 2L))
   }
+
+  test("dedupExactPriority keeps the best-priority row per group, id tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      // group "a b": priorities 2,1,1 → keeper id 20 (prio 1, lowest id)
+      (10L, "a b", 2, "crawl"),
+      (20L, "b a", 1, "mirror"),
+      (30L, "a a b", 1, "mirror2"),
+      // group "c": single row survives untouched
+      (40L, "c", 3, "solo"))
+      .toDF("doc_id", "text", "prio", "source")
+    val out = TextDedup.dedupExactPriority(df, "doc_id",
+      TextDedup.wordSetFingerprint(col("text")), col("prio"),
+      carryCols = Seq("source"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(out == Set((20L, 1, "mirror", 3L), (40L, 3, "solo", 1L)))
+    // min-id keep rule of exactDedup is the priority-0 special case
+    val flat = TextDedup.dedupExactPriority(df, "doc_id",
+      TextDedup.wordSetFingerprint(col("text")), lit(0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(flat == Set(10L, 40L))
+  }
+
+  test("gopher signals: hand-computed values and drop-flag bounds") {
+    import spark.implicits._
+    val df = Seq(
+      // 12 words, all alpha, 4 distinct stopwords (the/and/to/fast), top
+      // word 'the' x2 -> keep
+      (1L, "the fast cat and the dog ran over a hill to rest"),
+      // keyword stuffing: top_word_frac 10/12 -> dropped
+      (2L, "buy buy buy buy buy buy buy buy buy buy the of"),
+      // too short -> dropped
+      (3L, "the of tiny"),
+      // numbers are not alpha words: alpha_word_frac 8/12 < 0.8 -> dropped
+      (4L, "the fast dog and 1 2 3 4 cat ran far away"))
+      .toDF("doc_id", "text")
+    val sig = TextAnalysis.gopherSignals(col("text"))
+    val out = df.select((col("doc_id") +: sig.map { case (n, c) => c.as(n) }) :+
+      TextAnalysis.gopherDropFlag(col("text")).as("dropped"): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4), r.getDouble(5),
+          r.getBoolean(6))).toMap
+    val (n1, mwl1, af1, sh1, twf1, d1) = out(1L)
+    assert(n1 == 12 && af1 == 1.0 && sh1 == 4 && !d1)
+    assert(math.abs(mwl1 - (48 - 11) / 12.0) < 1e-12) // 48 chars incl. 11 spaces
+    assert(math.abs(twf1 - 2 / 12.0) < 1e-12)
+    assert(out(2L)._6 && math.abs(out(2L)._5 - 10 / 12.0) < 1e-12) // stuffing
+    assert(out(3L)._6)                                             // length floor
+    assert(out(4L)._6 && math.abs(out(4L)._3 - 8 / 12.0) < 1e-12)  // alpha floor
+  }
 }
