@@ -106,23 +106,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val corpusVec = corpus.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("__fv"))
-    // Training contract: the coarse quantizer is fit on a deterministic
-    // subset of at most `trainCap` vectors — centroid quality needs only a
-    // representative sample, and a full-corpus fit would be the one
-    // non-sublinear step at 100 TB. The cap probe is a `limit(cap+1).count()`
-    // (stops scanning once the limit is hit) so a within-cap corpus — the
-    // common case, unchanged results — never pays a full scan. An over-cap
-    // corpus takes the trainCap SMALLEST id-hashes (TakeOrdered: per-
-    // partition top-k, then a single bounded merge) — a uniform,
-    // partitioning-independent pseudo-sample of exactly trainCap rows in the
-    // one pass the fit reads anyway; no full count() action, no fraction to
-    // derive.
-    val overCap = corpusVec.limit(math.min(trainCap + 1, Int.MaxValue.toLong).toInt)
-      .count() > trainCap
-    val trainSet =
-      if (!overCap) corpusVec
-      else corpusVec.withColumn("__h", xxhash64(col(idCol)))
-        .orderBy(col("__h")).limit(trainCap.toInt).drop("__h")
+    val trainSet = trainSample(corpusVec, idCol, trainCap)
     val km = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("__fv").setPredictionCol("__cell")
     val model = km.fit(trainSet)
@@ -198,6 +182,26 @@ object Similarity {
     Lifecycle.materializeAndRelease(result, banded, vecs)
   }
 
+  /** Training contract shared by [[ivfTopK]] and [[kmeansFit]]: fit on a
+    * deterministic subset of at most `trainCap` vectors — centroid quality
+    * needs only a representative sample, and a full-corpus fit would be the
+    * one non-sublinear step at 100 TB. The cap probe is a
+    * `limit(cap+1).count()` (stops scanning once the limit is hit) so a
+    * within-cap corpus — the common case, unchanged results — never pays a
+    * full scan. An over-cap corpus takes the trainCap SMALLEST id-hashes
+    * (TakeOrdered: per-partition top-k, then a single bounded merge) — a
+    * uniform, partitioning-independent pseudo-sample of exactly trainCap
+    * rows in the one pass the fit reads anyway; no full count() action, no
+    * fraction to derive.
+    */
+  private def trainSample(corpusVec: DataFrame, idCol: String, trainCap: Long): DataFrame = {
+    val overCap = corpusVec.limit(math.min(trainCap + 1, Int.MaxValue.toLong).toInt)
+      .count() > trainCap
+    if (!overCap) corpusVec
+    else corpusVec.withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h")).limit(trainCap.toInt).drop("__h")
+  }
+
   /** Exact embedding near-dup pairs above a cosine threshold — the all-pairs
     * oracle baseline for [[lshNearDupPairs]] (oracle-checkable in DuckDB);
     * quadratic, never the user-facing operator at corpus scale.
@@ -212,5 +216,91 @@ object Similarity {
           sqrt(dotQ(col("vj"), col("vj")).cast("double"))))
       .filter(col("sim") >= threshold)
       .select(col("i"), col("j"), col("sim"))
+  }
+
+  // ---- Semantic clustering + SemDeDup ------------------------------------
+
+  /** Driver-side mirror of [[quantize]]. Spark `round` is HALF_UP away from
+    * zero — `math.round` differs on negative halves (≙ the Rules.scala:503
+    * parity note), so quantize through BigDecimal like the column does.
+    */
+  private def quantizeDriver(v: Array[Double]): Array[Long] =
+    v.map(x => BigDecimal(x * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+
+  /** The embeddings of `ids`, in `ids` order, as centroid seeds — a bounded
+    * k-row driver collect (same driver-size contract as [[ivfTopK]]'s model).
+    */
+  def centroidsFromIds(df: DataFrame, ids: Seq[Long],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Array[Double]] = {
+    val m = df.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    ids.map(id => m.getOrElse(id,
+      throw new IllegalArgumentException(s"centroid seed id $id not found")))
+  }
+
+  /** Fit `k` cluster centroids (Lloyd's, fixed seed, ≤`trainCap`
+    * deterministic sample — the [[trainSample]] training contract). Returns
+    * driver-side centroids for [[kmeansAssign]] / [[semDedup]]; k is bounded
+    * (centroids ride the plan as literals), the corpus is not.
+    */
+  def kmeansFit(df: DataFrame, k: Int, maxIter: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainCap: Long = 200_000L): Seq[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusVec = df.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__fv"))
+    val km = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
+      .setFeaturesCol("__fv").setPredictionCol("__cell")
+    km.fit(trainSample(corpusVec, idCol, trainCap)).clusterCenters.map(_.toArray).toSeq
+  }
+
+  /** Nearest-centroid assignment by cosine. The centroids attach as plan
+    * LITERALS — per row, k codegen'd integer dots and one `array_min` over
+    * `(−sim, cluster)` structs — so the plan is a pure scan: no join, no
+    * shuffle, no row fan-out; at 100 TB this costs one pass at k·dim
+    * multiplies per row. Tie-break: lowest cluster index. Sims follow the
+    * module's exact-quantized convention, so the assignment is bit-stable
+    * across partitioning and engines (DuckDB oracle reproduces it). For k
+    * beyond a few thousand, assign hierarchically (coarse cells first, e.g.
+    * [[ivfTopK]]'s layout) instead of widening the literal array.
+    */
+  def kmeansAssign(df: DataFrame, centroids: Seq[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "kmeansAssign needs at least one centroid")
+    val withV = df.withColumn("__qv", quantize(col(vecCol)))
+    val entries = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = typedlit(quantizeDriver(c).toSeq)
+      struct((-cosineQ(col("__qv"), cl)).as("negsim"), lit(i).as("cluster"))
+    }
+    withV.withColumn("__best", array_min(array(entries: _*)))
+      .withColumn("cluster", col("__best").getField("cluster"))
+      .withColumn("sim", -col("__best").getField("negsim"))
+      .drop("__best", "__qv")
+  }
+
+  /** SemDeDup (Abbas et al. 2023 shape): semantic near-dup removal scoped
+    * WITHIN clusters — assign every vector to its nearest centroid
+    * ([[kmeansAssign]], scan-shaped), then drop any vector with a LOWER-id
+    * cluster-mate at cosine ≥ `threshold` (keep-first, ≙ the text-side
+    * purge semantics). The pairwise step self-joins on the cluster key, so
+    * the quadratic is bounded per cluster — size k to the corpus
+    * (k ≈ N/10⁵ keeps cells web-scale-sized) and the shuffle carries the
+    * cluster column only. Returns survivors with their `cluster` and
+    * assignment `sim` attached.
+    */
+  def semDedup(df: DataFrame, centroids: Seq[Array[Double]], threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeansAssign(df, centroids, idCol, vecCol)
+    val slim = assigned.select(col("cluster"), col(idCol).as("__i"),
+      quantize(col(vecCol)).as("__v"))
+    val dropped = slim
+      .join(slim.select(col("cluster"), col("__i").as("__j"), col("__v").as("__vj")),
+        Seq("cluster"))
+      .filter(col("__i") < col("__j"))
+      .filter(cosineQ(col("__v"), col("__vj")) >= threshold)
+      .select(col("__j").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
   }
 }

@@ -270,6 +270,25 @@ object PipelineQueries {
         Seq("query_id", "cand_id"), recallFloor = 0.3)
     }),
 
+    // nearest-centroid assignment by cosine (centroid seeds = embeddings of
+    // vec_id 0..7, so the oracle can reproduce them) — literal-centroid
+    // argmax, pure scan: no join/shuffle in the plan (KMeansSemDedupSpec
+    // asserts it)
+    "pipe_kmeans_assign" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.kmeansAssign(e, Similarity.centroidsFromIds(e, 0L until 8L))
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("sim"))
+    }),
+
+    // SemDeDup: within-cluster cosine near-dup removal, keep-first — the
+    // survivors with their cluster, against a full DuckDB re-derivation
+    // (assign → cluster-scoped pairs → anti)
+    "pipe_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.semDedup(e, Similarity.centroidsFromIds(e, 0L until 8L), 0.35)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    }),
+
     // language ID (stopword-hit argmax heuristic)
     "pipe_lang_id" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -600,6 +619,40 @@ object PipelineQueries {
           FROM q a JOIN q b ON a.vec_id < b.vec_id
           WHERE ${dot("a.v", "b.v")} / (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("b.v", "b.v")})) >= 0.45"""
     },
+
+    // mirrors Similarity.kmeansAssign: argmax cosine over the vec_id<8 seed
+    // centroids, tie-break lowest centroid — sims from the same exact
+    // integer dots, so the doubles hash-match bit-for-bit
+    "pipe_kmeans_assign" ->
+      s"""WITH q AS (SELECT vec_id, ${QV.format("embedding")} AS v FROM embeddings),
+           c AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+           s AS (SELECT q.vec_id, c.cid,
+                   ${dot("q.v", "c.cv")} / (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("c.cv", "c.cv")})) AS sim
+                 FROM q CROSS JOIN c),
+           r AS (SELECT vec_id, cid, sim,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+                 FROM s)
+         SELECT vec_id, cid AS cluster, sim FROM r WHERE rk = 1""",
+
+    // mirrors Similarity.semDedup: assign → cluster-scoped near-dup pairs
+    // (cos >= 0.35) → drop the higher id of every pair, keep-first
+    "pipe_semdedup" ->
+      s"""WITH q AS (SELECT vec_id, ${QV.format("embedding")} AS v FROM embeddings),
+           c AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+           s AS (SELECT q.vec_id, c.cid,
+                   ${dot("q.v", "c.cv")} / (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("c.cv", "c.cv")})) AS sim
+                 FROM q CROSS JOIN c),
+           asg AS (SELECT vec_id, cid AS cluster FROM (
+                     SELECT vec_id, cid, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM s)
+                   WHERE rk = 1),
+           dropped AS (SELECT DISTINCT b.vec_id AS j
+             FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             JOIN q qa ON qa.vec_id = a.vec_id
+             JOIN q qb ON qb.vec_id = b.vec_id
+             WHERE ${dot("qa.v", "qb.v")} / (sqrt(${dot("qa.v", "qa.v")}) * sqrt(${dot("qb.v", "qb.v")})) >= 0.35)
+         SELECT asg.vec_id, asg.cluster FROM asg
+         WHERE asg.vec_id NOT IN (SELECT j FROM dropped)""",
 
     "pipe_ann_brute" ->
       s"""WITH q AS (SELECT vec_id, ${QV.format("embedding")} AS v FROM embeddings),
