@@ -303,4 +303,27 @@ object Similarity {
       .select(col("__j").as(idCol)).distinct()
     assigned.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Prototype-based data pruning (Sorscher et al. 2022 shape): within each
+    * cluster, rank vectors by prototypicality — cosine to the assigned
+    * centroid, most prototypical first — and KEEP the least prototypical
+    * `keepFrac` (hard examples carry more training signal than duplicates
+    * of the cluster mode). One `row_number` + `count` window pair on the
+    * cluster key: a single bounded shuffle after the scan-shaped
+    * assignment. Ties break on id, so the kept set is deterministic.
+    * Returns survivors with `cluster`, `sim`, and their prototypicality
+    * `rank` (1 = most prototypical, pruned first).
+    */
+  def pruneByPrototypes(df: DataFrame, centroids: Seq[Array[Double]],
+      keepFrac: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(keepFrac >= 0.0 && keepFrac <= 1.0, s"keepFrac $keepFrac outside [0,1]")
+    val w = Window.partitionBy(col("cluster"))
+    val assigned = kmeansAssign(df, centroids, idCol, vecCol)
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("sim").desc, col(idCol).asc)))
+      .withColumn("__n", count(lit(1)).over(w))
+    assigned.filter(col("rank") > col("__n") - ceil(col("__n") * keepFrac))
+      .drop("__n")
+  }
 }

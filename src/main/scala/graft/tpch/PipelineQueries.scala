@@ -289,6 +289,15 @@ object PipelineQueries {
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
     }),
 
+    // prototype pruning: per cluster keep the least prototypical 25%
+    // (hard examples) — rank = prototypicality (1 = closest to centroid)
+    "pipe_prune_prototypes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pruneByPrototypes(e, Similarity.centroidsFromIds(e, 0L until 8L), 0.25)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("sim"), col("rank").cast("long").as("rank"))
+    }),
+
     // language ID (stopword-hit argmax heuristic)
     "pipe_lang_id" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -653,6 +662,25 @@ object PipelineQueries {
              WHERE ${dot("qa.v", "qb.v")} / (sqrt(${dot("qa.v", "qa.v")}) * sqrt(${dot("qb.v", "qb.v")})) >= 0.35)
          SELECT asg.vec_id, asg.cluster FROM asg
          WHERE asg.vec_id NOT IN (SELECT j FROM dropped)""",
+
+    // mirrors Similarity.pruneByPrototypes: assignment, then per-cluster
+    // prototypicality rank (sim DESC, id) — keep rank > n - ceil(n*0.25)
+    "pipe_prune_prototypes" ->
+      s"""WITH q AS (SELECT vec_id, ${QV.format("embedding")} AS v FROM embeddings),
+           c AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+           s AS (SELECT q.vec_id, c.cid,
+                   ${dot("q.v", "c.cv")} / (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("c.cv", "c.cv")})) AS sim
+                 FROM q CROSS JOIN c),
+           asg AS (SELECT vec_id, cid AS cluster, sim FROM (
+                     SELECT vec_id, cid, sim, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk FROM s)
+                   WHERE rk = 1),
+           ranked AS (SELECT vec_id, cluster, sim,
+                   ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY sim DESC, vec_id) AS rank,
+                   COUNT(*) OVER (PARTITION BY cluster) AS n
+                 FROM asg)
+         SELECT vec_id, cluster, sim, rank FROM ranked
+         WHERE rank > n - CEIL(n * 0.25)""",
 
     "pipe_ann_brute" ->
       s"""WITH q AS (SELECT vec_id, ${QV.format("embedding")} AS v FROM embeddings),

@@ -88,4 +88,30 @@ class KMeansSemDedupSpec extends AnyFunSuite {
     for (i <- surv; j <- surv if i < j && assign(i) == assign(j))
       assert(cos(vecs(i), vecs(j)) < t, s"surviving near-dup pair ($i,$j)")
   }
+
+  test("pruneByPrototypes keeps exactly the least-prototypical keepFrac per cluster") {
+    val vecs = collectVecs()
+    val cents = Similarity.centroidsFromIds(emb, 0L until 8L)
+    val qcents = (0L until 8L).map(vecs(_))
+    val scored = vecs.toSeq.map { case (id, v) =>
+      val best = qcents.zipWithIndex.map { case (c, i) => (-cos(v, c), i) }.min
+      (id, best._2, -best._1)
+    }
+    val keepFrac = 0.25
+    val expected = scored.groupBy(_._2).flatMap { case (_, members) =>
+      val byProto = members.sortBy { case (id, _, sim) => (-sim, id) }
+      val n = byProto.size
+      byProto.zipWithIndex.collect {
+        case ((id, cl, _), idx) if (idx + 1) > n - math.ceil(n * keepFrac) =>
+          (id, cl, idx + 1)
+      }
+    }.toSet
+    val got = Similarity.pruneByPrototypes(emb, cents, keepFrac)
+      .select(col("vec_id").cast("long"), col("cluster"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == expected, "kept set + prototypicality ranks must match driver oracle")
+    // boundary behavior: keepFrac 0 keeps nothing, keepFrac 1 keeps all
+    assert(Similarity.pruneByPrototypes(emb, cents, 0.0).count() == 0)
+    assert(Similarity.pruneByPrototypes(emb, cents, 1.0).count() == vecs.size)
+  }
 }
