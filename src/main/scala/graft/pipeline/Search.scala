@@ -212,4 +212,63 @@ object Search {
       .filter(col("rank") <= k)
       .select("doc_id", "term", "tf", "df", "rank")
   }
+
+  // ---- Bigram-LM familiarity (perplexity-style filtering) ----------------
+
+  /** Per-document familiarity under an add-α bigram language model trained
+    * on the corpus being scored — the CCNet perplexity-filter shape without
+    * an external LM: documents whose word transitions are rare in the
+    * corpus (gibberish, boilerplate soup, wrong-language fragments) score
+    * low and can be cut on `avg_logprob`.
+    *
+    * Per document: `logprob = Σ ln((C(w1,w2)+α)/(C(w1·)+α·V))` over its
+    * bigrams, where `C(w1,w2)` is the corpus bigram count, `C(w1·)` the
+    * context count (bigrams starting with w1), and `V` the corpus
+    * vocabulary (one scan-shaped countDistinct, attached as a literal like
+    * [[corpusStats]]). Also emits the EXACT integer evidence — `n_bigrams`,
+    * `bg_mass = Σ C(w1,w2)`, `ug_mass = Σ C(w1·)` — which is what the
+    * DuckDB gate compares (ln is libm-dependent; the counts are not).
+    *
+    * Shape at 100 TB: one explode to the bigram grain, two count
+    * aggregations (bigram / context — partial-combining), a join of the
+    * bigram grain back to its counts, and one per-document aggregation —
+    * the [[tfidfKeywords]] family, nothing quadratic, nothing driver-side
+    * but the vocab scalar. Counts include each document's own
+    * contribution (the LM trains on the corpus it scores).
+    */
+  def lmFamiliarity(df: DataFrame, idCol: Column, textCol: Column,
+      alpha: Double = 0.5): DataFrame = {
+    val SEP = "\u0001"
+    val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__ws"))
+    val nb = greatest(size(col("__ws")) - 1, lit(0))
+    val bg = base.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("__ws"), lit(1), nb), slice(col("__ws"), lit(2), nb),
+        (a, b) => concat(a, lit(SEP), b))).as("bigram"))
+    val w1 = substring_index(col("bigram"), SEP, 1)
+    val bgCounts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
+    val ugCounts = bg.select(w1.as("w1")).groupBy(col("w1"))
+      .agg(count(lit(1)).as("c_ug"))
+    val vocab = base.select(explode(col("__ws")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val scored = bg
+      .join(bgCounts, Seq("bigram"))
+      .withColumn("w1", w1)
+      .join(ugCounts, Seq("w1"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c_bg")).as("bg_mass"),
+        sum(col("c_ug")).as("ug_mass"),
+        sum(log((col("c_bg").cast("double") + lit(alpha)) /
+          (col("c_ug").cast("double") + lit(alpha * vocab)))).as("logprob"))
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bg_mass"), lit(0L)).as("bg_mass"),
+        coalesce(col("ug_mass"), lit(0L)).as("ug_mass"),
+        coalesce(col("logprob"), lit(0.0)).as("logprob"),
+        (coalesce(col("logprob"), lit(0.0)) /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)).cast("double"))
+          .as("avg_logprob"))
+  }
 }

@@ -298,6 +298,14 @@ object PipelineQueries {
           col("sim"), col("rank").cast("long").as("rank"))
     }),
 
+    // bigram-LM familiarity (CCNet perplexity-filter shape, in-engine LM):
+    // the gate compares the EXACT integer evidence (bigram/context count
+    // masses) — the ln-based logprob is engine-internal (libm)
+    "pipe_lm_familiarity" -> ((s, dir) => {
+      graft.pipeline.Search.lmFamiliarity(docs(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_bigrams"), col("bg_mass"), col("ug_mass"))
+    }),
+
     // language ID (stopword-hit argmax heuristic)
     "pipe_lang_id" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -926,5 +934,30 @@ object PipelineQueries {
            FROM p JOIN d ON p.w = d.w CROSS JOIN n
            WHERE p.doc_id < 60)
          SELECT doc_id, term, tf, df, rank FROM sc WHERE rank <= 3""",
+
+    // mirrors Search.lmFamiliarity's integer evidence: bigram grain via
+    // unnest(range(len-1)), chr(1)-joined bigrams, global bigram/context
+    // counts joined back and summed per document (docs with <2 words keep
+    // zero rows via the left join)
+    "pipe_lm_familiarity" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+           FROM documents),
+         ix AS (SELECT doc_id, ws, unnest(range(CAST(len(ws) - 1 AS BIGINT))) AS i
+                FROM tok WHERE len(ws) >= 2),
+         bg AS (SELECT doc_id,
+                  ws[CAST(i + 1 AS INTEGER)] || chr(1) || ws[CAST(i + 2 AS INTEGER)] AS bigram,
+                  ws[CAST(i + 1 AS INTEGER)] AS w1
+                FROM ix),
+         cb AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+         cu AS (SELECT w1, count(*) AS c_ug FROM bg GROUP BY 1),
+         agg AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+                   CAST(sum(cb.c_bg) AS BIGINT) AS bg_mass,
+                   CAST(sum(cu.c_ug) AS BIGINT) AS ug_mass
+                 FROM bg JOIN cb USING (bigram) JOIN cu USING (w1)
+                 GROUP BY 1)
+         SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           COALESCE(a.bg_mass, 0) AS bg_mass, COALESCE(a.ug_mass, 0) AS ug_mass
+         FROM documents d LEFT JOIN agg a USING (doc_id)""",
   )
 }

@@ -152,4 +152,52 @@ class SearchSpec extends AnyFunSuite {
       .select(Search.tokens(col("t")).as("w")).head.getSeq[String](0)
     assert(r == Seq("a", "b", "c"))
   }
+
+  test("lmFamiliarity matches a driver-side add-alpha bigram LM") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val alpha = 0.5
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
+      .toMap
+    val allBigrams = texts.values.toSeq.flatMap(ws => ws.zip(ws.drop(1)))
+    val cBg = allBigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cUg = allBigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val vocab = texts.values.flatten.toSet.size.toLong
+    val expected = texts.map { case (id, ws) =>
+      val bgs = ws.zip(ws.drop(1))
+      val lp = bgs.map(b =>
+        math.log((cBg(b) + alpha) / (cUg(b._1) + alpha * vocab))).sum
+      id -> ((bgs.size.toLong, bgs.map(cBg).sum, bgs.map(b => cUg(b._1)).sum, lp))
+    }
+    val got = Search.lmFamiliarity(docs, col("doc_id"), col("text"), alpha)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == expected.keySet, "every document must be scored")
+    expected.foreach { case (id, (n, bgm, ugm, lp)) =>
+      val (gn, gbgm, gugm, glp, gavg) = got(id)
+      assert(gn == n && gbgm == bgm && gugm == ugm, s"doc $id integer evidence")
+      // engine sums the per-bigram logs in partition order — tolerance, not exact
+      assert(math.abs(glp - lp) <= 1e-9 * math.max(1.0, math.abs(lp)), s"doc $id logprob")
+      val expAvg = if (n == 0) 0.0 else glp / n.toDouble
+      assert(math.abs(gavg - expAvg) < 1e-12, s"doc $id avg_logprob")
+    }
+    // the unseen-text path is sharp: an alien doc whose words appear nowhere
+    // else contributes exactly singleton counts, so its logprob is
+    // n · ln((1+α)/(1+α·V')) with V' the union vocabulary — checked exactly
+    // (note add-α gives UNSEEN contexts a small denominator, so gibberish is
+    // deliberately not claimed to be the global minimum; proper backoff is
+    // out of scope)
+    val s = spark
+    import s.implicits._
+    val alien = Seq((999999L, "zzq qxv vnm mkp pqr rst")).toDF("doc_id", "text")
+    val scored = Search.lmFamiliarity(docs.select("doc_id", "text").union(alien),
+      col("doc_id"), col("text"), alpha)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    val (an, abgm, alp) = scored(999999L)
+    assert(an == 5L && abgm == 5L, "alien bigrams must be singletons")
+    val expectedAlien = 5.0 * math.log((1.0 + alpha) / (1.0 + alpha * (vocab + 6)))
+    assert(math.abs(alp - expectedAlien) <= 1e-12 * math.abs(expectedAlien),
+      s"alien logprob $alp vs $expectedAlien")
+  }
 }
