@@ -513,4 +513,27 @@ object TextDedup {
       .select(col(idCol))
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** The fingerprint index of an already-ingested corpus: one row per
+    * distinct canonical fingerprint ([[TextAnalysis.canonicalFingerprint]]).
+    * Persist it (bucketed by `fp` at scale) and hand it to [[novelOnly]] on
+    * every subsequent intake batch or stream.
+    */
+  def fingerprintIndex(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(TextAnalysis.canonicalFingerprint(col(textCol)).as("fp"))
+      .distinct()
+
+  /** Novelty filter for continuous intake — batch AND streaming: attach
+    * each incoming document's canonical fingerprint, keep the FIRST
+    * occurrence per fingerprint (on a stream: stateful `dropDuplicates`
+    * across micro-batches), and drop everything the static corpus index
+    * already holds (stream-static `left_anti`, natively supported by
+    * Structured Streaming). State is bounded by the count of distinct
+    * NOVEL fingerprints — watermark upstream to bound it in time at
+    * 100 TB/day intake. Emits the incoming columns plus `fp`.
+    */
+  def novelOnly(incoming: DataFrame, index: DataFrame, textCol: String): DataFrame =
+    incoming.withColumn("fp", TextAnalysis.canonicalFingerprint(col(textCol)))
+      .dropDuplicates("fp")
+      .join(index, Seq("fp"), "left_anti")
 }

@@ -125,6 +125,38 @@ object StreamingQueries {
         .select(col("id").as("a1"), col("mname").as("priority"))
       g.join(broadcast(names), "a1")
         .select(col("priority"), col("value").cast("double").as("value"))
+    }),
+
+    // streaming novelty filter: docs arrive as a file stream (one file per
+    // micro-batch), stateful dropDuplicates collapses within-stream repeats
+    // ACROSS batches, and a stream-static left_anti drops everything the
+    // corpus fingerprint index already holds. Emits the surviving
+    // fingerprint set (fp only — survivor identity among equal-fp repeats
+    // is arrival-order dependent, the fp set is not).
+    "pipe_stream_novelty" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val idx = graft.pipeline.TextDedup.fingerprintIndex(
+        d.filter(col("doc_id") < 250), "text")
+      val batch = d.filter(col("doc_id") >= 250).select("doc_id", "text")
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_novel")
+      val tmp = tmpRoot.resolve("files").toString
+      batch.withColumn("part", pmod(hash(col("doc_id")), lit(10)))
+        .repartition(10, col("part")).drop("part")
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val sinkName = s"novel_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.pipeline.TextDedup.novelOnly(stream, idx, "text")
+        .select("fp")
+        .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sinkName).select("fp").localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -146,5 +178,18 @@ object StreamingQueries {
           FROM g)
         SELECT p AS priority, CAST(SUM(v) AS DOUBLE) AS value FROM h GROUP BY 1
         UNION ALL
-        SELECT 'AllPrio' AS priority, CAST(SUM(v) AS DOUBLE) AS value FROM h""")
+        SELECT 'AllPrio' AS priority, CAST(SUM(v) AS DOUBLE) AS value FROM h""",
+
+    // mirrors TextDedup.novelOnly over the doc_id<250 corpus /
+    // doc_id>=250 intake split: distinct canonical fingerprints of the
+    // intake minus the corpus index (fingerprint ≙ pipe_fingerprint oracle)
+    "pipe_stream_novelty" ->
+      """WITH canon AS (
+           SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+           FROM documents),
+         corpus AS (SELECT DISTINCT fp FROM canon WHERE doc_id < 250),
+         intake AS (SELECT DISTINCT fp FROM canon WHERE doc_id >= 250)
+         SELECT fp FROM intake
+         WHERE fp NOT IN (SELECT fp FROM corpus)""")
 }

@@ -398,4 +398,36 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(rows.length == 2)
   }
+
+  test("novelOnly: cross-batch dedup + stream-static anti vs the corpus index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val idx = graft.pipeline.TextDedup.fingerprintIndex(corpus, "text")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val out = graft.pipeline.TextDedup.novelOnly(stream, idx, "text")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("novel_out").start()
+    // batch 1: one corpus dup (word-set equal, order differs) + one novel
+    mem.addData((10L, "gamma beta alpha"), (11L, "delta epsilon"))
+    q.processAllAvailable()
+    // batch 2: a LATER repeat of batch 1's novel doc (cross-batch state must
+    // drop it) + one genuinely new doc
+    mem.addData((12L, "epsilon delta"), (13L, "zeta eta"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id FROM novel_out").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(11L, 13L),
+      s"corpus dup and cross-batch repeat must be dropped, got $got")
+    // batch-mode parity on the same frames: same surviving fingerprint set
+    val batchFps = graft.pipeline.TextDedup.novelOnly(
+      Seq((10L, "gamma beta alpha"), (11L, "delta epsilon"),
+        (12L, "epsilon delta"), (13L, "zeta eta")).toDF("doc_id", "text"),
+      idx, "text").select("fp").collect().map(_.getString(0)).toSet
+    val streamFps = spark.sql("SELECT fp FROM novel_out").collect()
+      .map(_.getString(0)).toSet
+    assert(batchFps == streamFps, "batch and stream agree on the novel fp set")
+  }
 }
