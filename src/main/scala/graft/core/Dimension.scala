@@ -486,6 +486,25 @@ final class Dimension(val name: String) {
   /** Full leaf-closure table (incl. leaf self-rows, weight 1.0). */
   def closureRows: Vector[ClosureRow] = closure
 
+  /** The committed member catalog as a DataFrame — one row per
+    * (member, parent) edge carrying the edge weight, plus one row per
+    * parentless root (`parent` = '', `weight` = 0.0, so the frame is
+    * null-free): `mname, level, parent, weight`. Dimension catalogs are
+    * bounded driver-side structures (the 2M-member guard), so this is a
+    * bounded `createDataFrame` — the relational face of ordinal/hierarchy
+    * navigation (≙ member_* accessors, tinyolap `dimension.py:908-1010`),
+    * joinable against grids and oracle-checkable.
+    */
+  def catalogDf(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    require(!isDegenerate, "degenerate dimensions have a virtual catalog")
+    val rows = committed.flatMap { m =>
+      if (m.parents.isEmpty) Vector((m.name, m.level, "", 0.0))
+      else m.parents.map(p =>
+        (m.name, m.level, nameOf(p), m.parentWeights.getOrElse(p, 1.0)))
+    }
+    spark.createDataFrame(rows).toDF("mname", "level", "parent", "weight")
+  }
+
   /** True iff this member's closure covers EVERY current leaf exactly once
     * at weight 1.0 — aggregating over it is the IDENTITY rollup (the usual
     * top `All` member), so aggregation paths skip the closure join

@@ -266,6 +266,18 @@ object TpchQueries {
         StructType(Seq(StructField("nation", StringType))))
     }),
 
+    // N1/N2: the full hierarchy catalog as data — every (member, parent)
+    // edge of geo with its level and edge weight, roots with parent ''
+    // (levels: customers 0, nations 1, regions 2, World 3 — every nation
+    // has customers at every driver SF, so levels are uniform and the
+    // oracle rebuilds the whole catalog from region/nation/customer)
+    "olap_dim_catalog" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      m.geo.catalogDf(s)
+        .select(col("mname"), col("level").cast("long").as("level"),
+          col("parent"), col("weight"))
+    }),
+
     // V5: zero suppression — 1995 gross zeroed in a scratch cube; the view
     // drops the all-zero 1995 row (without suppression it would render zeros)
     "olap_view_zero_suppress" -> ((s, dir) => {
@@ -995,6 +1007,21 @@ object TpchQueries {
 
     "olap_level_members" ->
       "SELECT n_name AS nation FROM nation",
+
+    // mirrors Dimension.catalogDf over geo: World → region → nation →
+    // customer, unit edge weights, roots with parent ''/weight 0
+    "olap_dim_catalog" ->
+      """SELECT 'World' AS mname, CAST(3 AS BIGINT) AS level, '' AS parent,
+           CAST(0.0 AS DOUBLE) AS weight
+         UNION ALL
+         SELECT r_name, CAST(2 AS BIGINT), 'World', CAST(1.0 AS DOUBLE) FROM region
+         UNION ALL
+         SELECT n_name, CAST(1 AS BIGINT), r.r_name, CAST(1.0 AS DOUBLE)
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         UNION ALL
+         SELECT 'C#' || CAST(c_custkey AS VARCHAR), CAST(0 AS BIGINT), n.n_name,
+           CAST(1.0 AS DOUBLE)
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""",
 
     "olap_view_zero_suppress" -> {
       val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")

@@ -6,6 +6,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class DimensionEditSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("catalogDf: edges, roots, levels, weights, multi-parent fan-out") {
+    val d = new Dimension("m")
+    d.edit().add("net", Seq("gross", "disc"), Seq(1.0, -1.0))
+      .add("alt", Seq("gross")).commit()
+    val rows = d.catalogDf(spark).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    assert(rows == Set(
+      ("net", 1, "", 0.0), ("alt", 1, "", 0.0),
+      ("gross", 0, "net", 1.0), ("gross", 0, "alt", 1.0),
+      ("disc", 0, "net", -1.0)),
+      s"one row per edge + one per root, weights on the edge: $rows")
+  }
+
   test("rollback restores the pre-edit committed state") {
     val d = new Dimension("r")
     d.edit().add("All", Seq("a", "b")).commit()
