@@ -213,6 +213,30 @@ object Search {
       .select("doc_id", "term", "tf", "df", "rank")
   }
 
+  /** Vocabulary coverage for tokenizer prep: terms ranked by corpus
+    * frequency with their cumulative token share — the "how large must the
+    * vocabulary be to cover X% of tokens" artifact. One count aggregation
+    * to the term grain, then ONE globally-ordered window over that grain
+    * (rank + running sum share the sort) truncated to the top `k`. The
+    * ordered window is single-partition by nature — fine while the vocab
+    * grain is millions of rows (it is: the grain is distinct TERMS, not
+    * tokens); for billion-term vocabs, pre-bin by count and window within
+    * bins. Ties rank alphabetically, so output is engine-stable. Emits
+    * `term, cnt, rank, cum_cnt, total_cnt` (all exact integers).
+    */
+  def vocabCoverage(df: DataFrame, textCol: Column, k: Int): DataFrame = {
+    val counts = df.select(explode(tokens(textCol)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rank") <= k)
+      .withColumn("total_cnt", lit(total))
+  }
+
   // ---- Bigram-LM familiarity (perplexity-style filtering) ----------------
 
   /** Per-document familiarity under an add-α bigram language model trained

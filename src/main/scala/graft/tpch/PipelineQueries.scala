@@ -306,6 +306,14 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_bigrams"), col("bg_mass"), col("ug_mass"))
     }),
 
+    // vocabulary coverage (tokenizer prep): top-40 terms by corpus
+    // frequency with exact cumulative token counts
+    "pipe_vocab_coverage" -> ((s, dir) => {
+      graft.pipeline.Search.vocabCoverage(docs(s, dir), col("text"), 40)
+        .select(col("term"), col("cnt"), col("rank").cast("long").as("rank"),
+          col("cum_cnt"), col("total_cnt"))
+    }),
+
     // language ID (stopword-hit argmax heuristic)
     "pipe_lang_id" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -959,5 +967,21 @@ object PipelineQueries {
          SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
            COALESCE(a.bg_mass, 0) AS bg_mass, COALESCE(a.ug_mass, 0) AS ug_mass
          FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+    // mirrors Search.vocabCoverage(…, 40): term-frequency rank with the
+    // running token total, alphabetical tie-break — exact integers only
+    "pipe_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS term
+           FROM documents),
+         c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+         r AS (SELECT term, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank,
+                 CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+               FROM c),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_cnt FROM c)
+         SELECT term, cnt, rank, cum_cnt, total_cnt FROM r CROSS JOIN t
+         WHERE rank <= 40""",
   )
 }

@@ -153,6 +153,22 @@ class SearchSpec extends AnyFunSuite {
     assert(r == Seq("a", "b", "c"))
   }
 
+  test("vocabCoverage: rank, cumulative and total counts match driver math") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val words = docs.select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+    val counts = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ordered = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+    val cum = ordered.scanLeft(0L)(_ + _._2).tail
+    val expected = ordered.take(10).zipWithIndex.map { case ((t, c), i) =>
+      (t, c, (i + 1).toLong, cum(i), words.length.toLong)
+    }.toSet
+    val got = Search.vocabCoverage(docs, col("text"), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong,
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
   test("lmFamiliarity matches a driver-side add-alpha bigram LM") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val alpha = 0.5
