@@ -186,6 +186,39 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
     cube.replaceFacts(facts.filter(!predicate).unionByName(full))
   }
 
+  /** Allocate a TARGET total across the area's stored cells — the classic
+    * planning writeback ("spread 1M budget over last year's actuals").
+    * An extension beyond the reference's Area surface (which stops at
+    * setValue/multiply/increment, `area.py:280-370`): proportional mode
+    * scales every stored cell by `target / currentSum` so the slice's
+    * rollup lands on the target while cell RATIOS are preserved; equal
+    * mode overwrites every stored cell with `target / cellCount`.
+    *
+    * Shape: ONE scalar aggregate job to learn the slice mass, then the same
+    * single-pass filter/union rewrite as [[multiply]] — no driver-side row
+    * loop, scales with the fact frame. Scaling arithmetic runs in double
+    * (exact decimal sum → double, then IEEE `v * T / S` per cell) and is
+    * recast to the fact frame's native value type on write. Bulk ON_ENTRY
+    * rules apply to the allocated values like every other write path.
+    */
+  def allocate(target: Double, mode: AllocationMode = AllocationMode.Proportional): Unit = {
+    val r = rows.agg(
+      org.apache.spark.sql.functions.sum(col("value")).cast(DoubleType),
+      org.apache.spark.sql.functions.count(lit(1))).collect().head
+    val n = r.getLong(1)
+    require(n > 0, "allocate: area holds no stored cells to allocate across")
+    mode match {
+      case AllocationMode.Proportional =>
+        val s = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+        require(s != 0.0,
+          "allocate: proportional allocation over a zero-sum area is undefined — use AllocationMode.Equal")
+        transform(c => (c.cast(DoubleType) * lit(target) / lit(s)).cast(valueType))
+      case AllocationMode.Equal =>
+        val share = target / n
+        transform(_ => lit(share).cast(valueType))
+    }
+  }
+
   /** Area-to-area copy with scalar transform — `plan = actual * 1.15`
     * (≙ `area.py:511-570, 693-743`). Source and target patterns must differ
     * only in dimensions where both select a single member; the target member
@@ -213,6 +246,15 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
       onEntryHooked(c => f(c).cast(valueType))(col("value")))
     cube.replaceFacts(facts.filter(!predicate).unionByName(mapped))
   }
+}
+
+/** How [[Area.allocate]] distributes the target across stored cells. */
+sealed trait AllocationMode
+object AllocationMode {
+  /** Scale each cell by `target / currentSum` — ratios preserved. */
+  case object Proportional extends AllocationMode
+  /** Overwrite each stored cell with `target / cellCount`. */
+  case object Equal extends AllocationMode
 }
 
 object Area {

@@ -168,6 +168,24 @@ object TpchQueries {
         .select(col("region"), col("value").cast("double").as("value"))
     }),
 
+    // B+: target allocation writeback (planning op, extension beyond the
+    // reference): proportional spread of 1M over 1995's gross cells
+    // (ratios preserved, rollup lands on target), equal spread of 500k over
+    // 1996's — then the year-level rollup shows both targets and the other
+    // years untouched
+    "olap_area_allocate" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      c.area("calendar" -> Seq("1995"), "measures" -> Seq("gross"))
+        .allocate(1000000.0)
+      c.area("calendar" -> Seq("1996"), "measures" -> Seq("gross"))
+        .allocate(500000.0, graft.core.AllocationMode.Equal)
+      val g = grid(m, c, Seq("World"), m.calendar.membersByLevel(2).map(_.name),
+        Seq("AllBrands"), Seq("gross"))
+      m.named(g, "a1", 1, "year")
+        .select(col("year"), col("value").cast("double").as("value"))
+    }),
+
     // A3/R3: BASE_LEVEL rule computed per base cell, then aggregated — the
     // BATCHED path: all 5 region cells in ONE Rules.baseRuleGrid job (pivot
     // at base grain → rule column → closure-join aggregation), no per-cell
@@ -971,6 +989,24 @@ object TpchQueries {
 
     "olap_area_copy" ->
       s"SELECT r_name AS region, CAST(SUM($GROSS * 2) AS DOUBLE) AS value $STAR GROUP BY r_name",
+
+    // mirrors the engine's arithmetic shape exactly: exact decimal cell sums,
+    // S as decimal-sum→double, per-cell IEEE (v*T)/S in double, recast to the
+    // fact frame's decimal(21,4) before the (exact, order-independent)
+    // decimal rollup
+    "olap_area_allocate" ->
+      s"""WITH cells AS (
+            SELECT strftime(o_orderdate, '%Y') AS year, SUM($GROSS) AS v
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_custkey, o_orderdate, l_partkey, strftime(o_orderdate, '%Y')),
+          s95 AS (SELECT CAST(SUM(v) AS DOUBLE) AS s FROM cells WHERE year = '1995'),
+          n96 AS (SELECT COUNT(*) AS n FROM cells WHERE year = '1996')
+          SELECT year,
+            CAST(SUM(CASE
+              WHEN year = '1995' THEN CAST(CAST(v AS DOUBLE) * 1000000.0 / (SELECT s FROM s95) AS DECIMAL(21,4))
+              WHEN year = '1996' THEN CAST(500000.0 / (SELECT n FROM n96) AS DECIMAL(21,4))
+              ELSE v END) AS DOUBLE) AS value
+          FROM cells GROUP BY year""",
 
     "olap_rule_base" ->
       s"SELECT r_name AS region, CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) AS value $STAR GROUP BY r_name",

@@ -163,6 +163,34 @@ class TinyModelSpec extends AnyFunSuite {
     assert(c2.get(Seq("2021", "Jan", "North", "sedan", "Sales")).contains(100.0))
   }
 
+  test("area allocate: proportional hits target preserving ratios; equal splits evenly") {
+    val c3 = db.addCube("sales_alloc", cube.dimensions)
+    c3.set(Seq("2021", "Jan", "North", "sedan", "Sales"), 100.0)
+    c3.set(Seq("2021", "Feb", "South", "van", "Sales"), 300.0)
+    c3.set(Seq("2022", "Jan", "North", "sedan", "Sales"), 7.0)
+    val a21 = c3.area("years" -> Seq("2021"), "measures" -> Seq("Sales"))
+    a21.allocate(800.0)
+    assert(c3.get(Seq("2021", "Jan", "North", "sedan", "Sales")).contains(200.0))
+    assert(c3.get(Seq("2021", "Feb", "South", "van", "Sales")).contains(600.0))
+    assert(c3.get(Seq("2021", "Year", "Total", "Total", "Sales")).contains(800.0))
+    // outside the area: untouched
+    assert(c3.get(Seq("2022", "Jan", "North", "sedan", "Sales")).contains(7.0))
+    a21.allocate(500.0, AllocationMode.Equal)
+    assert(c3.get(Seq("2021", "Jan", "North", "sedan", "Sales")).contains(250.0))
+    assert(c3.get(Seq("2021", "Feb", "South", "van", "Sales")).contains(250.0))
+    // empty area: nothing to allocate across
+    intercept[IllegalArgumentException] {
+      c3.area("years" -> Seq("2023"), "measures" -> Seq("Sales")).allocate(1.0)
+    }
+    // zero-sum area: proportional undefined, equal fine
+    c3.set(Seq("2023", "Jan", "North", "sedan", "Sales"), 5.0)
+    c3.set(Seq("2023", "Feb", "South", "van", "Sales"), -5.0)
+    val a23 = c3.area("years" -> Seq("2023"), "measures" -> Seq("Sales"))
+    intercept[IllegalArgumentException] { a23.allocate(10.0) }
+    a23.allocate(10.0, AllocationMode.Equal)
+    assert(c3.get(Seq("2023", "Year", "Total", "Total", "Sales")).contains(10.0))
+  }
+
   test("attribute filter / regex / by-value") {
     val regions = db.dimension("regions")
     assert(regions.attribute("manager").filter("P*").map(regions.nameOf).toSet
