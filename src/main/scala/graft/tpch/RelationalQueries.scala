@@ -101,6 +101,28 @@ object RelationalQueries {
         .agg(sum(dec(col("c_acctbal"))).cast("double").as("balance"), count(lit(1)).as("n"))
     }),
 
+    // pivot: wide conditional aggregation — one codegen'd hash aggregate,
+    // no per-value scans (the pinned value list keeps the schema static,
+    // as a 100 TB plan requires — inferring values would add a scan job)
+    "rel_pivot" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(21,4)")).cast("double"))
+    }),
+
+    // unpivot: long-form melt of the lineitem measures — scan-shaped
+    // (one stack projection, no shuffle)
+    "rel_unpivot" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("qty"),
+          col("l_extendedprice").cast("double").as("price"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty"), col("price"), col("discount")), "measure", "val")
+    }),
+
     // as-of join: latest error event at-or-before each click, per user
     "rel_asof_join" -> ((s, dir) => {
       val e = readEvents(s, dir)
@@ -281,6 +303,19 @@ object RelationalQueries {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
+
+    "rel_pivot" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(21,4)) END) AS DOUBLE) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(21,4)) END) AS DOUBLE) AS O
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "rel_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'qty' AS measure, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'price', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE) FROM lineitem""",
 
     "rel_asof_join" ->
       """SELECT c.event_id AS click_id,
