@@ -280,6 +280,143 @@ object Similarity {
       .drop("__best", "__qv")
   }
 
+  // ---- Product quantization (PQ) -----------------------------------------
+
+  /** Split `codebooks` invariants: m subspace codebooks of equal-length
+    * centroids whose lengths sum to the embedding dim.
+    */
+  private def pqCheck(codebooks: Seq[Seq[Array[Double]]]): Int = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty PQ codebooks")
+    val sub = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == sub)),
+      "PQ codebooks must hold equal-length subvector centroids")
+    sub
+  }
+
+  /** PQ codebooks from seed ids: codebook `m` holds the seeds' `m`-th
+    * subvector slices. Like [[centroidsFromIds]] — a deterministic,
+    * oracle-reproducible seeding; [[pqFit]] is the trained production path.
+    */
+  def pqCodebooksFromIds(df: DataFrame, seedIds: Seq[Long], nSub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Array[Double]]] = {
+    val seeds = centroidsFromIds(df, seedIds, idCol, vecCol)
+    val dim = seeds.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val sub = dim / nSub
+    (0 until nSub).map(m => seeds.map(v => v.slice(m * sub, (m + 1) * sub)))
+  }
+
+  /** Fit PQ codebooks: one independent KMeans per subspace over the sliced
+    * vectors (fixed seed, [[trainSample]] contract — nSub bounded fits on a
+    * bounded sample, never a full-corpus job per subspace).
+    */
+  def pqFit(df: DataFrame, nSub: Int, k: Int, maxIter: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainCap: Long = 200_000L): Seq[Seq[Array[Double]]] = {
+    val dim = df.select(size(col(vecCol))).limit(1).collect().head.getInt(0)
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val sub = dim / nSub
+    (0 until nSub).map { m =>
+      kmeansFit(df.select(col(idCol),
+          slice(col(vecCol), m * sub + 1, sub).as(vecCol)),
+        k, maxIter, idCol, vecCol, trainCap)
+    }
+  }
+
+  /** PQ encoding: per subspace, the nearest codebook centroid by EXACT
+    * integer L2² over quantized values (`d = x·x − 2x·c + c·c`, all integer
+    * dots; ties break on the lower code). Codebooks ride the plan as
+    * LITERALS, so this is a pure scan — no join, no shuffle — and the
+    * emitted `codes` array (nSub small ints ≈ nSub bytes at k ≤ 256) is the
+    * 100 TB memory story: a 64-dim float vector compresses 64× into codes
+    * that downstream ADC scoring reads instead of the raw embedding.
+    * Deterministic and engine-portable like every sim in this module.
+    */
+  def pqEncode(df: DataFrame, codebooks: Seq[Seq[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = pqCheck(codebooks)
+    val withQ = df.withColumn("__qv", quantize(col(vecCol)))
+    val codeCols = codebooks.zipWithIndex.map { case (cb, m) =>
+      val xs = slice(col("__qv"), m * sub + 1, sub)
+      // argmin of L2² = argmin of (c·c − 2x·c): the x·x term is constant
+      // across codes, so it is dropped — one integer dot per code, and the
+      // tie structure is unchanged (a constant shift)
+      val entries = cb.zipWithIndex.map { case (c, k) =>
+        val cq = quantizeDriver(c)
+        val cLit = typedlit(cq.toSeq)
+        val cc = cq.map(x => x * x).sum
+        struct((lit(cc) - lit(2L) * dotQ(xs, cLit)).as("dist"), lit(k).as("code"))
+      }
+      array_min(array(entries: _*)).getField("code")
+    }
+    withQ.withColumn("codes", array(codeCols: _*)).drop("__qv")
+  }
+
+  /** IVF-PQ approximate top-k — the FAISS-style 100 TB ANN layout: an IVF
+    * coarse quantizer ([[ivfTopK]]'s cell assignment) bounds WHICH rows each
+    * query reads (nProbe/nCentroids of the corpus), and PQ codes bound HOW
+    * MUCH each read costs (codes + literal lookup tables instead of raw
+    * vectors; the fact side of the probe join carries `nSub` ints per row).
+    * Scoring is asymmetric (ADC): exact query subvectors against the
+    * candidates' reconstructed centroids —
+    * `sim ≈ Σₘ qₘ·c[codeₘ] / (‖q‖·√Σₘ‖c[codeₘ]‖²)` — from exact integer
+    * dots and integer norm lookups, so ranking is bit-stable. Recall tunes
+    * via nProbe × codebook size; the exact re-rank of a PQ shortlist (fetch
+    * raw vectors for the top-k′ only) is [[bruteForceTopK]] composed after.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Seq[Seq[Array[Double]]],
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainCap: Long = 200_000L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = pqCheck(codebooks)
+    // coarse IVF cells (≙ ivfTopK): fit on the bounded sample, assign all
+    val corpusVec = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__fv"))
+    val km = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("__fv").setPredictionCol("__cell")
+    val model = km.fit(trainSample(corpusVec, idCol, trainCap))
+    // the corpus side carries ONLY (cell, id, codes) into the probe join
+    val encoded = pqEncode(model.transform(corpusVec)
+        .select(col(idCol), col(vecCol), col("__cell")),
+        codebooks, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col("__cell"), col("codes"))
+    // per-code literal lookup tables: quantized centroids and their norms²
+    val cbLits = codebooks.map(cb => typedlit(cb.map(c => quantizeDriver(c).toSeq)))
+    val nrmLits = codebooks.map(cb =>
+      typedlit(cb.map(c => quantizeDriver(c).map(x => x * x).sum)))
+    val centLit = typedlit(model.clusterCenters.map(_.toArray).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq)
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"),
+      col(vecCol).as("qv0"))
+    val qCells = q.select(col("query_id"), col("qv"), col("qv0"), explode(centLit).as("__c"))
+      .withColumn("__cell", col("__c._1"))
+      .withColumn("dist", aggregate(zip_with(col("qv0"), col("__c._2"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)), lit(0.0), (a, v) => a + v))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("__cell").asc)))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("__cell"))
+    // ADC: dot(q, recon) = Σₘ dotQ(q_sub, codebook[m][code]); ‖recon‖² via
+    // the norm lookup — integer adds over literal tables, no raw vectors
+    val adcDot = codebooks.indices.map { m =>
+      dotQ(slice(col("qv"), m * sub + 1, sub),
+        element_at(cbLits(m), col("codes").getItem(m) + 1))
+    }.reduce(_ + _)
+    val adcNorm2 = codebooks.indices.map { m =>
+      element_at(nrmLits(m), col("codes").getItem(m) + 1)
+    }.reduce(_ + _)
+    val scored = qCells.join(encoded, Seq("__cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("sim", adcDot.cast("double") /
+        (sqrt(dotQ(col("qv"), col("qv")).cast("double")) * sqrt(adcNorm2.cast("double"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023 shape): semantic near-dup removal scoped
     * WITHIN clusters — assign every vector to its nearest centroid
     * ([[kmeansAssign]], scan-shaped), then drop any vector with a LOWER-id

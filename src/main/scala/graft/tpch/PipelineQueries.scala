@@ -270,6 +270,31 @@ object PipelineQueries {
         Seq("query_id", "cand_id"), recallFloor = 0.3)
     }),
 
+    // PQ encoding: per-subspace nearest centroid by exact integer L2²
+    // (codebooks = subvector slices of the vec_id<8 seeds, nSub=4×16 dims)
+    // — pure scan, integer codes the DuckDB oracle re-derives exactly
+    "pipe_pq_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqEncode(e, Similarity.pqCodebooksFromIds(e, 0L until 8L, 4))
+        .select(col("vec_id"),
+          col("codes").getItem(0).cast("long").as("c0"),
+          col("codes").getItem(1).cast("long").as("c1"),
+          col("codes").getItem(2).cast("long").as("c2"),
+          col("codes").getItem(3).cast("long").as("c3"))
+    }),
+
+    // IVF-PQ top-k (trained coarse cells + trained per-subspace codebooks,
+    // ADC scoring over codes), verified: recall@10 vs brute force as an
+    // oracle-checked boolean — floors set for this LSH-hostile uniform
+    // corpus, real embedding corpora sit far higher
+    "pipe_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir); val q = e.filter(col("vec_id") < 5)
+      approxSummary(
+        Similarity.bruteForceTopK(e, q, 10),
+        Similarity.ivfPqTopK(e, q, 10, Similarity.pqFit(e, nSub = 8, k = 16)),
+        Seq("query_id", "cand_id"), recallFloor = 0.25)
+    }),
+
     // nearest-centroid assignment by cosine (centroid seeds = embeddings of
     // vec_id 0..7, so the oracle can reproduce them) — literal-centroid
     // argmax, pure scan: no join/shuffle in the plan (KMeansSemDedupSpec
@@ -644,6 +669,32 @@ object PipelineQueries {
           FROM q a JOIN q b ON a.vec_id < b.vec_id
           WHERE ${dot("a.v", "b.v")} / (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("b.v", "b.v")})) >= 0.45"""
     },
+
+    // mirrors Similarity.pqEncode: per (vector, subspace) argmin of exact
+    // integer L2² against the vec_id<8 seeds' subvector slices (the x·x term
+    // is a constant shift — the full form here ranks identically), ties on
+    // the lower code
+    "pipe_pq_codes" ->
+      s"""WITH q AS (SELECT vec_id, ${QV.format("embedding")} AS v FROM embeddings),
+           seeds AS (SELECT CAST(vec_id AS INTEGER) AS code, v AS cv FROM q WHERE vec_id < 8),
+           m AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS m),
+           d AS (SELECT q.vec_id, m.m, s.code,
+                   ${dot("list_slice(q.v, m.m*16+1, m.m*16+16)", "list_slice(q.v, m.m*16+1, m.m*16+16)")}
+                   - 2 * ${dot("list_slice(q.v, m.m*16+1, m.m*16+16)", "list_slice(s.cv, m.m*16+1, m.m*16+16)")}
+                   + ${dot("list_slice(s.cv, m.m*16+1, m.m*16+16)", "list_slice(s.cv, m.m*16+1, m.m*16+16)")} AS dist
+                 FROM q CROSS JOIN m CROSS JOIN seeds s),
+           best AS (SELECT vec_id, m, code FROM (
+                      SELECT vec_id, m, code,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk
+                      FROM d) WHERE rk = 1)
+         SELECT vec_id,
+           CAST(MAX(CASE WHEN m = 0 THEN code END) AS BIGINT) AS c0,
+           CAST(MAX(CASE WHEN m = 1 THEN code END) AS BIGINT) AS c1,
+           CAST(MAX(CASE WHEN m = 2 THEN code END) AS BIGINT) AS c2,
+           CAST(MAX(CASE WHEN m = 3 THEN code END) AS BIGINT) AS c3
+         FROM best GROUP BY vec_id""",
+
+    "pipe_ann_ivfpq" -> SUMMARY_ORACLE,
 
     // mirrors Similarity.kmeansAssign: argmax cosine over the vec_id<8 seed
     // centroids, tie-break lowest centroid — sims from the same exact
