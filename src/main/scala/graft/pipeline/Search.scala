@@ -295,4 +295,110 @@ object Search {
           greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)).cast("double"))
           .as("avg_logprob"))
   }
+
+  // ---- DSIR importance weights (hashed n-gram data selection) -------------
+
+  /** The hashed unigram+bigram feature stream of a corpus: one row per
+    * (doc_id, bucket), where bucket is the first 8 md5 hex digits (32 bits)
+    * of the feature mod `nBuckets` — the same portable construction every
+    * md5 draw in [[graft.pipeline.Curation]] uses, so any engine with md5
+    * reproduces the bucketing exactly. Scan-shaped: two explodes, no join.
+    */
+  private def hashedFeatures(df: DataFrame, idCol: Column, textCol: Column,
+      nBuckets: Int, bigrams: Boolean): DataFrame = {
+    val SEP = "\u0001"
+    val base = df.select(idCol.as("doc_id"), tokens(textCol).as("__ws"))
+    val uni = base.select(col("doc_id"), explode(col("__ws")).as("feat"))
+    val feats =
+      if (!bigrams) uni
+      else {
+        val nb = greatest(size(col("__ws")) - 1, lit(0))
+        uni.unionByName(base.select(col("doc_id"),
+          explode(zip_with(
+            slice(col("__ws"), lit(1), nb), slice(col("__ws"), lit(2), nb),
+            (a, b) => concat(a, lit(SEP), b))).as("feat")))
+      }
+    feats.select(col("doc_id"),
+      (conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long") %
+        nBuckets).as("b"))
+  }
+
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * featurize documents into `nBuckets` hashed unigram+bigram buckets,
+    * estimate add-α-smoothed bag-of-buckets distributions for a TARGET
+    * corpus (the domain you want more of — wiki, curated text) and the RAW
+    * corpus being filtered, and score each raw document by its log
+    * importance weight `Σ_features ln p̂_target(b) − ln p̂_raw(b)`.
+    * Documents whose feature mix resembles the target score high; selecting
+    * the top weights (or Gumbel-resampling on them) shifts the corpus
+    * toward the target distribution.
+    *
+    * Emits per raw document: the EXACT integer evidence — `n_feats`
+    * (features incl. bigrams), `t_mass` = Σ target-bucket counts, `r_mass`
+    * = Σ raw-bucket counts — which is what the oracle gate compares (the
+    * log weight is libm-dependent; the counts are not), plus `logweight`
+    * and the per-feature `avg_logweight` for thresholding.
+    *
+    * Shape at 100 TB: the two bucket-distribution aggregates are bounded at
+    * `nBuckets` rows (broadcast themselves regardless of corpus size), the
+    * feature stream is a scan-shaped explode, and the per-document
+    * aggregation partial-combines — nothing quadratic, nothing driver-side
+    * but the two total-mass scalars. Raw and target may overlap (the usual
+    * case: target ⊂ raw).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: Column,
+      textCol: Column, nBuckets: Int = 256, alpha: Double = 1.0,
+      bigrams: Boolean = true): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 30), s"nBuckets out of range: $nBuckets")
+    val tCounts = hashedFeatures(target, idCol, textCol, nBuckets, bigrams)
+      .groupBy("b").agg(count(lit(1)).as("c_t"))
+    val rCounts = hashedFeatures(raw, idCol, textCol, nBuckets, bigrams)
+      .groupBy("b").agg(count(lit(1)).as("c_r"))
+    // total feature masses: two bounded (≤ nBuckets-row) aggregates, read as
+    // driver literals like lmFamiliarity's vocab scalar
+    val tTotal = tCounts.agg(coalesce(sum(col("c_t")), lit(0L))).head().getLong(0)
+    val rTotal = rCounts.agg(coalesce(sum(col("c_r")), lit(0L))).head().getLong(0)
+    val tDenom = tTotal.toDouble + alpha * nBuckets
+    val rDenom = rTotal.toDouble + alpha * nBuckets
+    val scored = hashedFeatures(raw, idCol, textCol, nBuckets, bigrams)
+      .join(broadcast(tCounts), Seq("b"), "left")
+      .join(broadcast(rCounts), Seq("b"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_feats"),
+        sum(coalesce(col("c_t"), lit(0L))).as("t_mass"),
+        // c_r ≥ 1 for every feature of a raw doc, but coalesce keeps the
+        // expression total if callers score a frame outside `raw`
+        sum(coalesce(col("c_r"), lit(0L))).as("r_mass"),
+        sum(
+          log((coalesce(col("c_t"), lit(0L)).cast("double") + lit(alpha)) / lit(tDenom)) -
+          log((coalesce(col("c_r"), lit(0L)).cast("double") + lit(alpha)) / lit(rDenom)))
+          .as("logweight"))
+    raw.select(idCol.as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("t_mass"), lit(0L)).as("t_mass"),
+        coalesce(col("r_mass"), lit(0L)).as("r_mass"),
+        coalesce(col("logweight"), lit(0.0)).as("logweight"),
+        (coalesce(col("logweight"), lit(0.0)) /
+          greatest(coalesce(col("n_feats"), lit(0L)), lit(1L)).cast("double"))
+          .as("avg_logweight"))
+  }
+
+  /** Select the `keepFrac` of documents most target-like under
+    * [[dsirWeights]] — rank by (logweight DESC, doc_id) so equal weights
+    * break deterministically, keep `ceil(n · keepFrac)`. One window over the
+    * already-aggregated id grain.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: Column,
+      textCol: Column, keepFrac: Double, nBuckets: Int = 256,
+      alpha: Double = 1.0): DataFrame = {
+    require(keepFrac >= 0.0 && keepFrac <= 1.0, s"keepFrac out of range: $keepFrac")
+    val w = dsirWeights(raw, target, idCol, textCol, nBuckets, alpha)
+    val win = Window.orderBy(col("logweight").desc, col("doc_id"))
+    val n = w.count()
+    val keep = math.ceil(n * keepFrac).toLong
+    w.withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= keep).drop("__rk")
+  }
 }

@@ -331,6 +331,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_bigrams"), col("bg_mass"), col("ug_mass"))
     }),
 
+    // DSIR importance weights (hashed n-gram data selection): target =
+    // src0 documents, raw = the whole corpus; the gate compares the EXACT
+    // integer evidence (feature count + target/raw bucket-count masses) —
+    // the ln-based logweight is engine-internal (libm)
+    "pipe_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.Search.dsirWeights(
+          d, d.filter(col("source") === "src0"), col("doc_id"), col("text"), 256)
+        .select(col("doc_id"), col("n_feats"), col("t_mass"), col("r_mass"))
+    }),
+
     // vocabulary coverage (tokenizer prep): top-40 terms by corpus
     // frequency with exact cumulative token counts
     "pipe_vocab_coverage" -> ((s, dir) => {
@@ -1017,6 +1028,34 @@ object PipelineQueries {
                  GROUP BY 1)
          SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
            COALESCE(a.bg_mass, 0) AS bg_mass, COALESCE(a.ug_mass, 0) AS ug_mass
+         FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+    // mirrors Search.dsirWeights(raw=documents, target=src0, 256 buckets,
+    // unigrams+bigrams): bucket = first 8 md5 hex digits of the feature mod
+    // 256 — integer evidence only (the ln logweight is libm territory)
+    "pipe_dsir" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+           FROM documents),
+         uni AS (SELECT doc_id, unnest(ws) AS feat FROM tok),
+         ix AS (SELECT doc_id, ws, unnest(range(CAST(len(ws) - 1 AS BIGINT))) AS i
+                FROM tok WHERE len(ws) >= 2),
+         bg AS (SELECT doc_id,
+                  ws[CAST(i + 1 AS INTEGER)] || chr(1) || ws[CAST(i + 2 AS INTEGER)] AS feat
+                FROM ix),
+         feats AS (SELECT doc_id,
+                     CAST('0x' || substring(md5(feat), 1, 8) AS BIGINT) % 256 AS b
+                   FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg)),
+         tcnt AS (SELECT b, count(*) AS c_t FROM feats
+                  JOIN documents USING (doc_id) WHERE source = 'src0' GROUP BY 1),
+         rcnt AS (SELECT b, count(*) AS c_r FROM feats GROUP BY 1),
+         agg AS (SELECT feats.doc_id, count(*) AS n_feats,
+                   CAST(sum(COALESCE(t.c_t, 0)) AS BIGINT) AS t_mass,
+                   CAST(sum(r.c_r) AS BIGINT) AS r_mass
+                 FROM feats LEFT JOIN tcnt t USING (b) JOIN rcnt r USING (b)
+                 GROUP BY 1)
+         SELECT d.doc_id, COALESCE(a.n_feats, 0) AS n_feats,
+           COALESCE(a.t_mass, 0) AS t_mass, COALESCE(a.r_mass, 0) AS r_mass
          FROM documents d LEFT JOIN agg a USING (doc_id)""",
 
     // mirrors Search.vocabCoverage(…, 40): term-frequency rank with the

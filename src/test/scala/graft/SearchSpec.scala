@@ -216,4 +216,74 @@ class SearchSpec extends AnyFunSuite {
     assert(math.abs(alp - expectedAlien) <= 1e-12 * math.abs(expectedAlien),
       s"alien logprob $alp vs $expectedAlien")
   }
+
+  private def md5Bucket(feat: String, nBuckets: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(feat.getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % nBuckets
+  }
+
+  test("dsirWeights matches a driver-side hashed-ngram importance model") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nBuckets = 64
+    val alpha = 1.0
+    val texts = docs.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq,
+        r.getString(2)))
+    def featsOf(ws: Seq[String]): Seq[Long] =
+      (ws ++ ws.zip(ws.drop(1)).map { case (a, b) => a + "" + b })
+        .map(md5Bucket(_, nBuckets))
+    val rawBuckets = texts.map { case (id, ws, _) => id -> featsOf(ws) }.toMap
+    val cT = texts.filter(_._3 == "src0").flatMap(t => rawBuckets(t._1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cR = rawBuckets.values.flatten.toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tTotal = cT.values.sum; val rTotal = cR.values.sum
+    val expected = rawBuckets.map { case (id, bs) =>
+      val lw = bs.map(b =>
+        math.log((cT.getOrElse(b, 0L) + alpha) / (tTotal + alpha * nBuckets)) -
+        math.log((cR(b) + alpha) / (rTotal + alpha * nBuckets))).sum
+      id -> ((bs.size.toLong, bs.map(b => cT.getOrElse(b, 0L)).sum,
+        bs.map(cR).sum, lw))
+    }
+    val target = docs.filter(col("source") === "src0")
+    val got = Search.dsirWeights(docs, target, col("doc_id"), col("text"),
+        nBuckets, alpha)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == expected.keySet, "every raw document must be scored")
+    expected.foreach { case (id, (n, tm, rm, lw)) =>
+      val (gn, gtm, grm, glw) = got(id)
+      assert(gn == n && gtm == tm && grm == rm, s"doc $id integer evidence")
+      assert(math.abs(glw - lw) <= 1e-9 * math.max(1.0, math.abs(lw)),
+        s"doc $id logweight $glw vs $lw")
+    }
+    // target-resemblance sanity: the mean logweight of the target slice must
+    // exceed the mean over everything else (the whole point of DSIR)
+    val bySrc = texts.map { case (id, _, src) => id -> src }.toMap
+    val (inT, outT) = got.toSeq.partition { case (id, _) => bySrc(id) == "src0" }
+    val meanIn = inT.map(_._2._4).sum / inT.size
+    val meanOut = outT.map(_._2._4).sum / outT.size
+    assert(meanIn > meanOut,
+      s"target docs must score more target-like ($meanIn vs $meanOut)")
+  }
+
+  test("dsirSelect keeps ceil(n·frac) top-weighted docs, deterministically") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val target = docs.filter(col("source") === "src0")
+    val n = docs.count()
+    val all = Search.dsirWeights(docs, target, col("doc_id"), col("text"), 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+      .sortBy { case (id, lw) => (-lw, id) }
+    val k = math.ceil(n * 0.25).toLong
+    val kept = Search.dsirSelect(docs, target, col("doc_id"), col("text"), 0.25, 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all.take(k.toInt).map(_._1).toSet)
+    assert(Search.dsirSelect(docs, target, col("doc_id"), col("text"), 0.0, 64)
+      .count() == 0L)
+    assert(Search.dsirSelect(docs, target, col("doc_id"), col("text"), 1.0, 64)
+      .count() == n)
+  }
 }
