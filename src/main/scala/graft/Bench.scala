@@ -72,6 +72,16 @@ object Bench {
       }),
       "pipe_dedup_embed_lsh" -> ((s, dir) => graft.pipeline.Similarity.lshNearDupPairs(
         s.read.parquet(s"$dir/embeddings.parquet"), 0.45, dim = 64, nPlanes = 4, tables = 24)),
+      "pipe_ann_ivfpq" -> ((s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        graft.pipeline.Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), 10,
+          graft.pipeline.Similarity.pqFit(e, nSub = 8, k = 16))
+      }),
+      "pipe_ann_ivfpq_rerank" -> ((s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        graft.pipeline.Similarity.ivfPqRerankTopK(e, e.filter(col("vec_id") < 5), 10, 50,
+          graft.pipeline.Similarity.pqFit(e, nSub = 8, k = 16))
+      }),
       // write-back bench (≙ the reference's 100k records/sec write path,
       // `doc/source/index.rst:283` — a dict write + cache invalidation;
       // ours is the same driver shape: name→bolt resolution + overlay
@@ -169,7 +179,6 @@ object Bench {
     } catch { case _: Throwable => }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    results("model_build") = time { graft.tpch.TpchModel.get(spark, sfDir) }
 
     // Contention-proofing: run the whole headline set `passes` times in one
     // process and report the per-query MINIMUM — steady-state latency, as the
@@ -177,6 +186,13 @@ object Bench {
     // transient host spike (e.g. round-3's official artifact, 2× inflated by
     // a concurrent driver job) poisons one pass, not the min of two.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // Settle delay BEFORE floor calibration: the official runner invokes the
+    // bench immediately after the full verify — residual host state (page
+    // cache writeback, task-cleanup, compaction debris) inflates the warm-up
+    // canaries and therefore the FLOOR itself, letting the preflight pass
+    // against a poisoned baseline (the documented self-calibration blind
+    // spot; likely what let r7's 17.5 s model_build through).
+    Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "8000").toLong)
     // Untimed warm-up spins ×3: C2-compile the spin loop + warm thread
     // startup (the first canary otherwise reads ~1.5× its successors on an
     // idle host), and CALIBRATE the idle floor for this hardware — the min
@@ -216,6 +232,16 @@ object Bench {
       spark.stop()
       return
     }
+
+    // model_build is timed INSIDE the idle gate (r7: it was the first timed
+    // entry, BEFORE the preflight — the one slot where post-verify residual
+    // load could hit a timed number unchallenged, and the official artifact
+    // recorded exactly that: model_build 2.6× with flat canaries AFTER it).
+    // Phase attribution lands in the artifact so any future outlier says
+    // where the time went.
+    results("model_build") = time { graft.tpch.TpchModel.get(spark, sfDir) }
+    val buildPhases = graft.tpch.TpchModel.lastBuildPhases
+
     val canaries = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     // Hypervisor-steal accounting around the timed passes: in-guest spin
     // canaries CANNOT fully see steal (measured live: 1-8% `st` under
@@ -355,7 +381,9 @@ object Bench {
     // over `passes` warmed in-process passes (steady state), not one cold
     // pass — artifacts before round 4 were single-pass and not comparable
     val floorSource = if (envFloor.isDefined) "env" else "derived_min_observed"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","contended":$contended,"canary_ramp":$ramped,"steal_pct":$stealPct%.2f}""")
+    val phasesJson = buildPhases.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","contended":$contended,"canary_ramp":$ramped,"steal_pct":$stealPct%.2f}""")
     if (stealPct > 1.0) System.err.println(
       f"[graft.Bench] WARNING: hypervisor steal $stealPct%.2f%% of cpu time " +
       "during this run — JVM-synchronization-heavy queries inflate far more " +

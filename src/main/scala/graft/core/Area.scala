@@ -30,6 +30,25 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
 
   def rows: DataFrame = facts.filter(predicate)
 
+  /** Misuse guard for the two `enumerateDataSpace` surfaces: the full leaf
+    * cross-product is reference-mandated semantics (`area.py:140-192`) but a
+    * cartesian bomb if pointed at a high-cardinality area by accident — at
+    * 100× scale an unconstrained product over, say, customer × day × part is
+    * ~1e13 rows before the write even starts. The product size is known on
+    * the driver for free (per-dimension id-list lengths), so estimate it
+    * up-front and fail loudly above the cap (`spark.graft.enum.maxCells`,
+    * default 1e8) instead of launching a doomed job.
+    */
+  private def guardEnumeration(perDimCounts: Seq[(String, Int)]): Unit = {
+    val cap = cube.spark.conf.get("spark.graft.enum.maxCells", "100000000").toDouble
+    val est = perDimCounts.foldLeft(1.0)((a, c) => a * math.max(1, c._2))
+    require(est <= cap,
+      f"area enumeration would materialize ~$est%.3g cells (" +
+        perDimCounts.map { case (n, c) => s"$n=$c" }.mkString(" × ") +
+        f"), above the ${cap}%.3g-cell cap — narrow the area pattern or raise " +
+        "spark.graft.enum.maxCells if this cross-product is intentional")
+  }
+
   /** Count of stored cells in the area (≙ `area.py:54-60`). */
   def count: Long = rows.count()
 
@@ -74,13 +93,16 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
     if (!enumerateDataSpace) records.drop("value")
     else {
       val spark = cube.spark
-      var grid: DataFrame = null
-      cube.dimCols.indices.foreach { i =>
+      val perDim = cube.dimCols.indices.map { i =>
         val d = cube.dimensions(i)
         require(!(d.isDegenerate && !leafPattern.contains(i)),
           s"dimension '${d.name}' is degenerate — enumeration needs explicit " +
             "raw keys in the area pattern (its key space has no catalog)")
-        val ids = leafPattern.getOrElse(i, d.leafMembers.map(_.id))
+        d -> leafPattern.getOrElse(i, d.leafMembers.map(_.id))
+      }
+      guardEnumeration(perDim.map { case (d, ids) => d.name -> ids.size })
+      var grid: DataFrame = null
+      perDim.foreach { case (d, ids) =>
         val names = ids.map(id => Row(d.nameOf(id)))
         val df = spark.createDataFrame(
           spark.sparkContext.parallelize(names.toList, 1),
@@ -171,12 +193,15 @@ final class Area(val cube: Cube, val pattern: Map[Int, Seq[Int]]) {
     */
   def setValueEnumerated(v: Double): Unit = {
     val spark = cube.spark
-    var grid: DataFrame = null
-    cube.dimCols.indices.foreach { i =>
+    val perDim = cube.dimCols.indices.map { i =>
       require(!(cube.dimensions(i).isDegenerate && !leafPattern.contains(i)),
         s"dimension '${cube.dimensions(i).name}' is degenerate — enumeration " +
           "needs explicit raw keys in the area pattern (its key space has no catalog)")
-      val ids = leafPattern.getOrElse(i, cube.dimensions(i).leafMembers.map(_.id))
+      i -> leafPattern.getOrElse(i, cube.dimensions(i).leafMembers.map(_.id))
+    }
+    guardEnumeration(perDim.map { case (i, ids) => cube.dimensions(i).name -> ids.size })
+    var grid: DataFrame = null
+    perDim.foreach { case (i, ids) =>
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(ids.map(Row(_)).toList, 1),
         StructType(Seq(StructField(s"d$i", IntegerType))))

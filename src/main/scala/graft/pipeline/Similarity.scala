@@ -417,6 +417,37 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
   }
 
+  /** IVF-PQ shortlist → EXACT re-rank — the full FAISS-style serving
+    * composition the [[ivfPqTopK]] scaladoc promises: the PQ-coded probe
+    * produces a k′-candidate shortlist per query (cheap, codes-only reads),
+    * then raw vectors are fetched for the SHORTLIST ONLY and the final
+    * top-k is exact cosine over them. Re-ranking repairs the ADC
+    * quantization error at a cost of |queries|·k′ raw-vector reads — the
+    * fetch joins the corpus scan against the BROADCAST shortlist (a few
+    * thousand ids), so at 100 TB it is one map-side semi-join + scan, no
+    * shuffle of the corpus. Recall@k is ≥ the plain IVF-PQ recall by
+    * construction whenever k′ ≥ k (the reranked top-k is drawn from a
+    * superset under the exact metric brute force uses).
+    */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int, kPrime: Int,
+      codebooks: Seq[Seq[Array[Double]]],
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainCap: Long = 200_000L): DataFrame = {
+    require(kPrime >= k, s"shortlist k'=$kPrime must be ≥ final k=$k")
+    val shortlist = ivfPqTopK(corpus, queries, kPrime, codebooks,
+        nCentroids, nProbe, idCol, vecCol, trainCap)
+      .select(col("query_id"), col("cand_id"))
+    val cRaw = corpus.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("cv"))
+    val qRaw = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val scored = cRaw.join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(qRaw), Seq("query_id"))
+      .withColumn("sim", cosineQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023 shape): semantic near-dup removal scoped
     * WITHIN clusters — assign every vector to its nearest centroid
     * ([[kmeansAssign]], scan-shaped), then drop any vector with a LOWER-id

@@ -295,6 +295,26 @@ object PipelineQueries {
         Seq("query_id", "cand_id"), recallFloor = 0.25)
     }),
 
+    // IVF-PQ shortlist (k′=50) → exact re-rank to k=10: the serving
+    // composition. Gated on recall@10 vs brute force AND on dominance —
+    // re-ranking a k′-superset under the exact metric can only improve
+    // recall over the plain ADC top-10, so rerank_ge_plain must hold
+    "pipe_ann_ivfpq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir); val q = e.filter(col("vec_id") < 5)
+      val cb = Similarity.pqFit(e, nSub = 8, k = 16)
+      val exact = Similarity.bruteForceTopK(e, q, 10)
+      val plain = Similarity.ivfPqTopK(e, q, 10, cb)
+      val rerank = Similarity.ivfPqRerankTopK(e, q, 10, 50, cb)
+      val keys = Seq("query_id", "cand_id")
+      val hPlain = containment(exact, plain, keys, "n_exact", "hit_plain")
+      val hRerank = containment(exact, rerank, keys, "n_exact2", "hit_rerank")
+      hPlain.crossJoin(hRerank).select(
+        (col("hit_rerank").cast("double") >= col("n_exact").cast("double") * 0.25)
+          .as("recall_ok"),
+        (col("hit_rerank") >= col("hit_plain")).as("rerank_ge_plain"),
+        (col("n_exact") > 0).as("nonempty_ok"))
+    }),
+
     // nearest-centroid assignment by cosine (centroid seeds = embeddings of
     // vec_id 0..7, so the oracle can reproduce them) — literal-centroid
     // argmax, pure scan: no join/shuffle in the plan (KMeansSemDedupSpec
@@ -706,6 +726,10 @@ object PipelineQueries {
          FROM best GROUP BY vec_id""",
 
     "pipe_ann_ivfpq" -> SUMMARY_ORACLE,
+
+    // rerank gate: recall floor + the dominance invariant (rerank ≥ plain)
+    "pipe_ann_ivfpq_rerank" ->
+      "SELECT TRUE AS recall_ok, TRUE AS rerank_ge_plain, TRUE AS nonempty_ok",
 
     // mirrors Similarity.kmeansAssign: argmax cosine over the vec_id<8 seed
     // centroids, tie-break lowest centroid — sims from the same exact

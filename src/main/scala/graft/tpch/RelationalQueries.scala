@@ -14,17 +14,32 @@ object RelationalQueries {
   private def read(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS) which Spark refuses
-    * natively: read ns as long, convert to µs timestamps (the data is
-    * µs-aligned — no precision loss). Integral `div` is mandatory here:
-    * `/` is double division and 2024-epoch nanos (~1.7e18) exceed double's
-    * 2^53 exact range (ulp = 256 ns), putting ~12% of timestamps 1 µs off
-    * versus the exact truncation DuckDB computes.
+  /** Schema-adaptive events read. The events table has shipped with two
+    * physical `ts` encodings across testdata generations:
+    *
+    *  - parquet TIMESTAMP(NANOS), which Spark refuses natively: with
+    *    `nanosAsLong` it arrives as LongType; convert to µs timestamps (the
+    *    data is µs-aligned — no precision loss). Integral `div` is mandatory
+    *    here: `/` is double division and 2024-epoch nanos (~1.7e18) exceed
+    *    double's 2^53 exact range (ulp = 256 ns), putting ~12% of timestamps
+    *    1 µs off versus the exact truncation DuckDB computes.
+    *  - parquet timestamp[us] with isAdjustedToUTC=false, which Spark infers
+    *    as TIMESTAMP_NTZ: cast to the session-TZ TimestampType (sessions run
+    *    UTC — Verify/Bench both set `spark.sql.session.timeZone=UTC` — so
+    *    the cast is value-identical to what DuckDB reads).
+    *
+    * Branching on the actual schema keeps both generations readable.
     */
   def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df // already session-TZ TimestampType
+    }
   }
 
   private def dec(c: Column): Column = c.cast("decimal(15,2)")

@@ -40,6 +40,12 @@ final class TpchModel(val db: Database, val cube: Cube, val sfDir: String) {
 object TpchModel {
   private val cache = TrieMap[String, TpchModel]()
 
+  /** Wall-clock phase attribution (seconds) of the most recent COLD build —
+    * emitted into the bench artifact so an outlying `model_build` total says
+    * WHERE the time went (r7 verdict #2: an unexplained 2.6× regression in
+    * the official artifact was undiagnosable from the total alone). */
+  @volatile var lastBuildPhases: Map[String, Double] = Map.empty
+
   def get(spark: SparkSession, sfDir: String): TpchModel =
     cache.getOrElseUpdate(sfDir, build(spark, sfDir))
 
@@ -47,6 +53,13 @@ object TpchModel {
 
   private def build(spark: SparkSession, sfDir: String): TpchModel = {
     def read(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
+    val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def phase[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      phases(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
 
     // ---- dimension catalogs (driver-side; dims are small by design) -------
     // The five catalog scans are independent Spark actions; Spark schedules
@@ -69,12 +82,15 @@ object TpchModel {
       .distinct().collect().map(_.getString(0)).sorted)
     val fParts = Future(read("part").select("p_partkey", "p_brand", "p_type").collect().map(r =>
       (r.getAs[Long]("p_partkey"), r.getAs[String]("p_brand"), r.getAs[String]("p_type"))))
-    val regions = Await.result(fRegions, 10.minutes)
-    val nations = Await.result(fNations, 10.minutes)
-    val customers = Await.result(fCustomers, 10.minutes)
+    val (regions, nations, customers) = phase("await_geo_catalogs") {
+      (Await.result(fRegions, 10.minutes),
+       Await.result(fNations, 10.minutes),
+       Await.result(fCustomers, 10.minutes))
+    }
 
     val db = new Database("tpch", spark)
     val geo = db.addDimension("geo")
+    phase("dim_geo") {
     geo.edit()
     geo.add("World", regions.values.toSeq.sorted)
     nations.groupBy(_._3).foreach { case (rk, ns) =>
@@ -85,9 +101,11 @@ object TpchModel {
       geo.add(nationName(nk), cs.map(c => s"C#${c._1}").toSeq)
     }
     geo.commit()
+    }
 
-    val days = Await.result(fDays, 10.minutes)
+    val days = phase("await_days_catalog") { Await.result(fDays, 10.minutes) }
     val cal = db.addDimension("calendar")
+    phase("dim_calendar") {
     cal.edit()
     val years = days.map(_.substring(0, 4)).distinct.sorted
     cal.add("AllTime", years)
@@ -98,9 +116,11 @@ object TpchModel {
     cal.commit()
     // static subset: first half of 1995, month granularity (Q2.11 surface)
     cal.addSubset("h1_1995", (1 to 6).map(m => f"1995-$m%02d"))
+    }
 
-    val parts = Await.result(fParts, 10.minutes)
+    val parts = phase("await_parts_catalog") { Await.result(fParts, 10.minutes) }
     val prod = db.addDimension("product")
+    phase("dim_product") {
     prod.edit()
     prod.add("AllBrands", parts.map(_._2).distinct.sorted)
     prod.add("AllTypes", parts.map(_._3).distinct.sorted)
@@ -115,6 +135,7 @@ object TpchModel {
     prod.addAttribute("ptype")
     parts.foreach { case (pk, _, tpe) => prod.setAttribute("ptype", s"P#$pk", tpe) }
     geo.addAlias("EU", "EUROPE")
+    }
 
     val meas = db.addDimension("measures")
     meas.edit()
@@ -127,6 +148,7 @@ object TpchModel {
     // handles it at scale), then broadcast id-mapping joins, 3-way measure
     // unpivot, and one pre-aggregation to FactTable semantics (one value per
     // address, ≙ `facttable.py:146-164` upsert).
+    val facts = phase("fact_plan") {
     val custMap = mapDf(spark, customers.map(c => c._1 -> geo.idOf(s"C#${c._1}")), "ckey", "gid")
     val dateMap = spark.createDataFrame(
       spark.sparkContext.parallelize(days.map(d => Row(d, cal.idOf(d))).toList, 1),
@@ -157,7 +179,7 @@ object TpchModel {
         sum((dec2(col("l_extendedprice")) * col("l_discount").cast("decimal(5,2)"))
           .cast("decimal(21,4)")).cast("decimal(21,4)").as("v_disc"))
 
-    val facts = preagg.select(col("d0"), col("d1"), col("d2"),
+    preagg.select(col("d0"), col("d1"), col("d2"),
       expr(s"""stack(3,
         $qid, v_qty,
         $gid, v_gross,
@@ -165,7 +187,9 @@ object TpchModel {
       ) AS (d3, value)"""))
       .select(col("d0"), col("d1"), col("d2"), col("d3"), col("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    facts.count() // materialize: queries measure steady-state latency
+    }
+    // materialize: queries measure steady-state latency
+    phase("fact_materialize") { facts.count() }
 
     val cube = db.addCube("sales", Seq(geo, cal, prod, meas), facts)
     // standing rule-derived measure: margin = net / gross (ALL_LEVELS)
@@ -174,6 +198,7 @@ object TpchModel {
       scope = graft.olap.RuleScope.AllLevels,
       expr = graft.olap.RuleParser.parse("[net] / [gross]"),
       name = "margin"))
+    lastBuildPhases = scala.collection.immutable.ListMap.from(phases)
     new TpchModel(db, cube, sfDir)
   }
 

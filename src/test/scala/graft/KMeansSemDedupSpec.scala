@@ -165,6 +165,51 @@ class KMeansSemDedupSpec extends AnyFunSuite {
       s"only $sameCluster/${got.size} retrieved neighbors share the query's cluster")
   }
 
+  test("ivfPqRerankTopK: exact re-rank of the shortlist dominates plain ADC recall") {
+    // same clustered corpus as the recall test — PQ fidelity meaningful
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until 4; i <- 0 until 25) yield {
+      val v = centers(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq
+      ((c * 25 + i).toLong, v)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id").isin(0L, 25L, 50L, 75L))
+    val cbs = Similarity.pqFit(df, nSub = 8, k = 8, maxIter = 5)
+    def pairs(r: org.apache.spark.sql.DataFrame) = r
+      .select(col("query_id").cast("long"), col("cand_id").cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(df, q, 10))
+    val plain = pairs(Similarity.ivfPqTopK(df, q, 10, cbs, nCentroids = 4, nProbe = 2))
+    val rr = Similarity.ivfPqRerankTopK(df, q, 10, 30, cbs, nCentroids = 4, nProbe = 2)
+    val rrPairs = pairs(rr)
+    val recPlain = (brute intersect plain).size.toDouble / brute.size
+    val recRr = (brute intersect rrPairs).size.toDouble / brute.size
+    assert(recRr >= recPlain,
+      f"rerank recall $recRr%.2f must dominate plain ADC recall $recPlain%.2f")
+    assert(recRr >= 0.6, f"rerank recall $recRr%.2f < 0.6 on clustered corpus")
+    // shape: exactly k ranked rows per query, ranks 1..10, no self-match
+    val byQ = rr.select(col("query_id").cast("long"), col("cand_id").cast("long"),
+        col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 25L, 50L, 75L))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to 10), s"query $qid ranks")
+      assert(!rs.exists(_._2 == qid), s"query $qid self-match")
+    }
+    // and the re-ranked sims are EXACT cosines: each (q,cand) sim equals the
+    // brute-force sim for the same pair (same quantized-integer metric)
+    val bruteSims = Similarity.bruteForceTopK(df, q, 10)
+      .select(col("query_id").cast("long"), col("cand_id").cast("long"), col("sim"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    rr.select(col("query_id").cast("long"), col("cand_id").cast("long"), col("sim"))
+      .collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        bruteSims.get(key).foreach(b =>
+          assert(b == r.getDouble(2), s"sim mismatch for $key: exact-metric drift"))
+      }
+  }
+
   test("pruneByPrototypes keeps exactly the least-prototypical keepFrac per cluster") {
     val vecs = collectVecs()
     val cents = Similarity.centroidsFromIds(emb, 0L until 8L)

@@ -28,8 +28,8 @@ class PlanShapeSpec extends AnyFunSuite {
     * quadratic-free via `Bench.rawOps` below.
     */
   private val verificationSummaries = Set(
-    "pipe_ann_lsh", "pipe_ann_ivf", "pipe_dedup_simhash",
-    "pipe_dedup_embed_lsh")
+    "pipe_ann_lsh", "pipe_ann_ivf", "pipe_ann_ivfpq", "pipe_ann_ivfpq_rerank",
+    "pipe_dedup_simhash", "pipe_dedup_embed_lsh")
 
   // one planning pass shared by both tests (some gate closures also run
   // driver-side setup — streams, scratch-cube writes — so build once)

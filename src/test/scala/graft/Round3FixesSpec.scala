@@ -180,24 +180,40 @@ class Round3FixesSpec extends AnyFunSuite {
     assert(c2.get(Seq("Cost")).contains(-7.0))
   }
 
-  test("events ns→µs conversion is exact integral truncation (no double drift)") {
+  test("events ts read is exact for both physical encodings (no double drift)") {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet").select(col("ts").as("ns"))
-    // Spark-side `div` equals driver-side exact floor division, bit for bit
-    val rows = raw.withColumn("us", expr("ns div 1000")).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.getLong(1) == Math.floorDiv(r.getLong(0), 1000L))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // ns-long generation: Spark-side `div` equals driver-side exact
+        // floor division, bit for bit
+        val rows = raw.select(col("ts").as("ns"))
+          .withColumn("us", expr("ns div 1000")).collect()
+        assert(rows.nonEmpty)
+        rows.foreach { r =>
+          assert(r.getLong(1) == Math.floorDiv(r.getLong(0), 1000L))
+        }
+        // and readEvents carries exactly that µs value into the timestamp
+        val drift = graft.tpch.RelationalQueries.readEvents(spark, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+          .join(raw.select(col("event_id"), col("ts").as("ns")), "event_id")
+          .filter(col("us") =!= expr("ns div 1000"))
+          .count()
+        assert(drift == 0L)
+      case _ =>
+        // µs-native generation (TIMESTAMP_NTZ): readEvents must carry the
+        // stored µs value into the session-UTC timestamp unchanged
+        val drift = graft.tpch.RelationalQueries.readEvents(spark, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+          .join(raw.select(col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("raw_us")), "event_id")
+          .filter(col("us") =!= col("raw_us"))
+          .count()
+        assert(drift == 0L)
+        assert(graft.tpch.RelationalQueries.readEvents(spark, dir)
+          .schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
     }
-    // and readEvents carries exactly that µs value into the timestamp
-    val drift = graft.tpch.RelationalQueries.readEvents(spark, dir)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"))
-      .join(spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id"), col("ts").as("ns")), "event_id")
-      .filter(col("us") =!= expr("ns div 1000"))
-      .count()
-    assert(drift == 0L)
   }
 
   test("streaming ingest keeps the fact plan depth bounded over 50 micro-batches") {
