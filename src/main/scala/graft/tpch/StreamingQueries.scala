@@ -17,6 +17,26 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, Struct
   */
 object StreamingQueries {
 
+  /** Lay `df` out as `n` event-time-range files whose modification times
+    * follow the range order, so the file source (which triggers oldest-mtime
+    * first) replays the stream in event-time order with only WITHIN-batch
+    * disorder — the bounded-disorder arrival contract a watermark assumes.
+    * Unordered replay of a whole history through a finite watermark would
+    * drop almost everything as late (observed: 1677/10000 events surviving a
+    * hash-sharded replay), which tests the drop path, not the operator.
+    */
+  private def timeOrderedStream(s: SparkSession, df: DataFrame, tsCol: String,
+      n: Int, tmp: String): DataFrame = {
+    df.repartitionByRange(n, col(tsCol)).write.mode("overwrite").parquet(tmp)
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName) // part-NNNNN ↔ range partition NNNNN
+    val base = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+    s.readStream.schema(s.read.parquet(tmp).schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "olap_stream_ingest" -> ((s, dir) => {
       val ev = RelationalQueries.readEvents(s, dir).filter(col("event_id") < 5000)
@@ -127,6 +147,65 @@ object StreamingQueries {
         .select(col("priority"), col("value").cast("double").as("value"))
     }),
 
+    // Streaming twin of rel_events_tumbling (r7 verdict #6): the SAME events
+    // land as an AvailableNow file stream (one file per micro-batch, so
+    // windows accumulate across many triggers) and run through the
+    // watermarked Streaming.windowedAggregate path; gated against the SAME
+    // DuckDB oracle as the batch gate — proving the streaming operator
+    // computes exactly what the batch plan does. Complete output mode keeps
+    // every window in the snapshot (the finite-stream parity shape; a
+    // production stream would run Append and let the watermark finalize+evict
+    // — that path is exercised in StreamingSpec). Values stream as
+    // decimal(15,2) so the windowed sums are order-exact like the batch side.
+    "rel_events_tumbling_stream" -> ((s, dir) => {
+      val ev = RelationalQueries.readEvents(s, dir)
+        .select(col("ts"), col("event_type"), col("value").cast("decimal(15,2)").as("value"))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_tumble")
+      val tmp = tmpRoot.resolve("files").toString
+      val stream = timeOrderedStream(s, ev, "ts", 12, tmp)
+      val agg = Streaming.windowedAggregate(stream, "ts", "10 minutes", "1 hour")
+      val sinkName = s"tumble_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = agg.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sinkName)
+        .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n"), col("total").cast("double").as("total"))
+        .localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }),
+
+    // Streaming twin of rel_sessionize: native session_window gap sessions
+    // over the file stream, then per-user session count/event count derived
+    // from the emitted sessions — the SAME oracle as the batch gate (no
+    // exact-1800s gaps exist in the data, so the half-open session_window
+    // boundary and the batch LAG>1800 rule agree).
+    "rel_sessionize_stream" -> ((s, dir) => {
+      val ev = RelationalQueries.readEvents(s, dir)
+        .select(col("ts"), col("user_id"), col("value"))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+      val tmp = tmpRoot.resolve("files").toString
+      val stream = timeOrderedStream(s, ev, "ts", 12, tmp)
+      val agg = Streaming.sessionWindowAggregate(stream, "ts", "10 minutes", "30 minutes")
+      val sinkName = s"sess_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = agg.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sinkName)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }),
+
     // streaming novelty filter: docs arrive as a file stream (one file per
     // micro-batch), stateful dropDuplicates collapses within-stream repeats
     // ACROSS batches, and a stream-static left_anti drops everything the
@@ -179,6 +258,23 @@ object StreamingQueries {
         SELECT p AS priority, CAST(SUM(v) AS DOUBLE) AS value FROM h GROUP BY 1
         UNION ALL
         SELECT 'AllPrio' AS priority, CAST(SUM(v) AS DOUBLE) AS value FROM h""",
+
+    // IDENTICAL oracle to the batch rel_events_tumbling — the path under
+    // test is the watermarked streaming window operator, not the arithmetic
+    "rel_events_tumbling_stream" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2""",
+
+    // IDENTICAL oracle to the batch rel_sessionize
+    "rel_sessionize_stream" ->
+      """WITH flagged AS (
+           SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+         FROM flagged GROUP BY user_id""",
 
     // mirrors TextDedup.novelOnly over the doc_id<250 corpus /
     // doc_id>=250 intake split: distinct canonical fingerprints of the
