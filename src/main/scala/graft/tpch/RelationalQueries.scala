@@ -264,6 +264,24 @@ object RelationalQueries {
         .groupBy(col("user_id"))
         .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
+
+    // semi-structured: typed JSON extraction from the events `props` column
+    // — `from_json` with an explicit schema (the codegen'd Jackson path; a
+    // malformed document yields NULL, counted rather than erroring), then
+    // integer aggregates so the oracle compare is exact. At scale this is a
+    // pure scan: extraction stays inside WholeStageCodegen, no shuffle
+    // beyond the final hash agg.
+    "rel_json_props" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      readEvents(s, dir)
+        .withColumn("k",
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          count(when(col("k").isNull, 1)).as("n_null"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -400,6 +418,14 @@ object RelationalQueries {
            LEAD(event_type) OVER w AS next_type,
            NTILE(4) OVER w AS quartile
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "rel_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_null
+         FROM events GROUP BY event_type""",
 
     "rel_sessionize" ->
       """WITH flagged AS (
