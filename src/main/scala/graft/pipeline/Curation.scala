@@ -274,4 +274,33 @@ object Curation {
       .withColumn("cum_tokens", sum(tokensCol.cast("long")).over(w))
       .filter(col("cum_tokens") <= budgetCol)
   }
+
+  /** Token-bounded output sharding — the export step after curation: assign
+    * whole documents (never split, unlike [[packSequences]]) to size-bounded
+    * shards, webdataset/tfrecord style. A document lands in the shard where
+    * its first token falls: `shard_id = floor(exclusive-cumsum(tokens) /
+    * maxTokensPerShard)` per stratum in id order — ONE cumulative-sum
+    * window on the stratum key, deterministic at any partitioning, and a
+    * writer can then `repartition($"stratum", $"shard_id")` to emit one
+    * file per shard. Shard token totals land within ±(max doc tokens) of
+    * the cap; the never-split contract is what a doc-granular reader
+    * needs. For a single huge stratum, pre-bucket ids exactly as
+    * [[packSequencesBucketed]] does — same composite-stratum story.
+    */
+  def assignShards(df: DataFrame, idCol: Column, stratumCol: Column,
+      tokensCol: Column, maxTokensPerShard: Long): DataFrame = {
+    require(maxTokensPerShard > 0,
+      s"maxTokensPerShard must be positive, got $maxTokensPerShard")
+    Seq("n_tokens", "shard_id", "__off").foreach(c =>
+      require(!df.columns.contains(c),
+        s"assignShards emits or overwrites a `$c` column; rename the input's `$c` first"))
+    val w = Window.partitionBy(stratumCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("__off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integral `div`, not `/`: Column./ is double division, and the
+      // cumulative offset of a 100 TB corpus sits near double's exact range
+      .withColumn("shard_id", expr(s"__off div ${maxTokensPerShard}L"))
+      .drop("__off")
+  }
 }

@@ -411,6 +411,19 @@ object PipelineQueries {
     }),
 
     // sequence packing (concat-and-cut): id-ordered token stream per lang
+    // token-bounded output sharding (webdataset/tfrecord export step): whole
+    // docs (never split) assigned to ~2000-token shards per source, plus
+    // per-shard accounting — one window + one aggregation on the stratum key
+    "pipe_shard_assign" -> ((s, dir) => {
+      Curation.assignShards(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCountWs(col("text")).as("tok")),
+          col("doc_id"), col("source"), col("tok"), 2000L)
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    }),
+
     // cut into 512-token windows; each doc assigned the pack its first
     // token lands in — one window shuffle on the stratum key
     "pipe_pack" -> ((s, dir) => {
@@ -865,6 +878,19 @@ object PipelineQueries {
            (dup_word_frac > 0.55 OR dup_bigram_frac > 0.06 OR dup_trigram_frac > 0.02)
              AS repetitive
          FROM s""",
+
+    // mirrors Curation.assignShards(…, 2000) + the per-shard accounting agg
+    "pipe_shard_assign" ->
+      """WITH t AS (SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+           o AS (SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           FROM t)
+         SELECT source, off // 2000 AS shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM o GROUP BY 1, 2""",
 
     // mirrors Curation.packSequences(…, 512): start offset = exclusive
     // prefix sum of token counts per lang in doc_id order

@@ -265,6 +265,21 @@ object RelationalQueries {
         .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // skew-safe salted join: the SAME aggregate as rel_join_shuffle computed
+    // through Relational.saltedJoin (left keys salted into 8 subkeys, right
+    // side replicated per subkey) — result parity with the plain shuffle
+    // join is the gate, via the identical oracle. The portable skew tool
+    // for when one hot key would otherwise pin a single reducer at 100 TB.
+    "rel_join_salted" -> ((s, dir) => {
+      val orders = read(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Relational.saltedJoin(
+          read(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+          orders, "l_orderkey", salt = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+    }),
+
     // semi-structured: typed JSON extraction from the events `props` column
     // — `from_json` with an explicit schema (the codegen'd Jackson path; a
     // malformed document yields NULL, counted rather than erroring), then
@@ -293,6 +308,12 @@ object RelationalQueries {
           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""",
 
     "rel_join_shuffle" ->
+      """SELECT o_orderpriority, CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority""",
+
+    // parity with the plain shuffle join IS the gate: salting must not
+    // change the result, only the shuffle layout
+    "rel_join_salted" ->
       """SELECT o_orderpriority, CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority""",
 

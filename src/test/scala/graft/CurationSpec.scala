@@ -167,4 +167,33 @@ class CurationSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("assignShards: whole docs, bounded shard totals, driver-oracle parity") {
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 500L).map(i =>
+      (i, if (i % 2 == 0) "web" else "books", 1L + rnd.nextInt(99))).toDF("id", "src", "tok")
+    val cap = 300L
+    val got = Curation.assignShards(docs, col("id"), col("src"), col("tok"), cap)
+      .select(col("id"), col("src"), col("n_tokens"), col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // driver oracle: exclusive cumsum in id order per stratum, integral div
+    val expected = got.groupBy(_._2).flatMap { case (_, rows) =>
+      var off = 0L
+      rows.toSeq.sortBy(_._1).map { case (id, src, tok, _) =>
+        val sid = off / cap; off += tok; (id, sid)
+      }
+    }.toMap
+    got.foreach { case (id, _, _, sid) => assert(sid == expected(id), s"doc $id") }
+    // each doc appears exactly once (never split) and shard totals are
+    // within one max-doc of the cap
+    assert(got.map(_._1).distinct.length == 500)
+    val totals = got.groupBy(r => (r._2, r._4)).map { case (_, rs) => rs.map(_._3).sum }
+    totals.foreach(t => assert(t <= cap + 99, s"shard total $t"))
+    // deterministic at any partitioning
+    val re = Curation.assignShards(docs.repartition(13), col("id"), col("src"),
+        col("tok"), cap)
+      .select(col("id"), col("shard_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (id, _, _, sid) => assert(re(id) == sid) }
+  }
 }
