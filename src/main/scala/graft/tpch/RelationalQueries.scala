@@ -199,6 +199,21 @@ object RelationalQueries {
           sum(dec(col("o_totalprice"))).over(w).cast("double").as("running"))
     }),
 
+    // event-TIME-RANGE window frame: per user, events in the trailing hour
+    // (RANGE BETWEEN on µs epoch — a sliding aggregate with no bucketing,
+    // the frame ends exactly at each row). Distinct from both the tumbling
+    // window (fixed buckets) and the rows-frame running sum: the frame is
+    // defined by the ORDER VALUE, so ties share identical frames in Spark
+    // and the oracle. One shuffle on the partition key.
+    "rel_window_timerange" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000L * 1000L, org.apache.spark.sql.expressions.Window.currentRow)
+      readEvents(s, dir).select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(15,2)")).over(w).cast("double").as("sum_1h"))
+    }),
+
     // event-time tumbling window aggregation (Structured-Streaming-shaped)
     "rel_events_tumbling" -> ((s, dir) => {
       readEvents(s, dir)
@@ -265,6 +280,27 @@ object RelationalQueries {
         .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // approximate percentiles — the quantile path that actually scales (the
+    // exact form sorts the whole group; approx_percentile is one-pass
+    // mergeable sketch state). Verified like the HLL gate: in-engine
+    // against the exact per-group quantiles, thresholded at 2% of the
+    // group's value RANGE (quantile error is positional, so a rank-epsilon
+    // guarantee maps to a value tolerance via the spread), booleans oracled
+    // as the constant all-true row — a drifting sketch FAILS the gate.
+    "rel_approx_percentiles" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75)),
+            lit(1000)).as("ap"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ex"),
+          (max(col("l_extendedprice")) - min(col("l_extendedprice"))).as("range"))
+        .select(explode(arrays_zip(col("ap"), col("ex"))).as("z"), col("range"))
+        .agg(max(abs(col("z.ap") - col("z.ex")) / col("range")).as("__maxerr"),
+          count(lit(1)).as("__n"))
+        .select((col("__maxerr") <= 0.02).as("err_ok"), (col("__n") > 0).as("nonempty_ok"))
+    }),
+
     // skew-safe salted join: the SAME aggregate as rel_join_shuffle computed
     // through Relational.saltedJoin (left keys salted into 8 subkeys, right
     // side replicated per subkey) — result parity with the plain shuffle
@@ -303,6 +339,7 @@ object RelationalQueries {
     // error-bound verification summary: Spark measures HLL vs exact and
     // emits booleans; the oracle is the constant all-true row
     "rel_approx_distinct" -> "SELECT TRUE AS err_ok, TRUE AS nonempty_ok",
+    "rel_approx_percentiles" -> "SELECT TRUE AS err_ok, TRUE AS nonempty_ok",
     "rel_join_broadcast" ->
       s"""SELECT p_brand, CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n
           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""",
@@ -412,6 +449,14 @@ object RelationalQueries {
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
          FROM orders""",
+
+    "rel_window_timerange" ->
+      """SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(15,2))) OVER w AS DOUBLE) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
 
     "rel_events_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
