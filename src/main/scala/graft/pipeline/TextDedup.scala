@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines.
@@ -265,9 +265,52 @@ object TextDedup {
     * deterministic-unpersist alternative is the thing that was 3.8× slower.
     */
   def dedupClusters(pairs: DataFrame, iCol: String = "i", jCol: String = "j",
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, driverEdgeCap: Long = 5_000_000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(iCol).cast("long").as("a"), col(jCol).cast("long").as("b"))
+      .persist(lvl)
+    // SIZE-ADAPTIVE strategy, same spirit as Spark's small-side→broadcast
+    // join planning: the near-dup pair graph after banding is typically
+    // ORDERS smaller than the corpus (here: thousands of paired docs out of
+    // 1e5), and a graph fixpoint as driver-coordinated Spark jobs pays
+    // ~10-15 tiny-job latencies regardless of data size (~4-5 s at any
+    // small scale). Below `driverEdgeCap` edges (≈16 bytes each — the
+    // default 5e6 caps driver heap at ~80 MB) the edge list is collected
+    // and solved with in-memory union-find (min-id root, path compression):
+    // exact same labels, one collect instead of a multi-round loop. The
+    // distributed min-label fixpoint below remains the path for genuinely
+    // huge pair sets — the 100 TB contract is unchanged, the cap only
+    // routes the small case off the job scheduler. Set driverEdgeCap=0 to
+    // force the distributed path (the property spec exercises both).
+    val nEdges = edges.count()
+    if (nEdges <= driverEdgeCap) {
+      val spark = pairs.sparkSession
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        // attach the LARGER root under the smaller: the surviving root of a
+        // component is always its MIN id — the min-label fixpoint's answer
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      edges.unpersist(blocking = false)
+      val out = parent.keys.toArray.sorted.map(id => Row(id, find(id)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, math.max(1, out.length / 500000)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType))))
+    }
     // partitioned ONCE by the per-round join key: every edge round reuses
     // this partitioning, so only the (small) label table shuffles per round
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -285,15 +328,17 @@ object TextDedup {
     while (!converged && it < maxIters) {
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid")).agg(min(col("label")).as("nbr"))
+      // lazily persisted, NOT checkpointed: the jump self-join below reads
+      // prop twice, and a bare reference would carry the edge-join subtree
+      // twice into next's plan (the one-checkpoint-no-persist variant
+      // measured SLOWER at sf0.1, 4.2 s → 5.3 s, round 7, for exactly that
+      // reason). The cache materializes once inside next's checkpoint job —
+      // one job per round instead of two — and lineage stays shallow
+      // because `labels` was checkpointed at round start.
       val prop = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        // eager: materializes AND truncates lineage. Keeping ONE checkpoint
-        // per round (folding prop into next's plan, where the self-join
-        // carries the edge-join subtree twice) was measured SLOWER at sf0.1
-        // (4.2 s → 5.3 s steady state, round 7): the duplicated edge join
-        // outweighs the saved action even though label frames are tiny.
-        .localCheckpoint(true)
+        .persist(lvl)
       // ONE pointer jump per round: label(x) := min(label(x), label(label(x)))
       // — joins the LABEL table with itself (labels are always node ids, so
       // every label has a row), never the ×|E| edge frame. Hook+jump per
@@ -322,13 +367,13 @@ object TextDedup {
       // backing RDDs (DataFrame.unpersist cannot reach RDD-level checkpoint
       // blocks; the ContextCleaner only frees them at driver GC time) —
       // peak storage stays ~2 label frames regardless of round count
-      release(prop); release(labels)
+      prop.unpersist(blocking = false); release(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       it += 1
     }
-    sym.unpersist()
+    sym.unpersist(); edges.unpersist(blocking = false)
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

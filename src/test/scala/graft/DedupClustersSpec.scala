@@ -28,8 +28,13 @@ class DedupClustersSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def run(pairs: Seq[(Long, Long)], maxIters: Int = 25): Map[Long, Long] =
-    TextDedup.dedupClusters(pairs.toDF("i", "j"), maxIters = maxIters)
+  // driverEdgeCap = 0 forces the DISTRIBUTED min-label fixpoint (the
+  // size-adaptive default would route every test-sized graph to the
+  // driver-side union-find and the loop would go untested)
+  private def run(pairs: Seq[(Long, Long)], maxIters: Int = 25,
+      driverEdgeCap: Long = 0L): Map[Long, Long] =
+    TextDedup.dedupClusters(pairs.toDF("i", "j"), maxIters = maxIters,
+        driverEdgeCap = driverEdgeCap)
       .as[(Long, Long)].collect().toMap
 
   test("empty pair list yields an empty cluster frame (no NPE)") {
@@ -90,7 +95,7 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got == unionFindOracle(pairs))
   }
 
-  test("random graphs match union-find") {
+  test("random graphs match union-find — BOTH strategies (distributed and driver)") {
     val rnd = new scala.util.Random(42)
     for (_ <- 0 until 8) {
       val n = rnd.nextInt(61)
@@ -98,8 +103,17 @@ class DedupClustersSpec extends AnyFunSuite {
         val a = rnd.nextInt(31).toLong; val b = rnd.nextInt(31).toLong
         if (a == b) None else Some((math.min(a, b), math.max(a, b)))
       }
-      assert(run(pairs) == unionFindOracle(pairs))
+      val oracle = unionFindOracle(pairs)
+      assert(run(pairs) == oracle)                             // distributed fixpoint
+      assert(run(pairs, driverEdgeCap = 1000000L) == oracle)   // driver union-find
     }
+  }
+
+  test("empty pair list yields an empty frame on the driver path too") {
+    val out = TextDedup.dedupClusters(Seq.empty[(Long, Long)].toDF("i", "j"),
+      driverEdgeCap = 1000L)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("id", "cluster_id"))
   }
 
   test("shingled MinHash is order-sensitive where word-set MinHash is not") {
