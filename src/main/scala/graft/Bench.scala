@@ -27,6 +27,7 @@ object Bench {
     "rel_join_broadcast",   // broadcast hash join
     "rel_join_shuffle",     // shuffle join (AQE)
     "rel_window_topn",      // per-group top-n window
+    "rel_window_timerange", // RANGE-frame trailing-hour aggregate (round 8)
     "rel_events_tumbling",  // event-time windows
     "rel_asof_join",        // union+window as-of join
     "rel_sessionize",       // gap sessionization
@@ -38,6 +39,7 @@ object Bench {
     "pipe_fingerprint",     // md5 fingerprints
     "pipe_repetition",      // duplicate-n-gram repetition signals (scan)
     "pipe_pack",            // sequence packing (one window shuffle)
+    "pipe_shard_assign",    // token-bounded output sharding (round 8)
     "pipe_dedup_segments",  // repeated-span removal (keep-first segments)
     "pipe_bm25",            // BM25 retrieval: stats scan -> scored top-k
     "pipe_tfidf",           // TF-IDF keywords: inverted-index grains + window
