@@ -51,6 +51,12 @@ final class Cube(
   val nDims: Int = dimensions.size
   val dimCols: Vector[String] = Vector.tabulate(nDims)(i => s"d$i")
 
+  /** Back-reference to the owning database, set by `Database.addCube` —
+    * cross-cube rule references ([[graft.olap.RuleExpr.CubeRef]]) resolve
+    * the target cube through it. None for a standalone cube (cross-cube
+    * refs then raise `#REF!`). */
+  @volatile private[graft] var databaseRef: Option[Database] = None
+
   // register with each dimension so a later dimension edit reaches this cube
   // (commit-time fact purge of removed members + closure refresh)
   dimensions.distinct.foreach(_.registerCube(this))
@@ -679,6 +685,14 @@ final class Cube(
   def registerRule(rule: graft.olap.RuleDef): Unit = {
     graft.olap.Rules.validate(this, rule)
     stateLock.synchronized { rulesBuf += rule; stateVersion += 1; cache.clear() }
+  }
+
+  /** Remove a registered rule by name (≙ `cube.remove_rule`); no-op when
+    * absent. Invalidates the result cache like any rule change. */
+  def removeRule(ruleName: String): Unit = stateLock.synchronized {
+    val before = rulesBuf.size
+    rulesBuf.filterInPlace(_.name != ruleName)
+    if (rulesBuf.size != before) { stateVersion += 1; cache.clear() }
   }
 
   private[graft] def clearCache(): Unit = cache.clear()

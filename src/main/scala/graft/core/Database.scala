@@ -51,6 +51,7 @@ final class Database(val name: String, val spark: SparkSession) {
     require(!cubeMap.contains(cubeName.toLowerCase), s"cube '$cubeName' exists")
     val c = new Cube(cubeName, cubeDims, spark)
     c.cacheEnabled = cachingFlag
+    c.databaseRef = Some(this)
     cubeMap(cubeName.toLowerCase) = c; c
   }
   def addCube(cubeName: String, cubeDims: Seq[Dimension],
@@ -58,6 +59,7 @@ final class Database(val name: String, val spark: SparkSession) {
     require(!cubeMap.contains(cubeName.toLowerCase), s"cube '$cubeName' exists")
     val c = new Cube(cubeName, cubeDims, spark, Some(facts))
     c.cacheEnabled = cachingFlag
+    c.databaseRef = Some(this)
     cubeMap(cubeName.toLowerCase) = c; c
   }
   def cube(cubeName: String): Cube = cubeMap.getOrElse(cubeName.toLowerCase,

@@ -53,6 +53,30 @@ object RuleExpr {
     * code pickling).
     */
   case object Input extends RuleExpr
+  /** Cross-cube cell lookup (≙ `c.db["exrates", ...]` — the reference's
+    * currency-conversion rule, `samples/rules.py:125-139`): reads a cell of
+    * ANOTHER cube in the same database. `parts` supplies one member per
+    * target-cube dimension, in the target's dimension order, each resolved
+    * against the CURRENT cell:
+    *  - `Carry(dim)`: the current cell's member NAME in this cube's `dim`
+    *    (≙ `c.member("years")` carried into the lookup address)
+    *  - `AttrOf(dim, attr)`: the attribute VALUE of the current cell's
+    *    member in `dim` names the target member
+    *    (≙ `c.member("regions").attribute("lc")` → currency code)
+    *  - `Fixed(member)`: a literal target member name.
+    * The read goes through the target cube's full read path — its own rules
+    * fire and its result cache serves repeated lookups. Scalar-mode only
+    * (like Shift): per-cell resolution through this cube's member catalog
+    * is not a column expression. Mutual A→B→A recursion is the rule
+    * author's responsibility, exactly as in the reference.
+    */
+  final case class CubeRef(cubeName: String, parts: Seq[CubeRefPart]) extends RuleExpr
+  sealed trait CubeRefPart
+  object CubeRefPart {
+    final case class Carry(dim: String) extends CubeRefPart
+    final case class AttrOf(dim: String, attr: String) extends CubeRefPart
+    final case class Fixed(member: String) extends CubeRefPart
+  }
 }
 
 /** A typed rule-evaluation error carrying the reference's `#…!` sentinel code
@@ -157,14 +181,14 @@ object Rules {
       case Div(a, b) => usesInput(a) || usesInput(b)
       case Neg(a) => usesInput(a)
       case Fn(_, a) => usesInput(a)
-      case Lit(_) | Ref(_) | Shift(_, _) => false
+      case Lit(_) | Ref(_) | Shift(_, _) | CubeRef(_, _) => false
     }
   }
 
   private def usesCellReads(e: RuleExpr): Boolean = {
     import RuleExpr._
     e match {
-      case Ref(_) | Shift(_, _) => true
+      case Ref(_) | Shift(_, _) | CubeRef(_, _) => true
       case Add(a, b) => usesCellReads(a) || usesCellReads(b)
       case Sub(a, b) => usesCellReads(a) || usesCellReads(b)
       case Mul(a, b) => usesCellReads(a) || usesCellReads(b)
@@ -229,10 +253,13 @@ object Rules {
       else acc && col(s"d$i") === cube.dimensions(i).idOf(member)
     }
 
+  /** Scalar-only constructs: per-cell member-catalog resolution (relative
+    * Shift ordinals, cross-cube lookups) that no bulk column path can
+    * express. */
   private def usesShift(e: RuleExpr): Boolean = {
     import RuleExpr._
     e match {
-      case Shift(_, _) => true
+      case Shift(_, _) | CubeRef(_, _) => true
       case Add(a, b) => usesShift(a) || usesShift(b)
       case Sub(a, b) => usesShift(a) || usesShift(b)
       case Mul(a, b) => usesShift(a) || usesShift(b)
@@ -464,6 +491,36 @@ object Rules {
         }
         // referenced cells go through the full read path so chained rules fire
         cube.getByBolt(rb)
+      case CubeRef(cn, parts) =>
+        val db = cube.databaseRef.getOrElse(throw RuleError("#REF!",
+          s"cube '${cube.name}' is not attached to a database — cross-cube ref needs one"))
+        val target = try db.cube(cn) catch { case _: NoSuchElementException =>
+          throw RuleError("#REF!", s"unknown cube '$cn' in cross-cube ref") }
+        if (parts.size != target.nDims) throw RuleError("#REF!",
+          s"cross-cube ref to '$cn' needs ${target.nDims} members, got ${parts.size}")
+        def dimIdx(d: String): Int = {
+          val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))
+          if (i < 0) throw RuleError("#REF!", s"unknown dimension '$d' in cross-cube ref")
+          i
+        }
+        val names = parts.map {
+          case CubeRefPart.Carry(d) =>
+            val i = dimIdx(d); cube.dimensions(i).nameOf(b.ids(i))
+          case CubeRefPart.AttrOf(d, a) =>
+            val i = dimIdx(d)
+            if (!cube.dimensions(i).hasAttribute(a)) throw RuleError("#REF!",
+              s"dimension '$d' has no attribute '$a' for cross-cube ref")
+            val m = cube.dimensions(i).nameOf(b.ids(i))
+            cube.dimensions(i).getAttribute(a, m).getOrElse(throw RuleError("#REF!",
+              s"member '$m' carries no '$a' attribute value for cross-cube ref"))
+          case CubeRefPart.Fixed(m) => m
+        }
+        // full read path on the target: its rules fire, its cache serves
+        try target.get(names) catch {
+          case e: RuleError => throw e
+          case _: NoSuchElementException => throw RuleError("#REF!",
+            s"cross-cube ref to '$cn': no such member address ${names.mkString("(", ", ", ")")}")
+        }
       case Shift(dimName, offset) =>
         val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dimName))
         if (i < 0) throw RuleError("#REF!", s"unknown dimension '$dimName' in rule shift")
@@ -544,6 +601,8 @@ object Rules {
       case Fn(n, _) => throw RuleError("#ERR!", s"unknown rule function '$n'")
       case Shift(d, _) => throw new IllegalArgumentException(
         s"relative shift on '$d' not expressible in column mode")
+      case CubeRef(cn, _) => throw new IllegalArgumentException(
+        s"cross-cube ref to '$cn' not expressible in column mode")
       case Input => input.getOrElse(throw new IllegalArgumentException(
         "on-entry Input is not expressible in column mode"))
     }
@@ -691,6 +750,27 @@ object Rules {
         case Shift(d, _) =>
           require(cube.dimensions.exists(_.name.equalsIgnoreCase(d)),
             s"rule '${r.name}': unknown dimension '$d' in shift")
+        case CubeRef(cn, parts) =>
+          cube.databaseRef.foreach { db =>
+            val target = try Some(db.cube(cn)) catch { case _: Throwable => None }
+            require(target.isDefined,
+              s"rule '${r.name}': unknown cube '$cn' in cross-cube ref")
+            require(parts.size == target.get.nDims,
+              s"rule '${r.name}': cross-cube ref to '$cn' needs " +
+                s"${target.get.nDims} members, got ${parts.size}")
+          }
+          parts.foreach {
+            case CubeRefPart.Carry(d) =>
+              require(cube.dimensions.exists(_.name.equalsIgnoreCase(d)),
+                s"rule '${r.name}': unknown dimension '$d' in cross-cube carry")
+            case CubeRefPart.AttrOf(d, a) =>
+              val i = dimIndexOf(cube, d)
+              require(i >= 0,
+                s"rule '${r.name}': unknown dimension '$d' in cross-cube attr ref")
+              require(cube.dimensions(i).hasAttribute(a),
+                s"rule '${r.name}': dimension '$d' has no attribute '$a'")
+            case CubeRefPart.Fixed(_) => ()
+          }
         case Add(a, b) => check(a); check(b)
         case Sub(a, b) => check(a); check(b)
         case Mul(a, b) => check(a); check(b)
@@ -770,6 +850,9 @@ object Rules {
     * [[baseRuleGrid]] (scalar read path).
     */
   private def aggregateBaseRule(cube: Cube, b: Bolt, rule: RuleDef): Option[Double] = {
+    if (usesShift(rule.expr)) throw RuleError("#ERR!",
+      s"base-level rule '${rule.name}' uses relative/cross-cube refs, which " +
+        "are per-cell — query base cells directly, or use ALL_LEVELS scope")
     val measureDim = rule.trigger.keys.map(d =>
       cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))).headOption.getOrElse(cube.nDims - 1)
     val sels = (0 until cube.nDims).map(i => if (i == measureDim) Nil else Seq(b.ids(i)))
@@ -799,6 +882,13 @@ object Rules {
       case Fn(n, a) => ("op" -> "fn") ~ ("fn" -> n) ~ ("a" -> exprToJson(a))
       case Shift(d, o) => ("op" -> "shift") ~ ("dim" -> d) ~ ("offset" -> o)
       case Input => JObject(List("op" -> JString("input")))
+      case CubeRef(cn, parts) => ("op" -> "cuberef") ~ ("cube" -> cn) ~
+        ("parts" -> parts.map {
+          case CubeRefPart.Carry(d) => ("kind" -> "carry") ~ ("dim" -> d)
+          case CubeRefPart.AttrOf(d, a) =>
+            ("kind" -> "attr") ~ ("dim" -> d) ~ ("attr" -> a)
+          case CubeRefPart.Fixed(m) => ("kind" -> "fixed") ~ ("member" -> m)
+        })
     }
   }
 
@@ -816,6 +906,20 @@ object Rules {
       case "fn" => Fn((j \ "fn").extract[String], exprFromJson(j \ "a"))
       case "shift" => Shift((j \ "dim").extract[String], (j \ "offset").extract[Int])
       case "input" => Input
+      case "cuberef" =>
+        val parts = (j \ "parts") match {
+          case JArray(ps) => ps.map { p =>
+            (p \ "kind").extract[String] match {
+              case "carry" => CubeRefPart.Carry((p \ "dim").extract[String])
+              case "attr" => CubeRefPart.AttrOf(
+                (p \ "dim").extract[String], (p \ "attr").extract[String])
+              case "fixed" => CubeRefPart.Fixed((p \ "member").extract[String])
+              case k => throw new IllegalArgumentException(s"unknown cuberef part '$k'")
+            }
+          }
+          case _ => throw new IllegalArgumentException("cuberef parts must be an array")
+        }
+        CubeRef((j \ "cube").extract[String], parts)
       case op => throw new IllegalArgumentException(s"unknown rule op '$op'")
     }
   }

@@ -764,6 +764,51 @@ object TpchQueries {
     // an unknown ref member is rejected AT REGISTRATION (typed, loud), the
     // rule set stays unchanged, and the standing margin rule still computes
     // the oracle-exact world value afterwards
+    // R+ (round 8): CROSS-CUBE rule reference — the reference's currency-
+    // conversion rule shape (`samples/rules.py:125-139`): GC = LC × rate,
+    // the rate looked up in a SECOND cube (`exrates`) whose address comes
+    // from an ATTRIBUTE of the current nation member (its region name as
+    // the "currency code"). Rates derive from r_regionkey so DuckDB
+    // reproduces them; LC cells are decimal-exact account-balance sums.
+    "olap_rule_cuberef" -> ((s, dir) => {
+      val db = new graft.core.Database("fxdb", s)
+      val nationRows = s.read.parquet(s"$dir/nation.parquet")
+        .join(s.read.parquet(s"$dir/region.parquet"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"), col("r_name"), col("r_regionkey")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+      val nat = db.addDimension("nation")
+      nat.edit().add("AllNations", nationRows.map(_._1).toSeq).commit()
+      nat.addAttribute("cur")
+      nationRows.foreach { case (n, rn, _) => nat.setAttribute("cur", n, rn) }
+      val cur = db.addDimension("cur")
+      val regions = nationRows.map(r => (r._2, r._3)).distinct.sortBy(_._1)
+      cur.edit().addMany(regions.map(_._1).toSeq).commit()
+      val exrates = db.addCube("exrates", Seq(cur))
+      regions.foreach { case (rn, rk) => exrates.set(Seq(rn), 1.0 + 0.1 * rk) }
+      val meas = db.addDimension("m")
+      meas.edit().addMany(Seq("LC", "GC")).commit()
+      val sales = db.addCube("salesfx", Seq(nat, meas))
+      val lc = s.read.parquet(s"$dir/customer.parquet")
+        .join(s.read.parquet(s"$dir/nation.parquet"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("c_acctbal").cast("decimal(15,2)")).cast("double").as("v"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))) // bounded: one row/nation
+      lc.foreach { case (n, v) => sales.set(Seq(n, "LC"), v) }
+      sales.registerRule(RuleDef(Map("m" -> "GC"), RuleScope.AllLevels,
+        RuleExpr.Mul(RuleExpr.Ref("LC"),
+          RuleExpr.CubeRef("exrates",
+            Seq(RuleExpr.CubeRefPart.AttrOf("nation", "cur")))),
+        "lc_to_gc"))
+      val out = nationRows.map { case (n, _, _) =>
+        Row(n, sales.get(Seq(n, "GC")).map(Double.box).orNull)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(out.toList, 1),
+        StructType(Seq(StructField("nation", StringType),
+          StructField("value", DoubleType))))
+    }),
+
     "olap_rule_validate" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
       val c = scratch(m)
@@ -1228,6 +1273,15 @@ object TpchQueries {
           1 AS n_rules,
           CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) / CAST(SUM($GROSS) AS DOUBLE) AS value
           $STAR""",
+
+    // mirrors the cross-cube rule: per-nation LC (decimal acctbal sum cast
+    // to double) × rate (1.0 + 0.1·regionkey — same IEEE doubles both sides)
+    "olap_rule_cuberef" ->
+      """SELECT n_name AS nation,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) * (1.0 + 0.1 * r_regionkey) AS value
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name, r_regionkey""",
 
     // mirrors the engine: net is the decimal-exact weighted rollup
     // (gross − disc) and margin divides AS DOUBLES at read time; the probe
