@@ -31,6 +31,8 @@ object Bench {
     "rel_events_tumbling",  // event-time windows
     "rel_asof_join",        // union+window as-of join
     "rel_sessionize",       // gap sessionization
+    "rel_events_tumbling_stream", // streaming twin: AvailableNow replay cost
+    "rel_sessionize_stream",      // streaming twin (r8 verdict ask #7)
     "pipe_dedup_minhash",   // MinHash-LSH near-dup (bucketed, verified)
     "pipe_dedup_simhash",   // SimHash near-dup (banded; raw op, see rawOps)
     "pipe_ann_lsh",         // sign-LSH ANN top-k (raw op, see rawOps)
@@ -278,14 +280,38 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(headline)(s => headline.filter(s))
-    for (pass <- 1 to passes) {
-      canaries += spinCanary()
-      selected.foreach { name =>
+    // Per-pass contention watchdog (r8 verdict #2: the detectors measured a
+    // mid-run contention plateau — pass-2 canary 2.7× the floor — but only
+    // WARNED; six rows shipped >2× inflated with no clean sample). Now each
+    // pass is bracketed by canaries; a pass whose pre- OR post-canary median
+    // exceeds `dirtyK`× the floor is DIRTY and is re-run (bounded retries,
+    // min-of-passes merges the retry). Rows that never land in a clean pass
+    // are published in `dirty_rows` and flip `contended` so the driver knows
+    // to retry the artifact rather than trust plausible-but-poisoned numbers.
+    val passRetries = sys.env.getOrElse("SPARK_GRAFT_PASS_RETRIES", "2").toInt
+    val dirtyK = sys.env.getOrElse("SPARK_GRAFT_PASS_DIRTY_K", "1.75").toDouble
+    var retriesUsed = 0
+    var dirtyResidue = false
+    val cleanNames = scala.collection.mutable.Set[String]()
+    val allNames = scala.collection.mutable.Set[String]()
+
+    // The streaming twins replay the events as a 12-trigger AvailableNow
+    // stream — their cost is micro-batch fixed overhead (~0.6 s/trigger),
+    // not data volume, so min-of-passes adds nothing: timed ONCE per run.
+    val onceOnly = Set("rel_events_tumbling_stream", "rel_sessionize_stream")
+    def runPass(): Set[String] = {
+      val recorded = scala.collection.mutable.Set[String]()
+      def rec(name: String, t: Double): Unit = { record(name, t); recorded += name }
+      selected.filterNot(n => onceOnly(n) && results.contains(n)).foreach { name =>
         // the 1e6-cell huge model builds lazily inside its first read — time
-        // build and read separately (≙ samples/huge.py:115-201 load vs reads)
-        if (name == "olap_huge_top" && pass == 1)
+        // build and read separately (≙ samples/huge.py:115-201 load vs reads).
+        // Guarded on "not yet recorded", not pass number: a retried first
+        // pass would otherwise re-time the memoized build as a ~0 s cache hit
+        if (name == "olap_huge_top" && !results.contains("huge_build")) {
           results("huge_build") = try time { graft.tpch.HugeModel.get(spark) }
             catch { case _: Throwable => -1.0 }
+          recorded += "huge_build"
+        }
         rawOps.get(name).orElse(SparkEntry.queries.get(name)).foreach { fn =>
           if (name == "olap_huge_top") {
             // the reference baseline quotes this read with caching OFF
@@ -296,39 +322,40 @@ object Bench {
             val cube = graft.tpch.HugeModel.get(spark)
             cube.cacheEnabled = false
             cube.clearCache()
-            record(name, try time { fn(spark, sfDir).count() }
-                         catch { case _: Throwable => -1.0 })
+            rec(name, try time { fn(spark, sfDir).count() }
+                      catch { case _: Throwable => -1.0 })
             cube.cacheEnabled = true
             try fn(spark, sfDir).count() catch { case _: Throwable => } // fill cache
-            record("huge_top_cached", try time { fn(spark, sfDir).count() }
-                                      catch { case _: Throwable => -1.0 })
+            rec("huge_top_cached", try time { fn(spark, sfDir).count() }
+                                   catch { case _: Throwable => -1.0 })
           } else {
-            record(name, try time { fn(spark, sfDir).count() }
-                         catch { case _: Throwable => -1.0 })
+            rec(name, try time { fn(spark, sfDir).count() }
+                      catch { case _: Throwable => -1.0 })
           }
         }
       }
       def want(name: String): Boolean = only.forall(_.contains(name))
       // batched random point reads over the huge model: 10k cells, ONE job
       // (the reference's reads/sec headline, batched the Spark-native way)
-      if (want("huge_point_reads_10k")) record("huge_point_reads_10k",
+      if (want("huge_point_reads_10k")) rec("huge_point_reads_10k",
         try time { graft.tpch.HugeModel.pointReadBatch(spark, 10000).count() }
         catch { case _: Throwable => -1.0 })
       // the bucketed-layout read path (ARCHITECTURE §6d), THROUGH the cube
       // API: compactToBucketed swaps in a hash-bucketed+sorted backing so
       // repeated key joins plan with NO Exchange on the fact side. The
-      // one-time compaction is timed on pass 1; the per-pass read is the
-      // cube's batched point read with broadcast disabled — the 100 TB
-      // shape, an address list too big to broadcast.
-      if (pass == 1 && want("huge_reads_bucketed_10k"))
-        record("huge_bucketed_write", try time {
+      // one-time compaction is timed once (guarded on the cube, not the pass
+      // number, so a retried first pass can't re-time it); the per-pass read
+      // is the cube's batched point read with broadcast disabled — the
+      // 100 TB shape, an address list too big to broadcast.
+      if (bucketedCube == null && want("huge_reads_bucketed_10k"))
+        rec("huge_bucketed_write", try time {
         spark.sql("DROP TABLE IF EXISTS bench_huge_bucketed")
         val base = graft.tpch.HugeModel.get(spark)
         bucketedCube = new graft.core.Cube("hugebucketed", base.dimensions,
           spark, Some(base.facts))
         bucketedCube.compactToBucketed("bench_huge_bucketed", 8)
       } catch { case _: Throwable => -1.0 })
-      if (want("huge_reads_bucketed_10k")) record("huge_reads_bucketed_10k", try {
+      if (want("huge_reads_bucketed_10k")) rec("huge_reads_bucketed_10k", try {
         val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -349,8 +376,34 @@ object Bench {
         }
       } catch { case t: Throwable =>
         System.err.println(s"[graft.Bench] huge_reads_bucketed_10k failed: $t"); -1.0 })
+      recorded.toSet
     }
-    canaries += spinCanary()
+
+    var pass = 1
+    while (pass <= passes) {
+      val pre = spinCanary(); canaries += pre
+      obsMin = math.min(obsMin, pre._1)
+      val recorded = runPass()
+      allNames ++= recorded
+      val post = spinCanary(); canaries += post
+      obsMin = math.min(obsMin, post._1)
+      val dirty = pre._1 > dirtyK * floor || post._1 > dirtyK * floor
+      if (dirty && retriesUsed < passRetries) {
+        retriesUsed += 1
+        System.err.println(f"[graft.Bench] pass $pass dirty: canary medians " +
+          f"(${pre._1}%.3f, ${post._1}%.3f) vs ${dirtyK}x floor " +
+          f"(${dirtyK * floor}%.3fs) — re-running pass (retry $retriesUsed/$passRetries)")
+        Thread.sleep(10000)
+        // do not advance `pass`: min-of-passes merges the retry's numbers
+      } else {
+        if (dirty) {
+          dirtyResidue = true
+          System.err.println(f"[graft.Bench] pass $pass dirty and retries " +
+            "exhausted — rows without a clean sample go to dirty_rows")
+        } else cleanNames ++= recorded
+        pass += 1
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val canaryMed = canaries.map(c => f"${c._1}%.3f").mkString("[", ",", "]")
@@ -366,7 +419,15 @@ object Bench {
     // load that is constant from warm-up through the last canary inflates
     // the floor itself — the preflight's backoff exists to wait out exactly
     // that state. Never publish a run printed contended:true.
-    val contended = canaries.count(_._1 > 1.3 * floor) * 2 > canaries.size
+    // model_build is timed directly after the preflight idle gate (a clean
+    // canary is guaranteed immediately before it) — counts as clean
+    allNames += "model_build"; cleanNames += "model_build"
+    // rows that never got a sample from a clean pass — the r8 failure mode
+    // (six rows >2× with no clean sample) now self-reports instead of
+    // shipping silently
+    val dirtyRows = (allNames -- cleanNames).toSeq.sorted
+    val contended =
+      canaries.count(_._1 > 1.3 * floor) * 2 > canaries.size || dirtyResidue
     // Ramp verdict: host load that STARTS mid-run (observed live: hypervisor
     // "weather" inflating totals 15-25% with an ascending canary sequence
     // and a clean majority vote) shows as the LAST canary reading well above
@@ -385,7 +446,8 @@ object Bench {
     val floorSource = if (envFloor.isDefined) "env" else "derived_min_observed"
     val phasesJson = buildPhases.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","contended":$contended,"canary_ramp":$ramped,"steal_pct":$stealPct%.2f}""")
+    val dirtyRowsJson = dirtyRows.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f}""")
     if (stealPct > 1.0) System.err.println(
       f"[graft.Bench] WARNING: hypervisor steal $stealPct%.2f%% of cpu time " +
       "during this run — JVM-synchronization-heavy queries inflate far more " +

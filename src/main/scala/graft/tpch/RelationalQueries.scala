@@ -485,13 +485,23 @@ object RelationalQueries {
            NTILE(4) OVER w AS quartile
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
 
+    // CAST(SUM(...) AS BIGINT): DuckDB's SUM over BIGINT widens to HUGEINT,
+    // which arrives driver-side as float64 and can never hash-match Spark's
+    // int64 — same convention as rel_sessionize below. The json_valid guard
+    // mirrors Spark's from_json NULL-on-malformed semantics (DuckDB's
+    // json_extract_string raises on invalid JSON instead of yielding NULL).
     "rel_json_props" ->
-      """SELECT event_type, COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-           COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_null
-         FROM events GROUP BY event_type""",
+      """WITH ext AS (
+           SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+           FROM events)
+         SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_null
+         FROM ext GROUP BY event_type""",
 
     "rel_sessionize" ->
       """WITH flagged AS (
