@@ -98,7 +98,28 @@ final class Cube(
     * the superseded version and is never read again).
     */
   @volatile private var stateVersion: Long = 0L
-  private val cache = TrieMap[(Long, Vector[Int]), Option[Double]]()
+  private val cache = TrieMap[(Long, Seq[Long], Vector[Int]), Option[Double]]()
+
+  private[graft] def currentStateVersion: Long = stateVersion
+
+  /** stateVersions of every cube referenced by a registered CubeRef rule —
+    * part of the result-cache key, so mutating a REFERENCED cube (e.g.
+    * updating an exrates rate) invalidates dependent cached cells HERE even
+    * though this cube's own stateVersion did not move (r8 advice: the key
+    * previously carried only the source version, leaving stale
+    * currency-converted values until the source itself mutated). Empty —
+    * and free — when no rule uses CubeRef.
+    */
+  private def refCubeVersions: Seq[Long] = {
+    val names = rulesBuf.iterator
+      .flatMap(r => graft.olap.Rules.cubeRefTargets(r.expr))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toSeq.sorted
+    if (names.isEmpty) Nil
+    else names.map { n =>
+      databaseRef.flatMap(db => scala.util.Try(db.cube(n)).toOption)
+        .map(_.currentStateVersion).getOrElse(-1L)
+    }
+  }
 
   /** Result-cache switch + bound (≙ the database-level caching switch,
     * `database.py:196-237`; the reference's per-cube dict is unbounded —
@@ -527,7 +548,7 @@ final class Cube(
       // against: a reader racing a write installs its (now stale) result
       // under the OLD version, which no later read ever looks up — the
       // wholesale clear() on write is memory hygiene, not correctness.
-      val key = (stateVersion, b.ids)
+      val key = (stateVersion, refCubeVersions, b.ids)
       // hit-detection via the thunk flag can misreport under concurrent
       // reads (TrieMap may discard a losing thread's computed value and
       // return the winner's) — acceptable for driver-side observability;

@@ -185,6 +185,24 @@ object Rules {
     }
   }
 
+  /** Cube names referenced via [[RuleExpr.CubeRef]] anywhere in the expr —
+    * the source cube folds their stateVersions into its result-cache key so
+    * cross-cube rule values can never serve stale after the TARGET mutates.
+    */
+  private[graft] def cubeRefTargets(e: RuleExpr): Seq[String] = {
+    import RuleExpr._
+    e match {
+      case CubeRef(cn, _) => Seq(cn)
+      case Add(a, b) => cubeRefTargets(a) ++ cubeRefTargets(b)
+      case Sub(a, b) => cubeRefTargets(a) ++ cubeRefTargets(b)
+      case Mul(a, b) => cubeRefTargets(a) ++ cubeRefTargets(b)
+      case Div(a, b) => cubeRefTargets(a) ++ cubeRefTargets(b)
+      case Neg(a) => cubeRefTargets(a)
+      case Fn(_, a) => cubeRefTargets(a)
+      case Lit(_) | Ref(_) | Shift(_, _) | Input => Nil
+    }
+  }
+
   private def usesCellReads(e: RuleExpr): Boolean = {
     import RuleExpr._
     e match {

@@ -293,15 +293,27 @@ object TextDedup {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.collect().foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
-        if (!parent.contains(a)) parent(a) = a
-        if (!parent.contains(b)) parent(b) = b
-        val ra = find(a); val rb = find(b)
-        // attach the LARGER root under the smaller: the surviving root of a
-        // component is always its MIN id — the min-label fixpoint's answer
-        if (ra < rb) parent(rb) = ra
-        else if (rb < ra) parent(ra) = rb
+      // collect PRIMITIVES, not Rows: a GenericRow with two boxed longs is
+      // ~100+ bytes — 5e6 of them is ~0.5 GB and would OOM a modest driver
+      // heap right at the cap (r8 advice). Packing each partition into one
+      // flat Array[Long] keeps the promised ~16 bytes/edge in one job.
+      val packed: Array[Array[Long]] = edges.rdd.mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+        Iterator.single(buf.result())
+      }.collect()
+      packed.foreach { chunk =>
+        var i = 0
+        while (i < chunk.length) {
+          val a = chunk(i); val b = chunk(i + 1); i += 2
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          // attach the LARGER root under the smaller: the surviving root of a
+          // component is always its MIN id — the min-label fixpoint's answer
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
       }
       edges.unpersist(blocking = false)
       val out = parent.keys.toArray.sorted.map(id => Row(id, find(id)))
