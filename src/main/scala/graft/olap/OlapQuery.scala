@@ -117,40 +117,7 @@ final class OlapQuery(db: Database, sql: String) {
     * [[Rules.gridRuleFor]]/[[Rules.expandRuled]] helpers — one semantics
     * for dialect grids, views, and the scalar path.
     */
-  private def gridWithRules(): DataFrame = {
-    def ruleAt(di: Int)(id: Int): Option[RuleDef] =
-      Rules.gridRuleFor(cube, di, id, selections(_))
-    val ruledDims = cube.dimensions.indices
-      .filter(i => selections(i).exists(id => ruleAt(i)(id).isDefined))
-    if (ruledDims.isEmpty) return cube.gridAggregate(selections)
-    require(ruledDims.size == 1,
-      "rule-backed members supported in one dimension per query")
-    val di = ruledDims.head
-    val d = cube.dimensions(di)
-    val (ruled, fetchIds, order, errs) = Rules.expandRuled(cube, di, selections(di), ruleAt(di))
-    // the dialect's result is a numeric value column — no cell-level error
-    // channel, so a broken rule is a typed failure here (views render codes)
-    errs.headOption.foreach { case (id, code) =>
-      throw RuleError(code, s"rule-backed member '${d.nameOf(id)}' has a dangling reference") }
-    require(fetchIds.nonEmpty,
-      s"dimension '${d.name}': every selected member is rule-backed with no stored refs")
-    val allIds = fetchIds
-    val g = cube.gridAggregate(selections.updated(di, allIds))
-    val otherCols = cube.dimensions.indices.filterNot(_ == di).map(i => s"a$i")
-    var pivoted = g.groupBy(otherCols.map(col): _*)
-      .pivot(s"a$di", allIds.map(_.asInstanceOf[AnyRef]).toSeq)
-      .agg(first(col("value")))
-    order.foreach { id =>
-      pivoted = pivoted.withColumn(id.toString,
-        Rules.toColumnWith(spec => col(s"`${d.idOf(spec)}`"))(ruled(id).expr))
-    }
-    val requested = selections(di)
-    val stackExpr = s"stack(${requested.size}, " +
-      requested.map(id => s"$id, CAST(`$id` AS DOUBLE)").mkString(", ") + s") AS (a$di, value)"
-    pivoted.select(otherCols.map(col) :+ expr(stackExpr): _*)
-      .filter(col("value").isNotNull)
-      .select(cube.dimensions.indices.map(i => col(s"a$i")) :+ col("value"): _*)
-  }
+  private def gridWithRules(): DataFrame = Rules.ruledGrid(cube, selections)
 
   /** Run the query as one grid job and project the requested fields. */
   def execute(): DataFrame = {

@@ -588,7 +588,11 @@ object Rules {
     * here — a single site for arithmetic-semantics changes.
     */
   def toColumnWith(resolve: String => Column,
-      input: Option[Column] = None)(e: RuleExpr): Column = {
+      input: Option[Column] = None,
+      cubeRef: RuleExpr.CubeRef => Column = cr =>
+        throw new IllegalArgumentException(
+          s"cross-cube ref to '${cr.cubeName}' not expressible in column mode"))(
+      e: RuleExpr): Column = {
     import RuleExpr._
     def c(x: RuleExpr): Column = x match {
       case Lit(v) => lit(v)
@@ -619,8 +623,7 @@ object Rules {
       case Fn(n, _) => throw RuleError("#ERR!", s"unknown rule function '$n'")
       case Shift(d, _) => throw new IllegalArgumentException(
         s"relative shift on '$d' not expressible in column mode")
-      case CubeRef(cn, _) => throw new IllegalArgumentException(
-        s"cross-cube ref to '$cn' not expressible in column mode")
+      case cr @ CubeRef(_, _) => cubeRef(cr)
       case Input => input.getOrElse(throw new IllegalArgumentException(
         "on-entry Input is not expressible in column mode"))
     }
@@ -973,6 +976,49 @@ object Rules {
       scope = scopeFromName((j \ "scope").extract[String]),
       expr = exprFromJson(j \ "expr"),
       name = (j \ "name").extract[String])
+  }
+
+  /** Grid over `selections` with rule-backed members of (at most) one
+    * dimension computed post-pivot inside the same job (≙ rule cells in the
+    * dialect's dense grid, `query.py:101-136` — still no per-cell loop).
+    * Rule matching, transitive ref expansion, and deps-first ordering are
+    * the shared [[gridRuleFor]]/[[expandRuled]] helpers — ONE semantics for
+    * dialect grids, views, cross-cube slice fetches, and the scalar path.
+    * Output: `a0..aN-1, value` (double), non-empty addresses only.
+    */
+  def ruledGrid(cube: Cube, selections: Seq[Seq[Int]]): org.apache.spark.sql.DataFrame = {
+    def ruleAt(di: Int)(id: Int): Option[RuleDef] =
+      gridRuleFor(cube, di, id, selections(_))
+    val ruledDims = cube.dimensions.indices
+      .filter(i => selections(i).exists(id => ruleAt(i)(id).isDefined))
+    if (ruledDims.isEmpty) return cube.gridAggregate(selections)
+    require(ruledDims.size == 1,
+      "rule-backed members supported in one dimension per query")
+    val di = ruledDims.head
+    val d = cube.dimensions(di)
+    val (ruled, fetchIds, order, errs) = expandRuled(cube, di, selections(di), ruleAt(di))
+    // the grid's result is a numeric value column — no cell-level error
+    // channel, so a broken rule is a typed failure here (views render codes)
+    errs.headOption.foreach { case (id, code) =>
+      throw RuleError(code, s"rule-backed member '${d.nameOf(id)}' has a dangling reference") }
+    require(fetchIds.nonEmpty,
+      s"dimension '${d.name}': every selected member is rule-backed with no stored refs")
+    val allIds = fetchIds
+    val g = cube.gridAggregate(selections.updated(di, allIds))
+    val otherCols = cube.dimensions.indices.filterNot(_ == di).map(i => s"a$i")
+    var pivoted = g.groupBy(otherCols.map(col): _*)
+      .pivot(s"a$di", allIds.map(_.asInstanceOf[AnyRef]).toSeq)
+      .agg(first(col("value")))
+    order.foreach { id =>
+      pivoted = pivoted.withColumn(id.toString,
+        toColumnWith(spec => col(s"`${d.idOf(spec)}`"))(ruled(id).expr))
+    }
+    val requested = selections(di)
+    val stackExpr = s"stack(${requested.size}, " +
+      requested.map(id => s"$id, CAST(`$id` AS DOUBLE)").mkString(", ") + s") AS (a$di, value)"
+    pivoted.select(otherCols.map(col) :+ expr(stackExpr): _*)
+      .filter(col("value").isNotNull)
+      .select(cube.dimensions.indices.map(i => col(s"a$i")) :+ col("value"): _*)
   }
 
   /** All Ref specs in an expression (the one shared RuleExpr walker —

@@ -214,6 +214,114 @@ final class View(val cube: Cube, val dfn: ViewDef) {
         grid = grid.withColumn(pos.mkString("/"), lit(code))
       }
     }
+    // Cross-cube refs ([[RuleExpr.CubeRef]]) in GRID mode: each distinct ref
+    // shape — target cube + per-part resolution — becomes ONE broadcast
+    // LEFT join of the target cube's (rule-aware) slice onto the pivoted
+    // grid, so a report of currency-converted cells is a single job instead
+    // of N scalar reads (the scalar read path stays the per-cell semantics;
+    // this is its bulk face). Parts referencing ROW-axis dimensions vary
+    // per row (join key derived from the row's member name — identity for
+    // Carry, the driver-held attribute map for AttrOf); parts referencing
+    // pinned or column-axis dimensions are constants for the position. A
+    // fully-pinned address is a bounded scalar read through the target's
+    // full read path. Resolution failures (unknown cube/member, missing
+    // attribute on any REQUESTED row member) raise RuleError, so the whole
+    // position renders its sentinel code — coarser than the scalar path's
+    // per-cell error, on record here. Empty target cells stay empty (left
+    // join miss → null), matching the scalar read's None.
+    val crCols = scala.collection.mutable.LinkedHashMap[String, String]()
+    def cubeRefColumn(cr: RuleExpr.CubeRef,
+        memberAt: Int => Either[String, (String, Seq[String])]): Column = {
+      import RuleExpr.CubeRefPart
+      val db = cube.databaseRef.getOrElse(throw RuleError("#REF!",
+        s"cube '${cube.name}' is not attached to a database — cross-cube ref needs one"))
+      val target = try db.cube(cr.cubeName) catch {
+        case _: NoSuchElementException =>
+          throw RuleError("#REF!", s"unknown cube '${cr.cubeName}' in cross-cube ref")
+      }
+      if (cr.parts.size != target.nDims) throw RuleError("#REF!",
+        s"cross-cube ref to '${cr.cubeName}' needs ${target.nDims} members, got ${cr.parts.size}")
+      def srcDim(dn: String): Int = {
+        val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dn))
+        if (i < 0) throw RuleError("#REF!", s"unknown dimension '$dn' in cross-cube ref")
+        i
+      }
+      // per part: Left(constant target member) or Right(grid row column,
+      // ordered (source row member → target member) pairs)
+      val resolved: Seq[Either[String, (String, Seq[(String, String)])]] = cr.parts.map {
+        case CubeRefPart.Fixed(mm) => Left(mm)
+        case CubeRefPart.Carry(dn) => memberAt(srcDim(dn)) match {
+          case Left(name) => Left(name)
+          case Right((rowCol, req)) => Right((rowCol, req.distinct.map(n => n -> n)))
+        }
+        case CubeRefPart.AttrOf(dn, a) =>
+          val i = srcDim(dn); val dim = cube.dimensions(i)
+          if (!dim.hasAttribute(a)) throw RuleError("#REF!",
+            s"dimension '$dn' has no attribute '$a' for cross-cube ref")
+          def attrOf(n: String): String = dim.getAttribute(a, n).getOrElse(
+            throw RuleError("#REF!",
+              s"member '$n' carries no '$a' attribute value for cross-cube ref"))
+          memberAt(i) match {
+            case Left(name) => Left(attrOf(name))
+            case Right((rowCol, req)) => Right((rowCol, req.distinct.map(n => n -> attrOf(n))))
+          }
+      }
+      val sig = target.name + " " + resolved.map {
+        case Left(n) => s"=$n"
+        case Right((rc, pairs)) =>
+          s"@$rc:${pairs.map(p => p._1 + ">" + p._2).mkString(",")}"
+      }.mkString(" ")
+      crCols.get(sig).map(col).getOrElse {
+        def idOfOr(td: graft.core.Dimension, n: String): Int =
+          if (td.contains(n)) td.idOf(n)
+          else throw RuleError("#REF!",
+            s"cross-cube ref to '${target.name}': no member '$n' in dimension '${td.name}'")
+        val valName = s"__cr${crCols.size}"
+        if (resolved.forall(_.isLeft)) {
+          // fully pinned address: bounded scalar read through the target's
+          // full read path (its rules fire, its cache serves)
+          val names = resolved.map {
+            case Left(n) => n
+            case Right(_) => throw new IllegalStateException("unreachable")
+          }
+          val v = try target.get(names) catch {
+            case e: RuleError => throw e
+            case _: NoSuchElementException => throw RuleError("#REF!",
+              s"cross-cube ref to '${target.name}': no such member address " +
+                names.mkString("(", ", ", ")"))
+          }
+          grid = grid.withColumn(valName,
+            v.map(lit(_)).getOrElse(lit(null).cast("double")))
+        } else {
+          val selIds: Seq[Seq[Int]] = resolved.zip(target.dimensions).map {
+            case (Left(n), td) => Seq(idOfOr(td, n))
+            case (Right((_, pairs)), td) => pairs.map(_._2).distinct.map(idOfOr(td, _))
+          }
+          // rule-aware target slice (the target's own grid-computable rules
+          // fire inside the slice plan) — bounded by the source axes, so
+          // broadcast is the right side for any fact-cube scale
+          var slice = Rules.ruledGrid(target, selIds)
+          val keys = resolved.zipWithIndex.collect {
+            case (Right((rowCol, pairs)), p) =>
+              val td = target.dimensions(p)
+              val kc = s"${valName}_k$p"
+              val idName = pairs.map(_._2).distinct.map(n => td.idOf(n) -> n)
+              slice = slice.withColumn(kc,
+                map(idName.flatMap { case (id, n) => Seq(lit(id), lit(n)) }: _*)(
+                  col(s"a$p")))
+              (kc, map(pairs.flatMap { case (s0, t0) =>
+                Seq(lit(s0), lit(t0)) }: _*)(col(rowCol)))
+          }
+          slice = slice.select(keys.map(kv => col(kv._1)) :+ col("value").as(valName): _*)
+          grid = grid.join(broadcast(slice),
+            keys.map { case (kc, src) => col(kc) === src }.reduce(_ && _), "left")
+            .drop(keys.map(_._1): _*)
+        }
+        crCols(sig) = valName
+        col(valName)
+      }
+    }
+
     // rule-derived positions post-pivot (one job, no per-cell recursion):
     // refs resolve to the sibling position with only the ruled dim's member
     // replaced (Jan/Profit ← Jan/Sales − Jan/Cost). Chained ruled members are
@@ -234,15 +342,32 @@ final class View(val cube: Cube, val dfn: ViewDef) {
         contexts.foreach { ctx =>
           val pos = ctx.updated(k, m)
           val posName = pos.mkString("/")
-          grid = try grid.withColumn(posName,
-            Rules.toColumnWith { ref =>
+          // the cell's member NAME on any source dimension, for cross-cube
+          // part resolution: ruled/column-axis dims are position constants,
+          // row-axis dims vary per row (→ the row's name column), anything
+          // else is pinned by filter/default (single-member by construction)
+          val memberAt: Int => Either[String, (String, Seq[String])] = i => {
+            val rIdx = rowDims.indexOf(i)
+            if (rIdx >= 0)
+              Right((dfn.rows.entries(rIdx)._1, dfn.rows.entries(rIdx)._2))
+            else perDim.indexWhere(_.cd == i) match {
+              case j if j >= 0 => Left(if (j == k) m else ctx(j))
+              case _ => Left(cube.dimensions(i).nameOf(sel(i).head))
+            }
+          }
+          grid = try {
+            // build the Column FIRST: cross-cube resolution may join slices
+            // onto `grid`, and the receiver must be the post-join grid
+            val c0 = Rules.toColumnWith({ ref =>
               val refPos = pos.updated(k, pd.nameById(d.idOf(ref))).mkString("/")
               // a ref to a sentinel column propagates the code (string
               // arithmetic would silently cast "#ERR!" to null)
               errPosCode.get(refPos).foreach(code =>
                 throw RuleError(code, s"position '$posName' reads error column '$refPos'"))
               col(refPos)
-            }(rule.expr))
+            }, None, cr => cubeRefColumn(cr, memberAt))(rule.expr)
+            grid.withColumn(posName, c0)
+          }
           catch { // unknown fn / unresolvable ref at compile → sentinel column
             case e: RuleError =>
               errPosCode(posName) = e.code

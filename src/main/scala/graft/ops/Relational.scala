@@ -59,9 +59,15 @@ object Relational {
 
   /** Skew-safe equi-join: salt the skewed (left) side's key into `salt`
     * subkeys and replicate the right side once per subkey, so one hot key's
-    * rows spread over `salt` reducers instead of one. AQE's skew-join
-    * handles sort-merge skew adaptively; explicit salting is the portable
-    * form that also covers aggregations downstream.
+    * rows spread over `salt` reducers instead of one.
+    *
+    * Measured guidance (ARCHITECTURE §6b8, SkewJustificationSpec): with AQE
+    * on — Spark's default — the PLAIN join + `OptimizeSkewedJoin` beat this
+    * on both the bare join (4.6× vs 2.0× over the pinned-reducer baseline)
+    * and join→aggregate-on-the-key (where the salted output's extra
+    * re-shuffle makes salting a net loss). Reach for `saltedJoin` only
+    * where AQE can't re-plan: AQE-off deployments, streaming micro-batch
+    * joins, fixed-partitioning pipelines.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {

@@ -191,6 +191,39 @@ object Search {
       .drop("score")
   }
 
+  /** Hybrid retrieval fusion: a lexical (BM25) and a semantic (vector
+    * top-k) rank list fused by Reciprocal Rank Fusion —
+    * `score(d) = Σ_lists 1/(rrfK + rank_list(d))`, rrfK=60 the published
+    * default. Inputs are RANK frames (`doc_id, rank`), so any retriever
+    * pair composes: [[bm25TopK]] output and a
+    * [[graft.pipeline.Similarity.bruteForceTopK]]/ivfPqTopK slice here,
+    * equally two lexical variants, or n retrievers by repeated fusion. A
+    * document absent from one list contributes no term for it (the lists
+    * are top-k truncated — that truncation IS RRF's semantics).
+    *
+    * Output `doc_id, rank_lex, rank_sem, rrf_rank` — the RRF score stays
+    * internal, but unlike BM25's it is engine-exact anyway: 1/(rrfK+rank)
+    * over integer ranks involves no libm, so fusion adds NO cross-engine
+    * ordering risk beyond what the input rank lists already carry.
+    *
+    * Scale shape: both inputs are top-k bounded, so the join and final
+    * sort cost is independent of corpus size — all corpus-scale work
+    * happened inside the upstream retrievers.
+    */
+  def hybridRrfTopK(lexRanks: DataFrame, semRanks: DataFrame, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    val l = lexRanks.select(col("doc_id"), col("rank").cast("long").as("rank_lex"))
+    val r = semRanks.select(col("doc_id"), col("rank").cast("long").as("rank_sem"))
+    val fused = l.join(r, Seq("doc_id"), "full_outer")
+      .withColumn("__score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_sem")), lit(0.0)))
+    fused.orderBy(col("__score").desc, col("doc_id")).limit(k)
+      .withColumn("rrf_rank",
+        row_number().over(Window.orderBy(col("__score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_lex", "rank_sem", "rrf_rank")
+  }
+
   /** Top-k characteristic keywords per document by TF-IDF
     * (`tf · ln(N/df)`), over the full-corpus document frequencies. Builds
     * the inverted-index grains ([[postings]] + the term-grain df head), then

@@ -527,6 +527,21 @@ object PipelineQueries {
     "pipe_tfidf" -> ((s, dir) =>
       graft.pipeline.Search.tfidfKeywords(docs(s, dir), col("doc_id"),
         col("text"), 3, keepDocs = col("doc_id") < 60)),
+
+    // hybrid retrieval (round 9): BM25 lexical top-50 fused with the
+    // vector-cosine top-50 of one query embedding by Reciprocal Rank
+    // Fusion (1/(60+rank)) — the standard two-retriever serving
+    // composition. Fusion is libm-free (integer ranks, rational
+    // arithmetic), so the gate is exact given the two input rank lists the
+    // pipe_bm25 / pipe_ann_brute gates already pin.
+    "pipe_hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.pipeline.Search.bm25TopK(docs(s, dir), col("doc_id"),
+        col("text"), Seq("dup", "merge", "scan"), 50).select(col("doc_id"), col("rank"))
+      val e = emb(s, dir)
+      val sem = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), 50)
+        .select(col("cand_id").as("doc_id"), col("rank"))
+      graft.pipeline.Search.hybridRrfTopK(lex, sem, 15)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1054,6 +1069,55 @@ object PipelineQueries {
            FROM p JOIN d ON p.w = d.w CROSS JOIN n
            WHERE p.doc_id < 60)
          SELECT doc_id, term, tf, df, rank FROM sc WHERE rank <= 3""",
+
+    // mirrors Search.hybridRrfTopK: the pipe_bm25 scoring CTEs at k=50,
+    // the pipe_ann_brute scoring for query vec_id=0 at k=50, RRF-fused —
+    // 1/(60+rank) over integer ranks is libm-free, so the fused order is
+    // engine-exact given the input rank lists
+    "pipe_hybrid_rrf" ->
+      s"""WITH tok AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+           FROM documents),
+         s AS (
+           SELECT doc_id, len(w) AS dl,
+             len(list_filter(w, x -> x = 'dup'))   AS tf0,
+             len(list_filter(w, x -> x = 'merge')) AS tf1,
+             len(list_filter(w, x -> x = 'scan'))  AS tf2
+           FROM tok),
+         g AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM s),
+         lexsc AS (
+           SELECT doc_id,
+             ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0*2.2)/(tf0 + 1.2*(0.25 + 0.75*dl/(sdl/n)))
+           + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*2.2)/(tf1 + 1.2*(0.25 + 0.75*dl/(sdl/n)))
+           + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2*2.2)/(tf2 + 1.2*(0.25 + 0.75*dl/(sdl/n)))
+             AS score
+           FROM s CROSS JOIN g WHERE tf0 + tf1 + tf2 > 0),
+         lex AS (
+           SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+           FROM lexsc QUALIFY rank_lex <= 50),
+         q AS (SELECT vec_id, ${QV.format("embedding")} AS v FROM embeddings),
+         semsc AS (
+           SELECT c.vec_id AS doc_id,
+             ${dot("qq.v", "c.v")} / (sqrt(${dot("qq.v", "qq.v")}) * sqrt(${dot("c.v", "c.v")})) AS sim
+           FROM q qq JOIN q c ON c.vec_id <> qq.vec_id
+           WHERE qq.vec_id = 0),
+         sem AS (
+           SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rank_sem
+           FROM semsc QUALIFY rank_sem <= 50),
+         fused AS (
+           SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
+             COALESCE(1.0/(60 + rank_lex), 0) + COALESCE(1.0/(60 + rank_sem), 0) AS score
+           FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         SELECT doc_id, rank_lex, rank_sem,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rrf_rank
+         FROM fused QUALIFY rrf_rank <= 15""",
 
     // mirrors Search.lmFamiliarity's integer evidence: bigram grain via
     // unnest(range(len-1)), chr(1)-joined bigrams, global bigram/context

@@ -29,6 +29,48 @@ object TpchQueries {
   private def scratch(m: TpchModel): Cube =
     new Cube("scratch", m.cube.dimensions, m.db.spark, Some(m.cube.facts))
 
+  /** Cross-cube currency-conversion fixture shared by the `olap_rule_cuberef`
+    * (scalar) and `olap_view_cuberef` (grid) gates — the reference's
+    * `samples/rules.py:125-139` shape: GC = LC × rate, the rate looked up in
+    * a second `exrates` cube whose address is an ATTRIBUTE of the nation
+    * member (its region name as the "currency code"). Rates derive from
+    * r_regionkey so DuckDB reproduces them; LC cells are decimal-exact
+    * account-balance sums. Returns (sales cube, (nation, region, regionkey)).
+    */
+  private def fxModel(s: SparkSession, dir: String): (Cube, Array[(String, String, Int)]) = {
+    val db = new graft.core.Database("fxdb", s)
+    val nationRows = s.read.parquet(s"$dir/nation.parquet")
+      .join(s.read.parquet(s"$dir/region.parquet"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"), col("r_regionkey")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    val nat = db.addDimension("nation")
+    nat.edit().add("AllNations", nationRows.map(_._1).toSeq).commit()
+    nat.addAttribute("cur")
+    nationRows.foreach { case (n, rn, _) => nat.setAttribute("cur", n, rn) }
+    val cur = db.addDimension("cur")
+    val regions = nationRows.map(r => (r._2, r._3)).distinct.sortBy(_._1)
+    cur.edit().addMany(regions.map(_._1).toSeq).commit()
+    val exrates = db.addCube("exrates", Seq(cur))
+    regions.foreach { case (rn, rk) => exrates.set(Seq(rn), 1.0 + 0.1 * rk) }
+    val meas = db.addDimension("m")
+    meas.edit().addMany(Seq("LC", "GC")).commit()
+    val sales = db.addCube("salesfx", Seq(nat, meas))
+    val lc = s.read.parquet(s"$dir/customer.parquet")
+      .join(s.read.parquet(s"$dir/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("c_acctbal").cast("decimal(15,2)")).cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))) // bounded: one row/nation
+    lc.foreach { case (n, v) => sales.set(Seq(n, "LC"), v) }
+    sales.registerRule(RuleDef(Map("m" -> "GC"), RuleScope.AllLevels,
+      RuleExpr.Mul(RuleExpr.Ref("LC"),
+        RuleExpr.CubeRef("exrates",
+          Seq(RuleExpr.CubeRefPart.AttrOf("nation", "cur")))),
+      "lc_to_gc"))
+    (sales, nationRows)
+  }
+
   /** Grid over (geo sel × calendar sel × product sel × measure sel). */
   private def grid(m: TpchModel, c: Cube, geo: Seq[String], cal: Seq[String],
       prod: Seq[String], meas: Seq[String]): DataFrame =
@@ -771,42 +813,28 @@ object TpchQueries {
     // the "currency code"). Rates derive from r_regionkey so DuckDB
     // reproduces them; LC cells are decimal-exact account-balance sums.
     "olap_rule_cuberef" -> ((s, dir) => {
-      val db = new graft.core.Database("fxdb", s)
-      val nationRows = s.read.parquet(s"$dir/nation.parquet")
-        .join(s.read.parquet(s"$dir/region.parquet"),
-          col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_name"), col("r_name"), col("r_regionkey")).collect()
-        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).sortBy(_._1)
-      val nat = db.addDimension("nation")
-      nat.edit().add("AllNations", nationRows.map(_._1).toSeq).commit()
-      nat.addAttribute("cur")
-      nationRows.foreach { case (n, rn, _) => nat.setAttribute("cur", n, rn) }
-      val cur = db.addDimension("cur")
-      val regions = nationRows.map(r => (r._2, r._3)).distinct.sortBy(_._1)
-      cur.edit().addMany(regions.map(_._1).toSeq).commit()
-      val exrates = db.addCube("exrates", Seq(cur))
-      regions.foreach { case (rn, rk) => exrates.set(Seq(rn), 1.0 + 0.1 * rk) }
-      val meas = db.addDimension("m")
-      meas.edit().addMany(Seq("LC", "GC")).commit()
-      val sales = db.addCube("salesfx", Seq(nat, meas))
-      val lc = s.read.parquet(s"$dir/customer.parquet")
-        .join(s.read.parquet(s"$dir/nation.parquet"),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(sum(col("c_acctbal").cast("decimal(15,2)")).cast("double").as("v"))
-        .collect().map(r => (r.getString(0), r.getDouble(1))) // bounded: one row/nation
-      lc.foreach { case (n, v) => sales.set(Seq(n, "LC"), v) }
-      sales.registerRule(RuleDef(Map("m" -> "GC"), RuleScope.AllLevels,
-        RuleExpr.Mul(RuleExpr.Ref("LC"),
-          RuleExpr.CubeRef("exrates",
-            Seq(RuleExpr.CubeRefPart.AttrOf("nation", "cur")))),
-        "lc_to_gc"))
+      val (sales, nationRows) = fxModel(s, dir)
       val out = nationRows.map { case (n, _, _) =>
         Row(n, sales.get(Seq(n, "GC")).map(Double.box).orNull)
       }
       s.createDataFrame(s.sparkContext.parallelize(out.toList, 1),
         StructType(Seq(StructField("nation", StringType),
           StructField("value", DoubleType))))
+    }),
+
+    // R+ (round 9): the SAME cross-cube currency model rendered as a VIEW —
+    // nations on rows, LC/GC on columns. GC is the CubeRef-backed member:
+    // View.refresh resolves the exrates slice via ONE broadcast join onto
+    // the pivoted grid (attribute-mapped key → rate), so a report of
+    // converted cells is a single job rather than one scalar read per
+    // nation (r8 ask #6 — the bulk face of olap_rule_cuberef).
+    "olap_view_cuberef" -> ((s, dir) => {
+      val (sales, nationRows) = fxModel(s, dir)
+      val view = new View(sales, ViewDef(
+        rows = AxisDef(Seq("nation" -> nationRows.map(_._1).toSeq)),
+        cols = AxisDef(Seq("m" -> Seq("LC", "GC")))))
+      view.refresh().select(col("nation"),
+        col("LC").cast("double").as("lc"), col("GC").cast("double").as("gc"))
     }),
 
     "olap_rule_validate" -> ((s, dir) => {
@@ -1279,6 +1307,15 @@ object TpchQueries {
     "olap_rule_cuberef" ->
       """SELECT n_name AS nation,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) * (1.0 + 0.1 * r_regionkey) AS value
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name, r_regionkey""",
+
+    // the view face of the same model: stored LC column + converted GC
+    "olap_view_cuberef" ->
+      """SELECT n_name AS nation,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS lc,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) * (1.0 + 0.1 * r_regionkey) AS gc
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY n_name, r_regionkey""",

@@ -23,6 +23,31 @@ class SearchSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
   }
 
+  test("hybrid RRF: fusion order, one-list docs, symmetric-rank tie-break") {
+    val s = spark
+    import s.implicits._
+    // lex: docs 1..4 ranked 1..4; sem: docs 3,1,9 ranked 1..3
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)).toDF("doc_id", "rank")
+    val sem = Seq((3L, 1), (1L, 2), (9L, 3)).toDF("doc_id", "rank")
+    val r = Search.hybridRrfTopK(lex, sem, 10, rrfK = 60).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((Option(x.getAs[java.lang.Long]("rank_lex")).map(_.toLong),
+          Option(x.getAs[java.lang.Long]("rank_sem")).map(_.toLong),
+          x.getAs[Long]("rrf_rank"))))
+    val byDoc = r.toMap
+    // scores: d1 = 1/61+1/62, d3 = 1/63+1/61, d2 = 1/62, d9 = 1/63, d4 = 1/64
+    // d1 > d3 (1/61+1/62 > 1/61+1/63); then d2 (lex-only rank 2) beats
+    // d9 (sem-only rank 3) beats d4 (lex-only rank 4)
+    assert(r.map(_._1).toSeq == Seq(1L, 3L, 2L, 9L, 4L))
+    assert(byDoc(1L) == ((Some(1L), Some(2L), 1L)))
+    assert(byDoc(9L) == ((None, Some(3L), 4L))) // absent from lex: null rank
+    // symmetric ranks = exact score tie → doc_id breaks it deterministically
+    val lex2 = Seq((7L, 5)).toDF("doc_id", "rank")
+    val sem2 = Seq((2L, 5)).toDF("doc_id", "rank")
+    val t = Search.hybridRrfTopK(lex2, sem2, 10).collect().map(_.getAs[Long]("doc_id"))
+    assert(t.toSeq == Seq(2L, 7L))
+  }
+
   test("bm25: rare-term evidence dominates; more tf of it ranks higher") {
     val r = Search.bm25TopK(corpus, col("doc_id"), col("text"),
       Seq("rare", "common"), 5).collect()
