@@ -37,6 +37,21 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", 1).parquet(tmp)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` set to `n`, restored
+    * after. The streaming twins SIZE their state-store layout to the
+    * replayed volume: the state partition count is frozen from this conf at
+    * the query's first batch, and inheriting the session's 32 means 32
+    * HDFS-backed store loads+commits per trigger — 384 across a 12-batch
+    * replay of 100k events, pure commit overhead (measured 12.3 s → the
+    * sized layout's number in ARCHITECTURE §6b9). At production scale this
+    * is exactly the knob a deployment sizes to its cluster/volume.
+    */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "olap_stream_ingest" -> ((s, dir) => {
       val ev = RelationalQueries.readEvents(s, dir).filter(col("event_id") < 5000)
@@ -162,13 +177,15 @@ object StreamingQueries {
         .select(col("ts"), col("event_type"), col("value").cast("decimal(15,2)").as("value"))
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_tumble")
       val tmp = tmpRoot.resolve("files").toString
-      val stream = timeOrderedStream(s, ev, "ts", 12, tmp)
-      val agg = Streaming.windowedAggregate(stream, "ts", "10 minutes", "1 hour")
       val sinkName = s"tumble_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = agg.writeStream.format("memory").queryName(sinkName)
-        .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val stream = timeOrderedStream(s, ev, "ts", 12, tmp)
+        val agg = Streaming.windowedAggregate(stream, "ts", "10 minutes", "1 hour")
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val out = s.table(sinkName)
         .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
           col("event_type"), col("n"), col("total").cast("double").as("total"))
@@ -189,13 +206,15 @@ object StreamingQueries {
         .select(col("ts"), col("user_id"), col("value"))
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_sess")
       val tmp = tmpRoot.resolve("files").toString
-      val stream = timeOrderedStream(s, ev, "ts", 12, tmp)
-      val agg = Streaming.sessionWindowAggregate(stream, "ts", "10 minutes", "30 minutes")
       val sinkName = s"sess_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = agg.writeStream.format("memory").queryName(sinkName)
-        .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val stream = timeOrderedStream(s, ev, "ts", 12, tmp)
+        val agg = Streaming.sessionWindowAggregate(stream, "ts", "10 minutes", "30 minutes")
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val out = s.table(sinkName)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
