@@ -984,9 +984,24 @@ object Rules {
     * Rule matching, transitive ref expansion, and deps-first ordering are
     * the shared [[gridRuleFor]]/[[expandRuled]] helpers — ONE semantics for
     * dialect grids, views, cross-cube slice fetches, and the scalar path.
+    *
+    * Cross-cube refs ([[RuleExpr.CubeRef]]) compute here too: each distinct
+    * ref shape becomes ONE broadcast LEFT join of the target cube's
+    * (rule-aware, recursively via this method) slice onto the pivoted grid,
+    * keyed in id space — `Carry`/`AttrOf` parts over OTHER grid dimensions
+    * vary per row (srcId → targetId map literal over the bounded selection),
+    * parts over the ruled dimension or pinned dims are constants, and a
+    * fully-pinned address is a bounded scalar read. Resolution failures
+    * (missing attribute on a selected member, unknown target member) raise
+    * the scalar path's RuleError — the dialect has no cell-level sentinel
+    * channel. `depth` guards cyclic cube references (A→B→A).
+    *
     * Output: `a0..aN-1, value` (double), non-empty addresses only.
     */
-  def ruledGrid(cube: Cube, selections: Seq[Seq[Int]]): org.apache.spark.sql.DataFrame = {
+  def ruledGrid(cube: Cube, selections: Seq[Seq[Int]],
+      depth: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(depth < 8, s"cross-cube reference chain deeper than 8 at cube " +
+      s"'${cube.name}' (cycle?)")
     def ruleAt(di: Int)(id: Int): Option[RuleDef] =
       gridRuleFor(cube, di, id, selections(_))
     val ruledDims = cube.dimensions.indices
@@ -1009,9 +1024,100 @@ object Rules {
     var pivoted = g.groupBy(otherCols.map(col): _*)
       .pivot(s"a$di", allIds.map(_.asInstanceOf[AnyRef]).toSeq)
       .agg(first(col("value")))
+
+    // cross-cube slice joins, deduped per distinct resolved ref shape
+    val crCols = mutable.LinkedHashMap[String, String]()
+    def cubeRefColumn(cr: RuleExpr.CubeRef, carriedId: Int): Column = {
+      import RuleExpr.CubeRefPart
+      val db = cube.databaseRef.getOrElse(throw RuleError("#REF!",
+        s"cube '${cube.name}' is not attached to a database — cross-cube ref needs one"))
+      val target = try db.cube(cr.cubeName) catch {
+        case _: NoSuchElementException =>
+          throw RuleError("#REF!", s"unknown cube '${cr.cubeName}' in cross-cube ref")
+      }
+      if (cr.parts.size != target.nDims) throw RuleError("#REF!",
+        s"cross-cube ref to '${cr.cubeName}' needs ${target.nDims} members, got ${cr.parts.size}")
+      def srcDim(dn: String): Int = {
+        val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dn))
+        if (i < 0) throw RuleError("#REF!", s"unknown dimension '$dn' in cross-cube ref")
+        i
+      }
+      // per part: Left(constant target member NAME) or Right(source dim
+      // index, ordered (source id → target member name) pairs)
+      val resolved: Seq[Either[String, (Int, Seq[(Int, String)])]] = cr.parts.map {
+        case CubeRefPart.Fixed(mm) => Left(mm)
+        case CubeRefPart.Carry(dn) =>
+          val i = srcDim(dn)
+          if (i == di) Left(d.nameOf(carriedId))
+          else Right((i, selections(i).distinct.map(sid =>
+            sid -> cube.dimensions(i).nameOf(sid))))
+        case CubeRefPart.AttrOf(dn, a) =>
+          val i = srcDim(dn); val dim = cube.dimensions(i)
+          if (!dim.hasAttribute(a)) throw RuleError("#REF!",
+            s"dimension '$dn' has no attribute '$a' for cross-cube ref")
+          def attrOf(n: String): String = dim.getAttribute(a, n).getOrElse(
+            throw RuleError("#REF!",
+              s"member '$n' carries no '$a' attribute value for cross-cube ref"))
+          if (i == di) Left(attrOf(d.nameOf(carriedId)))
+          else Right((i, selections(i).distinct.map(sid =>
+            sid -> attrOf(dim.nameOf(sid)))))
+      }
+      val sig = target.name + " " + resolved.map {
+        case Left(n) => s"=$n"
+        case Right((i, pairs)) =>
+          s"@$i:${pairs.map(p => p._1.toString + ">" + p._2).mkString(",")}"
+      }.mkString(" ")
+      crCols.get(sig).map(col).getOrElse {
+        def idOfOr(td: graft.core.Dimension, n: String): Int =
+          if (td.contains(n)) td.idOf(n)
+          else throw RuleError("#REF!",
+            s"cross-cube ref to '${target.name}': no member '$n' in dimension '${td.name}'")
+        val valName = s"__cr${crCols.size}"
+        if (resolved.forall(_.isLeft)) {
+          val names = resolved.map {
+            case Left(n) => n
+            case Right(_) => throw new IllegalStateException("unreachable")
+          }
+          val v = try target.get(names) catch {
+            case e: RuleError => throw e
+            case _: NoSuchElementException => throw RuleError("#REF!",
+              s"cross-cube ref to '${target.name}': no such member address " +
+                names.mkString("(", ", ", ")"))
+          }
+          pivoted = pivoted.withColumn(valName,
+            v.map(lit(_)).getOrElse(lit(null).cast("double")))
+        } else {
+          val selIds: Seq[Seq[Int]] = resolved.zip(target.dimensions).map {
+            case (Left(n), td) => Seq(idOfOr(td, n))
+            case (Right((_, pairs)), td) => pairs.map(_._2).distinct.map(idOfOr(td, _))
+          }
+          var slice = ruledGrid(target, selIds, depth + 1)
+          val keys = resolved.zipWithIndex.collect {
+            case (Right((srcI, pairs)), p) =>
+              val td = target.dimensions(p)
+              val kc = s"${valName}_k$p"
+              // grid side: source id → target id, over the bounded selection
+              val srcToTgt = pairs.map { case (sid, n) => sid -> td.idOf(n) }
+              (kc, col(s"a$p").as(kc),
+                map(srcToTgt.flatMap { case (s0, t0) =>
+                  Seq(lit(s0), lit(t0)) }: _*)(col(s"a$srcI")))
+          }
+          slice = slice.select(keys.map(_._2) :+ col("value").as(valName): _*)
+          pivoted = pivoted.join(broadcast(slice),
+            keys.map { case (kc, _, src) => col(kc) === src }.reduce(_ && _), "left")
+            .drop(keys.map(_._1): _*)
+        }
+        crCols(sig) = valName
+        col(valName)
+      }
+    }
+
     order.foreach { id =>
-      pivoted = pivoted.withColumn(id.toString,
-        toColumnWith(spec => col(s"`${d.idOf(spec)}`"))(ruled(id).expr))
+      // build the Column FIRST: cross-cube resolution joins slices onto
+      // `pivoted`, and the receiver must be the post-join frame
+      val c0 = toColumnWith(spec => col(s"`${d.idOf(spec)}`"), None,
+        cr => cubeRefColumn(cr, id))(ruled(id).expr)
+      pivoted = pivoted.withColumn(id.toString, c0)
     }
     val requested = selections(di)
     val stackExpr = s"stack(${requested.size}, " +

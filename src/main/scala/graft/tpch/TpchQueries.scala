@@ -837,6 +837,19 @@ object TpchQueries {
         col("LC").cast("double").as("lc"), col("GC").cast("double").as("gc"))
     }),
 
+    // Q+ (round 9): the DIALECT face of the same model — converted cells
+    // through OlapQuery's one-job grid; GC resolves the exrates slice via
+    // the broadcast join inside Rules.ruledGrid (id-keyed). With the view
+    // gate above, CubeRef now computes on all three read paths: scalar,
+    // view grid, dialect grid.
+    "olap_query_cuberef" -> ((s, dir) => {
+      val (sales, nationRows) = fxModel(s, dir)
+      val names = nationRows.map(r => s"'${r._1}'").mkString(",")
+      OlapQuery(sales.databaseRef.get,
+          s"SELECT nation, value FROM salesfx WHERE nation=($names), 'GC'")
+        .withColumn("value", col("value").cast("double"))
+    }),
+
     "olap_rule_validate" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
       val c = scratch(m)
@@ -1305,6 +1318,14 @@ object TpchQueries {
     // mirrors the cross-cube rule: per-nation LC (decimal acctbal sum cast
     // to double) × rate (1.0 + 0.1·regionkey — same IEEE doubles both sides)
     "olap_rule_cuberef" ->
+      """SELECT n_name AS nation,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) * (1.0 + 0.1 * r_regionkey) AS value
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name, r_regionkey""",
+
+    // the dialect face: same derivation as olap_rule_cuberef
+    "olap_query_cuberef" ->
       """SELECT n_name AS nation,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) * (1.0 + 0.1 * r_regionkey) AS value
          FROM customer JOIN nation ON c_nationkey = n_nationkey

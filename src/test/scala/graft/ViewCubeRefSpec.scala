@@ -115,6 +115,20 @@ class ViewCubeRefSpec extends AnyFunSuite {
     }
   }
 
+  test("dialect grid computes CubeRef members — scalar parity incl. target-side rules") {
+    val sales = db.cube("sales")
+    for (meas <- Seq("GC", "GC2", "GC3", "GC4")) {
+      val got = OlapQuery(db,
+          s"SELECT region, value FROM sales WHERE region=('de','us','fr','jp'), '$meas'")
+        .collect().map(r => r.getAs[String]("region") ->
+          r.getAs[Number]("value").doubleValue()).toMap
+      for (r <- Seq("de", "us", "fr", "jp")) {
+        val scalar = sales.get(Seq(r, meas))
+        assert(got.get(r) == scalar, s"($r, $meas): dialect=${got.get(r)} scalar=$scalar")
+      }
+    }
+  }
+
   test("mutating the target cube is visible in the next grid refresh") {
     val exrates = db.cube("exrates")
     val before = grid(Seq("de"), Seq("LC", "GC"))("de").getAs[Double]("GC")
