@@ -271,9 +271,27 @@ object Rules {
       else acc && col(s"d$i") === cube.dimensions(i).idOf(member)
     }
 
-  /** Scalar-only constructs: per-cell member-catalog resolution (relative
-    * Shift ordinals, cross-cube lookups) that no bulk column path can
-    * express. */
+  /** Relative ordinal shifts — per-cell member-catalog navigation that no
+    * bulk column path can express (CubeRef, by contrast, IS bulk-computable
+    * since round 9 via broadcast slice joins). */
+  private def usesOrdinalShift(e: RuleExpr): Boolean = {
+    import RuleExpr._
+    e match {
+      case Shift(_, _) => true
+      case CubeRef(_, _) => false
+      case Add(a, b) => usesOrdinalShift(a) || usesOrdinalShift(b)
+      case Sub(a, b) => usesOrdinalShift(a) || usesOrdinalShift(b)
+      case Mul(a, b) => usesOrdinalShift(a) || usesOrdinalShift(b)
+      case Div(a, b) => usesOrdinalShift(a) || usesOrdinalShift(b)
+      case Neg(a) => usesOrdinalShift(a)
+      case Fn(_, a) => usesOrdinalShift(a)
+      case Lit(_) | Ref(_) | Input => false
+    }
+  }
+
+  /** Scalar-only on the WRITE path: relative shifts and cross-cube lookups
+    * are rejected for bulk ON_ENTRY transforms (an import's rate lookup
+    * belongs in the model as a BASE_LEVEL CubeRef rule, not a write hook). */
   private def usesShift(e: RuleExpr): Boolean = {
     import RuleExpr._
     e match {
@@ -862,18 +880,131 @@ object Rules {
       .agg(sum(col("value")))
     val renamed = neededMeasures.foldLeft(pivoted)((d, m) =>
       d.withColumnRenamed(m.toString, s"m_$m"))
-    val ruleCol = toColumn(cube, measureDim, rule.expr)
+
+    // cross-cube refs at BASE grain (round 9) — the feeder/currency shape
+    // "convert each transaction, then aggregate": each distinct ref shape
+    // joins the target cube's (rule-aware) slice onto the base-grain frame
+    // via ONE broadcast LEFT join keyed on the leaf id columns (leaf →
+    // target-id map literals over the driver-resident member catalogs).
+    // Resolution is STRICT like the scalar path: a leaf without the
+    // attribute, or mapping to a missing target member, raises #REF! —
+    // loud, never a silently-empty converted cell. Carry/AttrOf over the
+    // pivoted measure dimension resolve via the rule's own trigger member;
+    // degenerate dimensions carry no member catalog to map and are
+    // rejected.
+    var frame = renamed
+    val crCols = mutable.LinkedHashMap[String, String]()
+    def cubeRefColumn(cr: RuleExpr.CubeRef): Column = {
+      import RuleExpr.CubeRefPart
+      val db = cube.databaseRef.getOrElse(throw RuleError("#REF!",
+        s"cube '${cube.name}' is not attached to a database — cross-cube ref needs one"))
+      val target = try db.cube(cr.cubeName) catch {
+        case _: NoSuchElementException =>
+          throw RuleError("#REF!", s"unknown cube '${cr.cubeName}' in cross-cube ref")
+      }
+      if (cr.parts.size != target.nDims) throw RuleError("#REF!",
+        s"cross-cube ref to '${cr.cubeName}' needs ${target.nDims} members, got ${cr.parts.size}")
+      def srcDim(dn: String): Int = {
+        val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dn))
+        if (i < 0) throw RuleError("#REF!", s"unknown dimension '$dn' in cross-cube ref")
+        i
+      }
+      // the cell's member name(s) on source dim i at base grain
+      def nameAt(i: Int): Either[String, Seq[(Int, String)]] =
+        if (i == measureDim) Left(rule.trigger.collectFirst {
+          case (dn, m) if cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dn)) == measureDim => m
+        }.getOrElse(throw RuleError("#REF!",
+          s"cross-cube ref carries the measure dimension but rule '${rule.name}' " +
+            "has no trigger member on it")))
+        else {
+          val dim = cube.dimensions(i)
+          if (dim.isDegenerate) throw RuleError("#REF!",
+            s"cross-cube ref over degenerate dimension '${dim.name}' — no member catalog to map")
+          Right(dim.leafMembers.map(m => m.id -> m.name))
+        }
+      val resolved: Seq[Either[String, (Int, Seq[(Int, String)])]] = cr.parts.map {
+        case CubeRefPart.Fixed(mm) => Left(mm)
+        case CubeRefPart.Carry(dn) =>
+          val i = srcDim(dn)
+          nameAt(i) match {
+            case Left(n) => Left(n)
+            case Right(pairs) => Right((i, pairs))
+          }
+        case CubeRefPart.AttrOf(dn, a) =>
+          val i = srcDim(dn); val dim = cube.dimensions(i)
+          if (!dim.hasAttribute(a)) throw RuleError("#REF!",
+            s"dimension '$dn' has no attribute '$a' for cross-cube ref")
+          def attrOf(n: String): String = dim.getAttribute(a, n).getOrElse(
+            throw RuleError("#REF!",
+              s"member '$n' carries no '$a' attribute value for cross-cube ref"))
+          nameAt(i) match {
+            case Left(n) => Left(attrOf(n))
+            case Right(pairs) => Right((i, pairs.map { case (id, n) => id -> attrOf(n) }))
+          }
+      }
+      val sig = target.name + " " + resolved.map {
+        case Left(n) => s"=$n"
+        case Right((i, pairs)) =>
+          s"@$i:${pairs.map(p => p._1.toString + ">" + p._2).mkString(",")}"
+      }.mkString(" ")
+      crCols.get(sig).map(col).getOrElse {
+        def idOfOr(td: Dimension, n: String): Int =
+          if (td.contains(n)) td.idOf(n)
+          else throw RuleError("#REF!",
+            s"cross-cube ref to '${target.name}': no member '$n' in dimension '${td.name}'")
+        val valName = s"__cr${crCols.size}"
+        if (resolved.forall(_.isLeft)) {
+          val names = resolved.map {
+            case Left(n) => n
+            case Right(_) => throw new IllegalStateException("unreachable")
+          }
+          val v = try target.get(names) catch {
+            case e: RuleError => throw e
+            case _: NoSuchElementException => throw RuleError("#REF!",
+              s"cross-cube ref to '${target.name}': no such member address " +
+                names.mkString("(", ", ", ")"))
+          }
+          frame = frame.withColumn(valName,
+            v.map(lit(_)).getOrElse(lit(null).cast("double")))
+        } else {
+          val selIds: Seq[Seq[Int]] = resolved.zip(target.dimensions).map {
+            case (Left(n), td) => Seq(idOfOr(td, n))
+            case (Right((_, pairs)), td) => pairs.map(_._2).distinct.map(idOfOr(td, _))
+          }
+          var slice = ruledGrid(target, selIds, 1)
+          val keys = resolved.zipWithIndex.collect {
+            case (Right((srcI, pairs)), p) =>
+              val td = target.dimensions(p)
+              val kc = s"${valName}_k$p"
+              val srcToTgt = pairs.map { case (sid, n) => sid -> td.idOf(n) }
+              (kc, col(s"a$p").as(kc),
+                map(srcToTgt.flatMap { case (s0, t0) =>
+                  Seq(lit(s0), lit(t0)) }: _*)(col(s"d$srcI")))
+          }
+          slice = slice.select(keys.map(_._2) :+ col("value").as(valName): _*)
+          frame = frame.join(broadcast(slice),
+            keys.map { case (kc, _, src) => col(kc) === src }.reduce(_ && _), "left")
+            .drop(keys.map(_._1): _*)
+        }
+        crCols(sig) = valName
+        col(valName)
+      }
+    }
+
+    val ruleCol = toColumnWith(
+      spec => col(s"m_${cube.dimensions(measureDim).idOf(spec)}"),
+      None, cubeRefColumn)(rule.expr)
     val w = weightCols.indices.foldLeft(ruleCol)((c, j) => c * col(s"wj_$j"))
-    renamed.groupBy(otherDims.map(i => col(s"a$i")): _*).agg(sum(w).as("value"))
+    frame.groupBy(otherDims.map(i => col(s"a$i")): _*).agg(sum(w).as("value"))
   }
 
   /** BASE_LEVEL rule at one aggregated address — the single-cell case of
     * [[baseRuleGrid]] (scalar read path).
     */
   private def aggregateBaseRule(cube: Cube, b: Bolt, rule: RuleDef): Option[Double] = {
-    if (usesShift(rule.expr)) throw RuleError("#ERR!",
-      s"base-level rule '${rule.name}' uses relative/cross-cube refs, which " +
-        "are per-cell — query base cells directly, or use ALL_LEVELS scope")
+    if (usesOrdinalShift(rule.expr)) throw RuleError("#ERR!",
+      s"base-level rule '${rule.name}' uses relative Shift refs, which are " +
+        "per-cell — query base cells directly, or use ALL_LEVELS scope")
     val measureDim = rule.trigger.keys.map(d =>
       cube.dimensions.indexWhere(_.name.equalsIgnoreCase(d))).headOption.getOrElse(cube.nDims - 1)
     val sels = (0 until cube.nDims).map(i => if (i == measureDim) Nil else Seq(b.ids(i)))

@@ -850,6 +850,33 @@ object TpchQueries {
         .withColumn("value", col("value").cast("double"))
     }),
 
+    // A+ (round 9): cross-cube ref at BASE grain — the feeder shape
+    // "convert each base cell with ITS OWN rate, then aggregate"
+    // (≠ converting the aggregate). Rules.baseRuleGrid joins the exrates
+    // slice onto the base-grain frame via one broadcast join keyed on the
+    // nation leaf ids; emitted per nation (single base row per group) so
+    // the compare stays order-exact. Same oracle as olap_rule_cuberef:
+    // at leaf grain the two derivations coincide — the GATE pins that the
+    // base-grain path computes them through the grid plan.
+    "olap_rule_cuberef_base" -> ((s, dir) => {
+      val (sales, nationRows) = fxModel(s, dir)
+      val db = sales.databaseRef.get
+      db.dimension("m").edit().addMany(Seq("GCB")).commit()
+      val rule = RuleDef(Map("m" -> "GCB"), RuleScope.BaseLevel,
+        RuleExpr.Mul(RuleExpr.Ref("LC"),
+          RuleExpr.CubeRef("exrates",
+            Seq(RuleExpr.CubeRefPart.AttrOf("nation", "cur")))),
+        "lc_to_gcb")
+      sales.registerRule(rule)
+      val nat = db.dimension("nation")
+      val leaves = nat.leafMembers
+      val g = graft.olap.Rules.baseRuleGrid(sales, rule,
+        Seq(leaves.map(_.id), Nil), measureDim = 1)
+      val idToName = map(leaves.flatMap(m => Seq(lit(m.id), lit(m.name))): _*)
+      g.select(idToName(col("a0")).as("nation"),
+        col("value").cast("double").as("value"))
+    }),
+
     "olap_rule_validate" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
       val c = scratch(m)
@@ -1318,6 +1345,14 @@ object TpchQueries {
     // mirrors the cross-cube rule: per-nation LC (decimal acctbal sum cast
     // to double) × rate (1.0 + 0.1·regionkey — same IEEE doubles both sides)
     "olap_rule_cuberef" ->
+      """SELECT n_name AS nation,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) * (1.0 + 0.1 * r_regionkey) AS value
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name, r_regionkey""",
+
+    // base-grain conversion at leaf output coincides with the scalar gate
+    "olap_rule_cuberef_base" ->
       """SELECT n_name AS nation,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) * (1.0 + 0.1 * r_regionkey) AS value
          FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -19,7 +19,11 @@ class PlanShapeSpec extends AnyFunSuite {
   /** Gates whose deliverable IS an exact all-pairs baseline — correctness
     * oracles, excluded from the bench by design (see Bench.rawOps scaladoc).
     */
-  private val bruteForceBaselines = Set("pipe_ann_brute", "pipe_dedup_embed")
+  private val bruteForceBaselines = Set("pipe_ann_brute", "pipe_dedup_embed",
+    // the fusion gate feeds on bruteForceTopK as its oracle-exact semantic
+    // arm (the broadcast nested loop is THAT documented baseline; fusion
+    // itself is a bounded top-k join) — the scale path swaps in ivfPqTopK
+    "pipe_hybrid_rrf")
 
   /** Gates that return a verification SUMMARY: the raw scalable operator
     * PLUS an exact brute-force baseline PLUS a recall/containment compare

@@ -129,6 +129,29 @@ class ViewCubeRefSpec extends AnyFunSuite {
     }
   }
 
+  test("BASE_LEVEL CubeRef: convert each base cell, then aggregate (feeder shape)") {
+    val sales = db.cube("sales")
+    db.dimension("m").edit().addMany(Seq("GCB")).commit()
+    sales.registerRule(RuleDef(Map("m" -> "GCB"), RuleScope.BaseLevel,
+      RuleExpr.Mul(RuleExpr.Ref("LC"),
+        RuleExpr.CubeRef("exrates", Seq(RuleExpr.CubeRefPart.AttrOf("region", "cur")))),
+      "lc_to_gcb"))
+    // leaf read: plain scalar CubeRef evaluation
+    assert(sales.get(Seq("de", "GCB")).contains(100.0 * 1.1))
+    // aggregated read: ONE baseRuleGrid job — converted per base cell with
+    // each leaf's OWN rate, THEN aggregated (≠ converting the aggregate);
+    // jp's currency has no stored rate → its cell is empty and contributes
+    // nothing (scalar parity: Mul(Some, None) = None)
+    val expected = 100.0 * 1.1 + 200.0 * 1.0 + 40.0 * 1.1
+    val got = sales.get(Seq("World", "GCB"))
+    assert(got.isDefined && math.abs(got.get - expected) < 1e-9,
+      s"World GCB: $got vs $expected")
+    // the same address under the ALL_LEVELS rule is a different number
+    // (rate looked up at the AGGREGATED member) — here an error, since
+    // World carries no currency attribute; BASE scope is the correct model
+    assert(intercept[RuleError](sales.get(Seq("World", "GC"))).code == "#REF!")
+  }
+
   test("mutating the target cube is visible in the next grid refresh") {
     val exrates = db.cube("exrates")
     val before = grid(Seq("de"), Seq("LC", "GC"))("de").getAs[Double]("GC")
