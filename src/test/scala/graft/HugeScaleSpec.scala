@@ -263,4 +263,54 @@ class HugeScaleSpec extends AnyFunSuite {
     assert(web.getLong(0) == web.getLong(1) + 1L, "shard ids must be dense per stratum")
     info(f"$n docs (50%% one stratum): assignShards=$t%.1fs shards=${stats.getLong(0)} exchanges=1")
   }
+
+  // ---- round 9: cross-cube rule grid at multi-wave scale -----------------
+
+  test("cross-cube grid at 1e7 facts: broadcast rate slice, no quadratic shapes, exact") {
+    import graft.olap.{RuleDef, RuleExpr, RuleScope, Rules}
+    val rows = sys.env.getOrElse("SPARK_GRAFT_HUGE_ROWS", "10000000").toLong
+    val cube = HugeModel.at(spark, rows)
+    val db = cube.databaseRef.get
+    // target cube: one rate per dim0 leaf NAME (driver-bounded, 100 cells —
+    // the exrates shape); rate(mK) = K so every converted value is an exact
+    // small integer product in double
+    val rd = db.addDimension("ratekey")
+    rd.edit().addMany((0 until HugeModel.LeavesPerDim).map(k => s"m$k")).commit()
+    val rates = db.addCube("hugerates", Seq(rd))
+    (0 until HugeModel.LeavesPerDim).foreach(k => rates.set(Seq(s"m$k"), k.toDouble))
+    // ruled member on dim7: scaled = m1 × rate[Carry(dim0)]
+    db.dimension("dim7").edit().addMany(Seq("scaled")).commit()
+    cube.registerRule(RuleDef(Map("dim7" -> "scaled"), RuleScope.AllLevels,
+      RuleExpr.Mul(RuleExpr.Ref("m1"),
+        RuleExpr.CubeRef("hugerates", Seq(RuleExpr.CubeRefPart.Carry("dim0")))),
+      "scale_rule"))
+    val sel = Seq(cube.dimensions(0).leafMembers.map(_.id)) ++
+      (1 until HugeModel.NDims - 1).map(i => Seq(cube.dimensions(i).idOf("All"))) ++
+      Seq(Seq(cube.dimensions(7).idOf("m1"), cube.dimensions(7).idOf("scaled")))
+    val g = Rules.ruledGrid(cube, sel)
+    val plan = g.queryExecution.executedPlan.toString
+    // the rate slice must arrive as a broadcast HASH join — never a
+    // nested-loop/cartesian — and the whole ruled grid stays at the
+    // aggregation shuffles (grid agg + pivot re-group); 100 TB of facts
+    // would move through the same two exchanges
+    assert(plan.contains("BroadcastHashJoin"), s"slice join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"quadratic shape in the cross-cube grid:\n$plan")
+    assert(exchangeCount(g) <= 3,
+      s"cross-cube grid must hold to the aggregation shuffles:\n$plan")
+    // self-check: scaled total = Σ_leafK m1count(K)·K, independently derived
+    // from the fact frame (leaf id = K+1); integer-valued doubles ⇒ exact
+    val m1Id = cube.dimensions(7).idOf("m1")
+    val scaledId = cube.dimensions(7).idOf("scaled")
+    val expected = cube.facts.filter(col("d7") === m1Id)
+      .agg(sum((col("d0") - 1).cast("double") * col("value"))).head.getDouble(0)
+    val (gotRow, t) = time(
+      g.filter(col(s"a${HugeModel.NDims - 1}") === scaledId)
+        .agg(sum(col("value")).as("s"), count(lit(1)).as("n")).head)
+    assert(gotRow.getLong(1) == HugeModel.LeavesPerDim.toLong)
+    assert(gotRow.getDouble(0) == expected,
+      s"scaled total ${gotRow.getDouble(0)} != $expected")
+    assert(t < 120.0, f"cross-cube grid at $rows rows took $t%.1fs")
+    info(f"$rows facts × 100-cell rate slice: ruledGrid=$t%.1fs exchanges=${exchangeCount(g)}")
+  }
 }
