@@ -45,6 +45,9 @@ object Bench {
     "pipe_dedup_segments",  // repeated-span removal (keep-first segments)
     "pipe_bm25",            // BM25 retrieval: stats scan -> scored top-k
     "pipe_tfidf",           // TF-IDF keywords: inverted-index grains + window
+    "pipe_hybrid_rrf",      // BM25 ⊕ vector RRF fusion (raw op: IVF arm)
+    "pipe_temperature_mix", // α-mixing: bounded counts agg + md5 resample (round 9)
+    "olap_view_cuberef",    // cross-cube currency view: broadcast slice join (round 9)
     "olap_huge_top",        // reference huge bench top-cell read — the huge
                             // entries come LAST: the build (timed separately
                             // as huge_build on this entry's first pass — keep
@@ -76,6 +79,17 @@ object Bench {
       }),
       "pipe_dedup_embed_lsh" -> ((s, dir) => graft.pipeline.Similarity.lshNearDupPairs(
         s.read.parquet(s"$dir/embeddings.parquet"), 0.45, dim = 64, nPlanes = 4, tables = 24)),
+      // the gate fuses against the brute-force oracle arm; the bench times
+      // the production composition — BM25 ⊕ IVF-bucketed ANN, RRF-fused
+      "pipe_hybrid_rrf" -> ((s, dir) => {
+        val lex = graft.pipeline.Search.bm25TopK(
+          s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"),
+          Seq("dup", "merge", "scan"), 50).select(col("doc_id"), col("rank"))
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val sem = graft.pipeline.Similarity.ivfTopK(e, e.filter(col("vec_id") === 0), 50)
+          .select(col("cand_id").as("doc_id"), col("rank"))
+        graft.pipeline.Search.hybridRrfTopK(lex, sem, 15)
+      }),
       "pipe_ann_ivfpq" -> ((s, dir) => {
         val e = s.read.parquet(s"$dir/embeddings.parquet")
         graft.pipeline.Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), 10,

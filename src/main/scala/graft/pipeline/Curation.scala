@@ -70,6 +70,41 @@ object Curation {
       .otherwise(array().cast("array<int>"))))
   }
 
+  /** Temperature-based (α) corpus rebalancing — the standard multilingual /
+    * multi-domain mixing policy (mT5/XLM-R style): sample strata with
+    * probability q_s ∝ (n_s/N)^α, i.e. α=1 keeps natural proportions, α=0
+    * gives every stratum an equal share of the budget, 0<α<1 upweights
+    * low-resource strata smoothly. Per-stratum replication rates follow as
+    * `r_s = ((q_s/Z) · budgetDocs) / n_s` (that exact association order —
+    * mirrored by the gate's oracle so the 1/65536 thresholds are
+    * bit-identical) and the mix materializes through
+    * [[resampleStratified]]'s deterministic md5 draws: same data + α +
+    * budget + salt ⇒ the same corpus at any cluster size.
+    *
+    * Scale shape: ONE aggregation for the per-stratum counts (bounded:
+    * strata are languages/domains — a catalog, collected like every other
+    * driver-resident catalog here), then the pure scan-shaped resample —
+    * no additional shuffle at any corpus size. The gate pins α=0 (pow-free
+    * arithmetic is exactly reproducible in the oracle); α>0 goes through
+    * `math.pow` and is spec-pinned instead (CurationSpec) — same code
+    * path, rates differ only in the driver-side map.
+    */
+  def temperatureResample(df: DataFrame, idCol: Column, stratumCol: Column,
+      alpha: Double, budgetDocs: Long, salt: String): DataFrame = {
+    require(alpha >= 0.0, s"temperatureResample: alpha must be >= 0, got $alpha")
+    val counts = df.groupBy(stratumCol.as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+      .sortBy(_._1) // deterministic summation order for Z
+    require(counts.nonEmpty, "temperatureResample: empty corpus")
+    val nTotal = counts.map(_._2).sum.toDouble
+    val pows = counts.map { case (s, n) => (s, math.pow(n / nTotal, alpha), n) }
+    val z = pows.map(_._2).sum
+    val rates = pows.map { case (s, p, n) =>
+      s -> ((p / z) * budgetDocs.toDouble) / n.toDouble
+    }.toMap
+    resampleStratified(df, idCol, stratumCol, rates, defaultRate = 0.0, salt)
+  }
+
   /** The composed corpus-in → training-mix-out pipeline a pretraining user
     * actually runs, each stage the scale shape documented on its operator:
     *

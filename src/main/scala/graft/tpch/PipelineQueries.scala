@@ -478,6 +478,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("copy").cast("long").as("copy"))
     }),
 
+    // temperature-based (α) corpus rebalancing at α=0: every language gets
+    // an equal share of the 600-doc budget — rates derived from the
+    // per-stratum counts in ONE bounded aggregation, then the deterministic
+    // md5 resample. α=0 keeps the rate arithmetic pow-free so the oracle
+    // reproduces the 1/65536 thresholds bit-identically (association order
+    // mirrored); α>0 is CurationSpec-pinned on the same code path.
+    "pipe_temperature_mix" -> ((s, dir) =>
+      Curation.temperatureResample(docs(s, dir), col("doc_id"), col("lang"),
+        alpha = 0.0, budgetDocs = 600, salt = "tm42")
+        .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))),
+
     // eval-set decontamination: docs sharing >= 2 distinct 3-word shingles
     // with the benchmark slice (doc_id % 97 == 0) are purged — the eval
     // shingle set broadcasts, the corpus side stays scan-shaped
@@ -973,6 +984,24 @@ object PipelineQueries {
                THEN 1 ELSE 0 END AS n
            FROM documents)
          SELECT doc_id, lang, source, unnest(range(n)) AS copy FROM r""",
+
+    // mirrors Curation.temperatureResample at α=0: rate_s = ((1/k)·600)/n_s
+    // in that EXACT association order (each op singly rounded, so the
+    // floor(rate) / floor(frac·65536) thresholds are bit-identical to the
+    // engine's), then the resample draw CTE shape of pipe_resample
+    "pipe_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM c),
+         r AS (SELECT lang, n, ((1.0 / k.k) * 600) / CAST(n AS DOUBLE) AS rate FROM c, k),
+         t AS (SELECT lang,
+             CAST(floor(rate) AS INTEGER) AS whole,
+             printf('%04x', CAST(floor((rate - floor(rate)) * 65536) AS INTEGER)) AS thr
+           FROM r),
+         o AS (SELECT d.doc_id, d.lang,
+             t.whole + CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR) || ':tm42'), 1, 4) < t.thr
+                            THEN 1 ELSE 0 END AS n
+           FROM documents d JOIN t ON d.lang = t.lang)
+         SELECT doc_id, lang, unnest(range(n)) AS copy FROM o""",
 
     // 3-word shingles joined by chr(1) on both sides; slice clamps at the
     // end identically in both engines; cs is pre-distinct'd so count(*) is

@@ -77,6 +77,37 @@ class CurationSpec extends AnyFunSuite {
     assert(rows(corpus.repartition(17)) == once)
   }
 
+  test("temperatureResample: α=0 equalizes budgets, α=1 keeps proportions, α=0.5 between") {
+    // 9 + 36 docs: the skew where the α policy is visible
+    val df = ((0L until 9L).map(i => (i, "lo")) ++ (100L until 136L).map(i => (i, "hi")))
+      .toDF("id", "lang")
+    def mixCounts(alpha: Double, budget: Long) =
+      Curation.temperatureResample(df, col("id"), col("lang"), alpha, budget, "t1")
+        .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tolerances are ~2σ of the binomial draw at these tiny strata
+    // α=0: equal share — 13.5 expected per stratum (lo upsampled, hi cut)
+    val a0 = mixCounts(0.0, 27)
+    assert(math.abs(a0("lo") - 13.5) <= 4 && math.abs(a0("hi") - 13.5) <= 7, s"$a0")
+    // α=1: natural proportions — rates ≈ budget/N uniformly over docs
+    val a1 = mixCounts(1.0, 27)
+    assert(math.abs(a1("lo") - 27.0 * 9 / 45) <= 4 && math.abs(a1("hi") - 27.0 * 36 / 45) <= 7, s"$a1")
+    // α=0.5: q ∝ sqrt(n) → 1:2 → lo gets 9 of 27 (rate 1.0), hi 18 (rate 0.5)
+    val ah = mixCounts(0.5, 27)
+    assert(math.abs(ah("lo") - 9.0) <= 2 && math.abs(ah("hi") - 18.0) <= 6, s"$ah")
+    // low-resource share clearly grows as α falls (13.5 vs 5.4 expected —
+    // the gap dwarfs the draw noise)
+    assert(a0("lo") > a1("lo"), s"$a0 $a1")
+  }
+
+  test("temperatureResample is deterministic and partitioning-independent") {
+    val df = ((0L until 9L).map(i => (i, "lo")) ++ (100L until 136L).map(i => (i, "hi")))
+      .toDF("id", "lang")
+    def out(d: org.apache.spark.sql.DataFrame) =
+      Curation.temperatureResample(d, col("id"), col("lang"), 0.5, 27, "t1")
+        .select("id", "copy").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out(df) == out(df.repartition(7)))
+  }
+
   test("curateCorpus composes purge, decontamination, quality floor, resample") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val eval = docs.filter(col("doc_id") % 97 === 0)
