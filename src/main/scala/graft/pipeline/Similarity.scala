@@ -98,10 +98,21 @@ object Similarity {
     * corpus × nProbe / nCentroids, and the cell assignment is a plain
     * column the corpus can be partitioned/bucketed by at 100 TB.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4,
+  /** A fitted IVF index: the k-means cell centroids (driver-resident model
+    * output, bounded by nCentroids) plus the cell-assigned corpus
+    * (`cand_id, cv0, __cell`) — fit ONCE offline, query many times. At
+    * 100 TB the assigned frame is persisted (ideally bucketed by `__cell`
+    * so a probe's cells prune at the scan); every query batch is then a
+    * bounded fan-out join against it, no refit. [[ivfTopK]] is the
+    * fit+query convenience composition of [[ivfFit]]+[[ivfTopKIndexed]].
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Fit the IVF coarse quantizer on a bounded hash-ordered sample (no full
+    * count) and assign every corpus vector to its cell. */
+  def ivfFit(corpus: DataFrame, nCentroids: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainCap: Long = 200_000L): DataFrame = {
+      trainCap: Long = 200_000L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val corpusVec = corpus.select(col(idCol), col(vecCol),
@@ -110,9 +121,24 @@ object Similarity {
     val km = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("__fv").setPredictionCol("__cell")
     val model = km.fit(trainSet)
-    val assigned = model.transform(corpusVec)
-      .select(col(idCol).as("cand_id"), col(vecCol).as("cv0"), col("__cell"))
-    val centroids = model.clusterCenters.map(_.toArray)
+    IvfIndex(model.clusterCenters.map(_.toArray),
+      model.transform(corpusVec)
+        .select(col(idCol).as("cand_id"), col(vecCol).as("cv0"), col("__cell")))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainCap: Long = 200_000L): DataFrame =
+    ivfTopKIndexed(ivfFit(corpus, nCentroids, idCol, vecCol, trainCap),
+      queries, k, nProbe, idCol, vecCol)
+
+  /** IVF query against a PREBUILT index — the serving shape. */
+  def ivfTopKIndexed(index: IvfIndex, queries: DataFrame, k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = index.assigned
+    val centroids = index.centroids
     // nProbe nearest centroids per query: the centroids are driver-side
     // model output, so they attach as an exploded LITERAL array — a pure
     // Generate (fan-out nCentroids per query), no join in the plan at all

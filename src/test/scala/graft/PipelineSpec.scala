@@ -118,6 +118,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@10 = $recall with 6/16 cells probed")
   }
 
+  test("IVF index: fit once, query many — indexed results identical, no refit per batch") {
+    val idx = Similarity.ivfFit(emb, nCentroids = 16)
+    idx.assigned.persist()
+    try {
+      val q1 = emb.filter(col("vec_id") < 10)
+      val direct = Similarity.ivfTopK(emb, q1, 10, nCentroids = 16, nProbe = 6)
+        .select("query_id", "cand_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val indexed = Similarity.ivfTopKIndexed(idx, q1, 10, nProbe = 6)
+        .select("query_id", "cand_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(indexed == direct, "indexed path must reproduce the fit+query path exactly")
+      // a second query batch against the SAME index — the serving pattern
+      val q2 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      val b2 = Similarity.ivfTopKIndexed(idx, q2, 10, nProbe = 6).collect()
+      assert(b2.nonEmpty && b2.forall(_.getLong(0) >= 10))
+    } finally { idx.assigned.unpersist(); () }
+  }
+
   test("IVF ANN over-cap trains on a bounded hash-ordered sample, same recall floor") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, 10)
