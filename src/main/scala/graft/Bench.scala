@@ -33,6 +33,8 @@ object Bench {
     "rel_sessionize",       // gap sessionization
     "rel_events_tumbling_stream", // streaming twin: AvailableNow replay cost
     "rel_sessionize_stream",      // streaming twin (r8 verdict ask #7)
+    "rel_event_pairs",            // event-time interval self-join (round 9)
+    "rel_event_pairs_stream",     // stream-stream join twin (round 9)
     "pipe_dedup_minhash",   // MinHash-LSH near-dup (bucketed, verified)
     "pipe_dedup_simhash",   // SimHash near-dup (banded; raw op, see rawOps)
     "pipe_ann_lsh",         // sign-LSH ANN top-k (raw op, see rawOps)
@@ -312,7 +314,8 @@ object Bench {
     // The streaming twins replay the events as a 12-trigger AvailableNow
     // stream — their cost is micro-batch fixed overhead (~0.6 s/trigger),
     // not data volume, so min-of-passes adds nothing: timed ONCE per run.
-    val onceOnly = Set("rel_events_tumbling_stream", "rel_sessionize_stream")
+    val onceOnly = Set("rel_events_tumbling_stream", "rel_sessionize_stream",
+      "rel_event_pairs_stream")
     def runPass(): Set[String] = {
       val recorded = scala.collection.mutable.Set[String]()
       def rec(name: String, t: Double): Unit = { record(name, t); recorded += name }

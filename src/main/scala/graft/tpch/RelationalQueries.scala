@@ -333,6 +333,28 @@ object RelationalQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
           count(when(col("k").isNull, 1)).as("n_null"))
     }),
+
+    // event-time interval self-join (round 9): view→click attribution —
+    // per click, the same user's views in the trailing 30 minutes
+    // (inclusive bounds), aggregated per user. The time-bound equi-key
+    // join shape whose streaming twin (rel_event_pairs_stream) is the
+    // stream-stream join with two-sided state; this batch plan is the
+    // parity anchor. One shuffle on user_id; the interval predicate rides
+    // the join as a post-condition on the equi-match.
+    "rel_event_pairs" -> ((s, dir) => {
+      val e = readEvents(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("ts").as("vts"), col("event_id").as("vid"))
+      clicks.join(views,
+          col("cu") === col("vu") &&
+            col("vts") >= col("cts") - expr("interval 30 minutes") &&
+            col("vts") <= col("cts"))
+        .groupBy(col("cu").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("cid")).as("n_clicks_matched"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -484,6 +506,16 @@ object RelationalQueries {
            LEAD(event_type) OVER w AS next_type,
            NTILE(4) OVER w AS quartile
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    // inclusive BETWEEN mirrors the engine's >= / <= interval bounds
+    "rel_event_pairs" ->
+      """SELECT c.user_id, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT c.event_id) AS n_clicks_matched
+         FROM events c JOIN events v
+           ON v.user_id = c.user_id
+          AND c.event_type = 'click' AND v.event_type = 'view'
+          AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+         GROUP BY c.user_id""",
 
     // CAST(SUM(...) AS BIGINT): DuckDB's SUM over BIGINT widens to HUGEINT,
     // which arrives driver-side as float64 and can never hash-match Spark's

@@ -225,6 +225,52 @@ object StreamingQueries {
       out
     }),
 
+    // Streaming twin of rel_event_pairs (round 9): a STREAM-STREAM interval
+    // self-join — clicks and views are two watermarked branches of the same
+    // replayed file stream, inner-joined on user with the trailing-30-minute
+    // bound. The hardest streaming shape in the matrix: state on BOTH sides,
+    // evicted by the watermark against the join's time condition (views
+    // older than watermark − 30 min can never match a future click and are
+    // dropped from state). Inner-join matches emit immediately (append
+    // mode); the per-user aggregation runs as a batch read over the sink so
+    // the gate compares against the IDENTICAL batch oracle. The time-ordered
+    // replay (zero cross-file disorder) means the 1-hour watermark can never
+    // drop a legitimate match — streaming replay ≡ the batch join, proven by
+    // the shared oracle.
+    "rel_event_pairs_stream" -> ((s, dir) => {
+      val ev = RelationalQueries.readEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_pairs")
+      val tmp = tmpRoot.resolve("files").toString
+      val sinkName = s"pairs_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStatePartitions(s, 8) {
+        val stream = timeOrderedStream(s, ev, "ts", 12, tmp)
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+          .withWatermark("cts", "1 hour")
+        val views = stream.filter(col("event_type") === "view")
+          .select(col("user_id").as("vu"), col("ts").as("vts"), col("event_id").as("vid"))
+          .withWatermark("vts", "1 hour")
+        val joined = clicks.join(views,
+          col("cu") === col("vu") &&
+            col("vts") >= col("cts") - expr("interval 30 minutes") &&
+            col("vts") <= col("cts"))
+        val q = joined.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val out = s.table(sinkName)
+        .groupBy(col("cu").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("cid")).as("n_clicks_matched"))
+        .localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }),
+
     // streaming novelty filter: docs arrive as a file stream (one file per
     // micro-batch), stateful dropDuplicates collapses within-stream repeats
     // ACROSS batches, and a stream-static left_anti drops everything the
@@ -294,6 +340,17 @@ object StreamingQueries {
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
          FROM flagged GROUP BY user_id""",
+
+    // IDENTICAL oracle to the batch rel_event_pairs — the path under test
+    // is the two-sided-state stream-stream join, not the arithmetic
+    "rel_event_pairs_stream" ->
+      """SELECT c.user_id, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT c.event_id) AS n_clicks_matched
+         FROM events c JOIN events v
+           ON v.user_id = c.user_id
+          AND c.event_type = 'click' AND v.event_type = 'view'
+          AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+         GROUP BY c.user_id""",
 
     // mirrors TextDedup.novelOnly over the doc_id<250 corpus /
     // doc_id>=250 intake split: distinct canonical fingerprints of the

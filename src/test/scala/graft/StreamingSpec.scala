@@ -430,4 +430,17 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet
     assert(batchFps == streamFps, "batch and stream agree on the novel fp set")
   }
+
+  test("stream-stream interval join replay equals the batch join (rel_event_pairs twins)") {
+    // the two gate entries on the sf0.001 events — the full two-sided-state
+    // stream-stream join path vs the one-shuffle batch plan, row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = rows(graft.tpch.RelationalQueries
+      .queries("rel_event_pairs")(spark, "/root/testdata/sf0.001"))
+    val stream = rows(graft.tpch.StreamingQueries
+      .queries("rel_event_pairs_stream")(spark, "/root/testdata/sf0.001"))
+    assert(batch.nonEmpty && stream == batch,
+      s"stream replay diverged: ${stream.diff(batch)} / ${batch.diff(stream)}")
+  }
 }
