@@ -273,6 +273,24 @@ object RelationalQueries {
         ntile(4).over(w).as("quartile"))
     }),
 
+    // the full rank-function battery (round 9): rank/dense_rank over value
+    // ties, plus the distribution ranks — percent_rank = (rank−1)/(n−1)
+    // and cume_dist = peers≤x / n are single divisions of exact integers,
+    // so the doubles are bit-identical across engines
+    "rel_window_ranks" -> ((s, dir) => {
+      // ORDER BY value alone: rank functions are functions of the KEY VALUE
+      // (peers share ranks), so ties are exercised AND every output row is
+      // deterministic without a tiebreak column
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        .orderBy(col("value"))
+      readEvents(s, dir).select(
+        col("event_id"), col("user_id"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+    }),
+
     // gap-based sessionization (lag + running session counter)
     "rel_sessionize" -> ((s, dir) => {
       Relational.sessionize(readEvents(s, dir), "user_id", "ts", "event_id", 1800)
@@ -506,6 +524,14 @@ object RelationalQueries {
            LEAD(event_type) OVER w AS next_type,
            NTILE(4) OVER w AS quartile
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "rel_window_ranks" ->
+      """SELECT event_id, user_id,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value)""",
 
     // inclusive BETWEEN mirrors the engine's >= / <= interval bounds
     "rel_event_pairs" ->
