@@ -102,6 +102,9 @@ object StreamingQueries {
       // final fact frame BEFORE deleting the work dir
       cube.replaceFacts(cube.facts.localCheckpoint(true))
       import scala.jdk.CollectionConverters._
+      // unload providers BEFORE deleting the checkpoint: the maintenance
+      // thread otherwise races the deletion (Bridge.unloadStateStores doc)
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
       java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
 
@@ -151,6 +154,9 @@ object StreamingQueries {
       q.awaitTermination()
       cube.replaceFacts(cube.facts.localCheckpoint(true))
       import scala.jdk.CollectionConverters._
+      // unload providers BEFORE deleting the checkpoint: the maintenance
+      // thread otherwise races the deletion (Bridge.unloadStateStores doc)
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
       java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       val g = cube.gridAggregate(Seq(
@@ -191,6 +197,9 @@ object StreamingQueries {
           col("event_type"), col("n"), col("total").cast("double").as("total"))
         .localCheckpoint(true)
       import scala.jdk.CollectionConverters._
+      // unload providers BEFORE deleting the checkpoint: the maintenance
+      // thread otherwise races the deletion (Bridge.unloadStateStores doc)
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
       java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       out
@@ -220,6 +229,9 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
         .localCheckpoint(true)
       import scala.jdk.CollectionConverters._
+      // unload providers BEFORE deleting the checkpoint: the maintenance
+      // thread otherwise races the deletion (Bridge.unloadStateStores doc)
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
       java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       out
@@ -266,6 +278,9 @@ object StreamingQueries {
           count_distinct(col("cid")).as("n_clicks_matched"))
         .localCheckpoint(true)
       import scala.jdk.CollectionConverters._
+      // unload providers BEFORE deleting the checkpoint: the maintenance
+      // thread otherwise races the deletion (Bridge.unloadStateStores doc)
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
       java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       out
@@ -298,6 +313,9 @@ object StreamingQueries {
       q.awaitTermination()
       val out = s.table(sinkName).select("fp").localCheckpoint(true)
       import scala.jdk.CollectionConverters._
+      // unload providers BEFORE deleting the checkpoint: the maintenance
+      // thread otherwise races the deletion (Bridge.unloadStateStores doc)
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
       java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       out

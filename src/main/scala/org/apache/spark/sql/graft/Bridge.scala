@@ -23,6 +23,17 @@ object Bridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** Unload every loaded streaming state-store provider. A finished
+    * AvailableNow query leaves its providers registered until the periodic
+    * maintenance thread next fires; deleting the query's checkpoint
+    * directory first leaves maintenance pointed at vanished files — a race
+    * that intermittently failed a LATER streaming query in the same session
+    * (observed in a full Verify run). Gates call this after
+    * `awaitTermination`, BEFORE deleting their checkpoint temp dirs.
+    */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   /** Whether a catalyst predicate can be translated into a data-source
     * `Filter` (i.e. is pushdown-eligible). Used by the plan-shape
     * regression spec to tell "scan ignored a pushable filter" (a bug)
