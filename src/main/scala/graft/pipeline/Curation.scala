@@ -70,6 +70,24 @@ object Curation {
       .otherwise(array().cast("array<int>"))))
   }
 
+  /** Exactly-k-per-stratum deterministic sample — the eval/calibration-set
+    * carve: rank each stratum's documents by the same md5 draw family as
+    * [[sampleStratified]] (id-salted, so a given (id, salt) always draws
+    * the same position) and keep the k smallest. Unlike rate-based
+    * sampling, the output size is EXACT per stratum (min(k, n_s)) — what a
+    * held-out set needs. One window shuffle on the stratum key; ordering
+    * ties are impossible (md5 over distinct ids, id tiebreak), so the
+    * result is identical at any partitioning.
+    */
+  def sampleExactK(df: DataFrame, idCol: Column, stratumCol: Column,
+      k: Int, salt: String): DataFrame = {
+    require(k > 0, s"sampleExactK: k must be positive, got $k")
+    val draw = md5(concat(idCol.cast("string"), lit(":" + salt)))
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(stratumCol).orderBy(draw, idCol)))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Temperature-based (α) corpus rebalancing — the standard multilingual /
     * multi-domain mixing policy (mT5/XLM-R style): sample strata with
     * probability q_s ∝ (n_s/N)^α, i.e. α=1 keeps natural proportions, α=0

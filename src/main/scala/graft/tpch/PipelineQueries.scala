@@ -478,6 +478,13 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("copy").cast("long").as("copy"))
     }),
 
+    // exactly-k-per-stratum deterministic sample (round 9): the held-out /
+    // calibration-set carve — 40 docs per language by md5 draw order, size
+    // EXACT per stratum (unlike rate-based sampling); one window shuffle
+    "pipe_sample_exact_k" -> ((s, dir) =>
+      Curation.sampleExactK(docs(s, dir), col("doc_id"), col("lang"), 40, "ek42")
+        .select("doc_id", "lang", "source")),
+
     // temperature-based (α) corpus rebalancing at α=0: every language gets
     // an equal share of the 600-doc budget — rates derived from the
     // per-stratum counts in ONE bounded aggregation, then the deterministic
@@ -984,6 +991,14 @@ object PipelineQueries {
                THEN 1 ELSE 0 END AS n
            FROM documents)
          SELECT doc_id, lang, source, unnest(range(n)) AS copy FROM r""",
+
+    // mirrors Curation.sampleExactK: same md5 draw ordering, id tiebreak
+    "pipe_sample_exact_k" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':ek42'), doc_id) AS rn
+           FROM documents) WHERE rn <= 40""",
 
     // mirrors Curation.temperatureResample at α=0: rate_s = ((1/k)·600)/n_s
     // in that EXACT association order (each op singly rounded, so the

@@ -101,6 +101,44 @@ class Round9FixesSpec extends AnyFunSuite {
     assert(sales.get(Seq("de", "GC")).contains(100.0 * 1.1))
   }
 
+  test("interval-join bounds are inclusive at BOTH ends (rel_event_pairs shape)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    // click at t=0; views at exactly -30min (IN), -30min-1s (OUT), 0 (IN), +1s (OUT)
+    val clicks = Seq((1L, 7L, at(0))).toDF("cid", "cu", "cts")
+    val views = Seq(
+      (10L, 7L, at(-1800)), (11L, 7L, at(-1801)),
+      (12L, 7L, at(0)), (13L, 7L, at(1))).toDF("vid", "vu", "vts")
+    val got = clicks.join(views,
+        col("cu") === col("vu") &&
+          col("vts") >= col("cts") - expr("interval 30 minutes") &&
+          col("vts") <= col("cts"))
+      .select("vid").as[Long].collect().toSet
+    assert(got == Set(10L, 12L),
+      s"boundary views must be inclusive at -30min and at the click instant: $got")
+  }
+
+  test("sampleExactK: exact per-stratum sizes, deterministic, partitioning-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = ((0L until 100L).map(i => (i, "a")) ++ (100L until 103L).map(i => (i, "b")))
+      .toDF("id", "lang")
+    def pick(d: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Curation.sampleExactK(d, col("id"), col("lang"), 10, "s")
+        .select("id").as[Long].collect().toSet
+    val s1 = pick(df)
+    assert(s1 == pick(df.repartition(13)))
+    val byLang = graft.pipeline.Curation.sampleExactK(df, col("id"), col("lang"), 10, "s")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("a" -> 10L, "b" -> 3L)) // min(k, n_s) — never padded
+    // a different salt carves a different set of the same exact size
+    val s2 = graft.pipeline.Curation.sampleExactK(df, col("id"), col("lang"), 10, "t")
+      .select("id").as[Long].collect().toSet
+    assert(s2.size == s1.size && s2 != s1)
+  }
+
   test("sum over all-NULL group is NULL, not 0 (oracle SUM agrees)") {
     import spark.implicits._
     val s = Seq(("err", "{bad"), ("err", null: String)).toDF("event_type", "props")
