@@ -877,6 +877,35 @@ object TpchQueries {
         col("value").cast("double").as("value"))
     }),
 
+    // §2.13+ (round 9): MATERIALIZED AGGREGATE + NAVIGATOR — a summary cube
+    // at nation × year grain (customers/days collapsed, product/measure at
+    // leaf resolution) answers region-level queries from a frame orders of
+    // magnitude under the facts at scale; coverage routing is by derived-
+    // member NAME, and the gate reads THROUGH the navigator so the routed
+    // path itself is what's oracle-checked. Summary-served values are
+    // bit-identical: the pre-aggregation runs through the base cube's own
+    // decimal-exact gridAggregate.
+    "olap_agg_navigator" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val summary = graft.olap.Aggregates.materialize(m.cube,
+        "sales_nation_year", Seq(Some(1), Some(2), None, None))
+      val nav = new graft.olap.Aggregates.Navigator(m.cube, Seq(summary))
+      val probe = Seq("EUROPE", "1996", "AllBrands", "gross")
+      require(nav.cubeFor(probe) eq summary,
+        "a region×year address must be summary-served")
+      val c = nav.cubeFor(probe)
+      val geoD = c.dimensions(0)
+      val regionNames = m.cube.dimensions(0).members.filter(_.level == 2).map(_.name)
+      val grid = c.gridAggregate(Seq(
+        regionNames.map(geoD.idOf),
+        Seq(c.dimensions(1).idOf("1996")),
+        Seq(c.dimensions(2).idOf("AllBrands")),
+        Seq(c.dimensions(3).idOf("gross"))))
+      val nameMap = map(regionNames.flatMap(n => Seq(lit(geoD.idOf(n)), lit(n))): _*)
+      grid.select(nameMap(col("a0")).as("region"),
+        col("value").cast("double").as("value"))
+    }),
+
     "olap_rule_validate" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
       val c = scratch(m)
@@ -1350,6 +1379,13 @@ object TpchQueries {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY n_name, r_regionkey""",
+
+    // summary-served region×1996 gross — same derivation as the base facts
+    "olap_agg_navigator" ->
+      s"""SELECT r_name AS region, CAST(SUM($GROSS) AS DOUBLE) AS value
+         $STAR
+         WHERE strftime(o_orderdate, '%Y') = '1996'
+         GROUP BY r_name""",
 
     // base-grain conversion at leaf output coincides with the scalar gate
     "olap_rule_cuberef_base" ->

@@ -1,0 +1,92 @@
+package graft
+
+import graft.core.Database
+import graft.olap.Aggregates
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Materialized aggregates + navigator: summary-served reads are
+  * bit-identical to base-served ones, coverage routing is by derived-member
+  * NAME, and stale summaries are never consulted.
+  */
+class AggregatesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshModel(tag: String) = {
+    val db = TinyModel.build(spark)
+    val c = db.cube("sales")
+    val cube = new graft.core.Cube(s"sales_$tag", c.dimensions, spark, Some(c.facts))
+    c.rules.foreach(cube.registerRule)
+    cube.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 123.0)
+    cube.set(Seq("2021", "Feb", "North", "sedan", "Sales"), 456.0)
+    cube.set(Seq("2021", "Jan", "North", "motorcycles", "Cost"), 100.0)
+    cube.set(Seq("2021", "Apr", "South", "sports", "Sales"), 50.0)
+    cube
+  }
+
+  test("summary at quarter grain: parity on every servable address, incl. rule members") {
+    val cube = freshModel("aggp")
+    // dims: years, months, regions, products, measures — months to quarters
+    val summary = Aggregates.materialize(cube, "sales_q",
+      Seq(None, Some(1), None, None, None))
+    val nav = new Aggregates.Navigator(cube, Seq(summary))
+    // quarter-level address routes to the summary…
+    val qAddr = Seq("2021", "Q1", "Total", "Total", "Sales")
+    assert(nav.cubeFor(qAddr) eq summary)
+    assert(nav.get(qAddr) == cube.get(qAddr)) // 123 + 456
+    assert(nav.get(qAddr).contains(579.0))
+    // …a month-level address falls back to base (below the grain)
+    val mAddr = Seq("2021", "Jan", "Total", "Total", "Sales")
+    assert(nav.cubeFor(mAddr) eq cube)
+    assert(nav.get(mAddr).contains(123.0))
+    // Year (above the grain) serves from the summary, weighted correctly
+    val yAddr = Seq("2021", "Year", "Total", "Total", "Sales")
+    assert(nav.cubeFor(yAddr) eq summary)
+    assert(nav.get(yAddr) == cube.get(yAddr))
+    // rule-backed member computes on the summary over aggregated operands
+    val pAddr = Seq("2021", "Q1", "Total", "Total", "Profit")
+    assert(nav.cubeFor(pAddr) eq summary)
+    assert(nav.get(pAddr) == cube.get(pAddr)) // 579 − 100
+    assert(nav.get(pAddr).contains(479.0))
+  }
+
+  test("summary frame is at grain size; base facts are not consulted") {
+    val cube = freshModel("aggs")
+    val summary = Aggregates.materialize(cube, "sales_q2",
+      Seq(None, Some(1), None, None, None))
+    // 4 stored cells → 4 grain addresses (months collapse to quarters but
+    // the product/measure keys differ, so nothing merges here; a real
+    // corpus merges everything sharing a grain cell)
+    assert(summary.facts.count() == 4)
+    // derived months dimension holds quarters + Year, not months
+    val md = summary.dimensions(1)
+    assert(md.contains("Q1") && md.contains("Year") && !md.contains("Jan"))
+  }
+
+  test("a base write staleness-guards every summary") {
+    val cube = freshModel("aggw")
+    val summary = Aggregates.materialize(cube, "sales_q3",
+      Seq(None, Some(1), None, None, None))
+    val nav = new Aggregates.Navigator(cube, Seq(summary))
+    val qAddr = Seq("2021", "Q1", "Total", "Total", "Sales")
+    assert(nav.cubeFor(qAddr) eq summary)
+    cube.set(Seq("2021", "Mar", "North", "sedan", "Sales"), 1.0)
+    assert(!nav.fresh)
+    assert(nav.cubeFor(qAddr) eq cube) // stale summary never consulted
+    assert(nav.get(qAddr).contains(580.0))
+  }
+
+  test("a multi-parent level is rejected as a grain (double-covered leaves)") {
+    val db = new Database("aggbad", spark)
+    val d = db.addDimension("p")
+    d.edit()
+    d.add("brandA", Seq("p1", "p2"))
+    d.add("typeX", Seq("p1", "p2")) // every leaf covered twice at level 1
+    d.commit()
+    val m = db.addDimension("m"); m.edit().addMany(Seq("v")).commit()
+    val c = db.addCube("cbad", Seq(d, m))
+    c.set(Seq("p1", "v"), 1.0)
+    val e = intercept[IllegalArgumentException](
+      Aggregates.materialize(c, "bad", Seq(Some(1), None)))
+    assert(e.getMessage.contains("partition"))
+  }
+}
