@@ -50,6 +50,7 @@ object Bench {
     "pipe_hybrid_rrf",      // BM25 ⊕ vector RRF fusion (raw op: IVF arm)
     "pipe_temperature_mix", // α-mixing: bounded counts agg + md5 resample (round 9)
     "olap_view_cuberef",    // cross-cube currency view: broadcast slice join (round 9)
+    "olap_agg_navigator",   // materialized-aggregate build + summary-served grid (round 9)
     "olap_huge_top",        // reference huge bench top-cell read — the huge
                             // entries come LAST: the build (timed separately
                             // as huge_build on this entry's first pass — keep
