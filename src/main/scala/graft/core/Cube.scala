@@ -649,7 +649,15 @@ final class Cube(
       } else {
         val allLeaf = sel.forall(dimensions(i).levelOf(_) == 0)
         if (allLeaf) {
-          df = if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
+          // a selection of EVERY leaf is a no-op predicate — skip it (facts
+          // carry only leaf ids; stale ids of removed members are undefined
+          // until purgeUnknownMembers, with or without the filter). Keeps
+          // full-resolution grids — e.g. aggregate-summary builds — pure
+          // scans instead of scans behind a catalog-sized IN list.
+          val leaves = dimensions(i).leafMembers
+          val isAllLeaves = sel.size == leaves.size && sel.toSet == leaves.map(_.id).toSet
+          df = if (isAllLeaves) df
+               else if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
                else df.filter(col(s"d$i").isin(sel: _*))
           df = df.withColumn(s"a$i", col(s"d$i"))
         } else if (sel.size == 1 && dimensions(i).coversAllLeavesUnit(sel.head)) {

@@ -143,5 +143,29 @@ object Aggregates {
         .getOrElse(base)
 
     def get(address: Seq[String]): Option[Double] = cubeFor(address).get(address)
+
+    /** A whole VIEW through the navigator: dimensions the definition leaves
+      * unmentioned are pinned to the BASE cube's default member first (view
+      * semantics must not shift with routing — a summary's own default
+      * would be a grain member, not the base leaf), then the view runs on
+      * the first summary containing every named member, else on base.
+      */
+    def view(dfn: ViewDef): View = {
+      val mentioned = (dfn.filters.map(_._1) ++ dfn.rows.entries.map(_._1) ++
+        dfn.cols.entries.map(_._1)).map(_.toLowerCase).toSet
+      val pins = base.dimensions.filterNot(d => mentioned(d.name.toLowerCase))
+        .map(d => d.name -> d.defaultMember.name)
+      val dfn2 = dfn.copy(filters = dfn.filters ++ pins)
+      val named: Seq[(String, String)] = dfn2.filters ++
+        dfn2.rows.entries.flatMap { case (dn, ms) => ms.map(dn -> _) } ++
+        dfn2.cols.entries.flatMap { case (dn, ms) => ms.map(dn -> _) }
+      val target =
+        if (!fresh) base
+        else summaries.find(sc => named.forall { case (dn, m) =>
+          val i = sc.dimensions.indexWhere(_.name.equalsIgnoreCase(dn))
+          i >= 0 && sc.dimensions(i).contains(m)
+        }).getOrElse(base)
+      new View(target, dfn2)
+    }
   }
 }

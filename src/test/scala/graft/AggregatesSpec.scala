@@ -62,6 +62,28 @@ class AggregatesSpec extends AnyFunSuite {
     assert(md.contains("Q1") && md.contains("Year") && !md.contains("Jan"))
   }
 
+  test("navigator views: quarter grid routes to the summary, month grid to base — same numbers") {
+    import graft.olap.{AxisDef, ViewDef}
+    val cube = freshModel("aggv")
+    val summary = Aggregates.materialize(cube, "sales_qv",
+      Seq(None, Some(1), None, None, None))
+    val nav = new Aggregates.Navigator(cube, Seq(summary))
+    val qDfn = ViewDef(
+      filters = Seq("years" -> "2021", "regions" -> "Total", "products" -> "Total"),
+      rows = AxisDef(Seq("months" -> Seq("Q1", "Q2", "Year"))),
+      cols = AxisDef(Seq("measures" -> Seq("Sales", "Cost", "Profit"))))
+    val routed = nav.view(qDfn)
+    assert(routed.cube eq summary)
+    val got = routed.refresh().collect()
+      .map(r => r.getAs[String]("months") -> (r.getAs[Double]("Sales"), r.getAs[Double]("Profit"))).toMap
+    val want = new graft.olap.View(cube, qDfn).refresh().collect()
+      .map(r => r.getAs[String]("months") -> (r.getAs[Double]("Sales"), r.getAs[Double]("Profit"))).toMap
+    assert(got == want && got("Q1") == ((579.0, 479.0)))
+    // month-level axis → below the grain → base
+    val mDfn = qDfn.copy(rows = AxisDef(Seq("months" -> Seq("Jan", "Feb"))))
+    assert(nav.view(mDfn).cube eq cube)
+  }
+
   test("a base write staleness-guards every summary") {
     val cube = freshModel("aggw")
     val summary = Aggregates.materialize(cube, "sales_q3",
