@@ -97,6 +97,36 @@ class AggregatesSpec extends AnyFunSuite {
     assert(nav.get(qAddr).contains(580.0))
   }
 
+  test("randomized hierarchies: summary parity on every servable member (seeded)") {
+    import graft.core.{Cube, Dimension}
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val d = new Dimension("g")
+      d.edit()
+      val leaves = (0 until 6 + rnd.nextInt(6)).map(i => s"l$i")
+      leaves.foreach(l => d.add(l))
+      val nGroups = 2 + rnd.nextInt(3)
+      // round-robin base + random extras: every group non-empty, exact partition
+      val assign = leaves.zipWithIndex.map { case (l, i) =>
+        l -> (if (i < nGroups) i else rnd.nextInt(nGroups))
+      }
+      (0 until nGroups).foreach(g =>
+        d.add(s"grp$g", assign.filter(_._2 == g).map(_._1)))
+      d.add("Root", (0 until nGroups).map(g => s"grp$g"))
+      d.commit()
+      val md = new Dimension("m"); md.edit().addMany(Seq("v")).commit()
+      val cube = new Cube(s"prop$seed", Seq(d, md), spark)
+      // integer-valued cells: sums are order-exact in double, so summary-
+      // vs-base equality can be asserted bitwise
+      leaves.foreach(l => cube.set(Seq(l, "v"), (rnd.nextInt(100) + 1).toDouble))
+      val summary = Aggregates.materialize(cube, s"props$seed", Seq(Some(1), None))
+      d.members.filter(_.level >= 1).foreach { mm =>
+        val a = Seq(mm.name, "v")
+        assert(summary.get(a) == cube.get(a), s"seed=$seed member=${mm.name}")
+      }
+    }
+  }
+
   test("a multi-parent level is rejected as a grain (double-covered leaves)") {
     val db = new Database("aggbad", spark)
     val d = db.addDimension("p")
