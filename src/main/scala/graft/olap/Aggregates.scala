@@ -37,6 +37,13 @@ import scala.collection.mutable
   * empties. Summaries are read-only by convention — the navigator exposes
   * reads, and any write to the BASE cube bumps its state version, which the
   * navigator checks so a stale summary is never consulted.
+  *
+  * Lifetime: summaries are session-scope materializations (localCheckpoint
+  * blocks) — at session start they rebuild in ONE `gridAggregate` job over
+  * the base facts. If that rebuild is too costly at your scale, persist
+  * `summary.facts` (e.g. `FactSources.writeBucketed`, bucketed on the
+  * query-hot grain keys) and construct the summary `Cube` over the loaded
+  * frame with the same derived dimensions.
   */
 object Aggregates {
 
@@ -49,6 +56,11 @@ object Aggregates {
       grainLevels: Seq[Option[Int]]): Cube = {
     require(grainLevels.length == base.nDims,
       s"materialize: ${base.nDims} grain entries expected, got ${grainLevels.length}")
+    // degenerate dimensions have no member catalog to enumerate a grain or
+    // a leaf selection from — a summary over them would silently be EMPTY
+    base.dimensions.foreach(d => require(!d.isDegenerate,
+      s"dimension '${d.name}' is degenerate — cubes with degenerate " +
+        "dimensions cannot be summarized (no catalog to enumerate)"))
     val derived: Seq[(Dimension, Seq[Int])] =
       base.dimensions.zip(grainLevels).map {
         case (d, None) => (d, d.leafMembers.map(_.id))
