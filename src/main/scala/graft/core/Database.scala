@@ -62,6 +62,26 @@ final class Database(val name: String, val spark: SparkSession) {
     c.databaseRef = Some(this)
     cubeMap(cubeName.toLowerCase) = c; c
   }
+  /** Register an externally-constructed cube — e.g. a materialized
+    * aggregate summary (`graft.olap.Aggregates.materialize`) — under its
+    * name, so the dialect (`SELECT … FROM <name>`), the cell passthroughs
+    * and cross-cube rule refs can address it. Registered cubes are
+    * SESSION-SCOPE: their dimensions deliberately shadow base dimension
+    * names and never enter the dimension registry, so [[save]] skips them
+    * (persisting by dim NAME would silently rebind them to the base
+    * hierarchy on load) — rebuild and re-register after a load.
+    */
+  def registerCube(c: Cube): Cube = {
+    require(!cubeMap.contains(c.name.toLowerCase), s"cube '${c.name}' exists")
+    c.cacheEnabled = cachingFlag
+    c.databaseRef = Some(this)
+    transientCubes += c.name.toLowerCase
+    cubeMap(c.name.toLowerCase) = c; c
+  }
+  private val transientCubes = scala.collection.mutable.Set[String]()
+  private def persistentCubes: Seq[Cube] =
+    cubeMap.values.filterNot(c => transientCubes(c.name.toLowerCase)).toSeq
+
   def cube(cubeName: String): Cube = cubeMap.getOrElse(cubeName.toLowerCase,
     throw new NoSuchElementException(s"unknown cube '$cubeName'"))
   def cubes: Seq[Cube] = cubeMap.values.toSeq
@@ -94,10 +114,14 @@ final class Database(val name: String, val spark: SparkSession) {
   def registerTempViews(): Unit = {
     cubeMap.values.foreach { c =>
       c.facts.createOrReplaceTempView(s"${c.name}_facts")
+      // a TRANSIENT cube's derived dimensions deliberately shadow base
+      // dimension names — registering them would overwrite the base
+      // `<dim>_members`/`<dim>_closure` views; its facts view is enough
+      val skipDims = transientCubes(c.name.toLowerCase)
       c.dimensions.zipWithIndex.foreach { case (d, i) =>
         // degenerate dimensions have neither a member catalog nor a closure
         // (their members are the fact column itself) — nothing to register
-        if (!d.isDegenerate) {
+        if (!d.isDegenerate && !skipDims) {
           val rows = d.members.map(m =>
             org.apache.spark.sql.Row(m.id, m.name, m.level, m.format.orNull))
           val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -118,13 +142,13 @@ final class Database(val name: String, val spark: SparkSession) {
   /** Save: `<dir>/meta.json` + `<dir>/cubes/<name>/` parquet. */
   def save(dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
-    cubeMap.values.foreach { c =>
+    persistentCubes.foreach { c =>
       c.facts.write.mode("overwrite").parquet(s"$dir/cubes/${c.name}")
     }
     val meta: JValue =
       ("name" -> name) ~
       ("dimensions" -> dims.values.map(dimToJson).toList) ~
-      ("cubes" -> cubeMap.values.map(c => {
+      ("cubes" -> persistentCubes.map(c => {
         // Scala on-entry functions cannot be serialized (no code pickling,
         // unlike ref `rules.py:45-88`) — warn LOUDLY instead of silently
         // resurrecting a no-op rule on load; Input-expr transforms persist.

@@ -97,6 +97,27 @@ class AggregatesSpec extends AnyFunSuite {
     assert(nav.get(qAddr).contains(580.0))
   }
 
+  test("registered summary: dialect-addressable, skipped by save, base round-trips") {
+    import graft.olap.OlapQuery
+    val db2 = TinyModel.build(spark) // fresh per call — no cross-suite leak
+    val base = db2.cube("sales")
+    base.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 123.0)
+    base.set(Seq("2021", "Feb", "North", "sedan", "Sales"), 456.0)
+    val summary = Aggregates.materialize(base, "sales_q", Seq(None, Some(1), None, None, None))
+    db2.registerCube(summary)
+    // the dialect addresses the summary by cube name; derived members resolve
+    val got = OlapQuery(db2,
+        "SELECT months, value FROM sales_q WHERE '2021', months=('Q1'), regions='Total', products='Total', 'Sales'")
+      .collect().map(r => r.getAs[String]("months") -> r.getAs[Number]("value").doubleValue()).toMap
+    assert(got == Map("Q1" -> 579.0))
+    // save persists the BASE model only; the summary is session-scope
+    val tmp = java.nio.file.Files.createTempDirectory("aggsave").toString
+    db2.save(tmp)
+    val loaded = Database.load(tmp, spark)
+    assert(loaded.cubeExists("sales") && !loaded.cubeExists("sales_q"))
+    assert(loaded.cube("sales").get(Seq("2021", "Q1", "Total", "Total", "Sales")).contains(579.0))
+  }
+
   test("randomized hierarchies: summary parity on every servable member (seeded)") {
     import graft.core.{Cube, Dimension}
     for (seed <- Seq(1, 2, 3)) {
