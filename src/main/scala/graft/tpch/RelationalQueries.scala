@@ -273,6 +273,20 @@ object RelationalQueries {
         ntile(4).over(w).as("quartile"))
     }),
 
+    // hopping (sliding) event-time windows (round 9): 1-hour windows every
+    // 30 minutes — each event lands in exactly length/slide = 2 windows
+    // (Spark's `window` plans a Generate fan-out, epoch-aligned starts);
+    // decimal-exact sums keep the overlap totals order-independent
+    "rel_events_hopping" -> ((s, dir) => {
+      readEvents(s, dir)
+        .select(col("event_type"), col("value").cast("decimal(15,2)").as("value"),
+          window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .groupBy(col("w.start").as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).cast("double").as("total"))
+        .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n"), col("total"))
+    }),
+
     // the full rank-function battery (round 9): rank/dense_rank over value
     // ties, plus the distribution ranks — percent_rank = (rank−1)/(n−1)
     // and cume_dist = peers≤x / n are single divisions of exact integers,
@@ -524,6 +538,19 @@ object RelationalQueries {
            LEAD(event_type) OVER w AS next_type,
            NTILE(4) OVER w AS quartile
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    // an event at t belongs to the two 30-min-aligned starts in (t−1h, t]:
+    // its own 30-min bucket and the one before — epoch-aligned like Spark's
+    "rel_events_hopping" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(15,2)) AS value,
+             to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS b
+           FROM events),
+         x AS (SELECT event_type, value, b AS ws FROM e
+               UNION ALL
+               SELECT event_type, value, b - INTERVAL 30 MINUTE AS ws FROM e)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+           COUNT(*) AS n, CAST(SUM(value) AS DOUBLE) AS total
+         FROM x GROUP BY 1, 2""",
 
     "rel_window_ranks" ->
       """SELECT event_id, user_id,
