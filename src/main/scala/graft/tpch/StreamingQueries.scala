@@ -205,6 +205,36 @@ object StreamingQueries {
       out
     }),
 
+    // Streaming twin of rel_events_hopping (round 9): the same replay
+    // through the SLIDING form of the watermarked window operator — each
+    // event fans out to 2 overlapping epoch-aligned windows whose partial
+    // counts accumulate ACROSS triggers; identical oracle as the batch gate.
+    "rel_events_hopping_stream" -> ((s, dir) => {
+      val ev = RelationalQueries.readEvents(s, dir)
+        .select(col("ts"), col("event_type"), col("value").cast("decimal(15,2)").as("value"))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_hop")
+      val tmp = tmpRoot.resolve("files").toString
+      val sinkName = s"hop_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStatePartitions(s, 8) {
+        val stream = timeOrderedStream(s, ev, "ts", 12, tmp)
+        val agg = Streaming.windowedAggregate(stream, "ts", "1 hour", "1 hour",
+          slide = Some("30 minutes"))
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val out = s.table(sinkName)
+        .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n"), col("total").cast("double").as("total"))
+        .localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }),
+
     // Streaming twin of rel_sessionize: native session_window gap sessions
     // over the file stream, then per-user session count/event count derived
     // from the emitted sessions — the SAME oracle as the batch gate (no
@@ -351,6 +381,18 @@ object StreamingQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
            COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2""",
+
+    // IDENTICAL oracle to the batch rel_events_hopping
+    "rel_events_hopping_stream" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(15,2)) AS value,
+             to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS b
+           FROM events),
+         x AS (SELECT event_type, value, b AS ws FROM e
+               UNION ALL
+               SELECT event_type, value, b - INTERVAL 30 MINUTE AS ws FROM e)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+           COUNT(*) AS n, CAST(SUM(value) AS DOUBLE) AS total
+         FROM x GROUP BY 1, 2""",
 
     // IDENTICAL oracle to the batch rel_sessionize
     "rel_sessionize_stream" ->
