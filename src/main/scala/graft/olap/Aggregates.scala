@@ -30,22 +30,44 @@ import scala.collection.mutable
   * to base-served ones. The summary frame is `localCheckpoint`ed
   * (materialized, lineage cut) — it IS the materialization.
   *
-  * Base rules are re-registered on the summary (an ALL_LEVELS ratio like
-  * margin = net/gross computes identically over summary-aggregated
-  * operands); a rule that cannot validate there (a ref below the grain)
-  * fails the materialization loudly rather than silently serving stored
-  * empties. Summaries are read-only by convention — the navigator exposes
-  * reads, and any write to the BASE cube bumps its state version, which the
-  * navigator checks so a stale summary is never consulted.
+  * Rule safety (r9 advice): base rules travel to the summary ONLY when they
+  * compute the same value there. An ALL_LEVELS / AGGREGATION_LEVEL rule
+  * evaluates at the QUERY address over aggregated operands — identical on
+  * either cube. But once any dimension is coarsened, a BASE_LEVEL rule's
+  * "base grain" on the summary is the GRAIN, not the leaves (a nonlinear
+  * expr like `a·b` then aggregates products of sums, not sums of products),
+  * and an ordinal `Shift` navigates a catalog whose ordinals differ. Such
+  * rules are NOT re-registered; instead every member whose rollup can reach
+  * one of their trigger members is recorded as UNSERVABLE, and the
+  * [[Navigator]] refuses to route addresses naming those members — they
+  * always answer from base. Summaries are therefore navigator-served by
+  * contract; reading an unroutable member directly off the summary cube
+  * would see stored empties.
   *
-  * Lifetime: summaries are session-scope materializations (localCheckpoint
-  * blocks) — at session start they rebuild in ONE `gridAggregate` job over
-  * the base facts. If that rebuild is too costly at your scale, persist
-  * `summary.facts` (e.g. `FactSources.writeBucketed`, bucketed on the
-  * query-hot grain keys) and construct the summary `Cube` over the loaded
-  * frame with the same derived dimensions.
+  * Lifetime: summaries are session-scope materializations by default; a
+  * base write bumps its state version, which the navigator checks so a
+  * stale summary is never consulted — and [[Navigator.refreshed]] rebuilds
+  * stale summaries from the recorded grain (one `gridAggregate` job each)
+  * instead of parking them forever. For cross-session reuse, [[persist]]
+  * writes the summary facts bucketed on the coarsened grain keys and
+  * [[load]] reconstructs the summary cube over the persisted table without
+  * re-paying the base-scan — the 100 TB shape, where the rebuild is exactly
+  * the cost materialization exists to amortize.
   */
 object Aggregates {
+
+  /** What a rebuild/reload needs to know about a summary: the grain it was
+    * materialized at, and per dimension the member names the navigator must
+    * NOT serve from it (rollups reaching skipped-rule triggers). */
+  final case class SummaryMeta(grainLevels: Seq[Option[Int]],
+      unservable: Seq[Set[String]], skippedRules: Seq[String])
+
+  /** summary cube → its meta; weak so dropped summaries vanish with GC. */
+  private val metaReg =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Cube, SummaryMeta]())
+
+  def metaOf(summary: Cube): Option[SummaryMeta] = Option(metaReg.get(summary))
 
   /** Build a materialized summary cube of `base` at the given per-dimension
     * grain levels (`None` = keep full leaf resolution, reusing the base
@@ -54,63 +76,7 @@ object Aggregates {
     */
   def materialize(base: Cube, name: String,
       grainLevels: Seq[Option[Int]]): Cube = {
-    require(grainLevels.length == base.nDims,
-      s"materialize: ${base.nDims} grain entries expected, got ${grainLevels.length}")
-    // degenerate dimensions have no member catalog to enumerate a grain or
-    // a leaf selection from — a summary over them would silently be EMPTY
-    base.dimensions.foreach(d => require(!d.isDegenerate,
-      s"dimension '${d.name}' is degenerate — cubes with degenerate " +
-        "dimensions cannot be summarized (no catalog to enumerate)"))
-    val derived: Seq[(Dimension, Seq[Int])] =
-      base.dimensions.zip(grainLevels).map {
-        case (d, None) => (d, d.leafMembers.map(_.id))
-        case (d, Some(lvl)) =>
-          require(!d.isDegenerate,
-            s"dimension '${d.name}' is degenerate — only leaf resolution (None) is possible")
-          require(lvl > 0, s"grain level must be > 0 (None keeps leaf resolution)")
-          val grain = d.members.filter(_.level == lvl)
-          require(grain.nonEmpty, s"dimension '${d.name}' has no members at level $lvl")
-          // the grain must PARTITION the leaves at unit weight
-          val cover = mutable.Map[Int, Int]().withDefaultValue(0)
-          grain.foreach { g =>
-            d.leavesOf(g.name).foreach { cr =>
-              require(cr.weight == 1.0,
-                s"grain member '${g.name}' reaches a leaf at weight ${cr.weight} — " +
-                  "unit-weight partition required for a summary grain")
-              cover(cr.leaf) += 1
-            }
-          }
-          d.leafMembers.foreach(l => require(cover(l.id) == 1,
-            s"grain level $lvl of '${d.name}' covers leaf '${l.name}' ${cover(l.id)}× — " +
-              "the grain must partition the leaves (multi-parent levels cannot be a grain)"))
-          val grainLeafSets: Seq[(String, Set[Int])] =
-            grain.map(g => g.name -> d.leavesOf(g.name).map(_.leaf).toSet)
-          val nd = new Dimension(d.name)
-          nd.edit()
-          nd.addMany(grain.map(_.name))
-          // every ancestor that decomposes exactly into grain cells with a
-          // constant per-cell weight joins the derived dim (flat hierarchy:
-          // children are the grain cells directly)
-          d.members.filter(_.level > lvl).foreach { m =>
-            val mls = d.leavesOf(m.name).map(cr => cr.leaf -> cr.weight).toMap
-            val parts = mutable.ArrayBuffer[(String, Double)]()
-            var servable = true
-            grainLeafSets.foreach { case (gn, gl) =>
-              val inter = gl.intersect(mls.keySet)
-              if (inter.nonEmpty) {
-                val ws = inter.toSeq.map(mls)
-                if (inter != gl || ws.distinct.size != 1) servable = false
-                else parts += (gn -> ws.head)
-              }
-            }
-            if (servable && parts.iterator.map(p => grainLeafSets
-                .find(_._1 == p._1).get._2.size).sum == mls.size)
-              nd.add(m.name, parts.map(_._1).toSeq, parts.map(_._2).toSeq)
-          }
-          nd.commit()
-          (nd, grain.map(_.id))
-      }
-
+    val derived = deriveDims(base, grainLevels)
     // pre-aggregate at the grain through the base cube's own grid machinery
     // (weighted closures, identity elision, decimal exactness inherited),
     // then remap base member ids to the derived dims' ids (name-stable)
@@ -124,37 +90,190 @@ object Aggregates {
       }
     }.select((0 until base.nDims).map(i => col(s"d$i")) :+ col("value"): _*)
 
-    val summary = new Cube(name, derived.map(_._1), base.spark,
-      Some(remapped.localCheckpoint(true)))
+    finish(base, name, grainLevels, derived.map(_._1),
+      remapped.localCheckpoint(true))
+  }
+
+  /** The derived dimensions + per-dim grain member ids for a grain spec —
+    * shared by [[materialize]] (which then aggregates) and [[load]] (which
+    * reads a persisted summary). Deterministic given the base catalogs, so
+    * derived member ids are stable across sessions rebuilding the same
+    * model — the property persisted summaries rely on. */
+  private def deriveDims(base: Cube, grainLevels: Seq[Option[Int]])
+      : Seq[(Dimension, Seq[Int])] = {
+    require(grainLevels.length == base.nDims,
+      s"materialize: ${base.nDims} grain entries expected, got ${grainLevels.length}")
+    // degenerate dimensions have no member catalog to enumerate a grain or
+    // a leaf selection from — a summary over them would silently be EMPTY
+    base.dimensions.foreach(d => require(!d.isDegenerate,
+      s"dimension '${d.name}' is degenerate — cubes with degenerate " +
+        "dimensions cannot be summarized (no catalog to enumerate)"))
+    base.dimensions.zip(grainLevels).map {
+      case (d, None) => (d, d.leafMembers.map(_.id))
+      case (d, Some(lvl)) =>
+        require(lvl > 0, s"grain level must be > 0 (None keeps leaf resolution)")
+        val grain = d.members.filter(_.level == lvl)
+        require(grain.nonEmpty, s"dimension '${d.name}' has no members at level $lvl")
+        // the grain must PARTITION the leaves at unit weight
+        val cover = mutable.Map[Int, Int]().withDefaultValue(0)
+        grain.foreach { g =>
+          d.leavesOf(g.name).foreach { cr =>
+            require(cr.weight == 1.0,
+              s"grain member '${g.name}' reaches a leaf at weight ${cr.weight} — " +
+                "unit-weight partition required for a summary grain")
+            cover(cr.leaf) += 1
+          }
+        }
+        d.leafMembers.foreach(l => require(cover(l.id) == 1,
+          s"grain level $lvl of '${d.name}' covers leaf '${l.name}' ${cover(l.id)}× — " +
+            "the grain must partition the leaves (multi-parent levels cannot be a grain)"))
+        val grainLeafSets: Seq[(String, Set[Int])] =
+          grain.map(g => g.name -> d.leavesOf(g.name).map(_.leaf).toSet)
+        val nd = new Dimension(d.name)
+        nd.edit()
+        nd.addMany(grain.map(_.name))
+        // every ancestor that decomposes exactly into grain cells with a
+        // constant per-cell weight joins the derived dim (flat hierarchy:
+        // children are the grain cells directly)
+        d.members.filter(_.level > lvl).foreach { m =>
+          val mls = d.leavesOf(m.name).map(cr => cr.leaf -> cr.weight).toMap
+          val parts = mutable.ArrayBuffer[(String, Double)]()
+          var servable = true
+          grainLeafSets.foreach { case (gn, gl) =>
+            val inter = gl.intersect(mls.keySet)
+            if (inter.nonEmpty) {
+              val ws = inter.toSeq.map(mls)
+              if (inter != gl || ws.distinct.size != 1) servable = false
+              else parts += (gn -> ws.head)
+            }
+          }
+          if (servable && parts.iterator.map(p => grainLeafSets
+              .find(_._1 == p._1).get._2.size).sum == mls.size)
+            nd.add(m.name, parts.map(_._1).toSeq, parts.map(_._2).toSeq)
+        }
+        nd.commit()
+        (nd, grain.map(_.id))
+    }
+  }
+
+  /** Wrap a summary fact frame into the summary Cube: rules screened for
+    * summary-correctness (see class doc), meta recorded for the navigator,
+    * refresh and reload. */
+  private def finish(base: Cube, name: String, grainLevels: Seq[Option[Int]],
+      dims: Seq[Dimension], facts: org.apache.spark.sql.DataFrame): Cube = {
+    val summary = new Cube(name, dims, base.spark, Some(facts))
     summary.databaseRef = base.databaseRef // CubeRef rules keep resolving
-    // rules travel: ratio/derived measures compute identically over
-    // summary-aggregated operands; a rule that cannot validate against the
-    // derived dims fails the materialization LOUDLY (a silently rule-less
-    // summary would serve stored empties for rule-backed members)
-    base.rules.foreach(summary.registerRule)
+    val anyCoarsened = grainLevels.exists(_.isDefined)
+    // a rule is summary-UNSAFE once any dimension is coarsened and it either
+    // computes per BASE cell (the summary's base grain is the grain — a
+    // nonlinear expr aggregates products of sums there) or navigates member
+    // ordinals that a derived catalog renumbers (Shift qualifiers may be
+    // names or ordinals — resolve like the evaluator does)
+    def unsafe(r: RuleDef): Boolean = anyCoarsened &&
+      (r.scope == RuleScope.BaseLevel ||
+        Rules.shiftDims(r.expr).exists { dn =>
+          val i = Rules.dimIndexOf(base, dn)
+          i >= 0 && grainLevels(i).isDefined
+        })
+    val (skipped, safe) = base.rules.partition(unsafe)
+    safe.foreach(summary.registerRule)
+    // members whose rollup can REACH a skipped rule's trigger member must
+    // never be summary-served: record them (per dim, by name) for the
+    // navigator. Over-approximation (leaf-set intersection) only costs a
+    // base fallback, never a wrong value.
+    val unservable: Seq[Set[String]] = base.dimensions.zipWithIndex.map { case (d, i) =>
+      val triggers = skipped.flatMap(_.trigger.collect {
+        case (dn, m) if dn.equalsIgnoreCase(d.name) && d.contains(m) => m
+      })
+      if (triggers.isEmpty) Set.empty[String]
+      else {
+        def leafSet(m: String): Set[Int] = {
+          val id = d.idOf(m)
+          if (d.levelOf(id) == 0) Set(id) else d.leavesOf(m).map(_.leaf).toSet
+        }
+        val trigLeaves = triggers.map(leafSet).reduce(_ union _)
+        d.members.collect {
+          case m if leafSet(m.name).exists(trigLeaves) => m.name.toLowerCase
+        }.toSet
+      }
+    }
+    metaReg.put(summary,
+      SummaryMeta(grainLevels, unservable, skipped.map(_.name)))
     summary
   }
 
+  /** Persist a summary for cross-session reuse: facts written as a bucketed
+    * table on the COARSENED grain key columns (the query-hot keys — reads
+    * sliced on them bucket-prune), via the same writer as any bucketed fact
+    * backing. Reload with [[load]].
+    */
+  def persist(summary: Cube, table: String, nBuckets: Int = 8): Unit = {
+    val meta = metaOf(summary).getOrElse(throw new IllegalStateException(
+      s"cube '${summary.name}' is not a materialized summary — nothing to persist"))
+    val bucketCols = meta.grainLevels.zipWithIndex
+      .collect { case (Some(_), i) => s"d$i" } match {
+      case Nil => summary.dimCols
+      case cs => cs
+    }
+    graft.sources.FactSources.writeBucketed(summary.facts, table, bucketCols, nBuckets)
+  }
+
+  /** Reconstruct a persisted summary over its table WITHOUT re-scanning the
+    * base facts: dimensions re-derive from the (driver-resident) base
+    * catalogs, the fact frame is the bucketed table as written. Requires the
+    * base model to be the same one the summary was materialized from —
+    * derived member ids are deterministic in catalog order, which a model
+    * rebuilt from the same sources preserves.
+    */
+  def load(base: Cube, name: String, grainLevels: Seq[Option[Int]],
+      table: String): Cube = {
+    val derived = deriveDims(base, grainLevels)
+    finish(base, name, grainLevels, derived.map(_._1), base.spark.table(table))
+  }
+
+  /** Re-materialize an existing summary against the CURRENT base state (same
+    * name + grain) — the write → refresh → re-route cycle. */
+  def rebuild(base: Cube, summary: Cube): Cube = {
+    val meta = metaOf(summary).getOrElse(throw new IllegalStateException(
+      s"cube '${summary.name}' is not a materialized summary — cannot rebuild"))
+    materialize(base, summary.name, meta.grainLevels)
+  }
+
   /** Aggregate navigator: routes each read to the FIRST summary whose
-    * dimensions contain every addressed member (pass summaries smallest
-    * first), else the base cube. Any base mutation after construction makes
-    * every summary stale — the navigator then always answers from base.
+    * dimensions contain every addressed member AND none of the address's
+    * members is marked unservable there (pass summaries smallest first —
+    * coarsest grain wins when several cover), else the base cube. Any base
+    * mutation after construction makes every summary stale — the navigator
+    * then always answers from base until [[refreshed]] rebuilds them.
     */
   final class Navigator(val base: Cube, val summaries: Seq[Cube]) {
     private val version = base.currentStateVersion
 
     def fresh: Boolean = base.currentStateVersion == version
 
+    private def servable(sc: Cube, dimIdx: Int, member: String): Boolean =
+      sc.dimensions(dimIdx).contains(member) &&
+        !metaOf(sc).exists(_.unservable(dimIdx)(member.toLowerCase))
+
     /** The cube that will answer `address`: names carry over into derived
       * dimensions, so membership IS coverage (below-grain members are
-      * absent by construction). */
+      * absent by construction); skipped-rule territory routes to base. */
     def cubeFor(address: Seq[String]): Cube =
       if (!fresh) base
       else summaries.find(sc => address.length == sc.nDims &&
-        address.zip(sc.dimensions).forall { case (m, d) => d.contains(m) })
+        address.zipWithIndex.forall { case (m, i) => servable(sc, i, m) })
         .getOrElse(base)
 
     def get(address: Seq[String]): Option[Double] = cubeFor(address).get(address)
+
+    /** A navigator whose summaries reflect the current base state: rebuilds
+      * each stale summary from its recorded grain (one `gridAggregate` job
+      * apiece) — without this, one base write would park every summary
+      * forever and re-pay the base scan on every aggregate read. No-op
+      * (returns `this`) while fresh. */
+    def refreshed(): Navigator =
+      if (fresh) this
+      else new Navigator(base, summaries.map(sc => rebuild(base, sc)))
 
     /** A whole VIEW through the navigator: dimensions the definition leaves
       * unmentioned are pinned to the BASE cube's default member first (view
@@ -175,7 +294,7 @@ object Aggregates {
         if (!fresh) base
         else summaries.find(sc => named.forall { case (dn, m) =>
           val i = sc.dimensions.indexWhere(_.name.equalsIgnoreCase(dn))
-          i >= 0 && sc.dimensions(i).contains(m)
+          i >= 0 && servable(sc, i, m)
         }).getOrElse(base)
       new View(target, dfn2)
     }

@@ -289,6 +289,24 @@ object Rules {
     }
   }
 
+  /** Dimensions navigated by ordinal `Shift` refs in an expression — a
+    * summary materialization must not re-register a rule shifting over a
+    * COARSENED dimension (the derived catalog renumbers ordinals, so the
+    * shift would land on a different member there). */
+  private[graft] def shiftDims(e: RuleExpr): Set[String] = {
+    import RuleExpr._
+    e match {
+      case Shift(d, _) => Set(d)
+      case Add(a, b) => shiftDims(a) ++ shiftDims(b)
+      case Sub(a, b) => shiftDims(a) ++ shiftDims(b)
+      case Mul(a, b) => shiftDims(a) ++ shiftDims(b)
+      case Div(a, b) => shiftDims(a) ++ shiftDims(b)
+      case Neg(a) => shiftDims(a)
+      case Fn(_, a) => shiftDims(a)
+      case Lit(_) | Ref(_) | Input | CubeRef(_, _) => Set.empty
+    }
+  }
+
   /** Scalar-only on the WRITE path: relative shifts and cross-cube lookups
     * are rejected for bulk ON_ENTRY transforms (an import's rate lookup
     * belongs in the model as a BASE_LEVEL CubeRef rule, not a write hook). */

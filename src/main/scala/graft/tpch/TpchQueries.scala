@@ -906,6 +906,93 @@ object TpchQueries {
         col("value").cast("double").as("value"))
     }),
 
+    // §2.13+ (round 10): PERSISTED summary lifecycle — the summary facts go
+    // through the bucketed fact writer (bucketed on the coarsened grain
+    // keys), then a FRESH summary cube is reconstructed over the persisted
+    // table (no base re-scan: dims re-derive from the driver-resident
+    // catalogs, deterministic ids) and the navigator routes through it.
+    // Same oracle as olap_agg_navigator: the persisted round-trip must be
+    // bit-identical to the in-session materialization.
+    "olap_agg_navigator_persist" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val grain = Seq(Some(1), Some(2), None, None)
+      val built = graft.olap.Aggregates.materialize(m.cube, "sales_ny_p", grain)
+      graft.olap.Aggregates.persist(built, "summary_sales_ny", nBuckets = 4)
+      val loaded = graft.olap.Aggregates.load(m.cube, "sales_ny_p", grain,
+        "summary_sales_ny")
+      val nav = new graft.olap.Aggregates.Navigator(m.cube, Seq(loaded))
+      val probe = Seq("EUROPE", "1996", "AllBrands", "gross")
+      require(nav.cubeFor(probe) eq loaded,
+        "a region×year address must be served by the PERSISTED summary")
+      val c = nav.cubeFor(probe)
+      val geoD = c.dimensions(0)
+      val regionNames = m.cube.dimensions(0).members.filter(_.level == 2).map(_.name)
+      val grid = c.gridAggregate(Seq(
+        regionNames.map(geoD.idOf),
+        Seq(c.dimensions(1).idOf("1996")),
+        Seq(c.dimensions(2).idOf("AllBrands")),
+        Seq(c.dimensions(3).idOf("gross"))))
+      val nameMap = map(regionNames.flatMap(n => Seq(lit(geoD.idOf(n)), lit(n))): _*)
+      grid.select(nameMap(col("a0")).as("region"),
+        col("value").cast("double").as("value"))
+    }),
+
+    // §2.13+ (round 10): MULTI-SUMMARY LATTICE routing — region×year (coarse)
+    // and nation×year (fine) summaries registered smallest-first; a
+    // region-level address must route to the COARSE one (both cover it, the
+    // first/smallest wins), a nation-level address only to the fine one.
+    // The gate reads one grid through each routed path: regions through the
+    // coarse summary, EUROPE's nations through the fine — both oracle-checked.
+    "olap_agg_lattice" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val coarse = graft.olap.Aggregates.materialize(m.cube,
+        "sales_region_year", Seq(Some(2), Some(2), None, None))
+      val fine = graft.olap.Aggregates.materialize(m.cube,
+        "sales_nation_year2", Seq(Some(1), Some(2), None, None))
+      val nav = new graft.olap.Aggregates.Navigator(m.cube, Seq(coarse, fine))
+      require(nav.cubeFor(Seq("EUROPE", "1996", "AllBrands", "gross")) eq coarse,
+        "a region×year address must route to the SMALLEST covering summary")
+      val natNames = m.geo.members.find(_.name == "EUROPE").get.children
+        .map(id => m.geo.nameOf(id))
+      require(nav.cubeFor(Seq(natNames.head, "1996", "AllBrands", "gross")) eq fine,
+        "a nation×year address must route to the nation-grain summary")
+      def gridOf(c: graft.core.Cube, names: Seq[String]): org.apache.spark.sql.DataFrame = {
+        val d0 = c.dimensions(0)
+        val g = c.gridAggregate(Seq(names.map(d0.idOf),
+          Seq(c.dimensions(1).idOf("1996")),
+          Seq(c.dimensions(2).idOf("AllBrands")),
+          Seq(c.dimensions(3).idOf("gross"))))
+        val nm = map(names.flatMap(n => Seq(lit(d0.idOf(n)), lit(n))): _*)
+        g.select(nm(col("a0")).as("member"), col("value").cast("double").as("value"))
+      }
+      val regionNames = m.cube.dimensions(0).members.filter(_.level == 2).map(_.name)
+      gridOf(coarse, regionNames).union(gridOf(fine, natNames))
+    }),
+
+    // V+ (round 10): a whole VIEW through the navigator — same definition as
+    // olap_view_pivot (regions × years, AllBrands/gross slicers), but the
+    // one-job pivot runs on the nation×year summary the navigator routes to
+    // (every named member — regions, years, AllBrands, gross — is contained
+    // in the derived dims). Same oracle as olap_view_pivot: routing must not
+    // change a single cell.
+    "olap_view_navigator" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val summary = graft.olap.Aggregates.materialize(m.cube,
+        "sales_ny_view", Seq(Some(1), Some(2), None, None))
+      val nav = new graft.olap.Aggregates.Navigator(m.cube, Seq(summary))
+      // only catalog-present years: a member name absent from the DERIVED
+      // dimension routes the view to base (coverage is by membership), and
+      // the years dimension only holds years the orders actually span
+      val years = (1995 to 1998).map(_.toString)
+      val routed = nav.view(ViewDef(
+        filters = Seq("product" -> "AllBrands", "measures" -> "gross"),
+        rows = AxisDef(Seq("geo" -> m.geo.membersByLevel(2).map(_.name).sorted)),
+        cols = AxisDef(Seq("calendar" -> years))))
+      require(routed.cube eq summary,
+        "the region×year view must be summary-served")
+      routed.refresh()
+    }),
+
     "olap_rule_validate" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
       val c = scratch(m)
@@ -1387,6 +1474,25 @@ object TpchQueries {
          WHERE strftime(o_orderdate, '%Y') = '1996'
          GROUP BY r_name""",
 
+    // persisted round-trip must be bit-identical to the in-session summary
+    "olap_agg_navigator_persist" ->
+      s"""SELECT r_name AS region, CAST(SUM($GROSS) AS DOUBLE) AS value
+         $STAR
+         WHERE strftime(o_orderdate, '%Y') = '1996'
+         GROUP BY r_name""",
+
+    // coarse-served regions ∪ fine-served nations of EUROPE, both at 1996
+    "olap_agg_lattice" ->
+      s"""SELECT r_name AS member, CAST(SUM($GROSS) AS DOUBLE) AS value
+         $STAR
+         WHERE strftime(o_orderdate, '%Y') = '1996'
+         GROUP BY r_name
+         UNION ALL
+         SELECT n_name AS member, CAST(SUM($GROSS) AS DOUBLE) AS value
+         $STAR
+         WHERE strftime(o_orderdate, '%Y') = '1996' AND r_name = 'EUROPE'
+         GROUP BY n_name""",
+
     // base-grain conversion at leaf output coincides with the scalar gate
     "olap_rule_cuberef_base" ->
       """SELECT n_name AS nation,
@@ -1466,6 +1572,15 @@ object TpchQueries {
 
     "olap_view_pivot" -> {
       val cols = (1995 to 2001).map(y =>
+        s"""CAST(SUM($GROSS) FILTER (WHERE strftime(o_orderdate, '%Y') = '$y') AS DOUBLE) AS "$y"""")
+        .mkString(", ")
+      s"SELECT r_name AS geo, $cols $STAR GROUP BY r_name"
+    },
+
+    // navigator-routed view: identical definition, identical cells
+    // (catalog-present years only — see the gate comment)
+    "olap_view_navigator" -> {
+      val cols = (1995 to 1998).map(y =>
         s"""CAST(SUM($GROSS) FILTER (WHERE strftime(o_orderdate, '%Y') = '$y') AS DOUBLE) AS "$y"""")
         .mkString(", ")
       s"SELECT r_name AS geo, $cols $STAR GROUP BY r_name"

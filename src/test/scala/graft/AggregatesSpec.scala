@@ -148,6 +148,106 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("nonlinear BASE_LEVEL rule never served from a coarsened summary (r9 advice)") {
+    import graft.core.{Cube, Dimension}
+    import graft.olap.{RuleDef, RuleExpr, RuleScope}
+    // x1: a=2, b=3; x2: a=5, b=7 grouped under G. prod = a·b at BASE level:
+    // base-served G = 2·3 + 5·7 = 41; a summary at the G grain would compute
+    // (2+5)·(3+7) = 70 — the rule must NOT travel, and the navigator must
+    // route prod-addresses to base.
+    val d = new Dimension("x")
+    d.edit(); d.add("x1"); d.add("x2"); d.add("G", Seq("x1", "x2")); d.commit()
+    val md = new Dimension("m")
+    md.edit(); md.addMany(Seq("a", "b", "prod")); md.commit()
+    val cube = new Cube("nl", Seq(d, md), spark)
+    cube.set(Seq("x1", "a"), 2.0); cube.set(Seq("x1", "b"), 3.0)
+    cube.set(Seq("x2", "a"), 5.0); cube.set(Seq("x2", "b"), 7.0)
+    cube.registerRule(RuleDef(Map("m" -> "prod"), RuleScope.BaseLevel,
+      RuleExpr.Mul(RuleExpr.Ref("a"), RuleExpr.Ref("b")), "prod"))
+    assert(cube.get(Seq("G", "prod")).contains(41.0))
+    val summary = Aggregates.materialize(cube, "nl_g", Seq(Some(1), None))
+    // the unsafe rule was skipped, and the skip is on record
+    val meta = Aggregates.metaOf(summary).get
+    assert(meta.skippedRules == Seq("prod"))
+    val nav = new Aggregates.Navigator(cube, Seq(summary))
+    // prod at any level answers from BASE — calc-then-aggregate preserved
+    assert(nav.cubeFor(Seq("G", "prod")) eq cube)
+    assert(nav.get(Seq("G", "prod")).contains(41.0))
+    // plain additive members still summary-serve
+    assert(nav.cubeFor(Seq("G", "a")) eq summary)
+    assert(nav.get(Seq("G", "a")).contains(7.0))
+  }
+
+  test("ordinal Shift rule never served from a summary coarsening the shifted dim") {
+    import graft.olap.{RuleDef, RuleExpr, RuleScope}
+    val cube = freshModel("aggshift")
+    cube.dimensions.last.edit().addMany(Seq("Prev")).commit()
+    // prev-month Sales via ordinal shift over months — derived quarter
+    // catalog renumbers ordinals, so the rule must not travel
+    cube.registerRule(RuleDef(Map("measures" -> "Prev"), RuleScope.AllLevels,
+      RuleExpr.Shift("months", -1), "prev_m"))
+    val summary = Aggregates.materialize(cube, "sales_sh", Seq(None, Some(1), None, None, None))
+    assert(Aggregates.metaOf(summary).get.skippedRules == Seq("prev_m"))
+    val nav = new Aggregates.Navigator(cube, Seq(summary))
+    assert(nav.cubeFor(Seq("2021", "Q1", "Total", "Total", "Prev")) eq cube)
+    // non-shift addresses unaffected
+    assert(nav.cubeFor(Seq("2021", "Q1", "Total", "Total", "Sales")) eq summary)
+  }
+
+  test("multi-summary lattice: smallest covering summary wins, each path exact") {
+    val cube = freshModel("agglat")
+    // coarse: months → Year (level 2); fine: months → quarters (level 1)
+    val coarse = Aggregates.materialize(cube, "sales_y", Seq(None, Some(2), None, None, None))
+    val fine = Aggregates.materialize(cube, "sales_qf", Seq(None, Some(1), None, None, None))
+    val nav = new Aggregates.Navigator(cube, Seq(coarse, fine))
+    // Year: both cover — the first (coarse/smallest) serves
+    val yAddr = Seq("2021", "Year", "Total", "Total", "Sales")
+    assert(nav.cubeFor(yAddr) eq coarse)
+    assert(nav.get(yAddr) == cube.get(yAddr))
+    // Q1: only the quarter-grain summary covers
+    val qAddr = Seq("2021", "Q1", "Total", "Total", "Sales")
+    assert(nav.cubeFor(qAddr) eq fine)
+    assert(nav.get(qAddr).contains(579.0))
+    // Jan: below both grains — base
+    assert(nav.cubeFor(Seq("2021", "Jan", "Total", "Total", "Sales")) eq cube)
+  }
+
+  test("write → refreshed() → summary routes again with the new value") {
+    val cube = freshModel("aggrf")
+    val summary = Aggregates.materialize(cube, "sales_rf", Seq(None, Some(1), None, None, None))
+    val nav = new Aggregates.Navigator(cube, Seq(summary))
+    val qAddr = Seq("2021", "Q1", "Total", "Total", "Sales")
+    assert(nav.get(qAddr).contains(579.0))
+    cube.set(Seq("2021", "Mar", "North", "sedan", "Sales"), 21.0)
+    assert(!nav.fresh)
+    assert(nav.cubeFor(qAddr) eq cube) // stale: base answers meanwhile
+    val nav2 = nav.refreshed()
+    assert(nav2.fresh && (nav2 ne nav))
+    assert(nav2.cubeFor(qAddr).name == "sales_rf")
+    assert(nav2.get(qAddr).contains(600.0))
+    // refreshed() on a fresh navigator is a no-op
+    assert(nav2.refreshed() eq nav2)
+  }
+
+  test("persist + load round-trip: routed reads identical, no base re-scan needed") {
+    val cube = freshModel("aggpst")
+    val grain = Seq[Option[Int]](None, Some(1), None, None, None)
+    val summary = Aggregates.materialize(cube, "sales_pst", grain)
+    Aggregates.persist(summary, "spec_summary_pst", nBuckets = 2)
+    val loaded = Aggregates.load(cube, "sales_pst", grain, "spec_summary_pst")
+    val nav = new Aggregates.Navigator(cube, Seq(loaded))
+    val qAddr = Seq("2021", "Q1", "Total", "Total", "Sales")
+    assert(nav.cubeFor(qAddr) eq loaded)
+    assert(nav.get(qAddr).contains(579.0))
+    // full-grid parity between the in-session and the persisted summary
+    val a = summary.facts.collect().map(_.toSeq).toSet
+    val b = loaded.facts.collect().map(_.toSeq).toSet
+    assert(a == b)
+    // persisting a non-summary cube is a loud error
+    val e = intercept[IllegalStateException](Aggregates.persist(cube, "nope"))
+    assert(e.getMessage.contains("not a materialized summary"))
+  }
+
   test("a multi-parent level is rejected as a grain (double-covered leaves)") {
     val db = new Database("aggbad", spark)
     val d = db.addDimension("p")
