@@ -455,6 +455,75 @@ object Rules {
     result
   }
 
+  /** COMMAND rule over a whole AREA in ONE job — the bulk face of
+    * [[executeCommand]] ("rebase plan = gross × 1.1 for Europe"): evaluate
+    * the rule's expression per BASE cell of the area through the same grid
+    * plan as BASE_LEVEL reads ([[baseRuleGrid]] at leaf grain), then merge
+    * the computed cells into the fact frame under the rule's trigger
+    * members — a whole-DataFrame anti-join + union, never a per-cell driver
+    * loop (the reference's scope-5 dispatch is one cell per call,
+    * `cube.py:527-537`; at 100 TB a command touching a million cells must
+    * be one Spark job, so this is the production shape).
+    *
+    * The first trigger dimension is the measure axis the expression's Refs
+    * pivot over; any FURTHER trigger entries pin their dimension to the
+    * trigger member's leaves (a command writes only cells it triggers on).
+    * Cells where the expression is null (missing operand) are not written.
+    * Relative Shift refs are per-cell navigation — rejected, like every
+    * bulk path. Concurrency follows the streaming-merge contract: snapshot,
+    * job outside the lock, commit drops exactly the point-writes the merge
+    * incorporated.
+    *
+    * @return number of cells written
+    */
+  def executeCommandArea(cube: Cube, ruleName: String, area: graft.core.Area): Long = {
+    val r = cube.rules.find(x => x.scope == RuleScope.Command && x.name == ruleName)
+      .getOrElse(throw new NoSuchElementException(s"no command rule '$ruleName'"))
+    if (usesOrdinalShift(r.expr)) throw RuleError("#ERR!",
+      s"command rule '$ruleName' uses relative Shift refs, which are " +
+        "per-cell — execute it per address via executeCommand")
+    val triggerIdx: Map[Int, Int] = r.trigger.map { case (dn, m) =>
+      val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dn))
+      require(i >= 0, s"command rule '$ruleName': unknown trigger dimension '$dn'")
+      i -> cube.dimensions(i).idOf(m)
+    }
+    require(triggerIdx.nonEmpty, s"command rule '$ruleName' has no trigger — " +
+      "an area command needs a trigger member to write under")
+    val measureDim = triggerIdx.head._1
+    val targetId = triggerIdx.head._2
+    require(cube.dimensions(measureDim).levelOf(targetId) == 0,
+      s"command rule '$ruleName': trigger member on '${cube.dimensions(measureDim).name}' " +
+        "must be a base member — commands write base cells")
+    val sels: Seq[Seq[Int]] = (0 until cube.nDims).map { i =>
+      if (i == measureDim) Nil
+      else {
+        val fromArea = area.leafPattern.getOrElse(i, cube.dimensions(i).leafMembers.map(_.id))
+        triggerIdx.get(i) match {
+          case Some(tid) =>
+            val tl = cube.leafIdsOf(i, Seq(tid)).toSet
+            fromArea.filter(tl)
+          case None => fromArea
+        }
+      }
+    }
+    val (facts0, overlaySnap) = cube.bulkMergeSnapshot()
+    val grid = baseRuleGrid(cube, r, sels, measureDim)
+    val otherDims = (0 until cube.nDims).filterNot(_ == measureDim)
+    val valueType = facts0.schema("value").dataType
+    val written = otherDims.foldLeft(grid)((df, i) =>
+        df.withColumnRenamed(s"a$i", s"d$i"))
+      .withColumn(s"d$measureDim", lit(targetId))
+      .filter(col("value").isNotNull)
+      .withColumn("value", col("value").cast(valueType))
+      .select(cube.dimCols.map(col) :+ col("value"): _*)
+      .localCheckpoint(true) // one evaluation: the merge reads it twice
+    val merged = facts0
+      .join(written.select(cube.dimCols.map(col): _*), cube.dimCols, "left_anti")
+      .union(written)
+    cube.commitBulkMerge(merged, overlaySnap)
+    written.count()
+  }
+
   private def matches(cube: Cube, r: RuleDef, b: Bolt): Boolean =
     r.trigger.forall { case (dimName, member) =>
       val i = cube.dimensions.indexWhere(_.name.equalsIgnoreCase(dimName))
@@ -873,7 +942,13 @@ object Rules {
       } else {
       val allLeaf = sel.forall(cube.dimensions(i).levelOf(_) == 0)
       if (allLeaf) {
-        df = (if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
+        // a selection of EVERY leaf is a no-op predicate — skip it, exactly
+        // like gridAggregate (same caveat: stale ids of removed members are
+        // undefined until purgeUnknownMembers, with or without the filter)
+        val leaves = cube.dimensions(i).leafMembers
+        val isAllLeaves = sel.size == leaves.size && sel.toSet == leaves.map(_.id).toSet
+        df = (if (isAllLeaves) df
+              else if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
               else df.filter(col(s"d$i").isin(sel: _*)))
           .withColumn(s"a$i", col(s"d$i"))
       } else if (sel.size == 1 && cube.dimensions(i).coversAllLeavesUnit(sel.head)) {
@@ -938,7 +1013,11 @@ object Rules {
           val dim = cube.dimensions(i)
           if (dim.isDegenerate) throw RuleError("#REF!",
             s"cross-cube ref over degenerate dimension '${dim.name}' — no member catalog to map")
-          Right(dim.leafMembers.map(m => m.id -> m.name))
+          // only leaves REACHABLE from this query's selection (r9 advice):
+          // an unbounded leafMembers map over a 100k-leaf dimension emits a
+          // 2N-entry map literal into the plan, and strict attrOf/idOfOr
+          // would raise #REF! for leaves the selection never touches
+          Right(cube.leafIdsOf(i, selections(i)).map(id => id -> dim.nameOf(id)))
         }
       val resolved: Seq[Either[String, (Int, Seq[(Int, String)])]] = cr.parts.map {
         case CubeRefPart.Fixed(mm) => Left(mm)

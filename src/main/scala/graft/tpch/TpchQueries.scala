@@ -877,6 +877,30 @@ object TpchQueries {
         col("value").cast("double").as("value"))
     }),
 
+    // R8/scope-5 (round 10): COMMAND rule over an AREA — the fifth rule
+    // scope as ONE bulk job, not a per-cell loop: "seed plan = gross × 2
+    // for EUROPE" evaluates the expression per base cell through the
+    // BASE_LEVEL grid plan, merges the cells in under the trigger member
+    // (anti-join + union), then a normal region rollup reads the
+    // post-command state. ×2 keeps decimal(21,4) cells exact, so the
+    // rollup hash-matches the oracle computing 2·Σgross directly.
+    "olap_rule_command" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      m.cube.rules.foreach(c.registerRule)
+      c.registerRule(RuleDef(Map("measures" -> "plan"), RuleScope.Command,
+        RuleExpr.Mul(RuleExpr.Ref("gross"), RuleExpr.Lit(2.0)), "seed_plan"))
+      require(c.get(Seq("EUROPE", "AllTime", "AllBrands", "plan")).isEmpty,
+        "a command rule must never fire on read")
+      val nCells = graft.olap.Rules.executeCommandArea(c, "seed_plan",
+        c.area("geo" -> Seq("EUROPE")))
+      val g = grid(m, c, Seq("EUROPE", "AMERICA"), Seq("AllTime"),
+        Seq("AllBrands"), Seq("plan"))
+      m.named(g, "a0", 0, "region")
+        .select(col("region"), col("value").cast("double").as("value"),
+          lit(nCells).as("cells_written"))
+    }),
+
     // §2.13+ (round 9): MATERIALIZED AGGREGATE + NAVIGATOR — a summary cube
     // at nation × year grain (customers/days collapsed, product/measure at
     // leaf resolution) answers region-level queries from a frame orders of
@@ -1472,6 +1496,21 @@ object TpchQueries {
       s"""SELECT r_name AS region, CAST(SUM($GROSS) AS DOUBLE) AS value
          $STAR
          WHERE strftime(o_orderdate, '%Y') = '1996'
+         GROUP BY r_name""",
+
+    // post-command state: plan = 2·gross seeded for EUROPE's base cells
+    // only (AMERICA has no plan cells → no row); cells_written = EUROPE's
+    // base address count at the gross measure
+    "olap_rule_command" ->
+      s"""SELECT r_name AS region, CAST(2 * SUM($GROSS) AS DOUBLE) AS value,
+           (SELECT COUNT(DISTINCT (o_custkey, o_orderdate, l_partkey))
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE') AS cells_written
+         $STAR
+         WHERE r_name = 'EUROPE'
          GROUP BY r_name""",
 
     // persisted round-trip must be bit-identical to the in-session summary

@@ -23,6 +23,34 @@ class CommandApproxSpec extends AnyFunSuite {
     assert(cube.get(Seq("2021", "Jan", "North", "sedan", "Cost")).contains(40.0))
   }
 
+  test("COMMAND rule over an area: bulk evaluate + merge, area-scoped, null cells skipped") {
+    val db = TinyModel.build(spark)
+    val cube = db.addCube("cmdarea", db.cube("sales").dimensions)
+    cube.registerRule(RuleDef(
+      trigger = Map("measures" -> "Cost"), scope = RuleScope.Command,
+      expr = RuleExpr.Mul(RuleExpr.Ref("Sales"), RuleExpr.Lit(0.5)),
+      name = "seed_costs"))
+    cube.set(Seq("2021", "Jan", "North", "sedan", "Sales"), 100.0)
+    cube.set(Seq("2021", "Feb", "North", "coupe", "Sales"), 40.0)
+    cube.set(Seq("2021", "Jan", "South", "sedan", "Sales"), 8.0)
+    // scope the command to North: South must stay untouched
+    val n = Rules.executeCommandArea(cube, "seed_costs",
+      cube.area("regions" -> Seq("North")))
+    assert(n == 2) // only cells where Sales exists get a Cost
+    assert(cube.get(Seq("2021", "Jan", "North", "sedan", "Cost")).contains(50.0))
+    assert(cube.get(Seq("2021", "Feb", "North", "coupe", "Cost")).contains(20.0))
+    assert(cube.get(Seq("2021", "Jan", "South", "sedan", "Cost")).isEmpty)
+    // aggregates read the post-command state
+    assert(cube.get(Seq("2021", "Year", "North", "Total", "Cost")).contains(70.0))
+    // re-execution overwrites (upsert semantics, no duplicate cells)
+    cube.set(Seq("2021", "Jan", "North", "sedan", "Sales"), 200.0)
+    val n2 = Rules.executeCommandArea(cube, "seed_costs",
+      cube.area("regions" -> Seq("North")))
+    assert(n2 == 2)
+    assert(cube.get(Seq("2021", "Jan", "North", "sedan", "Cost")).contains(100.0))
+    assert(cube.get(Seq("2021", "Year", "North", "Total", "Cost")).contains(120.0))
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val s = spark
     val dir = "/root/testdata/sf0.01"
