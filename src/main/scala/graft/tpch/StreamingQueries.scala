@@ -48,8 +48,26 @@ object StreamingQueries {
     */
   private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // RocksDB state store with changelog checkpointing (round 10, r9 task
+    // #3): per-trigger state commits snapshot only the delta instead of
+    // rewriting HDFS-backed store files — measured 34.9 → 15.1 s warm on
+    // the two-sided interval join replay (ARCHITECTURE §6b9). The
+    // HDFS-backed default remains reachable (GRAFT_STATE_PROVIDER=hdfs)
+    // for environments without the rocksdbjni native library.
+    if (!sys.env.get("GRAFT_STATE_PROVIDER").contains("hdfs")) {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProv match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
