@@ -571,6 +571,37 @@ object PipelineQueries {
         .select(col("cand_id").as("doc_id"), col("rank"))
       graft.pipeline.Search.hybridRrfTopK(lex, sem, 15)
     }),
+
+    // hybrid retrieval over the PRODUCTION retrievers (round 10, r9 task
+    // #4): the posting-index BM25 (bucket-prunable posting scan) fused with
+    // the IVF index (fit once, serve many) — the pairing a serving
+    // deployment actually runs, where neither retriever re-scans the corpus
+    // per query. Gated like the pipe_ann_* family: recall@15 of the EXACT
+    // fusion (bm25TopK ⊕ brute-cosine, the pipe_hybrid_rrf pairing) inside
+    // the indexed fusion, thresholded and emitted as oracle-checkable
+    // booleans. The lexical half is exact by construction (same idf/avgdl
+    // statistics from the index grains); only the IVF half is approximate,
+    // so the floor sits well above the bare-ANN floors.
+    "pipe_hybrid_rrf_indexed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val terms = Seq("dup", "merge", "scan")
+      val lexExact = graft.pipeline.Search.bm25TopK(d, col("doc_id"),
+        col("text"), terms, 50).select(col("doc_id"), col("rank"))
+      val lexIdx = graft.pipeline.Search.bm25TopKIndexed(
+        graft.pipeline.Search.postings(d, col("doc_id"), col("text")),
+        graft.pipeline.Search.docLengths(d, col("doc_id"), col("text")),
+        terms, 50).select(col("doc_id"), col("rank"))
+      val e = emb(s, dir)
+      val sq = e.filter(col("vec_id") === 0)
+      val semExact = Similarity.bruteForceTopK(e, sq, 50)
+        .select(col("cand_id").as("doc_id"), col("rank"))
+      val semIdx = Similarity.ivfTopKIndexed(Similarity.ivfFit(e), sq, 50)
+        .select(col("cand_id").as("doc_id"), col("rank"))
+      val exact = graft.pipeline.Search.hybridRrfTopK(lexExact, semExact, 15)
+      val served = graft.pipeline.Search.hybridRrfTopK(lexIdx, semIdx, 15)
+      approxSummary(exact.select("doc_id"), served.select("doc_id"),
+        Seq("doc_id"), recallFloor = 0.5)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -739,6 +770,7 @@ object PipelineQueries {
     "pipe_dedup_embed_lsh" -> SUMMARY_ORACLE,
     "pipe_ann_lsh" -> SUMMARY_ORACLE,
     "pipe_ann_ivf" -> SUMMARY_ORACLE,
+    "pipe_hybrid_rrf_indexed" -> SUMMARY_ORACLE,
 
     "pipe_dedup_clusters" ->
       s"""$CLUSTERS_CTE
