@@ -236,9 +236,14 @@ object Search {
       keepDocs: Column = lit(true)): DataFrame = {
     val p = postings(df, idCol, textCol)
     val dfc = p.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = df.count().toDouble
+    // corpus size rides along as a broadcast one-row frame instead of a
+    // separate blocking df.count() action (r9 advice #5): no job runs until
+    // the caller evaluates the result, and N is a count-only scan folded
+    // into that single action
+    val nDf = df.agg(count(lit(1)).cast("double").as("__n"))
     val scored = p.filter(keepDocs).join(dfc, "term")
-      .withColumn("score", col("tf") * log(lit(n) / col("df")))
+      .crossJoin(broadcast(nDf))
+      .withColumn("score", col("tf") * log(col("__n") / col("df")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
@@ -260,14 +265,19 @@ object Search {
   def vocabCoverage(df: DataFrame, textCol: Column, k: Int): DataFrame = {
     val counts = df.select(explode(tokens(textCol)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    // the grand total joins on as a broadcast one-row aggregate of the SAME
+    // term-grain frame (r9 advice #5): both branches consume the one
+    // shuffle exchange behind `counts` (ReusedExchange in the plan), so the
+    // corpus is exploded and counted exactly once — the previous separate
+    // head() action re-paid the whole explode+aggregate pass
+    val totalDf = counts.agg(sum(col("cnt")).as("total_cnt"))
     val w = Window.orderBy(col("cnt").desc, col("term"))
     counts
       .withColumn("rank", row_number().over(w))
       .withColumn("cum_cnt", sum(col("cnt")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("rank") <= k)
-      .withColumn("total_cnt", lit(total))
+      .crossJoin(broadcast(totalDf))
   }
 
   // ---- Bigram-LM familiarity (perplexity-style filtering) ----------------

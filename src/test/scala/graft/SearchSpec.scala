@@ -194,6 +194,32 @@ class SearchSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("tfidf/vocab run no stray driver actions (r9 advice: fold the extra passes)") {
+    // building the frames must launch ZERO jobs — N / total ride the single
+    // evaluation as broadcast one-row aggregates, not eager count() actions
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    try {
+      val t = Search.tfidfKeywords(corpus, col("doc_id"), col("text"), 2)
+      val v = Search.vocabCoverage(corpus, col("text"), 5)
+      Thread.sleep(300) // let any async job-start events drain
+      assert(jobs.get() == 0,
+        s"constructing tfidf/vocab frames launched ${jobs.get()} job(s) — must be lazy")
+      // …and evaluating vocabCoverage reuses the one term-grain exchange for
+      // both the window branch and the grand total (single corpus pass)
+      v.collect()
+      val plan = v.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+        s"vocabCoverage plan recomputes the term counts for the total:\n$plan")
+      t.collect() // and tfidf still evaluates fine end-to-end
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("lmFamiliarity matches a driver-side add-alpha bigram LM") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val alpha = 0.5
