@@ -111,7 +111,14 @@ object Curation {
       alpha: Double, budgetDocs: Long, salt: String): DataFrame = {
     require(alpha >= 0.0, s"temperatureResample: alpha must be >= 0, got $alpha")
     val counts = df.groupBy(stratumCol.as("__s")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1))
+      .collect().map { r =>
+        // a null stratum (e.g. missing language tags) must fail LOUDLY here,
+        // not NPE mid-map: the α-weights are computed over the whole corpus,
+        // so silently dropping a null stratum would skew every rate
+        require(!r.isNullAt(0), "temperatureResample: null stratum value in " +
+          "the corpus — fill or filter the stratum column before mixing")
+        r.get(0).toString -> r.getLong(1)
+      }
       .sortBy(_._1) // deterministic summation order for Z
     require(counts.nonEmpty, "temperatureResample: empty corpus")
     val nTotal = counts.map(_._2).sum.toDouble

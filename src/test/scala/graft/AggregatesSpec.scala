@@ -248,6 +248,20 @@ class AggregatesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a materialized summary"))
   }
 
+  test("degenerate dimensions are rejected loudly by materialize (decision on record)") {
+    // COVERAGE §2.13: no member catalog to enumerate a grain or derive
+    // coverage from — the supported >2M-member path is manual gridAggregate
+    // pre-aggregation over the raw key, persisted via writeBucketed
+    import graft.core.{Cube, Dimension}
+    val dg = Dimension.degenerate("k")
+    val md = new Dimension("m"); md.edit().addMany(Seq("v")).commit()
+    val c = new Cube("degsum", Seq(dg, md), spark)
+    val e = intercept[IllegalArgumentException](
+      Aggregates.materialize(c, "bad", Seq(None, None)))
+    assert(e.getMessage.contains("degenerate") &&
+      e.getMessage.contains("cannot be summarized"))
+  }
+
   test("a multi-parent level is rejected as a grain (double-covered leaves)") {
     val db = new Database("aggbad", spark)
     val d = db.addDimension("p")

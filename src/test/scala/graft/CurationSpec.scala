@@ -99,6 +99,14 @@ class CurationSpec extends AnyFunSuite {
     assert(a0("lo") > a1("lo"), s"$a0 $a1")
   }
 
+  test("temperatureResample: null stratum fails loudly, not NPE (r9 advice)") {
+    val df = Seq((1L, "en"), (2L, null.asInstanceOf[String]), (3L, "de"))
+      .toDF("id", "lang")
+    val e = intercept[IllegalArgumentException](
+      Curation.temperatureResample(df, col("id"), col("lang"), 0.5, 10, "t1"))
+    assert(e.getMessage.contains("null stratum"))
+  }
+
   test("temperatureResample is deterministic and partitioning-independent") {
     val df = ((0L until 9L).map(i => (i, "lo")) ++ (100L until 136L).map(i => (i, "hi")))
       .toDF("id", "lang")
