@@ -93,6 +93,21 @@ object Bench {
           .select(col("cand_id").as("doc_id"), col("rank"))
         graft.pipeline.Search.hybridRrfTopK(lex, sem, 15)
       }),
+      // raw serving composition of the round-10 indexed-fusion gate: the
+      // posting-index BM25 ⊕ prebuilt-IVF pairing without the exact-fusion
+      // verification arm
+      "pipe_hybrid_rrf_indexed" -> ((s, dir) => {
+        val d = s.read.parquet(s"$dir/documents.parquet")
+        val lex = graft.pipeline.Search.bm25TopKIndexed(
+          graft.pipeline.Search.postings(d, col("doc_id"), col("text")),
+          graft.pipeline.Search.docLengths(d, col("doc_id"), col("text")),
+          Seq("dup", "merge", "scan"), 50).select(col("doc_id"), col("rank"))
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val sem = graft.pipeline.Similarity.ivfTopKIndexed(
+          graft.pipeline.Similarity.ivfFit(e), e.filter(col("vec_id") === 0), 50)
+          .select(col("cand_id").as("doc_id"), col("rank"))
+        graft.pipeline.Search.hybridRrfTopK(lex, sem, 15)
+      }),
       "pipe_ann_ivfpq" -> ((s, dir) => {
         val e = s.read.parquet(s"$dir/embeddings.parquet")
         graft.pipeline.Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), 10,

@@ -33,7 +33,10 @@ class PlanShapeSpec extends AnyFunSuite {
     */
   private val verificationSummaries = Set(
     "pipe_ann_lsh", "pipe_ann_ivf", "pipe_ann_ivfpq", "pipe_ann_ivfpq_rerank",
-    "pipe_dedup_simhash", "pipe_dedup_embed_lsh")
+    "pipe_dedup_simhash", "pipe_dedup_embed_lsh",
+    // indexed fusion vs the EXACT fusion (bruteForceTopK arm) — the raw
+    // serving composition is asserted via Bench.rawOps below
+    "pipe_hybrid_rrf_indexed")
 
   // one planning pass shared by both tests (some gate closures also run
   // driver-side setup — streams, scratch-cube writes — so build once)
@@ -45,11 +48,29 @@ class PlanShapeSpec extends AnyFunSuite {
     }
 
   test("no gated plan contains a quadratic join shape outside the declared baselines") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // a nested-loop join whose BROADCAST side is a global (grouping-free)
+    // aggregate is a scalar attach — one row against the stream, O(n·1),
+    // the documented "grand total rides the plan" shape (Search.tfidf/
+    // vocabCoverage). Anything else nested-loop or cartesian is quadratic.
+    def isScalarAttach(j: BroadcastNestedLoopJoinExec): Boolean = {
+      def oneRowAgg(p: SparkPlan): Boolean = p.collectFirst {
+        case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+      }.isDefined
+      j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => oneRowAgg(j.left)
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => oneRowAgg(j.right)
+      }
+    }
+    def quadratic(p: SparkPlan): Boolean =
+      p.toString.contains("CartesianProduct") ||
+        p.collect { case j: BroadcastNestedLoopJoinExec if !isScalarAttach(j) => j }.nonEmpty
     val offenders = plans.collect {
       case (name, df)
           if !bruteForceBaselines(name) && !verificationSummaries(name) &&
-            { val p = df.queryExecution.sparkPlan.toString
-              p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin") } =>
+            quadratic(df.queryExecution.sparkPlan) =>
         name
     }
     assert(offenders.isEmpty,
