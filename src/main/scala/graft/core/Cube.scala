@@ -102,6 +102,34 @@ final class Cube(
 
   private[graft] def currentStateVersion: Long = stateVersion
 
+  /** Bounded log of point-written base addresses per state version — what a
+    * PARTIAL summary refresh ([[graft.olap.Aggregates]]) consumes: "which
+    * base cells changed since version v" so only the covering grain cells
+    * are recomputed instead of re-paying the full base scan. Bulk rewrites
+    * (replace/merge/restore/dimension-purge) and rule-set changes make the
+    * question unanswerable-by-address and reset the log baseline; so does
+    * overflow past [[writeLogCap]] (a workload that point-writes 100k+
+    * cells between refreshes should rebuild anyway). All under
+    * [[stateLock]] like every other driver-side mutable.
+    */
+  private val writeLog = mutable.ArrayBuffer[(Long, Vector[Int])]()
+  private var writeLogBase: Long = 0L
+  private val writeLogCap: Int = 100000
+  private def logPoint(ids: Vector[Int]): Unit =
+    if (writeLog.size >= writeLogCap) { writeLog.clear(); writeLogBase = stateVersion }
+    else writeLog += ((stateVersion, ids))
+  private def logBulk(): Unit = { writeLog.clear(); writeLogBase = stateVersion }
+
+  /** Distinct base addresses point-written in versions (v, current]; None
+    * when a bulk rewrite / rule change / log overflow happened after `v`
+    * (callers must fall back to a full rebuild). */
+  private[graft] def pointWritesSince(v: Long): Option[Vector[Vector[Int]]] =
+    stateLock.synchronized {
+      if (v < writeLogBase) None
+      else Some(writeLog.iterator.collect { case (ver, ids) if ver > v => ids }
+        .toVector.distinct)
+    }
+
   /** stateVersions of every cube referenced by a registered CubeRef rule —
     * part of the result-cache key, so mutating a REFERENCED cube (e.g.
     * updating an exrates rate) invalidates dependent cached cells HERE even
@@ -171,6 +199,7 @@ final class Cube(
     overlay.clear(); s.overlay.foreach { case (k, v) => overlay(k) = v }
     payloads.clear(); s.payloads.foreach { case (k, v) => payloads(k) = v }
     stateVersion += 1
+    logBulk()
     cache.clear()
   }
   private def recordHistory(label: String): Unit = historyOpt.foreach(_.record(label))
@@ -211,7 +240,7 @@ final class Cube(
   def leafNamesDf(i: Int): DataFrame = namesDf(dimensions(i).leafMembers)
 
   def refreshClosures(): Unit = stateLock.synchronized {
-    closureDfs.clear(); stateVersion += 1; cache.clear()
+    closureDfs.clear(); stateVersion += 1; logBulk(); cache.clear()
   }
 
   /** Dimensions whose closure weights are ALL 1.0 contribute no weight factor
@@ -276,7 +305,7 @@ final class Cube(
     */
   private[graft] def replaceFacts(df: DataFrame): Unit = stateLock.synchronized {
     base = df.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
-    overlay.clear(); stateVersion += 1; cache.clear()
+    overlay.clear(); stateVersion += 1; logBulk(); cache.clear()
     recordHistory("bulk")
   }
 
@@ -295,6 +324,7 @@ final class Cube(
       overlay.filterInPlace((k, _) => !idxs.exists(i => rm(k(i))))
       payloads.filterInPlace((k, _) => !idxs.exists(i => rm(k(i))))
       stateVersion += 1
+      logBulk()
       cache.clear()
       recordHistory(s"purge removed members of ${d.name}")
     }
@@ -321,7 +351,7 @@ final class Cube(
       base = df.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
       val inc = incorporated.toMap
       overlay.filterInPlace((k, v) => !inc.get(k).contains(v))
-      stateVersion += 1; cache.clear()
+      stateVersion += 1; logBulk(); cache.clear()
       recordHistory("bulk")
     }
 
@@ -454,6 +484,7 @@ final class Cube(
       overlay(b.ids) = Some(v)
       payloads.remove(b.ids) // a cell holds ONE value — number replaces text
       stateVersion += 1
+      logPoint(b.ids)
       cache.clear()
       recordHistory(s"set ${address.mkString(",")}")
     }
@@ -466,6 +497,7 @@ final class Cube(
       overlay(b.ids) = None
       payloads.remove(b.ids)
       stateVersion += 1
+      logPoint(b.ids)
       cache.clear()
       recordHistory(s"delete ${address.mkString(",")}")
     }
@@ -484,6 +516,7 @@ final class Cube(
       payloads(b.ids) = payload
       overlay(b.ids) = None // text replaces number: remove the cell from rollups
       stateVersion += 1
+      logPoint(b.ids)
       cache.clear()
       recordHistory(s"payload ${address.mkString(",")}")
     }
@@ -713,7 +746,7 @@ final class Cube(
   /** Register a rule after smoke validation (≙ `cube.py:750-847` + R8). */
   def registerRule(rule: graft.olap.RuleDef): Unit = {
     graft.olap.Rules.validate(this, rule)
-    stateLock.synchronized { rulesBuf += rule; stateVersion += 1; cache.clear() }
+    stateLock.synchronized { rulesBuf += rule; stateVersion += 1; logBulk(); cache.clear() }
   }
 
   /** Remove a registered rule by name (≙ `cube.remove_rule`); no-op when
@@ -721,7 +754,7 @@ final class Cube(
   def removeRule(ruleName: String): Unit = stateLock.synchronized {
     val before = rulesBuf.size
     rulesBuf.filterInPlace(_.name != ruleName)
-    if (rulesBuf.size != before) { stateVersion += 1; cache.clear() }
+    if (rulesBuf.size != before) { stateVersion += 1; logBulk(); cache.clear() }
   }
 
   private[graft] def clearCache(): Unit = cache.clear()

@@ -57,10 +57,12 @@ import scala.collection.mutable
 object Aggregates {
 
   /** What a rebuild/reload needs to know about a summary: the grain it was
-    * materialized at, and per dimension the member names the navigator must
-    * NOT serve from it (rollups reaching skipped-rule triggers). */
+    * materialized at, the base state version its facts reflect (the anchor
+    * for [[refreshPartial]]'s "what changed since" question), and per
+    * dimension the member names the navigator must NOT serve from it
+    * (rollups reaching skipped-rule triggers). */
   final case class SummaryMeta(grainLevels: Seq[Option[Int]],
-      unservable: Seq[Set[String]], skippedRules: Seq[String])
+      builtVersion: Long, unservable: Seq[Set[String]], skippedRules: Seq[String])
 
   /** summary cube → its meta; weak so dropped summaries vanish with GC. */
   private val metaReg =
@@ -76,6 +78,10 @@ object Aggregates {
     */
   def materialize(base: Cube, name: String,
       grainLevels: Seq[Option[Int]]): Cube = {
+    // version captured BEFORE the aggregate: a write landing mid-build may
+    // or may not be in the checkpointed frame, but a refresh from this
+    // anchor recomputes its cells from current base either way — never stale
+    val v0 = base.currentStateVersion
     val derived = deriveDims(base, grainLevels)
     // pre-aggregate at the grain through the base cube's own grid machinery
     // (weighted closures, identity elision, decimal exactness inherited),
@@ -91,7 +97,7 @@ object Aggregates {
     }.select((0 until base.nDims).map(i => col(s"d$i")) :+ col("value"): _*)
 
     finish(base, name, grainLevels, derived.map(_._1),
-      remapped.localCheckpoint(true))
+      remapped.localCheckpoint(true), v0)
   }
 
   /** The derived dimensions + per-dim grain member ids for a grain spec —
@@ -160,7 +166,8 @@ object Aggregates {
     * summary-correctness (see class doc), meta recorded for the navigator,
     * refresh and reload. */
   private def finish(base: Cube, name: String, grainLevels: Seq[Option[Int]],
-      dims: Seq[Dimension], facts: org.apache.spark.sql.DataFrame): Cube = {
+      dims: Seq[Dimension], facts: org.apache.spark.sql.DataFrame,
+      builtVersion: Long): Cube = {
     val summary = new Cube(name, dims, base.spark, Some(facts))
     summary.databaseRef = base.databaseRef // CubeRef rules keep resolving
     val anyCoarsened = grainLevels.exists(_.isDefined)
@@ -198,7 +205,7 @@ object Aggregates {
       }
     }
     metaReg.put(summary,
-      SummaryMeta(grainLevels, unservable, skipped.map(_.name)))
+      SummaryMeta(grainLevels, builtVersion, unservable, skipped.map(_.name)))
     summary
   }
 
@@ -227,8 +234,75 @@ object Aggregates {
     */
   def load(base: Cube, name: String, grainLevels: Seq[Option[Int]],
       table: String): Cube = {
+    val v0 = base.currentStateVersion
     val derived = deriveDims(base, grainLevels)
-    finish(base, name, grainLevels, derived.map(_._1), base.spark.table(table))
+    finish(base, name, grainLevels, derived.map(_._1), base.spark.table(table), v0)
+  }
+
+  /** PARTIAL refresh — the 100 TB steady-state shape: recompute ONLY the
+    * grain cells covering base addresses point-written since the summary was
+    * built (from the cube's bounded write log), merge them into the
+    * grain-sized summary frame, leave everything else untouched. The
+    * recompute job's scan carries pushed-down leaf filters (leaf-kept dims)
+    * and a closure join restricted to the affected grain members — cost is
+    * proportional to the data under the touched cells, not the corpus.
+    * Returns None when the question "what changed" is unanswerable (bulk
+    * rewrite, rule change, dimension edit, log overflow) — callers fall
+    * back to [[rebuild]]. [[Navigator.refreshed]] composes exactly that.
+    */
+  def refreshPartial(base: Cube, summary: Cube): Option[Cube] = {
+    val meta = metaOf(summary).getOrElse(throw new IllegalStateException(
+      s"cube '${summary.name}' is not a materialized summary — cannot refresh"))
+    val v0 = base.currentStateVersion
+    base.pointWritesSince(meta.builtVersion).map { writes =>
+      if (writes.isEmpty) { // version moved without fact changes we track? —
+        // only possible when already current; re-anchor and keep the frame
+        metaReg.put(summary, meta.copy(builtVersion = v0))
+        summary
+      } else {
+        // per coarsened dim: leaf id → covering grain member (unique — the
+        // grain PARTITIONS the leaves, validated at materialization)
+        val grainOf: Seq[Option[Map[Int, Int]]] =
+          base.dimensions.zip(meta.grainLevels).map {
+            case (_, None) => None
+            case (d, Some(lvl)) => Some(
+              d.members.filter(_.level == lvl).flatMap(g =>
+                d.leavesOf(g.name).map(cr => cr.leaf -> g.id)).toMap)
+          }
+        // affected BASE-side selections (grain members / leaves) per dim
+        val sels: Seq[Seq[Int]] = (0 until base.nDims).map { i =>
+          grainOf(i) match {
+            case None => writes.map(_(i)).distinct
+            case Some(m) => writes.map(w => m(w(i))).distinct
+          }
+        }
+        val g = base.gridAggregate(sels)
+        // base ids → the summary's derived ids (name-stable; catalogs are
+        // unchanged since build or pointWritesSince would have been None)
+        val remapped = (0 until base.nDims).foldLeft(g) { case (df, i) =>
+          if (summary.dimensions(i) eq base.dimensions(i))
+            df.withColumnRenamed(s"a$i", s"d$i")
+          else {
+            val idMap = map(sels(i).flatMap(bid => Seq(lit(bid),
+              lit(summary.dimensions(i).idOf(base.dimensions(i).nameOf(bid))))): _*)
+            df.withColumn(s"d$i", idMap(col(s"a$i"))).drop(s"a$i")
+          }
+        }.select((0 until base.nDims).map(i => col(s"d$i")) :+ col("value"): _*)
+        val affectedDerived: Seq[Seq[Int]] = (0 until base.nDims).map { i =>
+          if (summary.dimensions(i) eq base.dimensions(i)) sels(i)
+          else sels(i).map(bid =>
+            summary.dimensions(i).idOf(base.dimensions(i).nameOf(bid)))
+        }
+        // drop the affected cell cross-product, add the recomputed cells —
+        // a cell whose last base row was deleted correctly disappears
+        val affectedPred = affectedDerived.zipWithIndex.map { case (ids, i) =>
+          if (ids.size == 1) col(s"d$i") === ids.head else col(s"d$i").isin(ids: _*)
+        }.reduce(_ && _)
+        val merged = summary.facts.filter(!affectedPred).union(remapped)
+        finish(base, summary.name, meta.grainLevels, summary.dimensions,
+          merged.localCheckpoint(true), v0)
+      }
+    }
   }
 
   /** Re-materialize an existing summary against the CURRENT base state (same
@@ -247,9 +321,16 @@ object Aggregates {
     * then always answers from base until [[refreshed]] rebuilds them.
     */
   final class Navigator(val base: Cube, val summaries: Seq[Cube]) {
-    private val version = base.currentStateVersion
 
-    def fresh: Boolean = base.currentStateVersion == version
+    /** Per-summary freshness, anchored to the BASE version the summary's
+      * facts reflect (its meta) — NOT to navigator construction time: a
+      * navigator built after a write must not serve the stale summary it
+      * was handed (the persisted-summary / delayed-construction shape). A
+      * cube without summary meta is never served. */
+    private def summaryFresh(sc: Cube): Boolean =
+      metaOf(sc).exists(_.builtVersion == base.currentStateVersion)
+
+    def fresh: Boolean = summaries.forall(summaryFresh)
 
     private def servable(sc: Cube, dimIdx: Int, member: String): Boolean =
       sc.dimensions(dimIdx).contains(member) &&
@@ -257,23 +338,27 @@ object Aggregates {
 
     /** The cube that will answer `address`: names carry over into derived
       * dimensions, so membership IS coverage (below-grain members are
-      * absent by construction); skipped-rule territory routes to base. */
+      * absent by construction); skipped-rule territory and stale summaries
+      * route to base. */
     def cubeFor(address: Seq[String]): Cube =
-      if (!fresh) base
-      else summaries.find(sc => address.length == sc.nDims &&
+      summaries.find(sc => summaryFresh(sc) && address.length == sc.nDims &&
         address.zipWithIndex.forall { case (m, i) => servable(sc, i, m) })
         .getOrElse(base)
 
     def get(address: Seq[String]): Option[Double] = cubeFor(address).get(address)
 
-    /** A navigator whose summaries reflect the current base state: rebuilds
-      * each stale summary from its recorded grain (one `gridAggregate` job
-      * apiece) — without this, one base write would park every summary
-      * forever and re-pay the base scan on every aggregate read. No-op
-      * (returns `this`) while fresh. */
+    /** A navigator whose summaries reflect the current base state: each
+      * stale summary refreshes PARTIALLY when the base's write log can name
+      * what changed (recompute only the touched grain cells —
+      * [[refreshPartial]]), else rebuilds from its recorded grain. Without
+      * this, one base write would park every summary forever and re-pay the
+      * base scan on every aggregate read. No-op (returns `this`) while
+      * fresh. */
     def refreshed(): Navigator =
       if (fresh) this
-      else new Navigator(base, summaries.map(sc => rebuild(base, sc)))
+      else new Navigator(base, summaries.map(sc =>
+        if (summaryFresh(sc)) sc
+        else refreshPartial(base, sc).getOrElse(rebuild(base, sc))))
 
     /** A whole VIEW through the navigator: dimensions the definition leaves
       * unmentioned are pinned to the BASE cube's default member first (view
@@ -291,8 +376,7 @@ object Aggregates {
         dfn2.rows.entries.flatMap { case (dn, ms) => ms.map(dn -> _) } ++
         dfn2.cols.entries.flatMap { case (dn, ms) => ms.map(dn -> _) }
       val target =
-        if (!fresh) base
-        else summaries.find(sc => named.forall { case (dn, m) =>
+        summaries.find(sc => summaryFresh(sc) && named.forall { case (dn, m) =>
           val i = sc.dimensions.indexWhere(_.name.equalsIgnoreCase(dn))
           i >= 0 && servable(sc, i, m)
         }).getOrElse(base)

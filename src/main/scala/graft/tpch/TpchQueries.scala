@@ -961,6 +961,32 @@ object TpchQueries {
         col("value").cast("double").as("value"))
     }),
 
+    // §2.13+ (round 10): PARTIAL summary refresh — a point upsert lands in
+    // the base, then refreshed() recomputes ONLY the grain cells covering
+    // the written address (from the cube's write log; pushed-down leaf
+    // filters + a closure join restricted to the touched grain members —
+    // cost ∝ the data under the touched cells, not the corpus), and the
+    // navigator serves the post-write world total from the summary again.
+    // The gate asserts the PARTIAL path was available (not a silent full
+    // rebuild) and hash-checks the refreshed value against the same
+    // post-upsert oracle as olap_upsert.
+    "olap_agg_refresh" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      val summary = graft.olap.Aggregates.materialize(c, "scratch_ny",
+        Seq(Some(1), Some(2), None, None))
+      c.set(probeAddress(s, dir), 12345.67)
+      val refreshed = graft.olap.Aggregates.refreshPartial(c, summary)
+        .getOrElse(throw new IllegalStateException(
+          "a single point write must be partially refreshable"))
+      val nav = new graft.olap.Aggregates.Navigator(c, Seq(refreshed))
+      val world = Seq("World", "AllTime", "AllBrands", "gross")
+      require(nav.cubeFor(world).name == "scratch_ny",
+        "the refreshed summary must serve the world total again")
+      oneValueDf(s, nav.get(world))
+    }),
+    // (oracle: identical post-upsert world total as olap_upsert — see below)
+
     // §2.13+ (round 10): MULTI-SUMMARY LATTICE routing — region×year (coarse)
     // and nation×year (fine) summaries registered smallest-first; a
     // region-level address must route to the COARSE one (both cover it, the
@@ -1191,6 +1217,16 @@ object TpchQueries {
             AND l_partkey = (SELECT min(l_partkey) FROM lineitem WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders))""",
 
     "olap_upsert" ->
+      s"""SELECT CAST(
+            (SELECT SUM($GROSS) FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            - (SELECT SUM($GROSS) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AND o_orderdate = (SELECT o_orderdate FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+                 AND l_partkey = (SELECT min(l_partkey) FROM lineitem WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders)))
+            + CAST(12345.67 AS DECIMAL(21,4)) AS DOUBLE) AS value""",
+
+    // partial summary refresh serves the identical post-upsert world total
+    "olap_agg_refresh" ->
       s"""SELECT CAST(
             (SELECT SUM($GROSS) FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
             - (SELECT SUM($GROSS) FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -229,6 +229,44 @@ class AggregatesSpec extends AnyFunSuite {
     assert(nav2.refreshed() eq nav2)
   }
 
+  test("partial refresh: update + new cell + delete, frame parity with a full rebuild") {
+    val cube = freshModel("aggpr")
+    val summary = Aggregates.materialize(cube, "sales_pr", Seq(None, Some(1), None, None, None))
+    // update an existing cell, create a brand-new one, delete one
+    cube.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 200.0) // was 123
+    cube.set(Seq("2021", "Jul", "South", "coupe", "Sales"), 77.0)        // new (Q3)
+    cube.delete(Seq("2021", "Apr", "South", "sports", "Sales"))          // was 50
+    val part = Aggregates.refreshPartial(cube, summary)
+    assert(part.isDefined, "point writes must be partially refreshable")
+    val p = part.get
+    // value parity on every touched path
+    assert(p.get(Seq("2021", "Q1", "Total", "Total", "Sales")).contains(656.0)) // 200+456
+    assert(p.get(Seq("2021", "Q3", "Total", "Total", "Sales")).contains(77.0))
+    assert(p.get(Seq("2021", "Q2", "Total", "Total", "Sales")).isEmpty) // deleted cell gone
+    // FRAME parity with a full rebuild — bit-identical cells
+    val full = Aggregates.rebuild(cube, summary)
+    assert(p.facts.collect().map(_.toSeq).toSet == full.facts.collect().map(_.toSeq).toSet)
+    // a refreshed navigator routes to the partially-refreshed summary
+    val nav = new Aggregates.Navigator(cube, Seq(summary)).refreshed()
+    assert(nav.fresh)
+    assert(nav.get(Seq("2021", "Q1", "Total", "Total", "Sales")).contains(656.0))
+  }
+
+  test("partial refresh declines after bulk rewrites and rule changes (rebuild path)") {
+    import graft.olap.{RuleDef, RuleExpr, RuleScope}
+    val cube = freshModel("aggprb")
+    val summary = Aggregates.materialize(cube, "sales_prb", Seq(None, Some(1), None, None, None))
+    cube.replaceFacts(cube.facts) // bulk rewrite: addresses unknowable
+    assert(Aggregates.refreshPartial(cube, summary).isEmpty)
+    val nav = new Aggregates.Navigator(cube, Seq(summary)).refreshed() // falls back to rebuild
+    assert(nav.get(Seq("2021", "Q1", "Total", "Total", "Sales")).contains(579.0))
+    // rule-set changes also decline (the summary's rule screen must re-run)
+    val s2 = Aggregates.materialize(cube, "sales_prb2", Seq(None, Some(1), None, None, None))
+    cube.registerRule(RuleDef(Map("measures" -> "Cost"), RuleScope.AllLevels,
+      RuleExpr.Lit(1.0), "cost_override"))
+    assert(Aggregates.refreshPartial(cube, s2).isEmpty)
+  }
+
   test("persist + load round-trip: routed reads identical, no base re-scan needed") {
     val cube = freshModel("aggpst")
     val grain = Seq[Option[Int]](None, Some(1), None, None, None)
