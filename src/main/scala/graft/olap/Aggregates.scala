@@ -347,6 +347,19 @@ object Aggregates {
 
     def get(address: Seq[String]): Option[Double] = cubeFor(address).get(address)
 
+    /** First fresh summary able to serve a whole GRID selection (per-dim
+      * member-name lists — the dialect/view shape), else base. Dims in
+      * `needShared` must be the base dimension OBJECT on the target
+      * (attribute lookups resolve against the base catalog; derived dims
+      * carry no attributes). */
+    def cubeForSelections(names: Seq[Seq[String]],
+        needShared: Set[Int] = Set.empty): Cube =
+      summaries.find(sc => summaryFresh(sc) && names.size == sc.nDims &&
+        needShared.forall(i => sc.dimensions(i) eq base.dimensions(i)) &&
+        names.zipWithIndex.forall { case (ms, i) =>
+          ms.forall(m => servable(sc, i, m)) })
+        .getOrElse(base)
+
     /** A navigator whose summaries reflect the current base state: each
       * stale summary refreshes PARTIALLY when the base's write log can name
       * what changed (recompute only the touched grain cells —

@@ -117,15 +117,18 @@ final class OlapQuery(db: Database, sql: String) {
     * [[Rules.gridRuleFor]]/[[Rules.expandRuled]] helpers — one semantics
     * for dialect grids, views, and the scalar path.
     */
-  private def gridWithRules(): DataFrame = Rules.ruledGrid(cube, selections)
-
   /** Run the query as one grid job and project the requested fields. */
-  def execute(): DataFrame = {
-    var df = gridWithRules()
+  def execute(): DataFrame = executeOn(cube, selections)
+
+  /** The same grid + projection against a ROUTED target (an aggregate
+    * summary whose derived dimensions carry the same member names) — used
+    * by [[OlapQuery.routed]]; `sels` are the target cube's member ids. */
+  private[olap] def executeOn(target: Cube, sels: Vector[Seq[Int]]): DataFrame = {
+    var df = Rules.ruledGrid(target, sels)
     val projected = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
     val wantAll = fields.exists(_ == "*")
 
-    cube.dimensions.zipWithIndex.foreach { case (d, i) =>
+    target.dimensions.zipWithIndex.foreach { case (d, i) =>
       val wantDim = wantAll || fields.exists(_.equalsIgnoreCase(d.name))
       val attrFields = fields.filter(f => f.toLowerCase.startsWith(d.name.toLowerCase + "."))
       if (wantDim || attrFields.nonEmpty) {
@@ -136,7 +139,7 @@ final class OlapQuery(db: Database, sql: String) {
           // an inner name join would silently drop every row)
           df = df.withColumn(d.name, d.functionalNameColumn(col(s"a$i")))
         } else {
-          val names = cube.memberNamesDf(i)
+          val names = target.memberNamesDf(i)
             .select(col("id").as(s"__id$i"), col("mname").as(d.name))
           df = df.join(broadcast(names), col(s"a$i") === col(s"__id$i")).drop(s"__id$i")
         }
@@ -144,7 +147,7 @@ final class OlapQuery(db: Database, sql: String) {
         attrFields.foreach { f =>
           val attrName = f.substring(d.name.length + 1)
           val field = d.attribute(attrName)
-          val spark = cube.spark
+          val spark = target.spark
           val rows = d.members.map(m => Row(m.id, field.get(m.id).orNull))
           val attrDf = spark.createDataFrame(
             spark.sparkContext.parallelize(rows.toList, 1),
@@ -163,4 +166,59 @@ final class OlapQuery(db: Database, sql: String) {
 
 object OlapQuery {
   def apply(db: Database, sql: String): DataFrame = new OlapQuery(db, sql).execute()
+
+  /** Dialect query ROUTED through an aggregate navigator: parsed and
+    * member-resolved against the navigator's BASE cube, then the one-job
+    * grid runs on the first fresh summary containing every selected member
+    * (ids remapped name-stably), else on base — a dashboard's dialect
+    * queries hit the grain-sized frame automatically. Fields addressing a
+    * dimension's ATTRIBUTES pin that dimension to the base catalog object
+    * (derived dims carry no attributes), which in practice routes such
+    * queries to a summary only when that dimension kept leaf resolution.
+    */
+  def routed(nav: Aggregates.Navigator, sql: String): DataFrame = {
+    val db = nav.base.databaseRef.getOrElse(throw new IllegalStateException(
+      s"cube '${nav.base.name}' is not attached to a database — dialect routing needs one"))
+    val q = new OlapQuery(db, sql)
+    require(q.cube eq nav.base,
+      s"query addresses cube '${q.cube.name}', not the navigator's base '${nav.base.name}'")
+    val needShared: Set[Int] = q.fields.flatMap(f =>
+      nav.base.dimensions.zipWithIndex.collect {
+        case (d, i) if f.toLowerCase.startsWith(d.name.toLowerCase + ".") => i
+      }).toSet
+    val names: Seq[Seq[String]] = q.selections.zipWithIndex.map { case (sel, i) =>
+      val d = nav.base.dimensions(i)
+      if (d.isDegenerate) Nil // degenerate bases never summarize — base path
+      else sel.map(d.nameOf)
+    }
+    val target =
+      if (nav.base.dimensions.exists(_.isDegenerate)) nav.base
+      else nav.cubeForSelections(names, needShared)
+    if (target eq nav.base) q.execute()
+    else {
+      val remapped = q.selections.zipWithIndex.map { case (sel, i) =>
+        if (target.dimensions(i) eq nav.base.dimensions(i)) sel
+        else sel.map(id => target.dimensions(i).idOf(nav.base.dimensions(i).nameOf(id)))
+      }
+      q.executeOn(target, remapped)
+    }
+  }
+
+  /** The cube [[routed]] would execute on — observable routing for specs
+    * and gates. */
+  def routedTarget(nav: Aggregates.Navigator, sql: String): Cube = {
+    val db = nav.base.databaseRef.getOrElse(throw new IllegalStateException(
+      s"cube '${nav.base.name}' is not attached to a database — dialect routing needs one"))
+    val q = new OlapQuery(db, sql)
+    if (nav.base.dimensions.exists(_.isDegenerate)) nav.base
+    else {
+      val needShared: Set[Int] = q.fields.flatMap(f =>
+        nav.base.dimensions.zipWithIndex.collect {
+          case (d, i) if f.toLowerCase.startsWith(d.name.toLowerCase + ".") => i
+        }).toSet
+      val names = q.selections.zipWithIndex.map { case (sel, i) =>
+        sel.map(nav.base.dimensions(i).nameOf) }
+      nav.cubeForSelections(names, needShared)
+    }
+  }
 }

@@ -1162,6 +1162,25 @@ object TpchQueries {
         .withColumn("value", col("value").cast("double"))
     }),
 
+    // Q+ (round 10): the SQL dialect ROUTED through the navigator — the
+    // identical olap_query_sql text, but the one-job grid runs on the
+    // nation×year summary (every selected member — World, the two years,
+    // AllBrands, net — is contained in the derived dims, ids remapped
+    // name-stably). Same oracle as olap_query_sql: routing must not change
+    // a cell; a dashboard's dialect queries hit the grain-sized frame
+    // automatically.
+    "olap_query_navigator" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val summary = graft.olap.Aggregates.materialize(m.cube,
+        "sales_ny_dialect", Seq(Some(1), Some(2), None, None))
+      val nav = new graft.olap.Aggregates.Navigator(m.cube, Seq(summary))
+      val sql = "SELECT calendar, value FROM sales WHERE geo='World', calendar=('1995','1996'), product=AllBrands, 'net'"
+      require(OlapQuery.routedTarget(nav, sql) eq summary,
+        "the year-grain dialect query must be summary-served")
+      OlapQuery.routed(nav, sql)
+        .withColumn("value", col("value").cast("double"))
+    }),
+
     // Q1-Q4: the SQL dialect — parse, slicer resolution, one-job grid exec
     "olap_query_sql" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
@@ -1641,6 +1660,12 @@ object TpchQueries {
           $STAR WHERE strftime(o_orderdate, '%Y') IN ('1995','1996') GROUP BY 1""",
 
     "olap_query_sql" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
+          CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) AS value
+          $STAR WHERE strftime(o_orderdate, '%Y') IN ('1995','1996') GROUP BY 1""",
+
+    // navigator-routed dialect: identical query, identical cells
+    "olap_query_navigator" ->
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
           CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) AS value
           $STAR WHERE strftime(o_orderdate, '%Y') IN ('1995','1996') GROUP BY 1""",

@@ -267,6 +267,39 @@ class AggregatesSpec extends AnyFunSuite {
     assert(Aggregates.refreshPartial(cube, s2).isEmpty)
   }
 
+  test("dialect routing: quarter query summary-served, month query base-served, same cells") {
+    import graft.olap.OlapQuery
+    val db = TinyModel.build(spark)
+    val base = db.cube("sales")
+    base.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 123.0)
+    base.set(Seq("2021", "Feb", "North", "sedan", "Sales"), 456.0)
+    val summary = Aggregates.materialize(base, "sales_qd", Seq(None, Some(1), None, None, None))
+    val nav = new Aggregates.Navigator(base, Seq(summary))
+    val qSql = "SELECT months, value FROM sales WHERE '2021', months=('Q1','Q2'), regions='Total', products='Total', 'Sales'"
+    assert(OlapQuery.routedTarget(nav, qSql) eq summary)
+    val got = OlapQuery.routed(nav, qSql).collect()
+      .map(r => r.getAs[String]("months") -> r.getAs[Number]("value").doubleValue()).toMap
+    assert(got == Map("Q1" -> 579.0))
+    // identical cells as the unrouted dialect
+    val direct = OlapQuery(db, qSql).collect()
+      .map(r => r.getAs[String]("months") -> r.getAs[Number]("value").doubleValue()).toMap
+    assert(got == direct)
+    // a month-grain query falls back to base
+    val mSql = "SELECT months, value FROM sales WHERE '2021', months=('Jan','Feb'), regions='Total', products='Total', 'Sales'"
+    assert(OlapQuery.routedTarget(nav, mSql) eq base)
+    assert(OlapQuery.routed(nav, mSql).count() == 2)
+    // an attribute field over a COARSENED dim pins it to base
+    val aSql = "SELECT months, value FROM sales WHERE '2021', months=('Q1'), regions='Total', products='Total', 'Sales' " // months coarsened
+    assert(OlapQuery.routedTarget(nav, aSql) eq summary) // no attribute → summary
+    val arSql = "SELECT regions, regions.manager, value FROM sales WHERE '2021', months=('Q1'), regions=('North','South'), products='Total', 'Sales'"
+    // regions kept leaf resolution (shared dim object) → attributes resolve,
+    // summary still serves
+    assert(OlapQuery.routedTarget(nav, arSql) eq summary)
+    val withAttr = OlapQuery.routed(nav, arSql).collect()
+    // only non-empty cells return — all data sits in North
+    assert(withAttr.map(_.getAs[String]("regions.manager")).toSet == Set("Ingmar Ice"))
+  }
+
   test("persist + load round-trip: routed reads identical, no base re-scan needed") {
     val cube = freshModel("aggpst")
     val grain = Seq[Option[Int]](None, Some(1), None, None, None)
