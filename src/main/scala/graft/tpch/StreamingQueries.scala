@@ -38,25 +38,27 @@ object StreamingQueries {
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` set to `n`, restored
-    * after. The streaming twins SIZE their state-store layout to the
-    * replayed volume: the state partition count is frozen from this conf at
-    * the query's first batch, and inheriting the session's 32 means 32
-    * HDFS-backed store loads+commits per trigger — 384 across a 12-batch
-    * replay of 100k events, pure commit overhead (measured 12.3 s → the
-    * sized layout's number in ARCHITECTURE §6b9). At production scale this
-    * is exactly the knob a deployment sizes to its cluster/volume.
+    * after — the streaming twins SIZE their state-store layout to the
+    * replayed volume (inheriting the session's 32 means 32 store
+    * loads+commits per trigger, pure commit overhead; measured 12.3 s →
+    * 8.3 s with the sized layout, ARCHITECTURE §6b9) — optionally on
+    * the RocksDB state store. The provider choice follows the MEASURED
+    * split (ARCHITECTURE §6b9): changelog-checkpointed RocksDB pays when
+    * trigger cost is dominated by state-commit fan-out — the two-sided
+    * stream-stream join with its many small stores (34.9 → 15.1 s warm
+    * A/B; 15.4 → 13.2 s in the official bench) — while single-aggregation
+    * window state commits cheaply to the HDFS-backed default and RocksDB's
+    * native write amplification only adds ~1-1.5 s per replay there. So
+    * `rocksdb = true` ONLY for multi-store stateful shapes;
+    * GRAFT_STATE_PROVIDER=hdfs force-disables it for environments without
+    * the rocksdbjni native library.
     */
-  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+  private def withStatePartitions[A](s: SparkSession, n: Int,
+      rocksdb: Boolean = false)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    // RocksDB state store with changelog checkpointing (round 10, r9 task
-    // #3): per-trigger state commits snapshot only the delta instead of
-    // rewriting HDFS-backed store files — measured 34.9 → 15.1 s warm on
-    // the two-sided interval join replay (ARCHITECTURE §6b9). The
-    // HDFS-backed default remains reachable (GRAFT_STATE_PROVIDER=hdfs)
-    // for environments without the rocksdbjni native library.
-    if (!sys.env.get("GRAFT_STATE_PROVIDER").contains("hdfs")) {
+    if (rocksdb && !sys.env.get("GRAFT_STATE_PROVIDER").contains("hdfs")) {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       s.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
@@ -305,8 +307,9 @@ object StreamingQueries {
       val sinkName = s"pairs_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       // same sized layout as the window twins; a 4-partition variant was
       // measured within noise (14.6 vs 14.3 s) — the cost here is the
-      // per-trigger floor of the two-sided join operator, not store count
-      withStatePartitions(s, 8) {
+      // per-trigger floor of the two-sided join operator, not store count.
+      // RocksDB pays exactly here (two-sided state, 4 stores/partition).
+      withStatePartitions(s, 8, rocksdb = true) {
         val stream = timeOrderedStream(s, ev, "ts", 12, tmp)
         val clicks = stream.filter(col("event_type") === "click")
           .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
