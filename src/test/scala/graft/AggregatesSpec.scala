@@ -252,6 +252,23 @@ class AggregatesSpec extends AnyFunSuite {
     assert(nav.get(Seq("2021", "Q1", "Total", "Total", "Sales")).contains(656.0))
   }
 
+  test("write log under concurrent writers: partial refresh misses nothing") {
+    val cube = freshModel("aggcw")
+    val summary = Aggregates.materialize(cube, "sales_cw", Seq(None, Some(1), None, None, None))
+    val months = Seq("Jan", "Feb", "Mar", "Apr", "Mai", "Jun", "Jul", "Aug")
+    val threads = months.zipWithIndex.map { case (m, t) =>
+      new Thread(() => cube.set(Seq("2021", m, "North", "sedan", "Sales"), 10.0 + t))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val p = Aggregates.refreshPartial(cube, summary)
+      .getOrElse(fail("concurrent point writes must stay partially refreshable"))
+    val full = Aggregates.rebuild(cube, summary)
+    assert(p.facts.collect().map(_.toSeq).toSet == full.facts.collect().map(_.toSeq).toSet)
+    // every quarter reflects its writers: Q1 gets Jan..Mar etc.
+    assert(p.get(Seq("2021", "Q1", "North", "Total", "Sales")) ==
+      full.get(Seq("2021", "Q1", "North", "Total", "Sales")))
+  }
+
   test("partial refresh declines after bulk rewrites and rule changes (rebuild path)") {
     import graft.olap.{RuleDef, RuleExpr, RuleScope}
     val cube = freshModel("aggprb")
