@@ -344,6 +344,14 @@ final class Cube(
     * landed while the merge job ran (new key, or changed value) survives in
     * the overlay and wins over the batch's older data for its cell —
     * a plain replaceFacts here would erase it wholesale.
+    *
+    * Payload (text) cells are NOT consulted or cleared here: enumerating a
+    * bulk batch's addresses driver-side would defeat the scale shape, so an
+    * annotation payload survives a bulk merge that also lands a number at
+    * its address (getCell keeps answering the text; the number aggregates).
+    * Interactive writes (`set`) and area commands replace payloads per the
+    * one-value-per-cell rule; machine bulk loads leave human annotations
+    * alone by design.
     */
   private[graft] def commitBulkMerge(df: DataFrame,
       incorporated: Vector[(Vector[Int], Option[Double])]): Unit =
@@ -552,7 +560,7 @@ final class Cube(
   // payload-only mutations do NOT touch the result cache: cached entries
   // are numeric pointRead/rollup values, and getCell consults payloads
   // BEFORE the cached path — invalidating here would only waste recomputes
-  private[core] def removePayloads(p: Vector[Int] => Boolean): Unit =
+  private[graft] def removePayloads(p: Vector[Int] => Boolean): Unit =
     stateLock.synchronized { payloads.filterInPlace((ids, _) => !p(ids)) }
   private[graft] def payloadCount: Int = stateLock.synchronized(payloads.size)
   private[graft] def allPayloads: Seq[(Vector[Int], String)] =

@@ -521,6 +521,26 @@ object Rules {
       .join(written.select(cube.dimCols.map(col): _*), cube.dimCols, "left_anti")
       .union(written)
     cube.commitBulkMerge(merged, overlaySnap)
+    // one value per cell: a text payload at an address the command actually
+    // WROTE is replaced by the computed number, exactly like a point `set`
+    // there (a cell whose expression was null keeps its annotation).
+    // Payloads are driver-side and sparse, so the candidate set is a bounded
+    // driver sweep; confirming which candidates were written is one cheap
+    // filter over the (checkpointed) written frame — and a no-op job in the
+    // overwhelmingly common zero-payload case.
+    val selSets = sels.map(_.toSet)
+    val candidates = cube.allPayloads.collect {
+      case (ids, _) if ids(measureDim) == targetId &&
+        otherDims.forall(i => selSets(i)(ids(i))) => ids
+    }
+    if (candidates.nonEmpty) {
+      val hit = written
+        .filter(candidates.map(ids => cube.dimCols.zipWithIndex
+          .map { case (c, i) => col(c) === ids(i) }.reduce(_ && _)).reduce(_ || _))
+        .select(cube.dimCols.map(col): _*).collect()
+        .map(r => Vector.tabulate(cube.nDims)(i => r.getInt(i))).toSet
+      cube.removePayloads(hit)
+    }
     written.count()
   }
 

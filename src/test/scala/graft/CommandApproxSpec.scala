@@ -51,6 +51,27 @@ class CommandApproxSpec extends AnyFunSuite {
     assert(cube.get(Seq("2021", "Year", "North", "Total", "Cost")).contains(120.0))
   }
 
+  test("area command replaces a payload at a written cell; null cells keep theirs") {
+    val db = TinyModel.build(spark)
+    val cube = db.addCube("cmdpay", db.cube("sales").dimensions)
+    cube.registerRule(RuleDef(
+      trigger = Map("measures" -> "Cost"), scope = RuleScope.Command,
+      expr = RuleExpr.Mul(RuleExpr.Ref("Sales"), RuleExpr.Lit(0.5)),
+      name = "seed_costs"))
+    cube.set(Seq("2021", "Jan", "North", "sedan", "Sales"), 100.0)
+    // a payload on the WRITTEN target cell (Sales exists → Cost computes)…
+    cube.setPayload(Seq("2021", "Jan", "North", "sedan", "Cost"), "to review")
+    // …and one on a cell the command will NOT write (no Feb Sales)
+    cube.setPayload(Seq("2021", "Feb", "North", "sedan", "Cost"), "keep me")
+    Rules.executeCommandArea(cube, "seed_costs", cube.area("regions" -> Seq("North")))
+    // the number replaced the annotation — one value per cell, like set()
+    assert(cube.getCell(Seq("2021", "Jan", "North", "sedan", "Cost"))
+      .contains(graft.core.CellValue.Num(50.0)))
+    // the unwritten cell keeps its annotation
+    assert(cube.getCell(Seq("2021", "Feb", "North", "sedan", "Cost"))
+      .contains(graft.core.CellValue.Text("keep me")))
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val s = spark
     val dir = "/root/testdata/sf0.01"
