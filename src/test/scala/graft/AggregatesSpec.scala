@@ -336,6 +336,29 @@ class AggregatesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a materialized summary"))
   }
 
+  test("persisted summary serves a FRESHLY LOADED database (cross-session shape)") {
+    val db = TinyModel.build(spark)
+    val base = db.cube("sales")
+    base.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 123.0)
+    base.set(Seq("2021", "Feb", "North", "sedan", "Sales"), 456.0)
+    val grain = Seq[Option[Int]](None, Some(1), None, None, None)
+    val summary = Aggregates.materialize(base, "sales_xs", grain)
+    Aggregates.persist(summary, "spec_summary_xs", nBuckets = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("aggxs").toString
+    db.save(tmp)
+    // a NEW session: reload the model, reconstruct the summary from its
+    // table — derived ids re-derive deterministically from the loaded
+    // catalogs, so the persisted facts resolve without any base scan
+    val loaded = Database.load(tmp, spark)
+    val base2 = loaded.cube("sales")
+    val s2 = Aggregates.load(base2, "sales_xs", grain, "spec_summary_xs")
+    val nav = new Aggregates.Navigator(base2, Seq(s2))
+    val qAddr = Seq("2021", "Q1", "Total", "Total", "Sales")
+    assert(nav.cubeFor(qAddr) eq s2)
+    assert(nav.get(qAddr).contains(579.0))
+    assert(nav.get(qAddr) == base2.get(qAddr))
+  }
+
   test("partial refresh at 1e6 facts reads a fraction of what a rebuild reads") {
     import graft.core.{Cube, Dimension}
     import org.apache.spark.sql.functions._
