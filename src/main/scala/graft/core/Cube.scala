@@ -130,6 +130,19 @@ final class Cube(
         .toVector.distinct)
     }
 
+  /** Install precomputed cell values/tombstones directly into the overlay —
+    * the partial-summary-refresh fast path ([[graft.olap.Aggregates]]):
+    * a bounded set of GRAIN cells lands as driver-side upserts instead of
+    * rewriting (and re-checkpointing) the whole summary frame. Bypasses
+    * ON_ENTRY hooks and history deliberately: these are derived aggregation
+    * results, not user writes. Logged as bulk (the addresses are
+    * grain-space, not this cube's write-source space). */
+  private[graft] def putOverlay(entries: Seq[(Vector[Int], Option[Double])]): Unit =
+    stateLock.synchronized {
+      entries.foreach { case (k, v) => overlay(k) = v; payloads.remove(k) }
+      stateVersion += 1; logBulk(); cache.clear()
+    }
+
   /** stateVersions of every cube referenced by a registered CubeRef rule —
     * part of the result-cache key, so mutating a REFERENCED cube (e.g.
     * updating an exrates rate) invalidates dependent cached cells HERE even

@@ -31,9 +31,12 @@ object SummaryStress {
     (0 until 10).foreach(g => d0.add(s"g$g", (0 until 10).map(m => s"m${g * 10 + m}")))
     d0.add("All", (0 until 10).map(g => s"g$g"))
     d0.commit()
+    // keep the shifted frame LAZY over the persisted base facts — a second
+    // materialized 1e8-row copy alongside the base persist and the summary
+    // checkpoint exhausts the 8g local session (measured: OOM at 1e8); the
+    // cheap per-read withColumn is the memory-honest shape here
     val facts = base0.facts.withColumn("d0", (col("d0") - 1).cast("int"))
-    val cube = new Cube("hugeg", d0 +: base0.dimensions.tail, spark,
-      Some(facts.localCheckpoint(true)))
+    val cube = new Cube("hugeg", d0 +: base0.dimensions.tail, spark, Some(facts))
     val grain = Some(1) +: Seq.fill(graft.tpch.HugeModel.NDims - 1)(Option.empty[Int])
     val summary = time("materialize")(Aggregates.materialize(cube, "huge_g", grain))
     println(s"SUMMARYSTRESS summary_rows=${summary.facts.count()}")

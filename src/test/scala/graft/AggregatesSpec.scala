@@ -243,9 +243,17 @@ class AggregatesSpec extends AnyFunSuite {
     assert(p.get(Seq("2021", "Q1", "Total", "Total", "Sales")).contains(656.0)) // 200+456
     assert(p.get(Seq("2021", "Q3", "Total", "Total", "Sales")).contains(77.0))
     assert(p.get(Seq("2021", "Q2", "Total", "Total", "Sales")).isEmpty) // deleted cell gone
+    // the bounded touch set took the OVERLAY fast path (no frame rewrite)
+    assert(Aggregates.metaOf(p).get.fastLayers == 1)
     // FRAME parity with a full rebuild — bit-identical cells
     val full = Aggregates.rebuild(cube, summary)
     assert(p.facts.collect().map(_.toSeq).toSet == full.facts.collect().map(_.toSeq).toSet)
+    // successive fast refreshes stack overlay layers and stay exact
+    cube.set(Seq("2021", "Aug", "North", "sedan", "Sales"), 5.0)
+    val p2 = Aggregates.refreshPartial(cube, p).get
+    assert(Aggregates.metaOf(p2).get.fastLayers == 2)
+    assert(p2.get(Seq("2021", "Q3", "Total", "Total", "Sales")).contains(82.0))
+    assert(p2.get(Seq("2021", "Q1", "Total", "Total", "Sales")).contains(656.0))
     // a refreshed navigator routes to the partially-refreshed summary
     val nav = new Aggregates.Navigator(cube, Seq(summary)).refreshed()
     assert(nav.fresh)
