@@ -145,6 +145,20 @@ class AggregatesSpec extends AnyFunSuite {
         val a = Seq(mm.name, "v")
         assert(summary.get(a) == cube.get(a), s"seed=$seed member=${mm.name}")
       }
+      // random write batch → partial refresh → parity again on every
+      // servable member (update, insert-like overwrite, delete mixed in)
+      (0 until 3).foreach { _ =>
+        cube.set(Seq(leaves(rnd.nextInt(leaves.size)), "v"),
+          (rnd.nextInt(100) + 1).toDouble)
+      }
+      cube.delete(Seq(leaves(rnd.nextInt(leaves.size)), "v"))
+      val refreshed = Aggregates.refreshPartial(cube, summary)
+        .getOrElse(fail(s"seed=$seed: point writes must partially refresh"))
+      d.members.filter(_.level >= 1).foreach { mm =>
+        val a = Seq(mm.name, "v")
+        assert(refreshed.get(a) == cube.get(a),
+          s"seed=$seed post-refresh member=${mm.name}")
+      }
     }
   }
 
