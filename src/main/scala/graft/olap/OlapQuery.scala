@@ -110,14 +110,14 @@ final class OlapQuery(db: Database, sql: String) {
     }.toVector
   }
 
-  /** Grid with rule-backed members of (at most) one dimension computed
+  /** Run the query as one grid job and project the requested fields. The
+    * grid computes rule-backed members of (at most) one dimension
     * post-pivot inside the same job (≙ rule cells in the dialect's dense
-    * grid, `query.py:101-136` — still no per-cell loop). Rule matching,
+    * grid, `query.py:101-136` — still no per-cell loop); rule matching,
     * transitive ref expansion, and deps-first ordering are the shared
     * [[Rules.gridRuleFor]]/[[Rules.expandRuled]] helpers — one semantics
     * for dialect grids, views, and the scalar path.
     */
-  /** Run the query as one grid job and project the requested fields. */
   def execute(): DataFrame = executeOn(cube, selections)
 
   /** The same grid + projection against a ROUTED target (an aggregate
@@ -177,23 +177,8 @@ object OlapQuery {
     * queries to a summary only when that dimension kept leaf resolution.
     */
   def routed(nav: Aggregates.Navigator, sql: String): DataFrame = {
-    val db = nav.base.databaseRef.getOrElse(throw new IllegalStateException(
-      s"cube '${nav.base.name}' is not attached to a database — dialect routing needs one"))
-    val q = new OlapQuery(db, sql)
-    require(q.cube eq nav.base,
-      s"query addresses cube '${q.cube.name}', not the navigator's base '${nav.base.name}'")
-    val needShared: Set[Int] = q.fields.flatMap(f =>
-      nav.base.dimensions.zipWithIndex.collect {
-        case (d, i) if f.toLowerCase.startsWith(d.name.toLowerCase + ".") => i
-      }).toSet
-    val names: Seq[Seq[String]] = q.selections.zipWithIndex.map { case (sel, i) =>
-      val d = nav.base.dimensions(i)
-      if (d.isDegenerate) Nil // degenerate bases never summarize — base path
-      else sel.map(d.nameOf)
-    }
-    val target =
-      if (nav.base.dimensions.exists(_.isDegenerate)) nav.base
-      else nav.cubeForSelections(names, needShared)
+    val q = parsed(nav, sql)
+    val target = targetFor(nav, q)
     if (target eq nav.base) q.execute()
     else {
       val remapped = q.selections.zipWithIndex.map { case (sel, i) =>
@@ -206,12 +191,23 @@ object OlapQuery {
 
   /** The cube [[routed]] would execute on — observable routing for specs
     * and gates. */
-  def routedTarget(nav: Aggregates.Navigator, sql: String): Cube = {
+  def routedTarget(nav: Aggregates.Navigator, sql: String): Cube =
+    targetFor(nav, parsed(nav, sql))
+
+  private def parsed(nav: Aggregates.Navigator, sql: String): OlapQuery = {
     val db = nav.base.databaseRef.getOrElse(throw new IllegalStateException(
       s"cube '${nav.base.name}' is not attached to a database — dialect routing needs one"))
     val q = new OlapQuery(db, sql)
+    require(q.cube eq nav.base,
+      s"query addresses cube '${q.cube.name}', not the navigator's base '${nav.base.name}'")
+    q
+  }
+
+  private def targetFor(nav: Aggregates.Navigator, q: OlapQuery): Cube =
     if (nav.base.dimensions.exists(_.isDegenerate)) nav.base
     else {
+      // dims whose attributes the field list touches must stay the BASE
+      // catalog object on the target (derived dims carry no attributes)
       val needShared: Set[Int] = q.fields.flatMap(f =>
         nav.base.dimensions.zipWithIndex.collect {
           case (d, i) if f.toLowerCase.startsWith(d.name.toLowerCase + ".") => i
@@ -220,5 +216,4 @@ object OlapQuery {
         sel.map(nav.base.dimensions(i).nameOf) }
       nav.cubeForSelections(names, needShared)
     }
-  }
 }
