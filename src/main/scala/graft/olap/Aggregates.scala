@@ -268,79 +268,132 @@ object Aggregates {
         metaReg.put(summary, meta.copy(builtVersion = v0))
         summary
       } else {
-        // per coarsened dim: leaf id → covering grain member (unique — the
-        // grain PARTITIONS the leaves, validated at materialization)
-        val grainOf: Seq[Option[Map[Int, Int]]] =
-          base.dimensions.zip(meta.grainLevels).map {
-            case (_, None) => None
-            case (d, Some(lvl)) => Some(
-              d.members.filter(_.level == lvl).flatMap(g =>
-                d.leavesOf(g.name).map(cr => cr.leaf -> g.id)).toMap)
-          }
         // affected BASE-side selections (grain members / leaves) per dim
+        val gOf = grainOf(base, meta)
         val sels: Seq[Seq[Int]] = (0 until base.nDims).map { i =>
-          grainOf(i) match {
+          gOf(i) match {
             case None => writes.map(_(i)).distinct
             case Some(m) => writes.map(w => m(w(i))).distinct
           }
         }
-        val g = base.gridAggregate(sels)
-        // base ids → the summary's derived ids (name-stable; catalogs are
-        // unchanged since build or pointWritesSince would have been None)
-        val remapped = (0 until base.nDims).foldLeft(g) { case (df, i) =>
-          if (summary.dimensions(i) eq base.dimensions(i))
-            df.withColumnRenamed(s"a$i", s"d$i")
-          else {
-            val idMap = map(sels(i).flatMap(bid => Seq(lit(bid),
-              lit(summary.dimensions(i).idOf(base.dimensions(i).nameOf(bid))))): _*)
-            df.withColumn(s"d$i", idMap(col(s"a$i"))).drop(s"a$i")
-          }
-        }.select((0 until base.nDims).map(i => col(s"d$i")) :+ col("value"): _*)
-        val affectedDerived: Seq[Seq[Int]] = (0 until base.nDims).map { i =>
-          if (summary.dimensions(i) eq base.dimensions(i)) sels(i)
-          else sels(i).map(bid =>
-            summary.dimensions(i).idOf(base.dimensions(i).nameOf(bid)))
-        }
-        val affectedCount = affectedDerived.map(_.size.toLong).product
-        if (affectedCount <= FastRefreshCells &&
-            meta.fastLayers < FastRefreshMaxLayers) {
-          // OVERLAY fast path: a bounded cell set lands as driver-side
-          // upserts/tombstones on the UNCHANGED summary frame — no frame
-          // rewrite, no re-checkpoint. This is what makes a point write
-          // cheap against a LARGE summary: the frame-rewrite path below
-          // costs O(|summary|) to re-materialize even for one cell
-          // (measured at 1e8: 138 s rewrite vs 185 s full rebuild — the
-          // merge dominates; the overlay path pays only the recompute
-          // scan). Every cross-product cell gets an entry — absent from
-          // the recompute means tombstone, so vanished cells disappear.
-          val n = base.nDims
-          val recomputed: Map[Vector[Int], Double] =
-            remapped.collect().iterator.map { r =>
-              Vector.tabulate(n)(i => r.getInt(i)) ->
-                (r.get(n) match {
-                  case d: java.lang.Double => d.doubleValue()
-                  case x: java.lang.Number => x.doubleValue()
-                })
-            }.toMap
-          val combos = affectedDerived.foldLeft(Vector(Vector.empty[Int]))(
-            (acc, ids) => acc.flatMap(p => ids.map(id => p :+ id)))
-          val s2 = finish(base, summary.name, meta.grainLevels,
-            summary.dimensions, summary.facts, v0)
-          s2.putOverlay(combos.map(c => c -> recomputed.get(c)))
-          metaReg.put(s2, metaOf(s2).get.copy(fastLayers = meta.fastLayers + 1))
-          s2
-        } else {
-          // frame rewrite (also the layer compaction): drop the affected
-          // cell cross-product, add the recomputed cells — a cell whose
-          // last base row was deleted correctly disappears
-          val affectedPred = affectedDerived.zipWithIndex.map { case (ids, i) =>
-            if (ids.size == 1) col(s"d$i") === ids.head else col(s"d$i").isin(ids: _*)
-          }.reduce(_ && _)
-          val merged = summary.facts.filter(!affectedPred).union(remapped)
-          finish(base, summary.name, meta.grainLevels, summary.dimensions,
-            merged.localCheckpoint(true), v0)
+        recompute(base, summary, meta, sels, v0)
+      }
+    }
+  }
+
+  /** Per coarsened dim: leaf id → covering grain member (unique — the grain
+    * PARTITIONS the leaves, validated at materialization). */
+  private def grainOf(base: Cube, meta: SummaryMeta): Seq[Option[Map[Int, Int]]] =
+    base.dimensions.zip(meta.grainLevels).map {
+      case (_, None) => None
+      case (d, Some(lvl)) => Some(
+        d.members.filter(_.level == lvl).flatMap(g =>
+          d.leavesOf(g.name).map(cr => cr.leaf -> g.id)).toMap)
+    }
+
+  /** Recompute the grain cells of the `sels` cross-product (BASE-side member
+    * ids per dim) from current base facts and install them into a refreshed
+    * summary — the shared tail of [[refreshPartial]] and [[maintain]].
+    * Bounded cell sets land as driver-side overlay upserts/tombstones on the
+    * UNCHANGED summary frame (no rewrite, no re-checkpoint — what makes a
+    * point write cheap against a LARGE summary: the frame rewrite below
+    * costs O(|summary|) to re-materialize even for one cell; measured at
+    * 1e8: 138 s rewrite vs 185 s full rebuild, while the overlay path pays
+    * only the recompute scan). Every cross-product cell gets an entry —
+    * absent from the recompute means tombstone, so vanished cells disappear.
+    */
+  private def recompute(base: Cube, summary: Cube, meta: SummaryMeta,
+      sels: Seq[Seq[Int]], v0: Long): Cube = {
+    val g = base.gridAggregate(sels)
+    // base ids → the summary's derived ids (name-stable; catalogs are
+    // unchanged since build or the caller's change-tracking would have
+    // declined)
+    val remapped = (0 until base.nDims).foldLeft(g) { case (df, i) =>
+      if (summary.dimensions(i) eq base.dimensions(i))
+        df.withColumnRenamed(s"a$i", s"d$i")
+      else {
+        val idMap = map(sels(i).flatMap(bid => Seq(lit(bid),
+          lit(summary.dimensions(i).idOf(base.dimensions(i).nameOf(bid))))): _*)
+        df.withColumn(s"d$i", idMap(col(s"a$i"))).drop(s"a$i")
+      }
+    }.select((0 until base.nDims).map(i => col(s"d$i")) :+ col("value"): _*)
+    val affectedDerived: Seq[Seq[Int]] = (0 until base.nDims).map { i =>
+      if (summary.dimensions(i) eq base.dimensions(i)) sels(i)
+      else sels(i).map(bid =>
+        summary.dimensions(i).idOf(base.dimensions(i).nameOf(bid)))
+    }
+    val affectedCount = affectedDerived.map(_.size.toLong).product
+    if (affectedCount <= FastRefreshCells &&
+        meta.fastLayers < FastRefreshMaxLayers) {
+      val n = base.nDims
+      val recomputed: Map[Vector[Int], Double] =
+        remapped.collect().iterator.map { r =>
+          Vector.tabulate(n)(i => r.getInt(i)) ->
+            (r.get(n) match {
+              case d: java.lang.Double => d.doubleValue()
+              case x: java.lang.Number => x.doubleValue()
+            })
+        }.toMap
+      val combos = affectedDerived.foldLeft(Vector(Vector.empty[Int]))(
+        (acc, ids) => acc.flatMap(p => ids.map(id => p :+ id)))
+      val s2 = finish(base, summary.name, meta.grainLevels,
+        summary.dimensions, summary.facts, v0)
+      s2.putOverlay(combos.map(c => c -> recomputed.get(c)))
+      metaReg.put(s2, metaOf(s2).get.copy(fastLayers = meta.fastLayers + 1))
+      s2
+    } else {
+      // frame rewrite (also the layer compaction): drop the affected
+      // cell cross-product, add the recomputed cells — a cell whose
+      // last base row was deleted correctly disappears
+      val affectedPred = affectedDerived.zipWithIndex.map { case (ids, i) =>
+        if (ids.size == 1) col(s"d$i") === ids.head else col(s"d$i").isin(ids: _*)
+      }.reduce(_ && _)
+      val merged = summary.facts.filter(!affectedPred).union(remapped)
+      finish(base, summary.name, meta.grainLevels, summary.dimensions,
+        merged.localCheckpoint(true), v0)
+    }
+  }
+
+  /** Per-dim distinct-value cap for [[maintain]]'s one-row batch profile —
+    * a sane streaming grain coarsens its high-cardinality dimensions, so the
+    * surviving leaf-kept dims are catalogs (measures, types); a batch
+    * spraying more distinct values than this over a leaf-kept dim should
+    * rebuild instead. */
+  private val MaintainDistinctCap = 1024
+
+  /** STREAMING summary maintenance: refresh a summary for the cells touched
+    * by one merged micro-batch, given the batch's resolved cell frame
+    * `(d0…dn, value)` (base leaf addresses — what `Streaming.ingestInto`
+    * hands its `onBatchMerged` hook AFTER the merge commits). The batch's
+    * per-dim distinct values are profiled in ONE tiny aggregation job
+    * (collect_set per dim — bounded by the grain/catalog cardinality for
+    * any sane streaming grain, cap-guarded); the touched grain cells then
+    * recompute from the post-merge facts exactly like [[refreshPartial]].
+    * Returns None when a batch exceeds the distinct cap — callers rebuild.
+    * Note the cube's own write LOG cannot serve here: a bulk merge resets
+    * it by design (addresses live in executors); the batch frame IS the
+    * change-tracking.
+    */
+  def maintain(base: Cube, summary: Cube,
+      changedCells: org.apache.spark.sql.DataFrame): Option[Cube] = {
+    val meta = metaOf(summary).getOrElse(throw new IllegalStateException(
+      s"cube '${summary.name}' is not a materialized summary — cannot maintain"))
+    val v0 = base.currentStateVersion
+    val aggs = (0 until base.nDims).map(i => collect_set(col(s"d$i")).as(s"s$i"))
+    val row = changedCells.agg(aggs.head, aggs.tail: _*).head()
+    val distincts: Seq[Seq[Int]] = (0 until base.nDims).map(i =>
+      row.getSeq[Int](i))
+    if (distincts.exists(_.size > MaintainDistinctCap)) None
+    else if (distincts.exists(_.isEmpty)) Some(summary) // empty batch
+    else {
+      val gOf = grainOf(base, meta)
+      val sels = (0 until base.nDims).map { i =>
+        gOf(i) match {
+          case None => distincts(i).distinct
+          case Some(m) => distincts(i).map(m).distinct
         }
       }
+      Some(recompute(base, summary, meta, sels, v0))
     }
   }
 

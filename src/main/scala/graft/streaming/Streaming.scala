@@ -23,10 +23,18 @@ object Streaming {
     * the plan resets to a flat scan; on a real cluster prefer a reliable
     * checkpoint dir, but the shape — O(1) plan depth — is the same.
     */
+  /** `onBatchMerged` (optional) runs after each batch's merge COMMITS, with
+    * the batch's resolved cell frame `(d0…dn, value)` — the change-tracking
+    * a summary maintainer needs ([[graft.olap.Aggregates.maintain]]): bulk
+    * merges reset the cube's point-write log by design (addresses live in
+    * executors), so the batch frame is the only bounded description of what
+    * changed. The hook runs on the stream-execution thread; keep it to
+    * driver-cheap work plus at most a small recompute job. */
   def ingestInto(cube: Cube, stream: DataFrame,
       trigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Int = 10,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      onBatchMerged: Option[DataFrame => Unit] = None): StreamingQuery = {
     val writer = stream.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
@@ -52,6 +60,10 @@ object Streaming {
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
           cube.commitBulkMerge(merged.localCheckpoint(true), incorporated)
         else cube.commitBulkMerge(merged, incorporated)
+        // the deduped frame re-evaluates here (its lineage is the batch
+        // source + the facts snapshot) — bounded by the batch, and only
+        // when a maintainer actually subscribed
+        onBatchMerged.foreach(_(deduped))
       }
       .start()
   }

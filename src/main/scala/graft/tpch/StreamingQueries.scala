@@ -5,7 +5,7 @@ import graft.streaming.Streaming
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, StringType, StructField, StructType}
 
 /** The streaming-ingest correctness gate: a cube filled ONLY through the
   * Structured Streaming path (`Streaming.ingestInto`, AvailableNow file
@@ -133,6 +133,91 @@ object StreamingQueries {
       val g = cube.gridAggregate(Seq(etypes.map(et.idOf), Seq(ub.idOf("AllUsers"))))
       g.join(broadcast(etDf.withColumnRenamed("d0", "a0")), Seq("a0"))
         .select(col("event_type"), col("value").cast("double").as("value"))
+    }),
+
+    // §2.13+§2.14 (round 10): STREAMING summary MAINTENANCE — the same
+    // ingest replay, but a materialized summary (ubucket collapsed to
+    // AllUsers) is kept CURRENT per micro-batch through ingestInto's
+    // onBatchMerged hook + Aggregates.maintain: each batch's resolved cell
+    // frame is profiled (one tiny collect_set aggregation, bounded by the
+    // catalogs) and only the touched grain cells recompute from the
+    // post-merge facts (overlay fast path; the 25-batch replay crosses the
+    // 16-layer cap, so the frame-rewrite compaction path runs too). At
+    // stream end the navigator must be FRESH with no rebuild — the gate
+    // reads the per-type totals THROUGH it, against the identical oracle
+    // as olap_stream_ingest.
+    "olap_stream_agg_navigator" -> ((s, dir) => {
+      val ev = RelationalQueries.readEvents(s, dir).filter(col("event_id") < 5000)
+      val db = new Database("streamaggdb", s)
+      val etypes = ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val et = db.addDimension("etype")
+      et.edit().addMany(etypes).add("AllTypes", etypes).commit()
+      val buckets = (0 until 10).map(i => s"u$i")
+      val ub = db.addDimension("ubucket")
+      ub.edit().addMany(buckets).add("AllUsers", buckets).commit()
+      val emptyFacts = s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("d0", IntegerType), StructField("d1", IntegerType),
+          StructField("value", DecimalType(21, 4)))))
+      val cube = db.addCube("streamaggcube", Seq(et, ub), emptyFacts)
+      val summary = graft.olap.Aggregates.materialize(cube, "stream_sum",
+        Seq(None, Some(1)))
+      val navRef = new java.util.concurrent.atomic.AtomicReference(
+        new graft.olap.Aggregates.Navigator(cube, Seq(summary)))
+
+      val etDf = s.createDataFrame(etypes.map(n => (n, et.idOf(n))))
+        .toDF("event_type", "d0")
+      val ubDf = s.createDataFrame(buckets.map(n => (n, ub.idOf(n))))
+        .toDF("ub", "d1")
+      val cells = ev
+        .withColumn("ub", concat(lit("u"), pmod(col("user_id"), lit(10))))
+        .groupBy("event_type", "ub")
+        .agg(sum(col("value").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+        .join(broadcast(etDf), Seq("event_type")).join(broadcast(ubDf), Seq("ub"))
+        .select(col("d0"), col("d1"), col("value"))
+
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_agg")
+      val tmp = tmpRoot.resolve("files").toString
+      cells.withColumn("part", pmod(hash(col("d0"), col("d1")), lit(25)))
+        .repartition(25, col("part")).drop("part")
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(cells.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val q = Streaming.ingestInto(cube, stream, Trigger.AvailableNow(),
+        compactEvery = 10,
+        checkpointDir = Some(tmpRoot.resolve("ckpt").toString),
+        onBatchMerged = Some { batch =>
+          val nav0 = navRef.get
+          navRef.set(new graft.olap.Aggregates.Navigator(cube,
+            nav0.summaries.map(sc =>
+              graft.olap.Aggregates.maintain(cube, sc, batch)
+                .getOrElse(graft.olap.Aggregates.rebuild(cube, sc)))))
+        })
+      q.awaitTermination()
+
+      // the maintained summary must be CURRENT without any rebuild, and it
+      // must serve the grid — read it BEFORE the cleanup mutates base
+      val nav = navRef.get
+      require(nav.fresh, "maintained summary must be fresh at stream end")
+      val probe = Seq(etypes.head, "AllUsers")
+      require(nav.cubeFor(probe).name == "stream_sum",
+        "per-type totals must be summary-served")
+      val served = nav.cubeFor(probe)
+      val rows = served.gridAggregate(Seq(etypes.map(n => served.dimensions(0).idOf(n)),
+          Seq(served.dimensions(1).idOf("AllUsers"))))
+        .join(broadcast(etDf.withColumnRenamed("d0", "a0")), Seq("a0"))
+        .select(col("event_type"), col("value").cast("double").as("value"))
+        .collect() // materialize while the work dir exists
+
+      cube.replaceFacts(cube.facts.localCheckpoint(true))
+      import scala.jdk.CollectionConverters._
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+
+      s.createDataFrame(s.sparkContext.parallelize(rows.toList, 1),
+        StructType(Seq(StructField("event_type", StringType),
+          StructField("value", DoubleType))))
     }),
 
     // R3+ST1 (round 7): a CELL-READING ON_ENTRY rule on the STREAMING
@@ -377,6 +462,11 @@ object StreamingQueries {
 
   val oracleSql: Map[String, String] = Map(
     "olap_stream_ingest" ->
+      """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS value
+         FROM events WHERE event_id < 5000 GROUP BY event_type""",
+
+    // per-batch-maintained summary serves the identical totals
+    "olap_stream_agg_navigator" ->
       """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS value
          FROM events WHERE event_id < 5000 GROUP BY event_type""",
 
