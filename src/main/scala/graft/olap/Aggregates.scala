@@ -384,7 +384,14 @@ object Aggregates {
     val distincts: Seq[Seq[Int]] = (0 until base.nDims).map(i =>
       row.getSeq[Int](i))
     if (distincts.exists(_.size > MaintainDistinctCap)) None
-    else if (distincts.exists(_.isEmpty)) Some(summary) // empty batch
+    else if (distincts.exists(_.isEmpty)) {
+      // EMPTY batch: no cell changed, but its commit still bumped the base
+      // version — re-anchor or the summary reads stale forever after an
+      // empty trailing file (file order varies run to run, so this was a
+      // flake, not a constant)
+      metaReg.put(summary, meta.copy(builtVersion = v0))
+      Some(summary)
+    }
     else {
       val gOf = grainOf(base, meta)
       val sels = (0 until base.nDims).map { i =>
