@@ -339,6 +339,54 @@ class AggregatesSpec extends AnyFunSuite {
     assert(withAttr.map(_.getAs[String]("regions.manager")).toSet == Set("Ingmar Ice"))
   }
 
+  test("maintain: batch-driven refresh, empty-batch re-anchor, distinct-cap decline") {
+    import org.apache.spark.sql.functions._
+    val cube = freshModel("aggmt")
+    val summary = Aggregates.materialize(cube, "sales_mt", Seq(None, Some(1), None, None, None))
+    val s = spark
+    import s.implicits._
+    // a "merged batch" frame: the two cells a stream batch landed
+    val ids = Seq(
+      (cube.dimensions(0).idOf("2021"), cube.dimensions(1).idOf("Mar"),
+        cube.dimensions(2).idOf("North"), cube.dimensions(3).idOf("sedan"),
+        cube.dimensions(4).idOf("Sales"), 7.0))
+    val batch = ids.toDF("d0", "d1", "d2", "d3", "d4", "value")
+    // simulate the stream's merge (bulk) then maintain from the batch frame
+    cube.set(Seq("2021", "Mar", "North", "sedan", "Sales"), 7.0)
+    cube.replaceFacts(cube.facts) // bulk: the write log is reset, like a stream merge
+    val m1 = Aggregates.maintain(cube, summary, batch)
+      .getOrElse(fail("a bounded batch must be maintainable"))
+    assert(m1.get(Seq("2021", "Q1", "Total", "Total", "Sales")).contains(586.0)) // 579+7
+    val nav = new Aggregates.Navigator(cube, Seq(m1))
+    assert(nav.fresh)
+    // an EMPTY batch whose commit bumped the version: re-anchors, stays fresh
+    cube.replaceFacts(cube.facts)
+    val m2 = Aggregates.maintain(cube, m1, batch.filter(lit(false))).get
+    assert(m2 eq m1)
+    assert(new Aggregates.Navigator(cube, Seq(m2)).fresh)
+    // a batch spraying >cap distinct leaves over a leaf-kept dim declines
+    val wide = (0 until 1500).map(i =>
+      (i, cube.dimensions(1).idOf("Mar"), cube.dimensions(2).idOf("North"),
+        cube.dimensions(3).idOf("sedan"), cube.dimensions(4).idOf("Sales"), 1.0))
+      .toDF("d0", "d1", "d2", "d3", "d4", "value")
+    assert(Aggregates.maintain(cube, m2, wide).isEmpty)
+  }
+
+  test("rebuild after a dimension edit re-derives the grain (new member aggregates)") {
+    val cube = freshModel("aggde")
+    val summary = Aggregates.materialize(cube, "sales_de", Seq(None, Some(1), None, None, None))
+    // a hierarchy edit invalidates everything address-shaped: partial declines,
+    // rebuild re-derives the derived dims against the NEW catalog
+    val regions = cube.dimensions(2)
+    regions.edit().add("Center").commit()
+    regions.edit().add("Total", Seq("Center")).commit() // Center joins Total
+    cube.set(Seq("2021", "Jan", "Center", "sedan", "Sales"), 11.0)
+    assert(Aggregates.refreshPartial(cube, summary).isEmpty)
+    val s2 = Aggregates.rebuild(cube, summary)
+    assert(s2.get(Seq("2021", "Q1", "Total", "Total", "Sales")).contains(590.0)) // 579+11
+    assert(s2.get(Seq("2021", "Q1", "Center", "Total", "Sales")).contains(11.0))
+  }
+
   test("persist + load round-trip: routed reads identical, no base re-scan needed") {
     val cube = freshModel("aggpst")
     val grain = Seq[Option[Int]](None, Some(1), None, None, None)
