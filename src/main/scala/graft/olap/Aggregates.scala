@@ -394,13 +394,19 @@ object Aggregates {
     }
     else {
       val gOf = grainOf(base, meta)
-      val sels = (0 until base.nDims).map { i =>
+      // a batch id outside the member catalog (raw feed ahead of a dimension
+      // update) has no covering grain member — decline to a rebuild rather
+      // than throwing on the stream-execution thread
+      val sels: Seq[Option[Seq[Int]]] = (0 until base.nDims).map { i =>
         gOf(i) match {
-          case None => distincts(i).distinct
-          case Some(m) => distincts(i).map(m).distinct
+          case None => Some(distincts(i).distinct)
+          case Some(m) =>
+            if (distincts(i).forall(m.contains)) Some(distincts(i).map(m).distinct)
+            else None
         }
       }
-      Some(recompute(base, summary, meta, sels, v0))
+      if (sels.exists(_.isEmpty)) None
+      else Some(recompute(base, summary, meta, sels.map(_.get), v0))
     }
   }
 

@@ -370,6 +370,13 @@ class AggregatesSpec extends AnyFunSuite {
         cube.dimensions(3).idOf("sedan"), cube.dimensions(4).idOf("Sales"), 1.0))
       .toDF("d0", "d1", "d2", "d3", "d4", "value")
     assert(Aggregates.maintain(cube, m2, wide).isEmpty)
+    // a batch carrying an id outside the catalog of a COARSENED dim declines
+    // (no covering grain member) instead of throwing on the stream thread
+    val orphan = Seq((cube.dimensions(0).idOf("2021"), 99999,
+        cube.dimensions(2).idOf("North"), cube.dimensions(3).idOf("sedan"),
+        cube.dimensions(4).idOf("Sales"), 1.0))
+      .toDF("d0", "d1", "d2", "d3", "d4", "value")
+    assert(Aggregates.maintain(cube, m2, orphan).isEmpty)
   }
 
   test("rebuild after a dimension edit re-derives the grain (new member aggregates)") {
