@@ -128,6 +128,15 @@ object Aggregates {
         require(lvl > 0, s"grain level must be > 0 (None keeps leaf resolution)")
         val grain = d.members.filter(_.level == lvl)
         require(grain.nonEmpty, s"dimension '${d.name}' has no members at level $lvl")
+        // the ancestor-decomposition below is driver-side set algebra over
+        // (members above the grain × leaves) — bounded by the 2M-member
+        // catalog cap, but minutes of driver time at the extreme; be loud
+        // about where the time goes instead of looking hung (r9 finding #3)
+        val above = d.members.count(_.level > lvl)
+        if (above.toLong * d.leafMembers.size > 50000000L)
+          println(s"[graft] materialize: deriving $above ancestors over " +
+            s"${d.leafMembers.size} leaves of '${d.name}' driver-side — " +
+            "this can take minutes; consider a coarser grain level")
         // the grain must PARTITION the leaves at unit weight
         val cover = mutable.Map[Int, Int]().withDefaultValue(0)
         grain.foreach { g =>
