@@ -248,6 +248,13 @@ object Aggregates {
     * base model to be the same one the summary was materialized from —
     * derived member ids are deterministic in catalog order, which a model
     * rebuilt from the same sources preserves.
+    *
+    * The load ANCHORS freshness to the base's current state: this is the
+    * cross-session shape (fresh `Database.load` of the same saved model,
+    * then `load` the summary — gated + spec'd), NOT a mid-session cache. A
+    * base that diverged after `persist` makes the table silently stale —
+    * there is nothing in the table to detect that against, so don't reload
+    * over a mutated base; refresh or re-materialize instead.
     */
   def load(base: Cube, name: String, grainLevels: Seq[Option[Int]],
       table: String): Cube = {
