@@ -202,6 +202,59 @@ object Bench {
       (sorted(nSpin / 2), sorted.last)
     }
 
+    // The register-only spin is BLIND to memory-bandwidth and disk
+    // contention: the r10 official artifact shipped every row 1.1-1.9×
+    // (streaming/IO-heavy rows worst) with spin canaries AT the idle floor
+    // and steal 0.04% — a co-tenant streaming data through RAM/disk never
+    // touches a register loop. Two further canaries close those channels.
+    //
+    // Memory canary: nSpin threads each stream-sum a disjoint 8 MiB slice
+    // of a shared 256 MiB array, 4 sweeps — the aggregate working set
+    // exceeds any LLC, so the median thread time tracks DRAM bandwidth.
+    val memWords = 32 << 20 // 256 MiB of longs, allocated once
+    lazy val memArr: Array[Long] = {
+      val a = new Array[Long](memWords)
+      var i = 0; while (i < memWords) { a(i) = i; i += 1 } // fault pages in
+      a
+    }
+    def memCanary(): Double = {
+      val slice = memWords / nSpin
+      val times = new Array[Double](nSpin)
+      val threads = (0 until nSpin).map { t =>
+        new Thread(() => {
+          val lo = t * slice; val hi = lo + slice
+          var acc = 0L; var sweep = 0
+          val t0 = System.nanoTime()
+          while (sweep < 4) {
+            var i = lo; while (i < hi) { acc += memArr(i); i += 1 }
+            sweep += 1
+          }
+          times(t) = (System.nanoTime() - t0) / 1e9
+          if (acc == 42L) print("")
+        }, s"graft-memcanary-$t")
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      times.sorted.apply(nSpin / 2)
+    }
+    // Disk canary: 16 MiB write + fsync + delete in the tmp dir (the same
+    // device the streaming state stores, checkpoints and shuffle spill
+    // land on) — writeback pressure from a co-tenant stretches the fsync.
+    val ioBuf = java.nio.ByteBuffer.allocateDirect(1 << 20)
+    def ioCanary(): Double = {
+      val f = java.nio.file.Files.createTempFile("graft-iocanary", ".bin")
+      try {
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          var i = 0
+          while (i < 16) { ioBuf.rewind(); ch.write(ioBuf); i += 1 }
+          ch.force(true)
+        } finally ch.close()
+        (System.nanoTime() - t0) / 1e9
+      } finally java.nio.file.Files.deleteIfExists(f)
+    }
+
     // JIT/codegen warmup on the smallest SF (untimed): one query plus the
     // model build itself, so `model_build` measures the build's steady-state
     // cost (scan+join+agg work), not one-time janino/plan compilation —
@@ -239,6 +292,18 @@ object Bench {
     val envFloor = sys.env.get("SPARK_GRAFT_CANARY_FLOOR").map(_.toDouble)
     var obsMin = warm.map(_._1).min
     def floor: Double = envFloor.getOrElse(obsMin)
+    // mem/io floors: same min-observed self-calibration (same blind spot:
+    // contention present from warm-up through the end poisons the floor —
+    // the preflight backoff is the mitigation), env-overridable for
+    // cross-host pinning
+    val warmMem = (1 to 3).map(_ => memCanary())
+    val warmIo = (1 to 3).map(_ => ioCanary())
+    val envMemFloor = sys.env.get("SPARK_GRAFT_MEM_FLOOR").map(_.toDouble)
+    val envIoFloor = sys.env.get("SPARK_GRAFT_IO_FLOOR").map(_.toDouble)
+    var obsMemMin = warmMem.min
+    var obsIoMin = warmIo.min
+    def memFloor: Double = envMemFloor.getOrElse(obsMemMin)
+    def ioFloor: Double = envIoFloor.getOrElse(obsIoMin)
 
     // PRE-FLIGHT idle gate (r6 verdict: the official artifact ran ~20% hot
     // with contended:false — min-of-passes cannot protect against SUSTAINED
@@ -252,12 +317,15 @@ object Bench {
     var tries = 0
     while (!preflightOk && tries < preflightTries) {
       val (med, _) = spinCanary()
+      val mem = memCanary()
       obsMin = math.min(obsMin, med) // an observation can only lower the idle estimate
-      if (med <= 1.25 * floor) preflightOk = true
+      obsMemMin = math.min(obsMemMin, mem)
+      if (med <= 1.25 * floor && mem <= 1.4 * memFloor) preflightOk = true
       else {
         tries += 1
-        System.err.println(f"[graft.Bench] preflight: canary median $med%.3fs > " +
-          f"1.25x floor (${floor}%.3fs) — host not idle, backing off (try $tries/$preflightTries)")
+        System.err.println(f"[graft.Bench] preflight: canary spin $med%.3fs " +
+          f"(floor ${floor}%.3f) / mem $mem%.3fs (floor ${memFloor}%.3f) — " +
+          f"host not idle, backing off (try $tries/$preflightTries)")
         Thread.sleep(15000)
       }
     }
@@ -412,20 +480,39 @@ object Bench {
       recorded.toSet
     }
 
+    // the pass brackets sample all three channels; mem/io thresholds are
+    // looser than spin (their idle variance is larger), and io is the
+    // loosest — page-cache state makes a single fsync the noisiest probe
+    val memDirtyK = sys.env.getOrElse("SPARK_GRAFT_MEM_DIRTY_K", "2.0").toDouble
+    val ioDirtyK = sys.env.getOrElse("SPARK_GRAFT_IO_DIRTY_K", "4.0").toDouble
+    val memSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val ioSamples = scala.collection.mutable.ArrayBuffer[Double]()
     var pass = 1
     while (pass <= passes) {
       val pre = spinCanary(); canaries += pre
+      val preMem = memCanary(); memSamples += preMem
+      val preIo = ioCanary(); ioSamples += preIo
       obsMin = math.min(obsMin, pre._1)
+      obsMemMin = math.min(obsMemMin, preMem)
+      obsIoMin = math.min(obsIoMin, preIo)
       val recorded = runPass()
       allNames ++= recorded
       val post = spinCanary(); canaries += post
+      val postMem = memCanary(); memSamples += postMem
+      val postIo = ioCanary(); ioSamples += postIo
       obsMin = math.min(obsMin, post._1)
-      val dirty = pre._1 > dirtyK * floor || post._1 > dirtyK * floor
+      obsMemMin = math.min(obsMemMin, postMem)
+      obsIoMin = math.min(obsIoMin, postIo)
+      val dirty = pre._1 > dirtyK * floor || post._1 > dirtyK * floor ||
+        preMem > memDirtyK * memFloor || postMem > memDirtyK * memFloor ||
+        preIo > ioDirtyK * ioFloor || postIo > ioDirtyK * ioFloor
       if (dirty && retriesUsed < passRetries) {
         retriesUsed += 1
-        System.err.println(f"[graft.Bench] pass $pass dirty: canary medians " +
-          f"(${pre._1}%.3f, ${post._1}%.3f) vs ${dirtyK}x floor " +
-          f"(${dirtyK * floor}%.3fs) — re-running pass (retry $retriesUsed/$passRetries)")
+        System.err.println(f"[graft.Bench] pass $pass dirty: spin " +
+          f"(${pre._1}%.3f, ${post._1}%.3f) vs ${dirtyK}x${floor}%.3f, mem " +
+          f"($preMem%.3f, $postMem%.3f) vs ${memDirtyK}x${memFloor}%.3f, io " +
+          f"($preIo%.3f, $postIo%.3f) vs ${ioDirtyK}x${ioFloor}%.3f — " +
+          f"re-running pass (retry $retriesUsed/$passRetries)")
         Thread.sleep(10000)
         // do not advance `pass`: min-of-passes merges the retry's numbers
       } else {
@@ -459,8 +546,13 @@ object Bench {
     // (six rows >2× with no clean sample) now self-reports instead of
     // shipping silently
     val dirtyRows = (allNames -- cleanNames).toSeq.sorted
+    // mem joins the majority vote at its own threshold: sustained bandwidth
+    // contention (the r10 signature — every row 1.1-1.9× with flat spins)
+    // trips a majority of mem samples while the spins sit on the floor
     val contended =
-      canaries.count(_._1 > 1.3 * floor) * 2 > canaries.size || dirtyResidue
+      canaries.count(_._1 > 1.3 * floor) * 2 > canaries.size ||
+      memSamples.count(_ > 1.5 * memFloor) * 2 > memSamples.size ||
+      dirtyResidue
     // Ramp verdict: host load that STARTS mid-run (observed live: hypervisor
     // "weather" inflating totals 15-25% with an ascending canary sequence
     // and a clean majority vote) shows as the LAST canary reading well above
@@ -480,7 +572,9 @@ object Bench {
     val phasesJson = buildPhases.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val dirtyRowsJson = dirtyRows.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f}""")
+    val memJson = memSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val ioJson = ioSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f}""")
     if (stealPct > 1.0) System.err.println(
       f"[graft.Bench] WARNING: hypervisor steal $stealPct%.2f%% of cpu time " +
       "during this run — JVM-synchronization-heavy queries inflate far more " +

@@ -33,7 +33,11 @@ import scala.collection.mutable
   * Rule safety (r9 advice): base rules travel to the summary ONLY when they
   * compute the same value there. An ALL_LEVELS / AGGREGATION_LEVEL rule
   * evaluates at the QUERY address over aggregated operands — identical on
-  * either cube. But once any dimension is coarsened, a BASE_LEVEL rule's
+  * either cube (AGGREGATION_LEVEL rules re-register as ALL_LEVELS on a
+  * coarsened summary: grain members are derived-catalog LEAVES, so the
+  * original scope would never fire there, yet every servable address is a
+  * base aggregate where base does fire it). But once any dimension is
+  * coarsened, a BASE_LEVEL rule's
   * "base grain" on the summary is the GRAIN, not the leaves (a nonlinear
   * expr like `a·b` then aggregates products of sums, not sums of products),
   * and an ordinal `Shift` navigates a catalog whose ordinals differ. Such
@@ -200,7 +204,34 @@ object Aggregates {
           i >= 0 && grainLevels(i).isDefined
         })
     val (skipped, safe) = base.rules.partition(unsafe)
-    safe.foreach(summary.registerRule)
+    // An AGGREGATION_LEVEL rule is exact on a coarsened summary but would
+    // never FIRE at grain-only addresses: the grain members are LEAVES of
+    // the derived catalog (superLevel == 0 there), so the evaluator would
+    // surface the stored base-aggregate instead of the computed value.
+    // Every servable summary address names, for each coarsened dim, a
+    // member that is an AGGREGATE in the base catalog — so base fires the
+    // rule at every address the summary can serve, and re-registering it
+    // as ALL_LEVELS reproduces that exactly (r10 advice, high).
+    safe.foreach { r =>
+      summary.registerRule(
+        if (anyCoarsened && r.scope == RuleScope.AggregationLevel)
+          r.copy(scope = RuleScope.AllLevels)
+        else r)
+    }
+    // A skipped rule with NO resolvable trigger entry matches EVERY cell
+    // (Rules.matches is a forall over the trigger map), so no unservable
+    // region can bound it — the navigator would silently serve its whole
+    // territory from stored aggregates. Refuse loudly (r10 advice, medium).
+    skipped.foreach { r =>
+      val resolvable = r.trigger.exists { case (dn, m) =>
+        val i = Rules.dimIndexOf(base, dn)
+        i >= 0 && base.dimensions(i).contains(m)
+      }
+      require(resolvable, s"rule '${r.name}' (scope ${r.scope}) is unsafe " +
+        "on a coarsened summary and has no resolvable trigger member — it " +
+        "matches every cell, so no unservable region can bound it; such a " +
+        "cube cannot be summarized at a coarsened grain")
+    }
     // members whose rollup can REACH a skipped rule's trigger member must
     // never be summary-served: record them (per dim, by name) for the
     // navigator. Over-approximation (leaf-set intersection) only costs a
@@ -339,16 +370,26 @@ object Aggregates {
         summary.dimensions(i).idOf(base.dimensions(i).nameOf(bid)))
     }
     val affectedCount = affectedDerived.map(_.size.toLong).product
-    if (affectedCount <= FastRefreshCells &&
+    // the overlay carries Double cells, so the fast path is exact only for
+    // Double-valued frames: a decimal(21,4) summary routed through
+    // Number.doubleValue() would silently round past 2^53 scaled units and
+    // break the bit-identical-to-rebuild contract — such frames always take
+    // the typed frame-rewrite branch below (r10 advice, medium)
+    val doubleValued = summary.facts.schema("value").dataType ==
+      org.apache.spark.sql.types.DoubleType
+    if (doubleValued && affectedCount <= FastRefreshCells &&
         meta.fastLayers < FastRefreshMaxLayers) {
       val n = base.nDims
       val recomputed: Map[Vector[Int], Double] =
-        remapped.collect().iterator.map { r =>
-          Vector.tabulate(n)(i => r.getInt(i)) ->
+        remapped.collect().iterator.flatMap { r =>
+          // a null aggregate (all operands gone) is a tombstone: leave the
+          // key absent so the combos sweep below maps it to None
+          if (r.isNullAt(n)) Iterator.empty
+          else Iterator(Vector.tabulate(n)(i => r.getInt(i)) ->
             (r.get(n) match {
               case d: java.lang.Double => d.doubleValue()
               case x: java.lang.Number => x.doubleValue()
-            })
+            }))
         }.toMap
       val combos = affectedDerived.foldLeft(Vector(Vector.empty[Int]))(
         (acc, ids) => acc.flatMap(p => ids.map(id => p :+ id)))
@@ -395,12 +436,17 @@ object Aggregates {
     val meta = metaOf(summary).getOrElse(throw new IllegalStateException(
       s"cube '${summary.name}' is not a materialized summary — cannot maintain"))
     val v0 = base.currentStateVersion
-    val aggs = (0 until base.nDims).map(i => collect_set(col(s"d$i")).as(s"s$i"))
+    // emptiness is decided from the batch ROW COUNT, not from an empty
+    // collect_set: collect_set drops nulls, so a non-empty batch carrying
+    // null in one id column would otherwise re-anchor a stale summary as
+    // fresh and serve stale values (r10 advice, low)
+    val aggs = (0 until base.nDims).map(i =>
+      collect_set(col(s"d$i")).as(s"s$i")) :+ count(lit(1)).as("n")
     val row = changedCells.agg(aggs.head, aggs.tail: _*).head()
+    val nRows = row.getLong(base.nDims)
     val distincts: Seq[Seq[Int]] = (0 until base.nDims).map(i =>
       row.getSeq[Int](i))
-    if (distincts.exists(_.size > MaintainDistinctCap)) None
-    else if (distincts.exists(_.isEmpty)) {
+    if (nRows == 0L) {
       // EMPTY batch: no cell changed, but its commit still bumped the base
       // version — re-anchor or the summary reads stale forever after an
       // empty trailing file (file order varies run to run, so this was a
@@ -408,6 +454,9 @@ object Aggregates {
       metaReg.put(summary, meta.copy(builtVersion = v0))
       Some(summary)
     }
+    else if (distincts.exists(_.size > MaintainDistinctCap)) None
+    else if (distincts.exists(_.isEmpty)) None // rows exist but an id column
+      // is all-null — the touched cells cannot be named; decline to rebuild
     else {
       val gOf = grainOf(base, meta)
       // a batch id outside the member catalog (raw feed ahead of a dimension

@@ -465,9 +465,10 @@ object Rules {
     * `cube.py:527-537`; at 100 TB a command touching a million cells must
     * be one Spark job, so this is the production shape).
     *
-    * The first trigger dimension is the measure axis the expression's Refs
-    * pivot over; any FURTHER trigger entries pin their dimension to the
-    * trigger member's leaves (a command writes only cells it triggers on).
+    * The highest-index trigger dimension is the measure axis the
+    * expression's Refs pivot over (gridRuleFor's carrier convention); the
+    * other trigger entries pin their dimension to the trigger member's
+    * leaves (a command writes only cells it triggers on).
     * Cells where the expression is null (missing operand) are not written.
     * Relative Shift refs are per-cell navigation — rejected, like every
     * bulk path. Concurrency follows the streaming-merge contract: snapshot,
@@ -489,8 +490,11 @@ object Rules {
     }
     require(triggerIdx.nonEmpty, s"command rule '$ruleName' has no trigger — " +
       "an area command needs a trigger member to write under")
-    val measureDim = triggerIdx.head._1
-    val targetId = triggerIdx.head._2
+    // the measure axis is the HIGHEST-index trigger dimension — the same
+    // carrier convention as gridRuleFor; `trigger` is an unordered Map, so
+    // "first entry" would be nondeterministic beyond 4 entries
+    val measureDim = triggerIdx.keys.max
+    val targetId = triggerIdx(measureDim)
     require(cube.dimensions(measureDim).levelOf(targetId) == 0,
       s"command rule '$ruleName': trigger member on '${cube.dimensions(measureDim).name}' " +
         "must be a base member — commands write base cells")
