@@ -689,11 +689,16 @@ final class Cube(
       if (dimensions(i).isDegenerate) {
         // raw keys: pushed-down filter, group key = the fact column itself.
         // The "all" member: no filter, constant group key — never a closure.
-        require(!sel.contains(Dimension.DegenerateAllId) || sel.size == 1,
-          s"degenerate dimension '${dimensions(i).name}': the all-member " +
-            "cannot be mixed with raw keys in one grid selection")
+        // The leaf-all sentinel: no filter, FULL resolution (the summary-
+        // build shape — the key space cannot be enumerated driver-side).
+        require(!(sel.contains(Dimension.DegenerateAllId) ||
+            sel.contains(Dimension.DegenerateLeafAllId)) || sel.size == 1,
+          s"degenerate dimension '${dimensions(i).name}': the all-member / " +
+            "leaf-all sentinels cannot be mixed with raw keys in one grid selection")
         if (sel == Seq(Dimension.DegenerateAllId)) {
           df = df.withColumn(s"a$i", lit(Dimension.DegenerateAllId))
+        } else if (sel == Seq(Dimension.DegenerateLeafAllId)) {
+          df = df.withColumn(s"a$i", col(s"d$i"))
         } else {
           df = if (sel.size == 1) df.filter(col(s"d$i") === sel.head)
                else df.filter(col(s"d$i").isin(sel: _*))
@@ -737,7 +742,8 @@ final class Cube(
       // raw keys are their own leaves; the All member's key space is the
       // fact column itself and CANNOT be enumerated driver-side — silent
       // empty here would make areas quietly see zero cells
-      require(!memberIds.contains(Dimension.DegenerateAllId),
+      require(!memberIds.contains(Dimension.DegenerateAllId) &&
+          !memberIds.contains(Dimension.DegenerateLeafAllId),
         s"dimension '${d.name}' is degenerate — 'All' cannot be enumerated; " +
           "list raw keys explicitly (areas/enumeration need concrete members)")
       memberIds.distinct

@@ -69,6 +69,16 @@ object Dimension {
     */
   val DegenerateAllId: Int = Int.MaxValue
 
+  /** Sentinel SELECTION id for grid paths over a degenerate dimension:
+    * "every raw key, at leaf resolution" — no filter, group by the fact
+    * column itself. Exists because the key space of a degenerate dimension
+    * CANNOT be enumerated driver-side by design; a full-resolution grid
+    * (e.g. a summary build that keeps the degenerate dim) selects this
+    * instead of a key list. Never a member id: [[Dimension.degIdOf]]
+    * refuses to parse it, so no raw key collides.
+    */
+  val DegenerateLeafAllId: Int = Int.MaxValue - 1
+
   /** A DEGENERATE dimension: leaf members live only as fact-column values —
     * no driver catalog, no broadcast closure, unbounded cardinality (the
     * customer-grain answer past [[MaxMembers]], ARCHITECTURE §7). Member
@@ -223,7 +233,8 @@ final class Dimension(val name: String) {
         member.regionMatches(true, 0, prefix, 0, prefix.length)) {
       val digits = member.substring(prefix.length)
       digits.toIntOption.filter(id =>
-        id >= 0 && id != Dimension.DegenerateAllId && digits == id.toString)
+        id >= 0 && id != Dimension.DegenerateAllId &&
+          id != Dimension.DegenerateLeafAllId && digits == id.toString)
     } else None
   }
 

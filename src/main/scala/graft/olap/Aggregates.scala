@@ -121,12 +121,24 @@ object Aggregates {
       : Seq[(Dimension, Seq[Int])] = {
     require(grainLevels.length == base.nDims,
       s"materialize: ${base.nDims} grain entries expected, got ${grainLevels.length}")
-    // degenerate dimensions have no member catalog to enumerate a grain or
-    // a leaf selection from — a summary over them would silently be EMPTY
-    base.dimensions.foreach(d => require(!d.isDegenerate,
-      s"dimension '${d.name}' is degenerate — cubes with degenerate " +
-        "dimensions cannot be summarized (no catalog to enumerate)"))
     base.dimensions.zip(grainLevels).map {
+      // Degenerate dims (no catalog, unbounded keys — EXACTLY the >2M-member
+      // cubes that most need summaries): kept at leaf resolution via the
+      // leaf-all grid sentinel (the key space cannot be enumerated), or
+      // collapsed to the implicit all-member — its only level above the
+      // keys — as a derived one-member catalog. Coverage routing holds by
+      // name: the all-name is a member of the derived dim, raw keys are not.
+      case (d, None) if d.isDegenerate =>
+        (d, Seq(Dimension.DegenerateLeafAllId))
+      case (d, Some(lvl)) if d.isDegenerate =>
+        require(lvl == 1, s"degenerate dimension '${d.name}': the only " +
+          s"grain above the raw keys is its all-member (level 1), got $lvl")
+        val allName = d.defaultMember.name
+        val nd = new Dimension(d.name)
+        nd.edit()
+        nd.addMany(Seq(allName))
+        nd.commit()
+        (nd, Seq(Dimension.DegenerateAllId))
       case (d, None) => (d, d.leafMembers.map(_.id))
       case (d, Some(lvl)) =>
         require(lvl > 0, s"grain level must be > 0 (None keeps leaf resolution)")
@@ -241,6 +253,17 @@ object Aggregates {
         case (dn, m) if dn.equalsIgnoreCase(d.name) && d.contains(m) => m
       })
       if (triggers.isEmpty) Set.empty[String]
+      else if (d.isDegenerate) {
+        // a raw key's rollup reaches itself and the all-member only; a
+        // trigger ON the all-member is reached by EVERY key — unboundable,
+        // refuse like the trigger-less case above
+        val allName = d.defaultMember.name
+        require(!triggers.exists(_.equalsIgnoreCase(allName)),
+          s"a summary-unsafe rule triggers on '$allName' of degenerate " +
+            s"dimension '${d.name}' — every raw key reaches it, so no " +
+            "unservable region can bound the rule")
+        (triggers.map(_.toLowerCase) :+ allName.toLowerCase).toSet
+      }
       else {
         def leafSet(m: String): Set[Int] = {
           val id = d.idOf(m)
@@ -320,7 +343,11 @@ object Aggregates {
         val sels: Seq[Seq[Int]] = (0 until base.nDims).map { i =>
           gOf(i) match {
             case None => writes.map(_(i)).distinct
-            case Some(m) => writes.map(w => m(w(i))).distinct
+            case Some(f) => writes.map(w => f(w(i)).getOrElse(
+              throw new IllegalStateException(s"write to member id ${w(i)} " +
+                s"of '${base.dimensions(i).name}' has no covering grain " +
+                "member — catalog diverged from the summary's recorded grain")))
+              .distinct
           }
         }
         recompute(base, summary, meta, sels, v0)
@@ -329,13 +356,18 @@ object Aggregates {
   }
 
   /** Per coarsened dim: leaf id → covering grain member (unique — the grain
-    * PARTITIONS the leaves, validated at materialization). */
-  private def grainOf(base: Cube, meta: SummaryMeta): Seq[Option[Map[Int, Int]]] =
+    * PARTITIONS the leaves, validated at materialization; None = the leaf is
+    * outside the recorded catalog). A collapsed degenerate dim covers EVERY
+    * raw key with its all-member — a function, never an enumerated map. */
+  private def grainOf(base: Cube, meta: SummaryMeta): Seq[Option[Int => Option[Int]]] =
     base.dimensions.zip(meta.grainLevels).map {
       case (_, None) => None
-      case (d, Some(lvl)) => Some(
-        d.members.filter(_.level == lvl).flatMap(g =>
-          d.leavesOf(g.name).map(cr => cr.leaf -> g.id)).toMap)
+      case (d, Some(_)) if d.isDegenerate =>
+        Some((_: Int) => Some(Dimension.DegenerateAllId))
+      case (d, Some(lvl)) =>
+        val m = d.members.filter(_.level == lvl).flatMap(g =>
+          d.leavesOf(g.name).map(cr => cr.leaf -> g.id)).toMap
+        Some(m.get _)
     }
 
   /** Recompute the grain cells of the `sels` cross-product (BASE-side member
@@ -465,8 +497,9 @@ object Aggregates {
       val sels: Seq[Option[Seq[Int]]] = (0 until base.nDims).map { i =>
         gOf(i) match {
           case None => Some(distincts(i).distinct)
-          case Some(m) =>
-            if (distincts(i).forall(m.contains)) Some(distincts(i).map(m).distinct)
+          case Some(f) =>
+            val mapped = distincts(i).map(f)
+            if (mapped.forall(_.isDefined)) Some(mapped.map(_.get).distinct)
             else None
         }
       }

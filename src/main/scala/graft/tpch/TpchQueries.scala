@@ -1019,6 +1019,45 @@ object TpchQueries {
       gridOf(coarse, regionNames).union(gridOf(fine, natNames))
     }),
 
+    // §2.13 × §2.11 (round 11): summary over a DEGENERATE dimension — the
+    // >2M-member shape that most needs materialized aggregates is exactly
+    // the one with no member catalog. The unbounded customer dim COLLAPSES
+    // to its all-member (a derived one-member catalog; coverage routing by
+    // name still holds: 'All' is a member, raw keys are not), priority
+    // keeps its catalog; navigator-routed (All × priority) reads serve
+    // from the priority-sized summary, never rescanning per-customer rows.
+    "olap_degenerate_summary" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new graft.core.Database("degsumtpch", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq // tiny driver catalog
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val prioDf = s.createDataFrame(prios.map(p => (p, prio.idOf(p))))
+        .toDF("o_orderpriority", "d1")
+      val facts = orders
+        .join(broadcast(prioDf), Seq("o_orderpriority"))
+        .groupBy(col("o_custkey").cast("int").as("d0"), col("d1"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+      val cube = db.addCube("sales", Seq(cust, prio), facts)
+      val summary = graft.olap.Aggregates.materialize(cube, "sales_allcust",
+        Seq(Some(1), None))
+      val nav = new graft.olap.Aggregates.Navigator(cube, Seq(summary))
+      require(nav.cubeFor(Seq("All", "AllPrio")) eq summary,
+        "an all-customer address must be summary-served")
+      require(nav.cubeFor(Seq("C#1", "AllPrio")) eq cube,
+        "a raw-key address is below the grain and must fall back to base")
+      val c = nav.cubeForSelections(Seq(Seq("All"), prios :+ "AllPrio"))
+      require(c eq summary, "the all-customer grid must be summary-served")
+      val grid = c.gridAggregate(Seq(Seq(c.dimensions(0).idOf("All")),
+        (prios :+ "AllPrio").map(prio.idOf)))
+      val nameMap = map((prios :+ "AllPrio")
+        .flatMap(n => Seq(lit(prio.idOf(n)), lit(n))): _*)
+      grid.select(nameMap(col("a1")).as("priority"),
+        col("value").cast("double").as("value"))
+    }),
+
     // V+ (round 10): a whole VIEW through the navigator — same definition as
     // olap_view_pivot (regions × years, AllBrands/gross slicers), but the
     // one-job pivot runs on the nation×year summary the navigator routes to
@@ -1586,6 +1625,17 @@ object TpchQueries {
          $STAR
          WHERE strftime(o_orderdate, '%Y') = '1996' AND r_name = 'EUROPE'
          GROUP BY n_name""",
+
+    // per-priority totals + the all-customer all-priority rollup, served
+    // from the collapsed-customer summary
+    "olap_degenerate_summary" ->
+      """SELECT o_orderpriority AS priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+         FROM orders GROUP BY 1
+         UNION ALL
+         SELECT 'AllPrio' AS priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+         FROM orders""",
 
     // base-grain conversion at leaf output coincides with the scalar gate
     "olap_rule_cuberef_base" ->

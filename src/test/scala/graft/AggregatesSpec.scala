@@ -495,18 +495,57 @@ class AggregatesSpec extends AnyFunSuite {
       s"partial shuffled $readPartial records vs rebuild $readFull — not a partial recompute")
   }
 
-  test("degenerate dimensions are rejected loudly by materialize (decision on record)") {
-    // COVERAGE §2.13: no member catalog to enumerate a grain or derive
-    // coverage from — the supported >2M-member path is manual gridAggregate
-    // pre-aggregation over the raw key, persisted via writeBucketed
-    import graft.core.{Cube, Dimension}
-    val dg = Dimension.degenerate("k")
-    val md = new Dimension("m"); md.edit().addMany(Seq("v")).commit()
-    val c = new Cube("degsum", Seq(dg, md), spark)
+  test("degenerate dimension summaries: collapse-to-All and kept-at-leaf grains") {
+    // the >2M-member shape that most NEEDS summaries: the degenerate dim
+    // either collapses to its all-member (a derived one-member catalog) or
+    // keeps raw keys at full resolution via the leaf-all grid sentinel
+    val db = new Database("degsumdb", spark)
+    val cust = db.addDegenerateDimension("customer", "C#")
+    val months = db.addDimension("months")
+    months.edit().addMany(Seq("Jan", "Feb", "Mar"))
+      .add("Q1", Seq("Jan", "Feb", "Mar")).commit()
+    val cube = db.addCube("sales", Seq(cust, months))
+    cube.set(Seq("C#1", "Jan"), 10.0)
+    cube.set(Seq("C#1", "Feb"), 20.0)
+    cube.set(Seq("C#2", "Jan"), 5.0)
+
+    // collapse the unbounded dim to its all-member
+    val sAll = Aggregates.materialize(cube, "s_all", Seq(Some(1), None))
+    assert(sAll.facts.count() == 2) // (All,Jan)=15, (All,Feb)=20
+    val nav = new Aggregates.Navigator(cube, Seq(sAll))
+    assert(nav.cubeFor(Seq("All", "Q1")) eq sAll)
+    assert(nav.get(Seq("All", "Q1")) == cube.get(Seq("All", "Q1")))
+    assert(nav.get(Seq("All", "Q1")).contains(35.0))
+    assert(nav.get(Seq("All", "Jan")).contains(15.0)) // month leaf kept
+    // raw keys are below the grain: base fallback
+    assert(nav.cubeFor(Seq("C#1", "Q1")) eq cube)
+
+    // keep the raw keys, coarsen months to quarters
+    val sKeep = Aggregates.materialize(cube, "s_keep", Seq(None, Some(1)))
+    assert(sKeep.facts.count() == 2) // (C#1,Q1)=30, (C#2,Q1)=5
+    val nav2 = new Aggregates.Navigator(cube, Seq(sKeep))
+    assert(nav2.cubeFor(Seq("C#1", "Q1")) eq sKeep)
+    assert(nav2.get(Seq("C#1", "Q1")).contains(30.0))
+    // the implicit degenerate All still rolls up — on the summary
+    assert(nav2.get(Seq("All", "Q1")).contains(35.0))
+    assert(nav2.cubeFor(Seq("C#1", "Jan")) eq cube) // below the months grain
+
+    // partial refresh covers raw-key writes on BOTH grains
+    cube.set(Seq("C#2", "Feb"), 7.0)
+    val rAll = Aggregates.refreshPartial(cube, sAll)
+      .getOrElse(fail("point write must stay partially refreshable"))
+    assert(rAll.get(Seq("All", "Q1")).contains(42.0))
+    val rKeep = Aggregates.refreshPartial(cube, sKeep)
+      .getOrElse(fail("point write must stay partially refreshable"))
+    assert(rKeep.get(Seq("C#2", "Q1")).contains(12.0))
+    val full = Aggregates.rebuild(cube, sKeep)
+    assert(rKeep.facts.collect().map(_.toSeq).toSet ==
+      full.facts.collect().map(_.toSeq).toSet)
+
+    // only the all-member exists above the raw keys
     val e = intercept[IllegalArgumentException](
-      Aggregates.materialize(c, "bad", Seq(None, None)))
-    assert(e.getMessage.contains("degenerate") &&
-      e.getMessage.contains("cannot be summarized"))
+      Aggregates.materialize(cube, "bad", Seq(Some(2), None)))
+    assert(e.getMessage.contains("all-member"))
   }
 
   test("a multi-parent level is rejected as a grain (double-covered leaves)") {
