@@ -133,10 +133,45 @@ object Similarity {
     ivfTopKIndexed(ivfFit(corpus, nCentroids, idCol, vecCol, trainCap),
       queries, k, nProbe, idCol, vecCol)
 
-  /** IVF query against a PREBUILT index — the serving shape. */
+  /** Persist a fitted IVF index for cross-session serving: the assigned
+    * corpus lands PARTITIONED BY its cell id — the layout [[IvfIndex]]'s
+    * doc promises, so a probe's cells prune at the SCAN (read nProbe /
+    * nCentroids of the corpus, not all of it) — with the centroids as a
+    * tiny `<table>_centroids` sidecar. Reload with [[ivfLoad]]; query with
+    * `ivfTopKIndexed(..., pruneCells = true)`.
+    */
+  def ivfPersist(index: IvfIndex, table: String): Unit = {
+    val spark = index.assigned.sparkSession
+    index.assigned.write.mode("overwrite")
+      .partitionBy("__cell").format("parquet").saveAsTable(table)
+    import org.apache.spark.sql.types._
+    val rows = index.centroids.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq) }
+    val schema = StructType(Seq(StructField("cell", IntegerType),
+      StructField("centroid", ArrayType(DoubleType))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
+  }
+
+  /** Reload a persisted IVF index: centroids re-collect driver-side
+    * (bounded by nCentroids — model output, not data), the assigned corpus
+    * is the partitioned table as written. No refit, no corpus re-scan. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, table: String): IvfIndex = {
+    val cents = spark.table(s"${table}_centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
+    IvfIndex(cents, spark.table(table))
+  }
+
+  /** IVF query against a PREBUILT index — the serving shape. With
+    * `pruneCells` the distinct probed cells (bounded by nCentroids; driver
+    * action over the QUERY batch only, never the corpus) become a literal
+    * `IN` filter on the cell column, so a [[ivfPersist]]ed index reads only
+    * the probed partitions — the 100 TB serving plan.
+    */
   def ivfTopKIndexed(index: IvfIndex, queries: DataFrame, k: Int,
       nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pruneCells: Boolean = false): DataFrame = {
     val assigned = index.assigned
     val centroids = index.centroids
     // nProbe nearest centroids per query: the centroids are driver-side
@@ -155,7 +190,16 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("__cell").asc)))
       .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("qv0"), col("__cell"))
-    val cand = qCells.join(assigned, Seq("__cell"))
+    val corpusSide =
+      if (!pruneCells) assigned
+      else {
+        // the probed-cell set is a tiny query-batch property (≤ nCentroids
+        // values); collecting it buys partition pruning on the corpus scan
+        val cells = qCells.select(col("__cell")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        assigned.filter(col("__cell").isin(cells.map(Int.box): _*))
+      }
+    val cand = qCells.join(corpusSide, Seq("__cell"))
       .filter(col("cand_id") =!= col("query_id"))
     val scored = cand
       .withColumn("qv", quantize(col("qv0"))).withColumn("cv", quantize(col("cv0")))

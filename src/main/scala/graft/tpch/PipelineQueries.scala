@@ -270,6 +270,24 @@ object PipelineQueries {
         Seq("query_id", "cand_id"), recallFloor = 0.3)
     }),
 
+    // IVF index LIFECYCLE (round 11): fit once, persist PARTITIONED BY the
+    // cell id, reload without refit, serve with partition-pruned scans
+    // (the probed-cell IN list prunes at the scan — read nProbe/nCentroids
+    // of the corpus). Same seed/defaults as pipe_ann_ivf, so the persisted
+    // round-trip is recall-gated at the same floor; exact parity with the
+    // in-session index and the plan shape are pinned in PipelineSpec.
+    "pipe_ann_ivf_persist" -> ((s, dir) => {
+      val e = emb(s, dir); val q = e.filter(col("vec_id") < 5)
+      s.sql("DROP TABLE IF EXISTS ann_ivf_idx")
+      s.sql("DROP TABLE IF EXISTS ann_ivf_idx_centroids")
+      Similarity.ivfPersist(Similarity.ivfFit(e), "ann_ivf_idx")
+      val idx = Similarity.ivfLoad(s, "ann_ivf_idx")
+      approxSummary(
+        Similarity.bruteForceTopK(e, q, 10),
+        Similarity.ivfTopKIndexed(idx, q, 10, pruneCells = true),
+        Seq("query_id", "cand_id"), recallFloor = 0.3)
+    }),
+
     // PQ encoding: per-subspace nearest centroid by exact integer L2²
     // (codebooks = subvector slices of the vec_id<8 seeds, nSub=4×16 dims)
     // — pure scan, integer codes the DuckDB oracle re-derives exactly
@@ -770,6 +788,7 @@ object PipelineQueries {
     "pipe_dedup_embed_lsh" -> SUMMARY_ORACLE,
     "pipe_ann_lsh" -> SUMMARY_ORACLE,
     "pipe_ann_ivf" -> SUMMARY_ORACLE,
+    "pipe_ann_ivf_persist" -> SUMMARY_ORACLE,
     "pipe_hybrid_rrf_indexed" -> SUMMARY_ORACLE,
 
     "pipe_dedup_clusters" ->

@@ -137,6 +137,31 @@ class PipelineSpec extends AnyFunSuite {
     } finally { idx.assigned.unpersist(); () }
   }
 
+  test("IVF index persists partitioned by cell; pruned serving scans only probed cells") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS ivf_idx_spec")
+    s.sql("DROP TABLE IF EXISTS ivf_idx_spec_centroids")
+    val idx = Similarity.ivfFit(emb, nCentroids = 16)
+    Similarity.ivfPersist(idx, "ivf_idx_spec")
+    val loaded = Similarity.ivfLoad(s, "ivf_idx_spec")
+    assert(loaded.centroids.length == 16)
+    assert(loaded.centroids.toSeq.map(_.toSeq) == idx.centroids.toSeq.map(_.toSeq))
+    val q = emb.filter(col("vec_id") < 10)
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val base = keySet(Similarity.ivfTopKIndexed(idx, q, 10, nProbe = 6))
+    val pruned = Similarity.ivfTopKIndexed(loaded, q, 10, nProbe = 6,
+      pruneCells = true)
+    assert(keySet(pruned) == base,
+      "the persisted+pruned serving path must reproduce the in-session index exactly")
+    // the probed-cell IN list must land as a PARTITION filter on the scan —
+    // the whole point of the partitioned layout at 100 TB
+    val plan = pruned.queryExecution.executedPlan.treeString
+    assert("PartitionFilters: \\[[^\\]]*__cell".r.findFirstIn(plan).isDefined,
+      s"expected a __cell partition filter on the index scan:\n$plan")
+  }
+
   test("IVF ANN over-cap trains on a bounded hash-ordered sample, same recall floor") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, 10)
