@@ -69,7 +69,10 @@ final class Database(val name: String, val spark: SparkSession) {
     * SESSION-SCOPE: their dimensions deliberately shadow base dimension
     * names and never enter the dimension registry, so [[save]] skips them
     * (persisting by dim NAME would silently rebind them to the base
-    * hierarchy on load) — rebuild and re-register after a load.
+    * hierarchy on load) — rebuild and re-register after a load. EXCEPTION:
+    * registered cubes that carry Aggregates summary meta round-trip through
+    * [[save]]/[[Database.load]] — their grain re-derives the dims
+    * deterministically, so reattachment is safe and pays no base scan.
     */
   def registerCube(c: Cube): Cube = {
     require(!cubeMap.contains(c.name.toLowerCase), s"cube '${c.name}' exists")
@@ -145,9 +148,42 @@ final class Database(val name: String, val spark: SparkSession) {
     persistentCubes.foreach { c =>
       c.facts.write.mode("overwrite").parquet(s"$dir/cubes/${c.name}")
     }
+    // Materialized aggregate SUMMARIES round-trip too: their grain-sized
+    // facts land beside the cube frames and meta records (base, grain), so
+    // a fresh load reattaches them via Aggregates.loadFrame without
+    // re-paying the base scan — a summary whose EXISTENCE is session
+    // folklore re-pays the 100 TB rebuild every session. Other registered
+    // cubes stay session-scope (their dims shadow base names by design).
+    val savedSummaries = cubeMap.values.toSeq
+      .filter(c => transientCubes(c.name.toLowerCase))
+      .flatMap(c => graft.olap.Aggregates.metaOf(c).map(m => (c, m)))
+      .filter { case (c, m) =>
+        val base = cubeMap.get(m.baseName.toLowerCase)
+          .filter(b => !transientCubes(b.name.toLowerCase))
+        val ok = base.isDefined
+        if (!ok) System.err.println(s"[graft] WARNING: summary '${c.name}' " +
+          s"references base '${m.baseName}' which is not a persistent cube " +
+          "of this database — summary NOT saved")
+        // a STALE summary must not be persisted: load anchors freshness to
+        // the loaded base, which would silently promote stale cells to
+        // fresh — refresh (or rebuild) before saving instead
+        val fresh = base.exists(_.currentStateVersion == m.builtVersion)
+        if (ok && !fresh) System.err.println(s"[graft] WARNING: summary " +
+          s"'${c.name}' is STALE against base '${m.baseName}' — NOT saved; " +
+          "refresh it (Aggregates.refreshPartial/rebuild) before save")
+        ok && fresh
+      }
+    savedSummaries.foreach { case (c, _) =>
+      c.facts.write.mode("overwrite").parquet(s"$dir/summaries/${c.name}")
+    }
     val meta: JValue =
       ("name" -> name) ~
       ("dimensions" -> dims.values.map(dimToJson).toList) ~
+      ("summaries" -> savedSummaries.map { case (c, m) =>
+        ("name" -> c.name) ~ ("base" -> m.baseName) ~
+          ("grain" -> m.grainLevels.map(g =>
+            g.map(l => JInt(l): JValue).getOrElse(JNull)).toList)
+      }.toList) ~
       ("cubes" -> persistentCubes.map(c => {
         // Scala on-entry functions cannot be serialized (no code pickling,
         // unlike ref `rules.py:45-88`) — warn LOUDLY instead of silently
@@ -241,6 +277,20 @@ object Database {
       (cj \ "views").toOption.filter(_ != JNothing)
         .foreach(v => cube.views.loadJson(JsonMethods.compact(JsonMethods.render(v))))
     }
+    // reattach saved summaries over their persisted grain-sized frames —
+    // no base scan; freshness anchors to the just-loaded base (the saved
+    // base facts and summary facts are one consistent snapshot)
+    (meta \ "summaries").toOption.toList
+      .flatMap(_.extract[List[JValue]]).foreach { sj =>
+        val sname = (sj \ "name").extract[String]
+        val grain = (sj \ "grain").extract[List[JValue]].map {
+          case JNull | JNothing => None
+          case v => Some(v.extract[Int])
+        }
+        db.registerCube(graft.olap.Aggregates.loadFrame(
+          db.cube((sj \ "base").extract[String]), sname, grain,
+          spark.read.parquet(s"$dir/summaries/$sname")))
+      }
     db
   }
 }

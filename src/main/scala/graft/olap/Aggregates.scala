@@ -67,7 +67,7 @@ object Aggregates {
     * (rollups reaching skipped-rule triggers). */
   final case class SummaryMeta(grainLevels: Seq[Option[Int]],
       builtVersion: Long, unservable: Seq[Set[String]], skippedRules: Seq[String],
-      fastLayers: Int = 0)
+      fastLayers: Int = 0, baseName: String = "")
 
   /** Max affected grain-cell cross-product for the overlay fast path of
     * [[refreshPartial]] (driver-resident entries), and the number of
@@ -276,7 +276,8 @@ object Aggregates {
       }
     }
     metaReg.put(summary,
-      SummaryMeta(grainLevels, builtVersion, unservable, skipped.map(_.name)))
+      SummaryMeta(grainLevels, builtVersion, unservable, skipped.map(_.name),
+        baseName = base.name))
     summary
   }
 
@@ -311,10 +312,16 @@ object Aggregates {
     * over a mutated base; refresh or re-materialize instead.
     */
   def load(base: Cube, name: String, grainLevels: Seq[Option[Int]],
-      table: String): Cube = {
+      table: String): Cube =
+    loadFrame(base, name, grainLevels, base.spark.table(table))
+
+  /** [[load]] over an arbitrary persisted fact frame (e.g. a parquet dir
+    * written by `Database.save`) instead of a catalog table. */
+  def loadFrame(base: Cube, name: String, grainLevels: Seq[Option[Int]],
+      facts: org.apache.spark.sql.DataFrame): Cube = {
     val v0 = base.currentStateVersion
     val derived = deriveDims(base, grainLevels)
-    finish(base, name, grainLevels, derived.map(_._1), base.spark.table(table), v0)
+    finish(base, name, grainLevels, derived.map(_._1), facts, v0)
   }
 
   /** PARTIAL refresh — the 100 TB steady-state shape: recompute ONLY the

@@ -97,7 +97,7 @@ class AggregatesSpec extends AnyFunSuite {
     assert(nav.get(qAddr).contains(580.0))
   }
 
-  test("registered summary: dialect-addressable, skipped by save, base round-trips") {
+  test("registered summary: dialect-addressable, round-trips with save/load, reattaches fresh") {
     import graft.olap.OlapQuery
     val db2 = TinyModel.build(spark) // fresh per call — no cross-suite leak
     val base = db2.cube("sales")
@@ -110,12 +110,37 @@ class AggregatesSpec extends AnyFunSuite {
         "SELECT months, value FROM sales_q WHERE '2021', months=('Q1'), regions='Total', products='Total', 'Sales'")
       .collect().map(r => r.getAs[String]("months") -> r.getAs[Number]("value").doubleValue()).toMap
     assert(got == Map("Q1" -> 579.0))
-    // save persists the BASE model only; the summary is session-scope
+    // save round-trips the summary WITH the model (round 11): meta records
+    // (base, grain), the grain-sized frame lands beside the cube frames,
+    // and load reattaches via Aggregates.loadFrame — no base re-scan, and
+    // the reattached summary is FRESH against the just-loaded base
     val tmp = java.nio.file.Files.createTempDirectory("aggsave").toString
     db2.save(tmp)
     val loaded = Database.load(tmp, spark)
-    assert(loaded.cubeExists("sales") && !loaded.cubeExists("sales_q"))
+    assert(loaded.cubeExists("sales") && loaded.cubeExists("sales_q"))
     assert(loaded.cube("sales").get(Seq("2021", "Q1", "Total", "Total", "Sales")).contains(579.0))
+    val ls = loaded.cube("sales_q")
+    assert(Aggregates.metaOf(ls).exists(_.baseName == "sales"))
+    val nav = new Aggregates.Navigator(loaded.cube("sales"), Seq(ls))
+    assert(nav.fresh)
+    assert(nav.cubeFor(Seq("2021", "Q1", "Total", "Total", "Sales")) eq ls)
+    assert(nav.get(Seq("2021", "Q1", "Total", "Total", "Sales")).contains(579.0))
+    // the reloaded summary is dialect-addressable like the original
+    val got2 = OlapQuery(loaded,
+        "SELECT months, value FROM sales_q WHERE '2021', months=('Q1'), regions='Total', products='Total', 'Sales'")
+      .collect().map(r => r.getAs[String]("months") -> r.getAs[Number]("value").doubleValue()).toMap
+    assert(got2 == Map("Q1" -> 579.0))
+    // a NON-summary registered cube stays session-scope
+    val scratch2 = new graft.core.Cube("scratchreg", base.dimensions, spark, Some(base.facts))
+    db2.registerCube(scratch2)
+    val tmp2 = java.nio.file.Files.createTempDirectory("aggsave2").toString
+    db2.save(tmp2)
+    assert(!Database.load(tmp2, spark).cubeExists("scratchreg"))
+    // a STALE summary is refused by save — load would promote it to fresh
+    base.set(Seq("2021", "Mar", "North", "sedan", "Sales"), 1.0)
+    val tmp3 = java.nio.file.Files.createTempDirectory("aggsave3").toString
+    db2.save(tmp3)
+    assert(!Database.load(tmp3, spark).cubeExists("sales_q"))
   }
 
   test("randomized hierarchies: summary parity on every servable member (seeded)") {
