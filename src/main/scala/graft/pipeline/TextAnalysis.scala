@@ -262,4 +262,21 @@ object TextAnalysis {
   val PHONE_RE = "[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
   def scrubPii(textCol: Column): Column =
     regexp_replace(regexp_replace(textCol, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+
+  /** Corpus heavy hitters: the top-frequency tokens via a SpaceSaving
+    * sketch ([[graft.functions.FreqSketch]]) — `count ≥ true ≥ count − err`
+    * per row, and every token with true frequency > n_tokens / capacity is
+    * guaranteed present. The exact alternative shuffles the WHOLE
+    * vocabulary (n-gram vocabularies are corpus-sized); this plan is a
+    * scan + Generate + ObjectHashAggregate whose shuffle carries one
+    * `capacity`-entry sketch per partition.
+    */
+  def heavyHitters(df: DataFrame, textCol: String = "text",
+      capacity: Int = 256): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .agg(graft.functions.FreqSketch(col("token"), capacity).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.cnt").as("cnt"),
+        col("e.err").as("err"))
 }

@@ -117,6 +117,23 @@ object PipelineQueries {
       TextAnalysis.corpusReport(docs(s, dir), "lang", "source", "text")
     }),
 
+    // heavy hitters (round 11): SpaceSaving sketch of the corpus's top
+    // tokens — bounded per-partition state, the shuffle carries
+    // capacity-entry sketches instead of the whole vocabulary. Gate checks
+    // the GUARANTEED containment (exact head ⊆ sketch); the count bounds,
+    // sub-capacity exactness and ObjectHashAggregate plan shape are pinned
+    // in PipelineSpec.
+    "pipe_heavy_hitters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hh = TextAnalysis.heavyHitters(d, "text", 256)
+      val exactTop = d.select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(5)
+      approxSummary(exactTop.select("token"), hh.select("token"),
+        Seq("token"), recallFloor = 1.0)
+    }),
+
     // winnowing fingerprints (MOSS): window-min gram hashes per document
     "pipe_winnow" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -789,6 +806,7 @@ object PipelineQueries {
     "pipe_ann_lsh" -> SUMMARY_ORACLE,
     "pipe_ann_ivf" -> SUMMARY_ORACLE,
     "pipe_ann_ivf_persist" -> SUMMARY_ORACLE,
+    "pipe_heavy_hitters" -> SUMMARY_ORACLE,
     "pipe_hybrid_rrf_indexed" -> SUMMARY_ORACLE,
 
     "pipe_dedup_clusters" ->

@@ -137,6 +137,47 @@ class PipelineSpec extends AnyFunSuite {
     } finally { idx.assigned.unpersist(); () }
   }
 
+  test("heavy hitters: SpaceSaving bounds hold across partitions; small corpora exact") {
+    val s = spark
+    import s.implicits._
+    // skewed synthetic stream over MANY partitions: zipf-ish head + a long
+    // uniform tail far wider than the sketch, so eviction and merging are
+    // both exercised
+    val head = (0 until 8).flatMap(i => Seq.fill((8 - i) * 1000)(s"h$i"))
+    val tail = (0 until 20000).map(i => s"t${i % 5000}")
+    val stream = s.sparkContext.parallelize(
+      scala.util.Random.shuffle(head ++ tail).toList, 16).toDF("text")
+    val hh = TextAnalysis.heavyHitters(stream, "text", capacity = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.length <= 64)
+    val trueCounts = (head ++ tail).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // every tracked token obeys cnt >= true >= cnt - err
+    hh.foreach { case (t, c, e) =>
+      val tc = trueCounts(t)
+      assert(c >= tc && tc >= c - e, s"bounds violated for $t: cnt=$c err=$e true=$tc")
+    }
+    // the guarantee: every token with true freq > n/capacity is tracked
+    val n = (head ++ tail).size
+    val guaranteed = trueCounts.filter(_._2 > n.toLong / 64).keySet
+    assert(guaranteed.subsetOf(hh.map(_._1).toSet),
+      s"missing guaranteed heavy hitters: ${guaranteed -- hh.map(_._1).toSet}")
+    // a corpus with fewer distinct tokens than capacity is EXACT
+    val small = TextAnalysis.heavyHitters(docs, "text", capacity = 4096)
+    val exact = docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    if (exact.count() <= 4096) {
+      val a = small.select("token", "cnt").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val b = exact.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(a == b, "sub-capacity sketch must be exact")
+      assert(small.collect().forall(_.getLong(2) == 0L), "sub-capacity err must be 0")
+    }
+    // plan shape: one ObjectHashAggregate pipeline, no vocabulary-wide shuffle
+    val plan = TextAnalysis.heavyHitters(stream, "text", 64)
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+  }
+
   test("IVF index persists partitioned by cell; pruned serving scans only probed cells") {
     val s = spark
     s.sql("DROP TABLE IF EXISTS ivf_idx_spec")
