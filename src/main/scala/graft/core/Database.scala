@@ -87,6 +87,24 @@ final class Database(val name: String, val spark: SparkSession) {
 
   def cube(cubeName: String): Cube = cubeMap.getOrElse(cubeName.toLowerCase,
     throw new NoSuchElementException(s"unknown cube '$cubeName'"))
+
+  /** Aggregate navigator over every registered summary of `cubeName`,
+    * smallest first (the navigator's first-covering-wins contract wants the
+    * coarsest grain up front). Size proxy: the derived catalog
+    * cross-product — driver-known, no count job; a kept-at-leaf degenerate
+    * dimension counts as unbounded. Composes with [[save]]/[[load]]: a
+    * freshly loaded database serves `db.navigator("sales").get(...)`
+    * immediately, summaries included.
+    */
+  def navigator(cubeName: String): graft.olap.Aggregates.Navigator = {
+    val base = cube(cubeName)
+    val sums = cubeMap.values.toSeq
+      .filter(c => (c ne base) && graft.olap.Aggregates.metaOf(c)
+        .exists(_.baseName.equalsIgnoreCase(base.name)))
+      .sortBy(_.dimensions.map(d =>
+        if (d.isDegenerate) 2e9 else d.members.size.toDouble).product)
+    new graft.olap.Aggregates.Navigator(base, sums)
+  }
   def cubes: Seq[Cube] = cubeMap.values.toSeq
   def cubeExists(cubeName: String): Boolean = cubeMap.contains(cubeName.toLowerCase)
 

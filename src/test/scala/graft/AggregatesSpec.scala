@@ -143,6 +143,34 @@ class AggregatesSpec extends AnyFunSuite {
     assert(!Database.load(tmp3, spark).cubeExists("sales_q"))
   }
 
+  test("db.navigator assembles registered summaries smallest-first, survives load") {
+    val db2 = TinyModel.build(spark)
+    val base = db2.cube("sales")
+    base.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 123.0)
+    base.set(Seq("2021", "Feb", "North", "sedan", "Sales"), 456.0)
+    // fine (quarter) and coarse (year-level) summaries, registered in
+    // DELIBERATELY wrong order — the navigator must sort coarse first
+    db2.registerCube(Aggregates.materialize(base, "s_fine",
+      Seq(None, Some(1), None, None, None)))
+    db2.registerCube(Aggregates.materialize(base, "s_coarse",
+      Seq(None, Some(2), None, None, None)))
+    val nav = db2.navigator("sales")
+    assert(nav.summaries.map(_.name) == Seq("s_coarse", "s_fine"))
+    val yAddr = Seq("2021", "Year", "Total", "Total", "Sales")
+    assert(nav.cubeFor(yAddr).name == "s_coarse") // coarsest covering wins
+    val qAddr = Seq("2021", "Q1", "Total", "Total", "Sales")
+    assert(nav.cubeFor(qAddr).name == "s_fine")
+    assert(nav.get(qAddr).contains(579.0))
+    // the loaded database serves a navigator with no manual rebuilding
+    val tmp = java.nio.file.Files.createTempDirectory("navsave").toString
+    db2.save(tmp)
+    val lnav = Database.load(tmp, spark).navigator("sales")
+    assert(lnav.summaries.map(_.name) == Seq("s_coarse", "s_fine"))
+    assert(lnav.fresh)
+    assert(lnav.get(qAddr).contains(579.0))
+    assert(lnav.get(yAddr).contains(579.0))
+  }
+
   test("randomized hierarchies: summary parity on every servable member (seeded)") {
     import graft.core.{Cube, Dimension}
     for (seed <- Seq(1, 2, 3)) {
