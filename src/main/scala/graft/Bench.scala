@@ -80,6 +80,15 @@ object Bench {
         val e = s.read.parquet(s"$dir/embeddings.parquet")
         graft.pipeline.Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), 10)
       }),
+      // the persist gate's raw serving path: prebuilt index, probed-cell
+      // pruning on (partition pruning applies when the index is the
+      // persisted table; the join/plan shape is identical either way)
+      "pipe_ann_ivf_persist" -> ((s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val idx = graft.pipeline.Similarity.ivfFit(e)
+        graft.pipeline.Similarity.ivfTopKIndexed(idx,
+          e.filter(col("vec_id") < 5), 10, pruneCells = true)
+      }),
       "pipe_dedup_embed_lsh" -> ((s, dir) => graft.pipeline.Similarity.lshNearDupPairs(
         s.read.parquet(s"$dir/embeddings.parquet"), 0.45, dim = 64, nPlanes = 4, tables = 24)),
       // the gate fuses against the brute-force oracle arm; the bench times
