@@ -162,6 +162,38 @@ object Similarity {
     IvfIndex(cents, spark.table(table))
   }
 
+  /** Assign NEW vectors to an existing index's cells — nearest centroid by
+    * exact squared L2, centroids attached as a literal explode (the same
+    * pure-Generate shape as the query probe; no join). The incremental
+    * index-maintenance primitive: a growing corpus appends batches without
+    * a refit, keeping the quantizer — and therefore every already-served
+    * cell assignment — stable.
+    */
+  def ivfAssign(index: IvfIndex, newRows: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centLit = typedlit(index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq)
+    newRows.select(col(idCol).as("cand_id"), col(vecCol).as("cv0"),
+        explode(centLit).as("__c"))
+      .withColumn("dist", aggregate(zip_with(col("cv0"), col("__c._2"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (a, v) => a + v))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cand_id"))
+        .orderBy(col("dist").asc, col("__c._1").asc)))
+      .filter(col("rk") === 1)
+      .select(col("cand_id"), col("cv0"), col("__c._1").as("__cell"))
+  }
+
+  /** Append a batch to a [[ivfPersist]]ed index table: assign to the FIXED
+    * cells, insert into the partitioned table (only the touched cells'
+    * partitions receive files). Serving sessions pick the rows up on their
+    * next `ivfLoad`/table read — no refit, no rewrite of existing data.
+    */
+  def ivfAppend(index: IvfIndex, newRows: DataFrame, table: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    ivfAssign(index, newRows, idCol, vecCol)
+      .write.mode("append").format("parquet").insertInto(table)
+
   /** IVF query against a PREBUILT index — the serving shape. With
     * `pruneCells` the distinct probed cells (bounded by nCentroids; driver
     * action over the QUERY batch only, never the corpus) become a literal

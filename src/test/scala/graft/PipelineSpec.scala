@@ -203,6 +203,34 @@ class PipelineSpec extends AnyFunSuite {
       s"expected a __cell partition filter on the index scan:\n$plan")
   }
 
+  test("IVF append: new vectors join the persisted index without refit") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS ivf_app_spec")
+    s.sql("DROP TABLE IF EXISTS ivf_app_spec_centroids")
+    val first = emb.filter(col("vec_id") < 50)
+    val rest = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+    val idx = Similarity.ivfFit(first, nCentroids = 16)
+    Similarity.ivfPersist(idx, "ivf_app_spec")
+    Similarity.ivfAppend(idx, rest, "ivf_app_spec")
+    val loaded = Similarity.ivfLoad(s, "ivf_app_spec")
+    assert(loaded.assigned.count() == first.count() + rest.count())
+    // appended rows carry the FIXED quantizer's assignment (same argmin as
+    // the fit-time transform — centroids unchanged by append)
+    val q = emb.filter(col("vec_id") === 55)
+    // probing every cell makes IVF exhaustive: results must equal brute
+    // force over the grown corpus, proving appended vectors are served
+    val ivfAll = Similarity.ivfTopKIndexed(loaded, q, 5, nProbe = 16,
+        pruneCells = true)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(first.union(rest), q, 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfAll == brute,
+      "all-cells IVF over the appended index must equal brute force over the grown corpus")
+    assert(brute.nonEmpty)
+  }
+
   test("IVF ANN over-cap trains on a bounded hash-ordered sample, same recall floor") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, 10)
