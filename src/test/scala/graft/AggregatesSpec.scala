@@ -601,6 +601,32 @@ class AggregatesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("all-member"))
   }
 
+  test("maintain keeps a degenerate-collapsed summary fresh through batch merges") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val db = new Database("degmaintdb", spark)
+    val cust = db.addDegenerateDimension("customer", "C#")
+    val months = db.addDimension("months")
+    months.edit().addMany(Seq("Jan", "Feb", "Mar"))
+      .add("Q1", Seq("Jan", "Feb", "Mar")).commit()
+    val cube = db.addCube("sales", Seq(cust, months))
+    cube.set(Seq("C#1", "Jan"), 10.0)
+    val summary = Aggregates.materialize(cube, "dm_all", Seq(Some(1), None))
+    // a bulk merge lands (C#2, Feb)=7 — simulate the post-merge state and
+    // hand maintain the batch's resolved cell frame
+    val schema = StructType(Seq(StructField("d0", IntegerType),
+      StructField("d1", IntegerType), StructField("value", DoubleType)))
+    val febId = months.idOf("Feb")
+    val batch = spark.createDataFrame(
+      java.util.List.of(Row(2, febId, 7.0)), schema)
+    cube.replaceFacts(cube.facts.unionByName(batch))
+    val m = Aggregates.maintain(cube, summary, batch)
+      .getOrElse(fail("a catalog-coverable batch must maintain"))
+    // the functional cover mapped the raw key to the all-member cell
+    assert(m.get(Seq("All", "Q1")).contains(17.0))
+    assert(new Aggregates.Navigator(cube, Seq(m)).fresh)
+  }
+
   test("a multi-parent level is rejected as a grain (double-covered leaves)") {
     val db = new Database("aggbad", spark)
     val d = db.addDimension("p")

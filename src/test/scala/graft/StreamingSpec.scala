@@ -256,6 +256,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("copy"))).sorted.toSeq == batch)
   }
 
+  test("heavy hitters run unchanged on a stream: sketch bounds hold across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = graft.pipeline.TextAnalysis
+      .heavyHitters(mem.toDF().toDF("text"), "text", capacity = 8)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("hh_stream").start()
+    try {
+      mem.addData("a a a b b c", "a d e f"); q.processAllAvailable()
+      mem.addData("a b g h i j k l m n"); q.processAllAvailable()
+      val hh = spark.sql("SELECT * FROM hh_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(hh.length <= 8)
+      val trueCounts = ("a a a b b c a d e f a b g h i j k l m n").split(" ")
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      hh.foreach { case (t, c, e) =>
+        val tc = trueCounts(t)
+        assert(c >= tc && tc >= c - e, s"bounds violated for $t: cnt=$c err=$e true=$tc")
+      }
+      // the clear heavy hitter survives every batch boundary
+      assert(hh.exists(_._1 == "a"))
+    } finally q.stop()
+  }
+
   test("streaming corpus report: incremental leaf totals equal the batch rollup leaves") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
