@@ -105,6 +105,40 @@ final class Database(val name: String, val spark: SparkSession) {
         if (d.isDegenerate) 2e9 else d.members.size.toDouble).product)
     new graft.olap.Aggregates.Navigator(base, sums)
   }
+
+  /** Replace a REGISTERED (transient) cube under its name — the refresh
+    * cycle for registry-held summaries, whose refresh/rebuild return NEW
+    * cube objects. Persistent cubes are not replaceable this way. */
+  def replaceRegistered(c: Cube): Cube = {
+    val key = c.name.toLowerCase
+    require(transientCubes(key),
+      s"cube '${c.name}' is not a registered transient cube — cannot replace")
+    c.cacheEnabled = cachingFlag
+    c.databaseRef = Some(this)
+    cubeMap(key) = c; c
+  }
+
+  /** Refresh every registered summary of `cubeName` against the current
+    * base state (partial refresh when the write log can name what changed,
+    * rebuild otherwise), RE-REGISTERING the refreshed cubes under their
+    * names, and return a navigator over the result. Without this, one base
+    * write would park the registry's summaries forever: the navigator
+    * would route every read to base, and [[save]] would silently drop the
+    * stale summaries from the next session's model.
+    */
+  def refreshSummaries(cubeName: String): graft.olap.Aggregates.Navigator = {
+    import graft.olap.Aggregates
+    val base = cube(cubeName)
+    cubeMap.values.toSeq
+      .filter(c => (c ne base) && Aggregates.metaOf(c)
+        .exists(_.baseName.equalsIgnoreCase(base.name)))
+      .foreach { sc =>
+        if (!Aggregates.metaOf(sc).exists(_.builtVersion == base.currentStateVersion))
+          replaceRegistered(Aggregates.refreshPartial(base, sc)
+            .getOrElse(Aggregates.rebuild(base, sc)))
+      }
+    navigator(cubeName)
+  }
   def cubes: Seq[Cube] = cubeMap.values.toSeq
   def cubeExists(cubeName: String): Boolean = cubeMap.contains(cubeName.toLowerCase)
 

@@ -215,7 +215,7 @@ object Aggregates {
           val i = Rules.dimIndexOf(base, dn)
           i >= 0 && grainLevels(i).isDefined
         })
-    val (skipped, safe) = base.rules.partition(unsafe)
+    val (staticSkipped, maybeSafe) = base.rules.partition(unsafe)
     // An AGGREGATION_LEVEL rule is exact on a coarsened summary but would
     // never FIRE at grain-only addresses: the grain members are LEAVES of
     // the derived catalog (superLevel == 0 there), so the evaluator would
@@ -224,17 +224,45 @@ object Aggregates {
     // member that is an AGGREGATE in the base catalog — so base fires the
     // rule at every address the summary can serve, and re-registering it
     // as ALL_LEVELS reproduces that exactly (r10 advice, high).
-    safe.foreach { r =>
-      summary.registerRule(
+    //
+    // Registration itself VALIDATES against the derived catalogs — a rule
+    // whose trigger or expr references a BELOW-GRAIN member (a specific
+    // month under a quarter grain, a raw key of a collapsed degenerate
+    // dim) fails that validation. Such a rule cannot compute on the
+    // summary, so it joins the skipped set: trigger-territory routing then
+    // sends its addresses to base, which still computes it fine. Without
+    // the fallback one leaf-scoped rule would make the cube unsummarizable.
+    val regFailed = mutable.Buffer[RuleDef]()
+    maybeSafe.foreach { r =>
+      val rr =
         if (anyCoarsened && r.scope == RuleScope.AggregationLevel)
           r.copy(scope = RuleScope.AllLevels)
-        else r)
+        else r
+      try summary.registerRule(rr)
+      catch {
+        case e: IllegalArgumentException =>
+          if (!anyCoarsened) throw e // same catalogs — a real validation bug
+          regFailed += r
+      }
     }
-    // A skipped rule with NO resolvable trigger entry matches EVERY cell
-    // (Rules.matches is a forall over the trigger map), so no unservable
-    // region can bound it — the navigator would silently serve its whole
-    // territory from stored aggregates. Refuse loudly (r10 advice, medium).
-    skipped.foreach { r =>
+    val skipped = staticSkipped ++ regFailed
+    // A skipped rule whose trigger names a member ABSENT from the derived
+    // catalogs can never fire at a servable address — Rules.matches needs
+    // the exact member, and membership routing already sends such
+    // addresses to base. It needs no unservable region at all. (Also
+    // covers triggers on unknown dims / removed members: those never match
+    // anywhere.)
+    def unreachable(r: RuleDef): Boolean = r.trigger.exists { case (dn, m) =>
+      val i = Rules.dimIndexOf(base, dn)
+      i < 0 || !base.dimensions(i).contains(m) || !dims(i).contains(m)
+    }
+    val marking = skipped.filterNot(unreachable)
+    // A reachable skipped rule with NO resolvable trigger entry matches
+    // EVERY cell (Rules.matches is a forall over the trigger map), so no
+    // unservable region can bound it — the navigator would silently serve
+    // its whole territory from stored aggregates. Refuse loudly (r10
+    // advice, medium).
+    marking.foreach { r =>
       val resolvable = r.trigger.exists { case (dn, m) =>
         val i = Rules.dimIndexOf(base, dn)
         i >= 0 && base.dimensions(i).contains(m)
@@ -249,7 +277,7 @@ object Aggregates {
     // navigator. Over-approximation (leaf-set intersection) only costs a
     // base fallback, never a wrong value.
     val unservable: Seq[Set[String]] = base.dimensions.zipWithIndex.map { case (d, i) =>
-      val triggers = skipped.flatMap(_.trigger.collect {
+      val triggers = marking.flatMap(_.trigger.collect {
         case (dn, m) if dn.equalsIgnoreCase(d.name) && d.contains(m) => m
       })
       if (triggers.isEmpty) Set.empty[String]
@@ -485,7 +513,16 @@ object Aggregates {
     val nRows = row.getLong(base.nDims)
     val distincts: Seq[Seq[Int]] = (0 until base.nDims).map(i =>
       row.getSeq[Int](i))
-    if (nRows == 0L) {
+    // the degenerate key space reserves the two top ids as grid sentinels
+    // (degIdOf refuses to parse them, so point writes can never produce
+    // them) — a raw batch carrying one would CONFLATE with the all/leaf-all
+    // selection in the recompute grid (no filter → full-resolution rows
+    // unioned in → double counting). Decline loudly-by-contract instead.
+    def sentinel(v: Int): Boolean =
+      v == Dimension.DegenerateAllId || v == Dimension.DegenerateLeafAllId
+    if ((0 until base.nDims).exists(i => base.dimensions(i).isDegenerate &&
+        distincts(i).exists(sentinel))) None
+    else if (nRows == 0L) {
       // EMPTY batch: no cell changed, but its commit still bumped the base
       // version — re-anchor or the summary reads stale forever after an
       // empty trailing file (file order varies run to run, so this was a

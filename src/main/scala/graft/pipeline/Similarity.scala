@@ -222,16 +222,20 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("__cell").asc)))
       .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("qv0"), col("__cell"))
-    val corpusSide =
-      if (!pruneCells) assigned
+    // pruning needs the probed-cell set driver-side AND the probe frame in
+    // the join — checkpoint the (queries × nProbe)-row frame so the
+    // explode+window probe computes ONCE per serving call, not twice
+    val (probe, corpusSide) =
+      if (!pruneCells) (qCells, assigned)
       else {
+        val qc = qCells.localCheckpoint(true)
         // the probed-cell set is a tiny query-batch property (≤ nCentroids
         // values); collecting it buys partition pruning on the corpus scan
-        val cells = qCells.select(col("__cell")).distinct()
+        val cells = qc.select(col("__cell")).distinct()
           .collect().map(_.getInt(0)).sorted
-        assigned.filter(col("__cell").isin(cells.map(Int.box): _*))
+        (qc, assigned.filter(col("__cell").isin(cells.map(Int.box): _*)))
       }
-    val cand = qCells.join(corpusSide, Seq("__cell"))
+    val cand = probe.join(corpusSide, Seq("__cell"))
       .filter(col("cand_id") =!= col("query_id"))
     val scored = cand
       .withColumn("qv", quantize(col("qv0"))).withColumn("cv", quantize(col("cv0")))

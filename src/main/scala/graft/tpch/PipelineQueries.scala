@@ -126,9 +126,15 @@ object PipelineQueries {
     "pipe_heavy_hitters" -> ((s, dir) => {
       val d = docs(s, dir)
       val hh = TextAnalysis.heavyHitters(d, "text", 256)
-      val exactTop = d.select(explode(split(col("text"), " ")).as("token"))
+      val toks = d.select(explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      // the sketch's guarantee covers tokens ABOVE n/capacity — gate the
+      // exact head restricted to that region (a flat corpus whose 5th
+      // token sits below the bound could legitimately be evicted; the
+      // harness must encode the contract, not a data-shape accident)
+      val n = toks.count()
+      val exactTop = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 256 > lit(n))
         .orderBy(col("cnt").desc, col("token").asc).limit(5)
       approxSummary(exactTop.select("token"), hh.select("token"),
         Seq("token"), recallFloor = 1.0)
