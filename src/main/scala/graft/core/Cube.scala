@@ -478,6 +478,47 @@ final class Cube(
     swapped
   }
 
+  /** Compact to a PARTITIONED parquet table on the given dimensions' id
+    * columns — the calendar-slice layout, complementing
+    * [[compactToBucketed]] (which co-locates JOINS): a grid/rollup whose
+    * selection pins or lists members of a partition dimension reads ONLY
+    * the matching partitions (`PartitionFilters` at the scan — a
+    * time-sliced query over a 100 TB fact table reads the week it asked
+    * for, not the decade). Partition dims must be catalog dims of modest
+    * cardinality at the fact grain (a day/month/nation id — one directory
+    * per value; degenerate keys are rejected). Spark appends partition
+    * columns last on read, so the swapped-in base is re-projected to the
+    * canonical column order (positional unions in the merge paths depend
+    * on it). Same swap/abort contract as [[compact]].
+    */
+  def compactToPartitioned(table: String, partitionDims: Seq[Int]): Boolean = {
+    require(partitionDims.nonEmpty && partitionDims.forall(i => i >= 0 && i < nDims),
+      s"compactToPartitioned: dimension indices out of range in $partitionDims")
+    partitionDims.foreach(i => require(!dimensions(i).isDegenerate,
+      s"dimension '${dimensions(i).name}' is degenerate — partitioning " +
+        "would create one directory per raw key; partition on a catalog dim"))
+    val pCols = partitionDims.map(i => s"d$i")
+    val (base0, merged, incorporated) =
+      stateLock.synchronized((base, facts, overlay.toVector))
+    merged.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite")
+      .partitionBy(pCols: _*)
+      .format("parquet")
+      .saveAsTable(table)
+    val swapped = stateLock.synchronized {
+      if (base eq base0) {
+        base = spark.table(table).select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
+        val inc = incorporated.toMap
+        overlay.filterInPlace((k, v) => !inc.get(k).contains(v))
+        true
+      } else false
+    }
+    if (!swapped)
+      System.err.println(s"[graft] cube '$name': compactToPartitioned('$table') " +
+        "skipped — a bulk write landed mid-write; call it again (fresh table name)")
+    swapped
+  }
+
   /** Batched base-cell point reads: resolve every address row `(d0…dN-1)`
     * in ONE job, returning the matching fact rows (≙ the reference's
     * point-read loop `samples/huge.py:134-157`, batched the Spark-native

@@ -593,6 +593,7 @@ object TpchQueries {
       // overlay-over-bucketed-base: tombstone one known cell AFTER the swap
       val minCust = orders.agg(min("o_custkey")).head().getLong(0)
       cube.delete(Seq(s"C#$minCust", prios.head))
+      // (partitioned twin: olap_partitioned_read below)
       val g = cube.gridAggregate(Seq(
         Seq(graft.core.Dimension.DegenerateAllId),
         prios.map(prio.idOf) :+ prio.idOf("AllPrio")))
@@ -600,6 +601,40 @@ object TpchQueries {
         .select(col("id").as("a1"), col("mname").as("priority"))
       g.join(broadcast(names), "a1")
         .select(col("priority"), col("value").cast("double").as("value"))
+    }),
+
+    // S+ (round 11): PARTITIONED fact backing — compactToPartitioned lays
+    // the facts out by the priority id, so a priority-sliced grid reads
+    // only the matching partitions (PartitionFilters at the scan,
+    // plan-asserted in ScaleOpsSpec; the calendar-slice layout of a 100 TB
+    // deployment, complementing the join-co-locating bucketed backing).
+    // Values identical through the swapped-in base, including an overlay
+    // tombstone landing AFTER the swap.
+    "olap_partitioned_read" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new graft.core.Database("partread", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val prioDf = s.createDataFrame(prios.map(p => (p, prio.idOf(p))))
+        .toDF("o_orderpriority", "d1")
+      val facts = orders.join(broadcast(prioDf), Seq("o_orderpriority"))
+        .groupBy(col("o_custkey").cast("int").as("d0"), col("d1"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+      val cube = db.addCube("sales", Seq(cust, prio), facts)
+      s.sql("DROP TABLE IF EXISTS olap_gate_partitioned")
+      require(cube.compactToPartitioned("olap_gate_partitioned", Seq(1)),
+        "partitioned compaction must land on an uncontended cube")
+      val minCust = orders.agg(min("o_custkey")).head().getLong(0)
+      cube.delete(Seq(s"C#$minCust", prios.head))
+      val slice = prios.take(2)
+      val g = cube.gridAggregate(Seq(Seq(graft.core.Dimension.DegenerateAllId),
+        slice.map(prio.idOf)))
+      val nameMap = map(slice.flatMap(p => Seq(lit(prio.idOf(p)), lit(p))): _*)
+      g.select(nameMap(col("a1")).as("priority"),
+        col("value").cast("double").as("value"))
     }),
 
     // R3+S+ (round 7): a CELL-READING ON_ENTRY rule on the BULK import path
@@ -1625,6 +1660,18 @@ object TpchQueries {
          $STAR
          WHERE strftime(o_orderdate, '%Y') = '1996' AND r_name = 'EUROPE'
          GROUP BY n_name""",
+
+    // the two alphabetically-first priorities, minus the deleted
+    // (min-custkey, min-priority) cell — read through the partitioned base
+    "olap_partitioned_read" ->
+      """SELECT o_orderpriority AS priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+         FROM orders
+         WHERE o_orderpriority IN (
+             SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1 LIMIT 2)
+           AND NOT (o_custkey = (SELECT MIN(o_custkey) FROM orders)
+             AND o_orderpriority = (SELECT MIN(o_orderpriority) FROM orders))
+         GROUP BY 1""",
 
     // per-priority totals + the all-customer all-priority rollup, served
     // from the collapsed-customer summary

@@ -63,6 +63,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"grid must shuffle at most once, saw $shuffles:\n$plan")
   }
 
+  test("compactToPartitioned: sliced grids partition-prune, values unchanged") {
+    val db = TinyModel.build(spark)
+    val cube = db.addCube("partsales", db.cube("sales").dimensions)
+    cube.set(Seq("2021", "Jan", "North", "sedan", "Sales"), 5.0)
+    cube.set(Seq("2021", "Feb", "North", "sedan", "Sales"), 7.0)
+    cube.set(Seq("2022", "Mar", "South", "coupe", "Sales"), 11.0)
+    val before = cube.get(Seq("2021", "Q1", "Total", "Total", "Sales"))
+    spark.sql("DROP TABLE IF EXISTS part_spec_tbl")
+    assert(cube.compactToPartitioned("part_spec_tbl", Seq(1)), // months
+      "partitioned compaction must land on an uncontended cube")
+    // values identical through the swapped-in partitioned base
+    assert(cube.get(Seq("2021", "Q1", "Total", "Total", "Sales")) == before)
+    assert(before.contains(12.0))
+    // a month-sliced grid carries a PartitionFilter on the months id col
+    val months = db.dimension("months")
+    val grid = cube.gridAggregate(Seq(
+      Seq(db.dimension("years").idOf("2021")),
+      Seq(months.idOf("Jan")),
+      Seq(db.dimension("regions").idOf("Total")),
+      Seq(db.dimension("products").idOf("Total")),
+      Seq(db.dimension("measures").idOf("Sales"))))
+    val plan = grid.queryExecution.executedPlan.treeString
+    assert("PartitionFilters: \\[[^\\]]*d1".r.findFirstIn(plan).isDefined,
+      s"expected a d1 partition filter on the sliced grid scan:\n$plan")
+    assert(grid.collect().map(_.getAs[Number]("value").doubleValue()).toSeq == Seq(5.0))
+    // a point write AFTER the swap overlays and reads back
+    cube.set(Seq("2021", "Jan", "North", "sedan", "Cost"), 2.0)
+    assert(cube.get(Seq("2021", "Jan", "North", "sedan", "Cost")).contains(2.0))
+    // degenerate partition dims are rejected
+    val db2 = new graft.core.Database("partdeg", spark)
+    val dg = db2.addDegenerateDimension("k", "K#")
+    val md = db2.addDimension("m"); md.edit().addMany(Seq("v")).commit()
+    val c2 = db2.addCube("c2", Seq(dg, md))
+    val e = intercept[IllegalArgumentException](
+      c2.compactToPartitioned("part_bad_tbl", Seq(0)))
+    assert(e.getMessage.contains("degenerate"))
+  }
+
   test("result cache toggle and bound") {
     val db = TinyModel.build(spark)
     val cube = db.addCube("cachesales", db.cube("sales").dimensions)
