@@ -250,6 +250,32 @@ object RelationalQueries {
         .select((col("__maxerr") <= 0.05).as("err_ok"), (col("__n") > 0).as("nonempty_ok"))
     }),
 
+    // MERGEABLE distinct sketches (round 11): the summary-table answer for
+    // NON-ADDITIVE measures — an exact distinct count cannot roll up from
+    // a pre-aggregate, but HLL sketches can. Build one sketch per NATION
+    // (the grain a summary table would store), then answer the REGION
+    // question by MERGING the nation sketches — never rescanning the
+    // customer table. Customers belong to exactly one nation, so the
+    // per-nation exact distincts SUM to the region exact — the yardstick
+    // the merged estimate is error-gated against (HLL default lgK error
+    // ~1.6%; gate at 5%).
+    "rel_hll_rollup" -> ((s, dir) => {
+      val cust = read(s, dir, "customer")
+        .join(read(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      val perNation = cust.groupBy(col("n_regionkey"), col("n_nationkey"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+          countDistinct(col("c_custkey")).as("exact"))
+      val perRegion = perNation.groupBy(col("n_regionkey"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"),
+          sum(col("exact")).as("exact"))
+      perRegion.agg(
+        max(abs(col("approx") - col("exact")).cast("double") /
+          col("exact").cast("double")).as("__maxerr"),
+        count(lit(1)).as("__n"))
+        .select((col("__maxerr") <= 0.05).as("err_ok"),
+          (col("__n") > 0).as("nonempty_ok"))
+    }),
+
     // exact interpolated percentiles (quantities are integer-valued, so the
     // interpolation arithmetic is exact in double on both engines)
     "rel_percentiles" -> ((s, dir) => {
@@ -393,6 +419,7 @@ object RelationalQueries {
     // error-bound verification summary: Spark measures HLL vs exact and
     // emits booleans; the oracle is the constant all-true row
     "rel_approx_distinct" -> "SELECT TRUE AS err_ok, TRUE AS nonempty_ok",
+    "rel_hll_rollup" -> "SELECT TRUE AS err_ok, TRUE AS nonempty_ok",
     "rel_approx_percentiles" -> "SELECT TRUE AS err_ok, TRUE AS nonempty_ok",
     "rel_join_broadcast" ->
       s"""SELECT p_brand, CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n
