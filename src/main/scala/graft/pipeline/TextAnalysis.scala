@@ -263,6 +263,26 @@ object TextAnalysis {
   def scrubPii(textCol: Column): Column =
     regexp_replace(regexp_replace(textCol, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
 
+  /** BPE-prep adjacent-pair counts: the first merge step of byte-pair /
+    * word-piece tokenizer TRAINING — count every adjacent token pair in
+    * the corpus, ranked by frequency. Pure scan + Generate (a `transform`
+    * over index `sequence`, exploded) into one pair-grain aggregation; at
+    * 100 TB the shuffle carries pair counts (vocab²-bounded in theory,
+    * Zipf-tiny in practice), never the corpus. Deterministic top-k: ties
+    * break on the pair string.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String = "text",
+      k: Int = 20): DataFrame = {
+    val w = split(col(textCol), " ")
+    df.select(explode(when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Corpus heavy hitters: the top-frequency tokens via a SpaceSaving
     * sketch ([[graft.functions.FreqSketch]]) — `count ≥ true ≥ count − err`
     * per row, and every token with true frequency > n_tokens / capacity is

@@ -405,6 +405,12 @@ object PipelineQueries {
 
     // vocabulary coverage (tokenizer prep): top-40 terms by corpus
     // frequency with exact cumulative token counts
+    // BPE-prep adjacent-pair counts (round 11): the tokenizer-TRAINING
+    // first step beside vocab coverage — exact integer counts over a pure
+    // scan+Generate plan, deterministic tie-break, hash-matched.
+    "pipe_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(docs(s, dir), "text", 20)),
+
     "pipe_vocab_coverage" -> ((s, dir) => {
       graft.pipeline.Search.vocabCoverage(docs(s, dir), col("text"), 40)
         .select(col("term"), col("cnt"), col("rank").cast("long").as("rank"),
@@ -1320,6 +1326,16 @@ object PipelineQueries {
 
     // mirrors Search.vocabCoverage(…, 40): term-frequency rank with the
     // running token total, alphabetical tie-break — exact integers only
+    "pipe_bpe_pairs" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+         p AS (
+           SELECT w[i] || ' ' || w[i+1] AS pair
+           FROM t, UNNEST(generate_series(1, len(w) - 1)) AS s(i)
+           WHERE len(w) >= 2
+         )
+         SELECT pair, COUNT(*) AS cnt FROM p
+         GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
+
     "pipe_vocab_coverage" ->
       """WITH tok AS (
            SELECT unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS term
