@@ -394,36 +394,50 @@ final class Cube(
     */
   def compact(): Boolean = compactImpl(() => ())
 
-  /** Test seam: `midMaterialize` runs after the materializing count and
-    * before the swap attempt — the window a concurrent write can land in.
+  /** The ONE snapshot → materialize → swap/abort contract behind all three
+    * compactions (in-memory, bucketed table, partitioned table): a BULK
+    * write (commitBulkMerge / replaceFacts) that lands while the
+    * materialization runs replaced `base` with data the materialization
+    * never saw — swapping over it would silently revert that write, so the
+    * swap is abandoned (the caller retries). Point writes are fine: they
+    * live in the overlay, and only the entries this materialization
+    * INCORPORATED are dropped from it on a successful swap.
     */
-  private[graft] def compactImpl(midMaterialize: () => Unit): Boolean = {
+  private def swapCompacted(label: String, midMaterialize: () => Unit,
+      materialize: DataFrame => DataFrame,
+      onAbort: DataFrame => Unit): Boolean = {
     val (base0, merged, incorporated) =
       stateLock.synchronized((base, facts, overlay.toVector))
-    val persisted = merged
-      .select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted.count()
+    val newBase = materialize(
+      merged.select(factSchema.fieldNames.map(col).toIndexedSeq: _*))
     midMaterialize()
     val swapped = stateLock.synchronized {
-      // a BULK write (commitBulkMerge / replaceFacts) that landed while the
-      // count ran replaced `base` with data this materialization never saw —
-      // swapping over it would silently revert that write. Point writes are
-      // fine: they live in the overlay and the filter below preserves them.
       if (base eq base0) {
-        base = persisted
+        base = newBase
         val inc = incorporated.toMap
         overlay.filterInPlace((k, v) => !inc.get(k).contains(v))
         true
       } else false
     }
     if (!swapped) {
-      persisted.unpersist(blocking = false)
-      System.err.println(s"[graft] cube '$name': compact() skipped — a bulk " +
-        "write landed mid-materialization; call compact() again")
+      onAbort(newBase)
+      System.err.println(s"[graft] cube '$name': $label skipped — a bulk " +
+        s"write landed mid-materialization; call it again")
     }
     swapped
   }
+
+  /** Test seam: `midMaterialize` runs after the materializing count and
+    * before the swap attempt — the window a concurrent write can land in.
+    */
+  private[graft] def compactImpl(midMaterialize: () => Unit): Boolean =
+    swapCompacted("compact()", midMaterialize,
+      materialize = { df =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      },
+      onAbort = _.unpersist(blocking = false))
 
   /** Compact the merged facts into a hash-bucketed, address-sorted catalog
     * TABLE and make it this cube's backing frame: every later batch read
@@ -444,39 +458,29 @@ final class Cube(
     * Same abort contract as [[compact]]: a concurrent bulk write
     * supersedes the swap (returns false; the written table is left behind).
     */
-  def compactToBucketed(table: String, nBuckets: Int = 8): Boolean = {
-    val (base0, merged, incorporated) =
-      stateLock.synchronized((base, facts, overlay.toVector))
-    // ONE file per bucket (repartition on the bucket hash before writing):
-    // with multiple files per bucket Spark cannot trust the sortBy order
-    // and re-SORTS the whole fact side on every merge join — measured 1.8×
-    // on the 10k point batch at 1e7 rows once the sort disappears. The
-    // ordering is only consumed when this session conf is on (Spark keeps
-    // it off by default to let multi-file buckets split into more tasks;
-    // with one file per bucket there is nothing to split, and full scans
-    // that don't exploit bucketing fall back to normal splits via
-    // autoBucketedScan) — a bucketed-backed cube is exactly the opt-in.
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    merged.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
-      .repartition(nBuckets, dimCols.map(col): _*)
-      .write.mode("overwrite")
-      .bucketBy(nBuckets, dimCols.head, dimCols.tail: _*)
-      .sortBy(dimCols.head, dimCols.tail: _*)
-      .format("parquet")
-      .saveAsTable(table)
-    val swapped = stateLock.synchronized {
-      if (base eq base0) {
-        base = spark.table(table)
-        val inc = incorporated.toMap
-        overlay.filterInPlace((k, v) => !inc.get(k).contains(v))
-        true
-      } else false
-    }
-    if (!swapped)
-      System.err.println(s"[graft] cube '$name': compactToBucketed('$table') " +
-        "skipped — a bulk write landed mid-write; call it again (fresh table name)")
-    swapped
-  }
+  def compactToBucketed(table: String, nBuckets: Int = 8): Boolean =
+    swapCompacted(s"compactToBucketed('$table')", () => (),
+      materialize = { df =>
+        // ONE file per bucket (repartition on the bucket hash before
+        // writing): with multiple files per bucket Spark cannot trust the
+        // sortBy order and re-SORTS the whole fact side on every merge
+        // join — measured 1.8× on the 10k point batch at 1e7 rows once the
+        // sort disappears. The ordering is only consumed when this session
+        // conf is on (Spark keeps it off by default to let multi-file
+        // buckets split into more tasks; with one file per bucket there is
+        // nothing to split, and full scans that don't exploit bucketing
+        // fall back to normal splits via autoBucketedScan) — a
+        // bucketed-backed cube is exactly the opt-in.
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        df.repartition(nBuckets, dimCols.map(col): _*)
+          .write.mode("overwrite")
+          .bucketBy(nBuckets, dimCols.head, dimCols.tail: _*)
+          .sortBy(dimCols.head, dimCols.tail: _*)
+          .format("parquet")
+          .saveAsTable(table)
+        spark.table(table)
+      },
+      onAbort = _ => ()) // the written table is left behind
 
   /** Compact to a PARTITIONED parquet table on the given dimensions' id
     * columns — the calendar-slice layout, complementing
@@ -498,25 +502,17 @@ final class Cube(
       s"dimension '${dimensions(i).name}' is degenerate — partitioning " +
         "would create one directory per raw key; partition on a catalog dim"))
     val pCols = partitionDims.map(i => s"d$i")
-    val (base0, merged, incorporated) =
-      stateLock.synchronized((base, facts, overlay.toVector))
-    merged.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
-      .write.mode("overwrite")
-      .partitionBy(pCols: _*)
-      .format("parquet")
-      .saveAsTable(table)
-    val swapped = stateLock.synchronized {
-      if (base eq base0) {
-        base = spark.table(table).select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
-        val inc = incorporated.toMap
-        overlay.filterInPlace((k, v) => !inc.get(k).contains(v))
-        true
-      } else false
-    }
-    if (!swapped)
-      System.err.println(s"[graft] cube '$name': compactToPartitioned('$table') " +
-        "skipped — a bulk write landed mid-write; call it again (fresh table name)")
-    swapped
+    swapCompacted(s"compactToPartitioned('$table')", () => (),
+      materialize = { df =>
+        df.write.mode("overwrite")
+          .partitionBy(pCols: _*)
+          .format("parquet")
+          .saveAsTable(table)
+        // partition columns come back LAST on read — re-project to the
+        // canonical order (positional unions in merge paths depend on it)
+        spark.table(table).select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
+      },
+      onAbort = _ => ()) // the written table is left behind
   }
 
   /** Batched base-cell point reads: resolve every address row `(d0…dN-1)`

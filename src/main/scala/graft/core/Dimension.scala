@@ -87,6 +87,12 @@ object Dimension {
     * WITHOUT a closure join — the grid/rollup paths simply skip the filter.
     * No hierarchy, attributes, aliases or subsets: filters and group-bys
     * only, which is exactly what a 10M+-member grain supports at scale.
+    *
+    * KEY-SPACE CONTRACT: raw keys are `0 .. Int.MaxValue-2`. The two top
+    * ids are reserved as grid sentinels ([[DegenerateAllId]],
+    * [[DegenerateLeafAllId]]) — `degIdOf` refuses to parse them, and fact
+    * frames must not carry them (summary maintenance declines such
+    * batches rather than conflate them with the all/leaf-all selections).
     */
   def degenerate(name: String, prefix: String = "", allName: String = "All"): Dimension = {
     val d = new Dimension(name)

@@ -215,7 +215,6 @@ object Aggregates {
           val i = Rules.dimIndexOf(base, dn)
           i >= 0 && grainLevels(i).isDefined
         })
-    val (staticSkipped, maybeSafe) = base.rules.partition(unsafe)
     // An AGGREGATION_LEVEL rule is exact on a coarsened summary but would
     // never FIRE at grain-only addresses: the grain members are LEAVES of
     // the derived catalog (superLevel == 0 there), so the evaluator would
@@ -224,28 +223,51 @@ object Aggregates {
     // member that is an AGGREGATE in the base catalog — so base fires the
     // rule at every address the summary can serve, and re-registering it
     // as ALL_LEVELS reproduces that exactly (r10 advice, high).
-    //
-    // Registration itself VALIDATES against the derived catalogs — a rule
-    // whose trigger or expr references a BELOW-GRAIN member (a specific
-    // month under a quarter grain, a raw key of a collapsed degenerate
-    // dim) fails that validation. Such a rule cannot compute on the
-    // summary, so it joins the skipped set: trigger-territory routing then
-    // sends its addresses to base, which still computes it fine. Without
-    // the fallback one leaf-scoped rule would make the cube unsummarizable.
-    val regFailed = mutable.Buffer[RuleDef]()
-    maybeSafe.foreach { r =>
-      val rr =
-        if (anyCoarsened && r.scope == RuleScope.AggregationLevel)
-          r.copy(scope = RuleScope.AllLevels)
-        else r
-      try summary.registerRule(rr)
-      catch {
-        case e: IllegalArgumentException =>
-          if (!anyCoarsened) throw e // same catalogs — a real validation bug
-          regFailed += r
+    def rescoped(r: RuleDef): RuleDef =
+      if (anyCoarsened && r.scope == RuleScope.AggregationLevel)
+        r.copy(scope = RuleScope.AllLevels)
+      else r
+    // The skipped set grows to a FIXPOINT over three screens:
+    // 1. validation against the DERIVED catalogs — a rule whose trigger or
+    //    expr references a below-grain member (a month under a quarter
+    //    grain, a raw key of a collapsed degenerate dim) cannot compute on
+    //    the summary; trigger-territory routing sends its addresses to
+    //    base, which still computes it fine. Without this fallback one
+    //    leaf-scoped rule would make the cube unsummarizable.
+    // 2. Ref cascade — a travelling rule whose expr REFERENCES a skipped
+    //    rule's trigger territory would resolve the Ref against the
+    //    summary's STORED cells (gridAggregate never evaluates rules), and
+    //    diverge from base silently: Margin = Profit/Sales where Profit is
+    //    a skipped nonlinear BASE_LEVEL rule. Skipping Margin routes its
+    //    own territory to base instead.
+    // 3. Shift cascade — a travelling rule shifting over a dimension some
+    //    skipped rule triggers on could land the shifted read inside the
+    //    skipped territory; over-approximate and skip it too.
+    val skippedBuf = mutable.LinkedHashSet.from(base.rules.filter(unsafe))
+    var candidates = base.rules.filterNot(skippedBuf.contains)
+    var changed = true
+    while (changed) {
+      changed = false
+      val territoryMembers =
+        skippedBuf.iterator.flatMap(_.trigger.values).map(_.toLowerCase).toSet
+      val territoryDims =
+        skippedBuf.iterator.flatMap(_.trigger.keys).map(_.toLowerCase).toSet
+      val (drop, keep) = candidates.partition { r =>
+        (anyCoarsened &&
+          (Rules.refMemberNames(r.expr).exists(territoryMembers) ||
+            Rules.shiftDims(r.expr).map(_.toLowerCase).exists(territoryDims))) || {
+          try { Rules.validate(summary, rescoped(r)); false }
+          catch {
+            case e: IllegalArgumentException =>
+              if (!anyCoarsened) throw e // same catalogs — a real bug
+              true
+          }
+        }
       }
+      if (drop.nonEmpty) { skippedBuf ++= drop; candidates = keep; changed = true }
     }
-    val skipped = staticSkipped ++ regFailed
+    candidates.foreach(r => summary.registerRule(rescoped(r)))
+    val skipped = skippedBuf.toSeq
     // A skipped rule whose trigger names a member ABSENT from the derived
     // catalogs can never fire at a servable address — Rules.matches needs
     // the exact member, and membership routing already sends such

@@ -307,6 +307,27 @@ object Rules {
     }
   }
 
+  /** Member names referenced by `Ref`s in an expression, lowercased and
+    * stripped of a dim qualifier — the summary materialization's cascade
+    * screen: a rule whose Refs land in a SKIPPED rule's trigger territory
+    * would compute from stored rule-less operands on the summary. */
+  private[graft] def refMemberNames(e: RuleExpr): Set[String] = {
+    import RuleExpr._
+    e match {
+      case Ref(spec) => spec.split(":", 2) match {
+        case Array(_, m) => Set(m.toLowerCase)
+        case Array(m) => Set(m.toLowerCase)
+      }
+      case Add(a, b) => refMemberNames(a) ++ refMemberNames(b)
+      case Sub(a, b) => refMemberNames(a) ++ refMemberNames(b)
+      case Mul(a, b) => refMemberNames(a) ++ refMemberNames(b)
+      case Div(a, b) => refMemberNames(a) ++ refMemberNames(b)
+      case Neg(a) => refMemberNames(a)
+      case Fn(_, a) => refMemberNames(a)
+      case Lit(_) | Shift(_, _) | Input | CubeRef(_, _) => Set.empty
+    }
+  }
+
   /** Scalar-only on the WRITE path: relative shifts and cross-cube lookups
     * are rejected for bulk ON_ENTRY transforms (an import's rate lookup
     * belongs in the model as a BASE_LEVEL CubeRef rule, not a write hook). */

@@ -68,6 +68,38 @@ class Round11FixesSpec extends AnyFunSuite {
     assert(nav.get(Seq("C#5", "w")).contains(7.0))
   }
 
+  test("a travelling rule referencing skipped-rule territory cascades to skipped") {
+    val cube = freshModel("r11casc")
+    cube.set(Seq("2021", "Jan", "North", "motorcycles", "Cost"), 100.0)
+    // A: BASE_LEVEL rule computing Cost — statically summary-unsafe
+    cube.registerRule(RuleDef(
+      trigger = Map("measures" -> "Cost"), scope = RuleScope.BaseLevel,
+      expr = RuleExpr.Mul(RuleExpr.Ref("Sales"), RuleExpr.Lit(0.5)),
+      name = "half_cost"))
+    // B: ALL_LEVELS rule whose expr READS Cost — would resolve the Ref
+    // against the summary's stored (rule-less) cells and silently diverge
+    cube.registerRule(RuleDef(
+      trigger = Map("measures" -> "Profit in %"), scope = RuleScope.AllLevels,
+      expr = RuleExpr.Div(RuleExpr.Ref("Cost"), RuleExpr.Ref("Sales")),
+      name = "cost_ratio"))
+    val summary = Aggregates.materialize(cube, "sales_r11casc_q",
+      Seq(None, Some(1), None, None, None))
+    val meta = Aggregates.metaOf(summary).get
+    assert(meta.skippedRules.contains("half_cost"))
+    assert(meta.skippedRules.contains("cost_ratio"),
+      "a rule referencing skipped territory must cascade to skipped")
+    val nav = new Aggregates.Navigator(cube, Seq(summary))
+    val rAddr = Seq("2021", "Q1", "Total", "Total", "Profit in %")
+    assert(nav.cubeFor(rAddr) eq cube) // unservable → base
+    assert(nav.get(rAddr) == cube.get(rAddr))
+    // first-match: TinyModel's profit_in_percent wins on base — (579−100)/579
+    assert(nav.get(rAddr).contains(479.0 / 579.0))
+    // rule-free territory still summary-serves
+    val qAddr = Seq("2021", "Q1", "Total", "Total", "Sales")
+    assert(nav.cubeFor(qAddr) eq summary)
+    assert(nav.get(qAddr) == cube.get(qAddr))
+  }
+
   test("refreshSummaries re-registers refreshed cubes; save picks them up") {
     val db2 = TinyModel.build(spark)
     val base = db2.cube("sales")
