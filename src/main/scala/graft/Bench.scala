@@ -20,6 +20,8 @@ object Bench {
     "q1_pricing_summary",   // raw scan + hash agg
     "q3_shipping_priority", // 3-table join + top-10 (TPC-H Q3 shape, round 11)
     "q5_local_supplier",    // 6-table star join, one fact shuffle (Q5 shape)
+    "q4_order_priority",    // EXISTS → left-semi with non-equi residual (Q4 shape)
+    "q18_large_orders",     // HAVING on the fact agg → broadcast join-back (Q18)
     "olap_rollup_region",   // closure-join rollup through 4-level hierarchy
     "olap_rollup_net_year", // weighted rollup (net = gross - disc)
     "olap_multiparent",     // multi-parent fan-out rollup

@@ -101,6 +101,103 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(col("rev")).cast("double").as("revenue"))
     }),
+
+    // TPC-H Q4 shape (order priority checking): orders of one quarter that
+    // had at least one LATE line (shipped > 60 days after the order date),
+    // counted per priority. The EXISTS becomes a LEFT SEMI join on the order
+    // key with the lateness predicate as a join-side condition — the fact
+    // table is filtered and de-correlated in one pass, no per-order probe.
+    // Both sides shuffle on l_orderkey once; the quarter filter reaches the
+    // orders scan (PushedFilters), so at 100 TB only the quarter's keys move.
+    "q4_order_priority" -> ((s, dir) => {
+      val orders = read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val late = read(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      orders.join(late,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q14 shape (promotion effect): share of one month's revenue from
+    // PROMO parts. part is a dimension — broadcast; the month filter prunes
+    // the fact scan; the conditional split is a codegen'd CASE inside ONE
+    // aggregation (no second pass for the numerator). Numerator/denominator
+    // are decimal-exact; the ratio is one double division at the very end,
+    // mirrored operation-for-operation by the oracle.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val part = read(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      val li = read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+            .as("rev"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(lit(0).cast("decimal(21,4)"))).cast("double").as("promo_rev"),
+          sum(col("rev")).cast("double").as("total_rev"))
+        .select(col("promo_rev"), col("total_rev"),
+          (col("promo_rev") * lit(100.0) / col("total_rev")).as("promo_pct"))
+    }),
+
+    // TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    // exceeds a threshold, joined back to their header + customer. The
+    // HAVING filter runs where the data is (one fact-side aggregation);
+    // the surviving key set is tiny by construction, so the join back to
+    // orders and customer BROADCASTS the filtered aggregate — the 100 TB
+    // fact table is never shuffled a second time. Top-20 by total price
+    // with key tie-break keeps the LIMIT boundary engine-independent.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = read(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+        .filter(col("sum_qty") > lit(300).cast("decimal(15,2)"))
+      val orders = read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val cust = read(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      orders.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          dec(col("o_totalprice")).cast("double").as("o_totalprice"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): above-average-balance
+    // customers with NO recent order, per market segment. The scalar
+    // subquery (mean positive balance) is a ONE-ROW aggregate cross-joined
+    // into the scan — and the mean test is rewritten multiplication-exact:
+    // `bal * n_pos > sum_pos` compares scaled integers, so the boundary
+    // cannot flip on engine-specific division rounding. The NOT EXISTS is a
+    // LEFT ANTI join on the customer key against the date-pruned orders
+    // scan; at 100 TB both sides shuffle once on c_custkey (the anti side
+    // pre-filtered to the recent window).
+    "q22_idle_customers" -> ((s, dir) => {
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), dec(col("c_acctbal")).as("bal"))
+      val stats = cust.filter(col("bal") > 0)
+        .agg(count(lit(1)).as("n_pos"), sum(col("bal")).as("sum_pos"))
+      val recent = read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(stats))
+        .filter(col("bal") * col("n_pos") > col("sum_pos"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal")).cast("double").as("totacctbal"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -142,6 +239,55 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name""",
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority""",
+
+    "q14_promo_revenue" ->
+      """WITH t AS (
+           SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(15,2)) *
+                         (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))
+                    ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE) AS promo_rev,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+                         (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS total_rev
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01')
+         SELECT promo_rev, total_rev, promo_rev * 100.0 / total_rev AS promo_pct FROM t""",
+
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS o_totalprice,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+         FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(15,2))) AS sum_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 300) big
+         JOIN orders ON o_orderkey = big.l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 20""",
+
+    "q22_idle_customers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+                      CAST(c_acctbal AS DECIMAL(15,2)) AS bal FROM customer),
+           s AS (SELECT COUNT(*) AS n_pos, SUM(bal) AS sum_pos FROM c WHERE bal > 0)
+         SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(bal) AS DOUBLE) AS totacctbal
+         FROM c CROSS JOIN s
+         WHERE bal * n_pos > sum_pos
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2001-01-01')
+         GROUP BY c_mktsegment""",
   ) ++ graft.tpch.TpchQueries.oracleSql ++ graft.tpch.RelationalQueries.oracleSql ++
     graft.tpch.PipelineQueries.oracleSql ++ graft.tpch.StreamingQueries.oracleSql
 }

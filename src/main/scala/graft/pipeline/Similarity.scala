@@ -324,6 +324,48 @@ object Similarity {
       .select(col("i"), col("j"), col("sim"))
   }
 
+  /** Semantic contamination pairs: corpus vectors within `threshold` cosine
+    * of ANY eval-set vector — the embedding-space face of
+    * [[graft.pipeline.TextDedup.decontaminate]]'s shingle overlap (catches
+    * paraphrased eval leakage that exact n-gram matching misses; ≙ the
+    * reference's exact-match-only containment checks, widened). Eval sets
+    * are SMALL by nature (benchmarks are thousands of rows), so the eval
+    * side broadcasts and the corpus side stays a pure scan — a broadcast
+    * nested-loop at O(|corpus|·|eval|) integer dots with no corpus shuffle,
+    * the right 100 TB shape as long as |eval| is index-free small (for a
+    * large eval set, pre-bucket both sides with [[lshNearDupPairs]]'s
+    * sign-LSH instead). Quantized-exact sims, engine-portable.
+    */
+  def semanticContaminationPairs(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val co = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cv"))
+    val ev = evalSet.select(col(idCol).as("eval_id"), quantize(col(vecCol)).as("ev"))
+    co.join(org.apache.spark.sql.functions.broadcast(ev))
+      .withColumn("sim", cosineQ(col("cv"), col("ev")))
+      .filter(col("sim") >= threshold)
+      .select(col("corpus_id"), col("eval_id"), col("sim"))
+  }
+
+  /** Semantic decontamination: the corpus rows NOT near any eval vector.
+    * The contaminated id set (bounded by the corpus rows that hit — in
+    * practice eval-sized, not corpus-sized) comes back as a broadcastable
+    * anti-join side, so the purge is scan + broadcast anti: the corpus is
+    * read twice but never shuffled.
+    */
+  def decontaminateSemantic(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bad = semanticContaminationPairs(corpus, evalSet, threshold, idCol, vecCol)
+      .select(col("corpus_id")).distinct()
+    // the hit set is bounded by construction (rows near a benchmark — the
+    // same eval-scale contract as the broadcast eval shingle set in
+    // TextDedup.decontaminate), so hint it broadcast: without the hint the
+    // static plan sort-merge-joins, i.e. shuffles the 100 TB corpus on id
+    corpus.join(org.apache.spark.sql.functions.broadcast(bad),
+      corpus(idCol) === bad("corpus_id"), "left_anti")
+  }
+
   // ---- Semantic clustering + SemDeDup ------------------------------------
 
   /** Driver-side mirror of [[quantize]]. Spark `round` is HALF_UP away from

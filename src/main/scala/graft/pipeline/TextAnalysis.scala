@@ -283,6 +283,53 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Order-`n` n-gram counts — the raw count table of language-model /
+    * tokenizer corpus prep ([[bpePairCounts]] is the adjacent-pair special
+    * case, kept separate because its gate pins the BPE merge-step shape).
+    * One scan + Generate into a single gram-grain aggregation with map-side
+    * partials: at 100 TB the shuffle carries (gram, partial count) rows —
+    * vocabulary-grain, not corpus-grain. Deterministic top-k (count desc,
+    * gram asc).
+    */
+  def ngramCounts(df: DataFrame, n: Int, textCol: String = "text",
+      k: Int = 100): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val w = split(col(textCol), " ")
+    df.select(explode(when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** Kneser–Ney continuation counts: for each (n−1)-gram, the number of
+    * DISTINCT single-token LEFT extensions observed in the corpus —
+    * N₁₊(·w) in the KN smoothing literature, the quantity that replaces
+    * raw frequency for lower-order distributions ("Francisco" is frequent
+    * but only ever follows "San"). Plan: scan + Generate to the
+    * (left, suffix) pair grain, `distinct` (map-side partial dedup caps the
+    * shuffle at partition-distinct pairs — type-grain, not token-grain),
+    * then one count per suffix. Deterministic top-k.
+    */
+  def continuationCounts(df: DataFrame, n: Int, textCol: String = "text",
+      k: Int = 100): DataFrame = {
+    require(n >= 2, s"continuation counts need order >= 2, got $n")
+    val w = split(col(textCol), " ")
+    df.select(explode(when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => struct(element_at(w, i + 1).as("left"),
+            concat_ws(" ", (1 until n).map(j => element_at(w, i + j + 1)): _*)
+              .as("gram"))))
+      .otherwise(array().cast("array<struct<left:string,gram:string>>"))).as("e"))
+      .select(col("e.left").as("left"), col("e.gram").as("gram"))
+      .distinct()
+      .groupBy("gram").agg(count(lit(1)).as("cont_cnt"))
+      .orderBy(col("cont_cnt").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Corpus heavy hitters: the top-frequency tokens via a SpaceSaving
     * sketch ([[graft.functions.FreqSketch]]) — `count ≥ true ≥ count − err`
     * per row, and every token with true frequency > n_tokens / capacity is

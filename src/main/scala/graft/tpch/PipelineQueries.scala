@@ -265,6 +265,18 @@ object PipelineQueries {
       approxSummary(exact, approx, Seq("i", "j"), recallFloor = 0.95, precisionFloor = 1.0)
     }),
 
+    // SEMANTIC eval-set decontamination: corpus vectors within cosine 0.35
+    // of any eval vector (vec_id < 50 plays the benchmark) are purged —
+    // the embedding-space face of pipe_decontaminate, catching paraphrased
+    // leakage that shingle overlap misses; eval side broadcasts, corpus
+    // side is a pure scan (quantized-exact sims, so fully oracle-checkable)
+    "pipe_decontaminate_semantic" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.decontaminateSemantic(
+          e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50), 0.35)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // brute-force cosine top-k (exact ANN baseline)
     "pipe_ann_brute" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -410,6 +422,15 @@ object PipelineQueries {
     // scan+Generate plan, deterministic tie-break, hash-matched.
     "pipe_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(docs(s, dir), "text", 20)),
+
+    // LM-prep trigram count table (top-100, deterministic ties)
+    "pipe_ngram_counts" -> ((s, dir) =>
+      TextAnalysis.ngramCounts(docs(s, dir), 3, "text", 100)),
+
+    // Kneser–Ney continuation counts at the bigram grain: distinct left
+    // single-token extensions per bigram (N₁₊(·w) of order-3 KN smoothing)
+    "pipe_ngram_continuation" -> ((s, dir) =>
+      TextAnalysis.continuationCounts(docs(s, dir), 3, "text", 50)),
 
     "pipe_vocab_coverage" -> ((s, dir) => {
       graft.pipeline.Search.vocabCoverage(docs(s, dir), col("text"), 40)
@@ -1125,6 +1146,17 @@ object PipelineQueries {
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM cont)""",
 
+    // semantic decon: quantized cosine vs every eval vector, NOT IN purge
+    "pipe_decontaminate_semantic" -> {
+      s"""WITH q AS (SELECT vec_id, label, ${QV.format("embedding")} AS v FROM embeddings),
+           e AS (SELECT v FROM q WHERE vec_id < 50),
+           co AS (SELECT vec_id, label, v FROM q WHERE vec_id >= 50),
+           bad AS (SELECT DISTINCT co.vec_id FROM co JOIN e ON
+             ${dot("co.v", "e.v")} / (sqrt(${dot("co.v", "co.v")}) * sqrt(${dot("e.v", "e.v")})) >= 0.35)
+         SELECT vec_id, label FROM co
+         WHERE vec_id NOT IN (SELECT vec_id FROM bad)"""
+    },
+
     // the pair-grain face of the decontamination CTEs: cs is pre-distinct'd
     // so count(*) is the distinct-shingle hit count per (corpus, eval) pair
     "pipe_decontaminate_report" ->
@@ -1326,6 +1358,27 @@ object PipelineQueries {
 
     // mirrors Search.vocabCoverage(…, 40): term-frequency rank with the
     // running token total, alphabetical tie-break — exact integers only
+    "pipe_ngram_counts" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+           g AS (
+             SELECT array_to_string(w[i : i + 2], ' ') AS gram
+             FROM t, UNNEST(generate_series(1, len(w) - 2)) AS s(i)
+             WHERE len(w) >= 3
+           )
+         SELECT gram, COUNT(*) AS cnt FROM g
+         GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 100""",
+
+    // distinct (left token, bigram suffix) pairs, then count per suffix
+    "pipe_ngram_continuation" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+           p AS (
+             SELECT DISTINCT w[i] AS lft, array_to_string(w[i + 1 : i + 2], ' ') AS gram
+             FROM t, UNNEST(generate_series(1, len(w) - 2)) AS s(i)
+             WHERE len(w) >= 3
+           )
+         SELECT gram, COUNT(*) AS cont_cnt FROM p
+         GROUP BY gram ORDER BY cont_cnt DESC, gram ASC LIMIT 50""",
+
     "pipe_bpe_pairs" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
          p AS (

@@ -1,0 +1,104 @@
+package graft
+
+import graft.pipeline.{Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 additions: LM-prep n-gram count tables (raw + Kneser–Ney
+  * continuation counts) and embedding-space eval-set decontamination.
+  */
+class NgramSemanticSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def toyDocs = Seq(
+    (1L, "a b c"),
+    (2L, "x b c"),
+    (3L, "a b d"),
+    (4L, "b c a b c"),
+    (5L, "solo")).toDF("doc_id", "text")
+
+  test("ngramCounts equals driver-side sliding-window counts") {
+    val texts = toyDocs.select("text").as[String].collect()
+    for (n <- 1 to 3) {
+      val expected = texts.flatMap(_.split(" ").sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")))
+        .groupBy(identity).map { case (g, xs) => (g, xs.length.toLong) }
+      val got = TextAnalysis.ngramCounts(toyDocs, n, "text", 100)
+        .as[(String, Long)].collect()
+      assert(got.toMap == expected, s"order $n")
+      // deterministic ordering: cnt desc, gram asc
+      assert(got.sortBy { case (g, c) => (-c, g) }.toSeq == got.toSeq)
+    }
+  }
+
+  test("docs shorter than n contribute nothing (no null/empty grams)") {
+    val got = TextAnalysis.ngramCounts(toyDocs.filter(col("doc_id") === 5), 3)
+      .collect()
+    assert(got.isEmpty)
+  }
+
+  test("continuationCounts = distinct left extensions per suffix") {
+    // "b c" is seen after a, x, a, (doc4: "a b c" window + "b c a" start)
+    //   doc1 a[b c]; doc2 x[b c]; doc4 a[b c] and the leading [b c a] has
+    //   no left for its own first window, but "c a" gains left 'b'
+    val got = TextAnalysis.continuationCounts(toyDocs, 3, "text", 100)
+      .as[(String, Long)].collect().toMap
+    assert(got("b c") == 2L) // lefts {a, x} — repeats collapse
+    assert(got("b d") == 1L) // left {a}
+    assert(got("c a") == 1L) // left {b} (doc4)
+    assert(got("a b") == 1L) // left {c} (doc4: "c a b")
+  }
+
+  test("ngram/continuation plans are scan + aggregate — no join") {
+    for (df <- Seq(TextAnalysis.ngramCounts(toyDocs, 3),
+        TextAnalysis.continuationCounts(toyDocs, 3))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"n-gram counting must not join:\n$plan")
+    }
+  }
+
+  private def vecs(rows: (Long, Seq[Double])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("decontaminateSemantic purges exactly the above-threshold corpus rows") {
+    val evalSet = vecs(100L -> Seq(1.0, 0.0), 101L -> Seq(0.0, 1.0))
+    val corpus = vecs(
+      1L -> Seq(0.999, 0.01), // ~cos 1 vs eval 100 → purged
+      2L -> Seq(-1.0, 0.0),   // cos -1 → kept
+      3L -> Seq(0.1, 0.99),   // ~cos 1 vs eval 101 → purged
+      4L -> Seq(0.8, -0.6))   // cos 0.8 vs eval 100 → kept at 0.9
+    val survivors = Similarity.decontaminateSemantic(corpus, evalSet, 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == Set(2L, 4L))
+    // lowering the threshold below cos(row4, eval100) pulls row 4 in
+    val strict = Similarity.decontaminateSemantic(corpus, evalSet, 0.7)
+      .select("vec_id").as[Long].collect().toSet
+    assert(strict == Set(2L))
+  }
+
+  test("contamination pairs carry quantized-exact sims; survivors+hits = corpus") {
+    val d = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val (ev, co) = (e.filter(col("vec_id") < 50), e.filter(col("vec_id") >= 50))
+    val pairs = Similarity.semanticContaminationPairs(co, ev, 0.35)
+    val hit = pairs.select(col("corpus_id")).distinct()
+    val surv = Similarity.decontaminateSemantic(co, ev, 0.35)
+    assert(hit.count() + surv.count() == co.count())
+    // every emitted sim is >= threshold and <= 1 + quantization slack
+    val sims = pairs.select("sim").as[Double].collect()
+    assert(sims.forall(s => s >= 0.35 && s <= 1.0001))
+  }
+
+  test("semantic decon plan: eval side broadcasts, corpus never shuffles") {
+    val d = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val plan = Similarity.decontaminateSemantic(
+      e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50), 0.35)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"eval side must broadcast (scan-shaped corpus):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus shuffle join expected:\n$plan")
+  }
+}

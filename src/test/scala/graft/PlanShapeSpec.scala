@@ -16,14 +16,22 @@ class PlanShapeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Gates whose deliverable IS an exact all-pairs baseline — correctness
-    * oracles, excluded from the bench by design (see Bench.rawOps scaladoc).
+  /** Gates whose nested-loop join is DECLARED: either an exact all-pairs
+    * correctness baseline (excluded from the bench by design, see
+    * Bench.rawOps scaladoc) or a documented bounded-broadcast-side scan
+    * (the nested loop's build side cannot grow with the corpus).
     */
-  private val bruteForceBaselines = Set("pipe_ann_brute", "pipe_dedup_embed",
+  private val declaredNestedLoops = Set("pipe_ann_brute", "pipe_dedup_embed",
     // the fusion gate feeds on bruteForceTopK as its oracle-exact semantic
     // arm (the broadcast nested loop is THAT documented baseline; fusion
     // itself is a bounded top-k join) — the scale path swaps in ivfPqTopK
-    "pipe_hybrid_rrf")
+    "pipe_hybrid_rrf",
+    // semantic decontamination: the nested loop's BROADCAST side is the
+    // EVAL set — small by nature (a benchmark, not a corpus), documented in
+    // Similarity.semanticContaminationPairs — so the plan is O(|corpus|·
+    // |eval|) scan-shaped work with no corpus shuffle, not a quadratic
+    // corpus self-join; NgramSemanticSpec pins the broadcast orientation
+    "pipe_decontaminate_semantic")
 
   /** Gates that return a verification SUMMARY: the raw scalable operator
     * PLUS an exact brute-force baseline PLUS a recall/containment compare
@@ -70,7 +78,7 @@ class PlanShapeSpec extends AnyFunSuite {
         p.collect { case j: BroadcastNestedLoopJoinExec if !isScalarAttach(j) => j }.nonEmpty
     val offenders = plans.collect {
       case (name, df)
-          if !bruteForceBaselines(name) && !verificationSummaries(name) &&
+          if !declaredNestedLoops(name) && !verificationSummaries(name) &&
             quadratic(df.queryExecution.sparkPlan) =>
         name
     }
