@@ -198,6 +198,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           sum(col("bal")).cast("double").as("totacctbal"))
     }),
+
+    // TPC-H Q17 shape (small-quantity revenue): lines of one brand's parts
+    // whose quantity is below 20% of that part's average quantity. The
+    // textbook correlated scalar subquery de-correlates into ONE window
+    // over the brand-filtered fact slice — sum/count per part computed by
+    // the same shuffle the compare consumes, one fact scan (the self-join
+    // form reads the slice twice). The 0.2·avg threshold is rewritten
+    // multiplication-exact: `qty·5·n < sum` compares scaled integers, no
+    // division at the boundary; /7.0 is one double division at the end.
+    "q17_small_quantity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val part = read(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select("p_partkey")
+      val li = read(s, dir, "lineitem").select(col("l_partkey"),
+        dec(col("l_quantity")).as("qty"), dec(col("l_extendedprice")).as("price"))
+      val w = Window.partitionBy(col("l_partkey"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .withColumn("sum_qty", sum(col("qty")).over(w))
+        .withColumn("n_qty", count(lit(1)).over(w))
+        .filter(col("qty") * lit(5) * col("n_qty") < col("sum_qty"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price")).cast("double").as("total_price"))
+        .select(col("n_rows"), col("total_price"),
+          (col("total_price") / lit(7.0)).as("avg_yearly"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -288,6 +313,19 @@ object SparkEntry {
                            WHERE o_custkey = c_custkey
                              AND o_orderdate >= TIMESTAMP '2001-01-01')
          GROUP BY c_mktsegment""",
+
+    "q17_small_quantity" ->
+      """WITH sel AS (SELECT l_partkey, CAST(l_quantity AS DECIMAL(15,2)) AS qty,
+                        CAST(l_extendedprice AS DECIMAL(15,2)) AS price
+                      FROM lineitem JOIN part ON l_partkey = p_partkey
+                      WHERE p_brand = 'Brand#23'),
+           wd AS (SELECT *, SUM(qty) OVER (PARTITION BY l_partkey) AS sum_qty,
+                            COUNT(*) OVER (PARTITION BY l_partkey) AS n_qty
+                  FROM sel)
+         SELECT COUNT(*) AS n_rows,
+           CAST(SUM(price) AS DOUBLE) AS total_price,
+           CAST(SUM(price) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM wd WHERE qty * 5 * n_qty < sum_qty""",
   ) ++ graft.tpch.TpchQueries.oracleSql ++ graft.tpch.RelationalQueries.oracleSql ++
     graft.tpch.PipelineQueries.oracleSql ++ graft.tpch.StreamingQueries.oracleSql
 }

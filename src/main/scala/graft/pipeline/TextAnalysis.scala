@@ -346,4 +346,29 @@ object TextAnalysis {
       .select(explode(col("hh")).as("e"))
       .select(col("e.token").as("token"), col("e.cnt").as("cnt"),
         col("e.err").as("err"))
+
+  /** Stratified heavy hitters with a merged grand total in ONE aggregation:
+    * `rollup(stratum)` computes every per-stratum sketch AND the all-corpus
+    * sketch in the same shuffle — the Expand duplicates token rows into the
+    * two grains, but what moves is still one capacity-entry sketch per
+    * (partition, grain), never the vocabulary. This is the mergeable-sketch
+    * discipline of `rel_hll_rollup` applied to SpaceSaving: per-language
+    * top-token tables and the corpus-wide table from one pass, each grain
+    * carrying its own `cnt ≥ true ≥ cnt − err` guarantee. The total row is
+    * identified by the `grouping()` bit (not a null test — a stratum value
+    * that IS null stays a real stratum) and surfaces as `<ALL>`.
+    */
+  def heavyHittersByStratum(df: DataFrame, stratumCol: String,
+      textCol: String = "text", capacity: Int = 256): DataFrame =
+    df.select(col(stratumCol).as("stratum"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .rollup(col("stratum"))
+      .agg(graft.functions.FreqSketch(col("token"), capacity).as("hh"),
+        grouping(col("stratum")).cast("int").as("is_total"))
+      .select(when(col("is_total") === 1, lit("<ALL>"))
+          .otherwise(col("stratum")).as("stratum"),
+        explode(col("hh")).as("e"))
+      .select(col("stratum"), col("e.token").as("token"),
+        col("e.cnt").as("cnt"), col("e.err").as("err"))
 }

@@ -140,6 +140,29 @@ object PipelineQueries {
         Seq("token"), recallFloor = 1.0)
     }),
 
+    // stratified heavy hitters: per-language sketches AND the merged
+    // corpus-wide sketch from ONE rollup aggregation; gated on the same
+    // guaranteed-containment contract as pipe_heavy_hitters, per grain
+    "pipe_heavy_hitters_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val hh = TextAnalysis.heavyHittersByStratum(d, "lang", "text", 256)
+      val toks = d.select(col("lang").as("stratum"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val both = toks.union(toks.select(lit("<ALL>").as("stratum"), col("token")))
+      val totals = both.groupBy("stratum").agg(count(lit(1)).as("n"))
+      val exactTop = both.groupBy("stratum", "token")
+        .agg(count(lit(1)).as("cnt"))
+        .join(totals, "stratum")
+        .filter(col("cnt") * 256 > col("n")) // the sketch's guarantee region
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("stratum").orderBy(col("cnt").desc, col("token").asc)))
+        .filter(col("rk") <= 5)
+      approxSummary(exactTop.select("stratum", "token"),
+        hh.select("stratum", "token"), Seq("stratum", "token"), recallFloor = 1.0)
+    }),
+
     // winnowing fingerprints (MOSS): window-min gram hashes per document
     "pipe_winnow" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -840,6 +863,7 @@ object PipelineQueries {
     "pipe_ann_ivf" -> SUMMARY_ORACLE,
     "pipe_ann_ivf_persist" -> SUMMARY_ORACLE,
     "pipe_heavy_hitters" -> SUMMARY_ORACLE,
+    "pipe_heavy_hitters_stratified" -> SUMMARY_ORACLE,
     "pipe_hybrid_rrf_indexed" -> SUMMARY_ORACLE,
 
     "pipe_dedup_clusters" ->

@@ -178,6 +178,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
   }
 
+  test("stratified heavy hitters: every rollup grain keeps the SpaceSaving contract") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 4).flatMap { lang =>
+      val head = (0 until 4).flatMap(i => Seq.fill((5 - i) * 200)(s"L${lang}h$i"))
+      val tail = (0 until 3000).map(i => s"L${lang}t${i % 800}")
+      (head ++ tail).map(w => (s"lang$lang", w))
+    }
+    val df = s.sparkContext.parallelize(scala.util.Random.shuffle(rows).toList, 16)
+      .toDF("lang", "text")
+    val hh = TextAnalysis.heavyHittersByStratum(df, "lang", "text", capacity = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val strata = hh.map(_._1).toSet
+    assert(strata == Set("lang0", "lang1", "lang2", "lang3", "<ALL>"))
+    // per-grain bounds + containment, INCLUDING the merged total row
+    val byStratum = rows.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap +
+      ("<ALL>" -> rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
+    byStratum.foreach { case (stratum, trueCounts) =>
+      val mine = hh.filter(_._1 == stratum)
+      assert(mine.length <= 64, s"$stratum over capacity")
+      mine.foreach { case (_, t, c, e) =>
+        val tc = trueCounts(t)
+        assert(c >= tc && tc >= c - e, s"$stratum/$t: cnt=$c err=$e true=$tc")
+      }
+      val n = trueCounts.values.sum
+      val guaranteed = trueCounts.filter(_._2 > n / 64).keySet
+      assert(guaranteed.subsetOf(mine.map(_._2).toSet),
+        s"$stratum missing guaranteed: ${guaranteed -- mine.map(_._2).toSet}")
+    }
+    // ONE aggregation pass: a single pair of ObjectHashAggregates (partial +
+    // final) over the Expand, not one job per stratum
+    val plan = TextAnalysis.heavyHittersByStratum(df, "lang", "text", 64)
+      .queryExecution.executedPlan.treeString
+    assert(plan.contains("Expand"), s"rollup Expand expected:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size == 2,
+      s"expected exactly partial+final sketch aggregates:\n$plan")
+  }
+
   test("IVF index persists partitioned by cell; pruned serving scans only probed cells") {
     val s = spark
     s.sql("DROP TABLE IF EXISTS ivf_idx_spec")
