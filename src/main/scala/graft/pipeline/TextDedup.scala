@@ -620,4 +620,71 @@ object TextDedup {
     incoming.withColumn("fp", TextAnalysis.canonicalFingerprint(col(textCol)))
       .dropDuplicates("fp")
       .join(index, Seq("fp"), "left_anti")
+
+  /** Banded MinHash signatures at the (id, band, bandHash) grain — the
+    * candidate-generation key of [[minhashLshPairs]], factored out so an
+    * INDEX of an ingested corpus and an intake batch compute the identical
+    * banding.
+    */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, shingle: Int): DataFrame = {
+    val rows = k / bands
+    minhashSignatures(df, idCol, textCol, k, shingle)
+      .select(col(idCol), posexplode(array((0 until bands).map(bi =>
+        hash(slice(col("sig"), bi * rows + 1, rows), lit(bi))): _*)).as(Seq("band", "bh")))
+  }
+
+  /** NEAR-dup serving index of an ingested corpus — the lexical analog of
+    * the `ivfFit`/`ivfTopKIndexed` fit-once/serve-many split: `bands`
+    * (idx_id, band, bh) generates candidates, `words` (idx_id, ws) exact-
+    * verifies them. Build ONCE per corpus; persist both (bands bucketed by
+    * `bh` at scale, so each intake batch's candidate probe bucket-prunes
+    * instead of shuffling the index). Signature parameters must match
+    * between index and [[dropCorpusNearDups]] — they key the band hashes.
+    */
+  def nearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, shingle: Int = 1): (DataFrame, DataFrame) = {
+    val b = bandedSignatures(corpus, idCol, textCol, k, bands, shingle)
+      .select(col(idCol).as("idx_id"), col("band"), col("bh"))
+    val w = corpus.select(col(idCol).as("idx_id"),
+      shingleHashArr(col(textCol), shingle).as("ws"))
+    (b, w)
+  }
+
+  /** Drop every incoming document with a VERIFIED near-dup in the indexed
+    * corpus — the near-dup face of [[novelOnly]], and deliberately
+    * order-independent: each incoming doc is judged against the STATIC
+    * index only, so the result is the same at any batching (a stream can
+    * apply it per micro-batch — [[graft.streaming.Streaming.nearDupNovelStream]]
+    * — and a backfill can run it as one batch, byte-identically). Plan: the
+    * batch sides (banded signatures, candidate ids, verified hit set) are
+    * all bounded by the intake batch, so only the candidate probe touches
+    * the corpus-sized index — an equi join on (band, bh) that bucket-prunes
+    * against a bucketed index — and the hit set broadcasts into the final
+    * anti join; the corpus is never shuffled. In-stream near-dups (intake
+    * doc vs intake doc) are out of contract by design: exact repeats are
+    * [[novelOnly]]'s job upstream, and near-dup residue WITHIN the admitted
+    * stream is the periodic batch compaction's ([[purgeNearDups]]) — the
+    * standard filter-at-intake + compact-at-rest split.
+    */
+  def dropCorpusNearDups(incoming: DataFrame, idCol: String, textCol: String,
+      idxBands: DataFrame, idxWords: DataFrame, threshold: Double = 0.9,
+      k: Int = 64, bands: Int = 16, shingle: Int = 1): DataFrame = {
+    val inBands = bandedSignatures(incoming, idCol, textCol, k, bands, shingle)
+      .select(col(idCol).as("__in"), col("band"), col("bh"))
+    val cand = inBands.join(idxBands, Seq("band", "bh"))
+      .select(col("__in"), col("idx_id")).distinct()
+    val inWords = incoming.select(col(idCol).as("__in"),
+      shingleHashArr(col(textCol), shingle).as("wi"))
+    val hit = cand
+      .join(inWords, Seq("__in"))
+      .join(idxWords.select(col("idx_id"), col("ws").as("wj")), Seq("idx_id"))
+      .withColumn("__inter", graft.functions.SortedIntersectCount(col("wi"), col("wj")))
+      .withColumn("sim", col("__inter").cast("double") /
+        (size(col("wi")) + size(col("wj")) - col("__inter")).cast("double"))
+      .filter(col("sim") >= threshold)
+      .select(col("__in")).distinct()
+    // hit ⊆ the intake batch's ids — batch-bounded, never corpus-bounded
+    incoming.join(broadcast(hit), incoming(idCol) === hit("__in"), "left_anti")
+  }
 }

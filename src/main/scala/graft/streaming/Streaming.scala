@@ -183,4 +183,32 @@ object Streaming {
           next
       }
   }
+
+  /** Continuous-intake NEAR-dup novelty: per micro-batch, admit only the
+    * documents with no verified near-dup in the PREBUILT corpus index
+    * ([[graft.pipeline.TextDedup.nearDupIndex]]) and append the admitted
+    * rows to `outPath`. The per-doc decision is against the static index
+    * only, so the admitted set is independent of batching — identical to
+    * running [[graft.pipeline.TextDedup.dropCorpusNearDups]] over the whole
+    * intake as one batch (spec-pinned). Exact repeats within the stream are
+    * [[graft.pipeline.TextDedup.novelOnly]]'s job upstream; near-dup
+    * residue within the admitted stream belongs to the periodic
+    * [[graft.pipeline.TextDedup.purgeNearDups]] compaction.
+    */
+  def nearDupNovelStream(stream: DataFrame, idCol: String, textCol: String,
+      idxBands: DataFrame, idxWords: DataFrame, outPath: String,
+      threshold: Double = 0.9, k: Int = 64, bands: Int = 16, shingle: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+    checkpointDir.foldLeft(writer)((w, d) => w.option("checkpointLocation", d))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.pipeline.TextDedup.dropCorpusNearDups(batch, idCol, textCol,
+            idxBands, idxWords, threshold, k, bands, shingle)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
 }

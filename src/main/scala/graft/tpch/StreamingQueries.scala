@@ -458,6 +458,38 @@ object StreamingQueries {
       java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       out
+    }),
+
+    // streaming NEAR-dup novelty: the same file-replay intake, filtered per
+    // micro-batch against the prebuilt corpus near-dup index (banded
+    // MinHash candidates, exact Jaccard verify). The decision is per doc vs
+    // the STATIC index, so the admitted id set is batching-independent and
+    // fully order-free — oracle: stream docs with no corpus doc at word-set
+    // Jaccard >= 0.9 (exact-verified LSH; recall 1.0 on this corpus is
+    // what pipe_dedup_minhash's exact-pair-set oracle already pins).
+    "pipe_stream_neardup" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val (idxB, idxW) = graft.pipeline.TextDedup.nearDupIndex(
+        d.filter(col("doc_id") < 250), "doc_id", "text")
+      val batch = d.filter(col("doc_id") >= 250).select("doc_id", "text")
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_neardup")
+      val tmp = tmpRoot.resolve("files").toString
+      batch.withColumn("part", pmod(hash(col("doc_id")), lit(10)))
+        .repartition(10, col("part")).drop("part")
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val outDir = tmpRoot.resolve("admitted").toString
+      val q = graft.streaming.Streaming.nearDupNovelStream(stream, "doc_id",
+        "text", idxB, idxW, outDir,
+        checkpointDir = Some(tmpRoot.resolve("ckpt").toString))
+      q.awaitTermination()
+      val out = s.read.parquet(outDir).select("doc_id").localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -537,5 +569,22 @@ object StreamingQueries {
          corpus AS (SELECT DISTINCT fp FROM canon WHERE doc_id < 250),
          intake AS (SELECT DISTINCT fp FROM canon WHERE doc_id >= 250)
          SELECT fp FROM intake
-         WHERE fp NOT IN (SELECT fp FROM corpus)""")
+         WHERE fp NOT IN (SELECT fp FROM corpus)""",
+
+    // mirrors TextDedup.dropCorpusNearDups over the same corpus/intake
+    // split: an intake doc survives iff NO corpus doc sits at word-set
+    // Jaccard >= 0.9 (the pipe_dedup_jaccard similarity, across the halves)
+    "pipe_stream_neardup" ->
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+           n AS (SELECT doc_id, count(*) AS c FROM t GROUP BY doc_id),
+           hits AS (SELECT b.doc_id AS sid, a.doc_id AS cid, count(*) AS shared
+                    FROM t a JOIN t b ON a.w = b.w
+                    WHERE a.doc_id < 250 AND b.doc_id >= 250
+                    GROUP BY 1, 2),
+           bad AS (SELECT DISTINCT sid FROM hits
+                   JOIN n na ON cid = na.doc_id JOIN n nb ON sid = nb.doc_id
+                   WHERE CAST(shared AS DOUBLE) / CAST(na.c + nb.c - shared AS DOUBLE) >= 0.9)
+         SELECT doc_id FROM documents
+         WHERE doc_id >= 250 AND doc_id NOT IN (SELECT sid FROM bad)""")
 }

@@ -225,6 +225,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("lang_pred") != null))
   }
 
+  test("near-dup novelty stream: batch-independent, exact-verified vs the index") {
+    import graft.pipeline.TextDedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "colorless green ideas sleep furiously tonight")).toDF("doc_id", "text")
+    val (idxB, idxW) = TextDedup.nearDupIndex(corpus, "doc_id", "text")
+    val intake = Seq(
+      // word-set duplicate of corpus doc 1 (reordered) → dropped
+      (10L, "lazy dog the quick brown fox jumps over the"),
+      // novel → admitted
+      (11L, "entirely different words about spark plans and shuffles"),
+      // near-dup of corpus doc 2 missing one word of ten? (6-of-6 subset
+      // plus one extra word → J = 6/7 < 0.9 → ADMITTED: threshold is real)
+      (12L, "colorless green ideas sleep furiously tonight extra"),
+      // exact word-set of corpus doc 2 → dropped
+      (13L, "tonight furiously sleep ideas green colorless")).toDF("doc_id", "text")
+    // batch reference: one-shot application
+    val oneShot = TextDedup.dropCorpusNearDups(intake, "doc_id", "text", idxB, idxW)
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneShot == Set(11L, 12L))
+    // streamed in two micro-batches → identical admitted set
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_stream")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // a LIVE trigger: the AvailableNow default would stop after batch 1
+    // and silently skip data added later (exactly what this spec must see)
+    val q = Streaming.nearDupNovelStream(stream, "doc_id", "text", idxB, idxW,
+      tmp.resolve("out").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      checkpointDir = Some(tmp.resolve("ckpt").toString))
+    val rows = intake.as[(Long, String)].collect()
+    mem.addData(rows.take(2).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(tmp.resolve("out").toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == oneShot, "admission must be batching-independent")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   test("stateless curation ops run unchanged on a stream: scrub + sample + resample") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
