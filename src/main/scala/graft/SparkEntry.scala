@@ -223,6 +223,34 @@ object SparkEntry {
         .select(col("n_rows"), col("total_price"),
           (col("total_price") / lit(7.0)).as("avg_yearly"))
     }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates): revenue
+    // from three OR'd brand/size/quantity windows. The interesting plan
+    // property is predicate EXTRACTION: Catalyst rewrites the OR-of-ANDs so
+    // the part-only disjunction (brand/size) pushes below the join to the
+    // part scan and the lineitem-only disjunction (quantity windows) to the
+    // fact scan — each side prunes on ITS OR before the broadcast join,
+    // and only the cross-side conjunction evaluates post-join.
+    "q19_discounted_revenue" -> ((s, dir) => {
+      val part = read(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      // the quantity windows test the RAW double column: integer bounds are
+      // exactly representable, so the predicate is value-identical to the
+      // decimal form AND stays parquet-pushable (a cast would block it)
+      val li = read(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").as("qty"),
+          (dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+            .as("rev"))
+      def win(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+          col("qty").between(qLo, qHi)
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(win("Brand#12", 5, 1, 11) || win("Brand#23", 10, 10, 20) ||
+          win("Brand#3", 15, 20, 30))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("rev")).cast("double").as("revenue"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -326,6 +354,18 @@ object SparkEntry {
            CAST(SUM(price) AS DOUBLE) AS total_price,
            CAST(SUM(price) AS DOUBLE) / 7.0 AS avg_yearly
          FROM wd WHERE qty * 5 * n_qty < sum_qty""",
+
+    "q19_discounted_revenue" ->
+      """SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+             (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND CAST(l_quantity AS DECIMAL(15,2)) BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND CAST(l_quantity AS DECIMAL(15,2)) BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                AND CAST(l_quantity AS DECIMAL(15,2)) BETWEEN 20 AND 30)""",
   ) ++ graft.tpch.TpchQueries.oracleSql ++ graft.tpch.RelationalQueries.oracleSql ++
     graft.tpch.PipelineQueries.oracleSql ++ graft.tpch.StreamingQueries.oracleSql
 }

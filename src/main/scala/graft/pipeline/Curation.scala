@@ -163,6 +163,35 @@ object Curation {
     resampleStratified(kept, col(idCol), stratumCol, rates, defaultRate, salt)
   }
 
+  /** [[curateCorpus]] widened with the SEMANTIC decontamination stage:
+    * additionally drop documents whose embedding sits within `cosThreshold`
+    * cosine of ANY eval embedding ([[Similarity.semanticContaminationPairs]]
+    * — catches paraphrased eval leakage the shingle overlap misses).
+    * Composed as an id-level anti join on [[curateCorpus]]'s OUTPUT, which
+    * is provably stage-order-sound: every decontamination stage, the
+    * quality floor, and the per-id deterministic resample are independent
+    * row filters/expansions that commute with one another — only the
+    * purge's canonical-representative choice must come first, and it still
+    * runs on the full corpus inside [[curateCorpus]]. The contaminated id
+    * set is eval-scale, so the extra stage is one broadcast anti join.
+    */
+  def curateCorpusSemantic(df: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalTextCol: String,
+      emb: DataFrame, embIdCol: String, embVecCol: String,
+      evalEmb: DataFrame, cosThreshold: Double,
+      qualityFloor: Double, stratumCol: Column,
+      rates: Map[String, Double], defaultRate: Double, salt: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.9,
+      shingle: Int = 3, minHits: Int = 2): DataFrame = {
+    val out = curateCorpus(df, idCol, textCol, evalDf, evalTextCol,
+      qualityFloor, stratumCol, rates, defaultRate, salt,
+      k, bands, threshold, shingle, minHits)
+    val bad = Similarity
+      .semanticContaminationPairs(emb, evalEmb, cosThreshold, embIdCol, embVecCol)
+      .select(col("corpus_id")).distinct()
+    out.join(broadcast(bad), out(idCol) === bad("corpus_id"), "left_anti")
+  }
+
   /** Per-stratum quality selection: the k best rows of each stratum by
     * `scoreCol`, ties broken by id for determinism. One shuffle on the
     * stratum key; with a bounded stratum count and k, AQE handles skew and

@@ -621,6 +621,22 @@ object PipelineQueries {
           col("copy").cast("long").as("copy"))
     }),
 
+    // the curation pipeline widened with the semantic decon stage: the same
+    // eval SPLIT on both modalities (docs doc_id%97=0, embeddings
+    // vec_id%97=0), so one benchmark's text AND embedding leakage are both
+    // scrubbed in one composition
+    "pipe_curate_semantic" -> ((s, dir) => {
+      val d = docs(s, dir); val e = emb(s, dir)
+      Curation.curateCorpusSemantic(d, "doc_id", "text",
+        d.filter(col("doc_id") % 97 === 0), "text",
+        e.filter(col("vec_id") % 97 =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 97 === 0), cosThreshold = 0.35,
+        qualityFloor = 0.6, stratumCol = col("lang"),
+        rates = Map("en" -> 2.0, "fr" -> 0.75), defaultRate = 0.25, salt = "s42")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("copy").cast("long").as("copy"))
+    }),
+
     // PII scrub over a derived text with known plants (the synthetic corpus
     // has no organic PII, so both sides inject a deterministic e-mail +
     // phone per doc, then redact them)
@@ -1221,6 +1237,37 @@ object PipelineQueries {
                     THEN 1 ELSE 0 END AS n
                 FROM kept)
           SELECT doc_id, lang, source, unnest(range(n)) AS copy FROM r""",
+
+    // the pipe_curate chain + the semantic stage as a final id filter
+    // (stage-order-sound: all decon stages are commuting row filters; see
+    // Curation.curateCorpusSemantic)
+    "pipe_curate_semantic" ->
+      s"""$CLUSTERS_CTE,
+          ded AS (SELECT * FROM documents
+                  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)),
+          ew AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0),
+          ei AS (SELECT w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM ew),
+          evs AS (SELECT DISTINCT array_to_string(w[i : i + 2], chr(1)) AS s FROM ei),
+          cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM ded),
+          ci AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM cw),
+          cs AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 2], chr(1)) AS s FROM ci),
+          cont AS (SELECT doc_id FROM cs JOIN evs USING (s)
+                   GROUP BY doc_id HAVING count(*) >= 2),
+          clean AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+          kept AS (SELECT doc_id, lang, source FROM clean WHERE $QUALITY_EXPR >= 0.6),
+          r AS (SELECT doc_id, lang, source,
+                  CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 0 ELSE 0 END
+                  + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 4) <
+                      CASE lang WHEN 'en' THEN '0000' WHEN 'fr' THEN 'c000' ELSE '4000' END
+                    THEN 1 ELSE 0 END AS n
+                FROM kept),
+          q AS (SELECT vec_id, ${QV.format("embedding")} AS v FROM embeddings),
+          sev AS (SELECT v FROM q WHERE vec_id % 97 = 0),
+          sco AS (SELECT vec_id, v FROM q WHERE vec_id % 97 <> 0),
+          sem AS (SELECT DISTINCT sco.vec_id FROM sco JOIN sev ON
+            ${dot("sco.v", "sev.v")} / (sqrt(${dot("sco.v", "sco.v")}) * sqrt(${dot("sev.v", "sev.v")})) >= 0.35)
+          SELECT doc_id, lang, source, unnest(range(n)) AS copy FROM r
+          WHERE doc_id NOT IN (SELECT vec_id FROM sem)""",
 
     "pipe_scrub_pii" ->
       """SELECT doc_id,
