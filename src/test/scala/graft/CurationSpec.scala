@@ -235,4 +235,28 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     got.foreach { case (id, _, _, sid) => assert(re(id) == sid) }
   }
+
+  test("curateCorpusSemantic = curateCorpus minus the semantically contaminated ids") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val evalDocs = d.filter(col("doc_id") % 97 === 0)
+    val (co, ev) = (e.filter(col("vec_id") % 97 =!= 0), e.filter(col("vec_id") % 97 === 0))
+    val base = Curation.curateCorpus(d, "doc_id", "text", evalDocs, "text",
+      qualityFloor = 0.6, stratumCol = col("lang"),
+      rates = Map("en" -> 2.0, "fr" -> 0.75), defaultRate = 0.25, salt = "s42")
+    val sem = Curation.curateCorpusSemantic(d, "doc_id", "text", evalDocs, "text",
+      co, "vec_id", "embedding", ev, cosThreshold = 0.35,
+      qualityFloor = 0.6, stratumCol = col("lang"),
+      rates = Map("en" -> 2.0, "fr" -> 0.75), defaultRate = 0.25, salt = "s42")
+    val bad = graft.pipeline.Similarity
+      .semanticContaminationPairs(co, ev, 0.35)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(bad.nonEmpty, "fixture must actually contaminate something")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("lang"), col("copy").cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    val expected = rows(base).filterNot { case (id, _, _) => bad.contains(id) }
+    assert(rows(sem) == expected,
+      "the semantic stage must be exactly an id filter on the base composition")
+  }
 }
