@@ -347,6 +347,69 @@ object TextAnalysis {
       .select(col("e.token").as("token"), col("e.cnt").as("cnt"),
         col("e.err").as("err"))
 
+  /** Train byte-pair-encoding merges on the corpus — the full tokenizer-
+    * training step [[bpePairCounts]] previews. The split of labor is the
+    * one production BPE trainers use: Spark runs the ONE distributed pass
+    * (corpus → word-frequency table; the shuffle carries word counts —
+    * vocabulary-grain, never the corpus), and the merge loop runs
+    * DRIVER-side over that bounded table (O(nMerges · vocab); `wordCap`
+    * guards the driver and keeps the trained vocabulary deterministic:
+    * top-`wordCap` words by count with a word tie-break). Symbols start as
+    * single characters; each step merges the most frequent adjacent symbol
+    * pair (count-weighted by word frequency, ties lexicographic on the
+    * pair) everywhere at once. Returns (step, left, right, pair count at
+    * merge time) — best-pair counts are non-increasing by construction
+    * (merging only removes occurrences; pairs created by a merge inherit a
+    * subset of its occurrences), which the gate asserts.
+    */
+  def bpeTrain(df: DataFrame, textCol: String = "text", nMerges: Int = 50,
+      wordCap: Int = 1000000): Seq[(Int, String, String, Long)] = {
+    val wordCounts: Array[(String, Long)] = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(wordCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // driver loop over the bounded word table
+    var words: Array[(Array[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    while (step <= nMerges) {
+      val pairCounts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) step = nMerges + 1
+      else {
+        val ((l, r), cnt) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((step, l, r, cnt))
+        val lr = l + r
+        words = words.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += lr; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Stratified heavy hitters with a merged grand total in ONE aggregation:
     * `rollup(stratum)` computes every per-stratum sketch AND the all-corpus
     * sketch in the same shuffle — the Expand duplicates token rows into the

@@ -446,6 +446,20 @@ object PipelineQueries {
     "pipe_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(docs(s, dir), "text", 20)),
 
+    // full BPE training (corpus pass distributed, merge loop driver-bounded):
+    // the FIRST merge is genuinely SQL-oracled (top count-weighted adjacent
+    // char pair); the loop invariants (non-increasing best-pair counts,
+    // full merge budget reached) gate as booleans
+    "pipe_bpe_train" -> ((s, dir) => {
+      val merges = TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 30)
+      val monotone = merges.map(_._4).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1))
+      val first = merges.head
+      import s.implicits._
+      Seq((first._2, first._3, first._4, monotone, merges.length == 30))
+        .toDF("first_left", "first_right", "first_cnt", "monotone_ok", "n_ok")
+    }),
+
     // LM-prep trigram count table (top-100, deterministic ties)
     "pipe_ngram_counts" -> ((s, dir) =>
       TextAnalysis.ngramCounts(docs(s, dir), 3, "text", 100)),
@@ -1429,6 +1443,20 @@ object PipelineQueries {
 
     // mirrors Search.vocabCoverage(…, 40): term-frequency rank with the
     // running token total, alphabetical tie-break — exact integers only
+    // step-1 BPE merge from first principles: word counts → count-weighted
+    // adjacent CHAR pairs → deterministic top-1; loop invariants constant-true
+    "pipe_bpe_train" ->
+      """WITH wd AS (SELECT w, COUNT(*) AS c
+                     FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                     WHERE w <> '' GROUP BY w),
+           pc AS (SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r,
+                    SUM(c) AS cnt
+                  FROM wd, UNNEST(range(1, length(w))) AS s(i)
+                  GROUP BY 1, 2),
+           top AS (SELECT l, r, cnt FROM pc ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+         SELECT l AS first_left, r AS first_right, cnt AS first_cnt,
+           TRUE AS monotone_ok, TRUE AS n_ok FROM top""",
+
     "pipe_ngram_counts" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
            g AS (

@@ -58,6 +58,23 @@ class NgramSemanticSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain reproduces the hand-computed merge sequence") {
+    // word counts: "abab"×2, "ab"×1
+    //   pairs: (a,b) = 2·2 + 1 = 5, (b,a) = 2 → merge 1 = (a,b) @ 5
+    //   then words [ab,ab]×2, [ab]×1 → (ab,ab) = 2 → merge 2 @ 2
+    //   then no adjacent pairs remain → loop stops early
+    val df = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, "text", nMerges = 10)
+    assert(merges == Seq((1, "a", "b", 5L), (2, "ab", "ab", 2L)))
+    // ties break lexicographically on the pair
+    val tie = Seq((1L, "xy ab")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(tie, "text", 1).head == ((1, "a", "b", 1L)))
+    // wordCap bounds the trained table deterministically (top words by
+    // count, word tie-break): with cap 1 only "abab" (count 2) trains
+    val capped = TextAnalysis.bpeTrain(df, "text", 10, wordCap = 1)
+    assert(capped.head == ((1, "a", "b", 4L)))
+  }
+
   private def vecs(rows: (Long, Seq[Double])*) =
     rows.toDF("vec_id", "embedding")
 
