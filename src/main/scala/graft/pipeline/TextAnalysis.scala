@@ -410,6 +410,61 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Apply trained BPE merges to the corpus — the tokenize-with-the-
+    * trained-vocab step after [[bpeTrain]]. Per word: repeatedly merge the
+    * LOWEST-rank adjacent pair present, all occurrences at once (the
+    * standard apply algorithm; on the training corpus it reproduces the
+    * training-end segmentation exactly, because merges commute with later
+    * merges of other pairs and rank order IS training order). The merge
+    * table is driver-bounded and rides the closure; encoding is a typed
+    * `mapPartitions` scan — the same imperative-loop-at-the-partition-
+    * boundary call [[Multimodal]] makes for byte decode: no shuffle, no
+    * UDF registration, and the output (id, tokens) re-enters codegen
+    * downstream. Output token streams feed [[graft.pipeline.Curation]]'s
+    * packing/budget operators with REAL tokenizer counts instead of
+    * whitespace counts.
+    */
+  def bpeEncode(df: DataFrame, merges: Seq[(Int, String, String, Long)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rank: Map[(String, String), Int] =
+      merges.map(m => ((m._2, m._3), m._1)).toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+            var syms: Array[String] = w.map(_.toString).toArray
+            var done = syms.length < 2
+            while (!done) {
+              var best = Int.MaxValue; var bi = -1; var i = 0
+              while (i < syms.length - 1) {
+                val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+                if (r < best) { best = r; bi = i }
+                i += 1
+              }
+              if (bi < 0) done = true
+              else {
+                val (l, r) = (syms(bi), syms(bi + 1))
+                val out = scala.collection.mutable.ArrayBuffer[String]()
+                var j = 0
+                while (j < syms.length) {
+                  if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                    out += (l + r); j += 2
+                  } else { out += syms(j); j += 1 }
+                }
+                syms = out.toArray
+                done = syms.length < 2
+              }
+            }
+            syms
+          }.toArray
+          (id, toks)
+        }
+      }.toDF(idCol, "tokens")
+  }
+
   /** Stratified heavy hitters with a merged grand total in ONE aggregation:
     * `rollup(stratum)` computes every per-stratum sketch AND the all-corpus
     * sketch in the same shuffle — the Expand duplicates token rows into the

@@ -460,6 +460,28 @@ object PipelineQueries {
         .toDF("first_left", "first_right", "first_cnt", "monotone_ok", "n_ok")
     }),
 
+    // BPE APPLY over the trained merges, gated on the tokenizer invariants:
+    // losslessness (concatenating a doc's tokens reproduces its text minus
+    // spaces), closed vocabulary (every multi-char token is a merge
+    // product), and actual compression (total tokens < total chars)
+    "pipe_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrain(d, "text", nMerges = 30)
+      val enc = TextAnalysis.bpeEncode(d, merges)
+      val products = merges.map(m => m._2 + m._3)
+      d.select(col("doc_id"), col("text")).join(enc, "doc_id")
+        .select(
+          (concat_ws("", col("tokens")) === regexp_replace(col("text"), " ", ""))
+            .as("lossless"),
+          (size(array_except(filter(col("tokens"), t => length(t) > 1),
+            typedlit(products))) === 0).as("vocab"),
+          size(col("tokens")).cast("long").as("ntok"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("nchar"))
+        .agg(min(col("lossless")).as("lossless_ok"),
+          min(col("vocab")).as("vocab_ok"),
+          (sum(col("ntok")) < sum(col("nchar"))).as("compresses_ok"))
+    }),
+
     // LM-prep trigram count table (top-100, deterministic ties)
     "pipe_ngram_counts" -> ((s, dir) =>
       TextAnalysis.ngramCounts(docs(s, dir), 3, "text", 100)),
@@ -1456,6 +1478,9 @@ object PipelineQueries {
            top AS (SELECT l, r, cnt FROM pc ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
          SELECT l AS first_left, r AS first_right, cnt AS first_cnt,
            TRUE AS monotone_ok, TRUE AS n_ok FROM top""",
+
+    "pipe_bpe_encode" ->
+      "SELECT TRUE AS lossless_ok, TRUE AS vocab_ok, TRUE AS compresses_ok",
 
     "pipe_ngram_counts" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -116,6 +116,18 @@ object RelationalQueries {
         .agg(sum(dec(col("c_acctbal"))).cast("double").as("balance"), count(lit(1)).as("n"))
     }),
 
+    // CUBE: all four grouping combinations in ONE aggregation pass (the
+    // Expand duplicates rows into the grains; one shuffle total, vs four
+    // separate groupBys = four scans + four shuffles); grouping_id()
+    // disambiguates data NULLs from subtotal rows — the same discipline
+    // the OLAP face's Aggregates summaries use member ids for
+    "rel_cube" -> ((s, dir) => {
+      read(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("total"),
+          count(lit(1)).as("n"), grouping_id().as("gid"))
+    }),
+
     // pivot: wide conditional aggregation — one codegen'd hash aggregate,
     // no per-value scans (the pinned value list keeps the schema static,
     // as a 100 TB plan requires — inferring values would add a scan job)
@@ -475,6 +487,14 @@ object RelationalQueries {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
+
+    // Spark's grouping_id bit order: first grouping column = MSB
+    "rel_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n,
+           GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid
+         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
 
     "rel_pivot" ->
       """SELECT l_returnflag,

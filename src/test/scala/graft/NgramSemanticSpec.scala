@@ -75,6 +75,29 @@ class NgramSemanticSpec extends AnyFunSuite {
     assert(capped.head == ((1, "a", "b", 4L)))
   }
 
+  test("bpeEncode reproduces the training-end segmentation and handles OOV") {
+    val df = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, "text", 10)
+    val enc = TextAnalysis.bpeEncode(df, merges)
+      .as[(Long, Seq[String])].collect().toMap
+    // training end state: "abab" → [abab], "ab" → [ab]
+    assert(enc(1L) == Seq("abab", "abab", "ab"))
+    // out-of-vocabulary word: known merges apply, the rest stays chars
+    val oov = TextAnalysis.bpeEncode(
+      Seq((2L, "abc ba")).toDF("doc_id", "text"), merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(oov(2L) == Seq("ab", "c", "b", "a"))
+    // losslessness on the real corpus head
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val m2 = TextAnalysis.bpeTrain(d, "text", 15)
+    val ok = TextAnalysis.bpeEncode(d, m2)
+      .join(d, "doc_id")
+      .select((concat_ws("", col("tokens")) ===
+        regexp_replace(col("text"), " ", "")).as("l"))
+      .as[Boolean].collect()
+    assert(ok.nonEmpty && ok.forall(identity))
+  }
+
   private def vecs(rows: (Long, Seq[Double])*) =
     rows.toDF("vec_id", "embedding")
 

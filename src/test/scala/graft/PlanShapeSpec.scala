@@ -31,7 +31,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // Similarity.semanticContaminationPairs — so the plan is O(|corpus|·
     // |eval|) scan-shaped work with no corpus shuffle, not a quadratic
     // corpus self-join; NgramSemanticSpec pins the broadcast orientation
-    "pipe_decontaminate_semantic")
+    "pipe_decontaminate_semantic",
+    // same declared shape embedded in the curation composition's semantic
+    // stage (Curation.curateCorpusSemantic)
+    "pipe_curate_semantic")
 
   /** Gates that return a verification SUMMARY: the raw scalable operator
     * PLUS an exact brute-force baseline PLUS a recall/containment compare
