@@ -21,7 +21,7 @@ object Bench {
     "q3_shipping_priority", // 3-table join + top-10 (TPC-H Q3 shape, round 11)
     "q5_local_supplier",    // 6-table star join, one fact shuffle (Q5 shape)
     "q4_order_priority",    // EXISTS → left-semi with non-equi residual (Q4 shape)
-    "q18_large_orders",     // HAVING on the fact agg → broadcast join-back (Q18)
+    "q18_large_orders",     // HAVING on the fact agg → AQE-decided join-back (Q18)
     "q17_small_quantity",   // correlated scalar subquery → one window (Q17 shape)
     "q19_discounted_revenue", // OR-of-ANDs pushed to BOTH scans (Q19 shape)
     "olap_rollup_region",   // closure-join rollup through 4-level hierarchy

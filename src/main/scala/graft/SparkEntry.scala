@@ -150,11 +150,14 @@ object SparkEntry {
 
     // TPC-H Q18 shape (large-volume orders): orders whose total quantity
     // exceeds a threshold, joined back to their header + customer. The
-    // HAVING filter runs where the data is (one fact-side aggregation);
-    // the surviving key set is tiny by construction, so the join back to
-    // orders and customer BROADCASTS the filtered aggregate — the 100 TB
-    // fact table is never shuffled a second time. Top-20 by total price
-    // with key tie-break keeps the LIMIT boundary engine-independent.
+    // HAVING filter runs where the data is (one fact-side aggregation) and
+    // the join back is left to AQE: the surviving key set's size is
+    // THRESHOLD-dependent (it grows linearly with the fact table at a
+    // fixed cutoff), so a static broadcast hint would be a lie at 100 TB —
+    // AQE's post-shuffle stats pick broadcast when the filtered aggregate
+    // fits and a shuffle join when it doesn't, which is the honest
+    // contract. Top-20 by total price with key tie-break keeps the LIMIT
+    // boundary engine-independent.
     "q18_large_orders" -> ((s, dir) => {
       val big = read(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
@@ -164,7 +167,7 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           col("o_totalprice"))
       val cust = read(s, dir, "customer").select(col("c_custkey"), col("c_name"))
-      orders.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      orders.join(big, col("o_orderkey") === col("l_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
