@@ -254,6 +254,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("rev")).cast("double").as("revenue"))
     }),
+
+    // TPC-H Q10 shape (returned-item reporting): customers ranked by the
+    // revenue of their RETURNED lines in one half-year. Both fact filters
+    // reach their scans; orders⋈lineitem shuffles once on the order key;
+    // the per-customer aggregate is window-bounded, so the join back to
+    // customer is AQE-decided (the Q18 lesson: its size is data-dependent,
+    // a static hint would be wrong at some scale). Deterministic top 20.
+    "q10_returned_items" -> ((s, dir) => {
+      val orders = read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = read(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+            .as("rev"))
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q16 shape (supplier relationship counting): distinct suppliers
+    // per (brand, type) over a size class, excluding a blacklist (here:
+    // negative-balance suppliers). The NOT IN becomes a LEFT ANTI against
+    // the small broadcastable blacklist; part broadcasts; the distinct
+    // count is one partial-aggregated shuffle at the (brand, type,
+    // suppkey) grain — never a global distinct.
+    "q16_supplier_counts" -> ((s, dir) => {
+      val part = read(s, dir, "part")
+        .filter(col("p_size").between(1, 15))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))
+      val badSupp = read(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      read(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -369,6 +416,26 @@ object SparkEntry {
                 AND CAST(l_quantity AS DECIMAL(15,2)) BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
                 AND CAST(l_quantity AS DECIMAL(15,2)) BETWEEN 20 AND 30)""",
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+             (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+         GROUP BY c_custkey, c_name, c_mktsegment
+         ORDER BY revenue DESC, c_custkey ASC
+         LIMIT 20""",
+
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size BETWEEN 1 AND 15
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type""",
   ) ++ graft.tpch.TpchQueries.oracleSql ++ graft.tpch.RelationalQueries.oracleSql ++
     graft.tpch.PipelineQueries.oracleSql ++ graft.tpch.StreamingQueries.oracleSql
 }
