@@ -301,6 +301,131 @@ object SparkEntry {
         .groupBy(col("p_brand"), col("p_type"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
     }),
+
+    // TPC-H Q7 shape (volume shipping): revenue between every
+    // (supplier nation, customer nation) pair per order year. Two honest
+    // fact shuffles (order key, then customer key); the nation sides ride
+    // as broadcasts. The output is nation²×years — bounded regardless of
+    // fact size, the cube-shaped result a reporting layer consumes.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val nat = read(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val supp = read(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = read(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val orders = read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy").as("l_year"))
+      val li = read(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+          .as("rev"))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q8 shape (national market share): one nation's share of a
+    // region's import revenue per year. Same join graph as Q7 plus the
+    // region slice; numerator and denominator come out of ONE conditional
+    // aggregation (no second pass), both decimal-exact, with a single
+    // double division at the end mirrored by the oracle.
+    "q8_market_share" -> ((s, dir) => {
+      val nat = read(s, dir, "nation")
+      val supp = read(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custEu = read(s, dir, "customer")
+        .join(broadcast(nat.join(read(s, dir, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE").select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val orders = read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      val li = read(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+          .as("rev"))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(custEu, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("rev"))
+            .otherwise(lit(0).cast("decimal(21,4)"))).cast("double").as("nation_rev"),
+          sum(col("rev")).cast("double").as("total_rev"))
+        .select(col("o_year"), col("nation_rev"), col("total_rev"),
+          (col("nation_rev") / col("total_rev")).as("mkt_share"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): the supplier(s) whose quarter
+    // revenue equals the maximum. The scalar subquery (max over the
+    // aggregated view) is a one-row broadcast cross join against the SAME
+    // aggregate — Spark reuses the shuffle output for both subtrees
+    // (ReusedExchange), so the fact slice is scanned and shuffled once.
+    // Decimal-exact revenue so the max-equality cannot flip cross-engine.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
+          .as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      val supp = read(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): for finalized
+    // multi-supplier orders, count per supplier the orders where THEY
+    // shipped late (> 60 days after the order date) and no other supplier
+    // did. The two correlated subqueries de-correlate into a LEFT SEMI
+    // (another supplier exists on the order) and a LEFT ANTI (no OTHER
+    // late supplier) against the same lineitem table — three shuffles on
+    // the order key, no per-order probes; the non-equi "other supplier"
+    // residual rides each join condition. Deterministic top 20.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val late = expr("INTERVAL 60 DAYS")
+      val orders = read(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val l1 = read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + late)
+      val l2 = read(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = read(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+          col("l_shipdate").as("d3"))
+      val waited = l1
+        .join(l2, col("o2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(l3, col("o3") === col("l_orderkey") && col("s3") =!= col("l_suppkey") &&
+          col("d3") > col("o_orderdate") + late, "left_anti")
+      val supp = read(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      waited.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -436,6 +561,76 @@ object SparkEntry {
          WHERE p_size BETWEEN 1 AND 15
            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
          GROUP BY p_brand, p_type""",
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           strftime(o_orderdate, '%Y') AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+             (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3""",
+
+    "q8_market_share" ->
+      """WITH t AS (
+           SELECT strftime(o_orderdate, '%Y') AS o_year,
+             CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                  THEN CAST(l_extendedprice AS DECIMAL(15,2)) *
+                       (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))
+                  ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE) AS nation_rev,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+               (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS total_rev
+           FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             JOIN region ON n2.n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1)
+         SELECT o_year, nation_rev, total_rev, nation_rev / total_rev AS mkt_share
+         FROM t""",
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+               (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""",
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM supplier
+           JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+           JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name ASC
+         LIMIT 20""",
   ) ++ graft.tpch.TpchQueries.oracleSql ++ graft.tpch.RelationalQueries.oracleSql ++
     graft.tpch.PipelineQueries.oracleSql ++ graft.tpch.StreamingQueries.oracleSql
 }
