@@ -371,11 +371,15 @@ object SparkEntry {
 
     // TPC-H Q15 shape (top supplier): the supplier(s) whose quarter
     // revenue equals the maximum. The scalar subquery (max over the
-    // aggregated view) is a one-row broadcast cross join against the SAME
-    // aggregate — Spark reuses the shuffle output for both subtrees
-    // (ReusedExchange), so the fact slice is scanned and shuffled once.
+    // aggregated view) is rewritten as a GLOBAL window over the
+    // supplier-grain aggregate: the fact slice is scanned and shuffled
+    // EXACTLY once, and the single-partition window only ever sees
+    // supplier-grain rows (bounded by |suppliers|, not facts). The naive
+    // self-join form plans the fact aggregation twice — Spark does not
+    // reuse the exchange across the subquery boundary (measured).
     // Decimal-exact revenue so the max-equality cannot flip cross-engine.
     "q15_top_supplier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val rev = read(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
@@ -383,9 +387,8 @@ object SparkEntry {
         .agg(sum(dec(col("l_extendedprice")) *
           (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)")))
           .as("total_rev"))
-      val top = rev.agg(max(col("total_rev")).as("max_rev"))
       val supp = read(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
-      rev.crossJoin(broadcast(top))
+      rev.withColumn("max_rev", max(col("total_rev")).over(Window.partitionBy()))
         .filter(col("total_rev") === col("max_rev"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
