@@ -429,6 +429,74 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(20)
     }),
+
+    // TPC-H Q6 shape (forecasting revenue change): the canonical
+    // pushdown microbenchmark — every predicate reaches the parquet scan
+    // (PushedFilters on shipdate, discount, quantity), one partial-
+    // aggregated scan, one row out. Raw-double range tests (bounds exactly
+    // representable) keep the filters pushable; the SUM is decimal-exact.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * col("l_discount").cast("decimal(5,2)"))
+          .cast("double").as("revenue"), count(lit(1)).as("n_rows"))
+    }),
+
+    // TPC-H Q11 shape (important stock): (supplier, part) positions whose
+    // value exceeds 2× the mean position value. Both the count and the
+    // grand total ride a GLOBAL window over the position-grain aggregate
+    // (the Q15 single-scan discipline), and the threshold is
+    // multiplication-exact — `val·n > total·2` compares scaled integers,
+    // so the cut cannot flip on division rounding.
+    "q11_important_stock" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      read(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("value"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("total", sum(col("value")).over(w))
+        .filter(col("value") * col("n") > col("total") * 2)
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("value").cast("double").as("value"))
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    // with the filter INSIDE the join condition (a WHERE would turn it
+    // inner and lose zero-order customers), then two aggregations — per
+    // customer, then the histogram. The second groupBy runs on the
+    // customer-grain frame; both shuffles are key-grain, never fact-grain.
+    "q13_order_distribution" -> ((s, dir) => {
+      val orders = read(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      read(s, dir, "customer").select(col("c_custkey"))
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q2 shape (min-cost supplier): per part, the supplier(s)
+    // offering the LOWEST observed unit price. The correlated min becomes
+    // one window over the (part, supplier) aggregate — partkey-grain
+    // shuffle, no join-back, no second fact scan. Unit price is a RAW
+    // double division: both engines divide the identical parquet doubles,
+    // so min/argmin and the emitted values are bit-identical (a decimal
+    // division would round differently per engine).
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      read(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+        .withColumn("best", min(col("unit_price"))
+          .over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("unit_price") === col("best"))
+        .select(col("l_partkey"), col("l_suppkey"), col("unit_price"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -634,6 +702,41 @@ object SparkEntry {
          GROUP BY s_name
          ORDER BY numwait DESC, s_name ASC
          LIMIT 20""",
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+             CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+
+    "q11_important_stock" ->
+      """WITH v AS (SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS val
+           FROM lineitem GROUP BY l_suppkey, l_partkey)
+         SELECT l_suppkey, l_partkey, CAST(val AS DOUBLE) AS value
+         FROM v
+         WHERE val * (SELECT COUNT(*) FROM v) > (SELECT SUM(val) FROM v) * 2""",
+
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist
+         FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey) c_orders
+         GROUP BY c_count""",
+
+    "q2_min_cost_supplier" ->
+      """WITH up AS (SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_price
+           FROM lineitem GROUP BY l_partkey, l_suppkey),
+           best AS (SELECT *, MIN(unit_price) OVER (PARTITION BY l_partkey) AS best_unit
+                    FROM up)
+         SELECT l_partkey, l_suppkey, unit_price
+         FROM best WHERE unit_price = best_unit""",
   ) ++ graft.tpch.TpchQueries.oracleSql ++ graft.tpch.RelationalQueries.oracleSql ++
     graft.tpch.PipelineQueries.oracleSql ++ graft.tpch.StreamingQueries.oracleSql
 }
