@@ -25,6 +25,7 @@ object Bench {
     "q17_small_quantity",   // correlated scalar subquery → one window (Q17 shape)
     "q19_discounted_revenue", // OR-of-ANDs pushed to BOTH scans (Q19 shape)
     "q21_waiting_supplier", // semi+anti de-correlation, 3 fact shuffles (Q21)
+    "q6_forecast_revenue",  // full-pushdown single scan (Q6 microbenchmark)
     "olap_rollup_region",   // closure-join rollup through 4-level hierarchy
     "olap_rollup_net_year", // weighted rollup (net = gross - disc)
     "olap_multiparent",     // multi-parent fan-out rollup
