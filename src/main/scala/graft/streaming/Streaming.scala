@@ -184,6 +184,23 @@ object Streaming {
       }
   }
 
+  /** Watermark-BOUNDED streaming deduplication: keep the first arrival per
+    * key, with state that EXPIRES as the event-time watermark passes — the
+    * bounded-memory form of `dropDuplicates` a 100 TB/day stream needs
+    * (unbounded dedup state is a slow OOM; `pipe_stream_novelty`'s
+    * fingerprint dedup makes the same point with a corpus index). The
+    * contract difference is pinned in the spec: a key REAPPEARING after
+    * the watermark has passed its first arrival re-emits — exact-once per
+    * key is only guaranteed WITHIN the lateness horizon, which is the
+    * honest semantics once state must be bounded.
+    */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String, delay: String,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "dedup needs at least one key column")
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
+
   /** Continuous-intake NEAR-dup novelty: per micro-batch, admit only the
     * documents with no verified near-dup in the PREBUILT corpus index
     * ([[graft.pipeline.TextDedup.nearDupIndex]]) and append the admitted

@@ -460,6 +460,37 @@ object StreamingQueries {
       out
     }),
 
+    // watermark-bounded streaming dedup: the event half is replayed WITH
+    // every third event planted twice; dropDuplicatesWithinWatermark keeps
+    // first arrivals with expiring state, so the surviving set equals the
+    // batch DISTINCT (duplicates share a timestamp → always inside the
+    // horizon here; the expiry re-emission contract is spec-pinned)
+    "rel_stream_dedup" -> ((s, dir) => {
+      val ev = RelationalQueries.readEvents(s, dir)
+        .filter(col("event_id") < 4000)
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val withDups = ev.unionAll(ev.filter(col("event_id") % 3 === 0))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+      val tmp = tmpRoot.resolve("files").toString
+      val sinkName = s"dedup_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStatePartitions(s, 8) {
+        val stream = timeOrderedStream(s, withDups, "ts", 12, tmp)
+        val q = graft.streaming.Streaming
+          .dedupWithinWatermark(stream, "ts", "10 minutes", Seq("event_id"))
+          .select(col("event_id"), col("event_type"))
+          .writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val out = s.table(sinkName).localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }),
+
     // streaming NEAR-dup novelty: the same file-replay intake, filtered per
     // micro-batch against the prebuilt corpus near-dup index (banded
     // MinHash candidates, exact Jaccard verify). The decision is per doc vs
@@ -570,6 +601,10 @@ object StreamingQueries {
          intake AS (SELECT DISTINCT fp FROM canon WHERE doc_id >= 250)
          SELECT fp FROM intake
          WHERE fp NOT IN (SELECT fp FROM corpus)""",
+
+    // the planted duplicates collapse back to the batch DISTINCT
+    "rel_stream_dedup" ->
+      """SELECT event_id, event_type FROM events WHERE event_id < 4000""",
 
     // mirrors TextDedup.dropCorpusNearDups over the same corpus/intake
     // split: an intake doc survives iff NO corpus doc sits at word-set

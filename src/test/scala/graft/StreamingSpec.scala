@@ -225,6 +225,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("lang_pred") != null))
   }
 
+  test("dedupWithinWatermark: dups inside the horizon drop, expired keys re-emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "k", "v")
+    val out = Streaming.dedupWithinWatermark(stream, "ts", "10 minutes", Seq("k"))
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_wm_out").start()
+    // batch 1: key 1 twice within the same minute → ONE survivor
+    mem.addData((ts("2024-01-01 00:00:00"), 1L, "a"),
+      (ts("2024-01-01 00:00:30"), 1L, "a-dup"),
+      (ts("2024-01-01 00:01:00"), 2L, "b"))
+    q.processAllAvailable()
+    // batch 2: key 1 again 2 min later — still inside the 10-min horizon
+    mem.addData((ts("2024-01-01 00:03:00"), 1L, "a-late-dup"))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far past key 1's state…
+    mem.addData((ts("2024-01-01 01:00:00"), 3L, "c"))
+    q.processAllAvailable()
+    // batch 4: …then key 1 REAPPEARS after expiry → re-emitted (the
+    // bounded-state contract: exact-once only within the lateness horizon)
+    mem.addData((ts("2024-01-01 01:01:00"), 1L, "a-again"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT k, v FROM dedup_wm_out").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    q.stop()
+    assert(rows.count(_._1 == 1L) == 2, s"key 1 once per horizon: $rows")
+    assert(rows.contains((1L, "a")) && rows.contains((1L, "a-again")))
+    assert(!rows.exists(_._2.contains("dup")), s"in-horizon dups must drop: $rows")
+    assert(rows.count(_._1 == 2L) == 1 && rows.count(_._1 == 3L) == 1)
+  }
+
   test("near-dup novelty stream: batch-independent, exact-verified vs the index") {
     import graft.pipeline.TextDedup
     import spark.implicits._
