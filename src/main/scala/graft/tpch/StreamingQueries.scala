@@ -491,6 +491,46 @@ object StreamingQueries {
       out
     }),
 
+    // custom-state escape hatch under the gate battery: runningTotals
+    // (mapGroupsWithState) replayed over the event half; the memory sink
+    // accumulates every per-batch update, so the FINAL state per user is
+    // the max-n emission (n strictly increases), compared against the
+    // batch groupBy. Totals gate as ROUNDED CENTS: the operator sums
+    // doubles in arrival order, and the worst-case FP drift
+    // (n·eps·Σ|v| ≈ 1e-6) sits far below the half-cent boundary, so the
+    // rounding is deterministic cross-engine.
+    "rel_stream_running_totals" -> ((s, dir) => {
+      import s.implicits._
+      val ev = RelationalQueries.readEvents(s, dir)
+        .filter(col("event_id") < 4000)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("value").cast("double").as("value"))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_rt")
+      val tmp = tmpRoot.resolve("files").toString
+      val sinkName = s"rt_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStatePartitions(s, 8) {
+        val stream = timeOrderedStream(s, ev, "ts", 12, tmp)
+          .as[graft.streaming.Streaming.UserEvent]
+        val q = graft.streaming.Streaming.runningTotals(stream)
+          .toDF()
+          .writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val out = s.table(sinkName)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("total"))).as("fin"))
+        .select(col("user_id"), col("fin.n").as("n"),
+          round(col("fin.total") * 100).cast("long").as("total_cents"))
+        .localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }),
+
     // streaming NEAR-dup novelty: the same file-replay intake, filtered per
     // micro-batch against the prebuilt corpus near-dup index (banded
     // MinHash candidates, exact Jaccard verify). The decision is per doc vs
@@ -605,6 +645,12 @@ object StreamingQueries {
     // the planted duplicates collapse back to the batch DISTINCT
     "rel_stream_dedup" ->
       """SELECT event_id, event_type FROM events WHERE event_id < 4000""",
+
+    // final per-user state = the batch aggregate; cents via exact decimal
+    "rel_stream_running_totals" ->
+      """SELECT user_id, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(15,2))) * 100) AS BIGINT) AS total_cents
+         FROM events WHERE event_id < 4000 GROUP BY user_id""",
 
     // mirrors TextDedup.dropCorpusNearDups over the same corpus/intake
     // split: an intake doc survives iff NO corpus doc sits at word-set
