@@ -531,6 +531,42 @@ object StreamingQueries {
       out
     }),
 
+    // flatMapGroupsWithState under the battery: the burst detector's alert
+    // COUNT per user is iteration-order-INVARIANT (every event increments
+    // the carried counter by one, so alerts = floor(n_events/threshold)
+    // regardless of within-batch order or batch boundaries) — exactly the
+    // slice of the 0..n-outputs operator an oracle can pin; alert
+    // timestamps are order-dependent by nature and stay spec-land.
+    "rel_stream_burst_alerts" -> ((s, dir) => {
+      import s.implicits._
+      val ev = RelationalQueries.readEvents(s, dir)
+        .filter(col("event_id") < 4000)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("value").cast("double").as("value"))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_burst")
+      val tmp = tmpRoot.resolve("files").toString
+      val sinkName = s"burst_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStatePartitions(s, 8) {
+        val stream = timeOrderedStream(s, ev, "ts", 12, tmp)
+          .as[graft.streaming.Streaming.UserEvent]
+        val q = graft.streaming.Streaming.burstAlerts(stream, threshold = 7)
+          .toDF()
+          .writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val out = s.table(sinkName)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_alerts"))
+        .localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }),
+
     // streaming NEAR-dup novelty: the same file-replay intake, filtered per
     // micro-batch against the prebuilt corpus near-dup index (banded
     // MinHash candidates, exact Jaccard verify). The decision is per doc vs
@@ -645,6 +681,12 @@ object StreamingQueries {
     // the planted duplicates collapse back to the batch DISTINCT
     "rel_stream_dedup" ->
       """SELECT event_id, event_type FROM events WHERE event_id < 4000""",
+
+    // alerts per user = floor(n_events / 7), zero-alert users absent
+    "rel_stream_burst_alerts" ->
+      """SELECT user_id, CAST(FLOOR(COUNT(*) / 7) AS BIGINT) AS n_alerts
+         FROM events WHERE event_id < 4000
+         GROUP BY user_id HAVING COUNT(*) >= 7""",
 
     // final per-user state = the batch aggregate; cents via exact decimal
     "rel_stream_running_totals" ->
