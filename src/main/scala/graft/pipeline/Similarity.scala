@@ -516,26 +516,97 @@ object Similarity {
       codebooks: Seq[Seq[Array[Double]]],
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainCap: Long = 200_000L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      trainCap: Long = 200_000L): DataFrame =
+    ivfPqTopKIndexed(ivfPqFit(corpus, codebooks, nCentroids, idCol, vecCol,
+      trainCap), queries, k, nProbe, idCol, vecCol)
+
+  /** A fitted IVF-PQ index: the coarse cell centroids and per-subspace PQ
+    * codebooks (both driver-resident model output, bounded by
+    * nCentroids / nSub·k) plus the CODED corpus (`cand_id, __cell, codes`)
+    * — the 64×-compressed serving layout: nSub small ints per row instead
+    * of the raw vector, fit ONCE offline, queried many times by ADC.
+    * Persist with [[ivfPqPersist]] (codes land partitioned by cell, like
+    * [[ivfPersist]]), reload with [[ivfPqLoad]], serve with
+    * [[ivfPqTopKIndexed]]`(…, pruneCells = true)` so probes read only
+    * nProbe/nCentroids of the coded corpus — and each row read is codes,
+    * not floats.
+    */
+  final case class IvfPqIndex(centroids: Array[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]], coded: DataFrame)
+
+  /** Fit the IVF-PQ layout: coarse cells via [[ivfFit]] (same quantizer,
+    * seed, and sampling contract), then PQ-encode every assigned row — the
+    * raw vector is dropped from the index; only (id, cell, codes) remain. */
+  def ivfPqFit(corpus: DataFrame, codebooks: Seq[Seq[Array[Double]]],
+      nCentroids: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainCap: Long = 200_000L): IvfPqIndex = {
+    pqCheck(codebooks)
+    val coarse = ivfFit(corpus, nCentroids, idCol, vecCol, trainCap)
+    val coded = pqEncode(coarse.assigned, codebooks, "cand_id", "cv0")
+      .select(col("cand_id"), col("__cell"), col("codes"))
+    IvfPqIndex(coarse.centroids, codebooks, coded)
+  }
+
+  /** Persist a fitted IVF-PQ index: the coded corpus PARTITIONED BY cell id
+    * (probed cells prune at the scan, and what the scan reads is the
+    * nSub-int code column — both axes of the 100 TB serving cost bounded),
+    * plus two tiny sidecars: `<table>_centroids` (as [[ivfPersist]]) and
+    * `<table>_codebooks` (`m, code, centroid` rows, nSub·k of them). */
+  def ivfPqPersist(index: IvfPqIndex, table: String): Unit = {
+    val spark = index.coded.sparkSession
+    index.coded.write.mode("overwrite")
+      .partitionBy("__cell").format("parquet").saveAsTable(table)
+    import org.apache.spark.sql.types._
+    val centSchema = StructType(Seq(StructField("cell", IntegerType),
+      StructField("centroid", ArrayType(DoubleType))))
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        index.centroids.zipWithIndex
+          .map { case (c, i) => org.apache.spark.sql.Row(i, c.toSeq) }.toList, 1),
+        centSchema)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
+    val cbSchema = StructType(Seq(StructField("m", IntegerType),
+      StructField("code", IntegerType),
+      StructField("centroid", ArrayType(DoubleType))))
+    val cbRows = for ((cb, m) <- index.codebooks.zipWithIndex.toList;
+                      (c, k) <- cb.zipWithIndex)
+      yield org.apache.spark.sql.Row(m, k, c.toSeq)
+    spark.createDataFrame(spark.sparkContext.parallelize(cbRows, 1), cbSchema)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_codebooks")
+  }
+
+  /** Reload a persisted IVF-PQ index: both sidecars re-collect driver-side
+    * (bounded model output), the coded corpus is the partitioned table as
+    * written — no refit, no re-encode, no corpus scan. */
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession,
+      table: String): IvfPqIndex = {
+    val cents = spark.table(s"${table}_centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
+    val codebooks = spark.table(s"${table}_codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    IvfPqIndex(cents, codebooks, spark.table(table))
+  }
+
+  /** IVF-PQ query against a PREBUILT coded index — the serving shape of
+    * [[ivfPqTopK]] (identical probe, identical ADC arithmetic, so recall is
+    * the same by construction). With `pruneCells` the distinct probed cells
+    * (driver action over the QUERY batch only) become a literal `IN` filter
+    * on the cell column, which a [[ivfPqPersist]]ed table turns into
+    * PartitionFilters at the scan — read nProbe/nCentroids of the codes,
+    * never the raw corpus. */
+  def ivfPqTopKIndexed(index: IvfPqIndex, queries: DataFrame, k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pruneCells: Boolean = false): DataFrame = {
+    val codebooks = index.codebooks
     val sub = pqCheck(codebooks)
-    // coarse IVF cells (≙ ivfTopK): fit on the bounded sample, assign all
-    val corpusVec = corpus.select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("__fv"))
-    val km = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("__fv").setPredictionCol("__cell")
-    val model = km.fit(trainSample(corpusVec, idCol, trainCap))
-    // the corpus side carries ONLY (cell, id, codes) into the probe join
-    val encoded = pqEncode(model.transform(corpusVec)
-        .select(col(idCol), col(vecCol), col("__cell")),
-        codebooks, idCol, vecCol)
-      .select(col(idCol).as("cand_id"), col("__cell"), col("codes"))
     // per-code literal lookup tables: quantized centroids and their norms²
     val cbLits = codebooks.map(cb => typedlit(cb.map(c => quantizeDriver(c).toSeq)))
     val nrmLits = codebooks.map(cb =>
       typedlit(cb.map(c => quantizeDriver(c).map(x => x * x).sum)))
-    val centLit = typedlit(model.clusterCenters.map(_.toArray).zipWithIndex
+    val centLit = typedlit(index.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"),
       col(vecCol).as("qv0"))
@@ -547,6 +618,16 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("__cell").asc)))
       .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("qv"), col("__cell"))
+    // pruning needs the probed-cell set driver-side AND the probe frame in
+    // the join — checkpoint so the explode+window probe computes once
+    val (probe, corpusSide) =
+      if (!pruneCells) (qCells, index.coded)
+      else {
+        val qc = qCells.localCheckpoint(true)
+        val cells = qc.select(col("__cell")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        (qc, index.coded.filter(col("__cell").isin(cells.map(Int.box): _*)))
+      }
     // ADC: dot(q, recon) = Σₘ dotQ(q_sub, codebook[m][code]); ‖recon‖² via
     // the norm lookup — integer adds over literal tables, no raw vectors
     val adcDot = codebooks.indices.map { m =>
@@ -556,7 +637,7 @@ object Similarity {
     val adcNorm2 = codebooks.indices.map { m =>
       element_at(nrmLits(m), col("codes").getItem(m) + 1)
     }.reduce(_ + _)
-    val scored = qCells.join(encoded, Seq("__cell"))
+    val scored = probe.join(corpusSide, Seq("__cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("sim", adcDot.cast("double") /
         (sqrt(dotQ(col("qv"), col("qv")).cast("double")) * sqrt(adcNorm2.cast("double"))))

@@ -474,7 +474,10 @@ object TextAnalysis {
     * top-token tables and the corpus-wide table from one pass, each grain
     * carrying its own `cnt ≥ true ≥ cnt − err` guarantee. The total row is
     * identified by the `grouping()` bit (not a null test — a stratum value
-    * that IS null stays a real stratum) and surfaces as `<ALL>`.
+    * that IS null stays a real stratum), carried through as its own
+    * `is_total` column so a REAL stratum literally named `<ALL>` remains
+    * distinguishable from the grand total; `<ALL>` in `stratum` is only a
+    * display label for the total row.
     */
   def heavyHittersByStratum(df: DataFrame, stratumCol: String,
       textCol: String = "text", capacity: Int = 256): DataFrame =
@@ -486,7 +489,7 @@ object TextAnalysis {
         grouping(col("stratum")).cast("int").as("is_total"))
       .select(when(col("is_total") === 1, lit("<ALL>"))
           .otherwise(col("stratum")).as("stratum"),
-        explode(col("hh")).as("e"))
-      .select(col("stratum"), col("e.token").as("token"),
+        col("is_total"), explode(col("hh")).as("e"))
+      .select(col("stratum"), col("is_total"), col("e.token").as("token"),
         col("e.cnt").as("cnt"), col("e.err").as("err"))
 }

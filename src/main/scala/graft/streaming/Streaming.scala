@@ -210,7 +210,12 @@ object Streaming {
     * intake as one batch (spec-pinned). Exact repeats within the stream are
     * [[graft.pipeline.TextDedup.novelOnly]]'s job upstream; near-dup
     * residue within the admitted stream belongs to the periodic
-    * [[graft.pipeline.TextDedup.purgeNearDups]] compaction.
+    * [[graft.pipeline.TextDedup.purgeNearDups]] compaction. The sink is
+    * REPLAY-IDEMPOTENT: each micro-batch overwrites its own
+    * `batch_id=<id>` subdirectory, so a batch re-run after a failure
+    * (checkpoint replay re-delivers the same batchId) replaces rather than
+    * duplicates its admitted rows — reading `outPath` surfaces `batch_id`
+    * as an ordinary discovered partition column.
     */
   def nearDupNovelStream(stream: DataFrame, idCol: String, textCol: String,
       idxBands: DataFrame, idxWords: DataFrame, outPath: String,
@@ -221,10 +226,10 @@ object Streaming {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
     checkpointDir.foldLeft(writer)((w, d) => w.option("checkpointLocation", d))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.pipeline.TextDedup.dropCorpusNearDups(batch, idCol, textCol,
             idxBands, idxWords, threshold, k, bands, shingle)
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
       .start()
   }

@@ -371,6 +371,28 @@ object PipelineQueries {
         Seq("query_id", "cand_id"), recallFloor = 0.25)
     }),
 
+    // IVF-PQ index LIFECYCLE (round 12): fit the coded layout once, persist
+    // PARTITIONED BY cell with codebook/centroid sidecars, reload without
+    // refit or re-encode, serve with partition-pruned ADC — the scan reads
+    // only the probed cells AND only the nSub-int code column, never raw
+    // vectors. Same seed/defaults as pipe_ann_ivfpq, so the persisted
+    // round-trip is recall-gated at the same floor; exact parity with the
+    // in-session path and the PartitionFilters shape are pinned in
+    // PipelineSpec.
+    "pipe_ann_ivfpq_persist" -> ((s, dir) => {
+      val e = emb(s, dir); val q = e.filter(col("vec_id") < 5)
+      s.sql("DROP TABLE IF EXISTS ann_ivfpq_idx")
+      s.sql("DROP TABLE IF EXISTS ann_ivfpq_idx_centroids")
+      s.sql("DROP TABLE IF EXISTS ann_ivfpq_idx_codebooks")
+      val cb = Similarity.pqFit(e, nSub = 8, k = 16)
+      Similarity.ivfPqPersist(Similarity.ivfPqFit(e, cb), "ann_ivfpq_idx")
+      val idx = Similarity.ivfPqLoad(s, "ann_ivfpq_idx")
+      approxSummary(
+        Similarity.bruteForceTopK(e, q, 10),
+        Similarity.ivfPqTopKIndexed(idx, q, 10, pruneCells = true),
+        Seq("query_id", "cand_id"), recallFloor = 0.25)
+    }),
+
     // IVF-PQ shortlist (k′=50) → exact re-rank to k=10: the serving
     // composition. Gated on recall@10 vs brute force AND on dominance —
     // re-ranking a k′-superset under the exact metric can only improve
@@ -452,6 +474,8 @@ object PipelineQueries {
     // full merge budget reached) gate as booleans
     "pipe_bpe_train" -> ((s, dir) => {
       val merges = TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 30)
+      require(merges.nonEmpty,
+        "bpeTrain produced no merges — corpus has no multi-char words")
       val monotone = merges.map(_._4).sliding(2)
         .forall(p => p.length < 2 || p(0) >= p(1))
       val first = merges.head
@@ -570,6 +594,47 @@ object PipelineQueries {
           TextAnalysis.tokenCountWs(col("text")).as("tok")),
         col("doc_id"), col("lang"), col("tok"), 512, 8)
         .select("doc_id", "lang", "bucket", "n_tokens", "pack_id", "start_in_pack")
+    }),
+
+    // BPE → packing COMPOSITION — the end-to-end tokenizer→batch-prep
+    // pipeline a real training-data run uses: train the tokenizer on the
+    // corpus, encode every document, pack on the REAL `size(tokens)` counts
+    // (not whitespace counts). The pack offsets are re-derived by an
+    // INDEPENDENT plan — a join-aggregation prefix sum (`sum(tok) over
+    // docs with smaller id`, same math as packCore's window frame but a
+    // different execution path, so a frame/ordering bug in either diverges
+    // them) — and every invariant lands as a boolean the constant-true
+    // oracle hash-checks: join integrity (no doc lost between encode and
+    // pack), offset agreement, in-window start positions, and genuine BPE
+    // compression (Σtokens < Σchars — whitespace packing can't fake this).
+    // The quadratic self-join is the GATE's oracle, not a production path.
+    "pipe_pack_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrain(d, "text", nMerges = 30)
+      val enc = TextAnalysis.bpeEncode(d, merges)
+      val counted = d.select(col("doc_id"), col("lang"), col("text"))
+        .join(enc, "doc_id")
+        .select(col("doc_id"), col("lang"),
+          size(col("tokens")).cast("long").as("tok"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("nchar"))
+      val packed = Curation.packSequences(counted, col("doc_id"), col("lang"),
+        col("tok"), 512)
+      val t = counted.select(col("lang"), col("doc_id"), col("tok"))
+      val re = t.as("a").join(t.as("b"),
+          col("a.lang") === col("b.lang") && col("b.doc_id") < col("a.doc_id"),
+          "left")
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg(coalesce(sum(col("b.tok")), lit(0L)).as("so"))
+        .select(col("doc_id"), (col("so") / 512).cast("long").as("re_pack"),
+          col("so").%(512).as("re_start"))
+      val nDocs = d.count()
+      packed.join(re, "doc_id").agg(
+        (count(lit(1)) === lit(nDocs)).as("counts_match_ok"),
+        min(col("pack_id") === col("re_pack") &&
+          col("start_in_pack") === col("re_start")).as("pack_seq_ok"),
+        min(col("start_in_pack") >= 0 && col("start_in_pack") < 512)
+          .as("bounds_ok"),
+        (sum(col("n_tokens")) < sum(col("nchar"))).as("bpe_compresses_ok"))
     }),
 
     // multimodal plumbing: binary column → typed decode → frame sampling
@@ -961,6 +1026,7 @@ object PipelineQueries {
          FROM best GROUP BY vec_id""",
 
     "pipe_ann_ivfpq" -> SUMMARY_ORACLE,
+    "pipe_ann_ivfpq_persist" -> SUMMARY_ORACLE,
 
     // rerank gate: recall floor + the dominance invariant (rerank ≥ plain)
     "pipe_ann_ivfpq_rerank" ->
@@ -1145,6 +1211,13 @@ object PipelineQueries {
            CAST(CAST(bucket AS BIGINT) * 1099511627776 + so // 512 AS BIGINT) AS pack_id,
            so % 512 AS start_in_pack
          FROM o""",
+
+    // the composed tokenizer→packing pipeline gates as invariants the
+    // engine measures against its own independent recompute; any breach
+    // flips a boolean and fails the hash
+    "pipe_pack_bpe" ->
+      """SELECT TRUE AS counts_match_ok, TRUE AS pack_seq_ok,
+           TRUE AS bounds_ok, TRUE AS bpe_compresses_ok""",
 
     "pipe_multimodal" ->
       """SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
@@ -1472,7 +1545,7 @@ object PipelineQueries {
                      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
                      WHERE w <> '' GROUP BY w),
            pc AS (SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r,
-                    SUM(c) AS cnt
+                    CAST(SUM(c) AS BIGINT) AS cnt
                   FROM wd, UNNEST(range(1, length(w))) AS s(i)
                   GROUP BY 1, 2),
            top AS (SELECT l, r, cnt FROM pc ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)

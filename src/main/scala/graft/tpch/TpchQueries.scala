@@ -1054,6 +1054,45 @@ object TpchQueries {
       gridOf(coarse, regionNames).union(gridOf(fine, natNames))
     }),
 
+    // §2.13 × R3 (round 12): AGGREGATION_LEVEL rule served THROUGH a
+    // COARSENED summary — the exact r10-flagged failure shape. The summary's
+    // grain members (nations, years) are LEAVES of the derived catalogs, so
+    // the rule kept at AGGREGATION_LEVEL would never fire at grain addresses
+    // and the navigator would silently surface the stored base-aggregate
+    // instead of the computed margin. materialize() re-registers it
+    // ALL_LEVELS (every servable summary address is an aggregate in the
+    // BASE catalog, so base fires the rule everywhere the summary serves);
+    // this gate pins that rescue end-to-end: rescoped registration asserted,
+    // nation×year 'plan' selection navigator-routed to the summary, ruled
+    // grid hash-matched against the base-served oracle.
+    "olap_agg_rule_rescope" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      c.registerRule(RuleDef(
+        trigger = Map("measures" -> "plan"), scope = RuleScope.AggregationLevel,
+        expr = RuleExpr.Div(
+          RuleExpr.Sub(RuleExpr.Ref("gross"), RuleExpr.Ref("disc_amt")),
+          RuleExpr.Ref("gross")),
+        name = "margin_rescope"))
+      val summary = graft.olap.Aggregates.materialize(c, "scratch_ny_rule",
+        Seq(Some(1), Some(2), None, None))
+      require(summary.rules.exists(r =>
+          r.name == "margin_rescope" && r.scope == RuleScope.AllLevels),
+        "the AGGREGATION_LEVEL rule must be re-registered ALL_LEVELS on the coarsened summary")
+      val nav = new graft.olap.Aggregates.Navigator(c, Seq(summary))
+      val natNames = m.geo.membersByLevel(1).map(_.name)
+      val t = nav.cubeForSelections(
+        Seq(natNames, Seq("1996"), Seq("AllBrands"), Seq("plan")))
+      require(t eq summary,
+        "a nation×year rule-backed selection must be summary-served")
+      val d0 = t.dimensions(0)
+      val g = graft.olap.Rules.ruledGrid(t, Seq(
+        natNames.map(d0.idOf), Seq(t.dimensions(1).idOf("1996")),
+        Seq(t.dimensions(2).idOf("AllBrands")), Seq(t.dimensions(3).idOf("plan"))))
+      val nm = map(natNames.flatMap(n => Seq(lit(d0.idOf(n)), lit(n))): _*)
+      g.select(nm(col("a0")).as("nation"), col("value").cast("double").as("value"))
+    }),
+
     // §2.13 × §2.11 (round 11): summary over a DEGENERATE dimension — the
     // >2M-member shape that most needs materialized aggregates is exactly
     // the one with no member catalog. The unbounded customer dim COLLAPSES
@@ -1660,6 +1699,14 @@ object TpchQueries {
          $STAR
          WHERE strftime(o_orderdate, '%Y') = '1996' AND r_name = 'EUROPE'
          GROUP BY n_name""",
+
+    // margin per nation at 1996, the base-served arithmetic — the summary
+    // route must not change a cell (sums are decimal-exact on both sides,
+    // division in double)
+    "olap_agg_rule_rescope" ->
+      s"""SELECT n_name AS nation,
+          CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) / CAST(SUM($GROSS) AS DOUBLE) AS value
+          $STAR WHERE strftime(o_orderdate, '%Y') = '1996' GROUP BY n_name""",
 
     // the two alphabetically-first priorities, minus the deleted
     // (min-custkey, min-priority) cell — read through the partitioned base

@@ -188,10 +188,16 @@ class PipelineSpec extends AnyFunSuite {
     }
     val df = s.sparkContext.parallelize(scala.util.Random.shuffle(rows).toList, 16)
       .toDF("lang", "text")
-    val hh = TextAnalysis.heavyHittersByStratum(df, "lang", "text", capacity = 64)
+    val hhFull = TextAnalysis.heavyHittersByStratum(df, "lang", "text", capacity = 64)
+    val hh = hhFull.select("stratum", "token", "cnt", "err")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val strata = hh.map(_._1).toSet
     assert(strata == Set("lang0", "lang1", "lang2", "lang3", "<ALL>"))
+    // the grouping bit rides along: exactly the total rows carry is_total=1,
+    // so a real stratum literally named "<ALL>" would stay distinguishable
+    val totalFlags = hhFull.select("stratum", "is_total").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(totalFlags == strata.map(st => (st, if (st == "<ALL>") 1 else 0)))
     // per-grain bounds + containment, INCLUDING the merged total row
     val byStratum = rows.groupBy(_._1).view
       .mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap +
@@ -240,6 +246,38 @@ class PipelineSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.treeString
     assert("PartitionFilters: \\[[^\\]]*__cell".r.findFirstIn(plan).isDefined,
       s"expected a __cell partition filter on the index scan:\n$plan")
+  }
+
+  test("IVF-PQ index persists coded + partitioned; pruned ADC serving matches in-session") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS ivfpq_idx_spec")
+    s.sql("DROP TABLE IF EXISTS ivfpq_idx_spec_centroids")
+    s.sql("DROP TABLE IF EXISTS ivfpq_idx_spec_codebooks")
+    val cb = Similarity.pqFit(emb, nSub = 8, k = 16)
+    val idx = Similarity.ivfPqFit(emb, cb, nCentroids = 16)
+    Similarity.ivfPqPersist(idx, "ivfpq_idx_spec")
+    val loaded = Similarity.ivfPqLoad(s, "ivfpq_idx_spec")
+    assert(loaded.centroids.toSeq.map(_.toSeq) == idx.centroids.toSeq.map(_.toSeq))
+    assert(loaded.codebooks.map(_.map(_.toSeq)) == cb.map(_.map(_.toSeq)),
+      "codebook sidecar must round-trip in (m, code) order")
+    // the persisted table carries codes, never raw vectors — the 64×
+    // compression story is the schema, not a comment
+    assert(!loaded.coded.columns.contains("cv0") &&
+      loaded.coded.columns.toSet == Set("cand_id", "codes", "__cell"))
+    val q = emb.filter(col("vec_id") < 10)
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val base = keySet(Similarity.ivfPqTopKIndexed(idx, q, 10, nProbe = 6))
+    val pruned = Similarity.ivfPqTopKIndexed(loaded, q, 10, nProbe = 6,
+      pruneCells = true)
+    assert(keySet(pruned) == base,
+      "the persisted+pruned ADC path must reproduce the in-session index exactly")
+    // the composed convenience path is the same fit+serve: identical ranks
+    assert(keySet(Similarity.ivfPqTopK(emb, q, 10, cb, nProbe = 6)) == base)
+    val plan = pruned.queryExecution.executedPlan.treeString
+    assert("PartitionFilters: \\[[^\\]]*__cell".r.findFirstIn(plan).isDefined,
+      s"expected a __cell partition filter on the coded-index scan:\n$plan")
   }
 
   test("IVF append: new vectors join the persisted index without refit") {
