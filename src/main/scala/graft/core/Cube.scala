@@ -651,12 +651,58 @@ final class Cube(
     }
   }
 
+  // ---- driver-resident point index ---------------------------------------
+
+  /** Base-cell point index: the reference's in-process dict
+    * (`facttable.py:146-170` answers point reads from a Python dict in
+    * O(1)), made an EXPLICIT opt-in here because on Spark the base frame is
+    * distributed — a driver map only exists if someone pays a bounded
+    * collect for it. Mirrors the `base` frame ONLY: overlay writes/deletes
+    * are consulted BEFORE the index (so in-session writes read correctly
+    * with no invalidation), and any bulk base swap changes the `base`
+    * frame's object identity, which the read-side `eq` check detects — a
+    * stale index can never serve. At 100 TB this is a HOT-CUBE accelerator
+    * (a summary cube, a scratch cube, the working set), never the full
+    * fact table; the cap refuses to build past `cap` cells rather than
+    * silently ballooning the driver (~250 B/entry at 8 dims).
+    */
+  private var pointIdx: java.util.HashMap[Vector[Int], java.lang.Double] = null
+  private var pointIdxBase: DataFrame = null
+
+  /** Build (or refresh) the point index if the base holds ≤ `cap` cells;
+    * returns whether the index is in place. Idempotent while the base is
+    * unchanged. */
+  def enablePointIndex(cap: Long = 2000000L): Boolean = {
+    val b = stateLock.synchronized {
+      if (pointIdx != null && (pointIdxBase eq base)) return true
+      base
+    }
+    if (b.count() > cap) return false
+    val rows = b.select((dimCols.map(col) :+ col("value").cast(DoubleType)): _*)
+      .collect()
+    val m = new java.util.HashMap[Vector[Int], java.lang.Double](rows.length * 2)
+    rows.foreach { r =>
+      if (!r.isNullAt(nDims))
+        m.put(Vector.tabulate(nDims)(r.getInt), r.getDouble(nDims))
+    }
+    stateLock.synchronized {
+      if (base eq b) { pointIdx = m; pointIdxBase = b; true }
+      else false // base swapped mid-build: refuse rather than serve stale
+    }
+  }
+
+  def pointIndexEnabled: Boolean = stateLock.synchronized {
+    pointIdx != null && (pointIdxBase eq base)
+  }
+
   private def pointRead(ids: Vector[Int]): Option[Double] = {
-    // snapshot overlay-hit-or-base under the lock; the filter job (if any)
-    // then runs lock-free on the immutable base frame
+    // snapshot overlay-hit-or-index-or-base under the lock; the filter job
+    // (if any) then runs lock-free on the immutable base frame
     val snapshot: Either[Option[Double], DataFrame] = stateLock.synchronized {
       overlay.get(ids) match {
         case Some(v) => Left(v)
+        case None if pointIdx != null && (pointIdxBase eq base) =>
+          Left(Option(pointIdx.get(ids)).map(_.doubleValue))
         case None => Right(base)
       }
     }

@@ -63,6 +63,33 @@ object HugeModel {
   def pointReadBatch(cube: Cube, n: Int, broadcastAddrs: Boolean = true): DataFrame =
     cube.readBatch(randomAddrs(cube.spark, n), broadcastAddrs)
 
+  /** Name-addressed point-read loop against the cube API — the reference's
+    * literal benchmark shape (`samples/huge.py:134-157`: a Python loop of
+    * `cube[name, …]` dict hits). With the cube's driver-resident point
+    * index enabled ([[graft.core.Cube.enablePointIndex]]) each read is a
+    * name→id bolt resolve + one hash probe, no Spark job — the apples-to-
+    * apples answer to the reference's 100k reads/s. Without the index this
+    * loop would pay a filter JOB per cell; callers must enable it first.
+    * Returns the number of non-empty cells (self-check: > 0).
+    */
+  def pointReadLoop(cube: Cube, n: Int): Long = {
+    require(cube.pointIndexEnabled,
+      "pointReadLoop without the point index would run one Spark job per cell")
+    val addrs = randomAddrs(cube.spark, n).collect() // n × 8 ints, bounded
+    // result-cache off: the addresses are deterministic, so a min-of-passes
+    // second pass would otherwise time TrieMap hits instead of the index
+    val prevCache = cube.cacheEnabled
+    cube.cacheEnabled = false
+    try {
+      var found = 0L
+      addrs.foreach { r =>
+        val names = (0 until NDims).map(i => s"m${r.getInt(i) - 1}")
+        if (cube.get(names).isDefined) found += 1
+      }
+      found
+    } finally cube.cacheEnabled = prevCache
+  }
+
   /** Pseudo-random addresses mirroring the build's hash scheme (different
     * seed) — the shared address generator for the point-batch benches.
     */

@@ -44,7 +44,7 @@ class PlanShapeSpec extends AnyFunSuite {
     */
   private val verificationSummaries = Set(
     "pipe_ann_lsh", "pipe_ann_ivf", "pipe_ann_ivf_persist",
-    "pipe_ann_ivfpq", "pipe_ann_ivfpq_rerank",
+    "pipe_ann_ivfpq", "pipe_ann_ivfpq_persist", "pipe_ann_ivfpq_rerank",
     "pipe_dedup_simhash", "pipe_dedup_embed_lsh",
     // indexed fusion vs the EXACT fusion (bruteForceTopK arm) — the raw
     // serving composition is asserted via Bench.rawOps below
