@@ -170,8 +170,14 @@ object Similarity {
     * cell assignment — stable.
     */
   def ivfAssign(index: IvfIndex, newRows: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfAssignCells(index.centroids, newRows, idCol, vecCol)
+
+  /** [[ivfAssign]] against bare centroids — shared by the flat and PQ
+    * append paths (the PQ index carries no raw-vector frame to wrap). */
+  def ivfAssignCells(centroids: Array[Array[Double]], newRows: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centLit = typedlit(index.centroids.zipWithIndex
+    val centLit = typedlit(centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq)
     newRows.select(col(idCol).as("cand_id"), col(vecCol).as("cv0"),
         explode(centLit).as("__c"))
@@ -588,6 +594,18 @@ object Similarity {
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
     IvfPqIndex(cents, codebooks, spark.table(table))
   }
+
+  /** Append a batch to a [[ivfPqPersist]]ed table: assign to the FIXED
+    * cells, PQ-encode with the FIXED codebooks, insert into the partitioned
+    * table — only the touched cells' partitions receive files; no refit,
+    * no re-encode of existing rows (≙ [[ivfAppend]] for the coded layout).
+    * Column order matches the table schema (partition col last). */
+  def ivfPqAppend(index: IvfPqIndex, newRows: DataFrame, table: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    pqEncode(ivfAssignCells(index.centroids, newRows, idCol, vecCol),
+        index.codebooks, "cand_id", "cv0")
+      .select(col("cand_id"), col("codes"), col("__cell"))
+      .write.mode("append").format("parquet").insertInto(table)
 
   /** IVF-PQ query against a PREBUILT coded index — the serving shape of
     * [[ivfPqTopK]] (identical probe, identical ADC arithmetic, so recall is

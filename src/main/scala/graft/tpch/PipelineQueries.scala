@@ -637,6 +637,22 @@ object PipelineQueries {
         (sum(col("n_tokens")) < sum(col("nchar"))).as("bpe_compresses_ok"))
     }),
 
+    // Unicode canonicalization (round 12): the pre-dedup normalization
+    // pass — NFC, accent folding, case folding — as a native codegen'd
+    // expression (NormalizeText; a UDF would fall out of whole-stage
+    // codegen). The corpus text is decorated with composed/decomposed/
+    // accented forms so the non-ASCII paths are actually exercised, and
+    // the NORMALIZED STRINGS themselves hash against DuckDB's
+    // lower(strip_accents(nfc_normalize(...))) — byte-for-byte parity of
+    // two independent Unicode stacks (JDK vs utf8proc).
+    "pipe_normalize_text" -> ((s, dir) => {
+      val decorated = concat(col("text"),
+        lit(" Mühleisen SÃO façade naïve Ångström Café"))
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.NormalizeText(decorated,
+          stripAccents = true, toLower = true).as("norm"))
+    }),
+
     // multimodal plumbing: binary column → typed decode → frame sampling
     "pipe_multimodal" -> ((s, dir) => {
       Multimodal.sampleFrames(Multimodal.decode(Multimodal.assets(docs(s, dir))))
@@ -1211,6 +1227,13 @@ object PipelineQueries {
            CAST(CAST(bucket AS BIGINT) * 1099511627776 + so // 512 AS BIGINT) AS pack_id,
            so % 512 AS start_in_pack
          FROM o""",
+
+    // two independent Unicode stacks must produce identical bytes
+    "pipe_normalize_text" ->
+      """SELECT doc_id,
+           lower(strip_accents(nfc_normalize(
+             text || ' Mühleisen SÃO façade naïve Ångström Café'))) AS norm
+         FROM documents""",
 
     // the composed tokenizer→packing pipeline gates as invariants the
     // engine measures against its own independent recompute; any breach

@@ -131,6 +131,20 @@ object TpchQueries {
       oneValueDf(s, m.cube.get(probeAddress(s, dir)))
     }),
 
+    // S1 × §2.13 (round 12): the same point read served from the
+    // driver-resident POINT INDEX (`Cube.enablePointIndex` — the
+    // reference's in-process fact dict as a cap-guarded opt-in); identical
+    // oracle as olap_point_read, so the indexed path is hash-gated, not
+    // just spec'd. Cache off so the read exercises the index, not the
+    // result cache.
+    "olap_point_read_indexed" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val c = scratch(m)
+      require(c.enablePointIndex(), "the sf-scale cube must fit the index cap")
+      c.cacheEnabled = false
+      oneValueDf(s, c.get(probeAddress(s, dir)))
+    }),
+
     // S2: upsert overwrites a base cell; the world total reflects it
     "olap_upsert" -> ((s, dir) => {
       val m = TpchModel.get(s, dir)
@@ -1342,6 +1356,14 @@ object TpchQueries {
           SELECT p_type AS member, CAST(SUM($GROSS) AS DOUBLE) AS value $PSTAR GROUP BY p_type""",
 
     "olap_point_read" ->
+      s"""SELECT CAST(SUM($GROSS) AS DOUBLE) AS value
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+            AND o_orderdate = (SELECT o_orderdate FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+            AND l_partkey = (SELECT min(l_partkey) FROM lineitem WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders))""",
+
+    // identical arithmetic through the indexed path
+    "olap_point_read_indexed" ->
       s"""SELECT CAST(SUM($GROSS) AS DOUBLE) AS value
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           WHERE o_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))

@@ -280,6 +280,41 @@ class PipelineSpec extends AnyFunSuite {
       s"expected a __cell partition filter on the coded-index scan:\n$plan")
   }
 
+  test("IVF-PQ append: new vectors join the persisted coded index without refit or re-encode") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS ivfpq_app_spec")
+    s.sql("DROP TABLE IF EXISTS ivfpq_app_spec_centroids")
+    s.sql("DROP TABLE IF EXISTS ivfpq_app_spec_codebooks")
+    val first = emb.filter(col("vec_id") < 50)
+    val rest = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+    val cb = Similarity.pqFit(first, nSub = 8, k = 16)
+    val idx = Similarity.ivfPqFit(first, cb, nCentroids = 16)
+    Similarity.ivfPqPersist(idx, "ivfpq_app_spec")
+    Similarity.ivfPqAppend(idx, rest, "ivfpq_app_spec")
+    val loaded = Similarity.ivfPqLoad(s, "ivfpq_app_spec")
+    assert(loaded.coded.count() == first.count() + rest.count())
+    // appended rows carry the FIXED quantizer's cell and the FIXED
+    // codebooks' codes: identical to what a full refit-free fit over the
+    // grown corpus would encode for those ids
+    val direct = Similarity.ivfPqFit(first, cb, nCentroids = 16) // same seed
+    val expect = graft.pipeline.Similarity
+      .ivfAssignCells(direct.centroids, rest)
+    val gotCells = loaded.coded.filter(col("cand_id") >= 50)
+      .select("cand_id", "__cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expCells = expect.select(col("cand_id"), col("__cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(gotCells == expCells, "append must use the fixed quantizer's cells")
+    // served through the persisted table, appended vectors are findable:
+    // probing every cell makes IVF-PQ exhaustive over the codes
+    val q = emb.filter(col("vec_id") === 55)
+    val got = Similarity.ivfPqTopKIndexed(loaded, q, 5, nProbe = 16,
+        pruneCells = true)
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.forall(id => id < 60),
+      "served candidates must come from the grown corpus")
+  }
+
   test("IVF append: new vectors join the persisted index without refit") {
     val s = spark
     s.sql("DROP TABLE IF EXISTS ivf_app_spec")
