@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed multinomial Naive Bayes over unigram counts — the
+  * fastText-style linear filter every web-corpus pipeline runs for
+  * language routing and quality triage (CCNet-style). Nothing here is
+  * iterative: training IS two aggregations, so the whole fit is
+  * map-side-combinable and one shuffle each on (label, token) and the
+  * per-label/prior catalogs; no gradient loop, no driver-side data path.
+  *
+  * Scale shape (the 100-TB story):
+  *   - train: `groupBy(label, token).count()` — partial aggregation
+  *     bounds the shuffle by the (label × vocab) table, not the corpus;
+  *     per-label totals/priors/vocab-size are label-grain catalog
+  *     collects (bounded by construction).
+  *   - model: ONE token-grain frame with a log-likelihood column per
+  *     label (built by `groupBy(token).pivot(label)` — labels are a
+  *     bounded catalog). The frame stays distributed; only scalars
+  *     (priors, OOV fallbacks, vocab size) live on the driver.
+  *   - classify: corpus tokens LEFT JOIN the model frame on token (AQE
+  *     broadcasts it when small; shuffle-joins when the vocab is truly
+  *     large), then one doc-grain aggregation. Argmax is an
+  *     `array_min(array(struct(-score, label)))` — codegen'd, no UDF.
+  *
+  * Numeric discipline: every probability is a ratio of INTEGER counts
+  * (Laplace-smoothed), so both engines divide identical integers under
+  * IEEE semantics; `ln` may differ in the last ulp across libm
+  * implementations, which cannot flip an argmax whose gaps are O(1e-2),
+  * so the oracle gates the predicted LABEL and integer token counts —
+  * never raw floating scores.
+  */
+object Classify {
+
+  /** Token stream shared by train and classify (and mirrored verbatim by
+    * the DuckDB oracle): lowercase, runs of [a-z] — empty matches
+    * impossible, docs with no tokens drop out of both engines alike. */
+  def tokensOf(textCol: Column): Column =
+    regexp_extract_all(lower(textCol), lit("([a-z]+)"), lit(1))
+
+  /** Fitted model. `tokenLogp` is the distributed (token, logp_<label>…)
+    * frame; everything else is label-grain driver scalars. */
+  final case class NbModel(labels: Seq[String],
+      logPriors: Map[String, Double], oovLogp: Map[String, Double],
+      tokenLogp: DataFrame, vocabSize: Long)
+
+  /** Fit a multinomial NB classifier on a labeled corpus. Two shuffles
+    * total: the (label, token) count and the token-grain pivot; the three
+    * `.collect()`s are label-grain catalogs (bounded). Laplace add-one:
+    * P(tok|l) = (c+1)/(T_l+V), P(l) = n_l/N. */
+  def nbTrain(df: DataFrame, textCol: Column, labelCol: Column): NbModel = {
+    val tok = df.select(labelCol.as("__lab"),
+      explode(tokensOf(textCol)).as("__tok"))
+    val cnt = tok.groupBy(col("__lab"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = cnt.groupBy(col("__lab")).agg(sum(col("__c")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val priors = df.groupBy(labelCol.as("__lab")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = cnt.select(col("__tok")).distinct().count()
+    val n = priors.values.sum
+    val labels = priors.keys.toSeq.sorted
+    val logPriors = priors.map { case (l, nl) =>
+      l -> math.log(nl.toDouble / n.toDouble) }
+    val oov = labels.map { l =>
+      l -> math.log(1.0 / (totals(l) + vocab).toDouble) }.toMap
+    val wide = cnt.groupBy(col("__tok").as("token"))
+      .pivot("__lab", labels).agg(first(col("__c")))
+    val logp = wide.select(col("token") +: labels.map { l =>
+      log((coalesce(col(s"`$l`"), lit(0L)) + lit(1L)).cast("double")
+        / lit((totals(l) + vocab).toDouble)).as(s"logp_$l") }: _*)
+    NbModel(labels, logPriors, oov, logp, vocab)
+  }
+
+  /** Classify a corpus: (id, predicted label, n_tokens). One join on
+    * token + one doc-grain aggregation; ties broken by label ascending
+    * (min over (-score, label) structs — deterministic in both engines).
+    * Docs with zero tokens are absent from the output (no evidence). */
+  def nbClassify(model: NbModel, df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    val tok = df.select(idCol.as("__id"), explode(tokensOf(textCol)).as("token"))
+    val joined = tok.join(model.tokenLogp, Seq("token"), "left")
+    val sums = joined.groupBy(col("__id")).agg(
+      count(lit(1)).as("n_tokens"),
+      model.labels.map { l =>
+        sum(coalesce(col(s"logp_$l"), lit(model.oovLogp(l)))).as(s"s_$l")
+      }: _*)
+    val candidates = array(model.labels.map { l =>
+      struct((-(col(s"s_$l") + lit(model.logPriors(l)))).as("ns"),
+        lit(l).as("lab")) }: _*)
+    sums.select(col("__id"), array_min(candidates).getField("lab").as("pred"),
+      col("n_tokens"))
+  }
+}

@@ -192,6 +192,61 @@ object Curation {
     out.join(broadcast(bad), out(idCol) === bad("corpus_id"), "left_anti")
   }
 
+  /** Curation LINEAGE: the audit table a governed training-data run keeps
+    * next to [[curateCorpus]]'s output — EVERY input document with the
+    * disposition the pipeline gave it and how many copies survived.
+    * Dispositions follow the stage order (first failing stage wins, so the
+    * audit is consistent with what the pipeline actually did):
+    * `duplicate` → `contaminated` → `low_quality` → `sampled_out`
+    * (kept by every filter, resampled to zero copies) → `kept`.
+    *
+    * Stage memberships are derived by THE SAME operators the pipeline
+    * runs ([[TextDedup.dedupClusters]] losers, [[TextDedup.contaminatedIds]]
+    * on the deduped corpus, the [[TextAnalysis.qualityColumns]] floor,
+    * [[resampleStratified]] copy counts) — reused, not re-implemented, so
+    * lineage can never drift from the pipeline. Invariant by construction:
+    * Σ copies over this table == row count of the curated output.
+    *
+    * Scale shape: each membership is an id-grain frame joined back to the
+    * corpus (left joins on the id — AQE broadcasts the small drop sets);
+    * no stage is recomputed more than the pipeline itself computes it.
+    */
+  def curateLineage(df: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalTextCol: String,
+      qualityFloor: Double, stratumCol: Column,
+      rates: Map[String, Double], defaultRate: Double, salt: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.9,
+      shingle: Int = 3, minHits: Int = 2): DataFrame = {
+    val id = col(idCol)
+    val dups = TextDedup
+      .dedupClusters(TextDedup.minhashLshPairs(df, idCol, textCol, k, bands, threshold))
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol), lit(true).as("__dup"))
+    val deduped = df.join(dups.select(id), Seq(idCol), "left_anti")
+    val cont = TextDedup.contaminatedIds(deduped, idCol, textCol,
+        evalDf, evalTextCol, shingle, minHits)
+      .select(id, lit(true).as("__cont"))
+    val scored = df.withColumn("__q",
+      TextAnalysis.qualityColumns(col(textCol)).toMap.apply("quality"))
+    val kept = scored.join(dups.select(id), Seq(idCol), "left_anti")
+      .join(cont.select(id), Seq(idCol), "left_anti")
+      .filter(col("__q") >= qualityFloor)
+    val copies = resampleStratified(kept, id, stratumCol, rates, defaultRate, salt)
+      .groupBy(id).agg(count(lit(1)).as("__copies"))
+    scored
+      .join(dups, Seq(idCol), "left")
+      .join(cont, Seq(idCol), "left")
+      .join(copies, Seq(idCol), "left")
+      .withColumn("copies", coalesce(col("__copies"), lit(0L)))
+      .withColumn("disposition",
+        when(col("__dup"), "duplicate")
+          .when(col("__cont"), "contaminated")
+          .when(col("__q") < qualityFloor, "low_quality")
+          .when(col("copies") === 0L, "sampled_out")
+          .otherwise("kept"))
+      .drop("__dup", "__cont", "__q", "__copies")
+  }
+
   /** Per-stratum quality selection: the k best rows of each stratum by
     * `scoreCol`, ties broken by id for determinism. One shuffle on the
     * stratum key; with a bounded stratum count and k, AQE handles skew and

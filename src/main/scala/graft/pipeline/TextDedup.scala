@@ -556,19 +556,27 @@ object TextDedup {
     */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       evalDf: DataFrame, evalTextCol: String,
+      shingle: Int = 3, minHits: Int = 1): DataFrame =
+    corpus.join(contaminatedIds(corpus, idCol, textCol, evalDf, evalTextCol,
+      shingle, minHits), Seq(idCol), "left_anti")
+
+  /** The id set [[decontaminate]] drops — exposed so audit/lineage
+    * consumers share the exact stage logic instead of re-deriving it.
+    * One column: `idCol`. */
+  def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalTextCol: String,
       shingle: Int = 3, minHits: Int = 1): DataFrame = {
     require(shingle >= 1 && minHits >= 1, "shingle and minHits must be >= 1")
     val evalShingles = shingleRel(
       evalDf.select(lit(0).as("__eid"), col(evalTextCol).as("__etext")),
       "__eid", "__etext", shingle)
       .select(col("w")).distinct()
-    val contaminated = shingleRel(corpus, idCol, textCol, shingle)
+    shingleRel(corpus, idCol, textCol, shingle)
       .join(evalShingles, Seq("w"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("w")).as("__hits"))
       .filter(col("__hits") >= minHits)
       .select(col(idCol))
-    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Leakage AUDIT for [[decontaminate]]: per EVAL document, how many corpus

@@ -1,6 +1,6 @@
 package graft.tpch
 
-import graft.pipeline.{Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.pipeline.{Classify, Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -653,6 +653,22 @@ object PipelineQueries {
           stripAccents = true, toLower = true).as("norm"))
     }),
 
+    // Distributed Naive Bayes (round 12): the fastText-style corpus
+    // filter — trained as two aggregations on the labeled corpus, served
+    // as one token join + one doc-grain argmax. The oracle re-derives the
+    // ENTIRE model (counts → Laplace log-likelihoods → per-doc argmax) in
+    // SQL, so training and classification are both gated; labels and
+    // integer counts hash, floating scores never do (see Classify's
+    // numeric-discipline note).
+    "pipe_nb_classify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = Classify.nbTrain(d, col("text"), col("lang"))
+      Classify.nbClassify(model, d, col("doc_id"), col("text"))
+        .join(d.select(col("doc_id").as("__id"), col("lang")), Seq("__id"))
+        .select(col("__id").as("doc_id"), col("pred"), col("n_tokens"),
+          (col("pred") === col("lang")).as("correct"))
+    }),
+
     // multimodal plumbing: binary column → typed decode → frame sampling
     "pipe_multimodal" -> ((s, dir) => {
       Multimodal.sampleFrames(Multimodal.decode(Multimodal.assets(docs(s, dir))))
@@ -736,6 +752,20 @@ object PipelineQueries {
         rates = Map("en" -> 2.0, "fr" -> 0.75), defaultRate = 0.25, salt = "s42")
         .select(col("doc_id"), col("lang"), col("source"),
           col("copy").cast("long").as("copy"))
+    }),
+
+    // the audit table next to pipe_curate's output (round 12): EVERY doc
+    // with its disposition under stage-order precedence (duplicate →
+    // contaminated → low_quality → sampled_out → kept) and surviving copy
+    // count; memberships derived by the same operators the pipeline runs
+    "pipe_curate_lineage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.curateLineage(d, "doc_id", "text",
+        d.filter(col("doc_id") % 97 === 0), "text",
+        qualityFloor = 0.6, stratumCol = col("lang"),
+        rates = Map("en" -> 2.0, "fr" -> 0.75), defaultRate = 0.25, salt = "s42")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("disposition"), col("copies"))
     }),
 
     // the curation pipeline widened with the semantic decon stage: the same
@@ -1228,6 +1258,42 @@ object PipelineQueries {
            so % 512 AS start_in_pack
          FROM o""",
 
+    // the full NB model re-derived independently: unigram counts →
+    // Laplace log-likelihoods → per-doc argmax with (score DESC, label
+    // ASC) determinism — identical integer inputs on both sides; only
+    // labels/counts are emitted (never floating scores)
+    "pipe_nb_classify" ->
+      """WITH tok AS (
+           SELECT doc_id, lang,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+           FROM documents),
+         cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY 1),
+         pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM documents),
+         vv AS (SELECT count(DISTINCT token) AS v FROM cnt),
+         scored AS (
+           SELECT dt.doc_id, l.lang AS cand,
+                  ln(CAST(pri.nd AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                    + sum(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                             / CAST(tot.t + vv.v AS DOUBLE))) AS s,
+                  count(*) AS n_tokens
+           FROM (SELECT doc_id, token FROM tok) dt
+           CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+           JOIN tot ON tot.lang = l.lang
+           JOIN pri ON pri.lang = l.lang
+           CROSS JOIN nn CROSS JOIN vv
+           LEFT JOIN cnt c ON c.lang = l.lang AND c.token = dt.token
+           GROUP BY dt.doc_id, l.lang, pri.nd, nn.n, tot.t, vv.v),
+         ranked AS (
+           SELECT doc_id, cand AS pred, n_tokens,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY s DESC, cand ASC) AS rn
+           FROM scored)
+         SELECT r.doc_id, r.pred, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+                (r.pred = d.lang) AS correct
+         FROM ranked r JOIN documents d USING (doc_id) WHERE rn = 1""",
+
     // two independent Unicode stacks must produce identical bytes
     "pipe_normalize_text" ->
       """SELECT doc_id,
@@ -1369,6 +1435,39 @@ object PipelineQueries {
                     THEN 1 ELSE 0 END AS n
                 FROM kept)
           SELECT doc_id, lang, source, unnest(range(n)) AS copy FROM r""",
+
+    // the same stage chain as pipe_curate, but every doc is accounted for:
+    // first-failing-stage disposition + surviving copies. Σ copies here ==
+    // pipe_curate's row count by construction, so the two gates cross-check
+    "pipe_curate_lineage" ->
+      s"""$CLUSTERS_CTE,
+          dups AS (SELECT id FROM clusters WHERE id <> cluster_id),
+          ded AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT id FROM dups)),
+          ew AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0),
+          ei AS (SELECT w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM ew),
+          evs AS (SELECT DISTINCT array_to_string(w[i : i + 2], chr(1)) AS s FROM ei),
+          cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM ded),
+          ci AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM cw),
+          cs AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 2], chr(1)) AS s FROM ci),
+          cont AS (SELECT doc_id FROM cs JOIN evs USING (s)
+                   GROUP BY doc_id HAVING count(*) >= 2),
+          q AS (SELECT doc_id, $QUALITY_EXPR AS quality FROM documents),
+          nc AS (SELECT doc_id,
+                   CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 0 ELSE 0 END
+                   + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 4) <
+                       CASE lang WHEN 'en' THEN '0000' WHEN 'fr' THEN 'c000' ELSE '4000' END
+                     THEN 1 ELSE 0 END AS n
+                 FROM documents)
+          SELECT d.doc_id, d.lang, d.source,
+            CASE WHEN d.doc_id IN (SELECT id FROM dups) THEN 'duplicate'
+                 WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+                 WHEN q.quality < 0.6 THEN 'low_quality'
+                 WHEN nc.n = 0 THEN 'sampled_out'
+                 ELSE 'kept' END AS disposition,
+            CAST(CASE WHEN d.doc_id IN (SELECT id FROM dups)
+                        OR d.doc_id IN (SELECT doc_id FROM cont)
+                        OR q.quality < 0.6 THEN 0 ELSE nc.n END AS BIGINT) AS copies
+          FROM documents d JOIN q USING (doc_id) JOIN nc USING (doc_id)""",
 
     // the pipe_curate chain + the semantic stage as a final id filter
     // (stage-order-sound: all decon stages are commuting row filters; see

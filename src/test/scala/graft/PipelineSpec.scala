@@ -25,6 +25,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.999, s"recall $recall; expected ~1 at tau=0.9 with 16x4 bands")
   }
 
+  test("NB classifier: separable corpus classifies perfectly, OOV falls back to priors, no UDF") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "alpha alpha beta alpha", "x"), (2L, "alpha beta alpha", "x"),
+      (3L, "alpha alpha gamma", "x"),
+      (4L, "delta epsilon delta", "y"), (5L, "epsilon delta delta", "y"))
+      .toDF("id", "t", "lab")
+    val m = Classify.nbTrain(train, col("t"), col("lab"))
+    assert(m.labels == Seq("x", "y") && m.vocabSize == 5)
+    // held-out docs made of each class's tokens classify to that class
+    val test = Seq((10L, "alpha beta"), (11L, "delta epsilon"),
+      (12L, "zzz qqq")).toDF("id", "t")
+    val pred = Classify.nbClassify(m, test, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(pred(10L) == ("x", 2L) && pred(11L) == ("y", 2L))
+    // all-OOV doc: scores are prior + n·ln(1/(T_l+V)); y's smaller token
+    // mass (T_y=6 vs T_x=10) outweighs x's larger prior here —
+    // ln(2/5)+2·ln(1/11) > ln(3/5)+2·ln(1/15)
+    assert(pred(12L)._1 == "y")
+    // the whole path is codegen'd columns — no UDF anywhere in the plan
+    val plan = Classify.nbClassify(m, test, col("id"), col("t"))
+      .queryExecution.executedPlan.treeString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+  }
+
+  test("curation lineage: accounts for every doc, sums to the curated output") {
+    val d = docs
+    val evalDf = d.filter(col("doc_id") % 97 === 0)
+    val rates = Map("en" -> 2.0, "fr" -> 0.75)
+    val lin = Curation.curateLineage(d, "doc_id", "text", evalDf, "text",
+      qualityFloor = 0.6, stratumCol = col("lang"), rates = rates,
+      defaultRate = 0.25, salt = "s42")
+    assert(lin.count() == d.count(), "every input doc gets a disposition")
+    val byDisp = lin.groupBy("disposition")
+      .agg(count(lit(1)).as("n"), sum(col("copies")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // only kept docs carry copies, and they carry at least one each
+    byDisp.foreach { case (disp, (n, c)) =>
+      if (disp == "kept") assert(c >= n) else assert(c == 0, s"$disp carries copies") }
+    // the audit's surviving-copy total IS the curated output's row count
+    val curated = Curation.curateCorpus(d, "doc_id", "text", evalDf, "text",
+      qualityFloor = 0.6, stratumCol = col("lang"), rates = rates,
+      defaultRate = 0.25, salt = "s42").count()
+    val totalCopies = lin.agg(sum(col("copies"))).collect()(0).getLong(0)
+    assert(totalCopies == curated,
+      s"lineage copies $totalCopies != curated rows $curated")
+  }
+
   test("prefix-filtered jaccard equals driver-side brute force") {
     val sets = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
