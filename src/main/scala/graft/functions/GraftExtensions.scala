@@ -24,5 +24,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    // graft_normalize_text(s [, strip_accents, to_lower]) — the flag args
+    // must be literal booleans (they select the codegen'd normalization
+    // variant; a per-row flag would defeat constant folding)
+    e.injectFunction((
+      FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize_text"),
+      (exprs: Seq[Expression]) => {
+        def flag(i: Int): Boolean = exprs.lift(i) match {
+          case None => false
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"graft_normalize_text flag args must be literal booleans, got $other")
+        }
+        NormalizeText(exprs(0), flag(1), flag(2))
+      }))
   }
 }

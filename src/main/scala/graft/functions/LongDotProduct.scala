@@ -74,5 +74,15 @@ object GraftFunctions {
       "graft_dot_q", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sorted_intersect", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_normalize_text", exprs => {
+        def flag(i: Int): Boolean = exprs.lift(i) match {
+          case None => false
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"graft_normalize_text flag args must be literal booleans, got $other")
+        }
+        NormalizeText(exprs(0), flag(1), flag(2))
+      }, "built-in")
   }
 }

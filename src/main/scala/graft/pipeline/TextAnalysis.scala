@@ -465,6 +465,183 @@ object TextAnalysis {
       }.toDF(idCol, "tokens")
   }
 
+  /** Trained unigram-LM tokenizer state: `pieces` maps each vocabulary
+    * piece to its log-probability; `seedTop` is the most frequent
+    * multi-character substring of the seed pass with its corpus-weighted
+    * count (integer evidence the oracle re-derives in SQL); `llTrace` is
+    * the Viterbi log-likelihood after each EM iteration at the FINAL
+    * vocabulary (monotone non-decreasing — hard-EM's M-step maximizes the
+    * complete-data likelihood and the E-step re-segmentation can only
+    * improve it further, so any decrease is a bug the gate would catch). */
+  final case class UnigramModel(pieces: Map[String, Double],
+      seedTop: (String, Long), llTrace: Seq[Double])
+
+  /** Train a SentencePiece-style UNIGRAM-LM tokenizer (Kudo 2018: seed a
+    * large candidate vocabulary, alternate EM with pruning down to the
+    * target size) — the other major tokenizer family next to [[bpeTrain]],
+    * with the same production split of labor: Spark runs the ONE
+    * distributed corpus pass (word-frequency table; the shuffle is
+    * vocabulary-grain, never the corpus), and the EM/prune loop runs
+    * driver-side over that bounded table (`wordCap` top words by count,
+    * word tie-break — deterministic).
+    *
+    * Simplifications vs the paper, both standard and documented: hard
+    * (Viterbi) EM instead of forward–backward expectations, and seeding
+    * from all substrings ≤ `maxPieceLen` of the capped word table instead
+    * of a suffix-array pass. Single characters are never pruned (every
+    * word stays segmentable); multi-character pieces are pruned lowest
+    * Viterbi-count first (count ties lexicographic) until `vocabSize`
+    * holds, then `emIters` final EM iterations run at the fixed
+    * vocabulary. All tie-breaks are total orders, so the trained model is
+    * a pure function of the corpus.
+    */
+  def unigramTrain(df: DataFrame, textCol: String = "text",
+      vocabSize: Int = 80, maxPieceLen: Int = 4, seedSize: Int = 400,
+      emIters: Int = 2, pruneFrac: Double = 0.25,
+      wordCap: Int = 1000000): UnigramModel = {
+    val wordCounts: Array[(String, Long)] = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(wordCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // seed: every substring ≤ maxPieceLen, corpus-weighted by word count
+    val subCounts = scala.collection.mutable.HashMap[String, Long]()
+    wordCounts.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= w.length) {
+          val s = w.substring(i, i + l)
+          subCounts.update(s, subCounts.getOrElse(s, 0L) + c)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val chars = subCounts.keysIterator.filter(_.length == 1).toArray.sorted
+    val multi = subCounts.iterator.filter(_._1.length > 1).toArray
+      .sortBy { case (s, c) => (-c, s) }
+    val seedTop = multi.headOption.map { case (s, c) => (s, c) }
+      .getOrElse(("", 0L))
+    var vocab: Array[String] =
+      chars ++ multi.take(math.max(seedSize - chars.length, 0)).map(_._1)
+    var logp: Map[String, Double] = {
+      val tot = vocab.iterator.map(subCounts).sum.toDouble
+      vocab.iterator.map(s => s -> math.log(subCounts(s) / tot)).toMap
+    }
+    // Viterbi pass over the word table: per-piece counts + total likelihood
+    def viterbiCounts(): (scala.collection.mutable.HashMap[String, Long], Double) = {
+      val counts = scala.collection.mutable.HashMap[String, Long]()
+      var ll = 0.0
+      wordCounts.foreach { case (w, c) =>
+        val toks = viterbiSegment(w, logp, maxPieceLen)
+        toks.foreach(t => counts.update(t, counts.getOrElse(t, 0L) + c))
+        ll += c * toks.iterator.map(t => logp.getOrElse(t, UnkLogp)).sum
+      }
+      (counts, ll)
+    }
+    def mStep(counts: scala.collection.mutable.HashMap[String, Long]): Unit = {
+      // chars keep at least count 1 so every word stays segmentable
+      val eff = vocab.iterator.map { s =>
+        val c = counts.getOrElse(s, 0L)
+        s -> (if (s.length == 1) math.max(c, 1L) else c)
+      }.filter(_._2 > 0L).toArray
+      val tot = eff.iterator.map(_._2).sum.toDouble
+      vocab = eff.map(_._1)
+      logp = eff.iterator.map { case (s, c) => s -> math.log(c / tot) }.toMap
+    }
+    // alternate EM + prune until the target size holds; chars are never
+    // pruned, so a chars-only vocabulary is terminal even above target
+    while (vocab.length > vocabSize && vocab.exists(_.length > 1)) {
+      val (counts, _) = viterbiCounts()
+      mStep(counts)
+      if (vocab.length > vocabSize && vocab.exists(_.length > 1)) {
+        val nMulti = vocab.count(_.length > 1)
+        val nChars = vocab.length - nMulti
+        val keep = math.max(vocabSize - nChars,
+          math.min(nMulti - 1, (nMulti * (1.0 - pruneFrac)).toInt))
+        val kept = vocab.iterator.filter(_.length > 1)
+          .map(s => (s, counts.getOrElse(s, 0L)))
+          .toArray.sortBy { case (s, c) => (-c, s) }
+          .take(keep).map(_._1).toSet
+        vocab = vocab.filter(s => s.length == 1 || kept(s))
+        val tot = vocab.iterator.map(s =>
+          math.max(counts.getOrElse(s, 0L), 1L)).sum.toDouble
+        logp = vocab.iterator.map(s =>
+          s -> math.log(math.max(counts.getOrElse(s, 0L), 1L) / tot)).toMap
+      }
+    }
+    // final EM at the fixed vocabulary; Viterbi-EM likelihood is monotone
+    val trace = scala.collection.mutable.ArrayBuffer[Double]()
+    var iter = 0
+    while (iter < emIters) {
+      val (counts, ll) = viterbiCounts()
+      trace += ll
+      mStep(counts)
+      iter += 1
+    }
+    UnigramModel(logp, seedTop, trace.toSeq)
+  }
+
+  private val UnkLogp = -1e9
+
+  /** Deterministic Viterbi segmentation of one word under piece
+    * log-probs: DP over end positions, candidate start positions scanned
+    * ascending with strict improvement — a total order, so ties resolve
+    * identically on driver and executors. Characters absent from the
+    * vocabulary surface as single-char pieces at [[UnkLogp]]. */
+  def viterbiSegment(w: String, logp: Map[String, Double],
+      maxPieceLen: Int): List[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (best(i) > Double.NegativeInfinity) {
+          val piece = w.substring(i, j)
+          val lp = logp.getOrElse(piece,
+            if (j - i == 1) UnkLogp else Double.NegativeInfinity)
+          if (lp > Double.NegativeInfinity && best(i) + lp > best(j)) {
+            best(j) = best(i) + lp
+            back(j) = i
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    var out = List.empty[String]
+    var p = n
+    while (p > 0) { val i = back(p); out = w.substring(i, p) :: out; p = i }
+    out
+  }
+
+  /** Segment a corpus with a trained [[UnigramModel]] — the serving twin
+    * of [[unigramTrain]], a typed mapPartitions with the piece table on
+    * the closure (broadcast with the task, scan-shaped like [[bpeEncode]]).
+    * Output: (idCol, tokens ARRAY<STRING>). */
+  def unigramEncode(df: DataFrame, model: UnigramModel,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxPieceLen: Int = 4): DataFrame = {
+    val logp = model.pieces
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ").iterator.filter(_.nonEmpty)
+            .flatMap(w => viterbiSegment(w, logp, maxPieceLen)).toArray
+          (id, toks)
+        }
+      }.toDF(idCol, "tokens")
+  }
+
   /** Stratified heavy hitters with a merged grand total in ONE aggregation:
     * `rollup(stratum)` computes every per-stratum sketch AND the all-corpus
     * sketch in the same shuffle — the Expand duplicates token rows into the

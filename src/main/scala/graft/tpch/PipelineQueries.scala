@@ -653,6 +653,50 @@ object PipelineQueries {
           stripAccents = true, toLower = true).as("norm"))
     }),
 
+    // Unigram-LM tokenizer training (round 12): the SentencePiece family
+    // next to BPE. The oracle re-derives the seed pass's top substring —
+    // the corpus-weighted most frequent piece candidate, pure integer
+    // evidence from the same distributed word table — in SQL; the EM
+    // invariants (vocab at/below target with multi-char pieces surviving,
+    // every corpus character segmentable, Viterbi-EM likelihood monotone
+    // at the fixed final vocabulary) gate as booleans the engine measures
+    // against its own trace.
+    "pipe_unigram_train" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = TextAnalysis.unigramTrain(d, "text",
+        vocabSize = 80, maxPieceLen = 4, seedSize = 400, emIters = 3)
+      val corpusChars = d
+        .select(explode(split(regexp_replace(col("text"), " ", ""), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .distinct().collect().map(_.getString(0)).toSet
+      val vocabOk = m.pieces.size <= 80 && m.pieces.keys.exists(_.length > 1)
+      val charsOk = corpusChars.subsetOf(m.pieces.keySet)
+      val monoOk = m.llTrace.sliding(2).forall {
+        case Seq(a, b) => b >= a
+        case _ => true
+      }
+      import s.implicits._
+      Seq((m.seedTop._1, m.seedTop._2, vocabOk, charsOk, monoOk))
+        .toDF("seed_top_sub", "seed_top_cnt", "vocab_ok", "chars_ok",
+          "ll_monotone_ok")
+    }),
+
+    // the serving twin: every doc re-segmented by the trained model;
+    // losslessness (tokens concatenate back to the text sans spaces) and
+    // closed vocabulary gate PER DOC against a constant-true oracle
+    "pipe_unigram_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = TextAnalysis.unigramTrain(d, "text",
+        vocabSize = 80, maxPieceLen = 4, seedSize = 400, emIters = 3)
+      val vocabLit = array(m.pieces.keys.toSeq.sorted.map(lit): _*)
+      TextAnalysis.unigramEncode(d, m)
+        .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"),
+          (concat_ws("", col("tokens")) ===
+            regexp_replace(col("text"), " ", "")).as("roundtrip_ok"),
+          (size(array_except(col("tokens"), vocabLit)) === 0).as("in_vocab_ok"))
+    }),
+
     // Distributed Naive Bayes (round 12): the fastText-style corpus
     // filter — trained as two aggregations on the labeled corpus, served
     // as one token join + one doc-grain argmax. The oracle re-derives the
@@ -1257,6 +1301,28 @@ object PipelineQueries {
            CAST(CAST(bucket AS BIGINT) * 1099511627776 + so // 512 AS BIGINT) AS pack_id,
            so % 512 AS start_in_pack
          FROM o""",
+
+    // the seed pass's top candidate re-derived from scratch: every
+    // substring of length 2..4 of every word, corpus-weighted by word
+    // count — pure integer evidence; ties break lexicographic on both sides
+    "pipe_unigram_train" ->
+      """WITH w AS (SELECT w, count(*) AS c
+             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             WHERE len(w) > 0 GROUP BY w),
+         pos AS (SELECT w, c, unnest(range(1, len(w) + 1)) AS i FROM w),
+         sub AS (SELECT substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS s, c
+                 FROM (SELECT w, c, i,
+                         unnest(range(2, least(4, len(w) - i + 1) + 1)) AS l
+                       FROM pos)),
+         top AS (SELECT s, CAST(sum(c) AS BIGINT) AS cnt FROM sub
+                 GROUP BY s ORDER BY sum(c) DESC, s ASC LIMIT 1)
+         SELECT s AS seed_top_sub, cnt AS seed_top_cnt, TRUE AS vocab_ok,
+                TRUE AS chars_ok, TRUE AS ll_monotone_ok FROM top""",
+
+    // per-doc invariants of the trained segmenter (the engine computes the
+    // booleans from its own independent reconstruction)
+    "pipe_unigram_encode" ->
+      "SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS in_vocab_ok FROM documents",
 
     // the full NB model re-derived independently: unigram counts →
     // Laplace log-likelihoods → per-doc argmax with (score DESC, label

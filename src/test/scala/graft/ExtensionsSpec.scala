@@ -39,4 +39,23 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(n == expect, s"a=$a b=$b")
     }
   }
+
+  test("graft_normalize_text is SQL-callable; flags must be literals") {
+    TestSpark.spark
+    val s = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate().newSession()
+    graft.functions.GraftFunctions.register(s)
+    val r = s.sql(
+      "SELECT graft_normalize_text('Café', true, true) AS a, " +
+        "graft_normalize_text('Café') AS b")
+      .collect().head
+    assert(r.getString(0) == "cafe")
+    assert(r.getString(1) == "Café", "1-arg form is NFC only")
+    val err = intercept[Exception] {
+      s.sql("SELECT graft_normalize_text('x', 1 = 1 AND rand() > -1, false)")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal boolean"))
+  }
 }

@@ -51,6 +51,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
   }
 
+  test("unigram LM: viterbi picks max-likelihood splits, training is lossless and monotone") {
+    val s = spark
+    import s.implicits._
+    // hand-checkable viterbi: "abc" with p(ab)=0.4, p(c)=0.2, p(a)=p(b)=0.1,
+    // p(abc) absent → [ab, c] (ln0.4+ln0.2 > ln0.1·3 and > any other split)
+    val lp = Map("a" -> math.log(0.1), "b" -> math.log(0.1),
+      "c" -> math.log(0.2), "ab" -> math.log(0.4))
+    assert(TextAnalysis.viterbiSegment("abc", lp, 4) == List("ab", "c"))
+    // unknown char surfaces as its own piece rather than failing the word
+    assert(TextAnalysis.viterbiSegment("axb", lp, 4) == List("a", "x", "b"))
+
+    val corpus = Seq.tabulate(40)(i =>
+      (i.toLong, if (i % 2 == 0) "banana band banana" else "bandana banana ban"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.unigramTrain(corpus, "text",
+      vocabSize = 12, maxPieceLen = 4, seedSize = 100, emIters = 3)
+    assert(m.pieces.size <= 12 && m.pieces.keys.exists(_.length > 1))
+    assert(Set("a", "b", "d", "n").subsetOf(m.pieces.keySet))
+    // "an" (or a superstring) dominates this corpus; seed top must be the
+    // weighted most frequent 2..4-gram, which is "an" here
+    assert(m.seedTop._1 == "an" && m.seedTop._2 > 0)
+    assert(m.llTrace.size == 3 && m.llTrace.sliding(2).forall {
+      case Seq(x, y) => y >= x; case _ => true
+    }, s"viterbi-EM likelihood must be monotone: ${m.llTrace}")
+    val enc = TextAnalysis.unigramEncode(corpus, m)
+      .join(corpus, Seq("doc_id"))
+      .select(col("doc_id"), concat_ws("", col("tokens")).as("r"),
+        regexp_replace(col("text"), " ", "").as("e"))
+      .collect()
+    assert(enc.length == 40 && enc.forall(r => r.getString(1) == r.getString(2)),
+      "segmentation must concatenate back to the input")
+  }
+
   test("curation lineage: accounts for every doc, sums to the curated output") {
     val d = docs
     val evalDf = d.filter(col("doc_id") % 97 === 0)
