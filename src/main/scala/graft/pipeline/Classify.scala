@@ -40,10 +40,16 @@ object Classify {
     regexp_extract_all(lower(textCol), lit("([a-z]+)"), lit(1))
 
   /** Fitted model. `tokenLogp` is the distributed (token, logp_<label>…)
-    * frame; everything else is label-grain driver scalars. */
+    * frame the classifier joins; `counts`/`docCounts` are the SUFFICIENT
+    * STATISTICS ((label, token, count) frame + label-grain doc counts) —
+    * exact integers, so models are MERGEABLE: training per shard and
+    * [[nbMerge]]-ing is provably identical to training on the union (the
+    * HLL-rollup discipline applied to a trained model). Everything else is
+    * label-grain driver scalars. */
   final case class NbModel(labels: Seq[String],
       logPriors: Map[String, Double], oovLogp: Map[String, Double],
-      tokenLogp: DataFrame, vocabSize: Long)
+      tokenLogp: DataFrame, vocabSize: Long,
+      counts: DataFrame, docCounts: Map[String, Long])
 
   /** Fit a multinomial NB classifier on a labeled corpus. Two shuffles
     * total: the (label, token) count and the token-grain pivot; the three
@@ -54,23 +60,48 @@ object Classify {
       explode(tokensOf(textCol)).as("__tok"))
     val cnt = tok.groupBy(col("__lab"), col("__tok"))
       .agg(count(lit(1)).as("__c"))
-    val totals = cnt.groupBy(col("__lab")).agg(sum(col("__c")).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val priors = df.groupBy(labelCol.as("__lab")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fromCounts(cnt, priors)
+  }
+
+  /** Merge two shard-trained models into the model the union corpus would
+    * train — EXACT, because the sufficient statistics are additive
+    * integers: token counts union-sum, doc counts add, and every derived
+    * quantity (totals, vocab, Laplace log-likelihoods) is a pure function
+    * of them. One aggregation over the two count frames; at scale this is
+    * how a fleet trains per shard/day and serves one model. */
+  def nbMerge(a: NbModel, b: NbModel): NbModel = {
+    val cnt = a.counts.union(b.counts)
+      .groupBy(col("__lab"), col("__tok"))
+      .agg(sum(col("__c")).as("__c"))
+    val docs = (a.docCounts.keySet ++ b.docCounts.keySet).map { l =>
+      l -> (a.docCounts.getOrElse(l, 0L) + b.docCounts.getOrElse(l, 0L))
+    }.toMap
+    fromCounts(cnt, docs)
+  }
+
+  /** Derive the serving model from sufficient statistics ((__lab, __tok,
+    * __c) + label-grain doc counts) — shared by [[nbTrain]] and
+    * [[nbMerge]] so the two paths cannot drift. */
+  private def fromCounts(cnt: DataFrame,
+      priors: Map[String, Long]): NbModel = {
+    val totals = cnt.groupBy(col("__lab")).agg(sum(col("__c")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val vocab = cnt.select(col("__tok")).distinct().count()
     val n = priors.values.sum
     val labels = priors.keys.toSeq.sorted
     val logPriors = priors.map { case (l, nl) =>
       l -> math.log(nl.toDouble / n.toDouble) }
+    def tot(l: String): Long = totals.getOrElse(l, 0L) // label w/ only empty texts
     val oov = labels.map { l =>
-      l -> math.log(1.0 / (totals(l) + vocab).toDouble) }.toMap
+      l -> math.log(1.0 / (tot(l) + vocab).toDouble) }.toMap
     val wide = cnt.groupBy(col("__tok").as("token"))
       .pivot("__lab", labels).agg(first(col("__c")))
     val logp = wide.select(col("token") +: labels.map { l =>
       log((coalesce(col(s"`$l`"), lit(0L)) + lit(1L)).cast("double")
-        / lit((totals(l) + vocab).toDouble)).as(s"logp_$l") }: _*)
-    NbModel(labels, logPriors, oov, logp, vocab)
+        / lit((tot(l) + vocab).toDouble)).as(s"logp_$l") }: _*)
+    NbModel(labels, logPriors, oov, logp, vocab, cnt, priors)
   }
 
   /** Classify a corpus: (id, predicted label, n_tokens). One join on

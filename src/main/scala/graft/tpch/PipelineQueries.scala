@@ -100,6 +100,40 @@ object PipelineQueries {
            SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
          clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
 
+  // the whole-corpus NB model re-derived from scratch in SQL — shared
+  // by the classify, shard-merge, and confusion gates
+  private val NB_ORACLE =
+    """WITH tok AS (
+           SELECT doc_id, lang,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+           FROM documents),
+         cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY 1),
+         pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM documents),
+         vv AS (SELECT count(DISTINCT token) AS v FROM cnt),
+         scored AS (
+           SELECT dt.doc_id, l.lang AS cand,
+                  ln(CAST(pri.nd AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                    + sum(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                             / CAST(tot.t + vv.v AS DOUBLE))) AS s,
+                  count(*) AS n_tokens
+           FROM (SELECT doc_id, token FROM tok) dt
+           CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+           JOIN tot ON tot.lang = l.lang
+           JOIN pri ON pri.lang = l.lang
+           CROSS JOIN nn CROSS JOIN vv
+           LEFT JOIN cnt c ON c.lang = l.lang AND c.token = dt.token
+           GROUP BY dt.doc_id, l.lang, pri.nd, nn.n, tot.t, vv.v),
+         ranked AS (
+           SELECT doc_id, cand AS pred, n_tokens,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY s DESC, cand ASC) AS rn
+           FROM scored)
+         SELECT r.doc_id, r.pred, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+                (r.pred = d.lang) AS correct
+         FROM ranked r JOIN documents d USING (doc_id) WHERE rn = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup on raw text (hash-groupBy)
@@ -711,6 +745,34 @@ object PipelineQueries {
         .join(d.select(col("doc_id").as("__id"), col("lang")), Seq("__id"))
         .select(col("__id").as("doc_id"), col("pred"), col("n_tokens"),
           (col("pred") === col("lang")).as("correct"))
+    }),
+
+    // mergeable training: the corpus split into two shards, each trained
+    // independently, merged by summing the sufficient statistics — the
+    // oracle is the WHOLE-corpus model (same SQL as pipe_nb_classify), so
+    // the hash proves merge ≡ union-train exactly
+    "pipe_nb_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = Classify.nbTrain(d.filter(col("doc_id") % 2 === 0),
+        col("text"), col("lang"))
+      val b = Classify.nbTrain(d.filter(col("doc_id") % 2 === 1),
+        col("text"), col("lang"))
+      val merged = Classify.nbMerge(a, b)
+      Classify.nbClassify(merged, d, col("doc_id"), col("text"))
+        .join(d.select(col("doc_id").as("__id"), col("lang")), Seq("__id"))
+        .select(col("__id").as("doc_id"), col("pred"), col("n_tokens"),
+          (col("pred") === col("lang")).as("correct"))
+    }),
+
+    // the evaluation summary a pipeline actually reports: the confusion
+    // matrix (true label × predicted label), integer counts
+    "pipe_nb_confusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = Classify.nbTrain(d, col("text"), col("lang"))
+      Classify.nbClassify(model, d, col("doc_id"), col("text"))
+        .join(d.select(col("doc_id").as("__id"), col("lang")), Seq("__id"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
     }),
 
     // multimodal plumbing: binary column → typed decode → frame sampling
@@ -1328,37 +1390,20 @@ object PipelineQueries {
     // Laplace log-likelihoods → per-doc argmax with (score DESC, label
     // ASC) determinism — identical integer inputs on both sides; only
     // labels/counts are emitted (never floating scores)
-    "pipe_nb_classify" ->
-      """WITH tok AS (
-           SELECT doc_id, lang,
-                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
-           FROM documents),
-         cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
-         tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY 1),
-         pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
-         nn AS (SELECT count(*) AS n FROM documents),
-         vv AS (SELECT count(DISTINCT token) AS v FROM cnt),
-         scored AS (
-           SELECT dt.doc_id, l.lang AS cand,
-                  ln(CAST(pri.nd AS DOUBLE) / CAST(nn.n AS DOUBLE))
-                    + sum(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
-                             / CAST(tot.t + vv.v AS DOUBLE))) AS s,
-                  count(*) AS n_tokens
-           FROM (SELECT doc_id, token FROM tok) dt
-           CROSS JOIN (SELECT DISTINCT lang FROM documents) l
-           JOIN tot ON tot.lang = l.lang
-           JOIN pri ON pri.lang = l.lang
-           CROSS JOIN nn CROSS JOIN vv
-           LEFT JOIN cnt c ON c.lang = l.lang AND c.token = dt.token
-           GROUP BY dt.doc_id, l.lang, pri.nd, nn.n, tot.t, vv.v),
-         ranked AS (
-           SELECT doc_id, cand AS pred, n_tokens,
-                  row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY s DESC, cand ASC) AS rn
-           FROM scored)
-         SELECT r.doc_id, r.pred, CAST(r.n_tokens AS BIGINT) AS n_tokens,
-                (r.pred = d.lang) AS correct
-         FROM ranked r JOIN documents d USING (doc_id) WHERE rn = 1""",
+    "pipe_nb_classify" -> NB_ORACLE,
+
+    // shard-trained + merged must equal whole-corpus training EXACTLY —
+    // the sufficient statistics are additive integers, so the oracle IS
+    // the whole-corpus model
+    "pipe_nb_merge" -> NB_ORACLE,
+
+    // the reported evaluation artifact: true × predicted counts
+    "pipe_nb_confusion" ->
+      s"""WITH preds AS ($NB_ORACLE)
+          SELECT d.lang, p.pred, CAST(count(*) AS BIGINT) AS n
+          FROM preds p JOIN documents d USING (doc_id)
+          GROUP BY d.lang, p.pred""",
+
 
     // two independent Unicode stacks must produce identical bytes
     "pipe_normalize_text" ->

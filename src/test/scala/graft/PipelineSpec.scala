@@ -84,6 +84,29 @@ class PipelineSpec extends AnyFunSuite {
       "segmentation must concatenate back to the input")
   }
 
+  test("NB merge: shard-trained models merge to the union model exactly") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha alpha beta", "x"), (2L, "beta gamma", "x"),
+      (3L, "delta delta epsilon", "y"), (4L, "epsilon zeta", "y"),
+      (5L, "alpha zeta zeta", "x"))
+      .toDF("id", "t", "lab")
+    val whole = Classify.nbTrain(corpus, col("t"), col("lab"))
+    val merged = Classify.nbMerge(
+      Classify.nbTrain(corpus.filter(col("id") <= 2), col("t"), col("lab")),
+      Classify.nbTrain(corpus.filter(col("id") > 2), col("t"), col("lab")))
+    assert(merged.labels == whole.labels)
+    assert(merged.vocabSize == whole.vocabSize)
+    assert(merged.logPriors == whole.logPriors) // exact: same integer ratios
+    assert(merged.oovLogp == whole.oovLogp)
+    val w = whole.tokenLogp.collect().map(r => r.getString(0) ->
+      (1 until r.length).map(r.getDouble)).toMap
+    val m = merged.tokenLogp.collect().map(r => r.getString(0) ->
+      (1 until r.length).map(r.getDouble)).toMap
+    assert(m == w, "per-token log-likelihoods must be bit-identical")
+  }
+
   test("curation lineage: accounts for every doc, sums to the curated output") {
     val d = docs
     val evalDf = d.filter(col("doc_id") % 97 === 0)
