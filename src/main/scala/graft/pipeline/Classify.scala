@@ -104,6 +104,39 @@ object Classify {
     NbModel(labels, logPriors, oov, logp, vocab, cnt, priors)
   }
 
+  /** The SCAN-shaped serving twin of [[nbClassify]]: the vocabulary rides
+    * the plan as a map LITERAL (token → per-label log-likelihood array), so
+    * scoring is a pure per-row column — no join, no shuffle, no state.
+    * This is the fastText deployment shape (bounded vocab, shipped with
+    * the model) and the one a STREAMING scorer needs: stateless, so a
+    * micro-batch scores in append mode with no aggregation state at all.
+    * The vocab collect is cap-guarded (`vocabCap`) — beyond it, use the
+    * join-shaped [[nbClassify]]. Output and semantics match nbClassify:
+    * same tokens, same Laplace arithmetic, same (-score, label) argmax;
+    * zero-token docs are FILTERED to match its no-evidence contract. */
+  def nbClassifyScan(model: NbModel, df: DataFrame, idCol: Column,
+      textCol: Column, vocabCap: Int = 1 << 20): DataFrame = {
+    require(model.vocabSize <= vocabCap,
+      s"vocab ${model.vocabSize} exceeds the scan-shape cap $vocabCap; use nbClassify")
+    val labels = model.labels
+    val vocabMap: Map[String, Seq[Double]] = model.tokenLogp.collect()
+      .map(r => r.getString(0) -> (1 to labels.size).map(r.getDouble)).toMap
+    val oovArr = labels.map(l => model.oovLogp(l))
+    val toks = tokensOf(textCol)
+    val zero = typedlit(Seq.fill(labels.size)(0.0))
+    val sums = aggregate(toks, zero, (acc, t) =>
+      zip_with(acc,
+        coalesce(element_at(typedlit(vocabMap), t), typedlit(oovArr)),
+        (a, b) => a + b))
+    val candidates = array(labels.zipWithIndex.map { case (l, i) =>
+      struct((-(element_at(sums, i + 1) + lit(model.logPriors(l)))).as("ns"),
+        lit(l).as("lab")) }: _*)
+    df.select(idCol.as("__id"),
+        array_min(candidates).getField("lab").as("pred"),
+        size(toks).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+  }
+
   /** Classify a corpus: (id, predicted label, n_tokens). One join on
     * token + one doc-grain aggregation; ties broken by label ascending
     * (min over (-score, label) structs — deterministic in both engines).

@@ -102,7 +102,7 @@ object PipelineQueries {
 
   // the whole-corpus NB model re-derived from scratch in SQL — shared
   // by the classify, shard-merge, and confusion gates
-  private val NB_ORACLE =
+  private[tpch] val NB_ORACLE =
     """WITH tok AS (
            SELECT doc_id, lang,
                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
@@ -742,6 +742,19 @@ object PipelineQueries {
       val d = docs(s, dir)
       val model = Classify.nbTrain(d, col("text"), col("lang"))
       Classify.nbClassify(model, d, col("doc_id"), col("text"))
+        .join(d.select(col("doc_id").as("__id"), col("lang")), Seq("__id"))
+        .select(col("__id").as("doc_id"), col("pred"), col("n_tokens"),
+          (col("pred") === col("lang")).as("correct"))
+    }),
+
+    // the scan-shaped serving twin: the vocabulary rides the plan as a
+    // map literal (the fastText deployment shape) — no join, no shuffle,
+    // no state; same oracle as the join-shaped path, so the hash proves
+    // the two serving shapes agree
+    "pipe_nb_scan" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = Classify.nbTrain(d, col("text"), col("lang"))
+      Classify.nbClassifyScan(model, d, col("doc_id"), col("text"))
         .join(d.select(col("doc_id").as("__id"), col("lang")), Seq("__id"))
         .select(col("__id").as("doc_id"), col("pred"), col("n_tokens"),
           (col("pred") === col("lang")).as("correct"))
@@ -1391,6 +1404,9 @@ object PipelineQueries {
     // ASC) determinism — identical integer inputs on both sides; only
     // labels/counts are emitted (never floating scores)
     "pipe_nb_classify" -> NB_ORACLE,
+
+    // both serving shapes must reproduce the same model's predictions
+    "pipe_nb_scan" -> NB_ORACLE,
 
     // shard-trained + merged must equal whole-corpus training EXACTLY —
     // the sufficient statistics are additive integers, so the oracle IS

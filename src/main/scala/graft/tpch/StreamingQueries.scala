@@ -619,6 +619,42 @@ object StreamingQueries {
     // fully order-free — oracle: stream docs with no corpus doc at word-set
     // Jaccard >= 0.9 (exact-verified LSH; recall 1.0 on this corpus is
     // what pipe_dedup_minhash's exact-pair-set oracle already pins).
+    // online scoring with an offline-trained classifier (round 12): the
+    // NB model fits on the batch corpus, then the stream scores each
+    // micro-batch with the SCAN-shaped serving twin (vocab as a map
+    // literal → stateless, append mode, zero aggregation state); the
+    // oracle is the same whole-corpus SQL model as pipe_nb_classify, so
+    // the hash proves stream scoring ≡ batch scoring
+    "pipe_nb_classify_stream" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.pipeline.Classify.nbTrain(d, col("text"), col("lang"))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_nb")
+      val tmp = tmpRoot.resolve("files").toString
+      val batch = d.select("doc_id", "text")
+      batch.withColumn("part", pmod(hash(col("doc_id")), lit(10)))
+        .repartition(10, col("part")).drop("part")
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val sinkName = s"nb_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.pipeline.Classify
+        .nbClassifyScan(model, stream, col("doc_id"), col("text"))
+        .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sinkName)
+        .join(d.select(col("doc_id").as("__id"), col("lang")), Seq("__id"))
+        .select(col("__id").as("doc_id"), col("pred"), col("n_tokens"),
+          (col("pred") === col("lang")).as("correct"))
+        .localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }),
+
     "pipe_stream_neardup" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val (idxB, idxW) = graft.pipeline.TextDedup.nearDupIndex(
@@ -645,6 +681,10 @@ object StreamingQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // IDENTICAL oracle to the batch pipe_nb_classify — the path under
+    // test is stateless micro-batch scoring, not the model arithmetic
+    "pipe_nb_classify_stream" -> PipelineQueries.NB_ORACLE,
+
     "olap_stream_ingest" ->
       """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS value
          FROM events WHERE event_id < 5000 GROUP BY event_type""",

@@ -84,6 +84,25 @@ class PipelineSpec extends AnyFunSuite {
       "segmentation must concatenate back to the input")
   }
 
+  test("NB scan serving: agrees with the join shape, plans as a pure scan") {
+    val d = docs
+    val m = Classify.nbTrain(d, col("text"), col("lang"))
+    val joinShape = Classify.nbClassify(m, d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val scan = Classify.nbClassifyScan(m, d, col("doc_id"), col("text"))
+    val scanShape = scan.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(scanShape == joinShape, "two serving shapes, one answer")
+    val plan = scan.queryExecution.executedPlan.treeString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"scan serving must not join or shuffle:\n$plan")
+    // cap guard: a tiny cap rejects the scan shape loudly
+    val err = intercept[IllegalArgumentException] {
+      Classify.nbClassifyScan(m, d, col("doc_id"), col("text"), vocabCap = 1)
+    }
+    assert(err.getMessage.contains("use nbClassify"))
+  }
+
   test("NB merge: shard-trained models merge to the union model exactly") {
     val s = spark
     import s.implicits._
