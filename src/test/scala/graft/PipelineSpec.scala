@@ -126,6 +126,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(m == w, "per-token log-likelihoods must be bit-identical")
   }
 
+  test("viterbi property: equals brute-force best segmentation on random vocabularies") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abc"
+    def bruteBest(w: String, lp: Map[String, Double], maxLen: Int): Option[Double] = {
+      // enumerate all 2^(n-1) split masks; None if no segmentation exists
+      val n = w.length
+      (0 until (1 << (n - 1))).flatMap { mask =>
+        val cuts = 0 +: (1 until n).filter(i => (mask & (1 << (i - 1))) != 0) :+ n
+        val pieces = cuts.sliding(2).map { case Seq(a, b) => w.substring(a, b) }.toSeq
+        if (pieces.forall(p => p.length <= maxLen &&
+            (lp.contains(p) || p.length == 1)))
+          Some(pieces.map(p => lp.getOrElse(p, -1e9)).sum)
+        else None
+      }.sortBy(-_).headOption
+    }
+    (1 to 60).foreach { _ =>
+      val vocabMulti = Seq.fill(5)(
+        (1 to (2 + rnd.nextInt(2))).map(_ => alphabet(rnd.nextInt(3))).mkString)
+      val vocab = (alphabet.map(_.toString).filter(_ => rnd.nextBoolean()) ++ vocabMulti)
+        .distinct.map(s => s -> math.log(0.05 + rnd.nextDouble())).toMap
+      val w = (1 to (3 + rnd.nextInt(5))).map(_ => alphabet(rnd.nextInt(3))).mkString
+      val got = TextAnalysis.viterbiSegment(w, vocab, 4)
+      assert(got.mkString("") == w, s"lossless: $got vs $w")
+      val gotLl = got.map(p => vocab.getOrElse(p, -1e9)).sum
+      val best = bruteBest(w, vocab, 4).get
+      assert(math.abs(gotLl - best) < 1e-9,
+        s"viterbi $gotLl != brute $best for '$w' over ${vocab.keys}")
+    }
+  }
+
   test("curation lineage: accounts for every doc, sums to the curated output") {
     val d = docs
     val evalDf = d.filter(col("doc_id") % 97 === 0)
