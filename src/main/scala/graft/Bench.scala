@@ -59,6 +59,8 @@ object Bench {
     "pipe_temperature_mix", // α-mixing: bounded counts agg + md5 resample (round 9)
     "pipe_ngram_counts",    // LM-prep trigram counts: scan + vocab-grain agg (round 11)
     "pipe_decontaminate_semantic", // embedding decon: broadcast-eval scan (round 11)
+    "pipe_decontaminate_bloom", // Bloom-prefiltered decon: sketch build + scan probe (round 12)
+    "pipe_er_fuzzy",        // deletion-neighborhood fuzzy ER join + verify (round 12)
     "pipe_nb_classify",     // NB fit (two aggs) + join-shaped scoring (round 12)
     "pipe_unigram_encode",  // unigram-LM train (one pass + driver EM) + segment (round 12)
     "olap_view_cuberef",    // cross-cube currency view: broadcast slice join (round 9)

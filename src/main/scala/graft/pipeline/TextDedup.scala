@@ -606,6 +606,75 @@ object TextDedup {
         sum(col("hits")).as("total_hits"))
   }
 
+  /** [[decontaminate]] with a Bloom-filter PREFILTER on the corpus shingle
+    * stream — the shape for when the eval/blocklist shingle set outgrows a
+    * comfortable broadcast-hash build (contract suites + blocklists reach
+    * tens of millions of shingles at production scale). Exactness is
+    * preserved: Bloom filters have NO false negatives, so every truly
+    * contaminated shingle survives the prefilter, and the exact equi-join
+    * verify behind it removes the false positives — result is row-identical
+    * to [[decontaminate]] (same oracle), only the plan differs.
+    *
+    * Spark-first mechanics: the filter is built DISTRIBUTED by Spark's own
+    * `BloomFilterAggregate` over `xxhash64(shingle)` (the identical
+    * aggregate/probe pair Catalyst's `InjectRuntimeFilter` uses for
+    * runtime row-level filtering), so only the final serialized sketch —
+    * `bitsPerItem`/8 bytes per eval shingle, ~1.25 MB per million at the
+    * default 10 bits (~1% fpp) — ever reaches the driver. The sketch is
+    * sized from a COUNT of the distinct eval shingles (one cheap job on
+    * the small side), never from a guess, so the per-task aggregation
+    * buffer and the plan literal stay proportional to the real set. The
+    * probe is a codegen'd `BloomFilterMightContain` predicate evaluated
+    * inside the corpus scan stage: at 100 TB the corpus shingle relation
+    * never shuffles; only the Bloom-passing sliver (true hits + ~fpp
+    * noise) enters the verify join, whose build side is the eval set
+    * itself.
+    *
+    * ≙ reference has no decontamination; this extends the training-data
+    * suite (SURVEY §2.16) alongside [[decontaminate]].
+    */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalTextCol: String,
+      shingle: Int = 3, minHits: Int = 1, bitsPerItem: Int = 10,
+      maxEvalShingles: Long = 64L * 1024 * 1024): DataFrame = {
+    require(shingle >= 1 && minHits >= 1, "shingle and minHits must be >= 1")
+    require(bitsPerItem >= 4 && bitsPerItem <= 64, "bitsPerItem must be in [4, 64]")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatalystLiteral}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    val evalShingles = shingleRel(
+      evalDf.select(lit(0).as("__eid"), col(evalTextCol).as("__etext")),
+      "__eid", "__etext", shingle)
+      .select(col("w")).distinct()
+    val nEval = math.max(evalShingles.count(), 1L)
+    require(nEval <= maxEvalShingles,
+      s"eval shingle set has $nEval distinct shingles (> cap $maxEvalShingles); " +
+        "raise maxEvalShingles only with the executor/driver memory to carry " +
+        s"a ${nEval * bitsPerItem / 8 / (1 << 20)} MB sketch")
+    val bloomAgg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("w"))),
+      CatalystLiteral(nEval),
+      CatalystLiteral(nEval * bitsPerItem))
+    val bloomBytes = evalShingles
+      .agg(Bridge.column(bloomAgg.toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    if (bloomBytes == null) corpus // empty eval set: nothing can contaminate
+    else {
+      val mightContain = Bridge.column(BloomFilterMightContain(
+        CatalystLiteral.create(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(xxhash64(col("w")))))
+      val contaminated = shingleRel(corpus, idCol, textCol, shingle)
+        .filter(mightContain)
+        .join(evalShingles, Seq("w"))
+        .groupBy(col(idCol))
+        .agg(countDistinct(col("w")).as("__hits"))
+        .filter(col("__hits") >= minHits)
+        .select(col(idCol))
+      corpus.join(contaminated, Seq(idCol), "left_anti")
+    }
+  }
+
   /** The fingerprint index of an already-ingested corpus: one row per
     * distinct canonical fingerprint ([[TextAnalysis.canonicalFingerprint]]).
     * Persist it (bucketed by `fp` at scale) and hand it to [[novelOnly]] on

@@ -1,6 +1,6 @@
 package graft.tpch
 
-import graft.pipeline.{Classify, Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.pipeline.{Classify, Curation, EntityResolution, Layout, Multimodal, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -849,6 +849,68 @@ object PipelineQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // Z-order (Morton) layout key (round 12): interleave user_id with the
+    // floored value at 10 bits each so a range layout on `z` gives parquet
+    // footer pruning on BOTH columns; the interleave is unrolled codegen'd
+    // shift/mask builtins, bit-identical to the SQL the oracle runs
+    // (both sides generated by Layout.zValue / Layout.zValueSql)
+    "pipe_zorder" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      e.select(col("event_id"),
+        Layout.zValue(Seq(col("user_id"),
+          floor(col("value")).cast("long")), bits = 10).as("z"))
+    }),
+
+    // blocked fuzzy entity-resolution join (round 12): the dirty side is
+    // each customer name with ONE deterministic substitution (position
+    // 1 + custkey % len → 'x'); FastSS deletion-neighborhood blocking +
+    // levenshtein verify — exact recall (deletion pigeonhole), exact
+    // precision (verify), no all-pairs anywhere
+    "pipe_er_fuzzy" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+      val p = lit(1) + col("c_custkey") % length(col("c_name"))
+      val dirty = c.select(col("c_custkey").as("dirty_id"),
+        concat(substr(col("c_name"), lit(1), p - 1), lit("x"),
+          substr(col("c_name"), p + 1, length(col("c_name")))).as("dirty_name"))
+      EntityResolution.fuzzyJoin(c, "c_custkey", "c_name",
+        dirty, "dirty_id", "dirty_name", maxDist = 1)
+        .select(col("c_custkey").cast("long").as("clean_id"),
+          col("dirty_id").cast("long").as("dirty_id"),
+          col("dist").cast("long").as("dist"))
+    }),
+
+    // end-to-end entity resolution (round 12): clean ∪ corrupted names →
+    // deletion-neighborhood blocked pairs → connected components = entity
+    // groups; the same blocking→verify→cluster pipeline record linkage
+    // runs, every stage the gated operator (fuzzySelfPairs, dedupClusters)
+    "pipe_er_cluster" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+      val p = lit(1) + col("c_custkey") % length(col("c_name"))
+      val dirty = c.select((col("c_custkey") + 1000000L).as("id"),
+        concat(substr(col("c_name"), lit(1), p - 1), lit("x"),
+          substr(col("c_name"), p + 1, length(col("c_name")))).as("nm"))
+      val all = c.select(col("c_custkey").as("id"), col("c_name").as("nm"))
+        .unionByName(dirty)
+      TextDedup.dedupClusters(
+        EntityResolution.fuzzySelfPairs(all, "id", "nm", 1), "id_a", "id_b")
+        .select(col("id").cast("long").as("id"),
+          col("cluster_id").cast("long").as("cluster_id"))
+    }),
+
+    // Bloom-prefiltered decontamination (round 12): identical semantics to
+    // pipe_decontaminate (Bloom has no false negatives; exact join verifies
+    // the rest) but the corpus shingle stream is prefiltered by a codegen'd
+    // BloomFilterMightContain INSIDE the scan stage — the plan for eval
+    // sets too big to broadcast comfortably. Same oracle as the exact gate.
+    "pipe_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextDedup.decontaminateBloom(d, "doc_id", "text",
+        d.filter(col("doc_id") % 97 === 0), "text", shingle = 3, minHits = 2)
+        .select("doc_id", "lang", "source")
+    }),
+
     // the decontamination AUDIT (round 9): per eval document, how many
     // corpus docs it leaked into at >= 2 shared distinct 3-shingles, with
     // worst/total hit counts — the report read before trusting the purge
@@ -1500,6 +1562,75 @@ object PipelineQueries {
     // end identically in both engines; cs is pre-distinct'd so count(*) is
     // the distinct-shingle hit count
     "pipe_decontaminate" ->
+      """WITH ew AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0),
+           ei AS (SELECT w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM ew),
+           evs AS (SELECT DISTINCT array_to_string(w[i : i + 2], chr(1)) AS s FROM ei),
+           cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           ci AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM cw),
+           cs AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 2], chr(1)) AS s FROM ci),
+           cont AS (SELECT doc_id FROM cs JOIN evs USING (s)
+                    GROUP BY doc_id HAVING count(*) >= 2)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM cont)""",
+
+    // the SAME unrolled interleave expression, emitted by Layout.zValueSql
+    "pipe_zorder" ->
+      s"""SELECT event_id,
+            ${Layout.zValueSql(Seq("user_id", "CAST(floor(value) AS BIGINT)"), bits = 10)} AS z
+          FROM events""",
+
+    // deletion-neighborhood fuzzy join from first principles: D_1 variants
+    // on both sides (i=0 keeps the original), equi-join, levenshtein verify
+    "pipe_er_fuzzy" ->
+      """WITH c AS (SELECT c_custkey AS cid, c_name AS nm FROM customer),
+           d0 AS (SELECT cid, nm, CAST(1 + (cid % length(nm)) AS INT) AS p FROM c),
+           dirty AS (SELECT cid AS did,
+               substring(nm, 1, p - 1) || 'x' || substring(nm, p + 1) AS dnm
+             FROM d0),
+           lv AS (SELECT cid, nm,
+               CASE WHEN i = 0 THEN nm
+                    ELSE substring(nm, 1, i - 1) || substring(nm, i + 1) END AS v
+             FROM c, unnest(range(0, length(nm) + 1)) AS s(i)),
+           rv AS (SELECT did, dnm,
+               CASE WHEN i = 0 THEN dnm
+                    ELSE substring(dnm, 1, i - 1) || substring(dnm, i + 1) END AS v
+             FROM dirty, unnest(range(0, length(dnm) + 1)) AS s(i))
+         SELECT DISTINCT cid AS clean_id, did AS dirty_id,
+           CAST(levenshtein(nm, dnm) AS BIGINT) AS dist
+         FROM lv JOIN rv USING (v)
+         WHERE levenshtein(nm, dnm) <= 1""",
+
+    // same deletion-variant pair derivation, then min-label reachability —
+    // the recursive-CTE face of dedupClusters' union-find (paired ids only,
+    // matching the engine contract: singletons don't appear)
+    "pipe_er_cluster" ->
+      """WITH RECURSIVE
+           c AS (SELECT c_custkey AS cid, c_name AS nm FROM customer),
+           d0 AS (SELECT cid, nm, CAST(1 + (cid % length(nm)) AS INT) AS p FROM c),
+           allr AS (SELECT cid AS id, nm FROM c
+                    UNION ALL
+                    SELECT cid + 1000000,
+                      substring(nm, 1, p - 1) || 'x' || substring(nm, p + 1)
+                    FROM d0),
+           v AS (SELECT id, nm,
+                   CASE WHEN i = 0 THEN nm
+                        ELSE substring(nm, 1, i - 1) || substring(nm, i + 1) END AS vv
+                 FROM allr, unnest(range(0, length(nm) + 1)) AS s(i)),
+           pr AS (SELECT DISTINCT a.id AS i, b.id AS j
+                  FROM v a JOIN v b ON a.vv = b.vv AND a.id < b.id
+                  WHERE levenshtein(a.nm, b.nm) <= 1),
+           e AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
+           reach(id, r) AS (
+             SELECT a, a FROM e
+             UNION
+             SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+           clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT CAST(id AS BIGINT) AS id, CAST(cluster_id AS BIGINT) AS cluster_id
+         FROM clusters""",
+
+    // Bloom+verify is EXACT (no false negatives, equi-join verify), so the
+    // bloom gate shares the exact gate's oracle verbatim
+    "pipe_decontaminate_bloom" ->
       """WITH ew AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0),
            ei AS (SELECT w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM ew),
            evs AS (SELECT DISTINCT array_to_string(w[i : i + 2], chr(1)) AS s FROM ei),

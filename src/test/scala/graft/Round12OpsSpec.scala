@@ -1,0 +1,116 @@
+package graft
+
+import graft.pipeline.{EntityResolution, Layout, TextDedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral specs for the round-12 operator additions: Bloom-prefiltered
+  * decontamination (exactness vs the broadcast path + the plan-shape pin
+  * that the prefilter really sits in the scan stage), deletion-neighborhood
+  * fuzzy joins (exact recall/precision vs a brute-force levenshtein
+  * cross-check), and Z-order layout (known Morton codes, SQL twin parity,
+  * and the disjoint-z-range clustering property the pruning story rests
+  * on).
+  */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("bloom decontamination is row-identical to the exact broadcast path") {
+    val evalDf = docs.filter(col("doc_id") % 97 === 0)
+    val exact = TextDedup.decontaminate(docs, "doc_id", "text",
+      evalDf, "text", shingle = 3, minHits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = TextDedup.decontaminateBloom(docs, "doc_id", "text",
+      evalDf, "text", shingle = 3, minHits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom == exact,
+      "Bloom has no false negatives and the equi-join verify kills the " +
+        "false positives — results must match exactly")
+  }
+
+  test("bloom decontamination plan probes might_contain; empty eval passes through") {
+    val s = spark
+    import s.implicits._
+    val evalDf = docs.filter(col("doc_id") % 97 === 0)
+    val plan = TextDedup.decontaminateBloom(docs, "doc_id", "text",
+      evalDf, "text").queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "the Bloom probe must appear in the physical plan (scan-stage prefilter)")
+    val empty = Seq.empty[String].toDF("text")
+    val out = TextDedup.decontaminateBloom(docs, "doc_id", "text",
+      empty, "text")
+    assert(out.count() == docs.count(), "empty eval set: nothing is purged")
+  }
+
+  test("fuzzy join finds exactly the brute-force levenshtein pairs (k=1 and k=2)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "martha"), (2L, "jonathan"), (3L, "marhta"),
+      (4L, "abc"), (5L, "zzzzzz")).toDF("lid", "ls")
+    val right = Seq((10L, "martha"), (11L, "jonathann"), (12L, "marta"),
+      (13L, "ab"), (14L, "axc"), (15L, "qqqqqq")).toDF("rid", "rs")
+    for (k <- Seq(1, 2)) {
+      val got = EntityResolution.fuzzyJoin(left, "lid", "ls", right, "rid", "rs", k)
+        .select("lid", "rid", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = left.crossJoin(right)
+        .withColumn("d", levenshtein(col("ls"), col("rs")))
+        .filter(col("d") <= k)
+        .select("lid", "rid", "d").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"k=$k: substitution, insertion AND deletion " +
+        "edits must all be recalled (FastSS pigeonhole) with no extras")
+    }
+  }
+
+  test("fuzzy self pairs: ordered, deduplicated, within distance") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "alpha"), (2L, "alphb"), (3L, "alpha"), (4L, "beta"))
+      .toDF("id", "nm")
+    val pairs = EntityResolution.fuzzySelfPairs(df, "id", "nm", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 1), (1L, 3L, 0), (2L, 3L, 1)))
+  }
+
+  test("zValue interleaves bits (known Morton codes) and masks overflow") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L), (5L, 0L))
+      .toDF("x", "y")
+    val got = df.select(Layout.zValue(Seq(col("x"), col("y")), bits = 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // bit i of x -> position 2i; bit i of y -> position 2i+1; bits=2 masks x=5 to 1
+    assert(got == Seq(1L, 2L, 15L, 6L, 1L))
+  }
+
+  test("zValue matches a reference Morton implementation on the events slice") {
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), floor(col("value")).cast("long").as("v"))
+      .withColumn("z", Layout.zValue(Seq(col("user_id"), col("v")), bits = 10))
+      .limit(500).collect()
+    def morton(x: Long, y: Long): Long =
+      (0 until 10).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("z") == morton(r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  test("zorderLayout yields disjoint per-partition z ranges, sorted within") {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val laid = Layout.zorderLayout(e,
+      Seq(col("user_id"), floor(col("value")).cast("long")), bits = 10,
+      numFiles = 8)
+    val ranges = laid
+      .select(spark_partition_id().as("p"), col("__z"))
+      .groupBy("p").agg(min("__z").as("lo"), max("__z").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(ranges.nonEmpty && ranges.sliding(2).forall {
+      case Array(a, b) => a._2 <= b._1
+      case _ => true
+    }, s"z ranges must not overlap across output files: ${ranges.mkString(",")}")
+  }
+}
