@@ -44,6 +44,46 @@ object EntityResolution {
     (1 to k).foldLeft(array(s))((acc, _) => delete1All(acc))
   }
 
+  /** Deletion-variant relation at (id, carried string, variant hash)
+    * grain — the one signature computation every ER face shares (batch
+    * join, self pairs, persisted index, streaming intake), factored so an
+    * index built yesterday and a batch matched today can never disagree
+    * on the blocking key.
+    */
+  private def variantRel(df: DataFrame, idCol: String, strCol: String,
+      strAlias: String, maxDist: Int): DataFrame =
+    df.select(col(idCol), col(strCol).as(strAlias),
+      explode(deletionNeighborhood(col(strCol), maxDist)).as("__v"))
+      .select(col(idCol), col(strAlias), xxhash64(col("__v")).as("__h"))
+
+  /** Persistable deletion-variant INDEX of a reference entity table: one
+    * row per (reference id, variant hash), the reference string carried
+    * for the verify. Write it bucketed/partitioned by `__h` at scale and
+    * hand it to [[matchAgainstIndex]] on every intake batch — or to
+    * [[graft.streaming.Streaming.erMatchStream]] on a record stream.
+    */
+  def variantIndex(ref: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame =
+    variantRel(ref, idCol, strCol, "__rs", maxDist)
+
+  /** Match incoming records against a prebuilt [[variantIndex]]: all
+    * `(idCol, refIdCol, dist)` with edit distance within the `maxDist` the
+    * index was built for. Per-record decisions depend ONLY on the static
+    * index, so results are independent of how the incoming set is batched
+    * — the property that makes the streaming twin micro-batch-invariant.
+    */
+  def matchAgainstIndex(incoming: DataFrame, idCol: String, strCol: String,
+      index: DataFrame, refIdCol: String, maxDist: Int = 1): DataFrame = {
+    require(idCol != refIdCol,
+      "incoming and reference id columns must have distinct names (both appear in the output)")
+    variantRel(incoming, idCol, strCol, "__ls", maxDist)
+      .join(index, Seq("__h"))
+      .filter(levenshtein(col("__ls"), col("__rs")) <= maxDist)
+      .select(col(idCol), col(refIdCol),
+        levenshtein(col("__ls"), col("__rs")).as("dist"))
+      .distinct()
+  }
+
   /** Edit-distance join: all `(leftId, rightId, dist)` with
     * `levenshtein(leftStr, rightStr) <= maxDist`. Exact — the deletion
     * neighborhood guarantees recall, the verify guarantees precision.
@@ -55,19 +95,8 @@ object EntityResolution {
       right: DataFrame, rightId: String, rightStr: String,
       maxDist: Int = 1): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
-    require(leftId != rightId,
-      "left and right id columns must have distinct names (both appear in the output)")
-    val l = left.select(col(leftId), col(leftStr).as("__ls"),
-      explode(deletionNeighborhood(col(leftStr), maxDist)).as("__v"))
-      .select(col(leftId), col("__ls"), xxhash64(col("__v")).as("__h"))
-    val r = right.select(col(rightId), col(rightStr).as("__rs"),
-      explode(deletionNeighborhood(col(rightStr), maxDist)).as("__v"))
-      .select(col(rightId), col("__rs"), xxhash64(col("__v")).as("__h"))
-    l.join(r, Seq("__h"))
-      .filter(levenshtein(col("__ls"), col("__rs")) <= maxDist)
-      .select(col(leftId), col(rightId),
-        levenshtein(col("__ls"), col("__rs")).as("dist"))
-      .distinct()
+    matchAgainstIndex(left, leftId, leftStr,
+      variantIndex(right, rightId, rightStr, maxDist), rightId, maxDist)
   }
 
   /** Self fuzzy-dedup pairs over one frame: `(id_a, id_b, dist)` with

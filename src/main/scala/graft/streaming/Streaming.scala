@@ -233,4 +233,33 @@ object Streaming {
       }
       .start()
   }
+
+  /** Continuous-intake ENTITY MATCHING: per micro-batch, resolve incoming
+    * records against the prebuilt deletion-variant index
+    * ([[graft.pipeline.EntityResolution.variantIndex]]) and append the
+    * matched `(incoming id, reference id, dist)` pairs to `outPath` — the
+    * streaming face of record linkage (link each arriving record to the
+    * master entity table it edits-within-k of). Per-record decisions
+    * depend only on the static index, so the matched set is independent
+    * of batching — identical to one
+    * [[graft.pipeline.EntityResolution.matchAgainstIndex]] batch over the
+    * whole intake (spec-pinned). Same replay-idempotent sink discipline as
+    * [[nearDupNovelStream]]: each micro-batch overwrites its own
+    * `batch_id=<id>` subdirectory.
+    */
+  def erMatchStream(stream: DataFrame, idCol: String, strCol: String,
+      index: DataFrame, refIdCol: String, outPath: String, maxDist: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+    checkpointDir.foldLeft(writer)((w, d) => w.option("checkpointLocation", d))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.EntityResolution.matchAgainstIndex(batch, idCol,
+            strCol, index, refIdCol, maxDist)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .start()
+  }
 }

@@ -655,6 +655,46 @@ object StreamingQueries {
       out
     }),
 
+    // streaming entity resolution: corrupted customer names arrive as a
+    // file stream (one file per micro-batch) and each record is linked to
+    // the master entity table through the PREBUILT deletion-variant index
+    // — per-record decisions against the static index only, so the
+    // matched set is batching-invariant and shares the batch pipe_er_fuzzy
+    // oracle (reprojected)
+    "pipe_stream_er" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+      val idx = graft.pipeline.EntityResolution.variantIndex(
+        c, "c_custkey", "c_name")
+      val p = lit(1) + col("c_custkey") % length(col("c_name"))
+      val dirty = c.select(col("c_custkey").as("dirty_id"),
+        concat(substr(col("c_name"), lit(1), p - 1), lit("x"),
+          substr(col("c_name"), p + 1, length(col("c_name")))).as("dirty_name"))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_er")
+      val tmp = tmpRoot.resolve("files").toString
+      dirty.withColumn("part", pmod(hash(col("dirty_id")), lit(8)))
+        .repartition(8, col("part")).drop("part")
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(
+          s.read.parquet(tmp).schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val outDir = tmpRoot.resolve("matched").toString
+      val q = graft.streaming.Streaming.erMatchStream(stream, "dirty_id",
+        "dirty_name", idx, "c_custkey", outDir,
+        checkpointDir = Some(tmpRoot.resolve("ckpt").toString))
+      q.awaitTermination()
+      val out = s.read.parquet(outDir)
+        .select(col("dirty_id").cast("long").as("dirty_id"),
+          col("c_custkey").cast("long").as("ref_id"),
+          col("dist").cast("long").as("dist"))
+        .localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(pth => java.nio.file.Files.deleteIfExists(pth))
+      out
+    }),
+
     "pipe_stream_neardup" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val (idxB, idxW) = graft.pipeline.TextDedup.nearDupIndex(
@@ -749,6 +789,28 @@ object StreamingQueries {
           AND c.event_type = 'click' AND v.event_type = 'view'
           AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
          GROUP BY c.user_id""",
+
+    // IDENTICAL pair derivation to the batch pipe_er_fuzzy oracle — the
+    // path under test is the stream-static index matching, not the
+    // edit-distance arithmetic
+    "pipe_stream_er" ->
+      """WITH c AS (SELECT c_custkey AS cid, c_name AS nm FROM customer),
+           d0 AS (SELECT cid, nm, CAST(1 + (cid % length(nm)) AS INT) AS p FROM c),
+           dirty AS (SELECT cid AS did,
+               substring(nm, 1, p - 1) || 'x' || substring(nm, p + 1) AS dnm
+             FROM d0),
+           lv AS (SELECT did, dnm,
+               CASE WHEN i = 0 THEN dnm
+                    ELSE substring(dnm, 1, i - 1) || substring(dnm, i + 1) END AS v
+             FROM dirty, unnest(range(0, length(dnm) + 1)) AS s(i)),
+           rv AS (SELECT cid, nm,
+               CASE WHEN i = 0 THEN nm
+                    ELSE substring(nm, 1, i - 1) || substring(nm, i + 1) END AS v
+             FROM c, unnest(range(0, length(nm) + 1)) AS s(i))
+         SELECT DISTINCT did AS dirty_id, cid AS ref_id,
+           CAST(levenshtein(dnm, nm) AS BIGINT) AS dist
+         FROM lv JOIN rv USING (v)
+         WHERE levenshtein(dnm, nm) <= 1""",
 
     // mirrors TextDedup.novelOnly over the doc_id<250 corpus /
     // doc_id>=250 intake split: distinct canonical fingerprints of the

@@ -75,6 +75,41 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 1), (1L, 3L, 0), (2L, 3L, 1)))
   }
 
+  test("streaming ER intake equals the one-shot batch match (batching-invariant)") {
+    import org.apache.spark.sql.functions.{col, concat, hash, length, lit, pmod, substr}
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val idx = EntityResolution.variantIndex(c, "c_custkey", "c_name")
+    val p = lit(1) + col("c_custkey") % length(col("c_name"))
+    val dirty = c.select(col("c_custkey").as("did"),
+      concat(substr(col("c_name"), lit(1), p - 1), lit("x"),
+        substr(col("c_name"), p + 1, length(col("c_name")))).as("dnm"))
+    val oneShot = EntityResolution.matchAgainstIndex(dirty, "did", "dnm",
+      idx, "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val tmpRoot = java.nio.file.Files.createTempDirectory("spec_stream_er")
+    val tmp = tmpRoot.resolve("files").toString
+    dirty.withColumn("part", pmod(hash(col("did")), lit(4)))
+      .repartition(4, col("part")).drop("part")
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(spark.read.parquet(tmp).schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val outDir = tmpRoot.resolve("matched").toString
+    val q = graft.streaming.Streaming.erMatchStream(stream, "did", "dnm",
+      idx, "c_custkey", outDir,
+      checkpointDir = Some(tmpRoot.resolve("ckpt").toString))
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+      .select("did", "c_custkey", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    org.apache.spark.sql.graft.Bridge.unloadStateStores()
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+      .foreach(pth => java.nio.file.Files.deleteIfExists(pth))
+    assert(streamed == oneShot && oneShot.nonEmpty,
+      "per-record decisions against a static index must be batching-invariant")
+  }
+
   test("zValue interleaves bits (known Morton codes) and masks overflow") {
     val s = spark
     import s.implicits._
