@@ -515,6 +515,43 @@ final class Cube(
       onAbort = _ => ()) // the written table is left behind
   }
 
+  /** Compact to a Z-ORDERED parquet table: facts range-partitioned and
+    * sorted by the Morton interleave ([[graft.pipeline.Layout.zValue]]) of
+    * the chosen dimensions' id columns, so parquet row-group min/max stats
+    * prune slice reads on EVERY interleaved dimension — the multi-dim
+    * complement of [[compactToPartitioned]] (directory pruning on ONE
+    * axis) for cubes sliced along several axes with no single dominant
+    * one. Bit width is sized from the widest chosen dimension's max
+    * member id; `zDims.size * bits` must fit a long, which caps the
+    * interleave at a handful of CATALOG dims (pick the 2–4 the workload
+    * actually slices by — more dims dilute per-dim locality anyway).
+    * Same swap discipline as the other compactions: aborts cleanly if a
+    * bulk write lands mid-materialization.
+    */
+  def compactToZordered(table: String, zDims: Seq[Int], files: Int = 64): Boolean = {
+    require(zDims.size >= 2 && zDims.distinct.size == zDims.size &&
+        zDims.forall(i => i >= 0 && i < nDims),
+      s"compactToZordered: need >= 2 distinct in-range dims, got $zDims")
+    zDims.foreach(i => require(!dimensions(i).isDegenerate,
+      s"dimension '${dimensions(i).name}' is degenerate — interleave catalog dims"))
+    val bits = zDims.map { i =>
+      val maxId = math.max(dimensions(i).members.map(_.id).max, 1)
+      64 - java.lang.Long.numberOfLeadingZeros(maxId.toLong)
+    }.max.toInt
+    require(bits * zDims.size <= 63,
+      s"interleave of ${zDims.size} dims at $bits bits exceeds a long; interleave fewer dims")
+    swapCompacted(s"compactToZordered('$table')", () => (),
+      materialize = { df =>
+        graft.pipeline.Layout.zorderLayout(df,
+            zDims.map(i => col(s"d$i")), bits, files)
+          .drop("__z")
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(table)
+        spark.table(table).select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
+      },
+      onAbort = _ => ()) // the written table is left behind
+  }
+
   /** Batched base-cell point reads: resolve every address row `(d0…dN-1)`
     * in ONE job, returning the matching fact rows (≙ the reference's
     * point-read loop `samples/huge.py:134-157`, batched the Spark-native

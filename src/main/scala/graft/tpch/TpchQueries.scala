@@ -651,6 +651,49 @@ object TpchQueries {
         col("value").cast("double").as("value"))
     }),
 
+    // S+ (round 12): the MULTI-dim layout — facts compacted to a Z-ORDERED
+    // table (Morton interleave of priority × month ids), then a rollup
+    // slicing BOTH interleaved dims reads through the compacted backing;
+    // row-group min/max stats prune on either axis (directory partitioning
+    // can only do one). Values hash against the plain SQL rollup.
+    "olap_zordered_read" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new graft.core.Database("zordread", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val months = orders
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+      val mon = db.addDimension("month")
+      mon.edit().addMany(months).add("AllMonths", months).commit()
+      val prioDf = s.createDataFrame(prios.map(p => (p, prio.idOf(p))))
+        .toDF("o_orderpriority", "d1")
+      val monDf = s.createDataFrame(months.map(m => (m, mon.idOf(m))))
+        .toDF("m", "d2")
+      val facts = orders
+        .withColumn("m", date_format(col("o_orderdate"), "yyyy-MM"))
+        .join(broadcast(prioDf), Seq("o_orderpriority"))
+        .join(broadcast(monDf), Seq("m"))
+        .groupBy(col("o_custkey").cast("int").as("d0"), col("d1"), col("d2"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)"))
+          .cast("decimal(21,4)").as("value"))
+      val cube = db.addCube("sales", Seq(cust, prio, mon), facts)
+      s.sql("DROP TABLE IF EXISTS olap_gate_zordered")
+      require(cube.compactToZordered("olap_gate_zordered", Seq(1, 2), files = 8),
+        "z-ordered compaction must land on an uncontended cube")
+      val slice = prios.take(2)
+      val mslice = months.take(3)
+      val g = cube.gridAggregate(Seq(Seq(graft.core.Dimension.DegenerateAllId),
+        slice.map(prio.idOf), mslice.map(mon.idOf)))
+      val pMap = map(slice.flatMap(p => Seq(lit(prio.idOf(p)), lit(p))): _*)
+      val mMap = map(mslice.flatMap(m => Seq(lit(mon.idOf(m)), lit(m))): _*)
+      g.select(pMap(col("a1")).as("priority"), mMap(col("a2")).as("month"),
+        col("value").cast("double").as("value"))
+    }),
+
     // R3+S+ (round 7): a CELL-READING ON_ENTRY rule on the BULK import path
     // — records entering at the min-name priority gain the same customer's
     // max-name priority cell: input + [maxprio], evaluated per imported row
@@ -1741,6 +1784,20 @@ object TpchQueries {
            AND NOT (o_custkey = (SELECT MIN(o_custkey) FROM orders)
              AND o_orderpriority = (SELECT MIN(o_orderpriority) FROM orders))
          GROUP BY 1""",
+
+    // the (priority × month) slice rollup the z-ordered backing serves —
+    // plain SQL; the layout changes the scan, never the numbers
+    "olap_zordered_read" ->
+      """SELECT o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+         FROM orders
+         WHERE o_orderpriority IN (
+             SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1 LIMIT 2)
+           AND strftime(o_orderdate, '%Y-%m') IN (
+             SELECT DISTINCT strftime(o_orderdate, '%Y-%m') FROM orders
+             ORDER BY 1 LIMIT 3)
+         GROUP BY 1, 2""",
 
     // per-priority totals + the all-customer all-priority rollup, served
     // from the collapsed-customer summary

@@ -133,6 +133,30 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered compaction serves identical values; overlay writes still win") {
+    val db = TinyModel.build(spark)
+    val c0 = db.cube("sales")
+    val cube = new graft.core.Cube("sales_zord", c0.dimensions, spark, Some(c0.facts))
+    cube.cacheEnabled = false
+    val a = Seq("2021", "Jan", "North", "motorcycles", "Sales")
+    val b = Seq("2022", "Feb", "South", "sedan", "Sales")
+    cube.set(a, 123.0)
+    cube.set(b, 456.0)
+    val top = Seq("All years", "Year", "Total", "Total", "Sales")
+    val before = (cube.get(a), cube.get(b), cube.get(top))
+    spark.sql("DROP TABLE IF EXISTS spec_zordered_facts")
+    assert(cube.compactToZordered("spec_zordered_facts", Seq(0, 1), files = 4))
+    assert((cube.get(a), cube.get(b), cube.get(top)) == before,
+      "the layout changes the scan, never the numbers")
+    cube.set(a, 999.0) // overlay after compaction must shadow the z-backed base
+    assert(cube.get(a).contains(999.0))
+    assert(cube.get(top).contains(999.0 + 456.0))
+    // degenerate and single-dim interleaves are refused
+    intercept[IllegalArgumentException] {
+      cube.compactToZordered("spec_zordered_bad", Seq(0))
+    }
+  }
+
   test("zorderLayout yields disjoint per-partition z ranges, sorted within") {
     val e = spark.read.parquet(s"$dir/events.parquet")
     val laid = Layout.zorderLayout(e,
