@@ -447,4 +447,66 @@ object Curation {
       .withColumn("shard_id", expr(s"__off div ${maxTokensPerShard}L"))
       .drop("__off")
   }
+
+  /** Cumulative md5-bucket boundaries for [[splitCorpus]]: one
+    * `(name, exclusive upper threshold as 4 hex digits)` per split EXCEPT
+    * the last, which absorbs the remainder so the partition is total.
+    * Exposed so a SQL oracle can restate the exact CASE the engine runs.
+    */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0.0), "split fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be distinct")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.init.zip(cum.init).map { case ((n, _), c) =>
+      (n, f"${math.floor(c * 65536).toInt}%04x")
+    }
+  }
+
+  /** Deterministic train/val/test SPLIT: route each row to the first split
+    * whose cumulative md5 bucket its draw falls in — the same portable
+    * `md5(key + ":" + salt)` draw family as [[sampleStratified]], so the
+    * assignment is a pure scan column: no RNG state, no shuffle, identical
+    * at any partitioning, reproducible and resumable at 100 TB. Emits the
+    * input plus a `split` column; the partition is total and disjoint by
+    * construction (the last split absorbs the remainder bucket).
+    *
+    * Split on a DOCUMENT key only when leakage through near-duplicates is
+    * already purged; otherwise use [[splitByCluster]], which routes whole
+    * near-dup clusters together — the eval-honesty requirement documents
+    * that split train/test across a shared near-dup pair silently violate.
+    */
+  def splitCorpus(df: DataFrame, keyCol: Column,
+      splits: Seq[(String, Double)], salt: String): DataFrame = {
+    require(!df.columns.contains("split"),
+      "splitCorpus emits a `split` output column; rename the input's `split` first")
+    val chain = splitThresholds(splits)
+    val draw = substring(md5(concat(keyCol.cast("string"), lit(":" + salt))), 1, 4)
+    val splitCol = chain.reverse.foldLeft(lit(splits.last._1)) {
+      case (acc, (n, thr)) => when(draw < lit(thr), lit(n)).otherwise(acc)
+    }
+    df.withColumn("split", splitCol)
+  }
+
+  /** [[splitCorpus]] at near-dup-CLUSTER granularity: every document of a
+    * cluster draws with the cluster's label as the key, so near-duplicates
+    * can never straddle a split boundary (no train→test leakage through
+    * paraphrase-grade copies). `clusters` is a `(idCol, clusterIdCol)`
+    * frame — [[TextDedup.dedupClusters]] output — which contains only
+    * PAIRED documents; singletons (absent from it) draw with their own id.
+    * The cluster frame is orders smaller than the corpus (only near-dup
+    * members appear), so AQE broadcasts the join at scale.
+    */
+  def splitByCluster(df: DataFrame, idCol: String, clusters: DataFrame,
+      clusterIdCol: String, splits: Seq[(String, Double)],
+      salt: String): DataFrame = {
+    val c = clusters.select(col(idCol), col(clusterIdCol).cast("long").as("__cl"))
+    splitCorpus(
+      df.join(c, Seq(idCol), "left")
+        .withColumn("__k", coalesce(col("__cl"), col(idCol).cast("long"))),
+      col("__k"), splits, salt)
+      .drop("__cl", "__k")
+  }
 }

@@ -849,6 +849,26 @@ object PipelineQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // deterministic train/val/test split (round 12): pure md5-bucket scan
+    // column (no RNG state, partitioning-invariant), total and disjoint
+    "pipe_split" -> ((s, dir) =>
+      Curation.splitCorpus(docs(s, dir), col("doc_id"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "sp42")
+        .select("doc_id", "split")),
+
+    // LEAKAGE-SAFE split (round 12): whole near-dup clusters draw with the
+    // cluster label as the key, so paraphrase-grade copies can never
+    // straddle train/test — doc-grain splitting silently violates this
+    "pipe_split_safe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = TextDedup.dedupClusters(
+        TextDedup.minhashLshPairs(d, "doc_id", "text", 64, 16, 0.9))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      Curation.splitByCluster(d, "doc_id", clusters, "cluster_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "sp42")
+        .select("doc_id", "split")
+    }),
+
     // Z-order (Morton) layout key (round 12): interleave user_id with the
     // floored value at 10 bits each so a range layout on `z` gives parquet
     // footer pruning on BOTH columns; the interleave is unrolled codegen'd
@@ -1576,6 +1596,33 @@ object PipelineQueries {
                     GROUP BY doc_id HAVING count(*) >= 2)
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM cont)""",
+
+    // the identical cumulative-md5-bucket CASE, thresholds emitted by the
+    // SAME Curation.splitThresholds the engine uses
+    "pipe_split" -> {
+      val th = Curation.splitThresholds(
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      s"""SELECT doc_id,
+            CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':sp42'), 1, 4) < '${th(0)._2}' THEN 'train'
+                 WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':sp42'), 1, 4) < '${th(1)._2}' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents"""
+    },
+
+    // near-dup clusters re-derived by the recursive CTE, then the SAME
+    // bucket CASE keyed on the cluster label (singletons: own id)
+    "pipe_split_safe" -> {
+      val th = Curation.splitThresholds(
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      s"""$CLUSTERS_CTE,
+           k AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS key
+                 FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id)
+         SELECT doc_id,
+           CASE WHEN substring(md5(CAST(key AS VARCHAR) || ':sp42'), 1, 4) < '${th(0)._2}' THEN 'train'
+                WHEN substring(md5(CAST(key AS VARCHAR) || ':sp42'), 1, 4) < '${th(1)._2}' THEN 'val'
+                ELSE 'test' END AS split
+         FROM k"""
+    },
 
     // the SAME unrolled interleave expression, emitted by Layout.zValueSql
     "pipe_zorder" ->

@@ -133,6 +133,43 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("splitCorpus: total, disjoint, near the asked fractions, partitioning-invariant") {
+    import org.apache.spark.sql.functions.col
+    val d = docs
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val out = graft.pipeline.Curation.splitCorpus(d, col("doc_id"), splits, "s1")
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = d.count().toDouble
+    assert(counts.values.sum == n.toLong, "every row lands in exactly one split")
+    splits.foreach { case (name, f) =>
+      val got = counts.getOrElse(name, 0L) / n
+      assert(math.abs(got - f) < 0.08, s"$name: got $got, asked $f")
+    }
+    val again = graft.pipeline.Curation.splitCorpus(d.repartition(7), col("doc_id"),
+      splits, "s1").select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val first = out.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == first, "assignment must not depend on partitioning")
+  }
+
+  test("splitByCluster: every near-dup cluster lands whole in one split") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val d = docs
+    val clusters = TextDedup.dedupClusters(
+      TextDedup.minhashLshPairs(d, "doc_id", "text", 64, 16, 0.9))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    assert(clusters.count() > 0, "fixture needs actual near-dup clusters")
+    val out = graft.pipeline.Curation.splitByCluster(d, "doc_id", clusters,
+      "cluster_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "s1")
+    val violating = out.join(clusters, "doc_id")
+      .groupBy("cluster_id").agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(violating == 0, "a cluster straddling splits is train→test leakage")
+    assert(out.count() == d.count(), "cluster routing must not drop or dup docs")
+  }
+
   test("z-ordered compaction serves identical values; overlay writes still win") {
     val db = TinyModel.build(spark)
     val c0 = db.cube("sales")
