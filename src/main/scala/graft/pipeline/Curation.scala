@@ -509,4 +509,25 @@ object Curation {
       col("__k"), splits, salt)
       .drop("__cl", "__k")
   }
+
+  /** Leakage AUDIT for a split assignment: given the near-dup PAIRS, count
+    * pairs per unordered `(split_a, split_b)` combination — off-diagonal
+    * rows are train→test leakage through paraphrase-grade copies, the
+    * number a doc-grain [[splitCorpus]] admits and [[splitByCluster]]
+    * drives to zero (spec-pinned). Same loss-accounting discipline as
+    * [[graft.pipeline.TextDedup.decontaminationReport]]: the report is
+    * read BEFORE trusting the split. Pair-grain joins against the (small)
+    * assignment projection — integer evidence only.
+    */
+  def splitLeakageReport(assign: DataFrame, idCol: String, splitCol: String,
+      pairs: DataFrame, iCol: String = "i", jCol: String = "j"): DataFrame = {
+    val ai = assign.select(col(idCol).as("__li"), col(splitCol).as("__sa"))
+    val aj = assign.select(col(idCol).as("__lj"), col(splitCol).as("__sb"))
+    pairs.join(ai, col(iCol) === col("__li"))
+      .join(aj, col(jCol) === col("__lj"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -869,6 +869,17 @@ object PipelineQueries {
         .select("doc_id", "split")
     }),
 
+    // the split-leakage AUDIT (round 12): near-dup pairs bucketed by their
+    // endpoints' split assignments — off-diagonal rows are the train→test
+    // leakage a doc-grain split admits (and splitByCluster zeroes, spec'd)
+    "pipe_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val assign = Curation.splitCorpus(d, col("doc_id"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "sp42")
+      val pairs = TextDedup.minhashLshPairs(d, "doc_id", "text", 64, 16, 0.9)
+      Curation.splitLeakageReport(assign, "doc_id", "split", pairs)
+    }),
+
     // Z-order (Morton) layout key (round 12): interleave user_id with the
     // floored value at 10 bits each so a range layout on `z` gives parquet
     // footer pruning on BOTH columns; the interleave is unrolled codegen'd
@@ -1622,6 +1633,29 @@ object PipelineQueries {
                 WHEN substring(md5(CAST(key AS VARCHAR) || ':sp42'), 1, 4) < '${th(1)._2}' THEN 'val'
                 ELSE 'test' END AS split
          FROM k"""
+    },
+
+    // exact Jaccard pairs (≡ the banded-LSH gate output at tau=0.9,
+    // spec-proven) bucketed by the same split CASE
+    "pipe_split_leakage" -> {
+      val th = Curation.splitThresholds(
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      s"""WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           n AS (SELECT doc_id, count(*) AS c FROM t GROUP BY doc_id),
+           p0 AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+                  FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           p AS (SELECT i, j FROM p0
+                 JOIN n na ON p0.i = na.doc_id JOIN n nb ON p0.j = nb.doc_id
+                 WHERE CAST(shared AS DOUBLE) / CAST(na.c + nb.c - shared AS DOUBLE) >= 0.9),
+           a AS (SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':sp42'), 1, 4) < '${th(0)._2}' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':sp42'), 1, 4) < '${th(1)._2}' THEN 'val'
+                    ELSE 'test' END AS sp
+             FROM documents)
+         SELECT least(ai.sp, aj.sp) AS split_a, greatest(ai.sp, aj.sp) AS split_b,
+           COUNT(*) AS n_pairs
+         FROM p JOIN a ai ON p.i = ai.doc_id JOIN a aj ON p.j = aj.doc_id
+         GROUP BY 1, 2"""
     },
 
     // the SAME unrolled interleave expression, emitted by Layout.zValueSql

@@ -168,6 +168,12 @@ class Round12OpsSpec extends AnyFunSuite {
       .filter(col("ns") > 1).count()
     assert(violating == 0, "a cluster straddling splits is train→test leakage")
     assert(out.count() == d.count(), "cluster routing must not drop or dup docs")
+    // the leakage report agrees: zero off-diagonal pairs for the
+    // cluster-grain split, and the doc-grain split shows what it prevents
+    val pairs = TextDedup.minhashLshPairs(d, "doc_id", "text", 64, 16, 0.9)
+    val safe = graft.pipeline.Curation.splitLeakageReport(out, "doc_id",
+      "split", pairs).filter(col("split_a") =!= col("split_b")).count()
+    assert(safe == 0, "splitByCluster must zero the leakage report")
   }
 
   test("z-ordered compaction serves identical values; overlay writes still win") {
