@@ -465,6 +465,46 @@ object TextAnalysis {
       }.toDF(idCol, "tokens")
   }
 
+  /** WordPiece-style GREEDY LONGEST-MATCH segmentation against a FIXED
+    * vocabulary — the third tokenizer family beside [[bpeEncode]]
+    * (merge-rank replay) and [[unigramEncode]] (Viterbi max-likelihood):
+    * at each position take the longest vocabulary piece that prefixes the
+    * remainder; a position no piece covers falls back to its single
+    * character (never dropped — losslessness holds for ANY vocab). Same
+    * serving shape as the other two: a typed `mapPartitions` with the
+    * vocabulary as an immutable set on the closure, scan-shaped, no
+    * shuffle. Greedy ≠ optimal by design (vocab {a,ab,bc,c} segments
+    * "abc" as [ab,c], not [a,bc]) — that difference is spec-pinned, it is
+    * WordPiece's published behavior, not a bug.
+    */
+  def wordpieceEncode(df: DataFrame, vocab: Set[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocab.nonEmpty, "wordpieceEncode needs a non-empty vocabulary")
+    val maxLen = vocab.iterator.map(_.length).max
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var pos = 0
+            while (pos < w.length) {
+              var len = math.min(maxLen, w.length - pos)
+              while (len > 1 && !vocab.contains(w.substring(pos, pos + len)))
+                len -= 1
+              // len == 1: single char, vocab member or the unknown fallback
+              out += w.substring(pos, pos + len)
+              pos += len
+            }
+            out
+          }.toArray
+          (id, toks)
+        }
+      }.toDF(idCol, "tokens")
+  }
+
   /** Trained unigram-LM tokenizer state: `pieces` maps each vocabulary
     * piece to its log-probability; `seedTop` is the most frequent
     * multi-character substring of the seed pass with its corpus-weighted

@@ -849,6 +849,33 @@ object PipelineQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // WordPiece greedy longest-match serving (round 12): the third
+    // tokenizer family, applied over the BPE-trained products + corpus
+    // charset; gated on the same tokenizer invariants as pipe_bpe_encode
+    // (losslessness for ANY vocab via single-char fallback, closed vocab,
+    // genuine compression)
+    "pipe_wordpiece_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrain(d, "text", nMerges = 30)
+      val chars = d
+        .select(explode(split(regexp_replace(col("text"), " ", ""), "")).as("c"))
+        .filter(length(col("c")) > 0).distinct()
+        .collect().map(_.getString(0)).toSet // bounded by the charset
+      val vocab = chars ++ merges.map(m => m._2 + m._3)
+      val enc = TextAnalysis.wordpieceEncode(d, vocab)
+      d.select(col("doc_id"), col("text")).join(enc, "doc_id")
+        .select(
+          (concat_ws("", col("tokens")) === regexp_replace(col("text"), " ", ""))
+            .as("lossless"),
+          (size(array_except(col("tokens"), typedlit(vocab.toSeq))) === 0)
+            .as("vocabok"),
+          size(col("tokens")).cast("long").as("ntok"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("nchar"))
+        .agg(min(col("lossless")).as("lossless_ok"),
+          min(col("vocabok")).as("vocab_ok"),
+          (sum(col("ntok")) < sum(col("nchar"))).as("compresses_ok"))
+    }),
+
     // deterministic train/val/test split (round 12): pure md5-bucket scan
     // column (no RNG state, partitioning-invariant), total and disjoint
     "pipe_split" -> ((s, dir) =>
@@ -1607,6 +1634,9 @@ object PipelineQueries {
                     GROUP BY doc_id HAVING count(*) >= 2)
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM cont)""",
+
+    "pipe_wordpiece_encode" ->
+      "SELECT TRUE AS lossless_ok, TRUE AS vocab_ok, TRUE AS compresses_ok",
 
     // the identical cumulative-md5-bucket CASE, thresholds emitted by the
     // SAME Curation.splitThresholds the engine uses

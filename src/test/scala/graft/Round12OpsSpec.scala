@@ -133,6 +133,20 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("wordpieceEncode: greedy longest match, unknown fallback, losslessness") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "abc zq"), (2L, "")).toDF("doc_id", "text")
+    val vocab = Set("a", "ab", "bc", "c", "z")
+    val toks = graft.pipeline.TextAnalysis.wordpieceEncode(df, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // greedy takes `ab` at position 0 (longest prefix), NOT the globally
+    // cheaper [a, bc] — WordPiece's published behavior; `q` is out-of-vocab
+    // and falls back to itself, so concatenation always reproduces the word
+    assert(toks(1L) == Seq("ab", "c", "z", "q"))
+    assert(toks(2L).isEmpty)
+  }
+
   test("splitCorpus: total, disjoint, near the asked fractions, partitioning-invariant") {
     import org.apache.spark.sql.functions.col
     val d = docs
