@@ -65,6 +65,43 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy join recalls 300 random <=k-edit corruptions exactly (k=1 and k=2)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic CI
+    val alpha = "abcdefgh" // small alphabet → plenty of accidental near-pairs
+    def randStr(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    def edit1(w: String): String = rnd.nextInt(3) match {
+      case 0 if w.nonEmpty => // substitute
+        val i = rnd.nextInt(w.length)
+        w.updated(i, alpha(rnd.nextInt(alpha.length)))
+      case 1 if w.nonEmpty => // delete
+        val i = rnd.nextInt(w.length); w.substring(0, i) + w.substring(i + 1)
+      case _ => // insert
+        val i = rnd.nextInt(w.length + 1)
+        w.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + w.substring(i)
+    }
+    for (k <- Seq(1, 2)) {
+      val base = (0 until 300).map(i => (i.toLong, randStr(6 + rnd.nextInt(6))))
+      val dirty = base.map { case (i, w) =>
+        (i + 1000L, (1 to rnd.nextInt(k + 1)).foldLeft(w)((x, _) => edit1(x)))
+      }
+      val left = base.toDF("lid", "ls")
+      val right = dirty.toDF("rid", "rs")
+      val got = EntityResolution.fuzzyJoin(left, "lid", "ls", right, "rid", "rs", k)
+        .select("lid", "rid", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = left.crossJoin(right)
+        .withColumn("d", levenshtein(col("ls"), col("rs")))
+        .filter(col("d") <= k)
+        .select("lid", "rid", "d").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want,
+        s"k=$k: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(want.size >= 300, s"k=$k: every corruption must at least match its source")
+    }
+  }
+
   test("fuzzy self pairs: ordered, deduplicated, within distance") {
     val s = spark
     import s.implicits._
