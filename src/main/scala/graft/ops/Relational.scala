@@ -91,4 +91,54 @@ object Relational {
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__new")
   }
+
+  /** Per-user stage times of an ORDERED FUNNEL (first-touch semantics —
+    * the product-analytics staple Spark has no operator for): stage 1's
+    * time is the user's earliest stage-1 event, stage i's time the
+    * earliest stage-i event at-or-after stage i-1's time, optionally
+    * bounded to `maxSpan` (an SQL interval string, e.g. "7 DAYS") after
+    * stage 1. Returns one frame PER STAGE of `(user, t, t0)` — feed to
+    * [[funnelCounts]] for the conversion report, or join stage k back to
+    * the events for cohort drill-down.
+    *
+    * Shape at scale: a fold of stage-selective scans (each filter pushes
+    * to the source) joined on the user key against the SHRINKING survivor
+    * frame — k−1 equi-joins for a k-stage funnel, no window over all
+    * events, no per-user event collection. Tie semantics are pure
+    * timestamp comparisons (`>=`), deliberately identical to the SQL
+    * restatement the oracle runs.
+    */
+  def funnelStages(events: DataFrame, userCol: Column, typeCol: Column,
+      tsCol: Column, stages: Seq[String],
+      maxSpan: Option[String] = None): Seq[DataFrame] = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "funnel stages must be non-empty and distinct")
+    val first = events.filter(typeCol === stages.head)
+      .groupBy(userCol.as("__u")).agg(min(tsCol).as("__t"))
+      .select(col("__u"), col("__t"), col("__t").as("__t0"))
+    stages.tail.scanLeft(first) { (prev, st) =>
+      val e = events.filter(typeCol === st)
+        .select(userCol.as("__eu"), tsCol.as("__ets"))
+      val within = maxSpan
+        .map(sp => col("__ets") <= col("__t0") + expr(s"INTERVAL $sp"))
+        .getOrElse(lit(true))
+      e.join(prev, col("__eu") === col("__u") && col("__ets") >= col("__t") && within)
+        .groupBy(col("__u"), col("__t0")).agg(min(col("__ets")).as("__t"))
+        .select(col("__u"), col("__t"), col("__t0"))
+    }
+  }
+
+  /** The funnel conversion report over [[funnelStages]]: one row per stage
+    * `(stage, event_type, n_users)` — n_users is non-increasing by
+    * construction (each stage frame is a filtered join of the previous).
+    */
+  def funnelCounts(events: DataFrame, userCol: Column, typeCol: Column,
+      tsCol: Column, stages: Seq[String],
+      maxSpan: Option[String] = None): DataFrame =
+    funnelStages(events, userCol, typeCol, tsCol, stages, maxSpan)
+      .zip(stages).zipWithIndex.map { case ((f, st), i) =>
+        f.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage"), lit(st).as("event_type"),
+            col("n_users"))
+      }.reduce(_ unionByName _)
 }

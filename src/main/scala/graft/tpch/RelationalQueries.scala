@@ -343,6 +343,15 @@ object RelationalQueries {
         cume_dist().over(w).as("cdist"))
     }),
 
+    // ordered first-touch funnel (round 12): view → click → purchase, per
+    // stage the user's earliest qualifying event at-or-after the previous
+    // stage's time — a fold of stage-selective scans joined on the user
+    // key against the shrinking survivor frame (filters push to the
+    // source; no window over all events)
+    "rel_funnel" -> ((s, dir) =>
+      Relational.funnelCounts(readEvents(s, dir), col("user_id"),
+        col("event_type"), col("ts"), Seq("view", "click", "purchase"))),
+
     // gap-based sessionization (lag + running session counter)
     "rel_sessionize" -> ((s, dir) => {
       Relational.sessionize(readEvents(s, dir), "user_id", "ts", "event_id", 1800)
@@ -643,5 +652,22 @@ object RelationalQueries {
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
          FROM flagged GROUP BY user_id""",
+
+    // first-touch funnel restated as the stage-join chain — pure timestamp
+    // `>=` tie semantics on both sides
+    "rel_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+           s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+                  JOIN s1 ON e.user_id = s1.u AND e.ts >= s1.t
+                  WHERE e.event_type = 'click' GROUP BY 1),
+           s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+                  JOIN s2 ON e.user_id = s2.u AND e.ts >= s2.t
+                  WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM s1
+         UNION ALL
+         SELECT 2, 'click', count(*) FROM s2
+         UNION ALL
+         SELECT 3, 'purchase', count(*) FROM s3""",
   )
 }

@@ -170,6 +170,35 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: strict order, first-touch times, span bound") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val events = Seq(
+      // u1 completes in order
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(9)),
+      // u2 clicks BEFORE viewing: click must not count (strict order),
+      // and the later click does
+      (2L, "click", ts(0)), (2L, "view", ts(2)), (2L, "click", ts(4)),
+      // u3 views only
+      (3L, "view", ts(1)),
+      // u4 completes but the purchase is far out (span test)
+      (4L, "view", ts(0)), (4L, "click", ts(1)), (4L, "purchase", ts(50))
+    ).toDF("user_id", "event_type", "ts")
+    val counts = graft.ops.Relational.funnelCounts(events, col("user_id"),
+      col("event_type"), col("ts"), Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(counts == Map(1 -> 4, 2 -> 3, 3 -> 2),
+      "u1..u4 view; u1,u2,u4 click in order; u1,u4 purchase")
+    val spanned = graft.ops.Relational.funnelCounts(events, col("user_id"),
+      col("event_type"), col("ts"), Seq("view", "click", "purchase"),
+      maxSpan = Some("30 MINUTES"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(spanned == Map(1 -> 4, 2 -> 3, 3 -> 1),
+      "u4's purchase at +50min falls outside the 30min span")
+  }
+
   test("wordpieceEncode: greedy longest match, unknown fallback, losslessness") {
     val s = spark
     import s.implicits._
