@@ -128,6 +128,28 @@ object Relational {
     }
   }
 
+  /** Cohort RETENTION: cohort = the user's first-activity day; one row per
+    * `(cohort_day, period_n)` counting the cohort's users active exactly
+    * `period_n` days after their first day — the second product-analytics
+    * staple next to [[funnelCounts]]. Two aggregations and one user-key
+    * join: day-grain distinct activity (the only event-volume shuffle,
+    * collapsing to ≤ users × days rows), per-user min for the cohort,
+    * join back, count — no window, no self-join over raw events.
+    * `cohort_day` is emitted as `yyyy-MM-dd` text so engines with
+    * different date carriers agree byte-for-byte.
+    */
+  def retention(events: DataFrame, userCol: Column, tsCol: Column): DataFrame = {
+    val activity = events
+      .select(userCol.as("__u"), to_date(tsCol).as("__d")).distinct()
+    val cohorts = activity.groupBy(col("__u")).agg(min(col("__d")).as("__c"))
+    activity.join(cohorts, "__u")
+      .select(date_format(col("__c"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("__d"), col("__c")).cast("long").as("period_n"),
+        col("__u"))
+      .groupBy(col("cohort_day"), col("period_n"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** The funnel conversion report over [[funnelStages]]: one row per stage
     * `(stage, event_type, n_users)` — n_users is non-increasing by
     * construction (each stage frame is a filtered join of the previous).

@@ -352,6 +352,12 @@ object RelationalQueries {
       Relational.funnelCounts(readEvents(s, dir), col("user_id"),
         col("event_type"), col("ts"), Seq("view", "click", "purchase"))),
 
+    // cohort retention (round 12): day-grain distinct activity → per-user
+    // first day → (cohort, days-since) counts; the activity distinct is
+    // the only event-volume shuffle
+    "rel_retention" -> ((s, dir) =>
+      Relational.retention(readEvents(s, dir), col("user_id"), col("ts"))),
+
     // gap-based sessionization (lag + running session counter)
     "rel_sessionize" -> ((s, dir) => {
       Relational.sessionize(readEvents(s, dir), "user_id", "ts", "event_id", 1800)
@@ -652,6 +658,16 @@ object RelationalQueries {
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
          FROM flagged GROUP BY user_id""",
+
+    // identical two-agg + join restatement; dates rendered as text so the
+    // engines' date carriers agree byte-for-byte
+    "rel_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+           c AS (SELECT u, min(d) AS cd FROM a GROUP BY 1)
+         SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cd, d) AS BIGINT) AS period_n,
+           count(*) AS n_users
+         FROM a JOIN c USING (u) GROUP BY 1, 2""",
 
     // first-touch funnel restated as the stage-join chain — pure timestamp
     // `>=` tie semantics on both sides
