@@ -103,6 +103,10 @@ object Bench {
         graft.pipeline.Similarity.ivfTopKIndexed(idx,
           e.filter(col("vec_id") < 5), 10, pruneCells = true)
       }),
+      // the DAU/WAU production path: per-day sketches + window merge — the
+      // gate wraps it in an exact-trailing-distinct verification baseline
+      "rel_active_users" -> ((s, dir) => graft.ops.Relational.activeUsers(
+        s.read.parquet(s"$dir/events.parquet"), col("user_id"), col("ts"), 7)),
       "pipe_dedup_embed_lsh" -> ((s, dir) => graft.pipeline.Similarity.lshNearDupPairs(
         s.read.parquet(s"$dir/embeddings.parquet"), 0.45, dim = 64, nPlanes = 4, tables = 24)),
       // the gate fuses against the brute-force oracle arm; the bench times

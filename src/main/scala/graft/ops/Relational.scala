@@ -150,6 +150,34 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Active-user curves: per day, the EXACT distinct-user count (DAU) and
+    * the APPROXIMATE trailing-`trailingDays` distinct count (WAU/MAU)
+    * from a window union of per-day HLL sketches — the only shape that
+    * scales: raw events collapse to one sketch per day (map-side
+    * combinable), and the trailing distinct is a SKETCH MERGE over ≤ n
+    * day rows, never a re-scan of the window's events (an exact trailing
+    * distinct over 30 days re-touches every event 30×). The day-grain
+    * window is a single partition by construction — fine, because its
+    * input is one row per day, not the event volume. `rangeBetween` on
+    * the epoch-day number keeps calendar gaps honest (a missing day still
+    * ages rows out of the window).
+    */
+  def activeUsers(events: DataFrame, userCol: Column, tsCol: Column,
+      trailingDays: Int = 7): DataFrame = {
+    require(trailingDays >= 1, "trailingDays must be >= 1")
+    val daily = events.groupBy(to_date(tsCol).as("__day"))
+      .agg(countDistinct(userCol).as("dau"),
+        hll_sketch_agg(userCol).as("__sk"))
+    val w = Window
+      .orderBy(datediff(col("__day"), to_date(lit("1970-01-01"))))
+      .rangeBetween(-(trailingDays - 1).toLong, 0L)
+    daily
+      .withColumn("trailing_au",
+        hll_sketch_estimate(hll_union_agg(col("__sk")).over(w)))
+      .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("trailing_au"))
+  }
+
   /** The funnel conversion report over [[funnelStages]]: one row per stage
     * `(stage, event_type, n_users)` — n_users is non-increasing by
     * construction (each stage frame is a filtered join of the previous).

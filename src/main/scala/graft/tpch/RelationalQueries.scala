@@ -358,6 +358,24 @@ object RelationalQueries {
     "rel_retention" -> ((s, dir) =>
       Relational.retention(readEvents(s, dir), col("user_id"), col("ts"))),
 
+    // DAU/WAU curves (round 12): exact per-day distinct + trailing-7-day
+    // distinct via window-merged HLL sketches (one sketch per day — never
+    // a re-scan of the window's events). DAU is SQL-oracled exactly; the
+    // sketch estimate verifies in-engine against the exact trailing
+    // distinct (non-equi join = the embedded quadratic BASELINE, declared
+    // in PlanShapeSpec; the raw operator is asserted via Bench.rawOps)
+    "rel_active_users" -> ((s, dir) => {
+      val e = readEvents(s, dir)
+      val au = Relational.activeUsers(e, col("user_id"), col("ts"), 7)
+      val act = e.select(col("user_id").as("u"), to_date(col("ts")).as("d")).distinct()
+      val exact = au.select(col("day"))
+        .join(act, datediff(to_date(col("day")), col("d")).between(0, 6))
+        .groupBy(col("day")).agg(countDistinct(col("u")).as("wx"))
+      au.join(exact, "day")
+        .select(col("day"), col("dau"),
+          (abs(col("trailing_au") - col("wx")) <= col("wx") * 0.05).as("wau_ok"))
+    }),
+
     // gap-based sessionization (lag + running session counter)
     "rel_sessionize" -> ((s, dir) => {
       Relational.sessionize(readEvents(s, dir), "user_id", "ts", "event_id", 1800)
@@ -658,6 +676,13 @@ object RelationalQueries {
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
          FROM flagged GROUP BY user_id""",
+
+    // exact DAU; the trailing sketch estimate gates as the error-bound
+    // boolean (a drifting sketch fails the gate)
+    "rel_active_users" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events)
+         SELECT strftime(d, '%Y-%m-%d') AS day, count(*) AS dau, TRUE AS wau_ok
+         FROM a GROUP BY d""",
 
     // identical two-agg + join restatement; dates rendered as text so the
     // engines' date carriers agree byte-for-byte

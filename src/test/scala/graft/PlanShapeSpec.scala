@@ -48,7 +48,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "pipe_dedup_simhash", "pipe_dedup_embed_lsh",
     // indexed fusion vs the EXACT fusion (bruteForceTopK arm) — the raw
     // serving composition is asserted via Bench.rawOps below
-    "pipe_hybrid_rrf_indexed")
+    "pipe_hybrid_rrf_indexed",
+    // trailing-HLL estimate vs the exact trailing distinct (day-grain
+    // non-equi join baseline) — raw operator asserted via Bench.rawOps
+    "rel_active_users")
 
   // one planning pass shared by both tests (some gate closures also run
   // driver-side setup — streams, scratch-cube writes — so build once)
