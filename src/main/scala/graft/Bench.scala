@@ -43,6 +43,8 @@ object Bench {
     "rel_sessionize_stream",      // streaming twin (r8 verdict ask #7)
     "rel_event_pairs",            // event-time interval self-join (round 9)
     "rel_event_pairs_stream",     // stream-stream join twin (round 9)
+    "rel_funnel",           // ordered funnel: stage-selective join fold (round 12)
+    "rel_retention",        // cohort retention: day-grain distinct + user-key join (round 12)
     "pipe_dedup_minhash",   // MinHash-LSH near-dup (bucketed, verified)
     "pipe_dedup_simhash",   // SimHash near-dup (banded; raw op, see rawOps)
     "pipe_ann_lsh",         // sign-LSH ANN top-k (raw op, see rawOps)
