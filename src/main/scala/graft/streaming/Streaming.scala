@@ -165,6 +165,51 @@ object Streaming {
       }
   }
 
+  final case class TypedEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  final case class FunnelProgress(user_id: Long, depth: Int,
+      last_t: java.sql.Timestamp)
+
+  /** STREAMING first-touch funnel — the stateful twin of
+    * [[graft.ops.Relational.funnelCounts]]: per-user state is (stages
+    * completed, time of the last completed stage); each trigger's events
+    * are time-sorted within the batch (stage index breaks exact-timestamp
+    * ties so the batch operator's `>=` semantics carry over) and folded
+    * through the state machine. On a time-ordered replay (range-layout
+    * files → cross-batch order holds, only within-batch disorder) the
+    * final per-user depth equals the batch funnel exactly — gate-pinned
+    * against the same SQL oracle. `depth` is monotone non-decreasing
+    * across triggers, so `max(depth)` per user in an update-mode sink IS
+    * the final state.
+    */
+  def funnelStream(events: Dataset[TypedEvent],
+      stages: Seq[String]): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "funnel stages must be non-empty and distinct")
+    val idx = stages.zipWithIndex.toMap
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TypedEvent], state: GroupState[FunnelProgress]) =>
+          val prev = state.getOption.getOrElse(FunnelProgress(uid, 0, null))
+          var depth = prev.depth
+          var lastT = Option(prev.last_t)
+          val sorted = it.filter(e => idx.contains(e.event_type)).toArray
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, idx(e.event_type)))
+          sorted.foreach { e =>
+            if (depth < stages.size && e.event_type == stages(depth) &&
+                (depth == 0 || lastT.exists(t => !e.ts.before(t)))) {
+              depth += 1
+              lastT = Some(e.ts)
+            }
+          }
+          val next = FunnelProgress(uid, depth, lastT.orNull)
+          state.update(next)
+          next
+      }
+  }
+
   /** Custom keyed state: running per-user totals via mapGroupsWithState —
     * the escape hatch for stateful logic the built-in windows can't express.
     */

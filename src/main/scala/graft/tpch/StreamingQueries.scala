@@ -544,6 +544,45 @@ object StreamingQueries {
     // doubles in arrival order, and the worst-case FP drift
     // (n·eps·Σ|v| ≈ 1e-6) sits far below the half-cent boundary, so the
     // rounding is deterministic cross-engine.
+    // streaming first-touch funnel (round 12): the per-user stage state
+    // machine replayed over a time-ordered file stream must equal the
+    // batch funnel — SAME SQL oracle as rel_funnel; depth is monotone so
+    // max(depth) per user in the update-mode sink is the final state
+    "rel_funnel_stream" -> ((s, dir) => {
+      import s.implicits._
+      val stages = Seq("view", "click", "purchase")
+      val ev = RelationalQueries.readEvents(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type"), col("ts"))
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_funnel")
+      val tmp = tmpRoot.resolve("files").toString
+      val sinkName = s"funnel_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStatePartitions(s, 8) {
+        val stream = timeOrderedStream(s, ev, "ts", 12, tmp)
+          .as[graft.streaming.Streaming.TypedEvent]
+        val q = graft.streaming.Streaming.funnelStream(stream, stages)
+          .toDF()
+          .writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val fin = s.table(sinkName)
+        .groupBy(col("user_id")).agg(max(col("depth")).as("depth"))
+        .localCheckpoint(true)
+      val out = stages.zipWithIndex.map { case (st, i) =>
+        fin.filter(col("depth") >= i + 1)
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage"), lit(st).as("event_type"),
+            col("n_users"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      import scala.jdk.CollectionConverters._
+      org.apache.spark.sql.graft.Bridge.unloadStateStores()
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }),
+
     "rel_stream_running_totals" -> ((s, dir) => {
       import s.implicits._
       val ev = RelationalQueries.readEvents(s, dir)
@@ -789,6 +828,24 @@ object StreamingQueries {
           AND c.event_type = 'click' AND v.event_type = 'view'
           AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
          GROUP BY c.user_id""",
+
+    // IDENTICAL oracle to the batch rel_funnel — the path under test is
+    // the per-user stage state machine across triggers, not the funnel
+    // arithmetic
+    "rel_funnel_stream" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+           s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+                  JOIN s1 ON e.user_id = s1.u AND e.ts >= s1.t
+                  WHERE e.event_type = 'click' GROUP BY 1),
+           s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+                  JOIN s2 ON e.user_id = s2.u AND e.ts >= s2.t
+                  WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM s1
+         UNION ALL
+         SELECT 2, 'click', count(*) FROM s2
+         UNION ALL
+         SELECT 3, 'purchase', count(*) FROM s3""",
 
     // IDENTICAL pair derivation to the batch pipe_er_fuzzy oracle — the
     // path under test is the stream-static index matching, not the
