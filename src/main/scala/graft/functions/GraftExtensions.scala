@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "graft_zvalue"),
+      (exprs: Seq[Expression]) => GraftFunctions.zvalueFromExprs(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_quality"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "graft_quality"),
+      (exprs: Seq[Expression]) => GraftFunctions.qualityFromExprs(exprs)))
     // graft_normalize_text(s [, strip_accents, to_lower]) — the flag args
     // must be literal booleans (they select the codegen'd normalization
     // variant; a per-row flag would defeat constant folding)

@@ -68,12 +68,47 @@ object GraftFunctions {
   def dot_q(a: Column, b: Column): Column =
     Bridge.column(LongDotProduct(Bridge.expression(a), Bridge.expression(b)))
 
+  /** `graft_zvalue(col, ..., bits)`: the Morton interleave of
+    * [[graft.pipeline.Layout.zValue]], SQL-callable — the bit width must
+    * be a literal (it selects how far the shift/mask terms unroll at plan
+    * build; a per-row width would defeat the whole codegen'd shape).
+    */
+  private[functions] def zvalueFromExprs(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.size >= 2,
+      "graft_zvalue(col, ..., bits) needs at least one column and the bit width")
+    val bits = exprs.last match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_zvalue's last arg must be a literal integer bit width, got $other")
+    }
+    Bridge.sqlExpression(
+      graft.pipeline.Layout.zValue(exprs.init.map(Bridge.column), bits))
+  }
+
+  /** `graft_quality(text)`: the scalar quality score of
+    * [[graft.pipeline.TextAnalysis.qualityColumns]], SQL-callable.
+    */
+  private[functions] def qualityFromExprs(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.size == 1, "graft_quality(text) takes exactly one argument")
+    Bridge.sqlExpression(graft.pipeline.TextAnalysis
+      .qualityColumns(Bridge.column(exprs.head)).toMap.apply("quality"))
+  }
+
   /** Register the graft expressions for SQL use in an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_q", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sorted_intersect", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zvalue", zvalueFromExprs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quality", qualityFromExprs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_normalize_text", exprs => {
         def flag(i: Int): Boolean = exprs.lift(i) match {

@@ -13,6 +13,18 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Column → Expression through the REAL node converter. `expression`
+    * wraps the column node in a lazy `ColumnNodeExpression`, which only
+    * Dataset-API plan conversion unwraps — an expression handed to the SQL
+    * function registry keeps the wrapper all the way to codegen and dies
+    * `Unevaluable`. This eager conversion yields plain catalyst nodes
+    * (`UnresolvedFunction` children included, which the SQL analyzer then
+    * resolves normally) — use it when a Column-built expression must enter
+    * a SQL plan.
+    */
+  def sqlExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** The materialized RDD behind a `localCheckpoint`ed DataFrame (its plan
     * is a `LogicalRDD` over the checkpoint blocks). Exposed so iterative
     * drivers can `unpersist` a SUPERSEDED checkpoint deterministically —

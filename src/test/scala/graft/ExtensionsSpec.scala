@@ -58,4 +58,26 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("literal boolean"))
   }
+
+  test("graft_zvalue and graft_quality are SQL-callable; bit width must be literal") {
+    TestSpark.spark
+    val s = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate().newSession()
+    graft.functions.GraftFunctions.register(s)
+    // bit i of x -> position 2i, bit i of y -> 2i+1 (matches Layout.zValue)
+    val z = s.sql("SELECT graft_zvalue(3L, 3L, 2) AS z").collect().head.getLong(0)
+    assert(z == 15L)
+    val q = s.sql("SELECT graft_quality('the cat sat on the mat.') AS q")
+      .collect().head.getDouble(0)
+    val expect = graft.pipeline.TextAnalysis
+      .qualityColumns(org.apache.spark.sql.functions.lit("the cat sat on the mat."))
+      .toMap.apply("quality")
+    val viaColumn = s.range(1).select(expect.as("q")).collect().head.getDouble(0)
+    assert(q == viaColumn, "SQL face and Column face must agree bit-for-bit")
+    val err = intercept[Exception] {
+      s.sql("SELECT graft_zvalue(1L, 2L, CAST(rand() * 4 AS INT))").collect()
+    }
+    assert(err.getMessage.contains("literal integer bit width"))
+  }
 }
