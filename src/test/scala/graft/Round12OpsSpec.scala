@@ -170,6 +170,13 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("every gate has an oracle and every oracle a gate (driver-contract invariant)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"gates without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).toSeq.sorted}")
+  }
+
   test("funnel: strict order, first-touch times, span bound") {
     val s = spark
     import s.implicits._
