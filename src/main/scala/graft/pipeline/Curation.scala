@@ -510,6 +510,27 @@ object Curation {
       .drop("__cl", "__k")
   }
 
+  /** Snapshot DIFF between two corpus versions: one row per document id
+    * with status `added` / `removed` / `changed` / `unchanged` (content
+    * compared by exact fingerprint) — the audit a dataset iteration
+    * publishes next to its new snapshot so consumers see what moved. One
+    * full-outer equi-join on the id; fingerprints are inline scan columns,
+    * so the shuffle carries (id, 32-byte digest), never the text.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__ofp"))
+    val n = newDf.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__nfp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ofp").isNull, "added")
+          .when(col("__nfp").isNull, "removed")
+          .when(col("__ofp") === col("__nfp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Leakage AUDIT for a split assignment: given the near-dup PAIRS, count
     * pairs per unordered `(split_a, split_b)` combination — off-diagonal
     * rows are train→test leakage through paraphrase-grade copies, the

@@ -876,6 +876,21 @@ object PipelineQueries {
           (sum(col("ntok")) < sum(col("nchar"))).as("compresses_ok"))
     }),
 
+    // corpus snapshot diff (round 12): old = the documents table, new =
+    // a derived version (every 7th removed, every 11th edited, every 13th
+    // re-added under a fresh id) — the full-outer fingerprint compare must
+    // label each id added/removed/changed/unchanged exactly
+    "pipe_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edited = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      Curation.corpusDiff(d, edited.unionByName(added), "doc_id", "text")
+    }),
+
     // deterministic train/val/test split (round 12): pure md5-bucket scan
     // column (no RNG state, partitioning-invariant), total and disjoint
     "pipe_split" -> ((s, dir) =>
@@ -1637,6 +1652,22 @@ object PipelineQueries {
 
     "pipe_wordpiece_encode" ->
       "SELECT TRUE AS lossless_ok, TRUE AS vocab_ok, TRUE AS compresses_ok",
+
+    // the identical derived new-version construction + full-outer compare
+    "pipe_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents),
+           n0 AS (SELECT doc_id,
+                    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+                  FROM documents WHERE doc_id % 7 <> 0),
+           n AS (SELECT doc_id, md5(text) AS fp FROM n0
+                 UNION ALL
+                 SELECT doc_id + 10000, md5(text) FROM documents WHERE doc_id % 13 = 0)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
 
     // the identical cumulative-md5-bucket CASE, thresholds emitted by the
     // SAME Curation.splitThresholds the engine uses
