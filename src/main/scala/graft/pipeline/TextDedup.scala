@@ -793,4 +793,23 @@ object TextDedup {
     // hit ⊆ the intake batch's ids — batch-bounded, never corpus-bounded
     incoming.join(broadcast(hit), incoming(idCol) === hit("__in"), "left_anti")
   }
+
+  /** Grow a [[nearDupIndex]] with newly ADMITTED documents — the index
+    * maintenance step that closes the continuous-intake loop (admit a
+    * batch with [[dropCorpusNearDups]], then append it here so the NEXT
+    * batch dedups against it too). Returns the `(bands, words)` pair in
+    * the exact shape [[nearDupIndex]] builds: both sides compute through
+    * the SAME shared signature relations ([[bandedSignatures]] /
+    * `shingleHashArr`), so an index grown incrementally is ROW-IDENTICAL
+    * to one rebuilt from the union corpus (spec-pinned) — append is a
+    * union of batch-sized relations, never a corpus re-scan. On a
+    * persisted index, write the new rows with `Append` into the same
+    * bucketed layout instead of unioning frames.
+    */
+  def nearDupIndexAppend(idxBands: DataFrame, idxWords: DataFrame,
+      admitted: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, shingle: Int = 1): (DataFrame, DataFrame) = {
+    val (nb, nw) = nearDupIndex(admitted, idCol, textCol, k, bands, shingle)
+    (idxBands.unionByName(nb), idxWords.unionByName(nw))
+  }
 }

@@ -876,6 +876,24 @@ object PipelineQueries {
           (sum(col("ntok")) < sum(col("nchar"))).as("compresses_ok"))
     }),
 
+    // near-dup index MAINTENANCE (round 12): admit batch A against the
+    // corpus index, APPEND the admitted docs (batch-sized union — no
+    // corpus re-scan), then admit batch B against the grown index — so B
+    // is deduped against A's admissions too, the loop a continuous intake
+    // actually runs. Oracle re-derives both admission rounds exactly.
+    "pipe_neardup_index_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (b0, w0) = TextDedup.nearDupIndex(
+        d.filter(col("doc_id") < 250), "doc_id", "text")
+      val batchA = d.filter(col("doc_id") >= 250 && col("doc_id") < 350)
+        .select("doc_id", "text")
+      val admittedA = TextDedup.dropCorpusNearDups(batchA, "doc_id", "text", b0, w0)
+      val (bg, wg) = TextDedup.nearDupIndexAppend(b0, w0, admittedA, "doc_id", "text")
+      val batchB = d.filter(col("doc_id") >= 350).select("doc_id", "text")
+      TextDedup.dropCorpusNearDups(batchB, "doc_id", "text", bg, wg)
+        .select("doc_id")
+    }),
+
     // corpus snapshot diff (round 12): old = the documents table, new =
     // a derived version (every 7th removed, every 11th edited, every 13th
     // re-added under a fresh id) — the full-outer fingerprint compare must
@@ -1652,6 +1670,35 @@ object PipelineQueries {
 
     "pipe_wordpiece_encode" ->
       "SELECT TRUE AS lossless_ok, TRUE AS vocab_ok, TRUE AS compresses_ok",
+
+    // both admission rounds re-derived from exact Jaccard (LSH at tau=0.9
+    // with 16x4 bands ≡ exact, spec-proven): A admitted vs the <250
+    // corpus, then B admitted vs (<250 ∪ admitted A)
+    "pipe_neardup_index_append" ->
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+           n AS (SELECT doc_id, count(*) AS c FROM t GROUP BY doc_id),
+           hitsA AS (SELECT b.doc_id AS sid, a.doc_id AS cid, count(*) AS shared
+                     FROM t a JOIN t b ON a.w = b.w
+                     WHERE a.doc_id < 250 AND b.doc_id >= 250 AND b.doc_id < 350
+                     GROUP BY 1, 2),
+           badA AS (SELECT DISTINCT sid FROM hitsA
+                    JOIN n na ON cid = na.doc_id JOIN n nb ON sid = nb.doc_id
+                    WHERE CAST(shared AS DOUBLE) / CAST(na.c + nb.c - shared AS DOUBLE) >= 0.9),
+           refids AS (SELECT doc_id FROM documents WHERE doc_id < 250
+                      UNION ALL
+                      SELECT doc_id FROM documents
+                      WHERE doc_id >= 250 AND doc_id < 350
+                        AND doc_id NOT IN (SELECT sid FROM badA)),
+           hitsB AS (SELECT b.doc_id AS sid, a.doc_id AS cid, count(*) AS shared
+                     FROM t a JOIN t b ON a.w = b.w
+                     WHERE a.doc_id IN (SELECT doc_id FROM refids) AND b.doc_id >= 350
+                     GROUP BY 1, 2),
+           badB AS (SELECT DISTINCT sid FROM hitsB
+                    JOIN n na ON cid = na.doc_id JOIN n nb ON sid = nb.doc_id
+                    WHERE CAST(shared AS DOUBLE) / CAST(na.c + nb.c - shared AS DOUBLE) >= 0.9)
+         SELECT doc_id FROM documents
+         WHERE doc_id >= 350 AND doc_id NOT IN (SELECT sid FROM badB)""",
 
     // the identical derived new-version construction + full-outer compare
     "pipe_corpus_diff" ->

@@ -220,6 +220,21 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(toks(2L).isEmpty)
   }
 
+  test("nearDupIndexAppend is row-identical to a full index rebuild") {
+    import org.apache.spark.sql.functions.col
+    val d = docs
+    val (b0, w0) = TextDedup.nearDupIndex(d.filter(col("doc_id") < 250), "doc_id", "text")
+    val add = d.filter(col("doc_id") >= 250 && col("doc_id") < 350)
+    val (bg, wg) = TextDedup.nearDupIndexAppend(b0, w0, add, "doc_id", "text")
+    val (bf, wf) = TextDedup.nearDupIndex(d.filter(col("doc_id") < 350), "doc_id", "text")
+    def bandSet(f: org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    assert(bandSet(bg) == bandSet(bf), "band rows must match the rebuild")
+    def wordSet(f: org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.get(0), r.getSeq[Long](1))).toSet
+    assert(wordSet(wg) == wordSet(wf), "word rows must match the rebuild")
+  }
+
   test("splitCorpus: total, disjoint, near the asked fractions, partitioning-invariant") {
     import org.apache.spark.sql.functions.col
     val d = docs
