@@ -24,13 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    // zvalue/quality are composite Column trees (no single Expression
+    // class), so DESCRIBE FUNCTION points at the builder object — not at
+    // an unrelated expression class.
     e.injectFunction((
       FunctionIdentifier("graft_zvalue"),
-      new ExpressionInfo(classOf[LongDotProduct].getName, "graft_zvalue"),
+      new ExpressionInfo(GraftFunctions.getClass.getName, null, "graft_zvalue",
+        "graft_zvalue(col, ..., bits) - Morton bit-interleave of the columns at a literal bit width.", ""),
       (exprs: Seq[Expression]) => GraftFunctions.zvalueFromExprs(exprs)))
     e.injectFunction((
       FunctionIdentifier("graft_quality"),
-      new ExpressionInfo(classOf[LongDotProduct].getName, "graft_quality"),
+      new ExpressionInfo(GraftFunctions.getClass.getName, null, "graft_quality",
+        "graft_quality(text) - heuristic document quality score in [0,1].", ""),
       (exprs: Seq[Expression]) => GraftFunctions.qualityFromExprs(exprs)))
     // graft_normalize_text(s [, strip_accents, to_lower]) — the flag args
     // must be literal booleans (they select the codegen'd normalization

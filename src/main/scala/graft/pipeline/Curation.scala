@@ -502,10 +502,15 @@ object Curation {
   def splitByCluster(df: DataFrame, idCol: String, clusters: DataFrame,
       clusterIdCol: String, splits: Seq[(String, Double)],
       salt: String): DataFrame = {
-    val c = clusters.select(col(idCol), col(clusterIdCol).cast("long").as("__cl"))
+    // Draw on STRING keys: a long-cast would null out non-numeric document
+    // ids, turning every when() branch null-false and silently dumping all
+    // such rows into the last split (and sharing one draw). String casts
+    // are total, and for integral ids produce the same digits the long
+    // path did, so numeric-id gate hashes are unchanged.
+    val c = clusters.select(col(idCol), col(clusterIdCol).cast("string").as("__cl"))
     splitCorpus(
       df.join(c, Seq(idCol), "left")
-        .withColumn("__k", coalesce(col("__cl"), col(idCol).cast("long"))),
+        .withColumn("__k", coalesce(col("__cl"), col(idCol).cast("string"))),
       col("__k"), splits, salt)
       .drop("__cl", "__k")
   }

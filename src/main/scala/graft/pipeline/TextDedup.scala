@@ -677,10 +677,15 @@ object TextDedup {
         approx_count_distinct(col("w")).as("n"))
       .head
     val nEval = built.getAs[Long]("n")
-    require(nEval <= expectedEvalShingles,
-      s"eval shingle set has ~$nEval distinct shingles (HLL ±5%) > " +
-        s"expectedEvalShingles $expectedEvalShingles — the sketch would be " +
-        "undersized (fpp degrades toward 1 and the prefilter stops " +
+    // Best-effort undersize refusal: `n` is an HLL estimate (~2-5% error),
+    // so compare against 95% of the declared capacity — a modestly-over
+    // eval set is refused conservatively rather than slipping through on
+    // estimator error. Correctness never depends on this (the verify join
+    // absorbs false positives); only the prefilter's selectivity does.
+    require(nEval <= (expectedEvalShingles * 0.95).toLong.max(1L),
+      s"eval shingle set has ~$nEval distinct shingles (HLL estimate) > " +
+        s"95% of expectedEvalShingles $expectedEvalShingles — the sketch " +
+        "would risk undersizing (fpp degrades and the prefilter stops " +
         "filtering); pass a larger estimate")
     val bloomBytes = built.getAs[Array[Byte]]("bf")
     if (bloomBytes == null) corpus // empty eval set: nothing can contaminate

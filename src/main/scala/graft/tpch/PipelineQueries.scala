@@ -999,10 +999,12 @@ object PipelineQueries {
       val d = docs(s, dir)
       // estimate sized to the ~1%-of-corpus eval slice (sketch literal
       // ships in every task closure — right-sizing it is worth ~25% of
-      // the query, measured in the A/B note at decontaminateBloom)
+      // the query, measured in the A/B note at decontaminateBloom; the
+      // slice has ~2.4k distinct shingles at sf0.1, so 1<<15 keeps >10×
+      // headroom at a 40 KiB sketch instead of 160 KiB)
       TextDedup.decontaminateBloom(d, "doc_id", "text",
         d.filter(col("doc_id") % 97 === 0), "text", shingle = 3, minHits = 2,
-        expectedEvalShingles = 1L << 17)
+        expectedEvalShingles = 1L << 15)
         .select("doc_id", "lang", "source")
     }),
 

@@ -278,6 +278,32 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(safe == 0, "splitByCluster must zero the leakage report")
   }
 
+  test("splitByCluster: string document ids draw distinctly (no null-cast collapse)") {
+    // A long-cast draw key would null out on non-numeric ids, sending ALL
+    // such rows to the last split on a shared null draw. String-keyed
+    // drawing must spread them and keep clusters whole.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val d = (1 to 400).map(i => (s"doc-$i", s"text $i")).toDF("doc_id", "text")
+    val clusters = Seq(("doc-1", "c0"), ("doc-2", "c0"), ("doc-3", "c1"),
+      ("doc-4", "c1")).toDF("doc_id", "cluster_id")
+    val out = graft.pipeline.Curation.splitByCluster(d, "doc_id", clusters,
+      "cluster_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "s1")
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 400L, "total and disjoint")
+    assert(counts.keySet == Set("train", "val", "test"),
+      s"string ids must spread over all splits, got $counts")
+    assert(counts("train") > 250 && counts("train") < 380,
+      s"train should be ~80%, got ${counts("train")} — a null-draw collapse " +
+        "would dump everything in one split")
+    val violating = out.join(clusters, "doc_id")
+      .groupBy("cluster_id").agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(violating == 0, "clusters must still route whole on string ids")
+  }
+
   test("z-ordered compaction serves identical values; overlay writes still win") {
     val db = TinyModel.build(spark)
     val c0 = db.cube("sales")
