@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class Asset(doc_id: Long, modality: String, content: Array[Byte])
+
+  /** `channels`: raster band count for real image decodes (1 = gray,
+    * 3 = RGB, 4 = RGBA), audio channel count for WAV, 0 = unknown (the
+    * payload went through the codec stub).
+    */
   final case class DecodedAsset(
       doc_id: Long, modality: String, n_bytes: Int,
-      width: Int, height: Int, n_frames: Int, checksum: Long)
+      width: Int, height: Int, n_frames: Int, channels: Int, checksum: Long)
 
   /** Build a binary-column asset table from the documents table (text bytes
     * stand in for media payloads; modality assigned round-robin).
@@ -48,15 +53,70 @@ object Multimodal {
 
   /** REAL decode, BMP: dimensions from the BITMAPINFOHEADER — magic "BM",
     * little-endian width at offset 18, height at 22 (negative = top-down
-    * row order, same magnitude). Pure JVM header parse, no codec library.
-    * Plausibility bounds reject text bytes that happen to start with "BM"
-    * (ASCII payload bytes make the size fields astronomically large).
+    * row order, same magnitude), bits-per-pixel at 28 → channel count.
+    * Pure JVM header parse, no codec library. Plausibility bounds reject
+    * text bytes that happen to start with "BM" (ASCII payload bytes make
+    * the size fields astronomically large).
     */
-  private[pipeline] def decodeBmp(b: Array[Byte]): Option[(Int, Int)] =
-    if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
+  private[pipeline] def decodeBmp(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b.length >= 30 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
       val w = le32(b, 18); val h = math.abs(le32(b, 22))
-      if (w > 0 && w < (1 << 20) && h > 0 && h < (1 << 20)) Some((w, h)) else None
+      val bpp = le16(b, 28)
+      if (w > 0 && w < (1 << 20) && h > 0 && h < (1 << 20))
+        Some((w, h, math.max(1, bpp / 8))) else None
     } else None
+
+  /** REAL decode, PNG/JPEG via `javax.imageio` — pure-JVM, ships in the
+    * JDK, headless-safe. The magic sniff (PNG `\x89PNG`, JPEG `FF D8 FF`)
+    * gates the codec attempt so arbitrary text payloads never pay a parse;
+    * a sniff hit that still fails to decode (truncated/corrupt stream)
+    * falls through to the stub rather than erroring the task. Returns
+    * (width, height, raster band count: 1 gray / 3 RGB / 4 RGBA).
+    */
+  private[pipeline] def decodeImageIO(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    val isPng = b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P'.toByte &&
+      b(2) == 'N'.toByte && b(3) == 'G'.toByte
+    val isJpeg = b.length >= 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte &&
+      b(2) == 0xFF.toByte
+    if (!isPng && !isJpeg) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w > 0 && h > 0) Some((w, h, img.getRaster.getNumBands)) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic image-fixture ENCODER (PNG/JPEG/BMP via
+    * `javax.imageio`): the planted-payload generator the decode gate uses.
+    * Dimensions and grayness derive from the caller's seed, so an oracle
+    * can state the expected decode metadata a priori without ever touching
+    * a codec. Pixel fill is a fixed function of (x, y) — byte-identical
+    * across runs and partitionings.
+    */
+  def syntheticImage(fmt: String, width: Int, height: Int, gray: Boolean): Array[Byte] = {
+    require(width >= 1 && height >= 1, "fixture dims must be positive")
+    val imgType =
+      if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(width, height, imgType)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (x * 31 + y * 7) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, fmt, bos)
+    require(ok, s"no JDK ImageIO writer for format '$fmt'")
+    bos.toByteArray
+  }
 
   /** REAL decode, WAV: RIFF chunk walk — "fmt " yields channels / sample
     * rate / bit depth, "data" yields payload size; duration =
@@ -93,10 +153,11 @@ object Multimodal {
     } else None
   }
 
-  /** STUB ??? — fallback for payloads that are not a JVM-parseable format:
-    * a real implementation would call an image/audio/video codec
-    * (e.g. libjpeg / ffmpeg) on `bytes`. This container has no media libs,
-    * so metadata is derived deterministically from the payload so the
+  /** STUB ??? — fallback for payloads that are not a JVM-decodable format
+    * (BMP/WAV header parses and PNG/JPEG `javax.imageio` decodes are
+    * REAL): a genuinely exotic format (video containers, FLAC, WebP …)
+    * would need an external codec (e.g. ffmpeg) this container lacks, so
+    * metadata is derived deterministically from the payload so the
     * pipeline shape (schema, batching, downstream ops) is fully testable.
     */
   private def decodeStub(modality: String, bytes: Array[Byte]): (Int, Int, Int) = {
@@ -109,26 +170,36 @@ object Multimodal {
 
   /** Decode pass: typed mapPartitions — one codec context per partition
     * (the expensive-init pattern batch UDFs exist for), streaming the
-    * iterator (no materialization of the partition in memory). BMP and WAV
-    * payloads decode for REAL (pure-JVM header parse: BMP → width/height,
-    * one frame; WAV → sample rate as width, channels as height, duration
-    * seconds as n_frames); anything else falls back to the documented stub.
+    * iterator (no materialization of the partition in memory). BMP, PNG,
+    * JPEG and WAV payloads decode for REAL (BMP via pure-JVM header
+    * parse, PNG/JPEG via `javax.imageio`: → width/height/channels, one
+    * frame; WAV → sample rate as width, channels as height, duration
+    * seconds as n_frames); anything else falls back to the documented
+    * stub with channels = 0.
     */
   def decode(in: Dataset[Asset]): Dataset[DecodedAsset] = {
     val spark = in.sparkSession
     import spark.implicits._
     in.mapPartitions { it =>
-      // per-partition codec init would happen here
+      // per-partition codec init: ImageIO's default read path spools
+      // through a temp-file cache — keep decodes fully in-memory
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        // header sniffing is gated on the DECLARED modality: a text/video
-        // payload that happens to start with a plausible "BM"/"RIFF…WAVE"
+        // format sniffing is gated on the DECLARED modality: a text/video
+        // payload that happens to start with a plausible image/"RIFF…WAVE"
         // header must not be reported with image/audio-shaped metadata
-        val real =
-          if (a.modality == "image") decodeBmp(a.content).map { case (bw, bh) => (bw, bh, 1) }
-          else if (a.modality == "audio") decodeWav(a.content)
+        val real: Option[(Int, Int, Int, Int)] =
+          if (a.modality == "image")
+            decodeImageIO(a.content).map { case (iw, ih, ch) => (iw, ih, 1, ch) }
+              .orElse(decodeBmp(a.content).map { case (bw, bh, ch) => (bw, bh, 1, ch) })
+          else if (a.modality == "audio")
+            decodeWav(a.content).map { case (rate, ch, secs) => (rate, ch, secs, ch) }
           else None
-        val (w, h, f) = real.getOrElse(decodeStub(a.modality, a.content))
-        DecodedAsset(a.doc_id, a.modality, a.content.length, w, h, f,
+        val (w, h, f, ch) = real.getOrElse {
+          val (sw, sh, sf) = decodeStub(a.modality, a.content)
+          (sw, sh, sf, 0)
+        }
+        DecodedAsset(a.doc_id, a.modality, a.content.length, w, h, f, ch,
           payloadChecksum(a.content))
       }
     }

@@ -793,6 +793,25 @@ object PipelineQueries {
       Multimodal.sampleFrames(Multimodal.decode(Multimodal.assets(docs(s, dir))))
     }),
 
+    // REAL image decode (round 13): payloads are actual PNG/JPEG bytes
+    // encoded in-executor with dims/grayness derived from doc_id, then
+    // decoded back by javax.imageio inside the typed mapPartitions pass.
+    // The oracle states the expected metadata a priori from the same
+    // doc_id arithmetic — it never touches a codec, so any decode drift
+    // (dims, band count, frame count) breaks the hash.
+    "pipe_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val assets = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val fmt = if (id % 2 == 0) "png" else "jpg"
+        Multimodal.Asset(id, "image",
+          Multimodal.syntheticImage(fmt, (id % 29 + 1).toInt,
+            (id % 13 + 1).toInt, gray = id % 3 == 0))
+      }
+      Multimodal.decode(assets).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("channels"), col("n_frames"))
+    }),
+
     // deterministic stratified sampling — a language-mix recipe applied as a
     // pure md5-threshold filter: no RNG state, no shuffle, same subset at any
     // partitioning (reproducible training mixes)
@@ -1598,6 +1617,16 @@ object PipelineQueries {
       """SELECT doc_id, ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
            octet_length(encode(text)) AS n_bytes,
            unnest(range(0, octet_length(encode(text)) % 7 + 1, 2)) AS frame_idx
+         FROM documents""",
+
+    // the expected decode metadata stated a priori from the planted
+    // fixtures' doc_id arithmetic — the oracle never decodes anything
+    "pipe_multimodal_decode" ->
+      """SELECT doc_id,
+           CAST(doc_id % 29 + 1 AS INT) AS width,
+           CAST(doc_id % 13 + 1 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(1 AS INT) AS n_frames
          FROM documents""",
 
     // mirrors Curation.sampleStratified: floor(rate·65536) as 4-hex-digit

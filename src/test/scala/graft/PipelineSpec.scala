@@ -536,12 +536,44 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.Asset(3L, "image", "plain text, not a bitmap".getBytes("UTF-8")))
       .toDS()
     val out = Multimodal.decode(in).collect().map(d => d.doc_id -> d).toMap
-    // BMP: real dimensions from the header bytes, single frame
+    // BMP: real dimensions from the header bytes, single frame, 24 bpp → 3ch
     assert(out(1L).width == 17 && out(1L).height == 9 && out(1L).n_frames == 1)
+    assert(out(1L).channels == 3, "24-bit BMP reports 3 channels")
     // WAV: rate/channels/whole-second duration (ceil 3.5 → 4)
     assert(out(2L).width == 8000 && out(2L).height == 2 && out(2L).n_frames == 4)
+    assert(out(2L).channels == 2)
     // non-media payload falls back to the deterministic stub (n = 24 bytes)
     assert(out(3L).width == 24 % 640 + 1 && out(3L).n_frames == 24 % 7 + 1)
+    assert(out(3L).channels == 0, "stubbed payloads report channels = 0")
+  }
+
+  test("multimodal PNG/JPEG decode via javax.imageio: real dims and band counts") {
+    import spark.implicits._
+    val in = Seq(
+      Multimodal.Asset(1L, "image", Multimodal.syntheticImage("png", 23, 11, gray = false)),
+      Multimodal.Asset(2L, "image", Multimodal.syntheticImage("png", 5, 7, gray = true)),
+      Multimodal.Asset(3L, "image", Multimodal.syntheticImage("jpg", 40, 3, gray = false)),
+      Multimodal.Asset(4L, "image", Multimodal.syntheticImage("jpg", 8, 19, gray = true)),
+      // PNG bytes but DECLARED video: modality gate must stub it
+      Multimodal.Asset(5L, "video", Multimodal.syntheticImage("png", 23, 11, gray = false)),
+      // truncated PNG: magic sniffs but the decode fails → stub, no error
+      Multimodal.Asset(6L, "image",
+        Multimodal.syntheticImage("png", 23, 11, gray = false).take(20)))
+      .toDS()
+    val out = Multimodal.decode(in).collect().map(d => d.doc_id -> d).toMap
+    assert(out(1L).width == 23 && out(1L).height == 11 &&
+      out(1L).channels == 3 && out(1L).n_frames == 1, s"RGB PNG: ${out(1L)}")
+    assert(out(2L).width == 5 && out(2L).height == 7 && out(2L).channels == 1,
+      s"gray PNG decodes 1 band: ${out(2L)}")
+    assert(out(3L).width == 40 && out(3L).height == 3 && out(3L).channels == 3,
+      s"RGB JPEG: ${out(3L)}")
+    assert(out(4L).width == 8 && out(4L).height == 19 && out(4L).channels == 1,
+      s"gray JPEG decodes 1 band: ${out(4L)}")
+    val n5 = out(5L).n_bytes
+    assert(out(5L).width == n5 % 640 + 1 && out(5L).channels == 0,
+      s"video-declared PNG must stub: ${out(5L)}")
+    assert(out(6L).width == 20 % 640 + 1 && out(6L).channels == 0,
+      s"truncated PNG must fall through to the stub, not error: ${out(6L)}")
   }
 
   test("multimodal decode is gated on the declared modality; hostile WAV sizes stub") {
