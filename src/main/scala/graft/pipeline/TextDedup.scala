@@ -483,6 +483,92 @@ object TextDedup {
     reassemble(kept, idCol, textCol)
   }
 
+  /** MAXIMAL repeated runs — the variable-length form of exact-substring
+    * dedup (Lee et al. 2021's suffix-array pass, restated distributively
+    * at word grain): every word position covered by a REPEATED `minWords`-
+    * gram occurrence (other than the gram's corpus-canonical first
+    * occurrence) is duplicate territory, and overlapping/adjacent covered
+    * windows merge into maximal runs. Pigeonhole-exact for repeats of
+    * ≥ `minWords` words: any such repeat is tiled by its k-gram windows,
+    * so the reconstructed run boundaries are the true maximal extent —
+    * unlike [[dedupSegments]]' fixed windows, which fragment a repeat
+    * that straddles segment boundaries and miss its unaligned edges.
+    * Returns one row per `(id, run_start, run_len)` covered run (word
+    * offsets).
+    *
+    * Shape at 100 TB: gram extraction is scan-shaped; the canonical/freq
+    * pass is one map-side-combinable aggregation keyed on `xxhash64(gram)`
+    * (the shuffle never carries gram strings — same discipline as the ER
+    * variants join); the repeated-gram side is only duplicated occurrences
+    * (a small fraction of the corpus), and the run merge is a window over
+    * per-document grams — bounded by document length, never corpus-grain.
+    */
+  def duplicateRuns(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5): DataFrame = {
+    require(minWords >= 2, "minWords must be >= 2")
+    val k = minWords
+    val arr = split(col(textCol), " ")
+    val grams = df
+      .filter(size(arr) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(arr) - lit(k)),
+        i => xxhash64(concat_ws(" ", slice(arr, i + 1, lit(k)))))))
+      .withColumnRenamed("pos", "gpos")
+      .withColumnRenamed("col", "__g")
+    val canon = grams.groupBy(col("__g"))
+      .agg(min(struct(col(idCol), col("gpos"))).as("__c"),
+        count(lit(1)).as("__freq"))
+      .filter(col("__freq") > 1)
+      .select(col("__g"), col("__c").getField(idCol).as("__cid"),
+        col("__c").getField("gpos").as("__cpos"))
+    val covered = grams.join(canon, Seq("__g"))
+      .filter(!(col(idCol) === col("__cid") && col("gpos") === col("__cpos")))
+      .select(col(idCol), col("gpos"))
+    // gaps-and-islands: length-k intervals sorted by start; a window start
+    // at or before the running max end extends the current run
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("gpos"))
+    val prevEnd = max(col("gpos") + lit(k))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = covered.withColumn("__new",
+      when(prevEnd.isNull || col("gpos") > prevEnd, 1L).otherwise(0L))
+    marked.withColumn("__run",
+      sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__run"))
+      .agg(min(col("gpos")).as("run_start"),
+        (max(col("gpos")) + lit(k)).as("__end"))
+      .select(col(idCol), col("run_start"),
+        (col("__end") - col("run_start")).as("run_len"))
+  }
+
+  /** Variable-length exact-substring DEDUP: remove every word inside a
+    * [[duplicateRuns]] maximal repeated run (the canonical first
+    * occurrence of each repeat survives uncovered), reassembling each
+    * document from its surviving words. Documents whose entire text was
+    * covered drop out, mirroring [[dedupSegments]]' group-by semantics.
+    *
+    * Shape at 100 TB: covered positions explode only from the (small)
+    * runs relation, and the purge is an equi anti-join on `(id, wpos)` —
+    * word rows are scan-shaped and the reassembly is the same bounded
+    * per-document aggregation as [[dedupSegments]].
+    */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5): DataFrame = {
+    val runs = duplicateRuns(df, idCol, textCol, minWords)
+    val coveredPos = runs.select(col(idCol),
+      explode(sequence(col("run_start"),
+        col("run_start") + col("run_len") - 1)).as("wpos"))
+    val words = df.select(col(idCol), posexplode(split(col(textCol), " ")))
+      .withColumnRenamed("pos", "wpos")
+      .withColumnRenamed("col", "__w")
+    words.join(coveredPos, Seq(idCol, "wpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(
+          array_sort(collect_list(struct(col("wpos"), col("__w")))),
+          s => s.getField("__w"))).as(textCol))
+  }
+
   /** Boilerplate scrub, CCNet/RefinedWeb-style restated over fixed word
     * windows: remove EVERY occurrence of any segment whose corpus frequency
     * exceeds `maxFreq` (headers, footers, cookie banners — content that

@@ -100,6 +100,25 @@ object PipelineQueries {
            SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
          clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
 
+  // shared CTE body for the substring-dedup oracles: the clone-salted
+  // corpus, word 5-grams, and the covered occurrences (every repeated
+  // gram occurrence except its corpus-canonical first, by (doc_id, gpos))
+  private val SUBSTRING_COV_CTE =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, 'clone-' || CAST(doc_id AS VARCHAR) || ' intro ' || text
+         FROM documents WHERE doc_id % 7 = 0),
+       arr AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       grams AS (SELECT doc_id, CAST(i AS INTEGER) AS gpos,
+                   array_to_string(w[(i+1):(i+5)], ' ') AS gram
+                 FROM (SELECT doc_id, w, unnest(range(len(w) - 4)) AS i FROM arr)),
+       cov AS (SELECT doc_id, gpos FROM
+                 (SELECT doc_id, gpos,
+                         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, gpos) AS rn,
+                         COUNT(*) OVER (PARTITION BY gram) AS freq
+                  FROM grams) WHERE freq > 1 AND rn > 1)"""
+
   // the whole-corpus NB model re-derived from scratch in SQL — shared
   // by the classify, shard-merge, and confusion gates
   private[tpch] val NB_ORACLE =
@@ -212,6 +231,34 @@ object PipelineQueries {
     // corpus-wide exact segment dedup (keep-first repeated 4-word spans)
     "pipe_dedup_segments" -> ((s, dir) => {
       TextDedup.dedupSegments(docs(s, dir), "doc_id", "text", segWords = 4)
+    }),
+
+    // variable-length exact-substring dedup (round 13): the corpus is
+    // salted with clones carrying a fresh 2-word preamble, so the shared
+    // suffix is a variable-length verbatim repeat that fixed segment
+    // windows would fragment; the gate emits the MAXIMAL repeated runs
+    // and the oracle re-derives them with the same canonical-first +
+    // gaps-and-islands logic over word 5-grams
+    "pipe_dedup_substrings" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val clones = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("clone-"), col("doc_id").cast("string"), lit(" intro "),
+            col("text")).as("text"))
+      TextDedup.duplicateRuns(d.unionByName(clones), "doc_id", "text",
+        minWords = 5)
+    }),
+
+    // the substring-dedup OUTPUT on the same salted corpus: cloned docs
+    // keep only their preamble, canonical originals survive whole
+    "pipe_dedup_substrings_text" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val clones = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("clone-"), col("doc_id").cast("string"), lit(" intro "),
+            col("text")).as("text"))
+      TextDedup.dedupSubstrings(d.unionByName(clones), "doc_id", "text",
+        minWords = 5)
     }),
 
     // boilerplate scrub: drop every 3-word segment seen > 2 times corpus-wide
@@ -1226,6 +1273,44 @@ object PipelineQueries {
          SELECT s.doc_id, string_agg(s.segment, ' ' ORDER BY s.seg_idx) AS text
          FROM segs s JOIN keep k USING (doc_id, seg_idx)
          GROUP BY s.doc_id""",
+
+    // maximal repeated runs re-derived: same salted corpus, word 5-grams,
+    // canonical-first (ROW_NUMBER over doc_id, gpos), covered occurrences
+    // merged by the gaps-and-islands window
+    "pipe_dedup_substrings" ->
+      s"""WITH $SUBSTRING_COV_CTE,
+         m AS (SELECT doc_id, gpos,
+                 CASE WHEN gpos <= max(gpos + 5) OVER (PARTITION BY doc_id ORDER BY gpos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 0 ELSE 1 END AS nr
+               FROM cov),
+         r AS (SELECT doc_id, gpos,
+                 SUM(nr) OVER (PARTITION BY doc_id ORDER BY gpos) AS run
+               FROM m)
+         SELECT doc_id, CAST(min(gpos) AS INTEGER) AS run_start,
+           CAST(max(gpos) + 5 - min(gpos) AS INTEGER) AS run_len
+         FROM r GROUP BY doc_id, run""",
+
+    // covered word positions exploded from the same runs, anti-joined
+    // against the word stream, reassembled in position order
+    "pipe_dedup_substrings_text" ->
+      s"""WITH $SUBSTRING_COV_CTE,
+         m AS (SELECT doc_id, gpos,
+                 CASE WHEN gpos <= max(gpos + 5) OVER (PARTITION BY doc_id ORDER BY gpos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 0 ELSE 1 END AS nr
+               FROM cov),
+         r AS (SELECT doc_id, gpos,
+                 SUM(nr) OVER (PARTITION BY doc_id ORDER BY gpos) AS run
+               FROM m),
+         runs AS (SELECT doc_id, min(gpos) AS rs, max(gpos) + 5 AS re
+                  FROM r GROUP BY doc_id, run),
+         cpos AS (SELECT doc_id, unnest(range(rs, re)) AS wpos FROM runs),
+         words AS (SELECT doc_id, CAST(i AS BIGINT) AS wpos, w[CAST(i + 1 AS INTEGER)] AS word
+                   FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM arr))
+         SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS text
+         FROM words ANTI JOIN cpos USING (doc_id, wpos)
+         GROUP BY doc_id""",
 
     "pipe_scrub_boilerplate" ->
       """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -103,4 +103,50 @@ class SegmentDedupSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(out == Map(7L -> text))
   }
+
+  test("duplicateRuns finds maximal variable-length repeats (cross-doc and in-doc)") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),       // canonical owner — no runs
+      (2L, "x y a b c d e f g z"),       // shares 7-word span at wpos 2..8
+      (3L, "p q r s t u p q r s t u"),   // in-doc repeat of a 6-word span
+      (4L, "one two three four")         // < minWords: no grams, no runs
+    ).toDF("doc_id", "text")
+    val runs = TextDedup.duplicateRuns(docs, "doc_id", "text", minWords = 5)
+      .as[(Long, Int, Int)].collect().toSet
+    // doc 2: covered grams at 2,3,4 merge to [2, 9) — the true maximal
+    // extent of the shared "a b c d e f g", unaligned to any fixed window
+    // doc 3: second "p q r s t u" covers grams 6,7 → run [6, 12)
+    assert(runs == Set((2L, 2, 7), (3L, 6, 6)),
+      s"expected the two planted maximal runs, got $runs")
+  }
+
+  test("dedupSubstrings removes covered runs, keeps canonical text whole") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g z"),
+      (3L, "p q r s t u p q r s t u"),
+      (4L, "one two three four")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dedupSubstrings(docs, "doc_id", "text", minWords = 5)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "a b c d e f g h i j", "canonical doc untouched")
+    assert(out(2L) == "x y z", "the whole shared span is removed, not fragments")
+    assert(out(3L) == "p q r s t u", "in-doc repeat collapses to one copy")
+    assert(out(4L) == "one two three four", "short docs pass through")
+  }
+
+  test("duplicateRuns: adjacent distinct repeats merge into one covered run") {
+    // doc 12 contains doc 10's span immediately followed by doc 11's span:
+    // two different canonical sources, but the covered windows tile
+    // contiguously and must merge into ONE maximal run
+    val docs = Seq(
+      (10L, "a1 a2 a3 a4 a5"),
+      (11L, "b1 b2 b3 b4 b5"),
+      (12L, "w1 a1 a2 a3 a4 a5 b1 b2 b3 b4 b5 w2")
+    ).toDF("doc_id", "text")
+    val runs = TextDedup.duplicateRuns(docs, "doc_id", "text", minWords = 5)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(runs == Set((12L, 1, 10)),
+      s"adjacent covered spans must merge to a single [1, 11) run, got $runs")
+  }
 }
