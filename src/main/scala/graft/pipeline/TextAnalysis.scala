@@ -363,17 +363,32 @@ object TextAnalysis {
     * subset of its occurrences), which the gate asserts.
     */
   def bpeTrain(df: DataFrame, textCol: String = "text", nMerges: Int = 50,
-      wordCap: Int = 1000000): Seq[(Int, String, String, Long)] = {
-    val wordCounts: Array[(String, Long)] = df
-      .select(explode(split(col(textCol), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w").asc)
-      .limit(wordCap)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    // driver loop over the bounded word table
-    var words: Array[(Array[String], Long)] =
-      wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      wordCap: Int = 1000000): Seq[(Int, String, String, Long)] =
+    bpeMergeLoop(
+      bpeWordCounts(df, textCol, wordCap)
+        .map { case (w, c) => (w.map(_.toString).toArray, c) },
+      nMerges)
+
+  /** The ONE distributed pass of BPE training: corpus → bounded
+    * word-frequency table (top-`wordCap` by count, word tie-break).
+    */
+  private def bpeWordCounts(df: DataFrame, textCol: String,
+      wordCap: Int): Array[(String, Long)] = df
+    .select(explode(split(col(textCol), " ")).as("w"))
+    .filter(length(col("w")) > 0)
+    .groupBy("w").agg(count(lit(1)).as("c"))
+    .orderBy(col("c").desc, col("w").asc)
+    .limit(wordCap)
+    .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** The driver-bounded greedy merge loop shared by [[bpeTrain]] (char
+    * symbols) and [[bpeTrainBytes]] (byte symbols): each step merges the
+    * most frequent adjacent symbol pair (count-weighted by word frequency,
+    * ties lexicographic) everywhere at once.
+    */
+  private def bpeMergeLoop(initial: Array[(Array[String], Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words = initial
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 1
     while (step <= nMerges) {
@@ -390,25 +405,66 @@ object TextAnalysis {
       else {
         val ((l, r), cnt) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
         merges += ((step, l, r, cnt))
-        val lr = l + r
-        words = words.map { case (syms, c) =>
-          if (syms.length < 2) (syms, c)
-          else {
-            val out = scala.collection.mutable.ArrayBuffer[String]()
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-                out += lr; i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.toArray, c)
-          }
-        }
+        words = words.map { case (syms, c) => (mergePair(syms, l, r), c) }
         step += 1
       }
     }
     merges.toSeq
   }
+
+  /** Merge every adjacent (l, r) occurrence in one left-to-right pass. */
+  private def mergePair(syms: Array[String], l: String,
+      r: String): Array[String] =
+    if (syms.length < 2) syms
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+
+  /** Byte ↔ symbol bijection for byte-level BPE: byte `b` maps to the
+    * single char `U+0100 + b`. Symbols stay plain Strings, so the merge
+    * loop and rank replay are shared verbatim with the char-level path,
+    * and symbol sort order is byte order (GPT-2 ships the same idea as a
+    * printable byte remapping — see its `bytes_to_unicode`).
+    */
+  private[pipeline] def byteToSym(b: Byte): String =
+    ((b & 0xff) + 0x100).toChar.toString
+
+  /** Inverse of [[byteToSym]] over a (possibly merged) symbol string. */
+  private[pipeline] def symToBytes(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toInt
+      require(c >= 0x100 && c <= 0x1FF, s"not a byte-level BPE symbol: $s")
+      out(i) = (c - 0x100).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** BYTE-FALLBACK BPE training (GPT-2 style): words decompose into their
+    * UTF-8 bytes before merging, so the base vocabulary is the closed set
+    * of 256 byte symbols and ANY Unicode input — emoji, CJK, combining
+    * marks, mojibake — is tokenizable with zero OOV dependence on having
+    * seen the character in training (char-level [[bpeTrain]] leaves an
+    * unseen character as its own token only if it fits in a String symbol;
+    * byte fallback makes the guarantee structural). Same split of labor:
+    * one distributed word-count pass, driver-bounded merge loop.
+    */
+  def bpeTrainBytes(df: DataFrame, textCol: String = "text",
+      nMerges: Int = 50, wordCap: Int = 1000000): Seq[(Int, String, String, Long)] =
+    bpeMergeLoop(
+      bpeWordCounts(df, textCol, wordCap).map { case (w, c) =>
+        (w.getBytes(java.nio.charset.StandardCharsets.UTF_8).map(byteToSym), c)
+      },
+      nMerges)
 
   /** Apply trained BPE merges to the corpus — the tokenize-with-the-
     * trained-vocab step after [[bpeTrain]]. Per word: repeatedly merge the
@@ -425,7 +481,38 @@ object TextAnalysis {
     * whitespace counts.
     */
   def bpeEncode(df: DataFrame, merges: Seq[(Int, String, String, Long)],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bpeEncodeWith(df, merges, idCol, textCol, w => w.map(_.toString).toArray)
+
+  /** Byte-level [[bpeEncode]]: words decompose into UTF-8 byte symbols
+    * before the rank replay, pairing with [[bpeTrainBytes]]. Tokens are
+    * strings over the `U+0100..U+01FF` symbol alphabet — decode with
+    * [[bpeBytesDecode]]; losslessness holds for arbitrary Unicode input by
+    * construction (every byte is a base symbol).
+    */
+  def bpeEncodeBytes(df: DataFrame, merges: Seq[(Int, String, String, Long)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bpeEncodeWith(df, merges, idCol, textCol,
+      w => w.getBytes(java.nio.charset.StandardCharsets.UTF_8).map(byteToSym))
+
+  /** Decode a byte-level token stream back to text: symbols → bytes →
+    * UTF-8. Tokens may split INSIDE a multi-byte character (byte BPE
+    * merges don't respect codepoint boundaries), so decoding concatenates
+    * all bytes before charset conversion.
+    */
+  def bpeBytesDecode(tokens: Seq[String]): String = {
+    val bytes = tokens.iterator.flatMap(symToBytes).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The shared rank-replay serving pass: per word (via `initSyms`),
+    * repeatedly merge the lowest-rank adjacent pair present, all
+    * occurrences at once. Typed `mapPartitions` scan, merge table on the
+    * closure — no shuffle, no UDF.
+    */
+  private def bpeEncodeWith(df: DataFrame,
+      merges: Seq[(Int, String, String, Long)], idCol: String,
+      textCol: String, initSyms: String => Array[String]): DataFrame = {
     val rank: Map[(String, String), Int] =
       merges.map(m => ((m._2, m._3), m._1)).toMap
     val spark = df.sparkSession
@@ -435,7 +522,7 @@ object TextAnalysis {
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val toks = text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
-            var syms: Array[String] = w.map(_.toString).toArray
+            var syms: Array[String] = initSyms(w)
             var done = syms.length < 2
             while (!done) {
               var best = Int.MaxValue; var bi = -1; var i = 0
@@ -446,15 +533,7 @@ object TextAnalysis {
               }
               if (bi < 0) done = true
               else {
-                val (l, r) = (syms(bi), syms(bi + 1))
-                val out = scala.collection.mutable.ArrayBuffer[String]()
-                var j = 0
-                while (j < syms.length) {
-                  if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
-                    out += (l + r); j += 2
-                  } else { out += syms(j); j += 1 }
-                }
-                syms = out.toArray
+                syms = mergePair(syms, syms(bi), syms(bi + 1))
                 done = syms.length < 2
               }
             }

@@ -587,6 +587,42 @@ object PipelineQueries {
           (sum(col("ntok")) < sum(col("nchar"))).as("compresses_ok"))
     }),
 
+    // BYTE-FALLBACK BPE (round 13): corpus salted with emoji / CJK /
+    // combining marks; the base vocabulary is the closed set of 256 byte
+    // symbols, so every salted word tokenizes with zero OOV. Invariants:
+    // byte-exact losslessness through decode, closed vocabulary (every
+    // multi-symbol token is a merge product), the salt genuinely
+    // exercised multi-byte UTF-8, and tokenization compresses below the
+    // raw byte count
+    "pipe_bpe_bytes" -> ((s, dir) => {
+      import s.implicits._
+      val salts = Seq("naïve café", "你好 世界",
+        "🙂🚀🌍", "és ås",
+        "Ωμέγα ψυχή")
+      val saltArr = array(salts.map(lit): _*)
+      val d = docs(s, dir).select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          element_at(saltArr, (col("doc_id") % 5 + 1).cast("int"))).as("text"))
+      val merges = TextAnalysis.bpeTrainBytes(d, "text", nMerges = 30)
+      require(merges.length == 30, "byte BPE must exhaust its merge budget")
+      val products = merges.map(m => m._2 + m._3).toSet
+      val enc = TextAnalysis.bpeEncodeBytes(d, merges)
+      d.join(enc, "doc_id").select(col("text"), col("tokens"))
+        .as[(String, Seq[String])]
+        .map { case (text, toks) =>
+          val ref = text.split(" ").filter(_.nonEmpty).mkString("")
+          val nBytes = ref.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          (TextAnalysis.bpeBytesDecode(toks) == ref,
+            toks.forall(t => t.length == 1 || products.contains(t)),
+            toks.length.toLong, nBytes.toLong, nBytes > ref.length)
+        }
+        .toDF("lossless", "vocab", "ntok", "nbytes", "multi")
+        .agg(min(col("lossless")).as("lossless_ok"),
+          min(col("vocab")).as("vocab_ok"),
+          (sum(col("ntok")) < sum(col("nbytes"))).as("compresses_ok"),
+          max(col("multi")).as("nonascii_ok"))
+    }),
+
     // LM-prep trigram count table (top-100, deterministic ties)
     "pipe_ngram_counts" -> ((s, dir) =>
       TextAnalysis.ngramCounts(docs(s, dir), 3, "text", 100)),
@@ -2243,6 +2279,12 @@ object PipelineQueries {
 
     "pipe_bpe_encode" ->
       "SELECT TRUE AS lossless_ok, TRUE AS vocab_ok, TRUE AS compresses_ok",
+
+    // byte-fallback BPE invariants measured by the engine against its own
+    // independent decode; any breach flips a boolean and fails the hash
+    "pipe_bpe_bytes" ->
+      """SELECT TRUE AS lossless_ok, TRUE AS vocab_ok,
+           TRUE AS compresses_ok, TRUE AS nonascii_ok""",
 
     "pipe_ngram_counts" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

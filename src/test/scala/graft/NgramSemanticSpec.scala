@@ -98,6 +98,41 @@ class NgramSemanticSpec extends AnyFunSuite {
     assert(ok.nonEmpty && ok.forall(identity))
   }
 
+  test("bpeTrainBytes merges UTF-8 byte symbols; encode/decode is byte-lossless") {
+    // "ab" in bytes: 0x61 0x62 → symbols U+0161 U+0162; the hand-computed
+    // merge sequence mirrors the char-level spec but over byte symbols
+    val df = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainBytes(df, "text", nMerges = 10)
+    val a = "š"; val b = "Ţ"
+    assert(merges == Seq((1, a, b, 5L), (2, a + b, a + b, 2L)))
+    val enc = TextAnalysis.bpeEncodeBytes(df, merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(enc(1L).map(t => TextAnalysis.bpeBytesDecode(Seq(t))) ==
+      Seq("abab", "abab", "ab"))
+    // arbitrary Unicode round-trips with ZERO training exposure: emoji
+    // (4-byte UTF-8), CJK (3-byte), combining marks — all unseen, all
+    // fall back to byte symbols and decode byte-exactly
+    val exotic = "café 🙂🚀 你好 és"
+    val out = TextAnalysis.bpeEncodeBytes(
+      Seq((2L, exotic)).toDF("doc_id", "text"), merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(TextAnalysis.bpeBytesDecode(out(2L)) ==
+      exotic.split(" ").mkString(""), "byte fallback must be lossless on " +
+      "emoji/CJK/combining marks the trainer never saw")
+    // every token is byte-decodable (closed 256-symbol base vocabulary)
+    out(2L).foreach(t => TextAnalysis.bpeBytesDecode(Seq(t)))
+  }
+
+  test("byte BPE merges may cross codepoint boundaries; decode still reassembles") {
+    // train on repeated emoji so merges form INSIDE the 4-byte sequence
+    val df = Seq((1L, "🙂🙂 🙂")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainBytes(df, "text", nMerges = 5)
+    assert(merges.nonEmpty, "byte pairs inside the emoji must merge")
+    val out = TextAnalysis.bpeEncodeBytes(df, merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(TextAnalysis.bpeBytesDecode(out(1L)) == "🙂🙂🙂")
+  }
+
   private def vecs(rows: (Long, Seq[Double])*) =
     rows.toDF("vec_id", "embedding")
 
