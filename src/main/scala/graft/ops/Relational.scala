@@ -76,6 +76,83 @@ object Relational {
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** [[saltedJoin]] with AUTO skew detection: one SpaceSaving sketch pass
+    * over the left side's key ([[graft.functions.FreqSketch]] — the
+    * shuffle carries one capacity-entry sketch per partition, never the
+    * key space) finds the keys whose row count exceeds `skewFactor` ×
+    * the per-reducer target (total rows / `spark.sql.shuffle.partitions`),
+    * and ONLY those keys are salted — each with its own factor
+    * `ceil(count / target)` capped at `maxSalt`. Cold keys keep salt 0 and
+    * the right side replicates a row `factor` times ONLY for its key's
+    * factor (via a broadcast factor-map join), so right-side inflation is
+    * `Σ_hot (factor − 1)` rows — bounded by the hot-key count, never
+    * `salt ×` the whole table like the static version.
+    *
+    * With no hot key detected this IS the plain join (zero overhead
+    * beyond the sketch pass). Salting never changes join semantics, so
+    * result parity with the plain join holds by construction — gated.
+    * Same deployment guidance as [[saltedJoin]]: prefer AQE's skew-join
+    * where AQE can re-plan; this is the portable/streaming remedy.
+    */
+  /** The detection pass of [[saltedJoinAuto]], usable standalone for skew
+    * forensics: `(key as string, salt factor)` for every key whose
+    * GUARANTEED frequency lower bound (SpaceSaving `cnt − err`) exceeds
+    * `skewFactor` × the per-reducer row target. Factor =
+    * `ceil(count / target)`, clamped to `[2, maxSalt]`.
+    */
+  def skewFactors(df: DataFrame, key: String, capacity: Int = 256,
+      skewFactor: Double = 4.0, maxSalt: Int = 64): Seq[(String, Int)] = {
+    val nPart = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val probe = df.agg(
+      graft.functions.FreqSketch(col(key).cast("string"), capacity).as("hh"),
+      count(lit(1)).as("n")).head()
+    val total = probe.getAs[Long]("n")
+    val target = math.max(1L, math.ceil(
+      total.toDouble / math.max(1, nPart)).toLong)
+    probe.getSeq[org.apache.spark.sql.Row](0)
+      .collect {
+        // cnt - err is the guaranteed LOWER bound of the true frequency:
+        // only provably-hot keys get salted (a false positive would only
+        // cost replication, but the conservative bound keeps the factor
+        // map honest across partitionings)
+        case e if (e.getAs[Long]("cnt") - e.getAs[Long]("err")) >
+            skewFactor * target =>
+          (e.getAs[String]("token"),
+            math.min(maxSalt.toLong, math.max(2L, math.ceil(
+              e.getAs[Long]("cnt").toDouble / target).toLong)).toInt)
+      }
+  }
+
+  def saltedJoinAuto(left: DataFrame, right: DataFrame, key: String,
+      joinType: String = "inner", capacity: Int = 256,
+      skewFactor: Double = 4.0, maxSalt: Int = 64): DataFrame = {
+    require(Set("inner", "left", "leftouter", "leftsemi")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoinAuto replicates the RIGHT side; join type '$joinType' " +
+        "would duplicate unmatched right rows — use inner/left/semi")
+    val spark = left.sparkSession
+    val factors = skewFactors(left, key, capacity, skewFactor, maxSalt)
+    if (factors.isEmpty) left.join(right, Seq(key), joinType)
+    else {
+      import spark.implicits._
+      val fdf = broadcast(factors.toDF("__hk", "__f"))
+      val l = left
+        .join(fdf, col(key).cast("string") === col("__hk"), "left")
+        .withColumn("__fl", coalesce(col("__f"), lit(1)))
+        .withColumn("__salt", pmod(
+          spark_partition_id() + monotonically_increasing_id(),
+          col("__fl")).cast("int"))
+        .drop("__hk", "__f", "__fl")
+      val r = right
+        .join(fdf, col(key).cast("string") === col("__hk"), "left")
+        .withColumn("__fr", coalesce(col("__f"), lit(1)))
+        .withColumn("__salt", explode(sequence(lit(0), col("__fr") - 1)))
+        .drop("__hk", "__f", "__fr")
+      l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+    }
+  }
+
   /** Gap-based sessionization: a new session starts when the time since the
     * previous event of the same key exceeds `gapSeconds`. Session ids are a
     * running count of session starts per key — one shuffle, codegen windows.

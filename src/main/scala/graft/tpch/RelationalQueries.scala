@@ -419,6 +419,29 @@ object RelationalQueries {
         .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
     }),
 
+    // AUTO-skew salted join (round 13): a hot key is PLANTED (half the
+    // lineitems collapse onto orderkey 1), no manual salt parameter —
+    // skewFactors' sketch pass must detect it (require'd, so the gate
+    // can't pass vacuously through the plain-join branch), salt only it,
+    // and keep exact parity with the plain join the oracle runs
+    "rel_join_salted_auto" -> ((s, dir) => {
+      val skewed = read(s, dir, "lineitem")
+        .select(when(col("l_orderkey") % 2 === 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("l_orderkey"),
+          col("l_extendedprice"))
+      // skewFactor 1.5 so detection fires at any shuffle-partition count
+      // the harness uses (4 locally, 32 in the driver): the planted key
+      // holds ~50% of rows, i.e. nPart/2 reducer targets
+      require(Relational.skewFactors(skewed, "l_orderkey", skewFactor = 1.5).nonEmpty,
+        "the planted hot key must be detected — a vacuous plain-join pass " +
+          "would not exercise auto-salting")
+      val orders = read(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Relational.saltedJoinAuto(skewed, orders, "l_orderkey", skewFactor = 1.5)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+    }),
+
     // semi-structured: typed JSON extraction from the events `props` column
     // — `from_json` with an explicit schema (the codegen'd Jackson path; a
     // malformed document yields NULL, counted rather than erroring), then
@@ -479,6 +502,15 @@ object RelationalQueries {
     "rel_join_salted" ->
       """SELECT o_orderpriority, CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority""",
+
+    // the same parity contract for the auto-detected variant, over the
+    // hot-key-planted left side
+    "rel_join_salted_auto" ->
+      """SELECT o_orderpriority, CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN (
+           SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_orderkey END AS l_orderkey,
+                  l_extendedprice FROM lineitem) l
+         ON o_orderkey = l.l_orderkey GROUP BY o_orderpriority""",
 
     "rel_semi_join" ->
       """SELECT n_name, COUNT(*) AS n_customers FROM customer

@@ -118,4 +118,46 @@ class SkewJustificationSpec extends AnyFunSuite {
     info(f"speedups vs plain — join: salted ${tPlain / tSalt}%.2fx, AQE ${tPlain / tAqe}%.2fx; " +
       f"agg-after-join: salted ${taPlain / taSalt}%.2fx, AQE ${taPlain / taAqe}%.2fx")
   }
+
+  test("skewFactors detects exactly the planted hot key, factor bounded") {
+    // the test session runs 4 shuffle partitions, so the 50%-share key is
+    // only ~2 reducer-targets heavy — lower the factor threshold to match
+    val factors = Relational.skewFactors(skewLeft, "k", skewFactor = 1.5).toMap
+    assert(factors.contains("0"), "the 50%-share key must be detected")
+    assert(factors.size == 1,
+      s"uniform tail keys must NOT be salted, got $factors")
+    // 50% of rows over 32 reducer targets → raw factor ~16, capped at 64
+    assert(factors("0") >= 2 && factors("0") <= 64)
+    // a uniform frame yields no factors at all
+    val uniform = spark.range(100000).select(col("id").as("k"))
+    assert(Relational.skewFactors(uniform, "k", skewFactor = 1.5).isEmpty,
+      "no hot key → no salting → plain-join branch")
+  }
+
+  test("saltedJoinAuto: no manual salt, parity with plain, bounded replication") {
+    val noBroadcastOrAqe = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    withConf(noBroadcastOrAqe: _*) {
+      val auto = Relational.saltedJoinAuto(skewLeft, rightSide, "k", skewFactor = 1.5)
+      assert(joinChecksum(auto) == joinChecksum(skewLeft.join(rightSide, Seq("k"))),
+        "auto-salting must not change the join result")
+      // per-key replication is bounded: the explode is driven by the
+      // per-key factor map (broadcast), so the plan carries a Generate
+      // fed by a broadcast join — not a static replicate-everything
+      val plan = auto.queryExecution.executedPlan.toString
+      assert(plan.contains("Generate"), s"hot-key replication expected:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"the factor map must broadcast:\n$plan")
+      // uniform input takes the plain-join branch — zero replication
+      val uniform = spark.range(200000).select(col("id").as("k"), col("id").as("x"))
+      val plain = Relational.saltedJoinAuto(uniform, rightSide, "k", skewFactor = 1.5)
+      assert(!plain.queryExecution.executedPlan.toString.contains("Generate"),
+        "no hot keys → the plain join, no explode anywhere")
+    }
+    // right/full outer would duplicate unmatched replicated right rows
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoinAuto(skewLeft, rightSide, "k", joinType = "right")
+    }
+  }
 }
