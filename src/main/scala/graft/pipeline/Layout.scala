@@ -70,4 +70,147 @@ object Layout {
       else withZ.repartitionByRange(col("__z"))
     parted.sortWithinPartitions(col("__z"))
   }
+
+  // ---------------------------------------------------------------------
+  // Incremental Z-order maintenance: a manifest-driven file store where an
+  // append re-clusters ONLY the files whose z-range overlaps the new keys
+  // (the ivfAppend discipline applied to layout). The manifest — one
+  // (path, zmin, zmax, rows) line per live data file — is the source of
+  // truth for readers, so the append commits atomically at the manifest
+  // rename and untouched files are never rewritten (byte-identical,
+  // spec-pinned). This is the minimal form of the transaction-log layout
+  // maintenance Delta/Iceberg `OPTIMIZE ZORDER` does.
+  // ---------------------------------------------------------------------
+
+  /** One live file of a z-ordered store. */
+  final case class ZFile(path: String, zMin: Long, zMax: Long, rows: Long)
+
+  /** Append outcome: which files were re-clustered vs left alone. */
+  final case class ZAppendStats(rewrittenFiles: Seq[String],
+      untouchedFiles: Seq[String], newFiles: Seq[String], batchRows: Long)
+
+  import org.apache.spark.sql.SparkSession
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_zmanifest.json")
+
+  /** Load the live-file manifest. */
+  def zorderManifest(spark: SparkSession, dir: String): Seq[ZFile] = {
+    val f = fs(spark, dir)
+    val mp = manifestPath(dir)
+    if (!f.exists(mp)) Seq.empty
+    else {
+      val in = f.open(mp)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+        // fixed 4-field tab layout — no JSON parser dependency needed
+        val p = line.split('\t')
+        ZFile(p(0), p(1).toLong, p(2).toLong, p(3).toLong)
+      }
+    }
+  }
+
+  /** Atomically replace the manifest (temp write + rename). */
+  private def writeManifest(spark: SparkSession, dir: String,
+      files: Seq[ZFile]): Unit = {
+    val f = fs(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_zmanifest.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(files.map(zf => s"${zf.path}\t${zf.zMin}\t${zf.zMax}\t${zf.rows}")
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    f.delete(manifestPath(dir), false)
+    require(f.rename(tmp, manifestPath(dir)), s"manifest rename failed in $dir")
+  }
+
+  /** Write a z-layouted frame as a new segment directory and return its
+    * per-file z stats (one grouped pass over the `__z` column only).
+    */
+  private def writeSegment(spark: SparkSession, dir: String, seg: String,
+      layouted: DataFrame): Seq[ZFile] = {
+    val segDir = s"$dir/$seg"
+    layouted.write.mode("overwrite").parquet(segDir)
+    spark.read.parquet(segDir)
+      .groupBy(input_file_name().as("path"))
+      .agg(min(col("__z")).as("zmin"), max(col("__z")).as("zmax"),
+        count(lit(1)).as("rows"))
+      .collect()
+      .map(r => ZFile(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_.zMin)
+  }
+
+  /** Initial build of an incremental z-ordered store: layout `df` on the
+    * Morton code of `cols`, write to `dir/seg-0`, record the manifest.
+    * The stored files RETAIN the `__z` column (reads prune on it; appends
+    * re-cluster by it without recomputing).
+    */
+  def zorderWrite(spark: SparkSession, dir: String, df: DataFrame,
+      cols: Seq[Column], bits: Int = 16, numFiles: Int = 8): Seq[ZFile] = {
+    val files = writeSegment(spark, dir, "seg-0",
+      zorderLayout(df, cols, bits, numFiles))
+    writeManifest(spark, dir, files)
+    files
+  }
+
+  /** Read the store through its manifest — only live files, so a reader
+    * never sees a half-committed append (the manifest rename is the
+    * commit point). Plans as a plain parquet scan: footer min/max stats
+    * on `__z` and the original columns drive row-group pruning as usual.
+    */
+  def zorderRead(spark: SparkSession, dir: String): DataFrame = {
+    val files = zorderManifest(spark, dir)
+    require(files.nonEmpty, s"no z-ordered store at $dir")
+    spark.read.parquet(files.map(_.path): _*)
+  }
+
+  /** INCREMENTAL append: re-cluster only the files whose `[zMin, zMax]`
+    * contains at least one of the batch's z values — those files plus the
+    * batch re-layout into a fresh segment; every other file is left
+    * byte-untouched and keeps its manifest entry. A batch entirely outside
+    * all live ranges rewrites nothing and lands as its own segment. The
+    * overlap test joins the batch's DISTINCT z values against the (small,
+    * broadcast) manifest intervals — never a driver scan of the batch.
+    *
+    * Shape at 100 TB: append cost is proportional to the data that
+    * actually interleaves with the new keys (a time-correlated batch
+    * touches the tail files only), not to the table — the same
+    * touched-partitions-only argument as `Similarity.ivfAppend`.
+    */
+  def zorderAppend(spark: SparkSession, dir: String, batch: DataFrame,
+      cols: Seq[Column], bits: Int = 16, numFiles: Int = 4): ZAppendStats = {
+    val manifest = zorderManifest(spark, dir)
+    require(manifest.nonEmpty, s"no z-ordered store at $dir — zorderWrite first")
+    val batchZ = batch.withColumn("__z", zValue(cols, bits))
+    import spark.implicits._
+    val intervals = manifest.map(zf => (zf.path, zf.zMin, zf.zMax))
+      .toDF("path", "zmin", "zmax")
+    val touched = batchZ.select(col("__z")).distinct()
+      .join(broadcast(intervals),
+        col("__z") >= col("zmin") && col("__z") <= col("zmax"))
+      .select(col("path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (hot, cold) = manifest.partition(zf => touched.contains(zf.path))
+    val seg = s"seg-${java.util.UUID.randomUUID().toString.take(8)}"
+    val rewriteInput =
+      if (hot.isEmpty) batchZ
+      else spark.read.parquet(hot.map(_.path): _*).unionByName(batchZ)
+    // already carries __z — re-layout without recomputing the interleave
+    val layouted = rewriteInput.repartitionByRange(
+      math.max(1, numFiles + hot.size), col("__z"))
+      .sortWithinPartitions(col("__z"))
+    val newFiles = writeSegment(spark, dir, seg, layouted)
+    writeManifest(spark, dir, cold ++ newFiles)
+    // dropped files are dead after the manifest commit; deletion is
+    // best-effort hygiene (readers go through the manifest)
+    val f = fs(spark, dir)
+    hot.foreach(zf => try f.delete(new org.apache.hadoop.fs.Path(
+      new java.net.URI(zf.path).getPath), false) catch { case _: Exception => () })
+    ZAppendStats(hot.map(_.path), cold.map(_.path), newFiles.map(_.path),
+      batchZ.count())
+  }
 }

@@ -1054,6 +1054,36 @@ object PipelineQueries {
           floor(col("value")).cast("long")), bits = 10).as("z"))
     }),
 
+    // INCREMENTAL z-order maintenance (round 13): build a manifest-driven
+    // z-ordered store from 80% of events, append the scattered remainder
+    // (re-clusters wherever it interleaves), then append a z-CONFINED
+    // batch (user_id < 8, v < 8 → z < 64) — the require pins that the
+    // confined append re-clustered SOME file but left others byte-alone
+    // (the incremental contract). The gate output reads the store through
+    // the manifest and aggregates; parity with a plain scan of ALL events
+    // proves maintenance lost/duplicated nothing.
+    "pipe_zorder_append" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value")).cast("long").as("v"))
+      val zc = Seq(col("user_id"), col("v"))
+      val store = java.nio.file.Files.createTempDirectory("graftzstore").toString
+      val confined = col("user_id") < 8 && col("v") < 8
+      Layout.zorderWrite(s, store, e.filter(col("event_id") % 5 =!= 0),
+        zc, bits = 10, numFiles = 8)
+      Layout.zorderAppend(s, store,
+        e.filter(col("event_id") % 5 === 0 && !confined), zc, bits = 10)
+      val st = Layout.zorderAppend(s, store,
+        e.filter(col("event_id") % 5 === 0 && confined), zc, bits = 10)
+      require(st.batchRows > 0 && st.rewrittenFiles.nonEmpty &&
+        st.untouchedFiles.nonEmpty,
+        s"confined append must re-cluster only the overlapping z-range: $st")
+      Layout.zorderRead(s, store)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("event_id")).as("se"))
+    }),
+
     // blocked fuzzy entity-resolution join (round 12): the dirty side is
     // each customer name with ONE deterministic substitution (position
     // 1 + custkey % len → 'x'); FastSS deletion-neighborhood blocking +
@@ -1917,6 +1947,14 @@ object PipelineQueries {
          FROM p JOIN a ai ON p.i = ai.doc_id JOIN a aj ON p.j = aj.doc_id
          GROUP BY 1, 2"""
     },
+
+    // plain scan over ALL events — the store must serve identical totals
+    // after its incremental maintenance
+    "pipe_zorder_append" ->
+      """SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv,
+           CAST(SUM(event_id) AS BIGINT) AS se
+         FROM events GROUP BY user_id""",
 
     // the SAME unrolled interleave expression, emitted by Layout.zValueSql
     "pipe_zorder" ->

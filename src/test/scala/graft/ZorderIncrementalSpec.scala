@@ -1,0 +1,93 @@
+package graft
+
+import graft.pipeline.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental z-order maintenance ([[Layout.zorderWrite]] /
+  * [[Layout.zorderAppend]] / [[Layout.zorderRead]]): only files whose
+  * z-range overlaps the batch are re-clustered; everything else stays
+  * byte-identical on disk, and the manifest-driven read never loses or
+  * duplicates a row.
+  */
+class ZorderIncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fileMd5(path: String): String = {
+    val p = java.nio.file.Paths.get(new java.net.URI(path).getPath)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("id", "a", "b").as[(Long, Long, Long)].collect().toSet
+
+  test("confined append re-clusters only overlapping files; others byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("zinc1").toString
+    // base: both keys spread over [0, 64) → z spread over [0, 4096)
+    val base = spark.range(4000).select(col("id"),
+      pmod(hash(col("id")), lit(64)).cast("long").as("a"),
+      pmod(hash(col("id") * 7), lit(64)).cast("long").as("b"))
+    val zc = Seq(col("a"), col("b"))
+    Layout.zorderWrite(spark, dir, base, zc, bits = 6, numFiles = 8)
+    val before = Layout.zorderManifest(spark, dir)
+    assert(before.size >= 4, s"need several files to show incrementality: $before")
+    val md5Before = before.map(f => f.path -> fileMd5(f.path)).toMap
+
+    // confined batch: a, b < 4 → z < 16 → only the lowest-range file overlaps
+    val batch = spark.range(100000, 100050).select(col("id"),
+      (col("id") % 4).as("a"), (col("id") % 4).as("b"))
+    val st = Layout.zorderAppend(spark, dir, batch, zc, bits = 6)
+    assert(st.rewrittenFiles.nonEmpty, "the low-z file must re-cluster")
+    assert(st.untouchedFiles.size >= before.size - 2,
+      s"most files must stay untouched, got $st")
+    // byte-identity of every untouched file
+    st.untouchedFiles.foreach { p =>
+      assert(fileMd5(p) == md5Before(p), s"untouched file changed on disk: $p")
+    }
+    // read parity: base ∪ batch, nothing lost or duplicated
+    assert(rowsOf(Layout.zorderRead(spark, dir)) ==
+      rowsOf(base) ++ rowsOf(batch))
+    // manifest invariant: live rows match, no dead paths
+    val after = Layout.zorderManifest(spark, dir)
+    assert(after.map(_.rows).sum == 4050L)
+    assert(after.map(_.path).toSet.intersect(st.rewrittenFiles.toSet).isEmpty,
+      "re-clustered files must leave the manifest")
+  }
+
+  test("a batch outside every live z-range rewrites nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("zinc2").toString
+    // base confined to z < 16 (a, b < 4)
+    val base = spark.range(500).select(col("id"),
+      (col("id") % 4).as("a"), (col("id") % 4).as("b"))
+    val zc = Seq(col("a"), col("b"))
+    Layout.zorderWrite(spark, dir, base, zc, bits = 6, numFiles = 2)
+    val md5Before = Layout.zorderManifest(spark, dir)
+      .map(f => f.path -> fileMd5(f.path)).toMap
+    // batch confined to high z (a, b in [32, 36)) — disjoint from base
+    val batch = spark.range(1000, 1060).select(col("id"),
+      (col("id") % 4 + 32).as("a"), (col("id") % 4 + 32).as("b"))
+    val st = Layout.zorderAppend(spark, dir, batch, zc, bits = 6)
+    assert(st.rewrittenFiles.isEmpty, s"disjoint batch must rewrite nothing: $st")
+    md5Before.foreach { case (p, h) => assert(fileMd5(p) == h) }
+    assert(rowsOf(Layout.zorderRead(spark, dir)) == rowsOf(base) ++ rowsOf(batch))
+  }
+
+  test("append equals full rebuild for readers (same rows, pruned scans)") {
+    val dir = java.nio.file.Files.createTempDirectory("zinc3").toString
+    val all = spark.range(2000).select(col("id"),
+      pmod(hash(col("id")), lit(32)).cast("long").as("a"),
+      pmod(hash(col("id") * 3), lit(32)).cast("long").as("b"))
+    val zc = Seq(col("a"), col("b"))
+    Layout.zorderWrite(spark, dir, all.filter(col("id") % 3 =!= 0), zc, bits = 5, numFiles = 4)
+    Layout.zorderAppend(spark, dir, all.filter(col("id") % 3 === 0), zc, bits = 5)
+    val got = Layout.zorderRead(spark, dir)
+    assert(rowsOf(got) == rowsOf(all))
+    // a slice predicate on BOTH interleaved columns still answers correctly
+    val slice = got.filter(col("a") < 4 && col("b") < 4)
+    val expect = all.filter(col("a") < 4 && col("b") < 4)
+    assert(rowsOf(slice) == rowsOf(expect))
+  }
+}
