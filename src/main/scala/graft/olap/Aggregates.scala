@@ -642,6 +642,37 @@ object Aggregates {
         if (summaryFresh(sc)) sc
         else refreshPartial(base, sc).getOrElse(rebuild(base, sc))))
 
+    /** A GROUPING SETS-style multi-grain report, each grain routed
+      * INDEPENDENTLY to the smallest covering summary: `grains` is one
+      * per-dimension member-name selection per grouping set (the cube
+      * analogue of SQL `GROUPING SETS` — a collapsed dimension pins its
+      * total member, a kept one lists members). Returns the union of the
+      * per-grain grids tagged with `grain` (≙ `grouping_id()`), members
+      * by NAME (id spaces differ between summary and base cubes), plus
+      * the cube that served each grain so callers can assert routing.
+      * A lattice query is thus answered PARTLY summary-served: coarse
+      * grains ride a summary frame orders smaller than the facts, leaf
+      * grains fall back to base — per-grain, never all-or-nothing.
+      */
+    def groupingSets(grains: Seq[Seq[Seq[String]]])
+        : (Seq[Cube], org.apache.spark.sql.DataFrame) = {
+      require(grains.nonEmpty && grains.forall(_.size == base.nDims),
+        s"each grain must select on all ${base.nDims} dimensions")
+      val parts = grains.zipWithIndex.map { case (names, gi) =>
+        val c = cubeForSelections(names)
+        val grid = c.gridAggregate(
+          names.zipWithIndex.map { case (ms, i) => ms.map(c.dimensions(i).idOf) })
+        val nameCols = names.zipWithIndex.map { case (ms, i) =>
+          val nm = map(ms.flatMap(n =>
+            Seq(lit(c.dimensions(i).idOf(n)), lit(n))): _*)
+          nm(col(s"a$i")).as(s"m$i")
+        }
+        (c, grid.select(lit(gi).as("grain") +: nameCols :+
+          col("value").cast("double").as("value"): _*))
+      }
+      (parts.map(_._1), parts.map(_._2).reduce(_ unionByName _))
+    }
+
     /** A whole VIEW through the navigator: dimensions the definition leaves
       * unmentioned are pinned to the BASE cube's default member first (view
       * semantics must not shift with routing — a summary's own default

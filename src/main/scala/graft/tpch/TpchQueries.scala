@@ -1111,6 +1111,39 @@ object TpchQueries {
       gridOf(coarse, regionNames).union(gridOf(fine, natNames))
     }),
 
+    // §2.13+ (round 13): GROUPING SETS through the navigator — a
+    // multi-grain lattice query answered PARTLY summary-served, per
+    // grain: the World total and the region grain ride the coarse
+    // region×year summary, the nation grain the fine nation×year one,
+    // and the customer grain (below every summary) falls back to base.
+    // Routing is require'd per grain, and the unioned grids hash-match
+    // the base-served GROUPING SETS oracle.
+    "olap_agg_grouping_sets" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val coarse = graft.olap.Aggregates.materialize(m.cube,
+        "gs_region_year", Seq(Some(2), Some(2), None, None))
+      val fine = graft.olap.Aggregates.materialize(m.cube,
+        "gs_nation_year", Seq(Some(1), Some(2), None, None))
+      val nav = new graft.olap.Aggregates.Navigator(m.cube, Seq(coarse, fine))
+      val regionNames = m.cube.dimensions(0).members.filter(_.level == 2).map(_.name)
+      val natNames = m.geo.members.find(_.name == "EUROPE").get.children
+        .map(id => m.geo.nameOf(id))
+      val custNames = Seq("C#1", "C#2", "C#3")
+      val rest = Seq(Seq("1996"), Seq("AllBrands"), Seq("gross"))
+      val grains = Seq(
+        Seq(Seq("World")) ++ rest,
+        Seq(regionNames) ++ rest,
+        Seq(natNames) ++ rest,
+        Seq(custNames) ++ rest)
+      val (targets, df) = nav.groupingSets(grains)
+      require((targets(0) eq coarse) && (targets(1) eq coarse),
+        "World total and region grain must ride the coarse summary")
+      require(targets(2) eq fine, "nation grain must ride the fine summary")
+      require(targets(3) eq m.cube,
+        "customer grain sits below every summary — base must serve it")
+      df.select(col("grain"), col("m0").as("member"), col("value"))
+    }),
+
     // §2.13 × R3 (round 12): AGGREGATION_LEVEL rule served THROUGH a
     // COARSENED summary — the exact r10-flagged failure shape. The summary's
     // grain members (nations, years) are LEAVES of the derived catalogs, so
@@ -1764,6 +1797,25 @@ object TpchQueries {
          $STAR
          WHERE strftime(o_orderdate, '%Y') = '1996' AND r_name = 'EUROPE'
          GROUP BY n_name""",
+
+    // the base-served GROUPING SETS the navigator's per-grain routing
+    // must reproduce bit-identically: World total, regions, EUROPE's
+    // nations, and three named customers — all at 1996
+    "olap_agg_grouping_sets" ->
+      s"""SELECT 0 AS grain, 'World' AS member, CAST(SUM($GROSS) AS DOUBLE) AS value
+         $STAR WHERE strftime(o_orderdate, '%Y') = '1996'
+         UNION ALL
+         SELECT 1 AS grain, r_name AS member, CAST(SUM($GROSS) AS DOUBLE) AS value
+         $STAR WHERE strftime(o_orderdate, '%Y') = '1996' GROUP BY r_name
+         UNION ALL
+         SELECT 2 AS grain, n_name AS member, CAST(SUM($GROSS) AS DOUBLE) AS value
+         $STAR WHERE strftime(o_orderdate, '%Y') = '1996' AND r_name = 'EUROPE'
+         GROUP BY n_name
+         UNION ALL
+         SELECT 3 AS grain, 'C#' || CAST(o_custkey AS VARCHAR) AS member,
+           CAST(SUM($GROSS) AS DOUBLE) AS value
+         $STAR WHERE strftime(o_orderdate, '%Y') = '1996' AND o_custkey IN (1, 2, 3)
+         GROUP BY o_custkey""",
 
     // margin per nation at 1996, the base-served arithmetic — the summary
     // route must not change a cell (sums are decimal-exact on both sides,
