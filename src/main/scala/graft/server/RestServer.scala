@@ -1,0 +1,267 @@
+package graft.server
+
+import graft.core.{Cube, Database}
+import graft.olap.{OlapQuery, View, ViewDef, ViewWindow}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.util.concurrent.locks.ReentrantReadWriteLock
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** Thin HTTP layer over [[graft.core.Database]] — the counterpart of the
+  * reference's REST API (`/root/reference/api/rest/main.py:1-46`,
+  * `routers/databases.py:15-58`, `routers/cells.py:25-59`,
+  * `routers/views.py:24-115`), built on the JDK's own
+  * `com.sun.net.httpserver` (no new dependency) with json4s-jackson for
+  * bodies (already on the Spark classpath).
+  *
+  * Surface:
+  *  - `GET  /`                               — HTML index (≙ root.py:13)
+  *  - `GET  /databases`                      — database list
+  *  - `GET  /databases/{db}`                 — short catalog (cubes + dims)
+  *  - `GET  /databases/{db}/catalog`         — full catalog (members, rules)
+  *  - `GET  /cells/{db}/{cube}?address=a,b`  — addressed cell read (the
+  *    reference's demo route reads a RANDOM cell; this serves the real
+  *    `{database, cube, members} → value` contract its `CellAddress`
+  *    model declares)
+  *  - `PUT  /cells/{db}/{cube}` body `{"address":[…],"value":v}` — write
+  *  - `POST /views/{db}/{cube}?format=json|html|csv[&top..right]` —
+  *    render an ad-hoc [[ViewDef]] (JSON body, the persisted-view codec)
+  *  - `GET  /views/{db}/{cube}/{name}?format=…` — render a NAMED view
+  *    from the cube's registry
+  *  - `POST /query/{db}` body = dialect SQL — run [[OlapQuery]], rows as
+  *    JSON records
+  *
+  * Concurrency mirrors the reference's per-database read/write lock
+  * (`dependencies.py` `gen_rlock`/`gen_wlock`): reads share, writes are
+  * exclusive. SCALE: this is a driver-side CONTROL PLANE — every read
+  * renders through the cube's one-job grid aggregation on the cluster;
+  * the HTTP layer carries only the view-sized result, never fact data.
+  * Status mapping follows the reference: 404 unknown entity, 400 invalid
+  * request (e.g. aggregated-cell writeback), 500 otherwise.
+  */
+final class RestServer(databases: Seq[Database], port: Int = 0) {
+  require(databases.nonEmpty, "RestServer needs at least one database")
+
+  private val dbMap = databases.map(d => d.name.toLowerCase -> d).toMap
+  private val locks = databases.map(d =>
+    d.name.toLowerCase -> new ReentrantReadWriteLock()).toMap
+  private val server = HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", port), 0)
+  @volatile private var started = false
+
+  /** 404-checked lookups. */
+  private def db(name: String): Database =
+    dbMap.getOrElse(name.toLowerCase, throw NotFound(s"database '$name' not found"))
+  private def cubeOf(d: Database, name: String): Cube =
+    if (d.cubeExists(name)) d.cube(name) else throw NotFound(s"cube '$name' not found")
+
+  private case class NotFound(msg: String) extends RuntimeException(msg)
+  private case class BadRequest(msg: String) extends RuntimeException(msg)
+
+  private def withRead[A](d: Database)(body: => A): A = {
+    val l = locks(d.name.toLowerCase).readLock(); l.lock()
+    try body finally l.unlock()
+  }
+  private def withWrite[A](d: Database)(body: => A): A = {
+    val l = locks(d.name.toLowerCase).writeLock(); l.lock()
+    try body finally l.unlock()
+  }
+
+  // ---- JSON bodies -------------------------------------------------------
+
+  private def shortCatalog(d: Database): JValue =
+    "database" ->
+      (("id" -> d.name) ~ ("caching" -> d.caching) ~
+        ("cubes" -> d.cubes.map(c =>
+          ("id" -> c.name) ~
+            ("dimensions" -> c.dimensions.map(_.name)) ~
+            ("cells_count" -> c.cellsCount))) ~
+        ("dimensions" -> d.dimensions.map(dim =>
+          ("id" -> dim.name) ~ ("members_count" -> dim.members.size))))
+
+  private def fullCatalog(d: Database): JValue =
+    "database" ->
+      (("id" -> d.name) ~ ("caching" -> d.caching) ~
+        ("cubes" -> d.cubes.map(c =>
+          ("id" -> c.name) ~
+            ("dimensions" -> c.dimensions.map(_.name)) ~
+            ("cells_count" -> c.cellsCount) ~
+            ("rules" -> c.rules.map(_.name).toList) ~
+            ("views" -> c.views.names.toList))) ~
+        ("dimensions" -> d.dimensions.map(dim =>
+          ("id" -> dim.name) ~
+            ("members" -> dim.members.toList.map(m =>
+              ("name" -> m.name) ~ ("level" -> m.level))))))
+
+  private def cellJson(dbName: String, cubeName: String, address: Seq[String],
+      value: Option[Double]): JValue =
+    ("db" -> dbName) ~ ("cube" -> cubeName) ~ ("address" -> address.toList) ~
+      // explicit null for an empty cell (json4s would drop a None field,
+      // and an absent key reads as a routing bug, not an empty cell)
+      ("value" -> value.map(v => JDouble(v): JValue).getOrElse(JNull))
+
+  // ---- request plumbing --------------------------------------------------
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def bodyOf(ex: HttpExchange): String = {
+    val in = ex.getRequestBody
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def respond(ex: HttpExchange, status: Int, contentType: String,
+      body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", s"$contentType; charset=utf-8")
+    ex.sendResponseHeaders(status, bytes.length)
+    val out = ex.getResponseBody
+    try out.write(bytes) finally out.close()
+  }
+
+  private def json(ex: HttpExchange, status: Int, j: JValue): Unit =
+    respond(ex, status, "application/json", JsonMethods.compact(JsonMethods.render(j)))
+
+  private def handle(ex: HttpExchange)(body: => Unit): Unit =
+    try body catch {
+      case NotFound(m) => json(ex, 404, "detail" -> m)
+      case BadRequest(m) => json(ex, 400, "detail" -> m)
+      case e: IllegalArgumentException =>
+        json(ex, 400, "detail" -> Option(e.getMessage).getOrElse("bad request"))
+      case e: NoSuchElementException =>
+        json(ex, 404, "detail" -> Option(e.getMessage).getOrElse("not found"))
+      case e: Exception =>
+        json(ex, 500, "detail" -> s"Internal server error. $e")
+    } finally ex.close()
+
+  private def segments(ex: HttpExchange): Seq[String] =
+    ex.getRequestURI.getPath.split("/").toSeq.filter(_.nonEmpty)
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+
+  private def windowOf(q: Map[String, String]): Option[ViewWindow] =
+    (q.get("top"), q.get("left"), q.get("bottom"), q.get("right")) match {
+      case (Some(t), Some(l), Some(b), Some(r)) =>
+        Some(ViewWindow(t.toInt, l.toInt, b.toInt, r.toInt))
+      case _ => None
+    }
+
+  private def renderView(ex: HttpExchange, v: View, q: Map[String, String]): Unit = {
+    val w = windowOf(q)
+    q.getOrElse("format", "json") match {
+      case "json" => respond(ex, 200, "application/json", v.toJson(w))
+      case "html" => respond(ex, 200, "text/html", v.toHtml(w))
+      case "csv" => respond(ex, 200, "text/csv", v.toCsv(w))
+      case other => throw BadRequest(s"unknown format '$other' (json|html|csv)")
+    }
+  }
+
+  // ---- routes ------------------------------------------------------------
+
+  private def install(): Unit = {
+    server.createContext("/", (ex: HttpExchange) => handle(ex) {
+      if (segments(ex).nonEmpty) throw NotFound(ex.getRequestURI.getPath)
+      respond(ex, 200, "text/html",
+        "<!DOCTYPE html><html><head><title>graft API</title></head><body>" +
+          "<h1>graft OLAP API</h1><p>Spark-native analytics engine.</p>" +
+          "<p><a href=\"/databases\">databases</a></p></body></html>")
+    })
+
+    server.createContext("/databases", (ex: HttpExchange) => handle(ex) {
+      segments(ex) match {
+        case Seq("databases") =>
+          json(ex, 200, "databases" -> databases.map(d =>
+            ("id" -> d.name) ~ ("caching" -> d.caching)))
+        case Seq("databases", name) =>
+          val d = db(name); withRead(d) { json(ex, 200, shortCatalog(d)) }
+        case Seq("databases", name, "catalog") =>
+          val d = db(name); withRead(d) { json(ex, 200, fullCatalog(d)) }
+        case other => throw NotFound(other.mkString("/"))
+      }
+    })
+
+    server.createContext("/cells", (ex: HttpExchange) => handle(ex) {
+      segments(ex) match {
+        case Seq("cells", dbName, cubeName) =>
+          val d = db(dbName)
+          val c = cubeOf(d, cubeName)
+          ex.getRequestMethod match {
+            case "GET" =>
+              val addr = query(ex).getOrElse("address",
+                throw BadRequest("missing ?address=m1,m2,…")).split(",").toSeq
+              val v = withRead(d) { c.get(addr) }
+              json(ex, 200, cellJson(d.name, c.name, addr, v))
+            case "PUT" | "POST" =>
+              implicit val fmts: Formats = DefaultFormats
+              val j = JsonMethods.parse(bodyOf(ex))
+              val addr = (j \ "address").extract[List[String]]
+              val value = (j \ "value").extract[Double]
+              withWrite(d) { c.set(addr, value) }
+              json(ex, 200, cellJson(d.name, c.name, addr, Some(value)))
+            case m => throw BadRequest(s"method $m not allowed on /cells")
+          }
+        case other => throw NotFound(other.mkString("/"))
+      }
+    })
+
+    server.createContext("/views", (ex: HttpExchange) => handle(ex) {
+      segments(ex) match {
+        // ad-hoc view: POST a ViewDef (the persisted-view JSON codec)
+        case Seq("views", dbName, cubeName) if ex.getRequestMethod == "POST" =>
+          val d = db(dbName)
+          val c = cubeOf(d, cubeName)
+          val dfn = ViewDef.fromJson(bodyOf(ex))
+          withRead(d) { renderView(ex, new View(c, dfn), query(ex)) }
+        // named view from the cube's registry
+        case Seq("views", dbName, cubeName, viewName) =>
+          val d = db(dbName)
+          val c = cubeOf(d, cubeName)
+          if (!c.views.contains(viewName))
+            throw NotFound(s"view '$viewName' not found on cube '$cubeName'")
+          withRead(d) { renderView(ex, c.views(viewName), query(ex)) }
+        case other => throw NotFound(other.mkString("/"))
+      }
+    })
+
+    server.createContext("/query", (ex: HttpExchange) => handle(ex) {
+      segments(ex) match {
+        case Seq("query", dbName) if ex.getRequestMethod == "POST" =>
+          val d = db(dbName)
+          val sql = bodyOf(ex).trim
+          if (sql.isEmpty) throw BadRequest("empty query body")
+          val rows = withRead(d) {
+            val df = OlapQuery(d, sql)
+            val cols = df.columns.toSeq
+            df.collect().map(r => cols.zipWithIndex.map { case (cn, i) =>
+              cn -> (r.get(i) match {
+                case null => JNull
+                case dd: java.lang.Double => JDouble(dd)
+                case l: java.lang.Long => JLong(l)
+                case ii: java.lang.Integer => JInt(BigInt(ii.intValue))
+                case x => JString(x.toString)
+              })
+            }.foldLeft(JObject()) { case (o, (k, v)) => o ~ (k -> v) }).toList
+          }
+          json(ex, 200, "rows" -> rows)
+        case other => throw NotFound(other.mkString("/"))
+      }
+    })
+  }
+
+  def start(): RestServer = synchronized {
+    if (!started) { install(); server.start(); started = true }
+    this
+  }
+
+  /** The bound port (useful with `port = 0` — an ephemeral test port). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def stop(): Unit = synchronized {
+    if (started) { server.stop(0); started = false }
+  }
+}

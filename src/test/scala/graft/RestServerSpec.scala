@@ -1,0 +1,104 @@
+package graft
+
+import graft.olap.{AxisDef, ViewDef}
+import graft.server.RestServer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The thin HTTP layer (≙ reference `api/rest`): real requests through
+  * `java.net.http.HttpClient` against an ephemeral-port server over the
+  * tiny model — catalogs, addressed cell read/write, view rendering in
+  * all three formats, the dialect query route, and the reference's
+  * status mapping (404 unknown entity, 400 invalid writeback).
+  */
+class RestServerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val db = TinyModel.build(spark)
+  private lazy val server = new RestServer(Seq(db)).start()
+  private lazy val base = s"http://127.0.0.1:${server.boundPort}"
+  private val client = java.net.http.HttpClient.newHttpClient()
+
+  private def req(b: java.net.http.HttpRequest.Builder) =
+    client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+  private def get(path: String) =
+    req(java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path)))
+  private def put(path: String, body: String) =
+    req(java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+      .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(body)))
+  private def post(path: String, body: String) =
+    req(java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)))
+
+  test("index and database catalogs") {
+    val root = get("/")
+    assert(root.statusCode() == 200 && root.body().contains("graft OLAP API"))
+    val dbs = get("/databases")
+    assert(dbs.statusCode() == 200 && dbs.body().contains("\"tiny\""))
+    val short = get("/databases/tiny")
+    assert(short.statusCode() == 200)
+    assert(short.body().contains("\"sales\"") &&
+      short.body().contains("cells_count"))
+    val full = get("/databases/tiny/catalog")
+    assert(full.statusCode() == 200)
+    assert(full.body().contains("\"members\"") &&
+      full.body().contains("\"North\""), "full catalog carries members")
+    assert(get("/databases/nope").statusCode() == 404)
+  }
+
+  test("addressed cell read and write through HTTP match the cube API") {
+    // an empty cell reads as an explicit null value, not a missing field
+    val empty = get("/cells/tiny/sales?address=2023,Dec,East,van,Cost")
+    assert(empty.statusCode() == 200)
+    assert(empty.body().contains("\"value\":null"), empty.body())
+    // write via HTTP, read back through BOTH faces
+    val w = put("/cells/tiny/sales",
+      """{"address":["2022","Feb","South","sedan","Sales"],"value":777.5}""")
+    assert(w.statusCode() == 200, w.body())
+    assert(db.cube("sales").get(Seq("2022", "Feb", "South", "sedan", "Sales"))
+      .contains(777.5))
+    val rb = get("/cells/tiny/sales?address=2022,Feb,South,sedan,Sales")
+    assert(rb.body().contains("777.5"))
+    // an aggregate read rolls up what the write landed
+    val agg = get("/cells/tiny/sales?address=All%20years,Year,Total,Total,Sales")
+    assert(agg.statusCode() == 200 && agg.body().contains("777.5"), agg.body())
+    // the reference's status mapping: aggregated writeback is invalid (400)
+    val bad = put("/cells/tiny/sales",
+      """{"address":["All years","Jan","North","motorcycles","Sales"],"value":1.0}""")
+    assert(bad.statusCode() == 400, s"${bad.statusCode()}: ${bad.body()}")
+    assert(get("/cells/tiny/nocube?address=a").statusCode() == 404)
+    assert(get("/cells/tiny/sales").statusCode() == 400, "missing address")
+  }
+
+  test("ad-hoc and named view rendering in json/html/csv") {
+    // seed the slice the view shows (the fixture cube starts empty)
+    db.cube("sales").set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 42.0)
+    val dfn = ViewDef(
+      filters = Seq("measures" -> "Sales", "years" -> "2021"),
+      rows = AxisDef(Seq("regions" -> Seq("North", "South"))),
+      cols = AxisDef(Seq("months" -> Seq("Jan", "Feb"))))
+    val body = ViewDef.toJson(dfn)
+    val viaHttp = post("/views/tiny/sales", body)
+    assert(viaHttp.statusCode() == 200, viaHttp.body())
+    val direct = new graft.olap.View(db.cube("sales"), dfn).toJson()
+    assert(viaHttp.body() == direct, "HTTP render must equal the direct render")
+    val html = post("/views/tiny/sales?format=html", body)
+    assert(html.statusCode() == 200 && html.body().contains("<table"))
+    val csv = post("/views/tiny/sales?format=csv", body)
+    assert(csv.statusCode() == 200 && csv.body().contains("North"))
+    assert(post("/views/tiny/sales?format=nope", body).statusCode() == 400)
+    // named view registry
+    db.cube("sales").views.define("quarterly", dfn)
+    val named = get("/views/tiny/sales/quarterly")
+    assert(named.statusCode() == 200 && named.body() == direct)
+    assert(get("/views/tiny/sales/missing").statusCode() == 404)
+  }
+
+  test("dialect query route returns rows as JSON records") {
+    val sql = "SELECT * FROM sales WHERE '2021', 'Jan', North, 'motorcycles', 'Sales'"
+    val r = post("/query/tiny", sql)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"rows\""))
+    assert(post("/query/tiny", "").statusCode() == 400)
+    assert(post("/query/nope", sql).statusCode() == 404)
+  }
+}
