@@ -552,6 +552,82 @@ final class Cube(
       onAbort = _ => ()) // the written table is left behind
   }
 
+  /** Incremental z-ordered store backing (set by [[compactToZorderedStore]],
+    * consumed by [[appendZorderedStore]]): `(manifest dir, zDims, bits)`. */
+  private var zStoreState: Option[(String, Seq[Int], Int)] = None
+
+  /** [[compactToZordered]] through the INCREMENTAL manifest store
+    * ([[graft.pipeline.Layout.zorderWrite]]): the cube's backing becomes
+    * the manifest-driven file set, so later bulk appends
+    * ([[appendZorderedStore]]) re-cluster ONLY the files whose z-range the
+    * batch touches instead of rewriting the table — the maintenance shape
+    * a streaming-fed z-ordered cube needs at 100 TB. Same validation and
+    * swap/abort contract as [[compactToZordered]].
+    */
+  def compactToZorderedStore(dir: String, zDims: Seq[Int],
+      files: Int = 64): Boolean = {
+    require(zDims.size >= 2 && zDims.distinct.size == zDims.size &&
+        zDims.forall(i => i >= 0 && i < nDims),
+      s"compactToZorderedStore: need >= 2 distinct in-range dims, got $zDims")
+    zDims.foreach(i => require(!dimensions(i).isDegenerate,
+      s"dimension '${dimensions(i).name}' is degenerate — interleave catalog dims"))
+    val bits = zDims.map { i =>
+      val maxId = math.max(dimensions(i).members.map(_.id).max, 1)
+      64 - java.lang.Long.numberOfLeadingZeros(maxId.toLong)
+    }.max.toInt
+    require(bits * zDims.size <= 63,
+      s"interleave of ${zDims.size} dims at $bits bits exceeds a long; interleave fewer dims")
+    val zCols = zDims.map(i => col(s"d$i"))
+    val ok = swapCompacted(s"compactToZorderedStore('$dir')", () => (),
+      materialize = { df =>
+        graft.pipeline.Layout.zorderWrite(spark, dir, df, zCols, bits, files)
+        graft.pipeline.Layout.zorderRead(spark, dir)
+          .select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
+      },
+      onAbort = _ => ())
+    if (ok) stateLock.synchronized { zStoreState = Some((dir, zDims, bits)) }
+    ok
+  }
+
+  /** Bulk-append a resolved cell frame `(d0…dN-1, value)` through the
+    * incremental z-store: values pass the ON_ENTRY hook (the bulk-write
+    * contract), the batch lands last-write-wins on its addresses (the
+    * [[graft.streaming.Streaming.ingestInto]] merge semantics — replaced
+    * rows live in overlapping-z files BY CONSTRUCTION, so the rewrite set
+    * already contains them), only touched-range files re-cluster, and the
+    * cube swaps to the grown manifest read. Point writes that land while
+    * the append's jobs run survive in the overlay and keep winning; a
+    * CONCURRENT BULK write is refused loudly (the store already holds the
+    * batch — re-run [[compactToZorderedStore]] to re-sync) — bulk appends
+    * are single-writer, the intake-pipeline shape.
+    */
+  def appendZorderedStore(batch: DataFrame): graft.pipeline.Layout.ZAppendStats = {
+    val (dir, zDims, bits) = stateLock.synchronized(zStoreState.getOrElse(
+      throw new IllegalStateException(
+        "appendZorderedStore needs a prior compactToZorderedStore")))
+    val (facts0, base0) = stateLock.synchronized((facts, base))
+    val entry = graft.olap.Rules.applyOnEntryBulk(this,
+      batch.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn("value", col("value").cast(factSchema("value").dataType)),
+      Some(facts0))
+    val st = graft.pipeline.Layout.zorderAppend(spark, dir, entry,
+      zDims.map(i => col(s"d$i")), bits, replaceOn = dimCols)
+    val newBase = graft.pipeline.Layout.zorderRead(spark, dir)
+      .select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
+    stateLock.synchronized {
+      if (!(base eq base0)) throw new IllegalStateException(
+        s"cube '$name': a concurrent bulk write landed during " +
+          "appendZorderedStore — the store holds the batch but the swap is " +
+          "refused; re-run compactToZorderedStore to re-sync")
+      base = newBase
+      // overlay entries were NOT incorporated (the append merges files,
+      // not the overlay) — they stay and keep winning over the new base
+      stateVersion += 1; logBulk(); cache.clear()
+      recordHistory("zstore append")
+    }
+    st
+  }
+
   /** Batched base-cell point reads: resolve every address row `(d0…dN-1)`
     * in ONE job, returning the matching fact rows (≙ the reference's
     * point-read loop `samples/huge.py:134-157`, batched the Spark-native

@@ -180,9 +180,18 @@ object Layout {
     * actually interleaves with the new keys (a time-correlated batch
     * touches the tail files only), not to the table — the same
     * touched-partitions-only argument as `Similarity.ivfAppend`.
+    *
+    * `replaceOn` (optional): treat the batch as LAST-WRITE-WINS on those
+    * key columns — stored rows matching a batch key are dropped during
+    * the rewrite. Sound ONLY when the keys determine the z columns
+    * (equal key ⇒ equal z ⇒ the old row's file is in the overlap set);
+    * a key set that doesn't pin the z value can leave stale rows in
+    * cold files. The cube backing passes its full dimension key, which
+    * contains the interleaved dims by construction.
     */
   def zorderAppend(spark: SparkSession, dir: String, batch: DataFrame,
-      cols: Seq[Column], bits: Int = 16, numFiles: Int = 4): ZAppendStats = {
+      cols: Seq[Column], bits: Int = 16, numFiles: Int = 4,
+      replaceOn: Seq[String] = Nil): ZAppendStats = {
     val manifest = zorderManifest(spark, dir)
     require(manifest.nonEmpty, s"no z-ordered store at $dir — zorderWrite first")
     val batchZ = batch.withColumn("__z", zValue(cols, bits))
@@ -198,7 +207,15 @@ object Layout {
     val seg = s"seg-${java.util.UUID.randomUUID().toString.take(8)}"
     val rewriteInput =
       if (hot.isEmpty) batchZ
-      else spark.read.parquet(hot.map(_.path): _*).unionByName(batchZ)
+      else {
+        val hotData = spark.read.parquet(hot.map(_.path): _*)
+        val kept =
+          if (replaceOn.isEmpty) hotData
+          else hotData.join(
+            batchZ.select(replaceOn.map(col): _*).distinct(),
+            replaceOn, "left_anti")
+        kept.unionByName(batchZ)
+      }
     // already carries __z — re-layout without recomputing the interleave
     val layouted = rewriteInput.repartitionByRange(
       math.max(1, numFiles + hot.size), col("__z"))

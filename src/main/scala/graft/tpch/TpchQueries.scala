@@ -993,6 +993,62 @@ object TpchQueries {
           lit(nCells).as("cells_written"))
     }),
 
+    // S+ (round 13): INCREMENTAL z-ordered backing — the store is built
+    // from the months' FIRST half only, then the second half arrives as
+    // two bulk appends through the manifest store (only overlapping-range
+    // files re-cluster; replaced addresses rewrite in place by the
+    // equal-address ⇒ equal-z containment argument). The rollup slices
+    // both interleaved dims through the grown backing and hash-matches
+    // the same plain-SQL oracle as a from-scratch build — maintenance
+    // lost/duplicated/staled nothing.
+    "olap_zordered_append_read" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new graft.core.Database("zordappend", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val months = orders
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+      val mon = db.addDimension("month")
+      mon.edit().addMany(months).add("AllMonths", months).commit()
+      val prioDf = s.createDataFrame(prios.map(p => (p, prio.idOf(p))))
+        .toDF("o_orderpriority", "d1")
+      val monDf = s.createDataFrame(months.map(m => (m, mon.idOf(m))))
+        .toDF("m", "d2")
+      val facts = orders
+        .withColumn("m", date_format(col("o_orderdate"), "yyyy-MM"))
+        .join(broadcast(prioDf), Seq("o_orderpriority"))
+        .join(broadcast(monDf), Seq("m"))
+        .groupBy(col("o_custkey").cast("int").as("d0"), col("d1"), col("d2"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)"))
+          .cast("decimal(21,4)").as("value"))
+      val half = months.size / 2
+      val earlyIds = months.take(half).map(mon.idOf)
+      val lateIds = months.drop(half).map(mon.idOf)
+      val cube = db.addCube("sales", Seq(cust, prio, mon),
+        facts.filter(col("d2").isin(earlyIds: _*)))
+      val store = java.nio.file.Files.createTempDirectory("graftzcube").toString
+      require(cube.compactToZorderedStore(store, Seq(1, 2), files = 8),
+        "z-store compaction must land on an uncontended cube")
+      val (late1, late2) = (lateIds.take(lateIds.size / 2),
+        lateIds.drop(lateIds.size / 2))
+      val st1 = cube.appendZorderedStore(facts.filter(col("d2").isin(late1: _*)))
+      val st2 = cube.appendZorderedStore(facts.filter(col("d2").isin(late2: _*)))
+      require(st1.batchRows > 0 && st2.batchRows > 0,
+        "both append batches must carry rows")
+      val slice = prios.take(2)
+      val mslice = (months.take(2) :+ months.last) // spans both halves
+      val g = cube.gridAggregate(Seq(Seq(graft.core.Dimension.DegenerateAllId),
+        slice.map(prio.idOf), mslice.map(mon.idOf)))
+      val pMap = map(slice.flatMap(p => Seq(lit(prio.idOf(p)), lit(p))): _*)
+      val mMap = map(mslice.flatMap(m => Seq(lit(mon.idOf(m)), lit(m))): _*)
+      g.select(pMap(col("a1")).as("priority"), mMap(col("a2")).as("month"),
+        col("value").cast("double").as("value"))
+    }),
+
     // §2.13+ (round 9): MATERIALIZED AGGREGATE + NAVIGATOR — a summary cube
     // at nation × year grain (customers/days collapsed, product/measure at
     // leaf resolution) answers region-level queries from a frame orders of
@@ -1849,6 +1905,23 @@ object TpchQueries {
            AND strftime(o_orderdate, '%Y-%m') IN (
              SELECT DISTINCT strftime(o_orderdate, '%Y-%m') FROM orders
              ORDER BY 1 LIMIT 3)
+         GROUP BY 1, 2""",
+
+    // the from-scratch rollup the incrementally-maintained store must
+    // reproduce: first two months + the last (spans build and appends)
+    "olap_zordered_append_read" ->
+      """SELECT o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS value
+         FROM orders
+         WHERE o_orderpriority IN (
+             SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1 LIMIT 2)
+           AND strftime(o_orderdate, '%Y-%m') IN (
+             SELECT * FROM (
+               (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m FROM orders
+                ORDER BY 1 LIMIT 2)
+               UNION
+               (SELECT max(strftime(o_orderdate, '%Y-%m')) FROM orders)))
          GROUP BY 1, 2""",
 
     // per-priority totals + the all-customer all-priority rollup, served

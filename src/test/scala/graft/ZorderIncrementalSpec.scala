@@ -75,6 +75,40 @@ class ZorderIncrementalSpec extends AnyFunSuite {
     assert(rowsOf(Layout.zorderRead(spark, dir)) == rowsOf(base) ++ rowsOf(batch))
   }
 
+  test("cube z-store: append replaces addresses in place, overlay still wins") {
+    val db = TinyModel.build(spark)
+    val c0 = db.cube("sales")
+    val cube = new graft.core.Cube("sales_zstore", c0.dimensions, spark, None)
+    cube.cacheEnabled = false
+    cube.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 100.0)
+    cube.set(Seq("2021", "Feb", "South", "sedan", "Sales"), 50.0)
+    val dir = java.nio.file.Files.createTempDirectory("zcube").toString
+    assert(cube.compactToZorderedStore(dir, Seq(0, 1), files = 2))
+    // bulk append: one NEW address and one REPLACED address (last-write-wins,
+    // the ingestInto merge semantics) in the same batch
+    val batch = spark.createDataFrame(Seq(
+      (cube.dimensions(0).idOf("2022"), cube.dimensions(1).idOf("Mar"),
+        cube.dimensions(2).idOf("West"), cube.dimensions(3).idOf("coupe"),
+        cube.dimensions(4).idOf("Sales"), 7.0),
+      (cube.dimensions(0).idOf("2021"), cube.dimensions(1).idOf("Feb"),
+        cube.dimensions(2).idOf("South"), cube.dimensions(3).idOf("sedan"),
+        cube.dimensions(4).idOf("Sales"), 60.0)))
+      .toDF("d0", "d1", "d2", "d3", "d4", "value")
+    val st = cube.appendZorderedStore(batch)
+    assert(st.batchRows == 2)
+    assert(cube.get(Seq("2022", "Mar", "West", "coupe", "Sales")).contains(7.0))
+    assert(cube.get(Seq("2021", "Feb", "South", "sedan", "Sales")).contains(60.0),
+      "appended address must REPLACE, not double-count")
+    assert(cube.get(Seq("All years", "Year", "Total", "Total", "Sales"))
+      .contains(100.0 + 60.0 + 7.0))
+    // a point write after the swap keeps winning over the stored base
+    cube.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 1.0)
+    assert(cube.get(Seq("2021", "Jan", "North", "motorcycles", "Sales")).contains(1.0))
+    // appending without a prior store compaction is refused
+    val bare = new graft.core.Cube("sales_bare", c0.dimensions, spark, None)
+    intercept[IllegalStateException] { bare.appendZorderedStore(batch) }
+  }
+
   test("append equals full rebuild for readers (same rows, pruned scans)") {
     val dir = java.nio.file.Files.createTempDirectory("zinc3").toString
     val all = spark.range(2000).select(col("id"),
