@@ -123,10 +123,14 @@ object TextDedup {
     if (shingle <= 1)
       df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
     else {
-      val words = split(col(textCol), " ")
-      df.select(col(idCol), explode(transform(
-        sequence(lit(1), greatest(size(words) - (shingle - 1), lit(1))),
-        i => array_join(slice(words, i, lit(shingle)), ""))).as("w"))
+      // split once behind a projection boundary: inlined, every slice()
+      // in the lambda re-tokenizes the document (see TextAnalysis
+      // .ngramCounts — measured 5.6× there)
+      val words = col("__w")
+      df.select(col(idCol), split(col(textCol), " ").as("__w"))
+        .select(col(idCol), explode(transform(
+          sequence(lit(1), greatest(size(words) - (shingle - 1), lit(1))),
+          i => array_join(slice(words, i, lit(shingle)), ""))).as("w"))
     }
 
   /** MinHash signatures as ONE array column via the [[graft.functions.MinHashSketch]]
@@ -424,12 +428,14 @@ object TextDedup {
   def segments(df: DataFrame, idCol: String, textCol: String,
       segWords: Int): DataFrame = {
     require(segWords >= 1, "segWords must be >= 1")
-    val arr = split(col(textCol), " ")
+    // split once behind a projection boundary (see shingleRel)
+    val arr = col("__w")
     val lastIdx = floor((size(arr) - lit(1)) / lit(segWords)).cast("int")
     val segArr = transform(
       sequence(lit(0), lastIdx),
       i => concat_ws(" ", slice(arr, i * segWords + 1, lit(segWords))))
-    df.select(col(idCol), posexplode(segArr))
+    df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), posexplode(segArr))
       .withColumnRenamed("pos", "seg_idx")
       .withColumnRenamed("col", "segment")
   }
@@ -507,8 +513,10 @@ object TextDedup {
       minWords: Int = 5): DataFrame = {
     require(minWords >= 2, "minWords must be >= 2")
     val k = minWords
-    val arr = split(col(textCol), " ")
+    // split once behind a projection boundary (see shingleRel)
+    val arr = col("__w")
     val grams = df
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
       .filter(size(arr) >= k)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(arr) - lit(k)),
@@ -613,8 +621,7 @@ object TextDedup {
       maxPostings: Int = 1000): DataFrame = {
     require(minShared >= 1 && maxPostings >= 2,
       "need minShared >= 1 and maxPostings >= 2")
-    val fps = df.select(col(idCol),
-      explode(TextAnalysis.winnowingFingerprints(col(textCol), k, w)).as("fp"))
+    val fps = TextAnalysis.winnowingFingerprintRel(df, idCol, textCol, k, w)
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxPostings).select(col("fp"))
     val bounded = fps.join(keep, Seq("fp"))

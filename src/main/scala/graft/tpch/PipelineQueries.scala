@@ -216,10 +216,11 @@ object PipelineQueries {
         hh.select("stratum", "token"), Seq("stratum", "token"), recallFloor = 1.0)
     }),
 
-    // winnowing fingerprints (MOSS): window-min gram hashes per document
+    // winnowing fingerprints (MOSS): window-min gram hashes per document,
+    // through the staged corpus pass (split + gram hashes compute once
+    // per doc, not once per window)
     "pipe_winnow" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-        explode(TextAnalysis.winnowingFingerprints(col("text"), 3, 4)).as("fp"))
+      TextAnalysis.winnowingFingerprintRel(docs(s, dir), "doc_id", "text", 3, 4)
     }),
 
     // containment candidates: docs sharing >= 2 winnowing fingerprints

@@ -843,6 +843,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(fc.toSet.intersect(fd.toSet).isEmpty)
   }
 
+  test("winnowingFingerprintRel (staged) is value-identical to the Column form") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq((90001L, "one two"), (90002L, "one two three"))
+        .toDF("doc_id", "text")) // sub-k and exactly-k edges ride along
+    val viaColumn = d.select(col("doc_id"),
+      explode(TextAnalysis.winnowingFingerprints(col("text"), 3, 4)).as("fp"))
+      .as[(Long, Long)].collect().toSet
+    val viaRel = TextAnalysis.winnowingFingerprintRel(d, "doc_id", "text", 3, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(viaRel == viaColumn,
+      "the staged corpus pass must select the exact same fingerprints")
+  }
+
   test("winnowPairs detects containment; posting cap drops boilerplate") {
     import spark.implicits._
     val shared = "s1 s2 s3 s4 s5 s6" // >= w+k-1 = 6 words: guaranteed hit
