@@ -4,6 +4,7 @@ import graft.core.{Cube, Database}
 import graft.olap.{OlapQuery, View, ViewDef, ViewWindow}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import java.util.concurrent.locks.ReentrantReadWriteLock
+import org.apache.spark.sql.functions.{broadcast, col, sum}
 import org.json4s._
 import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods
@@ -25,6 +26,9 @@ import org.json4s.jackson.JsonMethods
   *    `{database, cube, members} → value` contract its `CellAddress`
   *    model declares)
   *  - `PUT  /cells/{db}/{cube}` body `{"address":[…],"value":v}` — write
+  *  - `POST /cells/{db}/{cube}/batch` body `{"addresses":[[…],…]}` —
+  *    batched reads: ONE Spark job resolves every base-cell address
+  *    (per-cell HTTP loops can never amortize the per-request floor)
   *  - `POST /views/{db}/{cube}?format=json|html|csv[&top..right]` —
   *    render an ad-hoc [[ViewDef]] (JSON body, the persisted-view codec)
   *  - `GET  /views/{db}/{cube}/{name}?format=…` — render a NAMED view
@@ -187,6 +191,56 @@ final class RestServer(databases: Seq[Database], port: Int = 0) {
 
     server.createContext("/cells", (ex: HttpExchange) => handle(ex) {
       segments(ex) match {
+        // batched reads: ONE Spark job resolves every base-cell address
+        // (broadcast the address list against the merged facts, one
+        // per-address aggregation) — a per-cell HTTP loop can never
+        // amortize the per-request floor, so the engine-native shape
+        // (Cube.readBatch's join) gets its own route. Addresses naming
+        // AGGREGATED members fall back to per-address rollup gets.
+        case Seq("cells", dbName, cubeName, "batch")
+            if ex.getRequestMethod == "POST" =>
+          implicit val fmts: Formats = DefaultFormats
+          val d = db(dbName)
+          val c = cubeOf(d, cubeName)
+          val addrs = (JsonMethods.parse(bodyOf(ex)) \ "addresses")
+            .extract[List[List[String]]]
+          require(addrs.nonEmpty && addrs.size <= 10000,
+            "batch takes 1..10000 addresses")
+          addrs.foreach(a => require(a.size == c.nDims,
+            s"address $a must name all ${c.nDims} dimensions"))
+          val values: Seq[Option[Double]] = withRead(d) {
+            val bolts = addrs.map(a => a.zipWithIndex.map { case (m, i) =>
+              c.dimensions(i).idOf(m) })
+            val isBase = (b: Seq[Int]) => b.zipWithIndex.forall { case (id, i) =>
+              c.dimensions(i).isDegenerate || c.dimensions(i).levelOf(id) == 0 }
+            val (baseIdx, aggIdx) = bolts.zipWithIndex.partition(x => isBase(x._1))
+            val resolved = new Array[Option[Double]](bolts.size)
+            if (baseIdx.nonEmpty) {
+              val s = c.spark
+              val addrDf = s.createDataFrame(
+                s.sparkContext.parallelize(
+                  baseIdx.map(x => org.apache.spark.sql.Row.fromSeq(x._1)), 1),
+                org.apache.spark.sql.types.StructType(c.dimCols.map(n =>
+                  org.apache.spark.sql.types.StructField(n,
+                    org.apache.spark.sql.types.IntegerType))))
+              val got = c.facts
+                .join(broadcast(addrDf), c.dimCols, "inner")
+                .groupBy(c.dimCols.map(col): _*)
+                .agg(sum(col("value")).cast("double").as("__v"))
+                .collect()
+                .map(r => Vector.tabulate(c.nDims)(r.getInt) -> r.getDouble(c.nDims))
+                .toMap
+              // `facts` merges the overlay (point writes and deletes) into
+              // the frame, so the single job is already write-correct
+              baseIdx.foreach { case (b, i) => resolved(i) = got.get(b.toVector) }
+            }
+            aggIdx.foreach { case (_, i) => resolved(i) = c.get(addrs(i)) }
+            resolved.toSeq
+          }
+          json(ex, 200, "cells" -> addrs.zip(values).map { case (a, v) =>
+            ("address" -> a) ~
+              ("value" -> v.map(x => JDouble(x): JValue).getOrElse(JNull))
+          })
         case Seq("cells", dbName, cubeName) =>
           val d = db(dbName)
           val c = cubeOf(d, cubeName)

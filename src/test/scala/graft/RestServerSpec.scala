@@ -93,6 +93,33 @@ class RestServerSpec extends AnyFunSuite {
     assert(get("/views/tiny/sales/missing").statusCode() == 404)
   }
 
+  test("batched cell reads: one job for base addresses, rollups included") {
+    db.cube("sales").set(Seq("2023", "Jun", "East", "van", "Cost"), 5.5)
+    val body = """{"addresses":[
+        ["2022","Feb","South","sedan","Sales"],
+        ["2023","Jun","East","van","Cost"],
+        ["2023","Dec","West","coupe","Cost"],
+        ["All years","Year","Total","Total","Cost"]]}"""
+    val r = post("/cells/tiny/sales/batch", body)
+    assert(r.statusCode() == 200, r.body())
+    val parsed = org.json4s.jackson.JsonMethods.parse(r.body())
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val cells = (parsed \ "cells").extract[List[org.json4s.JValue]]
+    assert(cells.size == 4)
+    def valueOf(i: Int): Option[Double] =
+      (cells(i) \ "value").extractOpt[Double]
+    assert(valueOf(0).contains(777.5), "base cell written earlier over HTTP")
+    assert(valueOf(1).contains(5.5), "overlay point write visible in the batch job")
+    assert(valueOf(2).isEmpty, "empty base cell is null")
+    assert(valueOf(3).contains(5.5), "aggregated address rolls up")
+    // unknown member -> 404; oversize -> 400
+    assert(post("/cells/tiny/sales/batch",
+      """{"addresses":[["nope","Jan","North","sedan","Sales"]]}""")
+      .statusCode() == 404)
+    assert(post("/cells/tiny/sales/batch", """{"addresses":[]}""")
+      .statusCode() == 400)
+  }
+
   test("dialect query route returns rows as JSON records") {
     val sql = "SELECT * FROM sales WHERE '2021', 'Jan', North, 'motorcycles', 'Sales'"
     val r = post("/query/tiny", sql)
