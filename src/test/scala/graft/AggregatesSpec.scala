@@ -84,6 +84,39 @@ class AggregatesSpec extends AnyFunSuite {
     assert(nav.view(mDfn).cube eq cube)
   }
 
+  test("groupingSets: per-grain routing, base fallback below grain, stale → base") {
+    val cube = freshModel("aggs")
+    val summary = Aggregates.materialize(cube, "sales_gs",
+      Seq(None, Some(1), None, None, None)) // months → quarters
+    val nav = new Aggregates.Navigator(cube, Seq(summary))
+    val grains = Seq(
+      // quarter grain: summary-servable
+      Seq(Seq("2021"), Seq("Q1", "Q2"), Seq("Total"), Seq("Total"), Seq("Sales")),
+      // month grain: below the summary — base serves it
+      Seq(Seq("2021"), Seq("Jan", "Feb", "Apr"), Seq("Total"), Seq("Total"), Seq("Sales")))
+    val (targets, df) = nav.groupingSets(grains)
+    assert(targets(0) eq summary, "quarter grain must be summary-served")
+    assert(targets(1) eq cube, "month grain sits below the grain — base serves")
+    val rows = df.collect().map(r =>
+      (r.getInt(0), r.getString(2)) -> r.getDouble(6)).toMap
+    assert(rows((0, "Q1")) == 579.0 && rows((0, "Q2")) == 50.0)
+    assert(rows((1, "Jan")) == 123.0 && rows((1, "Feb")) == 456.0 &&
+      rows((1, "Apr")) == 50.0)
+    // grain count must match the cube's dimensionality
+    intercept[IllegalArgumentException] {
+      nav.groupingSets(Seq(Seq(Seq("2021"))))
+    }
+    // a base write stales the summary: BOTH grains now base-served,
+    // values reflect the write — per-grain routing never serves stale
+    cube.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 1123.0)
+    val (targets2, df2) = nav.groupingSets(grains)
+    assert((targets2(0) eq cube) && (targets2(1) eq cube),
+      "stale summary must not serve any grain")
+    val rows2 = df2.collect().map(r =>
+      (r.getInt(0), r.getString(2)) -> r.getDouble(6)).toMap
+    assert(rows2((0, "Q1")) == 1579.0 && rows2((1, "Jan")) == 1123.0)
+  }
+
   test("a base write staleness-guards every summary") {
     val cube = freshModel("aggw")
     val summary = Aggregates.materialize(cube, "sales_q3",
