@@ -30,6 +30,35 @@ object Streaming {
     * executors), so the batch frame is the only bounded description of what
     * changed. The hook runs on the stream-execution thread; keep it to
     * driver-cheap work plus at most a small recompute job. */
+  /** [[ingestInto]] for a cube backed by the INCREMENTAL z-ordered store
+    * ([[graft.core.Cube.compactToZorderedStore]]): each micro-batch lands
+    * through [[graft.core.Cube.appendZorderedStore]] — last-write-wins
+    * per address, ON_ENTRY hook applied inside the append, and ONLY the
+    * files whose z-range the batch touches re-cluster — so the stored
+    * layout stays slice-query-optimal CONTINUOUSLY instead of degrading
+    * until the next full compaction (the plain [[ingestInto]] path stacks
+    * unlayouted merge layers the compaction later has to rewrite whole).
+    * Replays are idempotent: re-appending a batch replaces its own
+    * addresses with the same values. No aggregation state — the plan
+    * depth is O(1) by construction (every append re-reads the manifest).
+    */
+  def ingestIntoZStore(cube: Cube, stream: DataFrame,
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+    checkpointDir.foldLeft(writer)((w, d) => w.option("checkpointLocation", d))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cols = cube.dimCols
+        val resolved = batch.groupBy(cols.map(col): _*)
+          .agg(last(col("value")).as("value")) // last write wins within batch
+        cube.appendZorderedStore(resolved)
+        ()
+      }
+      .start()
+  }
+
   def ingestInto(cube: Cube, stream: DataFrame,
       trigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Int = 10,

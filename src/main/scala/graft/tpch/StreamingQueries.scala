@@ -179,6 +179,61 @@ object StreamingQueries {
         .select(col("event_type"), col("value").cast("double").as("value"))
     }),
 
+    // §2.14 × S+ (round 13): STREAMING ingest into the INCREMENTAL
+    // z-ordered store — half the cells compact into the manifest store,
+    // the other half replays as a file stream whose every micro-batch
+    // lands through appendZorderedStore (only overlapping-z files
+    // re-cluster, last-write-wins per address), so the layout stays
+    // slice-optimal continuously. Same oracle as olap_stream_ingest:
+    // maintenance must lose/duplicate nothing.
+    "olap_stream_zstore" -> ((s, dir) => {
+      val ev = RelationalQueries.readEvents(s, dir).filter(col("event_id") < 5000)
+      val db = new Database("streamzdb", s)
+      val etypes = ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val et = db.addDimension("etype")
+      et.edit().addMany(etypes).add("AllTypes", etypes).commit()
+      val buckets = (0 until 10).map(i => s"u$i")
+      val ub = db.addDimension("ubucket")
+      ub.edit().addMany(buckets).add("AllUsers", buckets).commit()
+      val etDf = s.createDataFrame(etypes.map(n => (n, et.idOf(n))))
+        .toDF("event_type", "d0")
+      val ubDf = s.createDataFrame(buckets.map(n => (n, ub.idOf(n))))
+        .toDF("ub", "d1")
+      val cells = ev
+        .withColumn("ub", concat(lit("u"), pmod(col("user_id"), lit(10))))
+        .groupBy("event_type", "ub")
+        .agg(sum(col("value").cast("decimal(15,2)")).cast("decimal(21,4)").as("value"))
+        .join(broadcast(etDf), Seq("event_type")).join(broadcast(ubDf), Seq("ub"))
+        .select(col("d0"), col("d1"), col("value"))
+      // base: even-bucket cells, compacted to the manifest store
+      val cube = db.addCube("streamzcube", Seq(et, ub),
+        cells.filter(col("d1") % 2 === 0))
+      val store = java.nio.file.Files.createTempDirectory("graftzstream").toString
+      require(cube.compactToZorderedStore(store, Seq(0, 1), files = 4),
+        "z-store compaction must land on an uncontended cube")
+      // stream: odd-bucket cells, one file per micro-batch
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_stream_z")
+      val tmp = tmpRoot.resolve("files").toString
+      cells.filter(col("d1") % 2 === 1)
+        .withColumn("part", pmod(hash(col("d0"), col("d1")), lit(8)))
+        .repartition(8, col("part")).drop("part")
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(cells.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val q = Streaming.ingestIntoZStore(cube, stream, Trigger.AvailableNow(),
+        checkpointDir = Some(tmpRoot.resolve("ckpt").toString))
+      q.awaitTermination()
+      // the store's segments fully materialized at each append — the
+      // backing no longer references the stream source; drop the work dir
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val g = cube.gridAggregate(Seq(etypes.map(et.idOf), Seq(ub.idOf("AllUsers"))))
+      g.join(broadcast(etDf.withColumnRenamed("d0", "a0")), Seq("a0"))
+        .select(col("event_type"), col("value").cast("double").as("value"))
+    }),
+
     // §2.13+§2.14 (round 10): STREAMING summary MAINTENANCE — the same
     // ingest replay, but a materialized summary (ubucket collapsed to
     // AllUsers) is kept CURRENT per micro-batch through ingestInto's
@@ -765,6 +820,11 @@ object StreamingQueries {
     "pipe_nb_classify_stream" -> PipelineQueries.NB_ORACLE,
 
     "olap_stream_ingest" ->
+      """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS value
+         FROM events WHERE event_id < 5000 GROUP BY event_type""",
+
+    // the incrementally-z-maintained store serves the identical totals
+    "olap_stream_zstore" ->
       """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS value
          FROM events WHERE event_id < 5000 GROUP BY event_type""",
 
