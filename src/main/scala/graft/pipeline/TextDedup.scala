@@ -561,8 +561,21 @@ object TextDedup {
     * per-document aggregation as [[dedupSegments]].
     */
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 5): DataFrame = {
-    val runs = duplicateRuns(df, idCol, textCol, minWords)
+      minWords: Int = 5): DataFrame =
+    dedupSubstringsWithRuns(df, idCol, textCol,
+      duplicateRuns(df, idCol, textCol, minWords))
+
+  /** [[dedupSubstrings]] from PRECOMPUTED [[duplicateRuns]] output — the
+    * production shape: the detection pass (the corpus-linear gram
+    * shuffle, ~1.1 M grams/s/node measured in tools/SubstringStress) runs
+    * ONCE, its runs frame is audited/persisted, and the purge reuses it
+    * instead of re-paying the shuffle inside its own plan. (Persisting
+    * the runs frame also lets the composed [[dedupSubstrings]] hit
+    * Spark's cache-fragment matching, but an explicit parameter beats
+    * relying on CacheManager recognizing the subtree.)
+    */
+  def dedupSubstringsWithRuns(df: DataFrame, idCol: String, textCol: String,
+      runs: DataFrame): DataFrame = {
     val coveredPos = runs.select(col(idCol),
       explode(sequence(col("run_start"),
         col("run_start") + col("run_len") - 1)).as("wpos"))

@@ -135,6 +135,21 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(out(4L) == "one two three four", "short docs pass through")
   }
 
+  test("dedupSubstringsWithRuns(precomputed) equals the composed operator") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g z"),
+      (3L, "p q r s t u p q r s t u")
+    ).toDF("doc_id", "text")
+    val runs = TextDedup.duplicateRuns(docs, "doc_id", "text", minWords = 5)
+    val viaRuns = TextDedup.dedupSubstringsWithRuns(docs, "doc_id", "text", runs)
+      .as[(Long, String)].collect().toMap
+    val composed = TextDedup.dedupSubstrings(docs, "doc_id", "text", minWords = 5)
+      .as[(Long, String)].collect().toMap
+    assert(viaRuns == composed,
+      "the detection-once production split must purge identically")
+  }
+
   test("duplicateRuns: adjacent distinct repeats merge into one covered run") {
     // doc 12 contains doc 10's span immediately followed by doc 11's span:
     // two different canonical sources, but the covered windows tile
