@@ -418,6 +418,32 @@ object TextDedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[purgeNearDups]] with a QUALITY keep-rule: per near-dup cluster,
+    * keep the member with the smallest `priorityExpr` (ties → smallest
+    * id) instead of the arbitrary min-id canonical — "keep the longest /
+    * highest-quality / curated-source copy", the keep-rule real curation
+    * pipelines run ([[dedupExactPriority]]'s discipline lifted from exact
+    * groups to near-dup CLUSTERS). Priorities are evaluated only for
+    * clustered docs (the cluster frame ≪ corpus); the keeper per cluster
+    * is one `min(struct(priority, id))` aggregation, and the purge is the
+    * same broadcast-friendly anti-join — nothing touches singleton docs.
+    */
+  def purgeNearDupsPriority(df: DataFrame, idCol: String, textCol: String,
+      priorityExpr: Column, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    val clusters = dedupClusters(
+      minhashLshPairs(df, idCol, textCol, k, bands, threshold))
+    val pri = df.select(col(idCol).as("id"), priorityExpr.as("__p"))
+    val ranked = clusters.join(pri, Seq("id"))
+    val keepers = ranked.groupBy(col("cluster_id"))
+      .agg(min(struct(col("__p"), col("id"))).as("__keep"))
+      .select(col("cluster_id"), col("__keep.id").as("__kid"))
+    val losers = ranked.join(keepers, Seq("cluster_id"))
+      .filter(col("id") =!= col("__kid"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Fixed-width word segments of each document: one row per `(id, seg_idx,
     * segment)`, where segment `i` is words `[i*segWords, (i+1)*segWords)` of
     * the whitespace-split text (the final segment may be shorter). The

@@ -336,6 +336,15 @@ object PipelineQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // the QUALITY keep-rule variant (round 13): per near-dup cluster keep
+    // the LONGEST member (ties → smallest id) instead of the arbitrary
+    // min-id canonical — the curation keep-rule real pipelines run
+    "pipe_dedup_purge_priority" -> ((s, dir) => {
+      TextDedup.purgeNearDupsPriority(docs(s, dir), "doc_id", "text",
+        -length(col("text")).cast("long"), 64, 16, 0.9)
+        .select("doc_id", "lang", "source")
+    }),
+
     // SimHash near-dup, verified: the 4-band pigeonhole makes candidate
     // generation COMPLETE at hamming ≤ 3, so the banded output must equal
     // the brute-force hamming pair set exactly — recall AND precision 1.0,
@@ -1486,6 +1495,20 @@ object PipelineQueries {
       s"""$CLUSTERS_CTE
           SELECT doc_id, lang, source FROM documents
           WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""",
+
+    // per-cluster argmin((-length, id)) keeper re-derived over the same
+    // exact-Jaccard clusters
+    "pipe_dedup_purge_priority" ->
+      s"""$CLUSTERS_CTE,
+          pri AS (SELECT c.id, c.cluster_id, -length(d.text) AS p
+                  FROM clusters c JOIN documents d ON c.id = d.doc_id),
+          keep AS (SELECT id FROM (
+                     SELECT id, ROW_NUMBER() OVER (
+                       PARTITION BY cluster_id ORDER BY p, id) AS rn
+                     FROM pri) WHERE rn = 1)
+          SELECT doc_id, lang, source FROM documents
+          WHERE doc_id NOT IN (
+            SELECT id FROM pri WHERE id NOT IN (SELECT id FROM keep))""",
 
     "pipe_dedup_embed" -> {
       val qa = QV.format("a.embedding"); val qb = QV.format("b.embedding")

@@ -135,6 +135,27 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(out(4L) == "one two three four", "short docs pass through")
   }
 
+  test("purgeNearDupsPriority keeps the best cluster member, not min-id") {
+    import org.apache.spark.sql.functions.{col, length}
+    // docs 1/2/3 are word-level near-dups (Jaccard >= 0.9 on word sets);
+    // doc 2 is the LONGEST (repeated words change length, not the set);
+    // doc 9 is an unrelated singleton and must survive untouched
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa kappa kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9L, "completely different words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val byPriority = TextDedup.purgeNearDupsPriority(docs, "doc_id", "text",
+      -length(col("text")).cast("long"), 64, 16, 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(byPriority == Set(2L, 9L),
+      s"longest member (2) must be the keeper, got $byPriority")
+    val byMinId = TextDedup.purgeNearDups(docs, "doc_id", "text", 64, 16, 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(byMinId == Set(1L, 9L), "min-id canonical keeps doc 1 — the rules differ")
+  }
+
   test("dedupSubstringsWithRuns(precomputed) equals the composed operator") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
