@@ -104,7 +104,9 @@ object Relational {
       skewFactor: Double = 4.0, maxSalt: Int = 64): Seq[(String, Int)] = {
     val nPart = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
-    val probe = df.agg(
+    // null keys never match an equi-join, so salting them is pointless —
+    // and they must not reach the sketch
+    val probe = df.filter(col(key).isNotNull).agg(
       graft.functions.FreqSketch(col(key).cast("string"), capacity).as("hh"),
       count(lit(1)).as("n")).head()
     val total = probe.getAs[Long]("n")

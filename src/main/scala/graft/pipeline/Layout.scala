@@ -181,6 +181,11 @@ object Layout {
     * touches the tail files only), not to the table — the same
     * touched-partitions-only argument as `Similarity.ivfAppend`.
     *
+    * SINGLE-WRITER: concurrent appends both rewrite the manifest and the
+    * last rename wins, orphaning the other's files — serialize appends
+    * (the intake-pipeline shape; `Cube.appendZorderedStore` additionally
+    * refuses concurrent bulk writers loudly).
+    *
     * `replaceOn` (optional): treat the batch as LAST-WRITE-WINS on those
     * key columns — stored rows matching a batch key are dropped during
     * the rewrite. Sound ONLY when the keys determine the z columns

@@ -308,7 +308,16 @@ final class RestServer(databases: Seq[Database], port: Int = 0) {
   }
 
   def start(): RestServer = synchronized {
-    if (!started) { install(); server.start(); started = true }
+    if (!started) {
+      install()
+      // without an executor the JDK server dispatches on ONE thread,
+      // serializing every request and making the read/write lock moot —
+      // a cached pool gives real shared reads / exclusive writes
+      server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+        r => { val t = new Thread(r, "graft-rest"); t.setDaemon(true); t }))
+      server.start()
+      started = true
+    }
     this
   }
 
