@@ -109,6 +109,30 @@ class ZorderIncrementalSpec extends AnyFunSuite {
     intercept[IllegalStateException] { bare.appendZorderedStore(batch) }
   }
 
+  test("cube z-store append is replay-idempotent (foreachBatch redelivery)") {
+    val db = TinyModel.build(spark)
+    val c0 = db.cube("sales")
+    val cube = new graft.core.Cube("sales_zreplay", c0.dimensions, spark, None)
+    cube.cacheEnabled = false
+    cube.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 10.0)
+    val dir = java.nio.file.Files.createTempDirectory("zreplay").toString
+    assert(cube.compactToZorderedStore(dir, Seq(0, 1), files = 2))
+    val batch = spark.createDataFrame(Seq(
+      (cube.dimensions(0).idOf("2022"), cube.dimensions(1).idOf("Mar"),
+        cube.dimensions(2).idOf("West"), cube.dimensions(3).idOf("coupe"),
+        cube.dimensions(4).idOf("Sales"), 7.0)))
+      .toDF("d0", "d1", "d2", "d3", "d4", "value")
+    cube.appendZorderedStore(batch)
+    val total1 = cube.get(Seq("All years", "Year", "Total", "Total", "Sales"))
+    // a redelivered micro-batch must replace its own addresses, not add
+    cube.appendZorderedStore(batch)
+    val total2 = cube.get(Seq("All years", "Year", "Total", "Total", "Sales"))
+    assert(total1 == total2 && total1.contains(17.0),
+      s"replay must be idempotent: $total1 vs $total2")
+    assert(graft.pipeline.Layout.zorderManifest(spark, dir).map(_.rows).sum == 2L,
+      "the store must hold exactly one row per address after the replay")
+  }
+
   test("append equals full rebuild for readers (same rows, pruned scans)") {
     val dir = java.nio.file.Files.createTempDirectory("zinc3").toString
     val all = spark.range(2000).select(col("id"),
