@@ -556,6 +556,16 @@ final class Cube(
     * consumed by [[appendZorderedStore]]): `(manifest dir, zDims, bits)`. */
   private var zStoreState: Option[(String, Seq[Int], Int)] = None
 
+  /** The exact base frame the z-store contents reflect. Any OTHER swap —
+    * [[compact]], [[compactToBucketed]]/[[compactToPartitioned]]/
+    * [[compactToZordered]], a bulk merge — replaces `base` and makes the
+    * on-disk store STALE (e.g. a compact() folds overlay point-writes into
+    * base and drops them from the overlay; appending against the store
+    * afterwards would swap those writes away silently). Verified by
+    * reference in [[appendZorderedStore]] so a superseded store fails
+    * loudly instead (r13 advice, medium). */
+  private var zStoreBase: DataFrame = null
+
   /** [[compactToZordered]] through the INCREMENTAL manifest store
     * ([[graft.pipeline.Layout.zorderWrite]]): the cube's backing becomes
     * the manifest-driven file set, so later bulk appends
@@ -578,14 +588,18 @@ final class Cube(
     require(bits * zDims.size <= 63,
       s"interleave of ${zDims.size} dims at $bits bits exceeds a long; interleave fewer dims")
     val zCols = zDims.map(i => col(s"d$i"))
+    var built: DataFrame = null
     val ok = swapCompacted(s"compactToZorderedStore('$dir')", () => (),
       materialize = { df =>
         graft.pipeline.Layout.zorderWrite(spark, dir, df, zCols, bits, files)
-        graft.pipeline.Layout.zorderRead(spark, dir)
+        built = graft.pipeline.Layout.zorderRead(spark, dir)
           .select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
+        built
       },
       onAbort = _ => ())
-    if (ok) stateLock.synchronized { zStoreState = Some((dir, zDims, bits)) }
+    if (ok) stateLock.synchronized {
+      zStoreState = Some((dir, zDims, bits)); zStoreBase = built
+    }
     ok
   }
 
@@ -602,29 +616,50 @@ final class Cube(
     * are single-writer, the intake-pipeline shape.
     */
   def appendZorderedStore(batch: DataFrame): graft.pipeline.Layout.ZAppendStats = {
-    val (dir, zDims, bits) = stateLock.synchronized(zStoreState.getOrElse(
-      throw new IllegalStateException(
-        "appendZorderedStore needs a prior compactToZorderedStore")))
-    val (facts0, base0) = stateLock.synchronized((facts, base))
+    val (dir, zDims, bits, facts0) = stateLock.synchronized[(String, Seq[Int], Int, DataFrame)] {
+      val (d, z, b) = zStoreState.getOrElse(throw new IllegalStateException(
+        "appendZorderedStore needs a prior compactToZorderedStore"))
+      // the store must reflect the CURRENT base: any other compaction or
+      // bulk merge since compactToZorderedStore superseded the on-disk
+      // contents (e.g. compact() folded overlay writes into base — swapping
+      // back to the stale store would silently lose them)
+      if (!(base eq zStoreBase)) throw new IllegalStateException(
+        s"cube '$name': the z-store at $d was superseded by another " +
+          "compaction or bulk write since compactToZorderedStore — appending " +
+          "would silently revert that change; re-run compactToZorderedStore")
+      (d, z, b, facts)
+    }
+    // one row per address: a batch naming the same address twice would
+    // UNION both rows into the store and later reads would sum them
+    // (r13 advice, low); which duplicate survives is arbitrary — callers
+    // wanting an ordering must pre-aggregate (ingestIntoZStore does)
     val entry = graft.olap.Rules.applyOnEntryBulk(this,
       batch.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
-        .withColumn("value", col("value").cast(factSchema("value").dataType)),
+        .withColumn("value", col("value").cast(factSchema("value").dataType))
+        .dropDuplicates(dimCols),
       Some(facts0))
     val st = graft.pipeline.Layout.zorderAppend(spark, dir, entry,
       zDims.map(i => col(s"d$i")), bits, replaceOn = dimCols)
     val newBase = graft.pipeline.Layout.zorderRead(spark, dir)
       .select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
     stateLock.synchronized {
-      if (!(base eq base0)) throw new IllegalStateException(
+      if (!(base eq zStoreBase)) throw new IllegalStateException(
         s"cube '$name': a concurrent bulk write landed during " +
           "appendZorderedStore — the store holds the batch but the swap is " +
           "refused; re-run compactToZorderedStore to re-sync")
-      base = newBase
+      base = newBase; zStoreBase = newBase
       // overlay entries were NOT incorporated (the append merges files,
       // not the overlay) — they stay and keep winning over the new base
       stateVersion += 1; logBulk(); cache.clear()
       recordHistory("zstore append")
     }
+    // deferred GC with a ONE-APPEND grace: files this append killed stay on
+    // disk (a reader pinned on the just-replaced base still lists them);
+    // files dead since before this append — which no frame newer than TWO
+    // swaps ago references — are reclaimed (r13 advice, medium: immediate
+    // deletion raced pinned readers into FileNotFoundException)
+    graft.pipeline.Layout.zorderVacuum(spark, dir,
+      keep = st.rewrittenFiles.toSet)
     st
   }
 

@@ -85,9 +85,21 @@ object Layout {
   /** One live file of a z-ordered store. */
   final case class ZFile(path: String, zMin: Long, zMax: Long, rows: Long)
 
-  /** Append outcome: which files were re-clustered vs left alone. */
+  /** Append outcome: which files were re-clustered vs left alone. The
+    * re-clustered files are DEAD in the manifest but stay on disk until
+    * [[zorderVacuum]] — readers whose plan pinned the pre-append file list
+    * (a cube base frame, an in-flight job) must not hit
+    * FileNotFoundException mid-append.
+    */
   final case class ZAppendStats(rewrittenFiles: Seq[String],
       untouchedFiles: Seq[String], newFiles: Seq[String], batchRows: Long)
+
+  /** A commit raced another writer: the manifest generation moved between
+    * this append's read and its rename. The loser's segment files are
+    * orphans ([[zorderVacuum]] collects them); no LIVE file was touched.
+    */
+  final class StaleManifestException(msg: String)
+    extends IllegalStateException(msg)
 
   import org.apache.spark.sql.SparkSession
 
@@ -99,33 +111,91 @@ object Layout {
     new org.apache.hadoop.fs.Path(dir, "_zmanifest.json")
 
   /** Load the live-file manifest. */
-  def zorderManifest(spark: SparkSession, dir: String): Seq[ZFile] = {
+  def zorderManifest(spark: SparkSession, dir: String): Seq[ZFile] =
+    readManifest(spark, dir)._2
+
+  /** The store's commit generation: bumped by every successful
+    * [[zorderWrite]]/[[zorderAppend]] manifest rename. Pre-versioning
+    * stores (no `#zgen` header) read as generation 0.
+    */
+  def zorderGeneration(spark: SparkSession, dir: String): Long =
+    readManifest(spark, dir)._1
+
+  private def readManifest(spark: SparkSession, dir: String): (Long, Seq[ZFile]) = {
     val f = fs(spark, dir)
     val mp = manifestPath(dir)
-    if (!f.exists(mp)) Seq.empty
+    if (!f.exists(mp)) (0L, Seq.empty)
     else {
       val in = f.open(mp)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      text.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+      val lines = text.split('\n').filter(_.nonEmpty).toSeq
+      val gen = lines.headOption.filter(_.startsWith("#zgen\t"))
+        .map(_.stripPrefix("#zgen\t").toLong).getOrElse(0L)
+      val files = lines.filterNot(_.startsWith("#")).map { line =>
         // fixed 4-field tab layout — no JSON parser dependency needed
         val p = line.split('\t')
         ZFile(p(0), p(1).toLong, p(2).toLong, p(3).toLong)
       }
+      (gen, files)
     }
   }
 
-  /** Atomically replace the manifest (temp write + rename). */
+  /** Atomically replace the manifest (temp write + rename), REFUSING a
+    * lost update: the commit re-reads the live generation and throws
+    * [[StaleManifestException]] when another writer committed since this
+    * one read `expectedGen` — the silent last-rename-wins orphaning is now
+    * a loud failure. (The re-check-then-rename window is not a lock; the
+    * contract stays SINGLE-WRITER — this turns a violated contract into an
+    * error instead of data loss.)
+    */
   private def writeManifest(spark: SparkSession, dir: String,
-      files: Seq[ZFile]): Unit = {
+      files: Seq[ZFile], expectedGen: Long): Unit = {
     val f = fs(spark, dir)
+    val liveGen = readManifest(spark, dir)._1
+    if (liveGen != expectedGen)
+      throw new StaleManifestException(
+        s"z-store $dir moved to generation $liveGen while this writer held " +
+          s"$expectedGen — a concurrent append committed; this commit is " +
+          "refused (its segment files are orphans for zorderVacuum)")
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_zmanifest.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(files.map(zf => s"${zf.path}\t${zf.zMin}\t${zf.zMax}\t${zf.rows}")
+    try out.write(((s"#zgen\t${expectedGen + 1}") +:
+      files.map(zf => s"${zf.path}\t${zf.zMin}\t${zf.zMax}\t${zf.rows}"))
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     f.delete(manifestPath(dir), false)
     require(f.rename(tmp, manifestPath(dir)), s"manifest rename failed in $dir")
+  }
+
+  /** Delete data files under `dir` the manifest no longer references —
+    * dead files from past appends and orphaned segments of refused
+    * commits. EXPLICIT GC, never run by [[zorderAppend]] itself: a reader
+    * whose plan captured the pre-append file list (a pinned cube base, an
+    * in-flight job) reads dead files until its owner swaps — run vacuum
+    * only when no reader can hold a file list older than the current
+    * manifest (`graft.core.Cube.appendZorderedStore` vacuums with a
+    * one-append grace for exactly this reason). `keep` exempts paths from
+    * this sweep.
+    */
+  def zorderVacuum(spark: SparkSession, dir: String,
+      keep: Set[String] = Set.empty): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val f = fs(spark, dir)
+    def local(p: String): String = new Path(new java.net.URI(p).getPath).toString
+    val live = zorderManifest(spark, dir).map(zf => local(zf.path)).toSet ++
+      keep.map(local)
+    val it = f.listFiles(new Path(dir), true)
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (st.isFile && p.getName.endsWith(".parquet") &&
+          !live.contains(local(p.toString))) {
+        if (f.delete(p, false)) deleted += p.toString
+      }
+    }
+    deleted.toSeq
   }
 
   /** Write a z-layouted frame as a new segment directory and return its
@@ -151,9 +221,10 @@ object Layout {
     */
   def zorderWrite(spark: SparkSession, dir: String, df: DataFrame,
       cols: Seq[Column], bits: Int = 16, numFiles: Int = 8): Seq[ZFile] = {
+    val gen0 = zorderGeneration(spark, dir)
     val files = writeSegment(spark, dir, "seg-0",
       zorderLayout(df, cols, bits, numFiles))
-    writeManifest(spark, dir, files)
+    writeManifest(spark, dir, files, gen0)
     files
   }
 
@@ -181,10 +252,17 @@ object Layout {
     * touches the tail files only), not to the table — the same
     * touched-partitions-only argument as `Similarity.ivfAppend`.
     *
-    * SINGLE-WRITER: concurrent appends both rewrite the manifest and the
-    * last rename wins, orphaning the other's files — serialize appends
-    * (the intake-pipeline shape; `Cube.appendZorderedStore` additionally
-    * refuses concurrent bulk writers loudly).
+    * SINGLE-WRITER: serialize appends (the intake-pipeline shape;
+    * `Cube.appendZorderedStore` additionally refuses concurrent bulk
+    * writers loudly). A violated contract is DETECTED, not silent: the
+    * manifest carries a commit generation, and a commit whose read
+    * generation was superseded throws [[StaleManifestException]] instead
+    * of last-rename-wins orphaning the other writer's rewrite — no live
+    * file is lost, the loser's segment is garbage for [[zorderVacuum]].
+    *
+    * Replaced (hot) files stay ON DISK after the commit — readers that
+    * pinned the previous file list keep working; reclaim them with
+    * [[zorderVacuum]] once no such reader can exist.
     *
     * `replaceOn` (optional): treat the batch as LAST-WRITE-WINS on those
     * key columns — stored rows matching a batch key are dropped during
@@ -194,45 +272,57 @@ object Layout {
     * cold files. The cube backing passes its full dimension key, which
     * contains the interleaved dims by construction.
     */
+  /** Test seam: runs after the append's rewrite lands and before its
+    * manifest commit — the window a racing writer's commit occupies.
+    */
+  private[graft] var appendCommitSeam: () => Unit = () => ()
+
   def zorderAppend(spark: SparkSession, dir: String, batch: DataFrame,
       cols: Seq[Column], bits: Int = 16, numFiles: Int = 4,
       replaceOn: Seq[String] = Nil): ZAppendStats = {
-    val manifest = zorderManifest(spark, dir)
+    val (gen0, manifest) = readManifest(spark, dir)
     require(manifest.nonEmpty, s"no z-ordered store at $dir — zorderWrite first")
+    // ONE evaluation of the batch source for the whole append: the
+    // touched-file probe, the rewrite and the row count all read this
+    // cached frame (a streaming micro-batch would otherwise re-read its
+    // source three times per trigger — the r13 verdict's 3× finding)
     val batchZ = batch.withColumn("__z", zValue(cols, bits))
-    import spark.implicits._
-    val intervals = manifest.map(zf => (zf.path, zf.zMin, zf.zMax))
-      .toDF("path", "zmin", "zmax")
-    val touched = batchZ.select(col("__z")).distinct()
-      .join(broadcast(intervals),
-        col("__z") >= col("zmin") && col("__z") <= col("zmax"))
-      .select(col("path")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val (hot, cold) = manifest.partition(zf => touched.contains(zf.path))
-    val seg = s"seg-${java.util.UUID.randomUUID().toString.take(8)}"
-    val rewriteInput =
-      if (hot.isEmpty) batchZ
-      else {
-        val hotData = spark.read.parquet(hot.map(_.path): _*)
-        val kept =
-          if (replaceOn.isEmpty) hotData
-          else hotData.join(
-            batchZ.select(replaceOn.map(col): _*).distinct(),
-            replaceOn, "left_anti")
-        kept.unionByName(batchZ)
-      }
-    // already carries __z — re-layout without recomputing the interleave
-    val layouted = rewriteInput.repartitionByRange(
-      math.max(1, numFiles + hot.size), col("__z"))
-      .sortWithinPartitions(col("__z"))
-    val newFiles = writeSegment(spark, dir, seg, layouted)
-    writeManifest(spark, dir, cold ++ newFiles)
-    // dropped files are dead after the manifest commit; deletion is
-    // best-effort hygiene (readers go through the manifest)
-    val f = fs(spark, dir)
-    hot.foreach(zf => try f.delete(new org.apache.hadoop.fs.Path(
-      new java.net.URI(zf.path).getPath), false) catch { case _: Exception => () })
-    ZAppendStats(hot.map(_.path), cold.map(_.path), newFiles.map(_.path),
-      batchZ.count())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchRows = batchZ.count() // materializes the cache
+      import spark.implicits._
+      val intervals = manifest.map(zf => (zf.path, zf.zMin, zf.zMax))
+        .toDF("path", "zmin", "zmax")
+      val touched = batchZ.select(col("__z")).distinct()
+        .join(broadcast(intervals),
+          col("__z") >= col("zmin") && col("__z") <= col("zmax"))
+        .select(col("path")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (hot, cold) = manifest.partition(zf => touched.contains(zf.path))
+      val seg = s"seg-${java.util.UUID.randomUUID().toString.take(8)}"
+      val rewriteInput =
+        if (hot.isEmpty) batchZ
+        else {
+          val hotData = spark.read.parquet(hot.map(_.path): _*)
+          val kept =
+            if (replaceOn.isEmpty) hotData
+            else hotData.join(
+              batchZ.select(replaceOn.map(col): _*).distinct(),
+              replaceOn, "left_anti")
+          kept.unionByName(batchZ)
+        }
+      // already carries __z — re-layout without recomputing the interleave
+      val layouted = rewriteInput.repartitionByRange(
+        math.max(1, numFiles + hot.size), col("__z"))
+        .sortWithinPartitions(col("__z"))
+      val newFiles = writeSegment(spark, dir, seg, layouted)
+      appendCommitSeam()
+      // commits at gen0+1 or throws StaleManifestException — a racing
+      // writer's committed work is never overwritten. Hot files stay on
+      // disk (dead in the manifest) until zorderVacuum.
+      writeManifest(spark, dir, cold ++ newFiles, gen0)
+      ZAppendStats(hot.map(_.path), cold.map(_.path), newFiles.map(_.path),
+        batchRows)
+    } finally batchZ.unpersist(blocking = false)
   }
 }

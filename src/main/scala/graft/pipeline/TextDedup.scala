@@ -520,11 +520,19 @@ object TextDedup {
     * at word grain): every word position covered by a REPEATED `minWords`-
     * gram occurrence (other than the gram's corpus-canonical first
     * occurrence) is duplicate territory, and overlapping/adjacent covered
-    * windows merge into maximal runs. Pigeonhole-exact for repeats of
+    * windows merge into maximal runs. Pigeonhole-complete for repeats of
     * ≥ `minWords` words: any such repeat is tiled by its k-gram windows,
     * so the reconstructed run boundaries are the true maximal extent —
     * unlike [[dedupSegments]]' fixed windows, which fragment a repeat
     * that straddles segment boundaries and miss its unaligned edges.
+    * CAVEAT — not byte-exact like a suffix-array pass: repeats are keyed
+    * on `xxhash64(gram)`, so a 64-bit collision between two DISTINCT
+    * grams can mark a unique passage as repeated (and [[dedupSubstrings]]
+    * would purge non-duplicate text). P(any collision) ≈ n²/2⁶⁵ over n
+    * distinct grams — ~3·10⁻⁴ at a billion grams — accepted so the
+    * shuffle never carries gram strings; verify candidate runs against
+    * the raw text (join back on `(id, gpos)`) where that tail risk is
+    * unacceptable.
     * Returns one row per `(id, run_start, run_len)` covered run (word
     * offsets).
     *

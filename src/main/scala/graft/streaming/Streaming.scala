@@ -41,10 +41,18 @@ object Streaming {
     * Replays are idempotent: re-appending a batch replaces its own
     * addresses with the same values. No aggregation state — the plan
     * depth is O(1) by construction (every append re-reads the manifest).
+    *
+    * Intra-batch conflicts (one micro-batch writing the same address
+    * twice): with `orderCol` set the row with the LARGEST order value wins
+    * (`max_by` — deterministic when the source carries an offset or event
+    * timestamp); without it the surviving row is ARBITRARY — Spark's
+    * `last()` after a shuffle reflects partition arrival order, not source
+    * order (r13 advice, low).
     */
   def ingestIntoZStore(cube: Cube, stream: DataFrame,
       trigger: Trigger = Trigger.AvailableNow(),
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      orderCol: Option[String] = None): StreamingQuery = {
     val writer = stream.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
@@ -52,7 +60,10 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val cols = cube.dimCols
         val resolved = batch.groupBy(cols.map(col): _*)
-          .agg(last(col("value")).as("value")) // last write wins within batch
+          .agg(orderCol match {
+            case Some(oc) => max_by(col("value"), col(oc)).as("value")
+            case None     => last(col("value")).as("value") // ARBITRARY pick
+          })
         cube.appendZorderedStore(resolved)
         ()
       }
@@ -72,8 +83,11 @@ object Streaming {
     checkpointDir.foldLeft(writer)((w, d) => w.option("checkpointLocation", d))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cols = cube.dimCols
+        // intra-batch conflicts resolve to an ARBITRARY row (last() after a
+        // shuffle carries no source order); sources with an offset column
+        // should pre-aggregate with max_by upstream
         val raw = batch.groupBy(cols.map(col): _*)
-          .agg(last(col("value")).as("value")) // last write wins within batch
+          .agg(last(col("value")).as("value"))
         // snapshot facts AND the overlay entries the merge bakes in, so the
         // commit can preserve interactive writes that land mid-merge
         val (facts0, incorporated) = cube.bulkMergeSnapshot()
