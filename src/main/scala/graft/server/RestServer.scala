@@ -33,8 +33,10 @@ import org.json4s.jackson.JsonMethods
   *    render an ad-hoc [[ViewDef]] (JSON body, the persisted-view codec)
   *  - `GET  /views/{db}/{cube}/{name}?format=…` — render a NAMED view
   *    from the cube's registry
-  *  - `POST /query/{db}` body = dialect SQL — run [[OlapQuery]], rows as
-  *    JSON records
+  *  - `POST /query/{db}[?limit=n&offset=n]` body = dialect SQL — run
+  *    [[OlapQuery]], rows as JSON records, capped at
+  *    [[RestServer.QueryRowCap]] rows per response with
+  *    `truncated`/`next_offset` paging markers
   *
   * Concurrency mirrors the reference's per-database read/write lock
   * (`dependencies.py` `gen_rlock`/`gen_wlock`): reads share, writes are
@@ -288,10 +290,34 @@ final class RestServer(databases: Seq[Database], port: Int = 0) {
           val d = db(dbName)
           val sql = bodyOf(ex).trim
           if (sql.isEmpty) throw BadRequest("empty query body")
-          val rows = withRead(d) {
+          // Bounded like the batch-cells route (r13 verdict #2): the result
+          // never materializes more than limit+1 rows through the driver
+          // and the HTTP response — a '*'-slicer grid over large catalog
+          // dimensions pages instead of pulling the member cross-product.
+          // `limit`/`offset` page; `truncated`+`next_offset` say when a
+          // page was cut. A request carrying either paging param orders by
+          // every output column so SUCCESSIVE pages share one total order
+          // (disjoint and exhaustive) — a dialect grid carries no inherent
+          // row order.
+          val qp = query(ex)
+          def intParam(name: String, dflt: Int): Int =
+            try qp.get(name).map(_.toInt).getOrElse(dflt)
+            catch { case _: NumberFormatException =>
+              throw BadRequest(s"$name must be an integer") }
+          val limit = intParam("limit", RestServer.QueryRowCap)
+          val offset = intParam("offset", 0)
+          if (limit < 1 || limit > RestServer.QueryRowCap)
+            throw BadRequest(s"limit must be 1..${RestServer.QueryRowCap}")
+          if (offset < 0) throw BadRequest("offset must be >= 0")
+          val (rows, truncated) = withRead(d) {
             val df = OlapQuery(d, sql)
             val cols = df.columns.toSeq
-            df.collect().map(r => cols.zipWithIndex.map { case (cn, i) =>
+            val paging = qp.contains("limit") || qp.contains("offset")
+            val paged =
+              (if (paging) df.orderBy(cols.map(col): _*).offset(offset)
+               else df).limit(limit + 1)
+            val got = paged.collect()
+            (got.take(limit).map(r => cols.zipWithIndex.map { case (cn, i) =>
               cn -> (r.get(i) match {
                 case null => JNull
                 case dd: java.lang.Double => JDouble(dd)
@@ -299,9 +325,13 @@ final class RestServer(databases: Seq[Database], port: Int = 0) {
                 case ii: java.lang.Integer => JInt(BigInt(ii.intValue))
                 case x => JString(x.toString)
               })
-            }.foldLeft(JObject()) { case (o, (k, v)) => o ~ (k -> v) }).toList
+            }.foldLeft(JObject()) { case (o, (k, v)) => o ~ (k -> v) }).toList,
+              got.length > limit)
           }
-          json(ex, 200, "rows" -> rows)
+          val base = ("rows" -> rows) ~ ("limit" -> limit) ~
+            ("offset" -> offset) ~ ("truncated" -> truncated)
+          json(ex, 200,
+            if (truncated) base ~ ("next_offset" -> (offset + limit)) else base)
         case other => throw NotFound(other.mkString("/"))
       }
     })
@@ -327,4 +357,12 @@ final class RestServer(databases: Seq[Database], port: Int = 0) {
   def stop(): Unit = synchronized {
     if (started) { server.stop(0); started = false }
   }
+}
+
+object RestServer {
+  /** Per-response row cap for the dialect `/query` route — the same bound
+    * as the batch-cells route: the server never collects an unbounded grid
+    * through the driver; clients page with `limit`/`offset`.
+    */
+  val QueryRowCap = 10000
 }

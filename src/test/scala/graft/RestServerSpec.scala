@@ -128,4 +128,44 @@ class RestServerSpec extends AnyFunSuite {
     assert(post("/query/tiny", "").statusCode() == 400)
     assert(post("/query/nope", sql).statusCode() == 404)
   }
+
+  test("query route caps and pages instead of materializing the grid (r13 #2)") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    import org.json4s.jackson.JsonMethods.parse
+    // empty addresses drop out of the grid — seed four non-empty rows
+    Seq("Jan", "Feb", "Mar", "Apr").zipWithIndex.foreach { case (m, i) =>
+      db.cube("sales").set(Seq("2023", m, "North", "sedan", "Sales"), 10.0 + i)
+    }
+    val sql = "SELECT months, value FROM sales WHERE '2023', " +
+      "months=('Jan','Feb','Mar','Apr'), regions='Total', products='Total', 'Sales'"
+    // a page smaller than the grid is cut and says so
+    val p1 = post("/query/tiny?limit=3", sql)
+    assert(p1.statusCode() == 200, p1.body())
+    val j1 = parse(p1.body())
+    assert((j1 \ "rows").extract[List[org.json4s.JValue]].size == 3)
+    assert((j1 \ "truncated").extract[Boolean])
+    assert((j1 \ "next_offset").extract[Int] == 3)
+    // paging with limit/offset is disjoint and exhaustive: the union of all
+    // pages equals the unpaged result
+    def months(body: String): List[String] =
+      (parse(body) \ "rows").extract[List[org.json4s.JValue]]
+        .map(r => (r \ "months").extract[String])
+    val all = months(post("/query/tiny", sql).body())
+    assert(all.size == 4)
+    val paged = (0 until 4 by 2).flatMap { off =>
+      val p = post(s"/query/tiny?limit=2&offset=$off", sql)
+      assert(p.statusCode() == 200, p.body())
+      months(p.body())
+    }
+    assert(paged.toSet == all.toSet && paged.size == 4,
+      s"pages must partition the grid: $paged vs $all")
+    // the last page is not truncated
+    val last = parse(post("/query/tiny?limit=2&offset=2", sql).body())
+    assert(!(last \ "truncated").extract[Boolean])
+    // over-cap and malformed params are refused, never materialized
+    assert(post("/query/tiny?limit=20000", sql).statusCode() == 400)
+    assert(post("/query/tiny?limit=0", sql).statusCode() == 400)
+    assert(post("/query/tiny?offset=-1", sql).statusCode() == 400)
+    assert(post("/query/tiny?limit=abc", sql).statusCode() == 400)
+  }
 }
