@@ -117,6 +117,35 @@ class AggregatesSpec extends AnyFunSuite {
     assert(rows2((0, "Q1")) == 1579.0 && rows2((1, "Jan")) == 1123.0)
   }
 
+  test("groupingSets: grains sharing a summary compute in ONE Expand pass (r13 #5)") {
+    val cube = freshModel("agg1s")
+    val summary = Aggregates.materialize(cube, "sales_gs1",
+      Seq(None, Some(1), None, None, None)) // months → quarters
+    val nav = new Aggregates.Navigator(cube, Seq(summary))
+    // both grains are summary-servable AND closure-free on the summary:
+    // Year covers all quarter leaves at unit weight (collapsed), Q1/Q2 are
+    // derived-catalog leaves (kept) — the single-pass preconditions
+    val grains = Seq(
+      Seq(Seq("2021"), Seq("Year"), Seq("Total"), Seq("Total"), Seq("Sales")),
+      Seq(Seq("2021"), Seq("Q1", "Q2"), Seq("Total"), Seq("Total"), Seq("Sales")))
+    val (targets, df) = nav.groupingSets(grains)
+    assert((targets(0) eq summary) && (targets(1) eq summary))
+    val rows = df.collect().map(r =>
+      (r.getInt(0), r.getString(2)) -> r.getDouble(6)).toMap
+    assert(rows == Map((0, "Year") -> 629.0, (1, "Q1") -> 579.0,
+      (1, "Q2") -> 50.0), s"wrong grid: $rows")
+    // values must equal the base-served cells bit-for-bit
+    assert(cube.get(Seq("2021", "Year", "Total", "Total", "Sales")).contains(629.0))
+    // plan shape: ONE GROUPING SETS Expand over ONE scan of the summary
+    // frame — not one aggregation job per grain
+    val plan = df.queryExecution.optimizedPlan
+    val expands = plan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e }
+    assert(expands.size == 1, s"expected one Expand, got ${expands.size}")
+    assert(plan.collectLeaves().size == 1,
+      s"expected one scan of the covering summary, got ${plan.collectLeaves().size}")
+  }
+
   test("a base write staleness-guards every summary") {
     val cube = freshModel("aggw")
     val summary = Aggregates.materialize(cube, "sales_q3",
