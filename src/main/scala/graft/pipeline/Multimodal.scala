@@ -66,19 +66,22 @@ object Multimodal {
         Some((w, h, math.max(1, bpp / 8))) else None
     } else None
 
-  /** REAL decode, PNG/JPEG via `javax.imageio` — pure-JVM, ships in the
-    * JDK, headless-safe. The magic sniff (PNG `\x89PNG`, JPEG `FF D8 FF`)
-    * gates the codec attempt so arbitrary text payloads never pay a parse;
-    * a sniff hit that still fails to decode (truncated/corrupt stream)
-    * falls through to the stub rather than erroring the task. Returns
-    * (width, height, raster band count: 1 gray / 3 RGB / 4 RGBA).
+  /** REAL decode, PNG/JPEG/GIF via `javax.imageio` — pure-JVM, ships in
+    * the JDK, headless-safe. The magic sniff (PNG `\x89PNG`, JPEG
+    * `FF D8 FF`, GIF `GIF8`) gates the codec attempt so arbitrary text
+    * payloads never pay a parse; a sniff hit that still fails to decode
+    * (truncated/corrupt stream) falls through to the stub rather than
+    * erroring the task. Returns (width, height, raster band count:
+    * 1 gray/palette-indexed — every GIF — / 3 RGB / 4 RGBA).
     */
   private[pipeline] def decodeImageIO(b: Array[Byte]): Option[(Int, Int, Int)] = {
     val isPng = b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P'.toByte &&
       b(2) == 'N'.toByte && b(3) == 'G'.toByte
     val isJpeg = b.length >= 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte &&
       b(2) == 0xFF.toByte
-    if (!isPng && !isJpeg) None
+    val isGif = b.length >= 6 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+      b(2) == 'F'.toByte && b(3) == '8'.toByte
+    if (!isPng && !isJpeg && !isGif) None
     else try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       if (img == null) None
@@ -171,9 +174,9 @@ object Multimodal {
   /** Decode pass: typed mapPartitions — one codec context per partition
     * (the expensive-init pattern batch UDFs exist for), streaming the
     * iterator (no materialization of the partition in memory). BMP, PNG,
-    * JPEG and WAV payloads decode for REAL (BMP via pure-JVM header
-    * parse, PNG/JPEG via `javax.imageio`: → width/height/channels, one
-    * frame; WAV → sample rate as width, channels as height, duration
+    * JPEG, GIF and WAV payloads decode for REAL (BMP via pure-JVM header
+    * parse, PNG/JPEG/GIF via `javax.imageio`: → width/height/channels,
+    * one frame; WAV → sample rate as width, channels as height, duration
     * seconds as n_frames); anything else falls back to the documented
     * stub with channels = 0.
     */

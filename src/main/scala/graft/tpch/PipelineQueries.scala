@@ -886,16 +886,17 @@ object PipelineQueries {
       Multimodal.sampleFrames(Multimodal.decode(Multimodal.assets(docs(s, dir))))
     }),
 
-    // REAL image decode (round 13): payloads are actual PNG/JPEG bytes
-    // encoded in-executor with dims/grayness derived from doc_id, then
-    // decoded back by javax.imageio inside the typed mapPartitions pass.
-    // The oracle states the expected metadata a priori from the same
-    // doc_id arithmetic — it never touches a codec, so any decode drift
-    // (dims, band count, frame count) breaks the hash.
+    // REAL image decode (round 13; GIF added round 14): payloads are
+    // actual PNG/JPEG/GIF bytes encoded in-executor with dims/grayness
+    // derived from doc_id, then decoded back by javax.imageio inside the
+    // typed mapPartitions pass. The oracle states the expected metadata a
+    // priori from the same doc_id arithmetic — it never touches a codec,
+    // so any decode drift (dims, band count, frame count) breaks the
+    // hash. GIFs always read back palette-indexed (1 raster band).
     "pipe_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
       val assets = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
-        val fmt = if (id % 2 == 0) "png" else "jpg"
+        val fmt = if (id % 4 == 1) "gif" else if (id % 2 == 0) "png" else "jpg"
         Multimodal.Asset(id, "image",
           Multimodal.syntheticImage(fmt, (id % 29 + 1).toInt,
             (id % 13 + 1).toInt, gray = id % 3 == 0))
@@ -1800,7 +1801,8 @@ object PipelineQueries {
       """SELECT doc_id,
            CAST(doc_id % 29 + 1 AS INT) AS width,
            CAST(doc_id % 13 + 1 AS INT) AS height,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN 1
+                     WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
            CAST(1 AS INT) AS n_frames
          FROM documents""",
 

@@ -558,7 +558,10 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.Asset(5L, "video", Multimodal.syntheticImage("png", 23, 11, gray = false)),
       // truncated PNG: magic sniffs but the decode fails → stub, no error
       Multimodal.Asset(6L, "image",
-        Multimodal.syntheticImage("png", 23, 11, gray = false).take(20)))
+        Multimodal.syntheticImage("png", 23, 11, gray = false).take(20)),
+      // GIFs read back palette-indexed: 1 raster band whatever the fill
+      Multimodal.Asset(7L, "image", Multimodal.syntheticImage("gif", 17, 9, gray = false)),
+      Multimodal.Asset(8L, "image", Multimodal.syntheticImage("gif", 4, 6, gray = true)))
       .toDS()
     val out = Multimodal.decode(in).collect().map(d => d.doc_id -> d).toMap
     assert(out(1L).width == 23 && out(1L).height == 11 &&
@@ -574,6 +577,10 @@ class PipelineSpec extends AnyFunSuite {
       s"video-declared PNG must stub: ${out(5L)}")
     assert(out(6L).width == 20 % 640 + 1 && out(6L).channels == 0,
       s"truncated PNG must fall through to the stub, not error: ${out(6L)}")
+    assert(out(7L).width == 17 && out(7L).height == 9 && out(7L).channels == 1,
+      s"RGB-filled GIF decodes palette-indexed (1 band): ${out(7L)}")
+    assert(out(8L).width == 4 && out(8L).height == 6 && out(8L).channels == 1,
+      s"gray GIF decodes 1 band: ${out(8L)}")
   }
 
   test("multimodal decode is gated on the declared modality; hostile WAV sizes stub") {
