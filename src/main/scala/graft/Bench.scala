@@ -442,14 +442,16 @@ object Bench {
         recorded += "stream_layout_build"
       }
       selected.filterNot(n => onceOnly(n) && results.contains(n)).foreach { name =>
-        // the 1e6-cell huge model builds lazily inside its first read — time
-        // build and read separately (≙ samples/huge.py:115-201 load vs reads).
-        // Guarded on "not yet recorded", not pass number: a retried first
-        // pass would otherwise re-time the memoized build as a ~0 s cache hit
-        if (name == "olap_huge_top" && !results.contains("huge_build")) {
-          results("huge_build") = try time { graft.tpch.HugeModel.get(spark) }
-            catch { case _: Throwable => -1.0 }
-          recorded += "huge_build"
+        // the 1e6-cell huge model: a REAL build every pass (drop memo +
+        // unpersist + rebuild), timed like every other row — pass 1 is the
+        // cold build, pass ≥2 the warmed-JIT steady state, and min-of-passes
+        // replaces the one-shot number whose r13 official artifact diverged
+        // 1.7× from three clean sign-off runs (r13 verdict #1). Timed build
+        // and read stay separate (≙ samples/huge.py:115-201 load vs reads).
+        if (name == "olap_huge_top") {
+          rec("huge_build", try time {
+            graft.tpch.HugeModel.rebuild(spark, graft.tpch.HugeModel.Rows)
+          } catch { case _: Throwable => -1.0 })
         }
         rawOps.get(name).orElse(SparkEntry.queries.get(name)).foreach { fn =>
           if (name == "olap_huge_top") {
@@ -485,12 +487,13 @@ object Bench {
       // the cube is too big to index (the 100 TB path).
       if (want("huge_point_reads_10k")) {
         val cube = graft.tpch.HugeModel.get(spark)
-        if (!results.contains("huge_point_index_build")) {
-          results("huge_point_index_build") =
-            try time { cube.enablePointIndex() }
-            catch { case _: Throwable => -1.0 }
-          recorded += "huge_point_index_build"
-        }
+        // a REAL index build (collect) every pass — enablePointIndex is a
+        // no-op while the index stands, so drop it first; min-of-passes
+        // replaces the one-shot number that ran 1.87× in the r13 artifact
+        cube.disablePointIndex()
+        rec("huge_point_index_build",
+          try time { cube.enablePointIndex() }
+          catch { case _: Throwable => -1.0 })
         rec("huge_point_reads_10k",
           try time { graft.tpch.HugeModel.pointReadLoop(cube, 10000) }
           catch { case _: Throwable => -1.0 })
@@ -592,37 +595,89 @@ object Bench {
     val skip1e8 = sys.env.get("SPARK_GRAFT_SKIP_1E8").contains("1")
     if (!skip1e8 && only.forall(_.exists(_.startsWith("huge8")))) {
       val rows8 = sys.env.getOrElse("SPARK_GRAFT_HUGE8_ROWS", "100000000").toLong
+      // min-of-passes for the 1e8 rows too (r13 verdict #1: the official
+      // huge8_build shipped 71.3 s against a 36.2 s clean sign-off — the
+      // one-shot sample had no second chance). Each pass drops the memoized
+      // model and rebuilds for real; pass 2 rides warmed JIT.
+      val passes8 = sys.env.getOrElse("SPARK_GRAFT_HUGE8_PASSES", "2").toInt
       val pre8 = spinCanary(); canaries += pre8
       obsMin = math.min(obsMin, pre8._1)
-      results("huge8_build") =
-        try time { graft.tpch.HugeModel.at(spark, rows8) }
-        catch { case t: Throwable =>
-          System.err.println(s"[graft.Bench] huge8_build failed: $t"); -1.0 }
-      results("huge8_top") = try {
-        val c = graft.tpch.HugeModel.at(spark, rows8)
-        c.cacheEnabled = false; c.clearCache()
-        var v = 0.0
-        val t = time {
-          v = c.get(Seq.fill(graft.tpch.HugeModel.NDims)("All")).getOrElse(0.0)
+      for (_ <- 1 to passes8) {
+        record("huge8_build",
+          try time { graft.tpch.HugeModel.rebuild(spark, rows8) }
+          catch { case t: Throwable =>
+            System.err.println(s"[graft.Bench] huge8_build failed: $t"); -1.0 })
+        record("huge8_top", try {
+          val c = graft.tpch.HugeModel.at(spark, rows8)
+          c.cacheEnabled = false; c.clearCache()
+          var v = 0.0
+          val t = time {
+            v = c.get(Seq.fill(graft.tpch.HugeModel.NDims)("All")).getOrElse(0.0)
+          }
+          c.cacheEnabled = true
+          require(math.round(v) == rows8,
+            s"huge8 self-verifying total broke: $v != $rows8")
+          t
+        } catch { case t: Throwable =>
+          System.err.println(s"[graft.Bench] huge8_top failed: $t"); -1.0 })
+        record("huge8_point_index_refusal", try {
+          val c = graft.tpch.HugeModel.at(spark, rows8)
+          var refused = false
+          val t = time { refused = !c.enablePointIndex() }
+          require(refused,
+            "a 1e8-cell cube must REFUSE the driver point index (cap guard)")
+          t
+        } catch { case t: Throwable =>
+          System.err.println(s"[graft.Bench] huge8_point_index_refusal failed: $t"); -1.0 })
+      }
+      graft.tpch.HugeModel.drop(rows8) // free the multi-GB footprint
+      // ---- pipeline-side 1e8 row (r13 verdict #6): incremental z-store
+      // maintenance at scale, measured every round instead of via ad-hoc
+      // stress tools. The store build over rows8 synthetic facts is the
+      // one-time fixture (timed once, like huge_build used to be priced);
+      // the measured product row is the per-batch APPEND — its cost must
+      // track the interleaving data (a z-confined batch re-clusters the
+      // touched tail files only), not the store size.
+      try {
+        import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+        val zdir = java.nio.file.Files.createTempDirectory("bench_zstore8").toString
+        def zframe(n: Long, offset: Long) =
+          spark.range(offset, offset + n).select(col("id"),
+            pmod(hash(col("id")), lit(1024)).cast("long").as("a"),
+            pmod(hash(col("id") * 3), lit(1024)).cast("long").as("b"),
+            (col("id") % 97).cast("double").as("value"))
+        val zc = Seq(col("a"), col("b"))
+        results("huge8_pipe_zstore_build") = try time {
+          graft.pipeline.Layout.zorderWrite(spark, zdir, zframe(rows8, 0),
+            zc, bits = 10, numFiles = 64)
+        } catch { case t: Throwable =>
+          System.err.println(s"[graft.Bench] huge8_pipe_zstore_build failed: $t"); -1.0 }
+        if (results("huge8_pipe_zstore_build") >= 0) {
+          // z-confined 1e5-row batches (keys < 32 → z in the lowest 1/1024
+          // of the space), one append per pass — min-of-passes
+          var off = rows8
+          for (_ <- 1 to passes8) {
+            val batch = zframe(100000L, off)
+              .withColumn("a", col("a") % 32)
+              .withColumn("b", col("b") % 32)
+            record("huge8_pipe_zappend",
+              try time { graft.pipeline.Layout.zorderAppend(spark, zdir,
+                batch, zc, bits = 10) }
+              catch { case t: Throwable =>
+                System.err.println(s"[graft.Bench] huge8_pipe_zappend failed: $t"); -1.0 })
+            off += 100000L
+          }
         }
-        c.cacheEnabled = true
-        require(math.round(v) == rows8,
-          s"huge8 self-verifying total broke: $v != $rows8")
-        t
+        // the multi-GB store is bench scratch — reclaim it
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zdir))
+        ()
       } catch { case t: Throwable =>
-        System.err.println(s"[graft.Bench] huge8_top failed: $t"); -1.0 }
-      results("huge8_point_index_refusal") = try {
-        val c = graft.tpch.HugeModel.at(spark, rows8)
-        var refused = false
-        val t = time { refused = !c.enablePointIndex() }
-        require(refused,
-          "a 1e8-cell cube must REFUSE the driver point index (cap guard)")
-        t
-      } catch { case t: Throwable =>
-        System.err.println(s"[graft.Bench] huge8_point_index_refusal failed: $t"); -1.0 }
+        System.err.println(s"[graft.Bench] huge8 pipe block failed: $t") }
       val post8 = spinCanary(); canaries += post8
       obsMin = math.min(obsMin, post8._1)
-      val names8 = Seq("huge8_build", "huge8_top", "huge8_point_index_refusal")
+      val names8 = Seq("huge8_build", "huge8_top", "huge8_point_index_refusal",
+        "huge8_pipe_zstore_build", "huge8_pipe_zappend")
+        .filter(results.contains)
       allNames ++= names8
       if (pre8._1 <= dirtyK * floor && post8._1 <= dirtyK * floor)
         cleanNames ++= names8
@@ -669,6 +724,35 @@ object Bench {
       if (cpuTotal1 > cpuTotal0) 100.0 * (steal1 - steal0) / (cpuTotal1 - cpuTotal0)
       else 0.0
     val total = results.values.filter(_ >= 0).sum
+    // In-run tripwire vs recorded CLEAN minima (r13 verdict #1: the
+    // official artifact diverged 2-4× from the builder's sign-off on
+    // one-shot rows and nobody noticed until the judge read it): every row
+    // is compared against the best clean minimum recorded in
+    // tools/bench_clean_minima.json (written from builder sign-off runs;
+    // SPARK_GRAFT_BENCH_MINIMA overrides the path). Rows exceeding
+    // `tripK`× their clean minimum self-report in the artifact's
+    // `tripwire` object and on stderr — divergence is flagged IN-RUN, not
+    // discovered round-over-round. An absent/empty minima file disarms the
+    // tripwire (first round on a new host).
+    val minimaPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINIMA",
+      "tools/bench_clean_minima.json")
+    val minima: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(minimaPath)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+          .extract[Map[String, Double]]
+      }
+    } catch { case t: Throwable =>
+      System.err.println(s"[graft.Bench] minima file unreadable ($minimaPath): $t")
+      Map.empty }
+    val tripK = sys.env.getOrElse("SPARK_GRAFT_TRIPWIRE_K", "1.25").toDouble
+    val tripped = results.collect { case (k, v)
+        if v > 0 && minima.get(k).exists(m => m > 0 && v > tripK * m) =>
+      k -> v / minima(k) }.toSeq.sortBy(-_._2)
+    val tripJson = tripped.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
     // "timing" is the semantics marker: per-query values are the MINIMUM
     // over `passes` warmed in-process passes (steady state), not one cold
     // pass — artifacts before round 4 were single-pass and not comparable
@@ -678,7 +762,11 @@ object Bench {
     val dirtyRowsJson = dirtyRows.map("\"" + _ + "\"").mkString("[", ",", "]")
     val memJson = memSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val ioJson = ioSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f,"tripwire":$tripJson,"tripwire_threshold":$tripK%.2f,"tripwire_rows_known":${minima.size}}""")
+    if (tripped.nonEmpty) System.err.println(
+      s"[graft.Bench] TRIPWIRE: ${tripped.size} row(s) exceed ${tripK}x their " +
+      s"recorded clean minimum — ${tripped.map { case (k, r) => f"$k ($r%.2fx)" }
+        .mkString(", ")}; treat this artifact's deltas with suspicion")
     if (stealPct > 1.0) System.err.println(
       f"[graft.Bench] WARNING: hypervisor steal $stealPct%.2f%% of cpu time " +
       "during this run — JVM-synchronization-heavy queries inflate far more " +

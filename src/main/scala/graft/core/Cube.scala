@@ -843,6 +843,13 @@ final class Cube(
     pointIdx != null && (pointIdxBase eq base)
   }
 
+  /** Drop the point index (reads fall back to base-frame jobs); the next
+    * [[enablePointIndex]] re-collects — the re-timing lever for benchmarks
+    * and the release valve for a driver under memory pressure. */
+  def disablePointIndex(): Unit = stateLock.synchronized {
+    pointIdx = null; pointIdxBase = null
+  }
+
   private def pointRead(ids: Vector[Int]): Option[Double] = {
     // snapshot overlay-hit-or-index-or-base under the lock; the filter job
     // (if any) then runs lock-free on the immutable base frame

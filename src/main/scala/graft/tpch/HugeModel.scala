@@ -20,6 +20,7 @@ object HugeModel {
   val LeavesPerDim = 100
 
   private val cache = TrieMap[String, Cube]()
+  private val persisted = TrieMap[String, DataFrame]()
 
   def get(spark: SparkSession): Cube = at(spark, Rows)
 
@@ -29,6 +30,21 @@ object HugeModel {
     */
   def at(spark: SparkSession, rows: Long): Cube =
     cache.getOrElseUpdate(s"huge-$rows", build(spark, rows))
+
+  /** Drop the memoized model (unpersisting its fact frame) and build it
+    * again — the bench's min-of-passes lever for the BUILD rows: a second
+    * [[at]] call is a memo hit, not a build, so a repeated timing must
+    * rebuild for real (pass ≥ 2 then measures the warmed-JIT steady state).
+    */
+  def rebuild(spark: SparkSession, rows: Long): Cube = {
+    drop(rows); at(spark, rows)
+  }
+
+  /** Forget the memoized model at `rows` and free its persisted storage. */
+  def drop(rows: Long): Unit = {
+    cache.remove(s"huge-$rows")
+    persisted.remove(s"huge-$rows").foreach(_.unpersist(blocking = false))
+  }
 
   private def build(spark: SparkSession, rows: Long): Cube = {
     val db = new Database(s"huge$rows", spark)
@@ -48,6 +64,7 @@ object HugeModel {
       .agg(sum(col("value")).as("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     facts.count()
+    persisted.put(s"huge-$rows", facts)
     db.addCube("huge", dims, facts)
   }
 
