@@ -195,10 +195,39 @@ final class Database(val name: String, val spark: SparkSession) {
   // ---- persistence (S5/S6/S7) --------------------------------------------
 
   /** Save: `<dir>/meta.json` + `<dir>/cubes/<name>/` parquet. */
-  def save(dir: String): Unit = {
+  def save(dir: String): Unit = save(dir, Crypto.NoEncryption)
+
+  /** [[save]] with AT-REST ENCRYPTION (≙ reference `encryption.py` +
+    * `storage/sqlite.py:313-421`): metadata JSON encrypts through the
+    * encryptor's string codec; at the [[Crypto.AesGcm]] tier the fact
+    * parquet additionally writes with parquet MODULAR ENCRYPTION (every
+    * column + footer AES-GCM under a PBKDF2-derived master key, wrapped
+    * in-executor by [[GraftKmsClient]] — no re-read, no driver bottleneck,
+    * the 100 TB shape). A plaintext `crypto.json` records method + salt +
+    * iterations (the salt is public, exactly like the reference's
+    * embedded-salt Fernet tokens); the password exists only in the
+    * caller's encryptor. [[Crypto.Obfuscator]] obfuscates METADATA ONLY
+    * (its own loud contract); fact data at that tier stays plain.
+    */
+  def save(dir: String, encryptor: Crypto.Encryptor): Unit = {
     Files.createDirectories(Paths.get(dir))
+    val (pqOpts, cryptoJson): (Map[String, String], Option[JValue]) =
+      encryptor match {
+        case aes: Crypto.AesGcm =>
+          val salt = new Array[Byte](16)
+          new java.security.SecureRandom().nextBytes(salt)
+          val keyId = s"graft-${name.toLowerCase}"
+          val keyB64 = java.util.Base64.getEncoder.encodeToString(aes.deriveKey(salt))
+          val cj: JValue = ("method" -> aes.method) ~
+            ("salt" -> java.util.Base64.getUrlEncoder.encodeToString(salt)) ~
+            ("iterations" -> aes.iterations) ~ ("keyId" -> keyId)
+          (Crypto.parquetWriteOptions(keyId, keyB64), Some(cj))
+        case Crypto.NoEncryption => (Map.empty[String, String], None)
+        case other => (Map.empty[String, String],
+          Some(("method" -> other.method): JValue))
+      }
     persistentCubes.foreach { c =>
-      c.facts.write.mode("overwrite").parquet(s"$dir/cubes/${c.name}")
+      c.facts.write.options(pqOpts).mode("overwrite").parquet(s"$dir/cubes/${c.name}")
     }
     // Materialized aggregate SUMMARIES round-trip too: their grain-sized
     // facts land beside the cube frames and meta records (base, grain), so
@@ -226,7 +255,7 @@ final class Database(val name: String, val spark: SparkSession) {
         ok && fresh
       }
     savedSummaries.foreach { case (c, _) =>
-      c.facts.write.mode("overwrite").parquet(s"$dir/summaries/${c.name}")
+      c.facts.write.options(pqOpts).mode("overwrite").parquet(s"$dir/summaries/${c.name}")
     }
     val meta: JValue =
       ("name" -> name) ~
@@ -251,7 +280,15 @@ final class Database(val name: String, val spark: SparkSession) {
             ids.mkString(",") -> p }.toMap) ~
           ("views" -> JsonMethods.parse(c.views.toJson))
       }).toList)
-    Files.writeString(Paths.get(s"$dir/meta.json"), JsonMethods.pretty(JsonMethods.render(meta)))
+    Files.writeString(Paths.get(s"$dir/meta.json"),
+      encryptor.encrypt(JsonMethods.pretty(JsonMethods.render(meta))))
+    cryptoJson match {
+      case Some(cj) => Files.writeString(Paths.get(s"$dir/crypto.json"),
+        JsonMethods.pretty(JsonMethods.render(cj)))
+      // a plain re-save over a previously-encrypted dir must not leave a
+      // stale marker claiming the now-plain payloads are encrypted
+      case None => Files.deleteIfExists(Paths.get(s"$dir/crypto.json")); ()
+    }
   }
 
   private def dimToJson(d: Dimension): JValue =
@@ -278,9 +315,47 @@ final class Database(val name: String, val spark: SparkSession) {
 
 object Database {
   /** Load a database persisted by [[Database.save]]. */
-  def load(dir: String, spark: SparkSession): Database = {
+  def load(dir: String, spark: SparkSession): Database =
+    load(dir, spark, Crypto.NoEncryption)
+
+  /** [[load]] of an ENCRYPTED database: the encryptor's method must match
+    * the one recorded in the dir's `crypto.json` (a plain load of an
+    * encrypted dir fails loudly, naming what it needs — never a silent
+    * garbage parse), metadata decrypts through the string codec, and at
+    * the AES tier the fact parquet reads re-derive the master key from
+    * (password, recorded salt) and decrypt in-executor through the same
+    * modular-encryption machinery that wrote them. A WRONG password fails
+    * at key-unwrap/tag verification — loud, not garbage.
+    */
+  def load(dir: String, spark: SparkSession,
+      encryptor: Crypto.Encryptor): Database = {
     implicit val fmts: Formats = DefaultFormats
-    val meta = JsonMethods.parse(Files.readString(Paths.get(s"$dir/meta.json")))
+    val cryptoPath = Paths.get(s"$dir/crypto.json")
+    val rawMeta = Files.readString(Paths.get(s"$dir/meta.json"))
+    val (pqOpts, metaText): (Map[String, String], String) =
+      if (!Files.exists(cryptoPath)) {
+        require(encryptor == Crypto.NoEncryption,
+          s"database at $dir is NOT encrypted (no crypto.json) but an " +
+            s"'${encryptor.method}' encryptor was passed")
+        (Map.empty, rawMeta)
+      } else {
+        val cj = JsonMethods.parse(Files.readString(cryptoPath))
+        val method = (cj \ "method").extract[String]
+        require(encryptor.method == method,
+          s"database at $dir is encrypted with method '$method' — pass the " +
+            s"matching Crypto encryptor (got '${encryptor.method}')")
+        val opts = encryptor match {
+          case aes: Crypto.AesGcm =>
+            val salt = java.util.Base64.getUrlDecoder.decode((cj \ "salt").extract[String])
+            val iters = (cj \ "iterations").extract[Int]
+            val keyId = (cj \ "keyId").extract[String]
+            Crypto.parquetReadOptions(keyId,
+              java.util.Base64.getEncoder.encodeToString(aes.deriveKey(salt, iters)))
+          case _ => Map.empty[String, String]
+        }
+        (opts, encryptor.decrypt(rawMeta))
+      }
+    val meta = JsonMethods.parse(metaText)
     val db = new Database((meta \ "name").extract[String], spark)
     (meta \ "dimensions").extract[List[JValue]].foreach { dj =>
       val degenerate = dj \ "degenerate" match {
@@ -320,7 +395,7 @@ object Database {
     (meta \ "cubes").extract[List[JValue]].foreach { cj =>
       val cname = (cj \ "name").extract[String]
       val cdims = (cj \ "dims").extract[List[String]].map(db.dimension)
-      val cube = db.addCube(cname, cdims, spark.read.parquet(s"$dir/cubes/$cname"))
+      val cube = db.addCube(cname, cdims, spark.read.options(pqOpts).parquet(s"$dir/cubes/$cname"))
       (cj \ "rules").toOption.toList.flatMap(_.extract[List[JValue]])
         .foreach(rj => cube.registerRule(graft.olap.Rules.ruleFromJson(rj)))
       (cj \ "payloads").extractOpt[Map[String, String]].getOrElse(Map.empty)
@@ -341,7 +416,7 @@ object Database {
         }
         db.registerCube(graft.olap.Aggregates.loadFrame(
           db.cube((sj \ "base").extract[String]), sname, grain,
-          spark.read.parquet(s"$dir/summaries/$sname")))
+          spark.read.options(pqOpts).parquet(s"$dir/summaries/$sname")))
       }
     db
   }

@@ -862,6 +862,35 @@ object TpchQueries {
         .withColumn("value", col("value").cast("double"))
     }),
 
+    // At-rest encryption (≙ reference encryption.py + storage/sqlite.py:
+    // 313-421, round 14): the SAME persistence round-trip as olap_saveload,
+    // but saved with the AES-GCM tier — metadata JSON through the string
+    // codec, fact parquet through parquet MODULAR encryption (uniform key,
+    // encrypted footer, in-executor). The gate asserts the at-rest payloads
+    // are genuinely opaque (meta is ciphertext; a keyless parquet read
+    // throws on the encrypted footer) and then answers the rule-backed
+    // margin query from the decrypted load — matching the oracle iff the
+    // whole model (hierarchy, weights, facts, rule AST) survived the
+    // encrypt/decrypt trip bit-exactly. The oracle reads the ORIGINAL
+    // parquet testdata; it never needs a key.
+    "olap_encrypted_saveload" -> ((s, dir) => {
+      val m = TpchModel.get(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_encsave").toString
+      val pw = new graft.core.Crypto.AesGcm("gate password")
+      m.db.save(tmp, pw)
+      val rawMeta = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$tmp/meta.json"))
+      require(!rawMeta.contains("dimensions") && !rawMeta.contains("margin"),
+        "meta.json must be ciphertext at rest")
+      val keyless = try { s.read.parquet(s"$tmp/cubes/sales").collect(); false }
+        catch { case _: Exception => true }
+      require(keyless, "fact parquet must refuse a keyless read (encrypted footer)")
+      val loaded = graft.core.Database.load(tmp, s, pw)
+      OlapQuery(loaded,
+        "SELECT calendar, value FROM sales WHERE geo='World', calendar=('1996','1997'), product=AllBrands, 'margin'")
+        .withColumn("value", col("value").cast("double"))
+    }),
+
     // S6: snapshot manager — create a named snapshot of the model database,
     // rescan the folder with a FRESH manager (inventory from sidecars, not
     // driver memory), restore it into a new Database, and roll up from the
@@ -1777,6 +1806,13 @@ object TpchQueries {
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
           CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) / CAST(SUM($GROSS) AS DOUBLE) AS value
           $STAR WHERE strftime(o_orderdate, '%Y') IN ('1997','1998') GROUP BY 1""",
+
+    // same margin arithmetic as olap_saveload, different year pair — the
+    // encrypted round-trip must reproduce it from decrypted payloads alone
+    "olap_encrypted_saveload" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
+          CAST(SUM($GROSS) - SUM($DISC) AS DOUBLE) / CAST(SUM($GROSS) AS DOUBLE) AS value
+          $STAR WHERE strftime(o_orderdate, '%Y') IN ('1996','1997') GROUP BY 1""",
 
     "olap_snapshot_restore" ->
       s"""SELECT strftime(o_orderdate, '%Y') AS calendar,
