@@ -155,6 +155,21 @@ object Crypto {
     * encrypted is read from the file's own crypto metadata. */
   private[graft] def parquetReadOptions(keyId: String, keyB64: String): Map[String, String] =
     commonOptions(keyId, keyB64)
+
+  /** Per-relation parquet modular-encryption options for AD-HOC stores —
+    * e.g. an encrypted incremental z-store
+    * (`Layout.zorderWrite/Append/Read(pqOptions = …)`) holding raw corpus
+    * at rest. Returns `(writeOptions, readOptions)` for a caller-managed
+    * key (16/24/32 bytes for AES-128/192/256); [[AesGcm.deriveKey]] turns
+    * a password + salt into one.
+    */
+  def parquetEncryption(keyId: String,
+      key: Array[Byte]): (Map[String, String], Map[String, String]) = {
+    require(Set(16, 24, 32).contains(key.length),
+      s"AES key must be 16/24/32 bytes, got ${key.length}")
+    val b64 = Base64.getEncoder.encodeToString(key)
+    (parquetWriteOptions(keyId, b64), parquetReadOptions(keyId, b64))
+  }
 }
 
 /** In-process KMS for parquet modular encryption: master keys come from

@@ -202,10 +202,10 @@ object Layout {
     * per-file z stats (one grouped pass over the `__z` column only).
     */
   private def writeSegment(spark: SparkSession, dir: String, seg: String,
-      layouted: DataFrame): Seq[ZFile] = {
+      layouted: DataFrame, pqOptions: Map[String, String]): Seq[ZFile] = {
     val segDir = s"$dir/$seg"
-    layouted.write.mode("overwrite").parquet(segDir)
-    spark.read.parquet(segDir)
+    layouted.write.options(pqOptions).mode("overwrite").parquet(segDir)
+    spark.read.options(pqOptions).parquet(segDir)
       .groupBy(input_file_name().as("path"))
       .agg(min(col("__z")).as("zmin"), max(col("__z")).as("zmax"),
         count(lit(1)).as("rows"))
@@ -220,10 +220,11 @@ object Layout {
     * re-cluster by it without recomputing).
     */
   def zorderWrite(spark: SparkSession, dir: String, df: DataFrame,
-      cols: Seq[Column], bits: Int = 16, numFiles: Int = 8): Seq[ZFile] = {
+      cols: Seq[Column], bits: Int = 16, numFiles: Int = 8,
+      pqOptions: Map[String, String] = Map.empty): Seq[ZFile] = {
     val gen0 = zorderGeneration(spark, dir)
     val files = writeSegment(spark, dir, "seg-0",
-      zorderLayout(df, cols, bits, numFiles))
+      zorderLayout(df, cols, bits, numFiles), pqOptions)
     writeManifest(spark, dir, files, gen0)
     files
   }
@@ -233,10 +234,11 @@ object Layout {
     * commit point). Plans as a plain parquet scan: footer min/max stats
     * on `__z` and the original columns drive row-group pruning as usual.
     */
-  def zorderRead(spark: SparkSession, dir: String): DataFrame = {
+  def zorderRead(spark: SparkSession, dir: String,
+      pqOptions: Map[String, String] = Map.empty): DataFrame = {
     val files = zorderManifest(spark, dir)
     require(files.nonEmpty, s"no z-ordered store at $dir")
-    spark.read.parquet(files.map(_.path): _*)
+    spark.read.options(pqOptions).parquet(files.map(_.path): _*)
   }
 
   /** INCREMENTAL append: re-cluster only the files whose `[zMin, zMax]`
@@ -279,7 +281,8 @@ object Layout {
 
   def zorderAppend(spark: SparkSession, dir: String, batch: DataFrame,
       cols: Seq[Column], bits: Int = 16, numFiles: Int = 4,
-      replaceOn: Seq[String] = Nil): ZAppendStats = {
+      replaceOn: Seq[String] = Nil,
+      pqOptions: Map[String, String] = Map.empty): ZAppendStats = {
     val (gen0, manifest) = readManifest(spark, dir)
     require(manifest.nonEmpty, s"no z-ordered store at $dir — zorderWrite first")
     // ONE evaluation of the batch source for the whole append: the
@@ -303,7 +306,7 @@ object Layout {
       val rewriteInput =
         if (hot.isEmpty) batchZ
         else {
-          val hotData = spark.read.parquet(hot.map(_.path): _*)
+          val hotData = spark.read.options(pqOptions).parquet(hot.map(_.path): _*)
           val kept =
             if (replaceOn.isEmpty) hotData
             else hotData.join(
@@ -315,7 +318,7 @@ object Layout {
       val layouted = rewriteInput.repartitionByRange(
         math.max(1, numFiles + hot.size), col("__z"))
         .sortWithinPartitions(col("__z"))
-      val newFiles = writeSegment(spark, dir, seg, layouted)
+      val newFiles = writeSegment(spark, dir, seg, layouted, pqOptions)
       appendCommitSeam()
       // commits at gen0+1 or throws StaleManifestException — a racing
       // writer's committed work is never overwritten. Hot files stay on

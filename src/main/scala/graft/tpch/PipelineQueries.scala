@@ -1095,6 +1095,37 @@ object PipelineQueries {
           sum(col("event_id")).as("se"))
     }),
 
+    // ENCRYPTED incremental z-store (round 14): the same manifest-driven
+    // store, but every segment written with parquet modular encryption
+    // (uniform key + encrypted footer, in-executor) — raw corpus at rest
+    // is opaque while incremental maintenance (touched-files-only append)
+    // works unchanged through the per-relation read options. The require
+    // pins that a KEYLESS manifest read throws on the encrypted footer;
+    // the output aggregates the decrypted store and must match the plain
+    // scan of all events (the oracle never needs a key).
+    "pipe_zorder_encrypted" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value")).cast("long").as("v"))
+      val zc = Seq(col("user_id"), col("v"))
+      val store = java.nio.file.Files.createTempDirectory("graftzenc").toString
+      val (wOpts, rOpts) = graft.core.Crypto.parquetEncryption("zstore-key",
+        new graft.core.Crypto.AesGcm("corpus at rest")
+          .deriveKey("fixed-gate-salt-".getBytes("UTF-8")))
+      Layout.zorderWrite(s, store, e.filter(col("event_id") % 5 =!= 0),
+        zc, bits = 10, numFiles = 8, pqOptions = wOpts)
+      val st = Layout.zorderAppend(s, store, e.filter(col("event_id") % 5 === 0),
+        zc, bits = 10, pqOptions = wOpts)
+      require(st.batchRows > 0, s"append must land: $st")
+      val keyless = try { Layout.zorderRead(s, store).collect(); false }
+        catch { case _: Exception => true }
+      require(keyless, "a keyless read of the encrypted store must throw")
+      Layout.zorderRead(s, store, pqOptions = rOpts)
+        .groupBy((col("user_id") % 16).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("event_id")).as("se"))
+    }),
+
     // blocked fuzzy entity-resolution join (round 12): the dirty side is
     // each customer name with ONE deterministic substitution (position
     // 1 + custkey % len → 'x'); FastSS deletion-neighborhood blocking +
@@ -1981,6 +2012,14 @@ object PipelineQueries {
            CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv,
            CAST(SUM(event_id) AS BIGINT) AS se
          FROM events GROUP BY user_id""",
+
+    // the encrypted store must serve the same totals as a plain scan —
+    // the oracle reads the ORIGINAL events, never the encrypted files
+    "pipe_zorder_encrypted" ->
+      """SELECT user_id % 16 AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv,
+           CAST(SUM(event_id) AS BIGINT) AS se
+         FROM events GROUP BY 1""",
 
     // the SAME unrolled interleave expression, emitted by Layout.zValueSql
     "pipe_zorder" ->

@@ -107,6 +107,33 @@ class Round14FixesSpec extends AnyFunSuite {
     assert(Layout.zorderRead(spark, dir).count() == 650L)
   }
 
+  test("encrypted z-store: incremental contract intact through modular encryption") {
+    val dir = java.nio.file.Files.createTempDirectory("z14enc").toString
+    val (wOpts, rOpts) = graft.core.Crypto.parquetEncryption("spec-key",
+      new graft.core.Crypto.AesGcm("pw").deriveKey("0123456789abcdef".getBytes))
+    val base = spark.range(800).select(col("id"),
+      pmod(hash(col("id")), lit(16)).cast("long").as("a"),
+      pmod(hash(col("id") * 7), lit(16)).cast("long").as("b"))
+    val zc = Seq(col("a"), col("b"))
+    Layout.zorderWrite(spark, dir, base, zc, bits = 4, numFiles = 6,
+      pqOptions = wOpts)
+    // keyless read refused on the encrypted footer
+    intercept[Exception] { Layout.zorderRead(spark, dir).collect() }
+    // confined append: only overlapping files re-cluster, encrypted ones
+    // included — the hot-file read decrypts through the same options
+    val batch = spark.range(9000, 9040).select(col("id"),
+      (col("id") % 4).as("a"), (col("id") % 4).as("b"))
+    val st = Layout.zorderAppend(spark, dir, batch, zc, bits = 4,
+      pqOptions = wOpts)
+    assert(st.rewrittenFiles.nonEmpty && st.untouchedFiles.nonEmpty, s"$st")
+    assert(Layout.zorderRead(spark, dir, pqOptions = rOpts).count() == 840L)
+    // vacuum is name-based — reclaims encrypted dead files all the same
+    Layout.zorderVacuum(spark, dir)
+    assert(st.rewrittenFiles.forall(p => !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(new java.net.URI(p).getPath))))
+    assert(Layout.zorderRead(spark, dir, pqOptions = rOpts).count() == 840L)
+  }
+
   test("cube z-store append vacuums with a one-append grace") {
     val db = TinyModel.build(spark)
     val c0 = db.cube("sales")
