@@ -70,14 +70,18 @@ final class Cube(
     initialFacts.getOrElse(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], factSchema))
 
-  /** Point-write overlay: address → Some(value) upsert | None delete. */
-  private val overlay = mutable.LinkedHashMap[Vector[Int], Option[Double]]()
+  /** Point-write overlay: address → Some(value) upsert | None delete.
+    * PERSISTENT (immutable HashMap in a var): every write is O(eC) shared-
+    * structure update and a history snapshot is O(1) map sharing — the old
+    * mutable map made each undo snapshot copy the whole overlay, turning a
+    * k-write session into O(k²) copying (measured on huge_writes_10k). */
+  private var overlay = scala.collection.immutable.HashMap[Vector[Int], Option[Double]]()
   /** Non-float cell payloads (≙ arbitrary-object cells, `cube.py:325-327`):
     * driver-side — payload cells are human-entered annotations/tags, sparse
     * by construction; they never enter the aggregation plan (the skip checks
     * `cube.py:468,493` hold by absence).
     */
-  private val payloads = mutable.LinkedHashMap[Vector[Int], String]()
+  private var payloads = scala.collection.immutable.HashMap[Vector[Int], String]()
 
   /** Concurrency contract (ARCHITECTURE §2): the reference is single-threaded
     * by design; this engine hands out lazily-evaluated frames, and streaming
@@ -139,7 +143,8 @@ final class Cube(
     * grain-space, not this cube's write-source space). */
   private[graft] def putOverlay(entries: Seq[(Vector[Int], Option[Double])]): Unit =
     stateLock.synchronized {
-      entries.foreach { case (k, v) => overlay(k) = v; payloads.remove(k) }
+      overlay = overlay ++ entries
+      payloads = payloads -- entries.iterator.map(_._1)
       stateVersion += 1; logBulk(); cache.clear()
     }
 
@@ -205,12 +210,12 @@ final class Cube(
     throw new IllegalStateException(s"history not enabled on cube '$name' — call enableHistory()"))
 
   private[core] def snapshotState(): Cube.State = stateLock.synchronized {
-    Cube.State(base, overlay.toVector, payloads.toVector)
+    Cube.State(base, overlay, payloads) // O(1): persistent maps share
   }
   private[core] def restoreState(s: Cube.State): Unit = stateLock.synchronized {
     base = s.base
-    overlay.clear(); s.overlay.foreach { case (k, v) => overlay(k) = v }
-    payloads.clear(); s.payloads.foreach { case (k, v) => payloads(k) = v }
+    overlay = s.overlay
+    payloads = s.payloads
     stateVersion += 1
     logBulk()
     cache.clear()
@@ -318,7 +323,7 @@ final class Cube(
     */
   private[graft] def replaceFacts(df: DataFrame): Unit = stateLock.synchronized {
     base = df.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
-    overlay.clear(); stateVersion += 1; logBulk(); cache.clear()
+    overlay = overlay.empty; stateVersion += 1; logBulk(); cache.clear()
     recordHistory("bulk")
   }
 
@@ -334,8 +339,8 @@ final class Cube(
       val rm = removedIds.toSet
       val pred = idxs.map(i => !col(s"d$i").isin(removedIds: _*)).reduce(_ && _)
       base = base.filter(pred)
-      overlay.filterInPlace((k, _) => !idxs.exists(i => rm(k(i))))
-      payloads.filterInPlace((k, _) => !idxs.exists(i => rm(k(i))))
+      overlay = overlay.filter { case (k, _) => !idxs.exists(i => rm(k(i))) }
+      payloads = payloads.filter { case (k, _) => !idxs.exists(i => rm(k(i))) }
       stateVersion += 1
       logBulk()
       cache.clear()
@@ -371,7 +376,7 @@ final class Cube(
     stateLock.synchronized {
       base = df.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
       val inc = incorporated.toMap
-      overlay.filterInPlace((k, v) => !inc.get(k).contains(v))
+      overlay = overlay.filter { case (k, v) => !inc.get(k).contains(v) }
       stateVersion += 1; logBulk(); cache.clear()
       recordHistory("bulk")
     }
@@ -415,7 +420,7 @@ final class Cube(
       if (base eq base0) {
         base = newBase
         val inc = incorporated.toMap
-        overlay.filterInPlace((k, v) => !inc.get(k).contains(v))
+        overlay = overlay.filter { case (k, v) => !inc.get(k).contains(v) }
         true
       } else false
     }
@@ -687,8 +692,8 @@ final class Cube(
     // ON_ENTRY rules may read other cells — evaluate OUTSIDE the lock
     val v = graft.olap.Rules.onEntry(this, b, value).getOrElse(value)
     stateLock.synchronized {
-      overlay(b.ids) = Some(v)
-      payloads.remove(b.ids) // a cell holds ONE value — number replaces text
+      overlay = overlay.updated(b.ids, Some(v))
+      payloads = payloads - b.ids // a cell holds ONE value — number replaces text
       stateVersion += 1
       logPoint(b.ids)
       cache.clear()
@@ -700,8 +705,8 @@ final class Cube(
     val b = bolt(address)
     require(b.superLevel == 0, "can only delete base cells")
     stateLock.synchronized {
-      overlay(b.ids) = None
-      payloads.remove(b.ids)
+      overlay = overlay.updated(b.ids, None)
+      payloads = payloads - b.ids
       stateVersion += 1
       logPoint(b.ids)
       cache.clear()
@@ -719,8 +724,8 @@ final class Cube(
     require(b.superLevel == 0,
       s"writeback to aggregated cell ${address.mkString("[", ",", "]")} not allowed")
     stateLock.synchronized {
-      payloads(b.ids) = payload
-      overlay(b.ids) = None // text replaces number: remove the cell from rollups
+      payloads = payloads.updated(b.ids, payload)
+      overlay = overlay.updated(b.ids, None) // text replaces number: remove the cell from rollups
       stateVersion += 1
       logPoint(b.ids)
       cache.clear()
@@ -759,12 +764,12 @@ final class Cube(
   // are numeric pointRead/rollup values, and getCell consults payloads
   // BEFORE the cached path — invalidating here would only waste recomputes
   private[graft] def removePayloads(p: Vector[Int] => Boolean): Unit =
-    stateLock.synchronized { payloads.filterInPlace((ids, _) => !p(ids)) }
+    stateLock.synchronized { payloads = payloads.filter { case (ids, _) => !p(ids) } }
   private[graft] def payloadCount: Int = stateLock.synchronized(payloads.size)
   private[graft] def allPayloads: Seq[(Vector[Int], String)] =
     stateLock.synchronized(payloads.toSeq)
   private[core] def restorePayload(ids: Vector[Int], p: String): Unit =
-    stateLock.synchronized { payloads(ids) = p }
+    stateLock.synchronized { payloads = payloads.updated(ids, p) }
 
   /** Cell read: base cells are point lookups (overlay first, then a
     * pushed-down filter job); aggregated cells are closure-join rollups.
@@ -997,7 +1002,7 @@ final class Cube(
     * (≙ `cube.py:306-310`).
     */
   def clear(): Unit = stateLock.synchronized {
-    payloads.clear()
+    payloads = payloads.empty
     comments.clear()
     replaceFacts(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], factSchema))
   }
@@ -1053,6 +1058,6 @@ object Cube {
   /** Immutable mutation-log state handle (see [[History]]). */
   final case class State(
       base: DataFrame,
-      overlay: Vector[(Vector[Int], Option[Double])],
-      payloads: Vector[(Vector[Int], String)] = Vector.empty)
+      overlay: scala.collection.immutable.HashMap[Vector[Int], Option[Double]],
+      payloads: scala.collection.immutable.HashMap[Vector[Int], String])
 }
