@@ -143,6 +143,11 @@ object Crypto {
     "parquet.crypto.factory.class" ->
       "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory",
     "parquet.encryption.kms.client.class" -> "graft.core.GraftKmsClient",
+    // parquet caches KMS clients PER INSTANCE ID with the hadoop conf they
+    // initialized under — pinning the instance to the key id keeps two
+    // stores with different keys from resolving through each other's
+    // cached client (which would fail loudly but needlessly)
+    "parquet.encryption.kms.instance.id" -> keyId,
     KeyConfPrefix + keyId -> keyB64)
 
   /** Writer options: uniform encryption — EVERY column plus the footer

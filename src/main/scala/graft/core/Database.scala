@@ -309,6 +309,9 @@ final class Database(val name: String, val spark: SparkSession) {
   /** Export/snapshot: full copy to a new directory (≙ `database.py:319-380`). */
   def export(dir: String): Unit = save(dir)
 
+  /** [[export]] with at-rest encryption — see [[save(dir:String,encryptor*]]. */
+  def export(dir: String, encryptor: Crypto.Encryptor): Unit = save(dir, encryptor)
+
   /** Snapshot inventory over a folder (≙ `SnapshotManager`, `snapshot.py:55`). */
   def snapshots(dir: String): SnapshotManager = new SnapshotManager(this, dir)
 }

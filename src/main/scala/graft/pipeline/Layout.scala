@@ -190,10 +190,11 @@ object Layout {
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath
-      if (st.isFile && p.getName.endsWith(".parquet") &&
-          !live.contains(local(p.toString))) {
-        if (f.delete(p, false)) deleted += p.toString
-      }
+      val stale = st.isFile &&
+        ((p.getName.endsWith(".parquet") && !live.contains(local(p.toString))) ||
+          // a crashed commit's temp manifest (the rename never happened)
+          p.getName.startsWith("_zmanifest.tmp-"))
+      if (stale && f.delete(p, false)) deleted += p.toString
     }
     deleted.toSeq
   }
