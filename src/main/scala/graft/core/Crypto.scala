@@ -172,8 +172,14 @@ object Crypto {
       key: Array[Byte]): (Map[String, String], Map[String, String]) = {
     require(Set(16, 24, 32).contains(key.length),
       s"AES key must be 16/24/32 bytes, got ${key.length}")
+    // suffix a key digest: parquet-mr caches KMS clients/KEKs per key id
+    // for ~10 min, so the SAME id with a DIFFERENT key would silently wrap
+    // new files under the cached old key — the id must determine the key
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key).take(8).map("%02x".format(_)).mkString
+    val qualified = s"$keyId-$digest"
     val b64 = Base64.getEncoder.encodeToString(key)
-    (parquetWriteOptions(keyId, b64), parquetReadOptions(keyId, b64))
+    (parquetWriteOptions(qualified, b64), parquetReadOptions(qualified, b64))
   }
 }
 

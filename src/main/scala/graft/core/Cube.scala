@@ -620,7 +620,8 @@ final class Cube(
     * batch — re-run [[compactToZorderedStore]] to re-sync) — bulk appends
     * are single-writer, the intake-pipeline shape.
     */
-  def appendZorderedStore(batch: DataFrame): graft.pipeline.Layout.ZAppendStats = {
+  def appendZorderedStore(batch: DataFrame,
+      assumeUniqueAddresses: Boolean = false): graft.pipeline.Layout.ZAppendStats = {
     val (dir, zDims, bits, facts0) = stateLock.synchronized[(String, Seq[Int], Int, DataFrame)] {
       val (d, z, b) = zStoreState.getOrElse(throw new IllegalStateException(
         "appendZorderedStore needs a prior compactToZorderedStore"))
@@ -637,11 +638,14 @@ final class Cube(
     // one row per address: a batch naming the same address twice would
     // UNION both rows into the store and later reads would sum them
     // (r13 advice, low); which duplicate survives is arbitrary — callers
-    // wanting an ordering must pre-aggregate (ingestIntoZStore does)
+    // wanting an ordering must pre-aggregate. `assumeUniqueAddresses`
+    // skips the dedup SHUFFLE for callers that just aggregated on exactly
+    // these keys (ingestIntoZStore's per-trigger groupBy) — re-shuffling
+    // their micro-batch every trigger would be pure overhead.
+    val unique = batch.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .withColumn("value", col("value").cast(factSchema("value").dataType))
     val entry = graft.olap.Rules.applyOnEntryBulk(this,
-      batch.select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
-        .withColumn("value", col("value").cast(factSchema("value").dataType))
-        .dropDuplicates(dimCols),
+      if (assumeUniqueAddresses) unique else unique.dropDuplicates(dimCols),
       Some(facts0))
     val st = graft.pipeline.Layout.zorderAppend(spark, dir, entry,
       zDims.map(i => col(s"d$i")), bits, replaceOn = dimCols)
@@ -662,9 +666,13 @@ final class Cube(
     // disk (a reader pinned on the just-replaced base still lists them);
     // files dead since before this append — which no frame newer than TWO
     // swaps ago references — are reclaimed (r13 advice, medium: immediate
-    // deletion raced pinned readers into FileNotFoundException)
-    graft.pipeline.Layout.zorderVacuum(spark, dir,
-      keep = st.rewrittenFiles.toSet)
+    // deletion raced pinned readers into FileNotFoundException). With
+    // HISTORY enabled, no auto-GC at all: undo/goTo restore base frames
+    // whose plans list ARBITRARILY old file sets — reclaiming is the
+    // owner's explicit call (Layout.zorderVacuum) once the log is dropped.
+    if (historyOpt.isEmpty)
+      graft.pipeline.Layout.zorderVacuum(spark, dir,
+        keep = st.rewrittenFiles.toSet)
     st
   }
 

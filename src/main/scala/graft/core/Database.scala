@@ -216,8 +216,18 @@ final class Database(val name: String, val spark: SparkSession) {
         case aes: Crypto.AesGcm =>
           val salt = new Array[Byte](16)
           new java.security.SecureRandom().nextBytes(salt)
-          val keyId = s"graft-${name.toLowerCase}"
-          val keyB64 = java.util.Base64.getEncoder.encodeToString(aes.deriveKey(salt))
+          val key = aes.deriveKey(salt)
+          // keyId must be 1:1 with the DERIVED KEY, not the database name:
+          // parquet-mr statically caches KMS clients and KEKs per instance
+          // id (= keyId) for ~10 min, so a second save under the same id
+          // with a fresh salt would WRAP its files with the cached previous
+          // key while recording the new salt — permanently undecryptable
+          // after a JVM restart. A key digest in the id makes the cache key
+          // and the key material agree by construction.
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(key).take(8).map("%02x".format(_)).mkString
+          val keyId = s"graft-${name.toLowerCase}-$digest"
+          val keyB64 = java.util.Base64.getEncoder.encodeToString(key)
           val cj: JValue = ("method" -> aes.method) ~
             ("salt" -> java.util.Base64.getUrlEncoder.encodeToString(salt)) ~
             ("iterations" -> aes.iterations) ~ ("keyId" -> keyId)
@@ -226,6 +236,17 @@ final class Database(val name: String, val spark: SparkSession) {
         case other => (Map.empty[String, String],
           Some(("method" -> other.method): JValue))
       }
+    // crypto.json FIRST: it is the only record of the master-key salt — a
+    // crash after the encrypted parquet writes but before this marker
+    // would lose the salt and make the written facts permanently
+    // unrecoverable (the in-memory salt dies with the JVM)
+    cryptoJson match {
+      case Some(cj) => Files.writeString(Paths.get(s"$dir/crypto.json"),
+        JsonMethods.pretty(JsonMethods.render(cj)))
+      // a plain re-save over a previously-encrypted dir must not leave a
+      // stale marker claiming the now-plain payloads are encrypted
+      case None => Files.deleteIfExists(Paths.get(s"$dir/crypto.json")); ()
+    }
     persistentCubes.foreach { c =>
       c.facts.write.options(pqOpts).mode("overwrite").parquet(s"$dir/cubes/${c.name}")
     }
@@ -282,13 +303,6 @@ final class Database(val name: String, val spark: SparkSession) {
       }).toList)
     Files.writeString(Paths.get(s"$dir/meta.json"),
       encryptor.encrypt(JsonMethods.pretty(JsonMethods.render(meta))))
-    cryptoJson match {
-      case Some(cj) => Files.writeString(Paths.get(s"$dir/crypto.json"),
-        JsonMethods.pretty(JsonMethods.render(cj)))
-      // a plain re-save over a previously-encrypted dir must not leave a
-      // stale marker claiming the now-plain payloads are encrypted
-      case None => Files.deleteIfExists(Paths.get(s"$dir/crypto.json")); ()
-    }
   }
 
   private def dimToJson(d: Dimension): JValue =

@@ -216,7 +216,13 @@ object Layout {
   }
 
   /** Initial build of an incremental z-ordered store: layout `df` on the
-    * Morton code of `cols`, write to `dir/seg-0`, record the manifest.
+    * Morton code of `cols`, write to a FRESH segment directory, record
+    * the manifest. On an existing store this is a full re-layout that
+    * commits at the next generation: the new segment's name is unique, so
+    * a commit refused by a racing writer (StaleManifestException) leaves
+    * only orphan files for [[zorderVacuum]] — live files are NEVER
+    * overwritten (a fixed segment name would destroy data the surviving
+    * manifest still references, before the generation check could run).
     * The stored files RETAIN the `__z` column (reads prune on it; appends
     * re-cluster by it without recomputing).
     */
@@ -224,7 +230,8 @@ object Layout {
       cols: Seq[Column], bits: Int = 16, numFiles: Int = 8,
       pqOptions: Map[String, String] = Map.empty): Seq[ZFile] = {
     val gen0 = zorderGeneration(spark, dir)
-    val files = writeSegment(spark, dir, "seg-0",
+    val files = writeSegment(spark, dir,
+      s"seg-${java.util.UUID.randomUUID().toString.take(8)}",
       zorderLayout(df, cols, bits, numFiles), pqOptions)
     writeManifest(spark, dir, files, gen0)
     files

@@ -330,8 +330,15 @@ final class RestServer(databases: Seq[Database], port: Int = 0) {
           }
           val base = ("rows" -> rows) ~ ("limit" -> limit) ~
             ("offset" -> offset) ~ ("truncated" -> truncated)
+          // next_offset only on PAGED requests: an unpaged response is in
+          // arbitrary plan order, so an offset computed against it would
+          // continue a DIFFERENT (sorted) sequence — overlapping and
+          // missing rows. A truncated unpaged client restarts with
+          // ?limit=…&offset=0 to enter the total order.
+          val paged = qp.contains("limit") || qp.contains("offset")
           json(ex, 200,
-            if (truncated) base ~ ("next_offset" -> (offset + limit)) else base)
+            if (truncated && paged) base ~ ("next_offset" -> (offset + limit))
+            else base)
         case other => throw NotFound(other.mkString("/"))
       }
     })

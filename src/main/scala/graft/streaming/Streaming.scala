@@ -64,7 +64,9 @@ object Streaming {
             case Some(oc) => max_by(col("value"), col(oc)).as("value")
             case None     => last(col("value")).as("value") // ARBITRARY pick
           })
-        cube.appendZorderedStore(resolved)
+        // the groupBy above just guaranteed address uniqueness — skip the
+        // append's defensive dedup shuffle on this per-trigger hot path
+        cube.appendZorderedStore(resolved, assumeUniqueAddresses = true)
         ()
       }
       .start()

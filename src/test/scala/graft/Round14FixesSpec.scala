@@ -163,6 +163,32 @@ class Round14FixesSpec extends AnyFunSuite {
       .contains(33.0))
   }
 
+  test("history-enabled z-store cube: appends never auto-vacuum; undo restores old file sets") {
+    val db = TinyModel.build(spark)
+    val c0 = db.cube("sales")
+    val cube = new graft.core.Cube("sales_zhist", c0.dimensions, spark, None)
+    cube.cacheEnabled = false
+    cube.enableHistory()
+    cube.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 10.0)
+    val dir = java.nio.file.Files.createTempDirectory("z14hist").toString
+    assert(cube.compactToZorderedStore(dir, Seq(0, 1), files = 2))
+    def batch(month: String, v: Double) =
+      spark.createDataFrame(Seq((cube.dimensions(0).idOf("2021"),
+        cube.dimensions(1).idOf(month), cube.dimensions(2).idOf("West"),
+        cube.dimensions(3).idOf("coupe"), cube.dimensions(4).idOf("Sales"), v)))
+        .toDF("d0", "d1", "d2", "d3", "d4", "value")
+    val st1 = cube.appendZorderedStore(batch("Mar", 1.0))
+    cube.appendZorderedStore(batch("Apr", 2.0))
+    // history snapshots pin base frames over OLD file sets — with history
+    // enabled nothing auto-vacuums, so every logged state stays readable
+    st1.rewrittenFiles.foreach(p => assert(exists(p),
+      s"auto-vacuum deleted a history-pinned file: $p"))
+    assert(cube.get(Seq("2021", "Year", "Total", "Total", "Sales")).contains(13.0))
+    assert(cube.history.undo()) // back to the post-Mar state
+    assert(cube.get(Seq("2021", "Year", "Total", "Total", "Sales")).contains(11.0),
+      "the restored state must read from its (kept) old file set")
+  }
+
   test("a compact() between store compaction and append fails the append loudly") {
     val db = TinyModel.build(spark)
     val c0 = db.cube("sales")
