@@ -33,6 +33,24 @@ class CryptoSpec extends AnyFunSuite {
     }
   }
 
+  test("property: every string roundtrips through both codecs (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val aes = new Crypto.AesGcm("pw π")
+    val obf = new Crypto.Obfuscator("öbfüscate")
+    (1 to 200).foreach { _ =>
+      // adversarial alphabet: control chars, astral-plane, combining marks
+      val s = (0 until rnd.nextInt(80)).map(_ => rnd.nextInt(5) match {
+        case 0 => rnd.nextPrintableChar().toString
+        case 1 => new String(Character.toChars(0x1F600 + rnd.nextInt(80)))
+        case 2 => "́" // combining acute
+        case 3 => (rnd.nextInt(31) + 1).toChar.toString // control
+        case _ => "汉字ß"
+      }).mkString
+      assert(aes.decrypt(aes.encrypt(s)) == s, s"aes broke on: ${s.take(40)}")
+      assert(obf.decrypt(obf.encrypt(s)) == s, s"obf broke on: ${s.take(40)}")
+    }
+  }
+
   test("obfuscator: roundtrip incl. unicode; not plaintext; not secure by contract") {
     val enc = new Crypto.Obfuscator("pw")
     val msg = """{"name":"tiny","dims":["années","月"]}"""
