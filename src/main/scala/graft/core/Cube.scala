@@ -558,8 +558,10 @@ final class Cube(
   }
 
   /** Incremental z-ordered store backing (set by [[compactToZorderedStore]],
-    * consumed by [[appendZorderedStore]]): `(manifest dir, zDims, bits)`. */
-  private var zStoreState: Option[(String, Seq[Int], Int)] = None
+    * consumed by [[appendZorderedStore]]): `(manifest dir, zDims, bits,
+    * parquet options — carries modular-encryption key material when the
+    * store is encrypted at rest)`. */
+  private var zStoreState: Option[(String, Seq[Int], Int, Map[String, String])] = None
 
   /** The exact base frame the z-store contents reflect. Any OTHER swap —
     * [[compact]], [[compactToBucketed]]/[[compactToPartitioned]]/
@@ -580,7 +582,8 @@ final class Cube(
     * swap/abort contract as [[compactToZordered]].
     */
   def compactToZorderedStore(dir: String, zDims: Seq[Int],
-      files: Int = 64): Boolean = {
+      files: Int = 64,
+      encryption: Option[(Map[String, String], Map[String, String])] = None): Boolean = {
     require(zDims.size >= 2 && zDims.distinct.size == zDims.size &&
         zDims.forall(i => i >= 0 && i < nDims),
       s"compactToZorderedStore: need >= 2 distinct in-range dims, got $zDims")
@@ -593,17 +596,22 @@ final class Cube(
     require(bits * zDims.size <= 63,
       s"interleave of ${zDims.size} dims at $bits bits exceeds a long; interleave fewer dims")
     val zCols = zDims.map(i => col(s"d$i"))
+    val (wOpts, rOpts) = encryption.getOrElse(
+      (Map.empty[String, String], Map.empty[String, String]))
     var built: DataFrame = null
     val ok = swapCompacted(s"compactToZorderedStore('$dir')", () => (),
       materialize = { df =>
-        graft.pipeline.Layout.zorderWrite(spark, dir, df, zCols, bits, files)
-        built = graft.pipeline.Layout.zorderRead(spark, dir)
+        graft.pipeline.Layout.zorderWrite(spark, dir, df, zCols, bits, files,
+          pqOptions = wOpts)
+        built = graft.pipeline.Layout.zorderRead(spark, dir, pqOptions = rOpts)
           .select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
         built
       },
       onAbort = _ => ())
     if (ok) stateLock.synchronized {
-      zStoreState = Some((dir, zDims, bits)); zStoreBase = built
+      // the WRITE options serve both faces of later appends (read-side
+      // ignores the writer-only uniform-key property)
+      zStoreState = Some((dir, zDims, bits, wOpts)); zStoreBase = built
     }
     ok
   }
@@ -622,8 +630,8 @@ final class Cube(
     */
   def appendZorderedStore(batch: DataFrame,
       assumeUniqueAddresses: Boolean = false): graft.pipeline.Layout.ZAppendStats = {
-    val (dir, zDims, bits, facts0) = stateLock.synchronized[(String, Seq[Int], Int, DataFrame)] {
-      val (d, z, b) = zStoreState.getOrElse(throw new IllegalStateException(
+    val (dir, zDims, bits, pqOpts, facts0) = stateLock.synchronized[(String, Seq[Int], Int, Map[String, String], DataFrame)] {
+      val (d, z, b, o) = zStoreState.getOrElse(throw new IllegalStateException(
         "appendZorderedStore needs a prior compactToZorderedStore"))
       // the store must reflect the CURRENT base: any other compaction or
       // bulk merge since compactToZorderedStore superseded the on-disk
@@ -633,7 +641,7 @@ final class Cube(
         s"cube '$name': the z-store at $d was superseded by another " +
           "compaction or bulk write since compactToZorderedStore — appending " +
           "would silently revert that change; re-run compactToZorderedStore")
-      (d, z, b, facts)
+      (d, z, b, o, facts)
     }
     // one row per address: a batch naming the same address twice would
     // UNION both rows into the store and later reads would sum them
@@ -648,8 +656,9 @@ final class Cube(
       if (assumeUniqueAddresses) unique else unique.dropDuplicates(dimCols),
       Some(facts0))
     val st = graft.pipeline.Layout.zorderAppend(spark, dir, entry,
-      zDims.map(i => col(s"d$i")), bits, replaceOn = dimCols)
-    val newBase = graft.pipeline.Layout.zorderRead(spark, dir)
+      zDims.map(i => col(s"d$i")), bits, replaceOn = dimCols,
+      pqOptions = pqOpts)
+    val newBase = graft.pipeline.Layout.zorderRead(spark, dir, pqOptions = pqOpts)
       .select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
     stateLock.synchronized {
       if (!(base eq zStoreBase)) throw new IllegalStateException(

@@ -163,6 +163,37 @@ class Round14FixesSpec extends AnyFunSuite {
       .contains(33.0))
   }
 
+  test("encrypted CUBE z-store: rollups through opaque-at-rest facts, appends included") {
+    val db = TinyModel.build(spark)
+    val c0 = db.cube("sales")
+    val cube = new graft.core.Cube("sales_zenc", c0.dimensions, spark, None)
+    cube.cacheEnabled = false
+    cube.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 100.0)
+    cube.set(Seq("2021", "Feb", "South", "sedan", "Sales"), 50.0)
+    val dir = java.nio.file.Files.createTempDirectory("z14cubenc").toString
+    val enc = graft.core.Crypto.parquetEncryption("cube-zstore",
+      new graft.core.Crypto.AesGcm("olap at rest").deriveKey("saltsaltsaltsalt".getBytes))
+    assert(cube.compactToZorderedStore(dir, Seq(0, 1), files = 2,
+      encryption = Some(enc)))
+    // the stored facts are opaque: a keyless read of a manifest file throws
+    val firstFile = Layout.zorderManifest(spark, dir).head.path
+    intercept[Exception] { spark.read.parquet(firstFile).collect() }
+    // reads and rollups decrypt through the cube's stored options
+    assert(cube.get(Seq("All years", "Year", "Total", "Total", "Sales"))
+      .contains(150.0))
+    // an append writes NEW encrypted segments and replaces in place
+    val batch = spark.createDataFrame(Seq(
+      (cube.dimensions(0).idOf("2021"), cube.dimensions(1).idOf("Feb"),
+        cube.dimensions(2).idOf("South"), cube.dimensions(3).idOf("sedan"),
+        cube.dimensions(4).idOf("Sales"), 60.0)))
+      .toDF("d0", "d1", "d2", "d3", "d4", "value")
+    val st = cube.appendZorderedStore(batch)
+    st.newFiles.foreach(p =>
+      intercept[Exception] { spark.read.parquet(p).collect() })
+    assert(cube.get(Seq("All years", "Year", "Total", "Total", "Sales"))
+      .contains(160.0))
+  }
+
   test("history-enabled z-store cube: appends never auto-vacuum; undo restores old file sets") {
     val db = TinyModel.build(spark)
     val c0 = db.cube("sales")
