@@ -275,6 +275,33 @@ class Round14FixesSpec extends AnyFunSuite {
     assert(v.contains(5.0) || v.contains(9.0), s"summed duplicates: $v")
   }
 
+  test("streaming ingest into an ENCRYPTED z-store: opaque at rest, rollup correct") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val db = TinyModel.build(spark)
+    val c0 = db.cube("sales")
+    val cube = new graft.core.Cube("sales_zenc_stream", c0.dimensions, spark, None)
+    cube.cacheEnabled = false
+    cube.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 5.0)
+    val dir = java.nio.file.Files.createTempDirectory("z14encstream").toString
+    val enc = graft.core.Crypto.parquetEncryption("stream-zstore",
+      new graft.core.Crypto.AesGcm("intake").deriveKey("0123456789abcdef".getBytes))
+    assert(cube.compactToZorderedStore(dir, Seq(0, 1), files = 2,
+      encryption = Some(enc)))
+    def id(d: Int, m: String) = cube.dimensions(d).idOf(m)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Int, Int, Int, Int, Double)]
+    val stream = mem.toDF().toDF("d0", "d1", "d2", "d3", "d4", "value")
+    mem.addData((id(0, "2022"), id(1, "Mar"), id(2, "West"), id(3, "coupe"),
+      id(4, "Sales"), 7.0))
+    val q = graft.streaming.Streaming.ingestIntoZStore(cube, stream)
+    q.awaitTermination(60000)
+    // micro-batch landed through the encrypted append; files stay opaque
+    Layout.zorderManifest(spark, dir).foreach(zf =>
+      intercept[Exception] { spark.read.parquet(zf.path).collect() })
+    assert(cube.get(Seq("All years", "Year", "Total", "Total", "Sales"))
+      .contains(12.0))
+  }
+
   test("ingestIntoZStore with orderCol resolves intra-batch conflicts deterministically") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val db = TinyModel.build(spark)
