@@ -748,8 +748,14 @@ object Bench {
       System.err.println(s"[graft.Bench] minima file unreadable ($minimaPath): $t")
       Map.empty }
     val tripK = sys.env.getOrElse("SPARK_GRAFT_TRIPWIRE_K", "1.25").toDouble
+    // absolute slack: sub-second rows jitter 40-80 ms between CLEAN runs
+    // (JIT/GC/page cache) — a relative-only threshold flags 0.15 s rows at
+    // 1.3x while the tripwire exists for the 2-4x build-row divergences;
+    // a row must exceed BOTH the ratio and this absolute delta to trip
+    val tripSlack = sys.env.getOrElse("SPARK_GRAFT_TRIPWIRE_SLACK", "0.1").toDouble
     val tripped = results.collect { case (k, v)
-        if v > 0 && minima.get(k).exists(m => m > 0 && v > tripK * m) =>
+        if v > 0 && minima.get(k).exists(m =>
+          m > 0 && v > tripK * m && v - m > tripSlack) =>
       k -> v / minima(k) }.toSeq.sortBy(-_._2)
     val tripJson = tripped.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
@@ -762,7 +768,7 @@ object Bench {
     val dirtyRowsJson = dirtyRows.map("\"" + _ + "\"").mkString("[", ",", "]")
     val memJson = memSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val ioJson = ioSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f,"tripwire":$tripJson,"tripwire_threshold":$tripK%.2f,"tripwire_rows_known":${minima.size}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f,"tripwire":$tripJson,"tripwire_threshold":$tripK%.2f,"tripwire_slack_sec":$tripSlack%.2f,"tripwire_rows_known":${minima.size}}""")
     if (tripped.nonEmpty) System.err.println(
       s"[graft.Bench] TRIPWIRE: ${tripped.size} row(s) exceed ${tripK}x their " +
       s"recorded clean minimum — ${tripped.map { case (k, r) => f"$k ($r%.2fx)" }
