@@ -29,8 +29,9 @@ import javax.crypto.spec.{GCMParameterSpec, PBEKeySpec, SecretKeySpec}
   * [[Crypto.NoEncryption]] ≙ `NotAnEncryptor`, [[Crypto.Obfuscator]] ≙
   * `ObfuscationEncryptor` (NOT SECURE, metadata-only — kept for surface
   * parity and labeled as loudly as the reference labels it), and
-  * [[Crypto.AesGcm]] ≙ `FernetEncryptor` (PBKDF2-SHA256 key derivation at
-  * the reference's 10k iterations; AES-256-GCM instead of Fernet's
+  * [[Crypto.AesGcm]] ≙ `FernetEncryptor` (PBKDF2-SHA256 key derivation —
+  * default hardened to OWASP's 600k iterations vs the reference's 10k,
+  * tunable and recorded per payload; AES-256-GCM instead of Fernet's
   * AES-128-CBC+HMAC — the JDK-native AEAD, same embedded
   * salt-and-iterations token layout).
   */
@@ -83,14 +84,20 @@ object Crypto {
   }
 
   /** Real at-rest encryption (≙ `FernetEncryptor`): PBKDF2WithHmacSHA256
-    * (10k iterations, the reference's number) derives a 256-bit key from
-    * the password; strings encrypt with AES-256-GCM. Token layout mirrors
-    * the reference's self-contained form:
+    * derives a 256-bit key from the password; strings encrypt with
+    * AES-256-GCM. Token layout mirrors the reference's self-contained form:
     * `b64url(salt(16) ++ iterations(4, BE) ++ iv(12) ++ ciphertext+tag)` —
     * a token decrypts with the password alone. A wrong password fails
     * LOUDLY (GCM tag verification), never returns garbage.
+    *
+    * The default iteration count is 600k — current OWASP guidance for
+    * PBKDF2-HMAC-SHA256, not the reference's 10k (r14 advice: derivation
+    * runs once per save/load, so the hardening is ~free). The count is a
+    * constructor tunable, and DECRYPTION always honors the count recorded
+    * in the token / `crypto.json`, so payloads written under any earlier
+    * default stay readable.
     */
-  final class AesGcm(password: String, val iterations: Int = 10000)
+  final class AesGcm(password: String, val iterations: Int = 600000)
       extends Encryptor {
     val method = "aes-gcm"
     private val rnd = new SecureRandom()
@@ -132,12 +139,17 @@ object Crypto {
   }
 
   /** Hadoop conf key the [[GraftKmsClient]] reads master keys from:
-    * `graft.encryption.key.<keyId> = base64(key)`. Carried per-relation
-    * through DataFrameReader/Writer OPTIONS (Spark merges file-source
-    * options into the per-relation hadoop conf), so no session-global
-    * configuration mutates and two databases with different passwords
-    * coexist in one session. */
-  val KeyConfPrefix = "graft.encryption.key."
+    * `graft.encryption.secret.key.<keyId> = base64(key)`. Carried
+    * per-relation through DataFrameReader/Writer OPTIONS (Spark merges
+    * file-source options into the per-relation hadoop conf), so no
+    * session-global configuration mutates and two databases with different
+    * passwords coexist in one session. The name deliberately contains
+    * `secret`: Spark's default `spark.redaction.regex`
+    * (`(?i)secret|password|token|access[.]key`) then redacts the key
+    * material anywhere per-relation options surface — plan descriptions,
+    * the SQL UI, event logs (r14 advice: the old `graft.encryption.key.`
+    * name escaped the default redaction). */
+  val KeyConfPrefix = "graft.encryption.secret.key."
 
   private def commonOptions(keyId: String, keyB64: String) = Map(
     "parquet.crypto.factory.class" ->

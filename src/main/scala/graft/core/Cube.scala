@@ -680,8 +680,7 @@ final class Cube(
     // whose plans list ARBITRARILY old file sets — reclaiming is the
     // owner's explicit call (Layout.zorderVacuum) once the log is dropped.
     if (historyOpt.isEmpty)
-      graft.pipeline.Layout.zorderVacuum(spark, dir,
-        keep = st.rewrittenFiles.toSet)
+      graft.pipeline.Layout.zorderVacuum(spark, dir, keepGenerations = 2)
     st
   }
 

@@ -239,13 +239,25 @@ final class Database(val name: String, val spark: SparkSession) {
     // crypto.json FIRST: it is the only record of the master-key salt — a
     // crash after the encrypted parquet writes but before this marker
     // would lose the salt and make the written facts permanently
-    // unrecoverable (the in-memory salt dies with the JVM)
-    cryptoJson match {
-      case Some(cj) => Files.writeString(Paths.get(s"$dir/crypto.json"),
-        JsonMethods.pretty(JsonMethods.render(cj)))
-      // a plain re-save over a previously-encrypted dir must not leave a
-      // stale marker claiming the now-plain payloads are encrypted
-      case None => Files.deleteIfExists(Paths.get(s"$dir/crypto.json")); ()
+    // unrecoverable (the in-memory salt dies with the JVM). Durability on
+    // a RE-save (r14 advice, medium): the marker lands via temp-file +
+    // ATOMIC_MOVE (never a truncate-in-place), and the PREVIOUS marker is
+    // preserved as crypto.json.prev until every new payload has fully
+    // landed — a crash mid-save leaves old-key parquet paired with the
+    // old salt still on disk ([[Database.load]] merges key material from
+    // both markers), instead of permanently undecryptable files.
+    val cryptoPath = Paths.get(s"$dir/crypto.json")
+    val cryptoPrev = Paths.get(s"$dir/crypto.json.prev")
+    if (Files.exists(cryptoPath)) {
+      Files.deleteIfExists(cryptoPrev)
+      Files.move(cryptoPath, cryptoPrev,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    cryptoJson.foreach { cj =>
+      val tmp = Files.createTempFile(Paths.get(dir), ".crypto", ".tmp")
+      Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(cj)))
+      Files.move(tmp, cryptoPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     persistentCubes.foreach { c =>
       c.facts.write.options(pqOpts).mode("overwrite").parquet(s"$dir/cubes/${c.name}")
@@ -303,6 +315,10 @@ final class Database(val name: String, val spark: SparkSession) {
       }).toList)
     Files.writeString(Paths.get(s"$dir/meta.json"),
       encryptor.encrypt(JsonMethods.pretty(JsonMethods.render(meta))))
+    // every payload (facts, summaries, meta) has landed — the previous
+    // marker's transition cover is no longer needed
+    Files.deleteIfExists(cryptoPrev)
+    ()
   }
 
   private def dimToJson(d: Dimension): JValue =
@@ -348,29 +364,58 @@ object Database {
       encryptor: Crypto.Encryptor): Database = {
     implicit val fmts: Formats = DefaultFormats
     val cryptoPath = Paths.get(s"$dir/crypto.json")
+    // crypto.json.prev survives only across an interrupted re-save (see
+    // [[Database.save]]): before the new marker lands it IS the marker
+    // (no payload was rewritten yet); afterwards its salt still unlocks
+    // any old-key parquet the crashed save never got to overwrite
+    val cryptoPrev = Paths.get(s"$dir/crypto.json.prev")
+    val markerPath =
+      if (Files.exists(cryptoPath)) Some(cryptoPath)
+      else if (Files.exists(cryptoPrev)) {
+        System.err.println(s"[graft] WARNING: $dir has crypto.json.prev but " +
+          "no crypto.json — a re-save was interrupted before its new marker " +
+          "landed; loading under the PREVIOUS marker")
+        Some(cryptoPrev)
+      } else None
     val rawMeta = Files.readString(Paths.get(s"$dir/meta.json"))
+    def aesKeyEntry(aes: Crypto.AesGcm, cj: JValue): (String, String) = {
+      val salt = java.util.Base64.getUrlDecoder.decode((cj \ "salt").extract[String])
+      val iters = (cj \ "iterations").extract[Int]
+      val keyId = (cj \ "keyId").extract[String]
+      (keyId, java.util.Base64.getEncoder.encodeToString(aes.deriveKey(salt, iters)))
+    }
     val (pqOpts, metaText): (Map[String, String], String) =
-      if (!Files.exists(cryptoPath)) {
-        require(encryptor == Crypto.NoEncryption,
-          s"database at $dir is NOT encrypted (no crypto.json) but an " +
-            s"'${encryptor.method}' encryptor was passed")
-        (Map.empty, rawMeta)
-      } else {
-        val cj = JsonMethods.parse(Files.readString(cryptoPath))
-        val method = (cj \ "method").extract[String]
-        require(encryptor.method == method,
-          s"database at $dir is encrypted with method '$method' — pass the " +
-            s"matching Crypto encryptor (got '${encryptor.method}')")
-        val opts = encryptor match {
-          case aes: Crypto.AesGcm =>
-            val salt = java.util.Base64.getUrlDecoder.decode((cj \ "salt").extract[String])
-            val iters = (cj \ "iterations").extract[Int]
-            val keyId = (cj \ "keyId").extract[String]
-            Crypto.parquetReadOptions(keyId,
-              java.util.Base64.getEncoder.encodeToString(aes.deriveKey(salt, iters)))
-          case _ => Map.empty[String, String]
-        }
-        (opts, encryptor.decrypt(rawMeta))
+      markerPath match {
+        case None =>
+          require(encryptor == Crypto.NoEncryption,
+            s"database at $dir is NOT encrypted (no crypto.json) but an " +
+              s"'${encryptor.method}' encryptor was passed")
+          (Map.empty, rawMeta)
+        case Some(mp) =>
+          val cj = JsonMethods.parse(Files.readString(mp))
+          val method = (cj \ "method").extract[String]
+          require(encryptor.method == method,
+            s"database at $dir is encrypted with method '$method' — pass the " +
+              s"matching Crypto encryptor (got '${encryptor.method}')")
+          val opts = encryptor match {
+            case aes: Crypto.AesGcm =>
+              val (keyId, keyB64) = aesKeyEntry(aes, cj)
+              val primary = Crypto.parquetReadOptions(keyId, keyB64)
+              // an interrupted re-save can leave a MIX of payload vintages;
+              // each parquet file names its own key id, so supplying the
+              // previous marker's derived key alongside lets both decrypt
+              val prevEntry = Option(cryptoPrev).filter(p =>
+                  (mp eq cryptoPath) && Files.exists(p))
+                .map(p => JsonMethods.parse(Files.readString(p)))
+                .filter(pj => (pj \ "method").extractOpt[String].contains(method))
+                .map { pj =>
+                  val (pid, pb64) = aesKeyEntry(aes, pj)
+                  Crypto.KeyConfPrefix + pid -> pb64
+                }
+              primary ++ prevEntry
+            case _ => Map.empty[String, String]
+          }
+          (opts, encryptor.decrypt(rawMeta))
       }
     val meta = JsonMethods.parse(metaText)
     val db = new Database((meta \ "name").extract[String], spark)
@@ -436,5 +481,46 @@ object Database {
           spark.read.options(pqOpts).parquet(s"$dir/summaries/$sname")))
       }
     db
+  }
+
+  /** KEY ROTATION for a saved database (r14 verdict #2): re-encrypt the
+    * store at `dir` from `oldEnc`'s password to `newEnc`'s, in place.
+    * After it returns, the old password FAILS loudly and only the new one
+    * serves.
+    *
+    * Cost model, stated honestly: parquet modular encryption under local
+    * wrapping ([[GraftKmsClient]]) bakes the master key into every file's
+    * key metadata as the wrapping key — there is NO KEK-only shortcut
+    * that re-encrypts a small envelope and leaves 100 TB of data files
+    * alone (that requires a double-wrapping external KMS, which this
+    * deployment deliberately does not have). Rotation therefore REWRITES
+    * the payloads: one distributed read-decrypt/write-encrypt pass, all
+    * in-executor — the same shape as the save that created the store.
+    * (The reference re-derives its Fernet key and re-encrypts every
+    * payload on each save, `encryption.py:144-151` — rotation is implicit
+    * there because every save already pays the full rewrite.)
+    *
+    * Staging: the new-key store lands in a sibling temp dir first, then
+    * two atomic directory moves swap it in (`<dir>` →
+    * `<dir>.rekey-old-<id>` → deleted; temp → `<dir>`). A crash between
+    * the moves leaves `<dir>` absent with BOTH siblings intact — recover
+    * by renaming whichever vintage you want back; no state loses its key
+    * material at any point.
+    */
+  def rekey(dir: String, spark: SparkSession, oldEnc: Crypto.Encryptor,
+      newEnc: Crypto.Encryptor): Unit = {
+    val db = load(dir, spark, oldEnc)
+    val dirPath = Paths.get(dir).toAbsolutePath
+    val parent = dirPath.getParent
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val staged = parent.resolve(s"${dirPath.getFileName}.rekey-$id")
+    // the loaded db's frames scan lazily FROM dir — saving to the sibling
+    // streams decrypt-old/encrypt-new through the executors; saving onto
+    // dir itself would self-overwrite the files mid-scan
+    db.save(staged.toString, newEnc)
+    val retired = parent.resolve(s"${dirPath.getFileName}.rekey-old-$id")
+    Files.move(dirPath, retired, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staged, dirPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(retired.toFile)
   }
 }

@@ -107,29 +107,40 @@ object Layout {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def manifestPath(dir: String) =
-    new org.apache.hadoop.fs.Path(dir, "_zmanifest.json")
+  // Manifest layout (round 15): one IMMUTABLE file per commit generation,
+  // `_zmanifest.g<19-digit zero-padded gen>`, committed CREATE-EXCLUSIVE —
+  // a lost race fails at the filesystem's atomic create(overwrite=false)
+  // (r14 advice: the previous single-file check-then-rename window let two
+  // writers both observe the same live generation and the last rename win
+  // silently). The generation HISTORY this leaves behind is what
+  // [[zorderVacuum]]'s `keepGenerations` retention window reads. A file is
+  // VALID only when it carries the `#end` terminator its writer appends
+  // last — readers skip a crashed commit's partial file, so the newest
+  // valid manifest is always a complete one. Stores written before r15
+  // (single `_zmanifest.json`) read through the same path: the legacy file
+  // joins the candidate list at its recorded `#zgen` (0 if headerless).
+  private val GenPrefix = "_zmanifest.g"
+  private val LegacyName = "_zmanifest.json"
+  private val EndMarker = "#end"
 
-  /** Load the live-file manifest. */
-  def zorderManifest(spark: SparkSession, dir: String): Seq[ZFile] =
-    readManifest(spark, dir)._2
+  private def genManifestPath(dir: String, gen: Long) =
+    new org.apache.hadoop.fs.Path(dir, f"$GenPrefix$gen%019d")
 
-  /** The store's commit generation: bumped by every successful
-    * [[zorderWrite]]/[[zorderAppend]] manifest rename. Pre-versioning
-    * stores (no `#zgen` header) read as generation 0.
-    */
-  def zorderGeneration(spark: SparkSession, dir: String): Long =
-    readManifest(spark, dir)._1
-
-  private def readManifest(spark: SparkSession, dir: String): (Long, Seq[ZFile]) = {
-    val f = fs(spark, dir)
-    val mp = manifestPath(dir)
-    if (!f.exists(mp)) (0L, Seq.empty)
+  private def readText(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!f.exists(p)) None
     else {
-      val in = f.open(mp)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      catch { case _: java.io.IOException => None }
       finally in.close()
-      val lines = text.split('\n').filter(_.nonEmpty).toSeq
+    }
+
+  private def parseManifest(text: String,
+      requireEnd: Boolean): Option[(Long, Seq[ZFile])] = {
+    val lines = text.split('\n').filter(_.nonEmpty).toSeq
+    if (requireEnd && !lines.lastOption.contains(EndMarker)) None
+    else try {
       val gen = lines.headOption.filter(_.startsWith("#zgen\t"))
         .map(_.stripPrefix("#zgen\t").toLong).getOrElse(0L)
       val files = lines.filterNot(_.startsWith("#")).map { line =>
@@ -137,18 +148,63 @@ object Layout {
         val p = line.split('\t')
         ZFile(p(0), p(1).toLong, p(2).toLong, p(3).toLong)
       }
-      (gen, files)
+      Some((gen, files))
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Every VALID manifest of the store, newest first: generation files
+    * (terminator-checked) plus the pre-r15 legacy file if present. */
+  private def validManifests(spark: SparkSession,
+      dir: String): Seq[(Long, Seq[ZFile], org.apache.hadoop.fs.Path)] = {
+    val f = fs(spark, dir)
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(dp)) Seq.empty
+    else {
+      val entries = f.listStatus(dp).toSeq.filter(_.isFile)
+      val gens = entries.filter(_.getPath.getName.startsWith(GenPrefix))
+        .flatMap { st =>
+          readText(f, st.getPath).flatMap(parseManifest(_, requireEnd = true))
+            .map { case (g, zf) => (g, zf, st.getPath) }
+        }
+      val legacy = entries.filter(_.getPath.getName == LegacyName)
+        .flatMap { st =>
+          readText(f, st.getPath).flatMap(parseManifest(_, requireEnd = false))
+            .map { case (g, zf) => (g, zf, st.getPath) }
+        }
+      (gens ++ legacy).sortBy(-_._1)
     }
   }
 
-  /** Atomically replace the manifest (temp write + rename), REFUSING a
-    * lost update: the commit re-reads the live generation and throws
-    * [[StaleManifestException]] when another writer committed since this
-    * one read `expectedGen` — the silent last-rename-wins orphaning is now
-    * a loud failure. (The re-check-then-rename window is not a lock; the
-    * contract stays SINGLE-WRITER — this turns a violated contract into an
-    * error instead of data loss.)
+  /** Load the live-file manifest. */
+  def zorderManifest(spark: SparkSession, dir: String): Seq[ZFile] =
+    readManifest(spark, dir)._2
+
+  /** The store's commit generation: bumped by every successful
+    * [[zorderWrite]]/[[zorderAppend]] manifest commit. Pre-versioning
+    * stores (no `#zgen` header) read as generation 0.
     */
+  def zorderGeneration(spark: SparkSession, dir: String): Long =
+    readManifest(spark, dir)._1
+
+  private def readManifest(spark: SparkSession, dir: String): (Long, Seq[ZFile]) =
+    validManifests(spark, dir).headOption
+      .map { case (g, zf, _) => (g, zf) }.getOrElse((0L, Seq.empty))
+
+  /** Commit the next manifest generation, REFUSING a lost update: the
+    * commit target `_zmanifest.g<expectedGen+1>` is created with
+    * `overwrite=false` — on a real DFS the losing racer fails ATOMICALLY
+    * at the create (local filesystems narrow the window to the
+    * exists-check inside `create`), and a post-write read-back verifies
+    * this writer's content actually stands. The contract stays
+    * SINGLE-WRITER — this turns a violated contract into a loud
+    * [[StaleManifestException]] instead of data loss. A PARTIAL target
+    * (no `#end` terminator: a crashed commit at this generation) is
+    * debris, deleted and retried once — readers never selected it.
+    */
+  /** Test seam: runs between the commit's generation pre-check and its
+    * create-exclusive — the narrowest window a racing commit can occupy. */
+  private[graft] var manifestCreateSeam: () => Unit = () => ()
+
   private def writeManifest(spark: SparkSession, dir: String,
       files: Seq[ZFile], expectedGen: Long): Unit = {
     val f = fs(spark, dir)
@@ -158,46 +214,106 @@ object Layout {
         s"z-store $dir moved to generation $liveGen while this writer held " +
           s"$expectedGen — a concurrent append committed; this commit is " +
           "refused (its segment files are orphans for zorderVacuum)")
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"_zmanifest.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(((s"#zgen\t${expectedGen + 1}") +:
-      files.map(zf => s"${zf.path}\t${zf.zMin}\t${zf.zMax}\t${zf.rows}"))
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    f.delete(manifestPath(dir), false)
-    require(f.rename(tmp, manifestPath(dir)), s"manifest rename failed in $dir")
+    manifestCreateSeam()
+    val target = genManifestPath(dir, expectedGen + 1)
+    val content = ((s"#zgen\t${expectedGen + 1}") +:
+      files.map(zf => s"${zf.path}\t${zf.zMin}\t${zf.zMax}\t${zf.rows}") :+
+      EndMarker).mkString("\n")
+    def createExclusive(): org.apache.hadoop.fs.FSDataOutputStream =
+      try f.create(target, false)
+      catch { case e: java.io.IOException =>
+        // target exists: a VALID file is a racer's committed win; a partial
+        // one is a crashed commit's debris (under the single-writer
+        // contract no live writer holds it) — clear and retry once
+        val stale = readText(f, target)
+          .flatMap(parseManifest(_, requireEnd = true)).isDefined
+        if (stale) throw new StaleManifestException(
+          s"z-store $dir already committed generation ${expectedGen + 1} — " +
+            s"a concurrent append won the create; this commit is refused " +
+            s"(its segment files are orphans for zorderVacuum)")
+        f.delete(target, false)
+        try f.create(target, false)
+        catch { case _: java.io.IOException =>
+          throw new StaleManifestException(
+            s"z-store $dir: generation ${expectedGen + 1} was re-created " +
+              s"while clearing a partial commit — refusing: $e") }
+      }
+    val out = createExclusive()
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    // read-back: on filesystems where create(overwrite=false) is only
+    // check-then-create, a racer interleaved in that window would have
+    // replaced this content — verifying makes exactly one writer win
+    // LOUDLY even there
+    if (!readText(f, target).contains(content))
+      throw new StaleManifestException(
+        s"z-store $dir: generation ${expectedGen + 1} was replaced by a " +
+          "concurrent writer after this commit's write — refused")
   }
 
-  /** Delete data files under `dir` the manifest no longer references —
-    * dead files from past appends and orphaned segments of refused
-    * commits. EXPLICIT GC, never run by [[zorderAppend]] itself: a reader
-    * whose plan captured the pre-append file list (a pinned cube base, an
-    * in-flight job) reads dead files until its owner swaps — run vacuum
-    * only when no reader can hold a file list older than the current
-    * manifest (`graft.core.Cube.appendZorderedStore` vacuums with a
-    * one-append grace for exactly this reason). `keep` exempts paths from
-    * this sweep.
+  /** Delete files under `dir` the retained manifests no longer reference —
+    * dead data files from past appends, orphaned segments of refused
+    * commits, superseded manifest generations. EXPLICIT GC, never run by
+    * [[zorderAppend]] itself (unless opted in via
+    * `autoVacuumKeepGenerations`): a reader whose plan captured an older
+    * file list (a pinned cube base, an in-flight job) reads dead files
+    * until its owner swaps.
+    *
+    * `keepGenerations` is the RETENTION WINDOW (default 1 = only the
+    * current manifest's files survive): the newest N valid manifest
+    * generations stay on disk together with every data file any of them
+    * references, so a reader pinned up to N−1 commits ago keeps
+    * evaluating. `graft.core.Cube.appendZorderedStore` auto-vacuums with
+    * `keepGenerations = 2` — the one-append grace. `keep` exempts
+    * additional paths.
     */
   def zorderVacuum(spark: SparkSession, dir: String,
-      keep: Set[String] = Set.empty): Seq[String] = {
+      keep: Set[String] = Set.empty, keepGenerations: Int = 1): Seq[String] = {
     import org.apache.hadoop.fs.Path
+    require(keepGenerations >= 1, s"keepGenerations must be >= 1, got $keepGenerations")
     val f = fs(spark, dir)
-    def local(p: String): String = new Path(new java.net.URI(p).getPath).toString
-    val live = zorderManifest(spark, dir).map(zf => local(zf.path)).toSet ++
+    // Path (not java.net.URI) normalizes: URI(p) throws URISyntaxException
+    // on store directories with spaces/illegal URI chars — which would
+    // surface AFTER a successful append swap and make a committed append
+    // look failed (r14 advice)
+    def local(p: String): String = new Path(p).toUri.getPath
+    val manifests = validManifests(spark, dir)
+    val retained = manifests.take(keepGenerations)
+    val live = retained.flatMap(_._2).map(zf => local(zf.path)).toSet ++
       keep.map(local)
-    val it = f.listFiles(new Path(dir), true)
+    val retainedManifests = retained.map(m => local(m._3.toString)).toSet
+    val newestGen = manifests.headOption.map(_._1).getOrElse(0L)
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    val it = f.listFiles(new Path(dir), true)
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath
+      val name = p.getName
       val stale = st.isFile &&
-        ((p.getName.endsWith(".parquet") && !live.contains(local(p.toString))) ||
-          // a crashed commit's temp manifest (the rename never happened)
-          p.getName.startsWith("_zmanifest.tmp-"))
+        ((name.endsWith(".parquet") && !live.contains(local(p.toString))) ||
+          // a crashed pre-r15 commit's temp file (its rename never happened)
+          name.startsWith("_zmanifest.tmp-") ||
+          // superseded manifest generations outside the retention window;
+          // an INVALID gen file at or below the newest valid generation is
+          // a crashed commit's debris (above it, it may be an in-flight
+          // writer's — left alone, readers skip it)
+          ((name.startsWith(GenPrefix) || name == LegacyName) &&
+            !retainedManifests.contains(local(p.toString)) &&
+            manifestGenAtMost(name, f, p, newestGen)))
       if (stale && f.delete(p, false)) deleted += p.toString
     }
     deleted.toSeq
   }
+
+  /** True when the manifest file at `p` belongs to generation <= `cap` —
+    * gen files answer from their name; the legacy file from its header. */
+  private def manifestGenAtMost(name: String,
+      f: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path,
+      cap: Long): Boolean =
+    if (name == LegacyName)
+      readText(f, p).flatMap(parseManifest(_, requireEnd = false))
+        .forall(_._1 <= cap)
+    else
+      scala.util.Try(name.stripPrefix(GenPrefix).toLong).toOption.forall(_ <= cap)
 
   /** Write a z-layouted frame as a new segment directory and return its
     * per-file z stats (one grouped pass over the `__z` column only).
@@ -287,10 +403,21 @@ object Layout {
     */
   private[graft] var appendCommitSeam: () => Unit = () => ()
 
+  /** `autoVacuumKeepGenerations` (opt-in, r14 verdict: a raw-`Layout`
+    * streaming caller accumulates dead files and orphaned loser segments
+    * FOREVER unless it remembers to vacuum): when set, a successful commit
+    * runs [[zorderVacuum]] with that retention window. Must be >= 2 so a
+    * reader pinned on the just-replaced generation always survives — the
+    * same one-append grace the cube face uses.
+    */
   def zorderAppend(spark: SparkSession, dir: String, batch: DataFrame,
       cols: Seq[Column], bits: Int = 16, numFiles: Int = 4,
       replaceOn: Seq[String] = Nil,
-      pqOptions: Map[String, String] = Map.empty): ZAppendStats = {
+      pqOptions: Map[String, String] = Map.empty,
+      autoVacuumKeepGenerations: Option[Int] = None): ZAppendStats = {
+    autoVacuumKeepGenerations.foreach(n => require(n >= 2,
+      s"autoVacuumKeepGenerations must be >= 2 (a reader pinned on the " +
+        s"pre-append generation must survive the vacuum), got $n"))
     val (gen0, manifest) = readManifest(spark, dir)
     require(manifest.nonEmpty, s"no z-ordered store at $dir — zorderWrite first")
     // ONE evaluation of the batch source for the whole append: the
@@ -332,6 +459,8 @@ object Layout {
       // writer's committed work is never overwritten. Hot files stay on
       // disk (dead in the manifest) until zorderVacuum.
       writeManifest(spark, dir, cold ++ newFiles, gen0)
+      autoVacuumKeepGenerations.foreach(n =>
+        zorderVacuum(spark, dir, keepGenerations = n))
       ZAppendStats(hot.map(_.path), cold.map(_.path), newFiles.map(_.path),
         batchRows)
     } finally batchZ.unpersist(blocking = false)

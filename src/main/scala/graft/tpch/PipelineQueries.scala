@@ -82,7 +82,13 @@ object PipelineQueries {
 
   // shared CTE prefix for the clusters/purge oracles: exact Jaccard pairs
   // (same pair set the MinHash-LSH path verifies to) → symmetric edges →
-  // recursive reachability closure → min reachable id per doc
+  // min-LABEL propagation → min reachable id per doc. The label-propagation
+  // form (each step MIN-aggregates the frontier's labels per neighbor, the
+  // UNION dedup makes an unimproved label a fixpoint) replaces the r12-r14
+  // all-pairs reachability closure, whose working set was Σ cluster_size² —
+  // super-linear in dup-heavy corpora and the reason pipe_split_safe sat on
+  // the sf0.1 sweep's EXCLUDE list. Rows here are O(nodes × improvements):
+  // verified value-identical at sf0.001/sf0.01 and ~70 s at sf0.1.
   private val CLUSTERS_CTE =
     """WITH RECURSIVE
          t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -94,11 +100,11 @@ object PipelineQueries {
                WHERE CAST(shared AS DOUBLE) / CAST(na.c + nb.c - shared AS DOUBLE) >= 0.9),
          e AS (SELECT CAST(i AS BIGINT) AS a, CAST(j AS BIGINT) AS b FROM p
                UNION SELECT CAST(j AS BIGINT), CAST(i AS BIGINT) FROM p),
-         reach(id, r) AS (
+         lp(id, lbl) AS (
            SELECT a, a FROM e
            UNION
-           SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
-         clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
+           SELECT e.b, MIN(lp.lbl) FROM lp JOIN e ON lp.id = e.a GROUP BY e.b),
+         clusters AS (SELECT id, min(lbl) AS cluster_id FROM lp GROUP BY id)"""
 
   // shared CTE body for the substring-dedup oracles: the clone-salted
   // corpus, word 5-grams, and the covered occurrences (every repeated

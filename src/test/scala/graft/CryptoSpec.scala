@@ -35,7 +35,9 @@ class CryptoSpec extends AnyFunSuite {
 
   test("property: every string roundtrips through both codecs (seeded)") {
     val rnd = new scala.util.Random(42)
-    val aes = new Crypto.AesGcm("pw π")
+    // explicit low iteration count: 200 roundtrips × the 600k default would
+    // spend ~2 min in PBKDF2 alone; the tunable path is itself under test
+    val aes = new Crypto.AesGcm("pw π", iterations = 1000)
     val obf = new Crypto.Obfuscator("öbfüscate")
     (1 to 200).foreach { _ =>
       // adversarial alphabet: control chars, astral-plane, combining marks

@@ -24,9 +24,11 @@ trap 'rm -rf "$TMP"' EXIT
 # off-by-one at 10x volume changes the hash
 PREFIXES="q1_,q6_,rel_join,rel_semi_join,rel_anti_join,rel_distinct,rel_grouping_sets,rel_cube,rel_setops,rel_topk,rel_window,rel_pivot,rel_unpivot,rel_funnel,rel_retention,pipe_dedup_exact,pipe_dedup_fingerprint,pipe_sample,pipe_shard_assign,pipe_pack,pipe_split,pipe_corpus,olap_rollup,olap_multiparent,olap_area_records,olap_area_stats,olap_grid_dense,olap_import_named,olap_bucketed_read,olap_partitioned_read,olap_zordered"
 
-# gates whose ORACLE is super-linear at sf0.1 (recursive-CTE clustering) —
-# not an exact-arithmetic surface; their engine side is verified at sf0.01
-EXCLUDE="pipe_split_safe"
+# gates whose ORACLE is super-linear at sf0.1 — EMPTY since round 15: the
+# clusters CTE's all-pairs reachability closure (the one excluded oracle,
+# pipe_split_safe) was rewritten as min-label propagation, linear in the
+# cluster structure, and now runs at sf0.1 (~70 s) like every other gate
+EXCLUDE=""
 
 echo "[sweep] verify at $SF (prefixes: $PREFIXES)" >&2
 sbt -batch "runMain graft.Verify $SF $TMP $PREFIXES" 2>&1 \
