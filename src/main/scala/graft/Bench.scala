@@ -396,6 +396,11 @@ object Bench {
     val (cpuTotal0, steal0) = cpuStat()
     // the bucketed-backed scratch cube: built once on pass 1, read per pass
     var bucketedCube: graft.core.Cube = null
+    // key material for the encrypted z-store pricing rows — derived once,
+    // never inside a timed body
+    lazy val benchEnc = graft.core.Crypto.parquetEncryption("bench-zenc",
+      new graft.core.Crypto.AesGcm("bench at rest")
+        .deriveKey("benchsaltbenchsa".getBytes))
     // min over successful passes; -1 only if every pass failed
     def record(name: String, t: Double): Unit = results(name) =
       (results.get(name).filter(_ >= 0), Some(t).filter(_ >= 0)) match {
@@ -419,6 +424,37 @@ object Bench {
     // to retry the artifact rather than trust plausible-but-poisoned numbers.
     val passRetries = sys.env.getOrElse("SPARK_GRAFT_PASS_RETRIES", "2").toInt
     val dirtyK = sys.env.getOrElse("SPARK_GRAFT_PASS_DIRTY_K", "1.75").toDouble
+    // Clean-minima tripwire config, loaded BEFORE the passes (r14 verdict
+    // #1): the minima both flag divergent rows in the artifact AND drive
+    // the in-run RE-measurement of tripped multi-second rows below — a
+    // transient spike no longer poisons the official number permanently.
+    val minimaPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINIMA",
+      "tools/bench_clean_minima.json")
+    val minima: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(minimaPath)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+          .extract[Map[String, Double]]
+      }
+    } catch { case t: Throwable =>
+      System.err.println(s"[graft.Bench] minima file unreadable ($minimaPath): $t")
+      Map.empty }
+    val tripK = sys.env.getOrElse("SPARK_GRAFT_TRIPWIRE_K", "1.25").toDouble
+    // absolute slack: sub-second rows jitter 40-80 ms between CLEAN runs
+    // (JIT/GC/page cache) — a relative-only threshold flags 0.15 s rows at
+    // 1.3x while the tripwire exists for the 2-4x build-row divergences;
+    // a row must exceed BOTH the ratio and this absolute delta to trip
+    val tripSlack = sys.env.getOrElse("SPARK_GRAFT_TRIPWIRE_SLACK", "0.1").toDouble
+    // the tripped ratio of a recorded row, if any
+    def trippedRatio(name: String): Option[Double] =
+      results.get(name).filter(_ > 0).flatMap(v => minima.get(name)
+        .filter(m => m > 0 && v > tripK * m && v - m > tripSlack).map(v / _))
+    // in-run re-measurement budget: ≤5 rows total, one retry each, only
+    // rows ≥1 s (sub-second trips are jitter-class, the slack's domain)
+    var retryBudget = sys.env.getOrElse("SPARK_GRAFT_TRIPWIRE_RETRIES", "5").toInt
+    val tripwireRetried = scala.collection.mutable.ArrayBuffer[String]()
     var retriesUsed = 0
     var dirtyResidue = false
     val cleanNames = scala.collection.mutable.Set[String]()
@@ -537,6 +573,39 @@ object Bench {
         }
       } catch { case t: Throwable =>
         System.err.println(s"[graft.Bench] huge_reads_bucketed_10k failed: $t"); -1.0 })
+      // r14 verdict #3: PRICE at-rest encryption — the same z-store build
+      // and manifest-read aggregate over the events table, plain vs
+      // parquet-modular AES-GCM, as paired per-pass rows: the cipher/footer
+      // overhead is a measured within-run delta with minima armed, not a
+      // remembered claim. Key material derives ONCE outside the timers
+      // (PBKDF2 at 600k iterations is deliberately slow).
+      if (want("pipe_zstore_build_encrypted")) {
+        import org.apache.spark.sql.functions.{col, sum}
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("event_id"), col("user_id"), col("value"))
+        val zcols = Seq(col("user_id"),
+          org.apache.spark.sql.functions.floor(col("value")).cast("long"))
+        val plainDir = java.nio.file.Files.createTempDirectory("bench_zpl").toString
+        val encDir = java.nio.file.Files.createTempDirectory("bench_zen").toString
+        rec("pipe_zstore_build_plain", try time {
+          graft.pipeline.Layout.zorderWrite(spark, plainDir, ev, zcols,
+            bits = 10, numFiles = 8); ()
+        } catch { case _: Throwable => -1.0 })
+        rec("pipe_zstore_build_encrypted", try time {
+          graft.pipeline.Layout.zorderWrite(spark, encDir, ev, zcols,
+            bits = 10, numFiles = 8, pqOptions = benchEnc._1); ()
+        } catch { case _: Throwable => -1.0 })
+        rec("pipe_zstore_read_plain", try time {
+          graft.pipeline.Layout.zorderRead(spark, plainDir)
+            .agg(sum(col("event_id"))).collect(); ()
+        } catch { case _: Throwable => -1.0 })
+        rec("pipe_zstore_read_encrypted", try time {
+          graft.pipeline.Layout.zorderRead(spark, encDir, pqOptions = benchEnc._2)
+            .agg(sum(col("event_id"))).collect(); ()
+        } catch { case _: Throwable => -1.0 })
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(plainDir))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(encDir))
+      }
       recorded.toSet
     }
 
@@ -584,6 +653,82 @@ object Bench {
         pass += 1
       }
     }
+
+    // ---- tripwire self-healing (r14 verdict #1): tripped rows ≥1 s are
+    // RE-measured after the passes — one bounded retry each, canary-
+    // bracketed, MIN-merged — so a transient host spike during a pass no
+    // longer stands as the row's official number (BENCH_r14 shipped
+    // huge8_pipe_zstore_build at 3.44× its clean minimum this way). A row
+    // that trips AGAIN after its retry is a persistent divergence and
+    // stays flagged. Rows the bench cannot re-run standalone (model_build
+    // is memoized; the bucketed pair shares one-shot fixtures) keep their
+    // pass-loop numbers.
+    // deferred teardown for retry bodies that create scratch stores — runs
+    // AFTER the timer, so deleting a multi-GB fixture never counts as work
+    val retryCleanup = scala.collection.mutable.ArrayBuffer[() => Unit]()
+    def retryTripped(names: Seq[String], runner: String => Option[() => Unit]): Unit = {
+      val cand = names.distinct
+        .filter(n => results.get(n).exists(_ >= 1.0) && trippedRatio(n).isDefined)
+        .sortBy(n => -trippedRatio(n).get)
+      cand.foreach { n =>
+        if (retryBudget > 0) runner(n).foreach { body =>
+          retryBudget -= 1
+          System.err.println(f"[graft.Bench] tripwire retry: $n at " +
+            f"${trippedRatio(n).get}%.2fx its clean minimum — re-measuring")
+          Thread.sleep(3000) // let the (presumed transient) spike drain
+          val pre = spinCanary(); canaries += pre
+          obsMin = math.min(obsMin, pre._1)
+          record(n, try time { body() } catch { case t: Throwable =>
+            System.err.println(s"[graft.Bench] tripwire retry of $n failed: $t"); -1.0 })
+          retryCleanup.foreach(c => try c() catch { case _: Throwable => () })
+          retryCleanup.clear()
+          val post = spinCanary(); canaries += post
+          obsMin = math.min(obsMin, post._1)
+          if (pre._1 <= dirtyK * floor && post._1 <= dirtyK * floor)
+            cleanNames += n
+          tripwireRetried += n
+        }
+      }
+    }
+    retryTripped(results.keys.toSeq, name => {
+      val generic = rawOps.get(name).orElse(SparkEntry.queries.get(name))
+        .map(fn => () => { fn(spark, sfDir).count(); () })
+      name match {
+        case "huge_build" =>
+          Some(() => { graft.tpch.HugeModel.rebuild(spark, graft.tpch.HugeModel.Rows); () })
+        case "olap_huge_top" => Some(() => {
+          val cube = graft.tpch.HugeModel.get(spark)
+          cube.cacheEnabled = false; cube.clearCache()
+          try { SparkEntry.queries("olap_huge_top")(spark, sfDir).count(); () }
+          finally cube.cacheEnabled = true
+        })
+        case "huge_point_index_build" => Some(() => {
+          val cube = graft.tpch.HugeModel.get(spark)
+          cube.disablePointIndex(); cube.enablePointIndex(); ()
+        })
+        case "huge_point_reads_10k" => Some(() =>
+          { graft.tpch.HugeModel.pointReadLoop(graft.tpch.HugeModel.get(spark), 10000); () })
+        case "model_build" | "stream_layout_build" | "huge_bucketed_write" |
+             "huge_reads_bucketed_10k" | "huge_top_cached" => None
+        case "pipe_zstore_build_plain" | "pipe_zstore_build_encrypted" =>
+          Some(() => {
+            import org.apache.spark.sql.functions.col
+            val ev = spark.read.parquet(s"$sfDir/events.parquet")
+              .select(col("event_id"), col("user_id"), col("value"))
+            val zcols = Seq(col("user_id"),
+              org.apache.spark.sql.functions.floor(col("value")).cast("long"))
+            val d = java.nio.file.Files.createTempDirectory("bench_zretry").toString
+            retryCleanup += (() =>
+              { org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)); () })
+            graft.pipeline.Layout.zorderWrite(spark, d, ev, zcols, bits = 10,
+              numFiles = 8, pqOptions =
+                if (name.endsWith("encrypted")) benchEnc._1 else Map.empty)
+            ()
+          })
+        case _ if name.startsWith("huge8") => None // retried inside the 1e8 block
+        case _ => generic
+      }
+    })
     // ---- guarded 1e8 scale block (r12 verdict #8): the ARCHITECTURE §6d
     // scale evidence, MEASURED every round instead of remembered. Runs
     // ONCE after the passes so its multi-GB persisted footprint cannot
@@ -630,6 +775,18 @@ object Bench {
         } catch { case t: Throwable =>
           System.err.println(s"[graft.Bench] huge8_point_index_refusal failed: $t"); -1.0 })
       }
+      // tripped 1e8 OLAP rows re-measure HERE, while the fixtures stand
+      retryTripped(Seq("huge8_build", "huge8_top"), {
+        case "huge8_build" =>
+          Some(() => { graft.tpch.HugeModel.rebuild(spark, rows8); () })
+        case "huge8_top" => Some(() => {
+          val c = graft.tpch.HugeModel.at(spark, rows8)
+          c.cacheEnabled = false; c.clearCache()
+          try { c.get(Seq.fill(graft.tpch.HugeModel.NDims)("All")); () }
+          finally c.cacheEnabled = true
+        })
+        case _ => None
+      })
       graft.tpch.HugeModel.drop(rows8) // free the multi-GB footprint
       // ---- pipeline-side 1e8 row (r13 verdict #6): incremental z-store
       // maintenance at scale, measured every round instead of via ad-hoc
@@ -647,15 +804,24 @@ object Bench {
             pmod(hash(col("id") * 3), lit(1024)).cast("long").as("b"),
             (col("id") % 97).cast("double").as("value"))
         val zc = Seq(col("a"), col("b"))
-        results("huge8_pipe_zstore_build") = try time {
-          graft.pipeline.Layout.zorderWrite(spark, zdir, zframe(rows8, 0),
-            zc, bits = 10, numFiles = 64)
-        } catch { case t: Throwable =>
+        // Shuffle width of the 1e8 range-exchange+sort: 64 output files ⇒
+        // ~50 MB in-flight sort runs per task at 32 threads — measured the
+        // fastest clean width, env-tunable because this row is the suite's
+        // most contention/spill-sensitive job (BENCH_r14's 3.44× trip) and
+        // re-measurement on a different host may prefer another width.
+        val zfiles = sys.env.getOrElse("SPARK_GRAFT_HUGE8_ZFILES", "64").toInt
+        def zstoreBuild(dir: String): Unit = {
+          graft.pipeline.Layout.zorderWrite(spark, dir, zframe(rows8, 0),
+            zc, bits = 10, numFiles = zfiles)
+          ()
+        }
+        results("huge8_pipe_zstore_build") = try time { zstoreBuild(zdir) }
+        catch { case t: Throwable =>
           System.err.println(s"[graft.Bench] huge8_pipe_zstore_build failed: $t"); -1.0 }
+        var off = rows8
         if (results("huge8_pipe_zstore_build") >= 0) {
           // z-confined 1e5-row batches (keys < 32 → z in the lowest 1/1024
           // of the space), one append per pass — min-of-passes
-          var off = rows8
           for (_ <- 1 to passes8) {
             val batch = zframe(100000L, off)
               .withColumn("a", col("a") % 32)
@@ -668,6 +834,26 @@ object Bench {
             off += 100000L
           }
         }
+        // tripped 1e8 z-store rows re-measure while the store stands: the
+        // build into a FRESH scratch dir (same work, no generation debris),
+        // the append as one more confined batch
+        retryTripped(Seq("huge8_pipe_zstore_build", "huge8_pipe_zappend"), {
+          case "huge8_pipe_zstore_build" => Some(() => {
+            val zdir2 = java.nio.file.Files.createTempDirectory("bench_zstore8r").toString
+            retryCleanup += (() =>
+              { org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zdir2)); () })
+            zstoreBuild(zdir2)
+          })
+          case "huge8_pipe_zappend" => Some(() => {
+            val batch = zframe(100000L, off)
+              .withColumn("a", col("a") % 32)
+              .withColumn("b", col("b") % 32)
+            graft.pipeline.Layout.zorderAppend(spark, zdir, batch, zc, bits = 10)
+            off += 100000L
+            ()
+          })
+          case _ => None
+        })
         // the multi-GB store is bench scratch — reclaim it
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zdir))
         ()
@@ -729,36 +915,20 @@ object Bench {
     // one-shot rows and nobody noticed until the judge read it): every row
     // is compared against the best clean minimum recorded in
     // tools/bench_clean_minima.json (written from builder sign-off runs;
-    // SPARK_GRAFT_BENCH_MINIMA overrides the path). Rows exceeding
-    // `tripK`× their clean minimum self-report in the artifact's
-    // `tripwire` object and on stderr — divergence is flagged IN-RUN, not
-    // discovered round-over-round. An absent/empty minima file disarms the
-    // tripwire (first round on a new host).
-    val minimaPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINIMA",
-      "tools/bench_clean_minima.json")
-    val minima: Map[String, Double] = try {
-      val p = java.nio.file.Paths.get(minimaPath)
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-        org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
-          .extract[Map[String, Double]]
-      }
-    } catch { case t: Throwable =>
-      System.err.println(s"[graft.Bench] minima file unreadable ($minimaPath): $t")
-      Map.empty }
-    val tripK = sys.env.getOrElse("SPARK_GRAFT_TRIPWIRE_K", "1.25").toDouble
-    // absolute slack: sub-second rows jitter 40-80 ms between CLEAN runs
-    // (JIT/GC/page cache) — a relative-only threshold flags 0.15 s rows at
-    // 1.3x while the tripwire exists for the 2-4x build-row divergences;
-    // a row must exceed BOTH the ratio and this absolute delta to trip
-    val tripSlack = sys.env.getOrElse("SPARK_GRAFT_TRIPWIRE_SLACK", "0.1").toDouble
+    // SPARK_GRAFT_BENCH_MINIMA overrides the path; loaded above, before
+    // the passes). Rows exceeding `tripK`× their clean minimum self-report
+    // in the artifact's `tripwire` object and on stderr — and multi-second
+    // rows were already RE-measured in-run (`tripwire_retried`), so a
+    // surviving trip is persistent, not a transient spike. An absent/empty
+    // minima file disarms the tripwire (first round on a new host).
     val tripped = results.collect { case (k, v)
         if v > 0 && minima.get(k).exists(m =>
           m > 0 && v > tripK * m && v - m > tripSlack) =>
       k -> v / minima(k) }.toSeq.sortBy(-_._2)
     val tripJson = tripped.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
+    val tripRetriedJson = tripwireRetried.distinct
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // "timing" is the semantics marker: per-query values are the MINIMUM
     // over `passes` warmed in-process passes (steady state), not one cold
     // pass — artifacts before round 4 were single-pass and not comparable
@@ -768,7 +938,7 @@ object Bench {
     val dirtyRowsJson = dirtyRows.map("\"" + _ + "\"").mkString("[", ",", "]")
     val memJson = memSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val ioJson = ioSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f,"tripwire":$tripJson,"tripwire_threshold":$tripK%.2f,"tripwire_slack_sec":$tripSlack%.2f,"tripwire_rows_known":${minima.size}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f,"tripwire":$tripJson,"tripwire_retried":$tripRetriedJson,"tripwire_threshold":$tripK%.2f,"tripwire_slack_sec":$tripSlack%.2f,"tripwire_rows_known":${minima.size}}""")
     if (tripped.nonEmpty) System.err.println(
       s"[graft.Bench] TRIPWIRE: ${tripped.size} row(s) exceed ${tripK}x their " +
       s"recorded clean minimum — ${tripped.map { case (k, r) => f"$k ($r%.2fx)" }

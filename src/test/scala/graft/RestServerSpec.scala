@@ -168,4 +168,47 @@ class RestServerSpec extends AnyFunSuite {
     assert(post("/query/tiny?offset=-1", sql).statusCode() == 400)
     assert(post("/query/tiny?limit=abc", sql).statusCode() == 400)
   }
+
+  test("the control plane composes with at-rest encryption (r14 verdict #6)") {
+    import graft.core.{Crypto, Database}
+    // an AES-encrypted store, mounted through Database.load — the server
+    // serves catalogs, cells and dialect queries while every fact read
+    // decrypts in-executor through the loaded frames' options
+    val src = TinyModel.build(spark)
+    src.cube("sales").set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 41.0)
+    src.cube("sales").set(Seq("2021", "Feb", "North", "motorcycles", "Sales"), 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rest_enc").toString
+    val pw = new Crypto.AesGcm("rest secret")
+    src.save(dir, pw)
+    val mounted = Database.load(dir, spark, pw)
+    val encServer = new RestServer(Seq(mounted)).start()
+    try {
+      val encBase = s"http://127.0.0.1:${encServer.boundPort}"
+      def encGet(path: String) = req(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(encBase + path)))
+      def encPost(path: String, body: String) =
+        req(java.net.http.HttpRequest.newBuilder(java.net.URI.create(encBase + path))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)))
+      val cell = encGet("/cells/tiny/sales?address=2021,Year,North,motorcycles,Sales")
+      assert(cell.statusCode() == 200 && cell.body().contains("42"), cell.body())
+      val q = encPost("/query/tiny",
+        "SELECT months, value FROM sales WHERE '2021', months=('Jan','Feb'), " +
+          "regions='North', products='motorcycles', 'Sales'")
+      assert(q.statusCode() == 200 && q.body().contains("41"), q.body())
+    } finally encServer.stop()
+    // a WRONG password can never reach a serving state: the AES tier fails
+    // LOUDLY at load (GCM tag on the metadata) before a server exists…
+    intercept[IllegalArgumentException] {
+      new RestServer(Seq(Database.load(dir, spark, new Crypto.AesGcm("wrong")))).start()
+    }
+    // …and the integrity-less Obfuscator tier fails at the metadata PARSE
+    // (garbage JSON), not by mounting a garbage model — no route ever
+    // serves silently-wrong numbers under a wrong password
+    val obfDir = java.nio.file.Files.createTempDirectory("graft_rest_obf").toString
+    src.save(obfDir, new Crypto.Obfuscator("right"))
+    intercept[Exception] {
+      new RestServer(Seq(Database.load(obfDir, spark,
+        new Crypto.Obfuscator("wrong")))).start()
+    }
+  }
 }
