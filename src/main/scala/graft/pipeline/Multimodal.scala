@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * (the Scala analogue of `mapInPandas` batch UDFs — partition-local batch
   * iteration, no driver involvement).
   *
-  * The actual codec call is a clearly marked STUB (`decodeStub`): the
-  * image/audio libraries are not in this container, so it derives
+  * Metadata decode is REAL for PNG/JPEG/GIF (`javax.imageio`) and for
+  * BMP/WAV/WebP/FLAC/MP4 (pure-JVM header/container parsers); only
+  * pixel/sample decode of formats whose codecs this container lacks
+  * routes to the clearly marked STUB (`decodeStub`), which derives
   * deterministic fake metadata from the byte stream. The Spark-side
   * plumbing — schema, encoders, partition batching, frame-sample explode —
   * is real and oracle-tested.
@@ -50,6 +52,13 @@ object Multimodal {
     (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 | (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | (b(o + 1) & 0xff) << 8
+  private def le24(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 | (b(o + 2) & 0xff) << 16
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be24(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) << 16 | (b(o + 1) & 0xff) << 8 | (b(o + 2) & 0xff)
+  private def fourcc(b: Array[Byte], o: Int): String = new String(b, o, 4, "US-ASCII")
 
   /** REAL decode, BMP: dimensions from the BITMAPINFOHEADER — magic "BM",
     * little-endian width at offset 18, height at 22 (negative = top-down
@@ -156,12 +165,241 @@ object Multimodal {
     } else None
   }
 
-  /** STUB ??? — fallback for payloads that are not a JVM-decodable format
-    * (BMP/WAV header parses and PNG/JPEG `javax.imageio` decodes are
-    * REAL): a genuinely exotic format (video containers, FLAC, WebP …)
-    * would need an external codec (e.g. ffmpeg) this container lacks, so
-    * metadata is derived deterministically from the payload so the
-    * pipeline shape (schema, batching, downstream ops) is fully testable.
+  /** REAL decode, WebP container metadata (round 15): RIFF chunk walk over
+    * a "WEBP" form, handling all three layouts — `VP8X` (extended: canvas
+    * width/height as 24-bit LE minus-one fields, alpha from the flags
+    * byte), `VP8L` (lossless: 0x2f signature then a 32-bit LSB-first word
+    * packing width-1 (14 bits), height-1 (14), alpha (1)), and `VP8 `
+    * (lossy: 3-byte frame tag, 9D 01 2A sync code, then 14-bit LE
+    * width/height). Header/dimension parse is REAL and format-complete;
+    * PIXEL decode would need libwebp, which this container lacks — the
+    * operator's contract is ffprobe-style metadata, not rasters.
+    * Returns (width, height, channels: 4 if the alpha bit is set, else 3;
+    * lossy VP8 is always 3).
+    */
+  private[pipeline] def decodeWebP(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 22 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WEBP") return None
+    var off = 12L
+    var out: Option[(Int, Int, Int)] = None
+    while (out.isEmpty && off + 8 <= b.length) {
+      val o = off.toInt
+      val id = fourcc(b, o)
+      val sz = le32(b, o + 4).toLong & 0xFFFFFFFFL
+      val p = o + 8 // chunk payload start
+      id match {
+        case "VP8X" if off + 8 + 10 <= b.length =>
+          val alpha = (b(p) & 0x10) != 0
+          val w = le24(b, p + 4) + 1; val h = le24(b, p + 7) + 1
+          out = Some((w, h, if (alpha) 4 else 3))
+        case "VP8L" if off + 8 + 5 <= b.length && b(p) == 0x2f.toByte =>
+          val word = le32(b, p + 1)
+          val w = (word & 0x3FFF) + 1
+          val h = (word >>> 14 & 0x3FFF) + 1
+          val alpha = (word >>> 28 & 1) == 1
+          out = Some((w, h, if (alpha) 4 else 3))
+        case "VP8 " if off + 8 + 10 <= b.length &&
+            b(p + 3) == 0x9d.toByte && b(p + 4) == 0x01.toByte && b(p + 5) == 0x2a.toByte =>
+          val w = le16(b, p + 6) & 0x3FFF; val h = le16(b, p + 8) & 0x3FFF
+          if (w > 0 && h > 0) out = Some((w, h, 3))
+        case _ => ()
+      }
+      off += 8L + sz + (sz & 1L) // word-aligned; strictly advances
+    }
+    out.filter { case (w, h, _) => w < (1 << 20) && h < (1 << 20) }
+  }
+
+  /** Deterministic WebP fixture ENCODER: a structurally valid WebP
+    * container carrying real dimension metadata — VP8X (extended canvas)
+    * for even seeds, VP8L (lossless header word) for odd, so both parser
+    * paths stay exercised by the oracle gate. The pixel stream is absent
+    * (header-only), matching the decode contract above.
+    */
+  def syntheticWebP(width: Int, height: Int, alpha: Boolean, extended: Boolean): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 0x3FFF && height <= 0x3FFF,
+      "fixture dims must fit the 14-bit VP8L field")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32le(v: Int): Unit = { bos.write(v & 0xff); bos.write(v >>> 8 & 0xff)
+      bos.write(v >>> 16 & 0xff); bos.write(v >>> 24 & 0xff) }
+    val payload: Array[Byte] = if (extended) {
+      val p = new java.io.ByteArrayOutputStream()
+      def p24(v: Int): Unit = { p.write(v & 0xff); p.write(v >>> 8 & 0xff)
+        p.write(v >>> 16 & 0xff) }
+      p.write(if (alpha) 0x10 else 0x00); p.write(0); p.write(0); p.write(0)
+      p24(width - 1); p24(height - 1)
+      p.toByteArray
+    } else {
+      val word = (width - 1) | (height - 1) << 14 | (if (alpha) 1 << 28 else 0)
+      Array[Byte](0x2f.toByte,
+        (word & 0xff).toByte, (word >>> 8 & 0xff).toByte,
+        (word >>> 16 & 0xff).toByte, (word >>> 24 & 0xff).toByte)
+    }
+    val chunkId = if (extended) "VP8X" else "VP8L"
+    val padded = payload.length + (payload.length & 1)
+    // RIFF size = "WEBP" (4) + chunk header (8) + padded payload
+    bos.write("RIFF".getBytes("US-ASCII")); w32le(4 + 8 + padded)
+    bos.write("WEBP".getBytes("US-ASCII"))
+    bos.write(chunkId.getBytes("US-ASCII")); w32le(payload.length)
+    bos.write(payload); if ((payload.length & 1) == 1) bos.write(0)
+    bos.toByteArray
+  }
+
+  /** REAL decode, FLAC STREAMINFO (round 15): "fLaC" magic, then the
+    * mandatory first metadata block (type 0, 34 bytes) — sample rate
+    * (20 bits), channels-1 (3), bits-per-sample-1 (5) and total samples
+    * (36) packed MSB-first in one 64-bit field. The metadata-block walk is
+    * REAL and handles non-first STREAMINFO defensively; FRAME decode
+    * (the Rice-coded subframes) would need a codec pass this operator's
+    * metadata contract doesn't ask for. Returns (sample_rate, channels,
+    * duration whole seconds, min 1) — same shape as the WAV decode.
+    */
+  private[pipeline] def decodeFlac(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 8 || !(b(0) == 'f'.toByte && b(1) == 'L'.toByte &&
+        b(2) == 'a'.toByte && b(3) == 'C'.toByte)) return None
+    var off = 4L
+    var out: Option[(Int, Int, Int)] = None
+    var last = false
+    while (out.isEmpty && !last && off + 4 <= b.length) {
+      val o = off.toInt
+      val hdr = b(o) & 0xff
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7f
+      val blen = be24(b, o + 1)
+      if (btype == 0 && blen >= 34 && off + 4 + 34 <= b.length) {
+        val p = o + 4 + 10 // skip min/max blocksize (4) + min/max framesize (6)
+        val hi = be32(b, p); val lo = be32(b, p + 4)
+        val packed = hi << 32 | lo
+        val rate = (packed >>> 44).toInt
+        val ch = (packed >>> 41 & 0x7).toInt + 1
+        val totalSamples = packed & ((1L << 36) - 1)
+        if (rate > 0 && rate <= 1000000) {
+          val secs = math.max(1L, (totalSamples + rate - 1) / rate)
+          if (secs <= 86400L) out = Some((rate, ch, secs.toInt))
+        }
+      }
+      off += 4L + (blen.toLong & 0xFFFFFF) // u24 length; strictly advances
+    }
+    out
+  }
+
+  /** Deterministic FLAC fixture ENCODER: magic + a single last-flagged
+    * STREAMINFO block with the given rate/channels/total-samples (16-bit
+    * depth, zero MD5 — legal: "0 = unknown").
+    */
+  def syntheticFlac(sampleRate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20) && channels >= 1 && channels <= 8 &&
+      totalSamples >= 0 && totalSamples < (1L << 36), "STREAMINFO field bounds")
+    val out = new Array[Byte](4 + 4 + 34)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last block, type 0 (STREAMINFO)
+    out(5) = 0; out(6) = 0; out(7) = 34
+    // min/max blocksize = 4096, min/max framesize = 0 (unknown)
+    out(8) = 0x10; out(9) = 0x00; out(10) = 0x10; out(11) = 0x00
+    val packed = sampleRate.toLong << 44 | (channels - 1).toLong << 41 |
+      15L << 36 /* bps-1 for 16-bit */ | totalSamples
+    var i = 0
+    while (i < 8) { out(18 + i) = (packed >>> (56 - 8 * i) & 0xff).toByte; i += 1 }
+    out // bytes 26..51 (MD5) stay zero
+  }
+
+  /** REAL decode, MP4/ISO-BMFF container metadata (round 15): top-level
+    * box walk (size.u32 BE + fourcc) to `moov`, then its children —
+    * `mvhd` v0/v1 yields timescale + duration (→ whole seconds, min 1),
+    * `trak`/`tkhd` v0/v1 yields track width/height as 16.16 fixed-point.
+    * The box walk is REAL ISO 14496-12 structure; SAMPLE decode (the
+    * codec payload in `mdat`) would need ffmpeg-class codecs this
+    * container lacks. Returns (width, height, duration seconds);
+    * channels is reported 0 — a container parse has no raster to count
+    * bands on, and 0 keeps the "no pixel decode happened" signal honest.
+    */
+  private[pipeline] def decodeMp4(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 16 || fourcc(b, 4) != "ftyp") return None
+    var w = 0; var h = 0; var secs = -1
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var off = start
+      while (off + 8 <= end && depth < 8) {
+        val o = off.toInt
+        val sz = be32(b, o)
+        val id = fourcc(b, o + 4)
+        if (sz < 8 || off + sz > end) return // malformed size: stop this level
+        val p = o + 8
+        id match {
+          case "moov" | "trak" => walk(off + 8, off + sz, depth + 1)
+          case "mvhd" if sz >= 8 + 20 =>
+            val v = b(p) & 0xff
+            val (ts, dur) =
+              if (v == 1 && sz >= 8 + 32) (be32(b, p + 20), (be32(b, p + 24) << 32) | be32(b, p + 28))
+              else (be32(b, p + 12), be32(b, p + 16))
+            if (ts > 0 && dur >= 0) {
+              val s = math.max(1L, (dur + ts - 1) / ts)
+              if (s <= 86400L * 30) secs = s.toInt
+            }
+          case "tkhd" if sz >= 8 + 84 =>
+            val v = b(p) & 0xff
+            val dimsOff = if (v == 1) p + 4 + 32 + 52 else p + 4 + 20 + 52
+            if (dimsOff + 8 <= o + sz.toInt) {
+              val tw = (be32(b, dimsOff) >>> 16).toInt
+              val th = (be32(b, dimsOff + 4) >>> 16).toInt
+              if (tw > 0 && th > 0 && tw < (1 << 16) && th < (1 << 16)) { w = tw; h = th }
+            }
+          case _ => ()
+        }
+        off += sz
+      }
+    }
+    walk(0L, b.length.toLong, 0)
+    if (secs > 0 && w > 0 && h > 0) Some((w, h, secs)) else None
+  }
+
+  /** Deterministic MP4 fixture ENCODER: `ftyp` (isom) + `moov` { `mvhd` v0
+    * (timescale 1000, the given duration in ms) + `trak` { `tkhd` v0
+    * (16.16 fixed-point width/height) } }. Structure-complete for the
+    * metadata contract; no `mdat` (no samples), matching the parse above.
+    */
+  def syntheticMp4(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width < (1 << 16) && height < (1 << 16) &&
+      durationMs >= 0 && durationMs <= Int.MaxValue, "tkhd/mvhd field bounds")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = { bos.write((v >>> 24 & 0xff).toInt); bos.write((v >>> 16 & 0xff).toInt)
+      bos.write((v >>> 8 & 0xff).toInt); bos.write((v & 0xff).toInt) }
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def zeros(n: Int): Unit = { var i = 0; while (i < n) { bos.write(0); i += 1 } }
+    // ftyp
+    w32(20); cc("ftyp"); cc("isom"); w32(512); cc("isom")
+    // moov = 8 + mvhd(108) + trak(8 + tkhd(92)) = 216
+    w32(216); cc("moov")
+    // mvhd v0: 108 = 8 hdr + 100 payload
+    w32(108); cc("mvhd"); w32(0) /* version+flags */
+    w32(0); w32(0) /* creation, modification */
+    w32(1000) /* timescale */; w32(durationMs)
+    w32(0x00010000L) /* rate 1.0 */; bos.write(1); bos.write(0) /* volume 1.0 */
+    zeros(10) /* reserved */
+    // unity matrix
+    w32(0x00010000L); w32(0); w32(0); w32(0); w32(0x00010000L); w32(0)
+    w32(0); w32(0); w32(0x40000000L)
+    zeros(24) /* pre_defined */; w32(2) /* next track id */
+    // trak wraps tkhd
+    w32(100); cc("trak")
+    // tkhd v0: 92 = 8 hdr + 84 payload
+    w32(92); cc("tkhd"); w32(7) /* version 0, flags: enabled|in-movie|in-preview */
+    w32(0); w32(0) /* creation, modification */
+    w32(1) /* track id */; w32(0) /* reserved */; w32(durationMs)
+    zeros(8) /* reserved */; zeros(2) /* layer */; zeros(2) /* alt group */
+    zeros(2) /* volume (0 for video) */; zeros(2) /* reserved */
+    w32(0x00010000L); w32(0); w32(0); w32(0); w32(0x00010000L); w32(0)
+    w32(0); w32(0); w32(0x40000000L)
+    w32(width.toLong << 16); w32(height.toLong << 16)
+    bos.toByteArray
+  }
+
+  /** STUB ??? — fallback for payloads no REAL parser above claims
+    * (PNG/JPEG/GIF decode via `javax.imageio`; BMP/WAV/WebP/FLAC/MP4
+    * header+container metadata via the pure-JVM parsers, round 15). What
+    * remains stubbed is narrow and honest: PIXEL/SAMPLE decode for
+    * WebP/FLAC/MP4 payloads (needs libwebp/libflac/ffmpeg-class codecs
+    * this container lacks — the metadata contract doesn't ask for it) and
+    * genuinely exotic containers (MKV, Ogg …). Stub metadata derives
+    * deterministically from the payload so the pipeline shape (schema,
+    * batching, downstream ops) stays fully testable.
     */
   private def decodeStub(modality: String, bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
@@ -173,12 +411,16 @@ object Multimodal {
 
   /** Decode pass: typed mapPartitions — one codec context per partition
     * (the expensive-init pattern batch UDFs exist for), streaming the
-    * iterator (no materialization of the partition in memory). BMP, PNG,
-    * JPEG, GIF and WAV payloads decode for REAL (BMP via pure-JVM header
-    * parse, PNG/JPEG/GIF via `javax.imageio`: → width/height/channels,
-    * one frame; WAV → sample rate as width, channels as height, duration
-    * seconds as n_frames); anything else falls back to the documented
-    * stub with channels = 0.
+    * iterator (no materialization of the partition in memory). Eight
+    * formats carry REAL metadata decodes — images: PNG/JPEG/GIF via
+    * `javax.imageio`, BMP/WebP via pure-JVM header parse (→ width/height/
+    * channels, one frame); audio: WAV/FLAC (→ sample rate as width,
+    * channels as height, duration seconds as n_frames); video: MP4
+    * container walk (→ track width/height, duration seconds as n_frames,
+    * channels 0 = no raster decoded). Anything else falls back to the
+    * documented stub with channels = 0. Sniffing is gated on the DECLARED
+    * modality so a text payload with a coincidental magic never reports
+    * another modality's metadata shape.
     */
   def decode(in: Dataset[Asset]): Dataset[DecodedAsset] = {
     val spark = in.sparkSession
@@ -195,8 +437,12 @@ object Multimodal {
           if (a.modality == "image")
             decodeImageIO(a.content).map { case (iw, ih, ch) => (iw, ih, 1, ch) }
               .orElse(decodeBmp(a.content).map { case (bw, bh, ch) => (bw, bh, 1, ch) })
+              .orElse(decodeWebP(a.content).map { case (ww, wh, ch) => (ww, wh, 1, ch) })
           else if (a.modality == "audio")
             decodeWav(a.content).map { case (rate, ch, secs) => (rate, ch, secs, ch) }
+              .orElse(decodeFlac(a.content).map { case (rate, ch, secs) => (rate, ch, secs, ch) })
+          else if (a.modality == "video")
+            decodeMp4(a.content).map { case (vw, vh, secs) => (vw, vh, secs, 0) }
           else None
         val (w, h, f, ch) = real.getOrElse {
           val (sw, sh, sf) = decodeStub(a.modality, a.content)

@@ -912,6 +912,37 @@ object PipelineQueries {
           col("channels"), col("n_frames"))
     }),
 
+    // REAL container/header metadata probe (round 15): WebP (VP8X and
+    // VP8L layouts alternate by doc_id), FLAC STREAMINFO, and MP4
+    // (moov/mvhd/tkhd box walk) — payloads synthesized in-executor from
+    // doc_id arithmetic, parsed back by the pure-JVM parsers inside the
+    // same typed mapPartitions decode pass the image formats use. The
+    // oracle states every field a priori from the doc_id arithmetic and
+    // never touches a parser, so any drift in the chunk/box/bit-field
+    // walk breaks the hash. channels: 4/3 = WebP alpha bit, 1/2 = FLAC
+    // channel count, 0 = video (container parse decodes no raster).
+    "pipe_multimodal_probe" -> ((s, dir) => {
+      import s.implicits._
+      val assets = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        (id % 3).toInt match {
+          case 0 => Multimodal.Asset(id, "image",
+            Multimodal.syntheticWebP((id % 31 + 1).toInt, (id % 17 + 1).toInt,
+              alpha = id % 2 == 0, extended = id % 4 < 2))
+          case 1 =>
+            val rate = 8000 + (id % 5).toInt * 4000
+            val secs = (id % 9 + 1).toInt
+            Multimodal.Asset(id, "audio",
+              Multimodal.syntheticFlac(rate, (id % 2 + 1).toInt, rate.toLong * secs))
+          case _ => Multimodal.Asset(id, "video",
+            Multimodal.syntheticMp4((16 * (id % 40 + 1)).toInt,
+              (16 * (id % 22 + 1)).toInt, 1000L * (id % 30 + 1)))
+        }
+      }
+      Multimodal.decode(assets).toDF()
+        .select(col("doc_id"), col("modality"), col("width"), col("height"),
+          col("n_frames"), col("channels"))
+    }),
+
     // deterministic stratified sampling — a language-mix recipe applied as a
     // pure md5-threshold filter: no RNG state, no shuffle, same subset at any
     // partitioning (reproducible training mixes)
@@ -1841,6 +1872,30 @@ object PipelineQueries {
            CAST(CASE WHEN doc_id % 4 = 1 THEN 1
                      WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
            CAST(1 AS INT) AS n_frames
+         FROM documents""",
+
+    // a-priori metadata for the planted WebP/FLAC/MP4 fixtures — pure
+    // doc_id arithmetic, no parser on the oracle side
+    "pipe_multimodal_probe" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN doc_id % 31 + 1
+                WHEN 1 THEN 8000 + (doc_id % 5) * 4000
+                ELSE 16 * (doc_id % 40 + 1) END AS INT) AS width,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN doc_id % 17 + 1
+                WHEN 1 THEN doc_id % 2 + 1
+                ELSE 16 * (doc_id % 22 + 1) END AS INT) AS height,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 1
+                WHEN 1 THEN doc_id % 9 + 1
+                ELSE doc_id % 30 + 1 END AS INT) AS n_frames,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END
+                WHEN 1 THEN doc_id % 2 + 1
+                ELSE 0 END AS INT) AS channels
          FROM documents""",
 
     // mirrors Curation.sampleStratified: floor(rate·65536) as 4-hex-digit
