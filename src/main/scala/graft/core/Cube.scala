@@ -50,6 +50,9 @@ final class Cube(
   require(dimensions.nonEmpty && dimensions.size <= 32, "1..32 dimensions")
   val nDims: Int = dimensions.size
   val dimCols: Vector[String] = Vector.tabulate(nDims)(i => s"d$i")
+  // indexed view of `dimensions` for per-dim hot loops (a caller-supplied
+  // List would make positional access O(i))
+  private val dimAt: Array[Dimension] = dimensions.toArray
 
   /** Back-reference to the owning database, set by `Database.addCube` —
     * cross-cube rule references ([[graft.olap.RuleExpr.CubeRef]]) resolve
@@ -157,9 +160,10 @@ final class Cube(
     * and free — when no rule uses CubeRef.
     */
   private def refCubeVersions: Seq[Long] = {
-    val names = rulesBuf.iterator
-      .flatMap(r => graft.olap.Rules.cubeRefTargets(r.expr))
-      .map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toSeq.sorted
+    // target names are precomputed on rule change ([[refTargetNames]]) —
+    // this sits in the result-cache KEY, i.e. on every cached read; the
+    // VERSIONS must still be read live (that is the invalidation)
+    val names = refTargetNames
     if (names.isEmpty) Nil
     else names.map { n =>
       databaseRef.flatMap(db => scala.util.Try(db.cube(n)).toOption)
@@ -174,14 +178,22 @@ final class Cube(
     */
   @volatile var cacheEnabled: Boolean = true
   @volatile var cacheMaxEntries: Int = 100000
-  /** Registered rules. The buffer mutates only under [[stateLock]]; readers
-    * get an immutable snapshot — a lock-free ArrayBuffer read racing a
-    * registerRule append could observe a grown size with an unpublished
-    * slot (NPE) or silently miss the rule.
+  /** Registered rules as a volatile immutable snapshot: writers replace the
+    * whole vector under [[stateLock]]; readers take the reference lock-free
+    * (a racing reader sees either the old or the new complete set, never a
+    * torn one). The earlier lock-and-copy form put a synchronized Vector
+    * copy on EVERY point read/write — this is the same safety without the
+    * per-op cost.
     */
-  private val rulesBuf = mutable.ArrayBuffer[graft.olap.RuleDef]()
-  private[graft] def rules: Vector[graft.olap.RuleDef] =
-    stateLock.synchronized(rulesBuf.toVector)
+  @volatile private var rulesVec = Vector.empty[graft.olap.RuleDef]
+  /** CubeRef target names across the registered rule set — recomputed on
+    * rule change, never per read. */
+  @volatile private var refTargetNames: Seq[String] = Nil
+  private def recomputeRefTargets(): Unit =
+    refTargetNames = rulesVec.iterator
+      .flatMap(r => graft.olap.Rules.cubeRefTargets(r.expr))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toSeq.sorted
+  private[graft] def rules: Vector[graft.olap.RuleDef] = rulesVec
 
   /** Read-path counters (≙ `cube.py:183-207`): requests, rule evaluations,
     * aggregation jobs, cache hits, weighted aggregations (rollups whose
@@ -220,7 +232,9 @@ final class Cube(
     logBulk()
     cache.clear()
   }
-  private def recordHistory(label: String): Unit = historyOpt.foreach(_.record(label))
+  // label is by-name: the interpolated address string is only built when
+  // history is actually enabled (it sits on the per-write hot path)
+  private def recordHistory(label: => String): Unit = historyOpt.foreach(_.record(label))
 
   // ---- closure tables (broadcast dimension metadata) ----------------------
 
@@ -280,13 +294,24 @@ final class Cube(
 
   // ---- address resolution -------------------------------------------------
 
-  /** Names → bolt (≙ `_address_to_bolt`, `cube.py:601-627`). */
+  /** Names → bolt (≙ `_address_to_bolt`, `cube.py:601-627`). Hot path for
+    * every point read/write: one pass, no intermediate collections.
+    */
   def bolt(address: Seq[String]): Bolt = {
     require(address.length == nDims,
       s"address has ${address.length} parts, cube '$name' has $nDims dimensions")
-    val ids = address.zipWithIndex.map { case (m, i) => dimensions(i).idOf(m) }.toVector
-    val superLevel = ids.zipWithIndex.map { case (id, i) => dimensions(i).levelOf(id) }.sum
-    Bolt(superLevel, ids)
+    val ids = new Array[Int](nDims)
+    var superLevel = 0
+    var i = 0
+    val it = address.iterator
+    while (it.hasNext) {
+      val d = dimAt(i)
+      val id = d.idOf(it.next())
+      ids(i) = id
+      superLevel += d.levelOf(id)
+      i += 1
+    }
+    Bolt(superLevel, ids.toVector)
   }
 
   // ---- fact frame ---------------------------------------------------------
@@ -1032,15 +1057,20 @@ final class Cube(
   /** Register a rule after smoke validation (≙ `cube.py:750-847` + R8). */
   def registerRule(rule: graft.olap.RuleDef): Unit = {
     graft.olap.Rules.validate(this, rule)
-    stateLock.synchronized { rulesBuf += rule; stateVersion += 1; logBulk(); cache.clear() }
+    stateLock.synchronized {
+      rulesVec = rulesVec :+ rule; recomputeRefTargets()
+      stateVersion += 1; logBulk(); cache.clear()
+    }
   }
 
   /** Remove a registered rule by name (≙ `cube.remove_rule`); no-op when
     * absent. Invalidates the result cache like any rule change. */
   def removeRule(ruleName: String): Unit = stateLock.synchronized {
-    val before = rulesBuf.size
-    rulesBuf.filterInPlace(_.name != ruleName)
-    if (rulesBuf.size != before) { stateVersion += 1; logBulk(); cache.clear() }
+    val next = rulesVec.filterNot(_.name == ruleName)
+    if (next.size != rulesVec.size) {
+      rulesVec = next; recomputeRefTargets()
+      stateVersion += 1; logBulk(); cache.clear()
+    }
   }
 
   private[graft] def clearCache(): Unit = cache.clear()

@@ -475,16 +475,29 @@ final class Dimension(val name: String) {
 
   def members: Vector[MemberDef] = committed
   def memberCount: Int = committed.length
+  /** Case-fold for lookups — allocation-free when the name is already
+    * lowercase (the common case, and `idOf` sits on the point read/write
+    * hot path); any char that would change under lowering falls back to
+    * the full `toLowerCase` the insert side used.
+    */
+  private def foldCase(s: String): String = {
+    var i = 0
+    while (i < s.length && Character.toLowerCase(s.charAt(i)) == s.charAt(i)) i += 1
+    if (i == s.length) s else s.toLowerCase
+  }
   def contains(member: String): Boolean =
     if (isDegenerate) degIdOf(member).isDefined
-    else byName.contains(member.toLowerCase) || aliasMap.contains(member.toLowerCase)
+    else { val k = foldCase(member); byName.contains(k) || aliasMap.contains(k) }
   def idOf(member: String): Int =
     if (isDegenerate) degIdOf(member).getOrElse(throw new NoSuchElementException(
       s"member '$member' does not parse in degenerate dimension '$name' " +
         s"(expected '${degenerateMode.get._1}<id>' or '${degenerateMode.get._2}')"))
-    else byName.getOrElse(member.toLowerCase,
-      aliasMap.getOrElse(member.toLowerCase,
-        throw new NoSuchElementException(s"unknown member '$member' in dimension '$name'")))
+    else {
+      val k = foldCase(member)
+      byName.getOrElse(k,
+        aliasMap.getOrElse(k,
+          throw new NoSuchElementException(s"unknown member '$member' in dimension '$name'")))
+    }
   def apply(member: String): MemberDef = memberById(idOf(member))
   def memberById(id: Int): MemberDef =
     if (isDegenerate) degMember(id) else byId(id)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * iteration, no driver involvement).
   *
   * Metadata decode is REAL for PNG/JPEG/GIF (`javax.imageio`) and for
-  * BMP/WAV/WebP/FLAC/MP4 (pure-JVM header/container parsers); only
+  * BMP/WAV/WebP/FLAC/MP4/AVI (pure-JVM header/container parsers); only
   * pixel/sample decode of formats whose codecs this container lacks
   * routes to the clearly marked STUB (`decodeStub`), which derives
   * deterministic fake metadata from the byte stream. The Spark-side
@@ -391,8 +391,76 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL decode, AVI main header (round 15): RIFF form "AVI ", LIST
+    * "hdrl" → "avih" chunk — dwMicroSecPerFrame (payload offset 0),
+    * dwTotalFrames (16), dwWidth (32), dwHeight (36); duration =
+    * usPerFrame × totalFrames, reported in whole seconds (min 1) like the
+    * MP4 path. Same contract: container metadata REAL, sample decode
+    * stubbed (codec-bound).
+    */
+  private[pipeline] def decodeAvi(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 24 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+    var off = 12L
+    var out: Option[(Int, Int, Int)] = None
+    while (out.isEmpty && off + 8 <= b.length) {
+      val o = off.toInt
+      val id = fourcc(b, o)
+      val sz = le32(b, o + 4).toLong & 0xFFFFFFFFL
+      if (id == "LIST" && off + 12 <= b.length && fourcc(b, o + 8) == "hdrl") {
+        // walk inside the hdrl list for the mandatory avih chunk
+        var in = off + 12L
+        val end = math.min(off + 8 + sz, b.length.toLong)
+        while (out.isEmpty && in + 8 <= end) {
+          val io = in.toInt
+          val isz = le32(b, io + 4).toLong & 0xFFFFFFFFL
+          if (fourcc(b, io) == "avih" && in + 8 + 40 <= end) {
+            val usPerFrame = le32(b, io + 8).toLong & 0xFFFFFFFFL
+            val totalFrames = le32(b, io + 8 + 16).toLong & 0xFFFFFFFFL
+            val w = le32(b, io + 8 + 32); val h = le32(b, io + 8 + 36)
+            if (w > 0 && w < (1 << 16) && h > 0 && h < (1 << 16) && usPerFrame > 0) {
+              val usTotal = usPerFrame * totalFrames
+              val secs = math.max(1L, (usTotal + 999999L) / 1000000L)
+              if (secs <= 86400L * 30) out = Some((w, h, secs.toInt))
+            }
+          }
+          in += 8L + isz + (isz & 1L)
+        }
+      }
+      off += 8L + sz + (sz & 1L) // word-aligned; strictly advances
+    }
+    out
+  }
+
+  /** Deterministic AVI fixture ENCODER: RIFF "AVI " + LIST "hdrl" holding
+    * one avih main header at 25 fps (40 000 µs/frame), 25·seconds total
+    * frames — so the decoded duration equals `durationSecs` exactly and
+    * matches the MP4 fixture arithmetic (the probe gate alternates the two
+    * containers under ONE oracle).
+    */
+  def syntheticAvi(width: Int, height: Int, durationSecs: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width < (1 << 16) && height < (1 << 16) &&
+      durationSecs >= 1 && durationSecs <= 86400, "avih field bounds")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32le(v: Long): Unit = { bos.write((v & 0xff).toInt); bos.write((v >>> 8 & 0xff).toInt)
+      bos.write((v >>> 16 & 0xff).toInt); bos.write((v >>> 24 & 0xff).toInt) }
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val avihPayload = 56 // standard MainAVIHeader size
+    val listSz = 4 + 8 + avihPayload // "hdrl" + avih chunk
+    cc("RIFF"); w32le(4 + 8 + listSz) // "AVI " + LIST chunk
+    cc("AVI ")
+    cc("LIST"); w32le(listSz); cc("hdrl")
+    cc("avih"); w32le(avihPayload)
+    w32le(40000L) /* dwMicroSecPerFrame: 25 fps */
+    w32le(0); w32le(0); w32le(0) /* maxBytesPerSec, padding, flags */
+    w32le(25L * durationSecs) /* dwTotalFrames */
+    w32le(0); w32le(1); w32le(0) /* initialFrames, streams, suggestedBuf */
+    w32le(width); w32le(height)
+    w32le(0); w32le(0); w32le(0); w32le(0) /* dwReserved[4] */
+    bos.toByteArray
+  }
+
   /** STUB ??? — fallback for payloads no REAL parser above claims
-    * (PNG/JPEG/GIF decode via `javax.imageio`; BMP/WAV/WebP/FLAC/MP4
+    * (PNG/JPEG/GIF decode via `javax.imageio`; BMP/WAV/WebP/FLAC/MP4/AVI
     * header+container metadata via the pure-JVM parsers, round 15). What
     * remains stubbed is narrow and honest: PIXEL/SAMPLE decode for
     * WebP/FLAC/MP4 payloads (needs libwebp/libflac/ffmpeg-class codecs
@@ -411,12 +479,12 @@ object Multimodal {
 
   /** Decode pass: typed mapPartitions — one codec context per partition
     * (the expensive-init pattern batch UDFs exist for), streaming the
-    * iterator (no materialization of the partition in memory). Eight
+    * iterator (no materialization of the partition in memory). Nine
     * formats carry REAL metadata decodes — images: PNG/JPEG/GIF via
     * `javax.imageio`, BMP/WebP via pure-JVM header parse (→ width/height/
     * channels, one frame); audio: WAV/FLAC (→ sample rate as width,
-    * channels as height, duration seconds as n_frames); video: MP4
-    * container walk (→ track width/height, duration seconds as n_frames,
+    * channels as height, duration seconds as n_frames); video: MP4/AVI
+    * container walks (→ track width/height, duration seconds as n_frames,
     * channels 0 = no raster decoded). Anything else falls back to the
     * documented stub with channels = 0. Sniffing is gated on the DECLARED
     * modality so a text payload with a coincidental magic never reports
@@ -443,6 +511,7 @@ object Multimodal {
               .orElse(decodeFlac(a.content).map { case (rate, ch, secs) => (rate, ch, secs, ch) })
           else if (a.modality == "video")
             decodeMp4(a.content).map { case (vw, vh, secs) => (vw, vh, secs, 0) }
+              .orElse(decodeAvi(a.content).map { case (vw, vh, secs) => (vw, vh, secs, 0) })
           else None
         val (w, h, f, ch) = real.getOrElse {
           val (sw, sh, sf) = decodeStub(a.modality, a.content)

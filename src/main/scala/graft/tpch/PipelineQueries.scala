@@ -933,9 +933,14 @@ object PipelineQueries {
             val secs = (id % 9 + 1).toInt
             Multimodal.Asset(id, "audio",
               Multimodal.syntheticFlac(rate, (id % 2 + 1).toInt, rate.toLong * secs))
-          case _ => Multimodal.Asset(id, "video",
-            Multimodal.syntheticMp4((16 * (id % 40 + 1)).toInt,
-              (16 * (id % 22 + 1)).toInt, 1000L * (id % 30 + 1)))
+          case _ =>
+            // MP4 and AVI alternate by parity under ONE oracle: both
+            // containers must decode to identical metadata or the hash breaks
+            val (vw, vh, secs) = ((16 * (id % 40 + 1)).toInt,
+              (16 * (id % 22 + 1)).toInt, (id % 30 + 1).toInt)
+            Multimodal.Asset(id, "video",
+              if (id % 2 == 0) Multimodal.syntheticMp4(vw, vh, 1000L * secs)
+              else Multimodal.syntheticAvi(vw, vh, secs))
         }
       }
       Multimodal.decode(assets).toDF()

@@ -640,7 +640,10 @@ class PipelineSpec extends AnyFunSuite {
       // truncated payloads: magic sniffs but the walk runs out → stub, no error
       Multimodal.Asset(11L, "image", Multimodal.syntheticWebP(300, 17, alpha = false, extended = false).take(14)),
       Multimodal.Asset(12L, "audio", Multimodal.syntheticFlac(44100, 2, 44100L).take(10)),
-      Multimodal.Asset(13L, "video", Multimodal.syntheticMp4(640, 360, 90000L).take(30))).toDS()
+      Multimodal.Asset(13L, "video", Multimodal.syntheticMp4(640, 360, 90000L).take(30)),
+      // AVI avih main header: dims + 25fps frame-count duration
+      Multimodal.Asset(14L, "video", Multimodal.syntheticAvi(720, 480, 12)),
+      Multimodal.Asset(15L, "video", Multimodal.syntheticAvi(720, 480, 12).take(28))).toDS()
     val out = Multimodal.decode(in).collect().map(d => d.doc_id -> d).toMap
     assert(out(1L).width == 300 && out(1L).height == 17 && out(1L).channels == 3 &&
       out(1L).n_frames == 1, s"VP8L no-alpha: ${out(1L)}")
@@ -658,8 +661,10 @@ class PipelineSpec extends AnyFunSuite {
       out(7L).channels == 0, s"MP4 mvhd/tkhd: ${out(7L)}")
     assert(out(8L).width == 1280 && out(8L).height == 720 && out(8L).n_frames == 2,
       s"MP4 duration rounds up: ${out(8L)}")
+    assert(out(14L).width == 720 && out(14L).height == 480 && out(14L).n_frames == 12 &&
+      out(14L).channels == 0, s"AVI avih: ${out(14L)}")
     val stubOf = (n: Int) => (n % 640 + 1, (n * 7) % 480 + 1, n % 7 + 1)
-    Seq(9L, 10L, 11L, 12L, 13L).foreach { id =>
+    Seq(9L, 10L, 11L, 12L, 13L, 15L).foreach { id =>
       val (w, h, f) = stubOf(out(id).n_bytes)
       assert(out(id).width == w && out(id).height == h && out(id).n_frames == f &&
         out(id).channels == 0, s"asset $id must stub: ${out(id)}")
