@@ -89,18 +89,30 @@ object HugeModel {
     * loop would pay a filter JOB per cell; callers must enable it first.
     * Returns the number of non-empty cells (self-check: > 0).
     */
-  def pointReadLoop(cube: Cube, n: Int): Long = {
+  def pointReadLoop(cube: Cube, n: Int): Long =
+    pointReadLoop(cube, pointReadAddrs(cube.spark, n))
+
+  /** Address fixture for [[pointReadLoop]] — a bounded collect (n × 8
+    * ints). Split out so the bench can prep it OUTSIDE the timed body: the
+    * collect is a Spark job, and timing it inside made the "driver read
+    * loop" row carry a ~40 ms job floor the reference's dict loop
+    * (`samples/huge.py:134-157` — prebuilt address list) never pays.
+    */
+  def pointReadAddrs(spark: SparkSession, n: Int): Array[Seq[String]] =
+    randomAddrs(spark, n).collect().map { r =>
+      (0 until NDims).map(i => s"m${r.getInt(i) - 1}")
+    }
+
+  def pointReadLoop(cube: Cube, addrs: Array[Seq[String]]): Long = {
     require(cube.pointIndexEnabled,
       "pointReadLoop without the point index would run one Spark job per cell")
-    val addrs = randomAddrs(cube.spark, n).collect() // n × 8 ints, bounded
     // result-cache off: the addresses are deterministic, so a min-of-passes
     // second pass would otherwise time TrieMap hits instead of the index
     val prevCache = cube.cacheEnabled
     cube.cacheEnabled = false
     try {
       var found = 0L
-      addrs.foreach { r =>
-        val names = (0 until NDims).map(i => s"m${r.getInt(i) - 1}")
+      addrs.foreach { names =>
         if (cube.get(names).isDefined) found += 1
       }
       found
