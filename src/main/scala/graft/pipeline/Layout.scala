@@ -358,9 +358,32 @@ object Layout {
     * commit point). Plans as a plain parquet scan: footer min/max stats
     * on `__z` and the original columns drive row-group pruning as usual.
     */
+  /** The file list as of a past commit generation — SNAPSHOT reads
+    * (time travel) over the generation history the immutable manifest
+    * commits leave behind. Returns the newest retained manifest with
+    * generation ≤ `generation` (generations are consecutive, so this is
+    * exact unless the store was vacuumed past it). The snapshot's files
+    * are guaranteed on disk exactly as far as [[zorderVacuum]]'s
+    * `keepGenerations` retention window — asking for a generation the
+    * vacuum already dropped fails HERE, loudly, not with a mid-scan
+    * missing-file error.
+    */
+  def zorderManifestAsOf(spark: SparkSession, dir: String,
+      generation: Long): (Long, Seq[ZFile]) =
+    validManifests(spark, dir).find(_._1 <= generation)
+      .map { case (g, zf, _) => (g, zf) }
+      .getOrElse(throw new NoSuchElementException(
+        s"z-store $dir retains no manifest at or before generation " +
+          s"$generation — it was never committed, or zorderVacuum's " +
+          "keepGenerations window already reclaimed it"))
+
   def zorderRead(spark: SparkSession, dir: String,
-      pqOptions: Map[String, String] = Map.empty): DataFrame = {
-    val files = zorderManifest(spark, dir)
+      pqOptions: Map[String, String] = Map.empty,
+      asOfGeneration: Option[Long] = None): DataFrame = {
+    val files = asOfGeneration match {
+      case Some(g) => zorderManifestAsOf(spark, dir, g)._2
+      case None    => zorderManifest(spark, dir)
+    }
     require(files.nonEmpty, s"no z-ordered store at $dir")
     spark.read.options(pqOptions).parquet(files.map(_.path): _*)
   }

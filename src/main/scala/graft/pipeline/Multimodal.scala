@@ -71,7 +71,8 @@ object Multimodal {
     if (b.length >= 30 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
       val w = le32(b, 18); val h = math.abs(le32(b, 22))
       val bpp = le16(b, 28)
-      if (w > 0 && w < (1 << 20) && h > 0 && h < (1 << 20))
+      // real BMPs carry 1..32 bpp; a wilder value is corrupt → stub
+      if (w > 0 && w < (1 << 20) && h > 0 && h < (1 << 20) && bpp >= 1 && bpp <= 32)
         Some((w, h, math.max(1, bpp / 8))) else None
     } else None
 

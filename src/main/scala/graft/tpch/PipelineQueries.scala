@@ -1137,6 +1137,30 @@ object PipelineQueries {
           sum(col("event_id")).as("se"))
     }),
 
+    // SNAPSHOT reads over the z-store's commit-generation history (round
+    // 15): build from the even events (generation 1), append the odd ones
+    // (generation 2), then read BOTH the as-of-1 snapshot and the live
+    // store in one result row. Time travel is just "plan from an older
+    // retained manifest" — the vacuum's keepGenerations window is the
+    // retention contract, and asking past it fails loudly at manifest
+    // selection (spec'd in Round15FixesSpec), never mid-scan.
+    "pipe_zorder_timetravel" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value")).cast("long").as("v"))
+      val zc = Seq(col("user_id"), col("v"))
+      val store = java.nio.file.Files.createTempDirectory("graftztt").toString
+      Layout.zorderWrite(s, store, e.filter(col("event_id") % 2 === 0),
+        zc, bits = 10, numFiles = 4) // generation 1
+      Layout.zorderAppend(s, store, e.filter(col("event_id") % 2 === 1),
+        zc, bits = 10) // generation 2
+      val asOf1 = Layout.zorderRead(s, store, asOfGeneration = Some(1L))
+        .agg(count(lit(1)).as("n_asof1"), sum(col("event_id")).as("se_asof1"))
+      val live = Layout.zorderRead(s, store)
+        .agg(count(lit(1)).as("n_live"), sum(col("event_id")).as("se_live"))
+      asOf1.crossJoin(live)
+    }),
+
     // ENCRYPTED incremental z-store (round 14): the same manifest-driven
     // store, but every segment written with parquet modular encryption
     // (uniform key + encrypted footer, in-executor) — raw corpus at rest
@@ -2078,6 +2102,17 @@ object PipelineQueries {
            CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv,
            CAST(SUM(event_id) AS BIGINT) AS se
          FROM events GROUP BY user_id""",
+
+    // the as-of-generation-1 snapshot must equal the build's input (the
+    // even events) and the live read the full table — stated from the
+    // ORIGINAL events, the oracle never sees a manifest
+    "pipe_zorder_timetravel" ->
+      """SELECT
+           (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0) AS n_asof1,
+           (SELECT CAST(SUM(event_id) AS BIGINT) FROM events
+             WHERE event_id % 2 = 0) AS se_asof1,
+           COUNT(*) AS n_live, CAST(SUM(event_id) AS BIGINT) AS se_live
+         FROM events""",
 
     // the encrypted store must serve the same totals as a plain scan —
     // the oracle reads the ORIGINAL events, never the encrypted files

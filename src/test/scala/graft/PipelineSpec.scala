@@ -700,6 +700,52 @@ class PipelineSpec extends AnyFunSuite {
       s"corrupt sync must stub: ${out(2L)}")
   }
 
+  test("multimodal parser fuzz: truncation/corruption never errors — parses or stubs") {
+    import spark.implicits._
+    // seeded fuzz over every synthetic fixture: random truncation, random
+    // byte flips, both — the container walks must neither throw nor emit
+    // implausible metadata, whatever the bytes (the 100 TB contract: one
+    // hostile payload can never fail a decode task)
+    val rnd = new scala.util.Random(421)
+    val fixtures: Seq[Array[Byte]] = Seq(
+      Multimodal.syntheticWebP(300, 17, alpha = true, extended = false),
+      Multimodal.syntheticWebP(1920, 1080, alpha = false, extended = true),
+      Multimodal.syntheticFlac(44100, 2, 44100L * 3),
+      Multimodal.syntheticMp4(640, 360, 5000L),
+      Multimodal.syntheticAvi(720, 480, 9),
+      Multimodal.syntheticImage("png", 23, 11, gray = false),
+      Multimodal.syntheticImage("jpg", 8, 19, gray = true),
+      Multimodal.syntheticImage("gif", 17, 9, gray = false))
+    val mods = Array("image", "audio", "video")
+    val assets = scala.collection.mutable.ArrayBuffer[Multimodal.Asset]()
+    var id = 0L
+    fixtures.foreach { fx =>
+      (0 until 40).foreach { _ =>
+        val mutated: Array[Byte] = rnd.nextInt(3) match {
+          case 0 => fx.take(rnd.nextInt(fx.length + 1))
+          case 1 =>
+            val b = fx.clone(); b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte; b
+          case _ =>
+            val t = fx.take(rnd.nextInt(fx.length + 1))
+            if (t.nonEmpty) t(rnd.nextInt(t.length)) = rnd.nextInt(256).toByte
+            t
+        }
+        assets += Multimodal.Asset(id, mods(rnd.nextInt(3)), mutated)
+        id += 1
+      }
+    }
+    (0 until 60).foreach { _ => // pure garbage of random length
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b)
+      assets += Multimodal.Asset(id, mods(rnd.nextInt(3)), b); id += 1
+    }
+    val out = Multimodal.decode(assets.toSeq.toDS()).collect()
+    assert(out.length == assets.length)
+    out.foreach { d =>
+      assert(d.width >= 1 && d.height >= 1 && d.n_frames >= 1 &&
+        d.channels >= 0 && d.channels <= 16, s"implausible metadata: $d")
+    }
+  }
+
   test("multimodal decode plumbing: schema, determinism, frame fan-out") {
     val decoded = Multimodal.decode(Multimodal.assets(docs)).collect()
     assert(decoded.length == docs.count())

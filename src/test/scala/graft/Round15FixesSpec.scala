@@ -62,6 +62,30 @@ class Round15FixesSpec extends AnyFunSuite {
     assert(Layout.zorderRead(spark, dir).count() == 680L)
   }
 
+  test("time travel: as-of-generation snapshots, exact boundaries, vacuum evicts loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("z15tt").toString
+    Layout.zorderWrite(spark, dir, zbase(600), zc, bits = 4, numFiles = 4) // gen 1
+    Layout.zorderAppend(spark, dir, zbatch(5000, 40), zc, bits = 4) // gen 2
+    Layout.zorderAppend(spark, dir, zbatch(6000, 40), zc, bits = 4) // gen 3
+    // each snapshot reads exactly its commit's contents
+    assert(Layout.zorderRead(spark, dir, asOfGeneration = Some(1L)).count() == 600L)
+    assert(Layout.zorderRead(spark, dir, asOfGeneration = Some(2L)).count() == 640L)
+    assert(Layout.zorderRead(spark, dir, asOfGeneration = Some(3L)).count() == 680L)
+    // asking past the live generation serves the newest retained snapshot
+    assert(Layout.zorderRead(spark, dir, asOfGeneration = Some(99L)).count() == 680L)
+    assert(Layout.zorderManifestAsOf(spark, dir, 99L)._1 == 3L)
+    // generation 0 was never committed → loud, at manifest selection
+    intercept[NoSuchElementException](Layout.zorderManifestAsOf(spark, dir, 0L))
+    // vacuum keeping 2 generations: gen-2/3 snapshots stay READABLE
+    // end-to-end (their files are the retention window's contract),
+    // gen 1 now fails at selection, not mid-scan
+    Layout.zorderVacuum(spark, dir, keepGenerations = 2)
+    assert(Layout.zorderRead(spark, dir, asOfGeneration = Some(2L)).count() == 640L)
+    assert(Layout.zorderRead(spark, dir, asOfGeneration = Some(3L)).count() == 680L)
+    intercept[NoSuchElementException](
+      Layout.zorderRead(spark, dir, asOfGeneration = Some(1L)))
+  }
+
   test("raw append auto-vacuum: opt-in, one-append grace, refuses a graceless window") {
     val dir = java.nio.file.Files.createTempDirectory("z15autovac").toString
     Layout.zorderWrite(spark, dir, zbase(600), zc, bits = 4, numFiles = 4)
