@@ -285,6 +285,8 @@ object Bench {
     } catch { case _: Throwable => }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // encrypted-pricing pair order, toggled per pass (see the pricing rows)
+    var zPairFlip = false
 
     // Contention-proofing: run the whole headline set `passes` times in one
     // process and report the per-query MINIMUM — steady-state latency, as the
@@ -539,7 +541,7 @@ object Bench {
         val base = graft.tpch.HugeModel.get(spark)
         val c = new graft.core.Cube("hugewrites", base.dimensions, spark, Some(base.facts))
         var lastAddr: Seq[String] = Nil
-        rec("huge_writes_10k", try time {
+        val tWrites = try time {
           var i = 0
           while (i < 10000) {
             lastAddr = Seq.tabulate(graft.tpch.HugeModel.NDims)(d =>
@@ -547,10 +549,14 @@ object Bench {
             c.set(lastAddr, i.toDouble)
             i += 1
           }
-        } catch { case _: Throwable => -1.0 })
-        // verification read (not timed): the writes actually landed
-        require(lastAddr.isEmpty || c.get(lastAddr).contains(9999.0),
-          "huge_writes_10k: last overlay write did not read back")
+        } catch { case _: Throwable => -1.0 }
+        rec("huge_writes_10k", tWrites)
+        // verification read (not timed): the writes actually landed — but
+        // ONLY for a loop that completed; a failed loop already recorded
+        // -1 and must degrade like every other row, not abort the suite
+        if (tWrites >= 0)
+          require(c.get(lastAddr).contains(9999.0),
+            "huge_writes_10k: last overlay write did not read back")
       }
       if (want("huge_point_reads_job_10k")) rec("huge_point_reads_job_10k",
         try time { graft.tpch.HugeModel.pointReadBatch(spark, 10000).count() }
@@ -599,6 +605,11 @@ object Bench {
       // (PBKDF2 at 600k iterations is deliberately slow).
       if (want("pipe_zstore_build_encrypted")) {
         import org.apache.spark.sql.functions.{col, sum}
+        // force the lazy key derivation HERE — a lazy val first touched
+        // inside the encrypted build's time{} would put the deliberately
+        // slow 600k-iteration PBKDF2 inside the very timer the pairing
+        // exists to keep it out of (r15 review)
+        val encOpts = benchEnc
         val ev = spark.read.parquet(s"$sfDir/events.parquet")
           .select(col("event_id"), col("user_id"), col("value"))
         // warm the shared source scan OUTSIDE the timers: whichever build
@@ -617,20 +628,24 @@ object Bench {
         } catch { case _: Throwable => -1.0 })
         def buildEnc(): Unit = rec("pipe_zstore_build_encrypted", try time {
           graft.pipeline.Layout.zorderWrite(spark, encDir, ev, zcols,
-            bits = 10, numFiles = 8, pqOptions = benchEnc._1); ()
+            bits = 10, numFiles = 8, pqOptions = encOpts._1); ()
         } catch { case _: Throwable => -1.0 })
         def readPlain(): Unit = rec("pipe_zstore_read_plain", try time {
           graft.pipeline.Layout.zorderRead(spark, plainDir)
             .agg(sum(col("event_id"))).collect(); ()
         } catch { case _: Throwable => -1.0 })
         def readEnc(): Unit = rec("pipe_zstore_read_encrypted", try time {
-          graft.pipeline.Layout.zorderRead(spark, encDir, pqOptions = benchEnc._2)
+          graft.pipeline.Layout.zorderRead(spark, encDir, pqOptions = encOpts._2)
             .agg(sum(col("event_id"))).collect(); ()
         } catch { case _: Throwable => -1.0 })
-        // alternate pair order across passes: each variant gets one
-        // first-position sample, so min-of-passes compares like contexts
-        // (residual first-mover costs — codegen cache, JIT — cancel)
-        val encFirst = results.contains("pipe_zstore_build_plain")
+        // alternate pair order on every pass (a contains() check would
+        // flip once and stay — with passes > 2 one variant would hog the
+        // first position, r15 review): each variant gets first-position
+        // samples on alternating passes, so min-of-passes compares like
+        // contexts (residual first-mover costs — codegen cache, JIT —
+        // cancel)
+        val encFirst = zPairFlip
+        zPairFlip = !zPairFlip
         if (encFirst) { buildEnc(); buildPlain(); readEnc(); readPlain() }
         else { buildPlain(); buildEnc(); readPlain(); readEnc() }
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(plainDir))

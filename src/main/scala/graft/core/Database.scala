@@ -232,7 +232,17 @@ final class Database(val name: String, val spark: SparkSession) {
             ("salt" -> java.util.Base64.getUrlEncoder.encodeToString(salt)) ~
             ("iterations" -> aes.iterations) ~ ("keyId" -> keyId)
           (Crypto.parquetWriteOptions(keyId, keyB64), Some(cj))
-        case Crypto.NoEncryption => (Map.empty[String, String], None)
+        case Crypto.NoEncryption =>
+          // PLAIN save over a previously-marked dir: write an explicit
+          // {"method":"none"} TRANSITION marker (cleared again on success)
+          // — without it, a crash mid-rewrite would leave crypto.json.prev
+          // as the ONLY marker, claiming the whole store is still
+          // encrypted while some payloads are already plaintext; load
+          // could then satisfy neither encryptor (r15 review finding)
+          val marked = Files.exists(Paths.get(s"$dir/crypto.json"))
+          (Map.empty[String, String],
+            if (marked) Some(("method" -> Crypto.NoEncryption.method): JValue)
+            else None)
         case other => (Map.empty[String, String],
           Some(("method" -> other.method): JValue))
       }
@@ -316,8 +326,11 @@ final class Database(val name: String, val spark: SparkSession) {
     Files.writeString(Paths.get(s"$dir/meta.json"),
       encryptor.encrypt(JsonMethods.pretty(JsonMethods.render(meta))))
     // every payload (facts, summaries, meta) has landed — the previous
-    // marker's transition cover is no longer needed
+    // marker's transition cover is no longer needed; a plain save's
+    // {"method":"none"} transition marker clears too (canonical plain
+    // state carries no marker at all)
     Files.deleteIfExists(cryptoPrev)
+    if (encryptor == Crypto.NoEncryption) Files.deleteIfExists(cryptoPath)
     ()
   }
 
@@ -394,28 +407,63 @@ object Database {
         case Some(mp) =>
           val cj = JsonMethods.parse(Files.readString(mp))
           val method = (cj \ "method").extract[String]
-          require(encryptor.method == method,
+          val prevJ = Option(cryptoPrev).filter(p =>
+              (mp eq cryptoPath) && Files.exists(p))
+            .map(p => JsonMethods.parse(Files.readString(p)))
+          val prevMethod = prevJ.flatMap(pj => (pj \ "method").extractOpt[String])
+          require(encryptor.method == method ||
+              prevMethod.contains(encryptor.method),
             s"database at $dir is encrypted with method '$method' — pass the " +
               s"matching Crypto encryptor (got '${encryptor.method}')")
-          val opts = encryptor match {
-            case aes: Crypto.AesGcm =>
-              val (keyId, keyB64) = aesKeyEntry(aes, cj)
-              val primary = Crypto.parquetReadOptions(keyId, keyB64)
-              // an interrupted re-save can leave a MIX of payload vintages;
-              // each parquet file names its own key id, so supplying the
-              // previous marker's derived key alongside lets both decrypt
-              val prevEntry = Option(cryptoPrev).filter(p =>
-                  (mp eq cryptoPath) && Files.exists(p))
-                .map(p => JsonMethods.parse(Files.readString(p)))
-                .filter(pj => (pj \ "method").extractOpt[String].contains(method))
-                .map { pj =>
-                  val (pid, pb64) = aesKeyEntry(aes, pj)
-                  Crypto.KeyConfPrefix + pid -> pb64
-                }
-              primary ++ prevEntry
-            case _ => Map.empty[String, String]
+          if (encryptor.method == method) {
+            val opts = encryptor match {
+              case aes: Crypto.AesGcm =>
+                val (keyId, keyB64) = aesKeyEntry(aes, cj)
+                val primary = Crypto.parquetReadOptions(keyId, keyB64)
+                // an interrupted re-save can leave a MIX of payload
+                // vintages; each parquet file names its own key id, so
+                // supplying the previous marker's derived key alongside
+                // lets both decrypt
+                val prevEntry = prevJ
+                  .filter(pj => (pj \ "method").extractOpt[String].contains(method))
+                  .map { pj =>
+                    val (pid, pb64) = aesKeyEntry(aes, pj)
+                    Crypto.KeyConfPrefix + pid -> pb64
+                  }
+                primary ++ prevEntry
+              case _ =>
+                if (prevMethod.exists(_ == "aes-gcm"))
+                  System.err.println(s"[graft] WARNING: $dir carries a " +
+                    s"'$method' marker with an interrupted re-save's " +
+                    s"'${prevMethod.get}' previous marker — payloads the " +
+                    "crashed save never rewrote are still under the old " +
+                    "key; if the read fails, load with the PREVIOUS " +
+                    "encryptor instead")
+                Map.empty[String, String]
+            }
+            (opts, encryptor.decrypt(rawMeta))
+          } else {
+            // TRANSITION load (r15): an interrupted re-save toward
+            // '$method' left this store mid-flight and the caller passed
+            // the PREVIOUS vintage's encryptor — serve through the
+            // previous marker's key material. meta.json may already be
+            // the new vintage (a plain rewrite that landed before the
+            // crash parses as JSON directly) or still the old one.
+            System.err.println(s"[graft] WARNING: $dir is mid-transition " +
+              s"to '$method' (interrupted re-save); loading under the " +
+              s"PREVIOUS '${encryptor.method}' marker")
+            val opts = encryptor match {
+              case aes: Crypto.AesGcm =>
+                val (pid, pb64) = aesKeyEntry(aes, prevJ.get)
+                Crypto.parquetReadOptions(pid, pb64)
+              case _ => Map.empty[String, String]
+            }
+            val text =
+              if (method == Crypto.NoEncryption.method &&
+                  JsonMethods.parseOpt(rawMeta).isDefined) rawMeta
+              else encryptor.decrypt(rawMeta)
+            (opts, text)
           }
-          (opts, encryptor.decrypt(rawMeta))
       }
     val meta = JsonMethods.parse(metaText)
     val db = new Database((meta \ "name").extract[String], spark)

@@ -128,13 +128,17 @@ object Layout {
 
   private def readText(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      catch { case _: java.io.IOException => None }
-      finally in.close()
-    }
+    // open() sits INSIDE the try: a reader racing a vacuum (which deletes
+    // superseded _zmanifest.g* files) can lose the file between the
+    // exists check and the open — that is a skip, not a crash
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
 
   private def parseManifest(text: String,
       requireEnd: Boolean): Option[(Long, Seq[ZFile])] = {
@@ -152,27 +156,57 @@ object Layout {
     } catch { case _: RuntimeException => None }
   }
 
-  /** Every VALID manifest of the store, newest first: generation files
-    * (terminator-checked) plus the pre-r15 legacy file if present. */
-  private def validManifests(spark: SparkSession,
-      dir: String): Seq[(Long, Seq[ZFile], org.apache.hadoop.fs.Path)] = {
+  /** The newest `limit` VALID manifests of the store (generation ≤
+    * `atMostGen`), newest first: generation files (terminator-checked)
+    * plus the pre-r15 legacy file if present. Generation files carry
+    * their generation in the NAME, so candidates sort without a read and
+    * parse LAZILY newest-first, stopping once `limit` valid manifests
+    * are in hand — a long-lived never-vacuumed store pays O(limit)
+    * manifest reads per lookup, not O(all generations) (r15 review: the
+    * eager parse made every read/append O(G), O(G²) cumulative on a
+    * streaming store).
+    */
+  private def validManifests(spark: SparkSession, dir: String,
+      limit: Int = Int.MaxValue, atMostGen: Long = Long.MaxValue)
+      : Seq[(Long, Seq[ZFile], org.apache.hadoop.fs.Path)] = {
     val f = fs(spark, dir)
     val dp = new org.apache.hadoop.fs.Path(dir)
-    if (!f.exists(dp)) Seq.empty
-    else {
-      val entries = f.listStatus(dp).toSeq.filter(_.isFile)
-      val gens = entries.filter(_.getPath.getName.startsWith(GenPrefix))
-        .flatMap { st =>
-          readText(f, st.getPath).flatMap(parseManifest(_, requireEnd = true))
-            .map { case (g, zf) => (g, zf, st.getPath) }
+    if (!f.exists(dp)) return Seq.empty
+    val entries = f.listStatus(dp).toSeq.filter(_.isFile)
+    // at most one legacy file — parse eagerly (its gen is in the header)
+    val legacy = entries.filter(_.getPath.getName == LegacyName)
+      .flatMap { st =>
+        readText(f, st.getPath).flatMap(parseManifest(_, requireEnd = false))
+          .map { case (g, zf) => (g, zf, st.getPath) }
+      }
+      .filter(_._1 <= atMostGen)
+    val genIter = entries
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith(GenPrefix)) None
+        else scala.util.Try(n.stripPrefix(GenPrefix).toLong).toOption
+          .map(g => (g, st.getPath))
+      }
+      .filter(_._1 <= atMostGen)
+      .sortBy(-_._1)
+      .iterator
+      .flatMap { case (_, p) =>
+        readText(f, p).flatMap(parseManifest(_, requireEnd = true))
+          .map { case (g, zf) => (g, zf, p) }
+      }
+    // merge the descending gen stream with the single legacy entry
+    val merged = new Iterator[(Long, Seq[ZFile], org.apache.hadoop.fs.Path)] {
+      private val buf = genIter.buffered
+      private var pendingLegacy = legacy.headOption
+      def hasNext: Boolean = buf.hasNext || pendingLegacy.nonEmpty
+      def next(): (Long, Seq[ZFile], org.apache.hadoop.fs.Path) =
+        pendingLegacy match {
+          case Some(l) if !buf.hasNext || buf.head._1 <= l._1 =>
+            pendingLegacy = None; l
+          case _ => buf.next()
         }
-      val legacy = entries.filter(_.getPath.getName == LegacyName)
-        .flatMap { st =>
-          readText(f, st.getPath).flatMap(parseManifest(_, requireEnd = false))
-            .map { case (g, zf) => (g, zf, st.getPath) }
-        }
-      (gens ++ legacy).sortBy(-_._1)
     }
+    merged.take(limit).toSeq
   }
 
   /** Load the live-file manifest. */
@@ -187,7 +221,7 @@ object Layout {
     readManifest(spark, dir)._1
 
   private def readManifest(spark: SparkSession, dir: String): (Long, Seq[ZFile]) =
-    validManifests(spark, dir).headOption
+    validManifests(spark, dir, limit = 1).headOption
       .map { case (g, zf, _) => (g, zf) }.getOrElse((0L, Seq.empty))
 
   /** Commit the next manifest generation, REFUSING a lost update: the
@@ -276,8 +310,8 @@ object Layout {
     // surface AFTER a successful append swap and make a committed append
     // look failed (r14 advice)
     def local(p: String): String = new Path(p).toUri.getPath
-    val manifests = validManifests(spark, dir)
-    val retained = manifests.take(keepGenerations)
+    val manifests = validManifests(spark, dir, limit = keepGenerations)
+    val retained = manifests
     val live = retained.flatMap(_._2).map(zf => local(zf.path)).toSet ++
       keep.map(local)
     val retainedManifests = retained.map(m => local(m._3.toString)).toSet
@@ -370,7 +404,7 @@ object Layout {
     */
   def zorderManifestAsOf(spark: SparkSession, dir: String,
       generation: Long): (Long, Seq[ZFile]) =
-    validManifests(spark, dir).find(_._1 <= generation)
+    validManifests(spark, dir, limit = 1, atMostGen = generation).headOption
       .map { case (g, zf, _) => (g, zf) }
       .getOrElse(throw new NoSuchElementException(
         s"z-store $dir retains no manifest at or before generation " +

@@ -418,7 +418,12 @@ object Multimodal {
             val usPerFrame = le32(b, io + 8).toLong & 0xFFFFFFFFL
             val totalFrames = le32(b, io + 8 + 16).toLong & 0xFFFFFFFFL
             val w = le32(b, io + 8 + 32); val h = le32(b, io + 8 + 36)
-            if (w > 0 && w < (1 << 16) && h > 0 && h < (1 << 16) && usPerFrame > 0) {
+            // both fields are untrusted u32s: bound BEFORE multiplying —
+            // usPerFrame × totalFrames can overflow Long and wrap to a
+            // plausible-but-wrong duration (r15 review). ≤10 s/frame and
+            // ≤2^32 frames keeps the product well under Long.MaxValue.
+            if (w > 0 && w < (1 << 16) && h > 0 && h < (1 << 16) &&
+                usPerFrame > 0 && usPerFrame <= 10000000L) {
               val usTotal = usPerFrame * totalFrames
               val secs = math.max(1L, (usTotal + 999999L) / 1000000L)
               if (secs <= 86400L * 30) out = Some((w, h, secs.toInt))

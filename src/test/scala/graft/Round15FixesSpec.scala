@@ -264,6 +264,38 @@ class Round15FixesSpec extends AnyFunSuite {
       .contains(11.0))
   }
 
+  test("interrupted PLAIN re-save over an encrypted store: every crash state loads") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val db = TinyModel.build(spark)
+    db.cube("sales").set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 21.0)
+    val pw = new Crypto.AesGcm("pw15")
+    val dir = Files.createTempDirectory("graft_plainover").toString
+    val probe = Seq("2021", "Year", "Total", "Total", "Sales")
+    db.save(dir, pw)
+    val cryptoPath = Paths.get(s"$dir/crypto.json")
+    val cryptoPrev = Paths.get(s"$dir/crypto.json.prev")
+    val aesMarker = Files.readString(cryptoPath)
+    // State A: crash right after the marker swap of save(dir) — the
+    // {"method":"none"} TARGET marker landed, prev carries the aes
+    // vintage, every payload is still old-encrypted
+    Files.move(cryptoPath, cryptoPrev, StandardCopyOption.ATOMIC_MOVE)
+    Files.writeString(cryptoPath, """{"method":"none"}""")
+    // a plain load fails LOUDLY (meta is still ciphertext, and the WARNING
+    // names the way out) — never a silent garbage parse
+    intercept[Exception](Database.load(dir, spark))
+    // the TRANSITION load under the previous encryptor serves everything
+    assert(Database.load(dir, spark, pw).cube("sales").get(probe)
+      .contains(21.0))
+    // State B: crash after all payloads landed plain but before the two
+    // marker deletes — both markers present, store fully plaintext
+    db.save(dir) // completes: clears both markers
+    assert(!Files.exists(cryptoPath) && !Files.exists(cryptoPrev),
+      "a completed plain re-save must clear both markers")
+    Files.writeString(cryptoPath, """{"method":"none"}""")
+    Files.writeString(cryptoPrev, aesMarker)
+    assert(Database.load(dir, spark).cube("sales").get(probe).contains(21.0))
+  }
+
   test("PBKDF2 hardening: 600k default, recorded-count backward compat, redactable conf names") {
     // token written under ANY explicit count decrypts with a
     // default-count decryptor (the token records its count)…
