@@ -258,9 +258,33 @@ final class Database(val name: String, val spark: SparkSession) {
     // both markers), instead of permanently undecryptable files.
     val cryptoPath = Paths.get(s"$dir/crypto.json")
     val cryptoPrev = Paths.get(s"$dir/crypto.json.prev")
+    // a leftover .prev means an EARLIER save was interrupted and payloads
+    // of that vintage may still be on disk — overwriting the .prev slot
+    // here would destroy the only record of that vintage's salt (two
+    // marker slots cannot represent three vintages; r15 review finding:
+    // a crashed retry-save would otherwise permanently lose data). Refuse
+    // loudly; the recovery path is to load under the matching encryptor
+    // and save to a FRESH directory.
+    require(!Files.exists(cryptoPrev),
+      s"$dir is mid-transition from an interrupted save (crypto.json.prev " +
+        "present) — recover FIRST: load under the encryptor that still " +
+        "mounts it and save to a fresh directory (or, if the store is " +
+        "known fully re-written, delete the stale markers explicitly)")
     if (Files.exists(cryptoPath)) {
-      Files.deleteIfExists(cryptoPrev)
       Files.move(cryptoPath, cryptoPrev,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else if (cryptoJson.isDefined &&
+        Files.exists(Paths.get(s"$dir/meta.json"))) {
+      // FIRST-TIME encryption of a previously-saved PLAIN store: record
+      // the plain vintage as the previous marker, so a crash mid-save
+      // (aes marker landed, payloads still plaintext) leaves a store the
+      // NoEncryption transition load still mounts (r15 review finding —
+      // the encrypted→plain direction had this cover, plain→encrypted
+      // did not)
+      val tmp = Files.createTempFile(Paths.get(dir), ".crypto", ".tmp")
+      Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(
+        ("method" -> Crypto.NoEncryption.method): JValue)))
+      Files.move(tmp, cryptoPrev,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     cryptoJson.foreach { cj =>

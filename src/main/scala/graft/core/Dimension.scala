@@ -481,8 +481,15 @@ final class Dimension(val name: String) {
     * the full `toLowerCase` the insert side used.
     */
   private def foldCase(s: String): String = {
+    // any surrogate takes the slow path: per-char Character.toLowerCase is
+    // an identity on surrogate halves, so a supplementary-plane capital
+    // (e.g. Deseret U+10400) would otherwise look "already lowercase" and
+    // miss the String.toLowerCase key the insert side stored
     var i = 0
-    while (i < s.length && Character.toLowerCase(s.charAt(i)) == s.charAt(i)) i += 1
+    while (i < s.length && {
+      val c = s.charAt(i)
+      !Character.isSurrogate(c) && Character.toLowerCase(c) == c
+    }) i += 1
     if (i == s.length) s else s.toLowerCase
   }
   def contains(member: String): Boolean =

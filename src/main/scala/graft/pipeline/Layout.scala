@@ -173,13 +173,6 @@ object Layout {
     val dp = new org.apache.hadoop.fs.Path(dir)
     if (!f.exists(dp)) return Seq.empty
     val entries = f.listStatus(dp).toSeq.filter(_.isFile)
-    // at most one legacy file — parse eagerly (its gen is in the header)
-    val legacy = entries.filter(_.getPath.getName == LegacyName)
-      .flatMap { st =>
-        readText(f, st.getPath).flatMap(parseManifest(_, requireEnd = false))
-          .map { case (g, zf) => (g, zf, st.getPath) }
-      }
-      .filter(_._1 <= atMostGen)
     val genIter = entries
       .flatMap { st =>
         val n = st.getPath.getName
@@ -194,19 +187,20 @@ object Layout {
         readText(f, p).flatMap(parseManifest(_, requireEnd = true))
           .map { case (g, zf) => (g, zf, p) }
       }
-    // merge the descending gen stream with the single legacy entry
-    val merged = new Iterator[(Long, Seq[ZFile], org.apache.hadoop.fs.Path)] {
-      private val buf = genIter.buffered
-      private var pendingLegacy = legacy.headOption
-      def hasNext: Boolean = buf.hasNext || pendingLegacy.nonEmpty
-      def next(): (Long, Seq[ZFile], org.apache.hadoop.fs.Path) =
-        pendingLegacy match {
-          case Some(l) if !buf.hasNext || buf.head._1 <= l._1 =>
-            pendingLegacy = None; l
-          case _ => buf.next()
+    // the legacy file is strictly OLDER than every generation file (a
+    // commit always targets liveGen+1, so the first gen file written over
+    // a legacy store already exceeds its header gen) — append it lazily:
+    // Iterator.++ takes its operand by-name, so an upgraded store whose
+    // newest gen file satisfies the lookup never re-reads the legacy
+    // JSON per operation (r15 review)
+    def legacyIter: Iterator[(Long, Seq[ZFile], org.apache.hadoop.fs.Path)] =
+      entries.filter(_.getPath.getName == LegacyName).iterator
+        .flatMap { st =>
+          readText(f, st.getPath).flatMap(parseManifest(_, requireEnd = false))
+            .map { case (g, zf) => (g, zf, st.getPath) }
         }
-    }
-    merged.take(limit).toSeq
+        .filter(_._1 <= atMostGen)
+    (genIter ++ legacyIter).take(limit).toSeq
   }
 
   /** Load the live-file manifest. */
@@ -310,12 +304,11 @@ object Layout {
     // surface AFTER a successful append swap and make a committed append
     // look failed (r14 advice)
     def local(p: String): String = new Path(p).toUri.getPath
-    val manifests = validManifests(spark, dir, limit = keepGenerations)
-    val retained = manifests
+    val retained = validManifests(spark, dir, limit = keepGenerations)
     val live = retained.flatMap(_._2).map(zf => local(zf.path)).toSet ++
       keep.map(local)
     val retainedManifests = retained.map(m => local(m._3.toString)).toSet
-    val newestGen = manifests.headOption.map(_._1).getOrElse(0L)
+    val newestGen = retained.headOption.map(_._1).getOrElse(0L)
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     val it = f.listFiles(new Path(dir), true)
     while (it.hasNext) {

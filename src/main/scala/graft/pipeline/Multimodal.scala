@@ -327,12 +327,21 @@ object Multimodal {
           case "moov" | "trak" => walk(off + 8, off + sz, depth + 1)
           case "mvhd" if sz >= 8 + 20 =>
             val v = b(p) & 0xff
-            val (ts, dur) =
-              if (v == 1 && sz >= 8 + 32) (be32(b, p + 20), (be32(b, p + 24) << 32) | be32(b, p + 28))
-              else (be32(b, p + 12), be32(b, p + 16))
-            if (ts > 0 && dur >= 0) {
-              val s = math.max(1L, (dur + ts - 1) / ts)
-              if (s <= 86400L * 30) secs = s.toInt
+            // version-exact reads only: a truncated v1 box must NOT fall
+            // back to reading v0 offsets (they hold creation/modification
+            // times there — plausible garbage); and the v1 64-bit duration
+            // is untrusted — bound it against the timescale BEFORE the
+            // ceil-division so a wrapped-negative or absurd value routes
+            // to the stub (r15 review: same class decodeAvi already guards)
+            val tsDur: Option[(Long, Long)] =
+              if (v == 0) Some((be32(b, p + 12), be32(b, p + 16)))
+              else if (v == 1 && sz >= 8 + 32)
+                Some((be32(b, p + 20), (be32(b, p + 24) << 32) | be32(b, p + 28)))
+              else None
+            tsDur.foreach { case (ts, dur) =>
+              if (ts > 0 && dur >= 0 && dur <= 86400L * 30 * ts) {
+                secs = math.max(1L, (dur + ts - 1) / ts).toInt
+              }
             }
           case "tkhd" if sz >= 8 + 84 =>
             val v = b(p) & 0xff

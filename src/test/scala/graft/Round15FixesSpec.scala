@@ -286,6 +286,11 @@ class Round15FixesSpec extends AnyFunSuite {
     // the TRANSITION load under the previous encryptor serves everything
     assert(Database.load(dir, spark, pw).cube("sales").get(probe)
       .contains(21.0))
+    // a save over the mid-transition dir refuses (leftover .prev = an
+    // unrewritten vintage whose salt record must not be overwritten)
+    intercept[IllegalArgumentException](db.save(dir))
+    // operator recovery: clear the stale markers explicitly, then re-save
+    Files.delete(cryptoPath); Files.delete(cryptoPrev)
     // State B: crash after all payloads landed plain but before the two
     // marker deletes — both markers present, store fully plaintext
     db.save(dir) // completes: clears both markers
@@ -294,6 +299,27 @@ class Round15FixesSpec extends AnyFunSuite {
     Files.writeString(cryptoPath, """{"method":"none"}""")
     Files.writeString(cryptoPrev, aesMarker)
     assert(Database.load(dir, spark).cube("sales").get(probe).contains(21.0))
+  }
+
+  test("first-time encryption over a plain store: crash state loads; dirty prev refuses saves") {
+    import java.nio.file.{Files, Paths}
+    val db = TinyModel.build(spark)
+    db.cube("sales").set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 31.0)
+    val dir = Files.createTempDirectory("graft_firstenc").toString
+    val probe = Seq("2021", "Year", "Total", "Total", "Sales")
+    db.save(dir) // plain, canonical: no markers
+    // simulate save(dir, aes) crashing right after both markers landed
+    // and before any payload rewrite: prev records the PLAIN vintage
+    // (what the save-side cover now writes), cur claims the aes target
+    Files.writeString(Paths.get(s"$dir/crypto.json.prev"), """{"method":"none"}""")
+    Files.writeString(Paths.get(s"$dir/crypto.json"), """{"method":"aes-gcm"}""")
+    // the NoEncryption TRANSITION load mounts the still-plain payloads
+    assert(Database.load(dir, spark).cube("sales").get(probe).contains(31.0))
+    // a save over the mid-transition dir REFUSES — two marker slots
+    // cannot represent three vintages, and overwriting .prev would
+    // destroy the only salt record of an unrewritten vintage
+    intercept[IllegalArgumentException](db.save(dir, new Crypto.AesGcm("x")))
+    intercept[IllegalArgumentException](db.save(dir))
   }
 
   test("PBKDF2 hardening: 600k default, recorded-count backward compat, redactable conf names") {
