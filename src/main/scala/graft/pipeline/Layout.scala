@@ -130,7 +130,11 @@ object Layout {
       p: org.apache.hadoop.fs.Path): Option[String] =
     // open() sits INSIDE the try: a reader racing a vacuum (which deletes
     // superseded _zmanifest.g* files) can lose the file between the
-    // exists check and the open — that is a skip, not a crash
+    // exists check and the open — that is a skip, not a crash. ONLY
+    // FileNotFoundException is the race's signature; any other IOException
+    // (permissions, transient DFS fault) propagates — swallowing it would
+    // surface as "no z-ordered store"/empty manifest instead of the real
+    // error (r15 advice).
     try {
       if (!f.exists(p)) None
       else {
@@ -138,7 +142,7 @@ object Layout {
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
         finally in.close()
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case _: java.io.FileNotFoundException => None }
 
   private def parseManifest(text: String,
       requireEnd: Boolean): Option[(Long, Seq[ZFile])] = {

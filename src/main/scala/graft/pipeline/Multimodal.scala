@@ -187,18 +187,22 @@ object Multimodal {
       val id = fourcc(b, o)
       val sz = le32(b, o + 4).toLong & 0xFFFFFFFFL
       val p = o + 8 // chunk payload start
+      // each case is bounded by the chunk's DECLARED size `sz` too, not
+      // just the buffer (r15 advice): a chunk declaring fewer bytes than
+      // the fields read would otherwise consume the NEXT chunk's bytes as
+      // dimensions — bounded by the plausibility filter below, but wrong
       id match {
-        case "VP8X" if off + 8 + 10 <= b.length =>
+        case "VP8X" if sz >= 10 && off + 8 + 10 <= b.length =>
           val alpha = (b(p) & 0x10) != 0
           val w = le24(b, p + 4) + 1; val h = le24(b, p + 7) + 1
           out = Some((w, h, if (alpha) 4 else 3))
-        case "VP8L" if off + 8 + 5 <= b.length && b(p) == 0x2f.toByte =>
+        case "VP8L" if sz >= 5 && off + 8 + 5 <= b.length && b(p) == 0x2f.toByte =>
           val word = le32(b, p + 1)
           val w = (word & 0x3FFF) + 1
           val h = (word >>> 14 & 0x3FFF) + 1
           val alpha = (word >>> 28 & 1) == 1
           out = Some((w, h, if (alpha) 4 else 3))
-        case "VP8 " if off + 8 + 10 <= b.length &&
+        case "VP8 " if sz >= 10 && off + 8 + 10 <= b.length &&
             b(p + 3) == 0x9d.toByte && b(p + 4) == 0x01.toByte && b(p + 5) == 0x2a.toByte =>
           val w = le16(b, p + 6) & 0x3FFF; val h = le16(b, p + 8) & 0x3FFF
           if (w > 0 && h > 0) out = Some((w, h, 3))
@@ -319,13 +323,24 @@ object Multimodal {
       var off = start
       while (off + 8 <= end && depth < 8) {
         val o = off.toInt
-        val sz = be32(b, o)
+        // ISO 14496-12 §4.2 size encodings (r15 advice): size == 1 means a
+        // 64-bit `largesize` follows the fourcc (payload shifts to +16 —
+        // real files place moov after a > 4 GiB mdat this way); size == 0
+        // means "this box extends to the end of the enclosing container"
+        // (legal only for the last box). Both used to read as malformed
+        // and silently routed common real MP4s to the stub.
+        val sz32 = be32(b, o)
+        val (sz, hdr) =
+          if (sz32 == 1L && off + 16 <= end)
+            ((be32(b, o + 8) << 32) | be32(b, o + 12), 16)
+          else if (sz32 == 0L) (end - off, 8)
+          else (sz32, 8)
         val id = fourcc(b, o + 4)
-        if (sz < 8 || off + sz > end) return // malformed size: stop this level
-        val p = o + 8
+        if (sz < hdr || off + sz > end) return // malformed size: stop this level
+        val p = o + hdr
         id match {
-          case "moov" | "trak" => walk(off + 8, off + sz, depth + 1)
-          case "mvhd" if sz >= 8 + 20 =>
+          case "moov" | "trak" => walk(off + hdr, off + sz, depth + 1)
+          case "mvhd" if sz >= hdr + 20 =>
             val v = b(p) & 0xff
             // version-exact reads only: a truncated v1 box must NOT fall
             // back to reading v0 offsets (they hold creation/modification
@@ -335,7 +350,7 @@ object Multimodal {
             // to the stub (r15 review: same class decodeAvi already guards)
             val tsDur: Option[(Long, Long)] =
               if (v == 0) Some((be32(b, p + 12), be32(b, p + 16)))
-              else if (v == 1 && sz >= 8 + 32)
+              else if (v == 1 && sz >= hdr + 32)
                 Some((be32(b, p + 20), (be32(b, p + 24) << 32) | be32(b, p + 28)))
               else None
             tsDur.foreach { case (ts, dur) =>
@@ -343,7 +358,7 @@ object Multimodal {
                 secs = math.max(1L, (dur + ts - 1) / ts).toInt
               }
             }
-          case "tkhd" if sz >= 8 + 84 =>
+          case "tkhd" if sz >= hdr + 84 =>
             val v = b(p) & 0xff
             val dimsOff = if (v == 1) p + 4 + 32 + 52 else p + 4 + 20 + 52
             if (dimsOff + 8 <= o + sz.toInt) {
