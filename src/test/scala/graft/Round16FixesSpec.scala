@@ -65,6 +65,22 @@ class Round16FixesSpec extends AnyFunSuite {
       s"truncated largesize header must stub, not crash: ${out(4L)}")
   }
 
+  test("COVERAGE.md's documented gate count equals SparkEntry.queries.size") {
+    // r15 shipped "229 gates" in the header while the registry carried 230
+    // (the header predated the round's second gate) — the doc can state
+    // anything it likes about WHAT the gates are, but the COUNT is now
+    // pinned to the registry so it can't drift again (r15 verdict #3)
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("COVERAGE.md"))
+    val m = java.util.regex.Pattern.compile("\\*\\*(\\d+) gates as of")
+      .matcher(text)
+    assert(m.find(), "COVERAGE.md must carry a '**N gates as of …**' header")
+    val documented = m.group(1).toInt
+    assert(documented == SparkEntry.queries.size,
+      s"COVERAGE.md documents $documented gates but SparkEntry.queries " +
+        s"carries ${SparkEntry.queries.size} — update the header")
+  }
+
   test("WebP undersized chunk cannot steal the next chunk's bytes as dims") {
     import spark.implicits._
     def le32(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, (v >>> 8 & 0xff).toByte,
