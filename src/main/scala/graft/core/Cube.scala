@@ -218,6 +218,12 @@ final class Cube(
     val h = historyOpt.getOrElse(new History(this))
     historyOpt = Some(h); h
   }
+  /** Whether undo/time-travel history is recording ([[enableHistory]]) —
+    * callers that change GC behavior on it (z-store appends skip the
+    * keep-2 auto-vacuum: undo can restore frames pinning arbitrarily old
+    * file lists) can warn loudly instead of accumulating silently. */
+  def historyEnabled: Boolean = historyOpt.isDefined
+
   def history: History = historyOpt.getOrElse(
     throw new IllegalStateException(s"history not enabled on cube '$name' — call enableHistory()"))
 
@@ -708,6 +714,61 @@ final class Cube(
       graft.pipeline.Layout.zorderVacuum(spark, dir, keepGenerations = 2)
     st
   }
+
+  // ---- z-store TIME TRAVEL (round 16) --------------------------------
+  // The incremental store's immutable manifest commits leave a generation
+  // history behind; these expose it on the CUBE face so a snapshot rollup
+  // never needs to drop to the raw Layout API. Two DISTINCT time axes
+  // coexist (document both to users): the OVERLAY history ([[history]]/
+  // undo — per-point-write, driver-side, ≙ the reference's
+  // `history.py:298-417` time travel) versus the STORE's commit
+  // generations (per bulk append, on-disk). A store snapshot reflects the
+  // bulk-landed facts as of that commit ONLY — overlay point writes are
+  // not part of any store generation until a compaction folds them in.
+
+  private def zStoreDirOpts: (String, Map[String, String]) =
+    stateLock.synchronized {
+      val (d, _, _, o) = zStoreState.getOrElse(throw new IllegalStateException(
+        s"cube '$name' has no incremental z-store backing — " +
+          "compactToZorderedStore first"))
+      (d, o)
+    }
+
+  /** The z-store backing's LIVE commit generation (bumped by
+    * [[compactToZorderedStore]] and every [[appendZorderedStore]]).
+    */
+  def zStoreGeneration: Long = {
+    val (dir, _) = zStoreDirOpts
+    graft.pipeline.Layout.zorderGeneration(spark, dir)
+  }
+
+  /** The cube's bulk-landed fact frame AS OF store generation
+    * `generation` — a plan over the newest retained manifest at or below
+    * it ([[graft.pipeline.Layout.zorderManifestAsOf]]). Snapshots reach
+    * exactly as far as the vacuum's `keepGenerations` retention window;
+    * a reclaimed generation fails loudly at manifest selection, never
+    * mid-scan. Encrypted stores decrypt through the same key material the
+    * live reads use.
+    */
+  def readZStoreAsOf(generation: Long): DataFrame = {
+    val (dir, pqOpts) = zStoreDirOpts
+    graft.pipeline.Layout.zorderRead(spark, dir, pqOptions = pqOpts,
+      asOfGeneration = Some(generation))
+      .select(factSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** A read-only snapshot CUBE over [[readZStoreAsOf]] — same dimensions,
+    * so every read face (rollup, [[gridAggregate]], views, the query
+    * dialect) accepts it unchanged: "what did the Q3 rollup say before
+    * yesterday's load" is `snapshotAtGeneration(g).gridAggregate(...)`.
+    * The snapshot starts with an EMPTY overlay by construction (store
+    * generations carry bulk-landed facts only; see the axis note above).
+    * Writing to a snapshot is possible but affects only the snapshot —
+    * the store and the live cube never see it.
+    */
+  def snapshotAtGeneration(generation: Long): Cube =
+    new Cube(s"$name@g$generation", dimensions, spark,
+      Some(readZStoreAsOf(generation)))
 
   /** Batched base-cell point reads: resolve every address row `(d0…dN-1)`
     * in ONE job, returning the matching fact rows (≙ the reference's

@@ -248,9 +248,28 @@ final class RestServer(databases: Seq[Database], port: Int = 0) {
           val c = cubeOf(d, cubeName)
           ex.getRequestMethod match {
             case "GET" =>
-              val addr = query(ex).getOrElse("address",
+              val qp = query(ex)
+              val addr = qp.getOrElse("address",
                 throw BadRequest("missing ?address=m1,m2,…")).split(",").toSeq
-              val v = withRead(d) { c.get(addr) }
+              // ?asOfGeneration=g serves the read from the z-store snapshot
+              // at generation g (Cube.snapshotAtGeneration, round 16) — a
+              // per-request snapshot cube; dimension registration is weak,
+              // so request-scoped snapshots stay collectible
+              val v = withRead(d) {
+                qp.get("asOfGeneration") match {
+                  case Some(g) =>
+                    val gen = try g.toLong catch { case _: NumberFormatException =>
+                      throw BadRequest("asOfGeneration must be an integer") }
+                    val snap = try c.snapshotAtGeneration(gen) catch {
+                      case e: IllegalStateException => throw BadRequest(
+                        Option(e.getMessage).getOrElse("no z-store backing"))
+                      case e: NoSuchElementException => throw NotFound(
+                        Option(e.getMessage).getOrElse(s"generation $gen"))
+                    }
+                    snap.get(addr)
+                  case None => c.get(addr)
+                }
+              }
               json(ex, 200, cellJson(d.name, c.name, addr, v))
             case "PUT" | "POST" =>
               implicit val fmts: Formats = DefaultFormats

@@ -1078,6 +1078,69 @@ object TpchQueries {
         col("value").cast("double").as("value"))
     }),
 
+    // §2.12+ (round 16): CUBE-LEVEL TIME TRAVEL over the z-store's commit
+    // generations — the cube face of `pipe_zorder_timetravel` (r15 verdict
+    // #5). Early months land at generation 1 (compactToZorderedStore),
+    // late months as one bulk append (generation 2); the gate rolls up
+    // per-priority totals THROUGH a snapshot cube pinned at generation 1
+    // (= the pre-append rollup: early months only) next to the live
+    // cube's rollup (all months) — both via the same gridAggregate path
+    // every other olap gate uses, so the snapshot is a first-class cube,
+    // not a raw-Layout detour. Conceptual twin of the reference's history
+    // time travel (`history.py:298-417`) on the STORE's time axis.
+    "olap_zstore_asof" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val db = new graft.core.Database("zasof", s)
+      val cust = db.addDegenerateDimension("customer", "C#")
+      val prios = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val prio = db.addDimension("priority")
+      prio.edit().addMany(prios).add("AllPrio", prios).commit()
+      val months = orders
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+      val mon = db.addDimension("month")
+      mon.edit().addMany(months).add("AllMonths", months).commit()
+      val prioDf = s.createDataFrame(prios.map(p => (p, prio.idOf(p))))
+        .toDF("o_orderpriority", "d1")
+      val monDf = s.createDataFrame(months.map(m => (m, mon.idOf(m))))
+        .toDF("m", "d2")
+      val facts = orders
+        .withColumn("m", date_format(col("o_orderdate"), "yyyy-MM"))
+        .join(broadcast(prioDf), Seq("o_orderpriority"))
+        .join(broadcast(monDf), Seq("m"))
+        .groupBy(col("o_custkey").cast("int").as("d0"), col("d1"), col("d2"))
+        .agg(sum(col("o_totalprice").cast("decimal(15,2)"))
+          .cast("decimal(21,4)").as("value"))
+      val half = months.size / 2
+      val earlyIds = months.take(half).map(mon.idOf)
+      val lateIds = months.drop(half).map(mon.idOf)
+      val cube = db.addCube("sales", Seq(cust, prio, mon),
+        facts.filter(col("d2").isin(earlyIds: _*)))
+      val store = java.nio.file.Files.createTempDirectory("graftzasof").toString
+      require(cube.compactToZorderedStore(store, Seq(1, 2), files = 8),
+        "z-store compaction must land on an uncontended cube")
+      val genBefore = cube.zStoreGeneration
+      require(genBefore == 1L, s"fresh store must sit at generation 1, got $genBefore")
+      val st = cube.appendZorderedStore(facts.filter(col("d2").isin(lateIds: _*)))
+      require(st.batchRows > 0, "the late-months append must carry rows")
+      require(cube.zStoreGeneration == genBefore + 1,
+        "a bulk append must bump the store generation")
+      val snap = cube.snapshotAtGeneration(genBefore)
+      def perPriority(c: graft.core.Cube) = c.gridAggregate(Seq(
+        Seq(graft.core.Dimension.DegenerateAllId),
+        prios.map(prio.idOf), Seq(mon.idOf("AllMonths"))))
+      val pMap = map(prios.flatMap(p => Seq(lit(prio.idOf(p)), lit(p))): _*)
+      val live = perPriority(cube).select(pMap(col("a1")).as("priority"),
+        col("value").cast("double").as("value_live"))
+      val asof = perPriority(snap).select(pMap(col("a1")).as("priority"),
+        col("value").cast("double").as("value_asof"))
+      // left join from live: a priority with no early-month orders reads
+      // NULL as-of, exactly like the oracle's conditional sum
+      live.join(asof, Seq("priority"), "left")
+        .select(col("priority"), col("value_asof"), col("value_live"))
+    }),
+
     // §2.13+ (round 9): MATERIALIZED AGGREGATE + NAVIGATOR — a summary cube
     // at nation × year grain (customers/days collapsed, product/measure at
     // leaf resolution) answers region-level queries from a frame orders of
@@ -1959,6 +2022,24 @@ object TpchQueries {
                UNION
                (SELECT max(strftime(o_orderdate, '%Y-%m')) FROM orders)))
          GROUP BY 1, 2""",
+
+    // the snapshot rollup the generation-1 store must reproduce (early =
+    // first half of the sorted distinct months — the same split the gate
+    // builds from) next to the live rollup over everything; a priority
+    // with no early-month orders reads NULL as-of on both sides
+    "olap_zstore_asof" ->
+      """WITH m AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS mth
+                    FROM orders),
+            r AS (SELECT mth, row_number() OVER (ORDER BY mth) AS rn,
+                         count(*) OVER () AS n FROM m)
+         SELECT o_orderpriority AS priority,
+           CAST(SUM(CASE WHEN strftime(o_orderdate, '%Y-%m') IN
+               (SELECT mth FROM r WHERE rn <= floor(n / 2))
+             THEN CAST(o_totalprice AS DECIMAL(15,2)) END) AS DOUBLE)
+             AS value_asof,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+             AS value_live
+         FROM orders GROUP BY 1""",
 
     // per-priority totals + the all-customer all-priority rollup, served
     // from the collapsed-customer summary

@@ -211,4 +211,40 @@ class RestServerSpec extends AnyFunSuite {
         new Crypto.Obfuscator("wrong")))).start()
     }
   }
+
+  test("?asOfGeneration= on the cell route serves the z-store snapshot (r16)") {
+    // a dedicated database+server: the z-store compaction swaps the cube's
+    // backing and must not leak into the shared fixture's tests
+    val db2 = TinyModel.build(spark)
+    val c = db2.cube("sales")
+    c.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 100.0)
+    val dir = java.nio.file.Files.createTempDirectory("rest_ztt").toString
+    assert(c.compactToZorderedStore(dir, Seq(0, 1), files = 2))
+    // generation 2: the same address replaced by a bulk append
+    val batch = spark.createDataFrame(Seq(
+      (c.dimensions(0).idOf("2021"), c.dimensions(1).idOf("Jan"),
+        c.dimensions(2).idOf("North"), c.dimensions(3).idOf("motorcycles"),
+        c.dimensions(4).idOf("Sales"), 250.0)))
+      .toDF("d0", "d1", "d2", "d3", "d4", "value")
+    c.appendZorderedStore(batch)
+    val srv = new RestServer(Seq(db2)).start()
+    try {
+      val b2 = s"http://127.0.0.1:${srv.boundPort}"
+      def get2(p: String) = req(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(b2 + p)))
+      val addr = "address=2021,Jan,North,motorcycles,Sales"
+      val live = get2(s"/cells/tiny/sales?$addr")
+      assert(live.statusCode() == 200 && live.body().contains("250"),
+        s"live read must see the appended value: ${live.body()}")
+      val asof = get2(s"/cells/tiny/sales?$addr&asOfGeneration=1")
+      assert(asof.statusCode() == 200 && asof.body().contains("100"),
+        s"generation-1 snapshot must read the pre-append value: ${asof.body()}")
+      // a generation below every retained manifest → 404; junk → 400
+      assert(get2(s"/cells/tiny/sales?$addr&asOfGeneration=0").statusCode() == 404)
+      assert(get2(s"/cells/tiny/sales?$addr&asOfGeneration=x").statusCode() == 400)
+    } finally srv.stop()
+    // the shared fixture's cube carries no z-store: as-of must 400, loudly
+    val no = get("/cells/tiny/sales?address=2021,Jan,North,motorcycles,Sales&asOfGeneration=1")
+    assert(no.statusCode() == 400, s"${no.statusCode()}: ${no.body()}")
+  }
 }
