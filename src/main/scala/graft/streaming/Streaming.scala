@@ -49,10 +49,25 @@ object Streaming {
     * `last()` after a shuffle reflects partition arrival order, not source
     * order (r13 advice, low).
     */
+  /** Generation GC: every trigger's append auto-vacuums with the keep-2
+    * grace (the [[graft.core.Cube.appendZorderedStore]] default), so an
+    * N-trigger stream ends with at most 2 manifest generations on disk
+    * (spec-pinned) — EXCEPT when the cube records history: undo can
+    * restore frames pinning arbitrarily old file lists, so no append
+    * auto-vacuums and a long-running stream accumulates one generation +
+    * dead files per trigger. That combination is legal but must never be
+    * silent (r15 verdict #6) — it warns loudly once per query start.
+    */
   def ingestIntoZStore(cube: Cube, stream: DataFrame,
       trigger: Trigger = Trigger.AvailableNow(),
       checkpointDir: Option[String] = None,
       orderCol: Option[String] = None): StreamingQuery = {
+    if (cube.historyEnabled)
+      System.err.println(s"[graft.Streaming] WARNING: cube '${cube.name}' " +
+        "records history, so z-store appends never auto-vacuum (undo can pin " +
+        "arbitrarily old file lists) — EVERY trigger of this stream leaves a " +
+        "manifest generation and dead segment files on disk; run " +
+        "Layout.zorderVacuum explicitly once the history log is dropped")
     val writer = stream.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)

@@ -81,6 +81,105 @@ class Round16FixesSpec extends AnyFunSuite {
         s"carries ${SparkEntry.queries.size} — update the header")
   }
 
+  test("cube time travel: snapshot at G-1 rolls up the pre-append state") {
+    val db = TinyModel.build(spark)
+    val c0 = db.cube("sales")
+    val cube = new graft.core.Cube("sales_tt", c0.dimensions, spark, None)
+    cube.cacheEnabled = false
+    cube.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 100.0)
+    cube.set(Seq("2021", "Feb", "South", "sedan", "Sales"), 50.0)
+    val dir = java.nio.file.Files.createTempDirectory("ztt_cube").toString
+    // a cube without a store refuses every time-travel face loudly
+    intercept[IllegalStateException] {
+      new graft.core.Cube("bare_tt", c0.dimensions, spark, None).zStoreGeneration
+    }
+    assert(cube.compactToZorderedStore(dir, Seq(0, 1), files = 2))
+    assert(cube.zStoreGeneration == 1L)
+    // bulk append: one NEW address and one REPLACED address
+    val batch = spark.createDataFrame(Seq(
+      (cube.dimensions(0).idOf("2022"), cube.dimensions(1).idOf("Mar"),
+        cube.dimensions(2).idOf("West"), cube.dimensions(3).idOf("coupe"),
+        cube.dimensions(4).idOf("Sales"), 7.0),
+      (cube.dimensions(0).idOf("2021"), cube.dimensions(1).idOf("Feb"),
+        cube.dimensions(2).idOf("South"), cube.dimensions(3).idOf("sedan"),
+        cube.dimensions(4).idOf("Sales"), 60.0)))
+      .toDF("d0", "d1", "d2", "d3", "d4", "value")
+    cube.appendZorderedStore(batch)
+    assert(cube.zStoreGeneration == 2L,
+      "a bulk append must bump the store generation")
+    val snap = cube.snapshotAtGeneration(1L)
+    snap.cacheEnabled = false
+    // the snapshot reads the PRE-append state: old value at the replaced
+    // address, the new address absent, the rollup at the old total
+    assert(snap.get(Seq("2021", "Feb", "South", "sedan", "Sales")).contains(50.0))
+    assert(snap.get(Seq("2022", "Mar", "West", "coupe", "Sales")).isEmpty)
+    assert(snap.get(Seq("All years", "Year", "Total", "Total", "Sales"))
+      .contains(150.0))
+    // the live cube reads the post-append state
+    assert(cube.get(Seq("All years", "Year", "Total", "Total", "Sales"))
+      .contains(100.0 + 60.0 + 7.0))
+    // writing to the snapshot affects ONLY the snapshot
+    snap.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 1.0)
+    assert(cube.get(Seq("2021", "Jan", "North", "motorcycles", "Sales"))
+      .contains(100.0))
+    // a generation older than every retained manifest fails at selection
+    intercept[NoSuchElementException] { cube.readZStoreAsOf(0L) }
+  }
+
+  test("streaming z-store ingest: N triggers end with <= 2 generations on disk") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val db = TinyModel.build(spark)
+    val c0 = db.cube("sales")
+    val cube = new graft.core.Cube("sales_zgc_stream", c0.dimensions, spark, None)
+    cube.cacheEnabled = false
+    cube.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("zgc_stream").toString
+    assert(cube.compactToZorderedStore(dir, Seq(0, 1), files = 2))
+    def id(d: Int, m: String) = cube.dimensions(d).idOf(m)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val months = Seq("Jan", "Feb", "Mar", "Apr", "Jun")
+    // five separate AvailableNow runs = five trigger appends, each bumping
+    // the store generation — the keep-2 auto-vacuum inside the cube append
+    // must hold the on-disk manifest count at <= 2 THROUGHOUT, not just at
+    // the end (a long-running intake stream never gets an "end")
+    months.zipWithIndex.foreach { case (m, i) =>
+      val mem = MemoryStream[(Int, Int, Int, Int, Int, Double)]
+      mem.addData((id(0, "2022"), id(1, m), id(2, "West"), id(3, "coupe"),
+        id(4, "Sales"), i + 1.0))
+      val q = graft.streaming.Streaming.ingestIntoZStore(cube,
+        mem.toDF().toDF("d0", "d1", "d2", "d3", "d4", "value"))
+      q.awaitTermination(60000)
+    }
+    assert(cube.zStoreGeneration == 1L + months.size,
+      "each trigger append must bump the generation")
+    val manifests = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_zmanifest.g")).map(_.getName).sorted
+    assert(manifests.length <= 2,
+      s"an N-trigger stream must not accumulate manifest generations: " +
+        s"${manifests.mkString(", ")}")
+    // dead segment files of reclaimed generations are gone too: on-disk
+    // parquet is bounded by the files the retained manifests reference
+    val onDisk = {
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) buf += p.toString
+      }
+      buf.toSet
+    }
+    val referenced = (graft.pipeline.Layout
+      .zorderManifestAsOf(spark, dir, Long.MaxValue)._2 ++
+      graft.pipeline.Layout.zorderManifestAsOf(spark, dir,
+        cube.zStoreGeneration - 1)._2)
+      .map(zf => java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(zf.path).toUri.getPath).toString).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"dead segments must be reclaimed: orphans ${(onDisk -- referenced).take(3)}")
+    // the stream's writes all landed (1 base + 1..5 appended)
+    assert(cube.get(Seq("All years", "Year", "Total", "Total", "Sales"))
+      .contains(1.0 + (1 to 5).sum))
+  }
+
   test("WebP undersized chunk cannot steal the next chunk's bytes as dims") {
     import spark.implicits._
     def le32(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, (v >>> 8 & 0xff).toByte,
