@@ -133,22 +133,42 @@ object TextDedup {
           i => array_join(slice(words, i, lit(shingle)), ""))).as("w"))
     }
 
-  /** MinHash signatures as ONE array column via the [[graft.functions.MinHashSketch]]
-    * aggregate: one row per (doc, shingle) into a single ObjectHashAggregate
-    * whose buffer holds the k running mins — no ×k row amplification, and
-    * map-side partial aggregation means the shuffle carries one k·8-byte
-    * sketch per (doc, partition). MinHash is multiset-insensitive, so the
-    * distinct-shingles shuffle is skipped too.
+  /** MinHash signatures as ONE array column — a pure PROJECTION (round
+    * 16): each document's k-slot signature is a function of its own row,
+    * computed in place by the codegen'd
+    * [[graft.functions.MinHashSignature]] expression over the per-row
+    * shingle-hash array. Zero exchange: the former
+    * `explode(shingles) → groupBy(doc)` + [[graft.functions.MinHashSketch]]
+    * shape shuffled one k·8-byte sketch per document — 13.5 GB and the
+    * dominant cost at 1e8 docs (measured, BENCH r16 bring-up) — for an
+    * aggregation the one-row-per-document input never needed. Signatures
+    * are bit-identical to the aggregate's (same splitmix64 family;
+    * spec-pinned), documents with a NULL text drop exactly like their
+    * empty groups did, and [[MinHashSketch]] remains the right shape for
+    * inputs already at (group, hash) grain.
     *
-    * Deliberately NOT k separate `min(...)` aggregate columns: that shape
-    * generates O(k)-sized codegen that janino recompiles inside every
-    * enclosing plan (measured 10× slowdown).
+    * Deliberately NOT k separate min-over-transform columns: one fused
+    * expression keeps codegen O(1)-sized per plan (the O(k)-column shape
+    * janino-recompiles inside every enclosing plan, measured 10×) and
+    * walks the hash array once for all k slots.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int,
-      shingle: Int = 1): DataFrame =
-    shingleRel(df, idCol, textCol, shingle)
-      .groupBy(col(idCol))
-      .agg(graft.functions.MinHashSketch(xxhash64(col("w")), k).as("sig"))
+      shingle: Int = 1): DataFrame = {
+    val words = col("__w")
+    val hashes =
+      if (shingle <= 1) transform(words, w => xxhash64(w))
+      else transform(
+        sequence(lit(1), greatest(size(words) - (shingle - 1), lit(1))),
+        i => xxhash64(array_join(slice(words, i, lit(shingle)), "")))
+    // split bound behind a projection boundary: CollapseProject keeps it
+    // (multi-reference, non-cheap) for shingle > 1, and for shingle = 1 the
+    // collapsed form still evaluates split once per row (it is the
+    // transform's input, never inside the lambda)
+    df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol),
+        graft.functions.MinHashSignature(hashes, k).as("sig"))
+      .where(col("sig").isNotNull)
+  }
 
   /** Sorted distinct shingle-hash array per document (the exact-verify side
     * of [[minhashLshPairs]]); `shingle = 1` hashes words, `shingle = n`
