@@ -13,6 +13,37 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Stage-total task metrics per bench row (r15 verdict #1) — see the
+    * `rowMetrics` wiring in [[main]]. Thread-safe: the listener bus
+    * delivers on its own thread while begin() runs on the bench thread.
+    */
+  private[graft] final class RowMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    final class M {
+      var spillMem = 0L; var spillDisk = 0L; var shufWrite = 0L
+      var shufRead = 0L; var peakExec = 0L; var gcMs = 0L
+    }
+    @volatile private var current: String = null
+    val rows = scala.collection.concurrent.TrieMap[String, M]()
+    def begin(name: String): Unit = { rows.remove(name); current = name }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val name = current
+      if (name != null) {
+        val tm = sc.stageInfo.taskMetrics
+        val m = rows.getOrElseUpdate(name, new M)
+        m.synchronized {
+          m.spillMem += tm.memoryBytesSpilled
+          m.spillDisk += tm.diskBytesSpilled
+          m.shufWrite += tm.shuffleWriteMetrics.bytesWritten
+          m.shufRead += tm.shuffleReadMetrics.totalBytesRead
+          m.peakExec = math.max(m.peakExec, tm.peakExecutionMemory)
+          m.gcMs += tm.jvmGCTime
+        }
+      }
+    }
+  }
+
   /** Headline set: one per engine area; scalable paths only (the brute-force
     * O(n²) baselines are correctness oracles, not benchmarks).
     */
@@ -195,6 +226,23 @@ object Bench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
+    // Per-row EXECUTOR metrics (r15 verdict #1): a SparkListener sums
+    // stage task-metric totals — spill, shuffle bytes, peak execution
+    // memory, GC — attributed to the row being timed, so a diverging row
+    // carries its memory-pressure evidence IN the artifact (row_metrics)
+    // instead of leaving the cause to inference. begin(name) resets the
+    // row's accumulator: what ships is the LAST timed measurement of each
+    // row (for a tripwire-retried row, the retry — exactly the
+    // measurement whose divergence needs explaining). Listener delivery
+    // is async; ms-scale tail lag can bleed a stage into the next row,
+    // which is noise against the multi-GB signals this exists for.
+    val rowMetrics = new RowMetricsListener
+    spark.sparkContext.addSparkListener(rowMetrics)
+    def mtime(name: String)(body: => Unit): Double = {
+      rowMetrics.begin(name)
+      time(body)
+    }
+
     // Load canary: `nSpin` CONCURRENT CPU spins (2^26 xorshift steps each,
     // ~0.15 s/thread on an idle host), reported as (median, max) over the
     // threads. The former single-threaded spin was blind to partial-core
@@ -362,7 +410,7 @@ object Bench {
     // recorded exactly that: model_build 2.6× with flat canaries AFTER it).
     // Phase attribution lands in the artifact so any future outlier says
     // where the time went.
-    results("model_build") = time { graft.tpch.TpchModel.get(spark, sfDir) }
+    results("model_build") = mtime("model_build") { graft.tpch.TpchModel.get(spark, sfDir); () }
     val buildPhases = graft.tpch.TpchModel.lastBuildPhases
 
     val canaries = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
@@ -420,27 +468,31 @@ object Bench {
     // transient spike no longer poisons the official number permanently.
     val minimaPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINIMA",
       "tools/bench_clean_minima.json")
-    val minima: Map[String, Double] = try {
+    val minima: BenchTripwire.Minima = try {
       val p = java.nio.file.Paths.get(minimaPath)
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-        org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
-          .extract[Map[String, Double]]
-      }
+      if (!java.nio.file.Files.exists(p)) BenchTripwire.Empty
+      else BenchTripwire.parse(java.nio.file.Files.readString(p))
     } catch { case t: Throwable =>
       System.err.println(s"[graft.Bench] minima file unreadable ($minimaPath): $t")
-      Map.empty }
+      BenchTripwire.Empty }
     val tripK = sys.env.getOrElse("SPARK_GRAFT_TRIPWIRE_K", "1.25").toDouble
     // absolute slack: sub-second rows jitter 40-80 ms between CLEAN runs
     // (JIT/GC/page cache) — a relative-only threshold flags 0.15 s rows at
     // 1.3x while the tripwire exists for the 2-4x build-row divergences;
     // a row must exceed BOTH the ratio and this absolute delta to trip
     val tripSlack = sys.env.getOrElse("SPARK_GRAFT_TRIPWIRE_SLACK", "0.1").toDouble
-    // the tripped ratio of a recorded row, if any
+    // the tripped ratio of a recorded row vs its HOST-PHASE-ADJUSTED clean
+    // minimum (r15 verdict #2: minima from a fast host window flagged
+    // 12-27 clean slow-phase rows at 1.3-1.7× — the comparison now scales
+    // by the run's own canary floors vs the floors the minima recorded, so
+    // global phase cancels and only row-specific divergence trips;
+    // arithmetic + the slow-phase-quiet / injected-regression-still-trips
+    // contract live in BenchTripwire + its spec)
     def trippedRatio(name: String): Option[Double] =
-      results.get(name).filter(_ > 0).flatMap(v => minima.get(name)
-        .filter(m => m > 0 && v > tripK * m && v - m > tripSlack).map(v / _))
+      results.get(name).filter(_ > 0).flatMap(v =>
+        minima.rows.get(name).flatMap(row => BenchTripwire.trippedRatio(
+          v, row, minima.defaultFloors, Some(floor), Some(memFloor),
+          tripK, tripSlack)))
     // in-run re-measurement budget: ≤5 rows total, one retry each, only
     // rows ≥1 s (sub-second trips are jitter-class, the slack's domain)
     var retryBudget = sys.env.getOrElse("SPARK_GRAFT_TRIPWIRE_RETRIES", "8").toInt
@@ -462,7 +514,7 @@ object Bench {
       // prep, not replay) — pre-paid here and timed as its own row, like
       // huge_build vs olap_huge_top
       if (selected.exists(onceOnly) && !results.contains("stream_layout_build")) {
-        results("stream_layout_build") = try time {
+        results("stream_layout_build") = try mtime("stream_layout_build") {
           graft.tpch.StreamingQueries.warmEventsLayout(spark, sfDir)
         } catch { case _: Throwable => -1.0 }
         recorded += "stream_layout_build"
@@ -475,8 +527,8 @@ object Bench {
         // 1.7× from three clean sign-off runs (r13 verdict #1). Timed build
         // and read stay separate (≙ samples/huge.py:115-201 load vs reads).
         if (name == "olap_huge_top") {
-          rec("huge_build", try time {
-            graft.tpch.HugeModel.rebuild(spark, graft.tpch.HugeModel.Rows)
+          rec("huge_build", try mtime("huge_build") {
+            graft.tpch.HugeModel.rebuild(spark, graft.tpch.HugeModel.Rows); ()
           } catch { case _: Throwable => -1.0 })
         }
         rawOps.get(name).orElse(SparkEntry.queries.get(name)).foreach { fn =>
@@ -489,14 +541,14 @@ object Bench {
             val cube = graft.tpch.HugeModel.get(spark)
             cube.cacheEnabled = false
             cube.clearCache()
-            rec(name, try time { fn(spark, sfDir).count() }
+            rec(name, try mtime(name) { fn(spark, sfDir).count(); () }
                       catch { case _: Throwable => -1.0 })
             cube.cacheEnabled = true
             try fn(spark, sfDir).count() catch { case _: Throwable => } // fill cache
-            rec("huge_top_cached", try time { fn(spark, sfDir).count() }
+            rec("huge_top_cached", try mtime("huge_top_cached") { fn(spark, sfDir).count(); () }
                                    catch { case _: Throwable => -1.0 })
           } else {
-            rec(name, try time { fn(spark, sfDir).count() }
+            rec(name, try mtime(name) { fn(spark, sfDir).count(); () }
                       catch { case _: Throwable => -1.0 })
           }
         }
@@ -518,7 +570,7 @@ object Bench {
         // replaces the one-shot number that ran 1.87× in the r13 artifact
         cube.disablePointIndex()
         rec("huge_point_index_build",
-          try time { cube.enablePointIndex() }
+          try mtime("huge_point_index_build") { cube.enablePointIndex(); () }
           catch { case _: Throwable => -1.0 })
         // address fixture OUTSIDE the timer (r15): the reference's loop
         // reads from a PREBUILT address list (`samples/huge.py:134-157`);
@@ -526,7 +578,7 @@ object Bench {
         // Spark-job floor its baseline comparator never pays
         val addrs = graft.tpch.HugeModel.pointReadAddrs(spark, 10000)
         rec("huge_point_reads_10k",
-          try time { graft.tpch.HugeModel.pointReadLoop(cube, addrs) }
+          try mtime("huge_point_reads_10k") { graft.tpch.HugeModel.pointReadLoop(cube, addrs); () }
           catch { case _: Throwable => -1.0 })
       }
       if (want("huge_writes_10k")) {
@@ -541,7 +593,7 @@ object Bench {
         val base = graft.tpch.HugeModel.get(spark)
         val c = new graft.core.Cube("hugewrites", base.dimensions, spark, Some(base.facts))
         var lastAddr: Seq[String] = Nil
-        val tWrites = try time {
+        val tWrites = try mtime("huge_writes_10k") {
           var i = 0
           while (i < 10000) {
             lastAddr = Seq.tabulate(graft.tpch.HugeModel.NDims)(d =>
@@ -559,7 +611,7 @@ object Bench {
             "huge_writes_10k: last overlay write did not read back")
       }
       if (want("huge_point_reads_job_10k")) rec("huge_point_reads_job_10k",
-        try time { graft.tpch.HugeModel.pointReadBatch(spark, 10000).count() }
+        try mtime("huge_point_reads_job_10k") { graft.tpch.HugeModel.pointReadBatch(spark, 10000).count(); () }
         catch { case _: Throwable => -1.0 })
       // the bucketed-layout read path (ARCHITECTURE §6d), THROUGH the cube
       // API: compactToBucketed swaps in a hash-bucketed+sorted backing so
@@ -569,7 +621,7 @@ object Bench {
       // is the cube's batched point read with broadcast disabled — the
       // 100 TB shape, an address list too big to broadcast.
       if (bucketedCube == null && want("huge_reads_bucketed_10k"))
-        rec("huge_bucketed_write", try time {
+        rec("huge_bucketed_write", try mtime("huge_bucketed_write") {
         spark.sql("DROP TABLE IF EXISTS bench_huge_bucketed")
         val base = graft.tpch.HugeModel.get(spark)
         bucketedCube = new graft.core.Cube("hugebucketed", base.dimensions,
@@ -581,10 +633,10 @@ object Bench {
         val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        try time {
+        try mtime("huge_reads_bucketed_10k") {
           graft.tpch.HugeModel
             .pointReadBatch(bucketedCube, 10000, broadcastAddrs = false)
-            .count()
+            .count(); ()
         } finally {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
           // unset, not skip: leaving -1 behind would run every later pass
@@ -622,19 +674,19 @@ object Bench {
           org.apache.spark.sql.functions.floor(col("value")).cast("long"))
         val plainDir = java.nio.file.Files.createTempDirectory("bench_zpl").toString
         val encDir = java.nio.file.Files.createTempDirectory("bench_zen").toString
-        def buildPlain(): Unit = rec("pipe_zstore_build_plain", try time {
+        def buildPlain(): Unit = rec("pipe_zstore_build_plain", try mtime("pipe_zstore_build_plain") {
           graft.pipeline.Layout.zorderWrite(spark, plainDir, ev, zcols,
             bits = 10, numFiles = 8); ()
         } catch { case _: Throwable => -1.0 })
-        def buildEnc(): Unit = rec("pipe_zstore_build_encrypted", try time {
+        def buildEnc(): Unit = rec("pipe_zstore_build_encrypted", try mtime("pipe_zstore_build_encrypted") {
           graft.pipeline.Layout.zorderWrite(spark, encDir, ev, zcols,
             bits = 10, numFiles = 8, pqOptions = encOpts._1); ()
         } catch { case _: Throwable => -1.0 })
-        def readPlain(): Unit = rec("pipe_zstore_read_plain", try time {
+        def readPlain(): Unit = rec("pipe_zstore_read_plain", try mtime("pipe_zstore_read_plain") {
           graft.pipeline.Layout.zorderRead(spark, plainDir)
             .agg(sum(col("event_id"))).collect(); ()
         } catch { case _: Throwable => -1.0 })
-        def readEnc(): Unit = rec("pipe_zstore_read_encrypted", try time {
+        def readEnc(): Unit = rec("pipe_zstore_read_encrypted", try mtime("pipe_zstore_read_encrypted") {
           graft.pipeline.Layout.zorderRead(spark, encDir, pqOptions = encOpts._2)
             .agg(sum(col("event_id"))).collect(); ()
         } catch { case _: Throwable => -1.0 })
@@ -727,7 +779,7 @@ object Bench {
           Thread.sleep(3000) // let the (presumed transient) spike drain
           val pre = spinCanary(); canaries += pre
           obsMin = math.min(obsMin, pre._1)
-          record(n, try time { body() } catch { case t: Throwable =>
+          record(n, try mtime(n) { body() } catch { case t: Throwable =>
             System.err.println(s"[graft.Bench] tripwire retry of $n failed: $t"); -1.0 })
           retryCleanup.foreach(c => try c() catch { case _: Throwable => () })
           retryCleanup.clear()
@@ -812,14 +864,14 @@ object Bench {
       obsMin = math.min(obsMin, pre8._1)
       for (_ <- 1 to passes8) {
         record("huge8_build",
-          try time { graft.tpch.HugeModel.rebuild(spark, rows8) }
+          try mtime("huge8_build") { graft.tpch.HugeModel.rebuild(spark, rows8); () }
           catch { case t: Throwable =>
             System.err.println(s"[graft.Bench] huge8_build failed: $t"); -1.0 })
         record("huge8_top", try {
           val c = graft.tpch.HugeModel.at(spark, rows8)
           c.cacheEnabled = false; c.clearCache()
           var v = 0.0
-          val t = time {
+          val t = mtime("huge8_top") {
             v = c.get(Seq.fill(graft.tpch.HugeModel.NDims)("All")).getOrElse(0.0)
           }
           c.cacheEnabled = true
@@ -831,7 +883,7 @@ object Bench {
         record("huge8_point_index_refusal", try {
           val c = graft.tpch.HugeModel.at(spark, rows8)
           var refused = false
-          val t = time { refused = !c.enablePointIndex() }
+          val t = mtime("huge8_point_index_refusal") { refused = !c.enablePointIndex() }
           require(refused,
             "a 1e8-cell cube must REFUSE the driver point index (cap guard)")
           t
@@ -850,7 +902,25 @@ object Bench {
         })
         case _ => None
       })
-      graft.tpch.HugeModel.drop(rows8) // free the multi-GB footprint
+      // r15 verdict #1: huge8_pipe_zstore_build shipped 3.4-3.5× its clean
+      // minimum in the DRIVER's context two rounds running, SURVIVING its
+      // in-run retry — so the cause is the run context, not a spike. Free
+      // every byte the suite still pins before the 1e8 pipe rows get the
+      // heap: blocking-unpersist the 1e8 model (the async drop raced its
+      // multi-GB block deletes against the build's shuffle+write),
+      // blocking-unpersist every other frame the passes left behind
+      // (TpchModel facts, the 1e6 model, stream layouts — all done
+      // measuring), and let a full GC clear the dead heap before the
+      // range exchange allocates its sort buffers. Whatever still
+      // diverges after this is environmental — and row_metrics now names
+      // the cause (spill/peak-memory) in the artifact itself.
+      graft.tpch.HugeModel.drop(rows8, blocking = true)
+      graft.tpch.HugeModel.drop(graft.tpch.HugeModel.Rows, blocking = true)
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      spark.sparkContext.getPersistentRDDs.values.foreach(r =>
+        try r.unpersist(blocking = true) catch { case _: Throwable => () })
+      System.gc()
+      Thread.sleep(2000)
       // ---- pipeline-side 1e8 row (r13 verdict #6): incremental z-store
       // maintenance at scale, measured every round instead of via ad-hoc
       // stress tools. The store build over rows8 synthetic facts is the
@@ -878,7 +948,7 @@ object Bench {
             zc, bits = 10, numFiles = zfiles)
           ()
         }
-        results("huge8_pipe_zstore_build") = try time { zstoreBuild(zdir) }
+        results("huge8_pipe_zstore_build") = try mtime("huge8_pipe_zstore_build") { zstoreBuild(zdir) }
         catch { case t: Throwable =>
           System.err.println(s"[graft.Bench] huge8_pipe_zstore_build failed: $t"); -1.0 }
         var off = rows8
@@ -890,8 +960,8 @@ object Bench {
               .withColumn("a", col("a") % 32)
               .withColumn("b", col("b") % 32)
             record("huge8_pipe_zappend",
-              try time { graft.pipeline.Layout.zorderAppend(spark, zdir,
-                batch, zc, bits = 10) }
+              try mtime("huge8_pipe_zappend") { graft.pipeline.Layout.zorderAppend(spark, zdir,
+                batch, zc, bits = 10); () }
               catch { case t: Throwable =>
                 System.err.println(s"[graft.Bench] huge8_pipe_zappend failed: $t"); -1.0 })
             off += 100000L
@@ -922,10 +992,64 @@ object Bench {
         ()
       } catch { case t: Throwable =>
         System.err.println(s"[graft.Bench] huge8 pipe block failed: $t") }
+      // ---- pipeline-side 1e8 row #2 (r15 verdict #4): MinHash-LSH's
+      // corpus-proportional stage — per-doc signatures + banded bucket
+      // hashes — over 1e8 synthetic short docs (8 words from a 50k
+      // vocab), measured every round with minima armed like its z-store
+      // sibling. Bringing this row up found the real 100 TB lever: the
+      // former explode→groupBy signature shape shuffled one sketch per
+      // doc (13.5 GB here, OOM at the suite's 32 partitions) for an
+      // aggregation a one-row-per-doc corpus never needed — signatures
+      // are now a codegen'd per-row projection (MinHashSignature, r16),
+      // so the row measures the production path: scan → project → HLL
+      // distinct over band hashes (map-side-combinable), zero exchange of
+      // doc-grain data. The bucket JOIN that follows in minhashLshPairs
+      // costs what collisions cost (data-dependent), and its semantics
+      // are gated at sf0.01 (pipe_dedup_minhash). k=16/bands=4; k-scaling
+      // is linear.
+      try {
+        import org.apache.spark.sql.functions.{approx_count_distinct, array,
+          col, concat, concat_ws, hash, lit, pmod, posexplode, slice, xxhash64}
+        val docs8 = sys.env.getOrElse("SPARK_GRAFT_HUGE8_MINHASH_DOCS",
+          rows8.toString).toLong
+        // 256 range slices bound per-task work (~400k docs each) — the
+        // partitions-sized-to-memory discipline a 1000-executor run of
+        // this operator applies
+        val minhashParts = sys.env.getOrElse(
+          "SPARK_GRAFT_HUGE8_MINHASH_PARTS", "256").toInt
+        def minhashBody(): Unit = {
+          val docs = spark.range(0, docs8, 1, minhashParts)
+            .select(col("id").as("doc"),
+              concat_ws(" ", (0 until 8).map(j =>
+                concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(50000)))): _*)
+                .as("text"))
+          val sig = graft.pipeline.TextDedup.minhashSignatures(
+            docs, "doc", "text", k = 16)
+          val rowsPerBand = 4
+          val banded = sig.select(posexplode(array((0 until 4).map(bi =>
+            hash(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*))
+            .as(Seq("band", "bh")))
+          val nb = banded.agg(approx_count_distinct(col("bh")).as("nb"))
+            .collect()(0).getLong(0)
+          require(nb > 0, "banded bucket hashes must materialize")
+        }
+        // measured ONCE like its z-store sibling (the row runs ~a minute at
+        // 1e8 — per-pass repeats would double the guarded block for JIT
+        // margin the long row doesn't need); a trip re-measures below
+        record("huge8_pipe_minhash",
+          try mtime("huge8_pipe_minhash") { minhashBody() }
+          catch { case t: Throwable =>
+            System.err.println(s"[graft.Bench] huge8_pipe_minhash failed: $t"); -1.0 })
+        retryTripped(Seq("huge8_pipe_minhash"), {
+          case "huge8_pipe_minhash" => Some(() => minhashBody())
+          case _ => None
+        })
+      } catch { case t: Throwable =>
+        System.err.println(s"[graft.Bench] huge8 minhash block failed: $t") }
       val post8 = spinCanary(); canaries += post8
       obsMin = math.min(obsMin, post8._1)
       val names8 = Seq("huge8_build", "huge8_top", "huge8_point_index_refusal",
-        "huge8_pipe_zstore_build", "huge8_pipe_zappend")
+        "huge8_pipe_zstore_build", "huge8_pipe_zappend", "huge8_pipe_minhash")
         .filter(results.contains)
       allNames ++= names8
       if (pre8._1 <= dirtyK * floor && post8._1 <= dirtyK * floor)
@@ -984,10 +1108,8 @@ object Bench {
     // rows were already RE-measured in-run (`tripwire_retried`), so a
     // surviving trip is persistent, not a transient spike. An absent/empty
     // minima file disarms the tripwire (first round on a new host).
-    val tripped = results.collect { case (k, v)
-        if v > 0 && minima.get(k).exists(m =>
-          m > 0 && v > tripK * m && v - m > tripSlack) =>
-      k -> v / minima(k) }.toSeq.sortBy(-_._2)
+    val tripped = results.keys.toSeq
+      .flatMap(k => trippedRatio(k).map(k -> _)).sortBy(-_._2)
     val tripJson = tripped.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
     val tripRetriedJson = tripwireRetried.distinct
@@ -1001,7 +1123,27 @@ object Bench {
     val dirtyRowsJson = dirtyRows.map("\"" + _ + "\"").mkString("[", ",", "]")
     val memJson = memSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val ioJson = ioSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f,"tripwire":$tripJson,"tripwire_retried":$tripRetriedJson,"tripwire_threshold":$tripK%.2f,"tripwire_slack_sec":$tripSlack%.2f,"tripwire_rows_known":${minima.size}}""")
+    // per-row executor totals (LAST timed measurement of each row): only
+    // rows with something to say — any spill, heavy GC, or the guarded 1e8
+    // block, whose divergences this evidence exists to explain in-data
+    val rowMetricsJson = rowMetrics.rows.toSeq
+      .filter { case (k, m) =>
+        m.spillMem + m.spillDisk > 0 || m.gcMs > 2000 || k.startsWith("huge8") }
+      .sortBy(_._1)
+      .map { case (k, m) =>
+        val mb = (v: Long) => v / 1048576
+        "\"" + k + "\":{" +
+          s""""spill_mem_mb":${mb(m.spillMem)},"spill_disk_mb":${mb(m.spillDisk)},""" +
+          s""""shuf_write_mb":${mb(m.shufWrite)},"shuf_read_mb":${mb(m.shufRead)},""" +
+          s""""peak_exec_mb":${mb(m.peakExec)},"gc_ms":${m.gcMs}}""" }
+      .mkString("{", ",", "}")
+    // the phase factors the tripwire normalized by (run floor / minima
+    // floor per canary channel) — 1.0 = same phase as the minima; absent
+    // channels (legacy minima without floors) report nothing
+    val phaseJson = (minima.defaultFloors.spin.map(f => f""""spin":${floor / f}%.2f""") ++
+      minima.defaultFloors.mem.map(f => f""""mem":${memFloor / f}%.2f"""))
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f,"tripwire":$tripJson,"tripwire_retried":$tripRetriedJson,"tripwire_threshold":$tripK%.2f,"tripwire_slack_sec":$tripSlack%.2f,"tripwire_rows_known":${minima.size},"tripwire_phase":$phaseJson,"row_metrics":$rowMetricsJson}""")
     if (tripped.nonEmpty) System.err.println(
       s"[graft.Bench] TRIPWIRE: ${tripped.size} row(s) exceed ${tripK}x their " +
       s"recorded clean minimum — ${tripped.map { case (k, r) => f"$k ($r%.2fx)" }

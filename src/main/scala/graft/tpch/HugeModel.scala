@@ -40,10 +40,15 @@ object HugeModel {
     drop(rows); at(spark, rows)
   }
 
-  /** Forget the memoized model at `rows` and free its persisted storage. */
-  def drop(rows: Long): Unit = {
+  /** Forget the memoized model at `rows` and free its persisted storage.
+    * `blocking = true` waits for the block deletes — the bench's 1e8 block
+    * uses it before its z-store build so the multi-GB unpersist cannot
+    * race the build's own shuffle/write for memory and disk (r15 verdict
+    * #1); the default stays async for the per-pass rebuild cadence.
+    */
+  def drop(rows: Long, blocking: Boolean = false): Unit = {
     cache.remove(s"huge-$rows")
-    persisted.remove(s"huge-$rows").foreach(_.unpersist(blocking = false))
+    persisted.remove(s"huge-$rows").foreach(_.unpersist(blocking))
   }
 
   private def build(spark: SparkSession, rows: Long): Cube = {
