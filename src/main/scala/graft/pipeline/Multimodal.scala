@@ -306,6 +306,126 @@ object Multimodal {
     out // bytes 26..51 (MD5) stay zero
   }
 
+  /** REAL decode, Ogg container metadata (round 16): page walk ("OggS"
+    * capture pattern, version 0, 27-byte header + segment table) to the
+    * BOS page's codec ID header — `OpusHead` (channels at payload offset
+    * 9, 16-bit pre-skip, 32-bit LE input sample rate) or Vorbis
+    * (packet type 1 + "vorbis", channels at offset 11, 32-bit LE rate) —
+    * then on through the pages for the LAST granule position, which is
+    * the stream's duration clock: 48 kHz samples for Opus (minus
+    * pre-skip), codec-rate samples for Vorbis. Page CRCs are NOT
+    * verified (the contract is bounds-checked metadata, not integrity);
+    * a malformed page stops the walk and the best granule seen so far
+    * stands. Returns (sample_rate, channels, whole seconds, min 1) —
+    * same shape as the WAV/FLAC decodes.
+    */
+  private[pipeline] def decodeOgg(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 28 || fourcc(b, 0) != "OggS") return None
+    var rate = -1; var ch = -1; var preSkip = 0L
+    var divisor = -1L // granule units per second
+    var lastGranule = -1L
+    var serial = 0
+    var first = true
+    var off = 0L
+    var ok = true
+    while (ok && off + 27 <= b.length) {
+      val o = off.toInt
+      if (fourcc(b, o) != "OggS" || b(o + 4) != 0) ok = false
+      else {
+        val granule = (le32(b, o + 6).toLong & 0xFFFFFFFFL) |
+          ((le32(b, o + 10).toLong & 0xFFFFFFFFL) << 32)
+        val pageSerial = le32(b, o + 14)
+        val nseg = b(o + 26) & 0xff
+        if (off + 27 + nseg > b.length) ok = false
+        else {
+          var payLen = 0L
+          var i = 0
+          while (i < nseg) { payLen += (b(o + 27 + i) & 0xff); i += 1 }
+          val p = o + 27 + nseg
+          if (off + 27 + nseg + payLen > b.length) ok = false
+          else {
+            if (first) {
+              serial = pageSerial
+              first = false
+              if (payLen >= 19 && fourcc(b, p) == "Opus" &&
+                  fourcc(b, p + 4) == "Head") {
+                ch = b(p + 9) & 0xff
+                preSkip = le16(b, p + 10).toLong
+                rate = le32(b, p + 12)
+                divisor = 48000L // Opus granules are ALWAYS 48 kHz samples
+              } else if (payLen >= 30 && b(p) == 0x01 &&
+                  new String(b, p + 1, 6, "US-ASCII") == "vorbis") {
+                ch = b(p + 11) & 0xff
+                rate = le32(b, p + 12)
+                divisor = rate.toLong
+              }
+            }
+            if (pageSerial == serial && granule >= 0 && granule != -1L)
+              lastGranule = math.max(lastGranule, granule)
+            off += 27L + nseg + payLen // header is fixed-size; strictly advances
+          }
+        }
+      }
+    }
+    if (rate > 0 && rate <= 1000000 && ch >= 1 && ch <= 16 &&
+        divisor > 0 && lastGranule >= 0) {
+      val samples = math.max(0L, lastGranule - preSkip)
+      val secs = math.max(1L, (samples + divisor - 1) / divisor)
+      if (secs <= 86400L) Some((rate, ch, secs.toInt)) else None
+    } else None
+  }
+
+  /** Deterministic Ogg fixture ENCODER: a BOS page carrying the codec ID
+    * header (OpusHead for `opus = true`, the Vorbis identification header
+    * otherwise) and an EOS page whose granule position encodes
+    * `durationSecs` in the codec's clock (48 kHz for Opus, `sampleRate`
+    * for Vorbis) — so both codecs decode to IDENTICAL metadata, letting
+    * the probe gate alternate them under one oracle like MP4/AVI. Page
+    * CRCs are zero (the parser's contract doesn't verify them).
+    */
+  def syntheticOgg(opus: Boolean, sampleRate: Int, channels: Int,
+      durationSecs: Int): Array[Byte] = {
+    require(sampleRate >= 1 && sampleRate <= 1000000 && channels >= 1 &&
+      channels <= 16 && durationSecs >= 1 && durationSecs <= 86400,
+      "ID-header field bounds")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32le(v: Long): Unit = { var i = 0; while (i < 4) {
+      bos.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 } }
+    def w64le(v: Long): Unit = { var i = 0; while (i < 8) {
+      bos.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 } }
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def page(headerType: Int, granule: Long, seq: Int, payload: Array[Byte]): Unit = {
+      require(payload.length < 255, "single-segment fixture pages only")
+      cc("OggS"); bos.write(0); bos.write(headerType)
+      w64le(granule); w32le(1L) /* serial */; w32le(seq.toLong)
+      w32le(0L) /* CRC unverified by the parser */
+      bos.write(1); bos.write(payload.length) // one segment
+      bos.write(payload)
+    }
+    val idHeader: Array[Byte] = if (opus) {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write("OpusHead".getBytes("US-ASCII"))
+      p.write(1) /* version */; p.write(channels)
+      p.write(0); p.write(0) /* pre-skip 0 */
+      var i = 0; while (i < 4) { p.write((sampleRate >>> (8 * i)) & 0xff); i += 1 }
+      p.write(0); p.write(0) /* output gain */; p.write(0) /* mapping family */
+      p.toByteArray
+    } else {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write(0x01); p.write("vorbis".getBytes("US-ASCII"))
+      var i = 0; while (i < 4) { p.write(0); i += 1 } /* version 0 */
+      p.write(channels)
+      i = 0; while (i < 4) { p.write((sampleRate >>> (8 * i)) & 0xff); i += 1 }
+      i = 0; while (i < 12) { p.write(0); i += 1 } /* bitrate fields */
+      p.write(0xB8) /* blocksizes 256/4096 */; p.write(0x01) /* framing */
+      p.toByteArray
+    }
+    val granule = (if (opus) 48000L else sampleRate.toLong) * durationSecs
+    page(0x02 /* BOS */, 0L, 0, idHeader)
+    page(0x04 /* EOS */, granule, 1, Array.emptyByteArray)
+    bos.toByteArray
+  }
+
   /** REAL decode, MP4/ISO-BMFF container metadata (round 15): top-level
     * box walk (size.u32 BE + fourcc) to `moov`, then its children —
     * `mvhd` v0/v1 yields timescale + duration (→ whole seconds, min 1),
@@ -495,7 +615,7 @@ object Multimodal {
     * remains stubbed is narrow and honest: PIXEL/SAMPLE decode for
     * WebP/FLAC/MP4 payloads (needs libwebp/libflac/ffmpeg-class codecs
     * this container lacks — the metadata contract doesn't ask for it) and
-    * genuinely exotic containers (MKV, Ogg …). Stub metadata derives
+    * genuinely exotic containers (MKV/EBML …). Stub metadata derives
     * deterministically from the payload so the pipeline shape (schema,
     * batching, downstream ops) stays fully testable.
     */
@@ -512,7 +632,7 @@ object Multimodal {
     * iterator (no materialization of the partition in memory). Nine
     * formats carry REAL metadata decodes — images: PNG/JPEG/GIF via
     * `javax.imageio`, BMP/WebP via pure-JVM header parse (→ width/height/
-    * channels, one frame); audio: WAV/FLAC (→ sample rate as width,
+    * channels, one frame); audio: WAV/FLAC/Ogg (→ sample rate as width,
     * channels as height, duration seconds as n_frames); video: MP4/AVI
     * container walks (→ track width/height, duration seconds as n_frames,
     * channels 0 = no raster decoded). Anything else falls back to the
@@ -539,6 +659,7 @@ object Multimodal {
           else if (a.modality == "audio")
             decodeWav(a.content).map { case (rate, ch, secs) => (rate, ch, secs, ch) }
               .orElse(decodeFlac(a.content).map { case (rate, ch, secs) => (rate, ch, secs, ch) })
+              .orElse(decodeOgg(a.content).map { case (rate, ch, secs) => (rate, ch, secs, ch) })
           else if (a.modality == "video")
             decodeMp4(a.content).map { case (vw, vh, secs) => (vw, vh, secs, 0) }
               .orElse(decodeAvi(a.content).map { case (vw, vh, secs) => (vw, vh, secs, 0) })

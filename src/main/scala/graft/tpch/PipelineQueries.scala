@@ -929,10 +929,15 @@ object PipelineQueries {
             Multimodal.syntheticWebP((id % 31 + 1).toInt, (id % 17 + 1).toInt,
               alpha = id % 2 == 0, extended = id % 4 < 2))
           case 1 =>
+            // FLAC and Ogg (Opus/Vorbis alternating, round 16) under ONE
+            // oracle, the MP4/AVI parity trick on the audio axis: every
+            // container must decode to the identical (rate, ch, secs)
             val rate = 8000 + (id % 5).toInt * 4000
             val secs = (id % 9 + 1).toInt
+            val ch = (id % 2 + 1).toInt
             Multimodal.Asset(id, "audio",
-              Multimodal.syntheticFlac(rate, (id % 2 + 1).toInt, rate.toLong * secs))
+              if (id % 2 == 0) Multimodal.syntheticFlac(rate, ch, rate.toLong * secs)
+              else Multimodal.syntheticOgg(opus = id % 4 == 1, rate, ch, secs))
           case _ =>
             // MP4 and AVI alternate by parity under ONE oracle: both
             // containers must decode to identical metadata or the hash breaks

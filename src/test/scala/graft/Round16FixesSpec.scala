@@ -180,6 +180,31 @@ class Round16FixesSpec extends AnyFunSuite {
       .contains(1.0 + (1 to 5).sum))
   }
 
+  test("Ogg container metadata: OpusHead and Vorbis ID headers, granule duration") {
+    import spark.implicits._
+    val in = Seq(
+      // Opus: rate from OpusHead, duration from the EOS granule at 48 kHz
+      Multimodal.Asset(1L, "audio", Multimodal.syntheticOgg(opus = true, 16000, 2, 7)),
+      // Vorbis: granule clock = the codec rate itself
+      Multimodal.Asset(2L, "audio", Multimodal.syntheticOgg(opus = false, 44100, 1, 3)),
+      // modality gate: Ogg bytes declared video must stub
+      Multimodal.Asset(3L, "video", Multimodal.syntheticOgg(opus = true, 16000, 2, 7)),
+      // truncated mid-page: parses the BOS header, loses the EOS granule → stub
+      Multimodal.Asset(4L, "audio", Multimodal.syntheticOgg(opus = true, 16000, 2, 7).take(20)))
+      .toDS()
+    val out = Multimodal.decode(in).collect().map(d => d.doc_id -> d).toMap
+    assert(out(1L).width == 16000 && out(1L).height == 2 && out(1L).n_frames == 7 &&
+      out(1L).channels == 2, s"OpusHead: ${out(1L)}")
+    assert(out(2L).width == 44100 && out(2L).height == 1 && out(2L).n_frames == 3,
+      s"Vorbis ID: ${out(2L)}")
+    val stubOf = (n: Int) => (n % 640 + 1, (n * 7) % 480 + 1, n % 7 + 1)
+    Seq(3L, 4L).foreach { id =>
+      val (w, h, f) = stubOf(out(id).n_bytes)
+      assert(out(id).width == w && out(id).height == h && out(id).n_frames == f &&
+        out(id).channels == 0, s"asset $id must stub: ${out(id)}")
+    }
+  }
+
   test("WebP undersized chunk cannot steal the next chunk's bytes as dims") {
     import spark.implicits._
     def le32(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, (v >>> 8 & 0xff).toByte,
