@@ -226,15 +226,22 @@ object TextDedup {
 
   /** 64-bit SimHash over DISTINCT word hashes (vote sums are multiset-
     * sensitive, so the distinct matters here): per bit, sum of ±1
-    * contributions; bit set iff the sum is positive. ONE
-    * [[graft.functions.SimHashBits]] aggregate holding all 64 vote counters
-    * in a single buffer — not 64 aggregate columns, whose O(64) codegen
-    * janino recompiles inside every enclosing plan.
+    * contributions; bit set iff the sum is positive. A pure PROJECTION
+    * (round 16, same move as [[minhashSignatures]]): the per-doc distinct
+    * is `array_distinct` in place and the codegen'd
+    * [[graft.functions.SimHashSignature]] folds the votes per row — the
+    * former `wordRel → groupBy` shape paid TWO shuffles (a global
+    * distinct of word STRINGS, then the doc-grain aggregate) for a value
+    * that never needed to leave its row. Outputs are bit-identical
+    * (spec-pinned); docs with a NULL text drop exactly like their absent
+    * groups did. [[graft.functions.SimHashBits]] remains for inputs
+    * already at (group, hash) grain.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    wordRel(df, idCol, textCol)
-      .groupBy(col(idCol))
-      .agg(graft.functions.SimHashBits(xxhash64(col("w"))).as("simhash"))
+    df.select(col(idCol), graft.functions.SimHashSignature(
+        transform(array_distinct(split(col(textCol), " ")), w => xxhash64(w)))
+        .as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3): band
     * the 64-bit hash into 4×16-bit chunks; by pigeonhole any pair within
