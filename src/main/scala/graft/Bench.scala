@@ -711,6 +711,24 @@ object Bench {
     // loosest — page-cache state makes a single fsync the noisiest probe
     val memDirtyK = sys.env.getOrElse("SPARK_GRAFT_MEM_DIRTY_K", "2.0").toDouble
     val ioDirtyK = sys.env.getOrElse("SPARK_GRAFT_IO_DIRTY_K", "4.0").toDouble
+    // Hypervisor-steal bracket per pass (round 16): the r16 sign-off runs
+    // measured 1.7-4.7% steal windows inflating rows 1.3-1.9× while EVERY
+    // in-guest canary sat near its floor (spin phase 1.10) — steal is the
+    // one channel guest-side probes cannot see (lock-holder preemption
+    // amplifies a stolen vCPU into whole-JVM stalls, the documented
+    // 25-35%-per-percent effect). /proc/stat steal jiffies ARE visible, so
+    // each pass is bracketed and a pass whose steal share exceeds the
+    // threshold is DIRTY like a hot canary: re-run, min-merge, and rows
+    // without a steal-quiet sample self-report in dirty_rows.
+    val stealDirtyPct = sys.env.getOrElse("SPARK_GRAFT_STEAL_DIRTY_PCT", "2.0").toDouble
+    val passSteal = scala.collection.mutable.ArrayBuffer[Double]()
+    def stealBracket[A](body: => A): (A, Double) = {
+      val (c0, s0) = cpuStat()
+      val r = body
+      val (c1, s1) = cpuStat()
+      val pct = if (c1 > c0) 100.0 * (s1 - s0) / (c1 - c0) else 0.0
+      (r, pct)
+    }
     val memSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val ioSamples = scala.collection.mutable.ArrayBuffer[Double]()
     var pass = 1
@@ -721,7 +739,8 @@ object Bench {
       obsMin = math.min(obsMin, pre._1)
       obsMemMin = math.min(obsMemMin, preMem)
       obsIoMin = math.min(obsIoMin, preIo)
-      val recorded = runPass()
+      val (recorded, steal) = stealBracket { runPass() }
+      passSteal += steal
       allNames ++= recorded
       val post = spinCanary(); canaries += post
       val postMem = memCanary(); memSamples += postMem
@@ -731,13 +750,15 @@ object Bench {
       obsIoMin = math.min(obsIoMin, postIo)
       val dirty = pre._1 > dirtyK * floor || post._1 > dirtyK * floor ||
         preMem > memDirtyK * memFloor || postMem > memDirtyK * memFloor ||
-        preIo > ioDirtyK * ioFloor || postIo > ioDirtyK * ioFloor
+        preIo > ioDirtyK * ioFloor || postIo > ioDirtyK * ioFloor ||
+        steal > stealDirtyPct
       if (dirty && retriesUsed < passRetries) {
         retriesUsed += 1
         System.err.println(f"[graft.Bench] pass $pass dirty: spin " +
           f"(${pre._1}%.3f, ${post._1}%.3f) vs ${dirtyK}x${floor}%.3f, mem " +
           f"($preMem%.3f, $postMem%.3f) vs ${memDirtyK}x${memFloor}%.3f, io " +
-          f"($preIo%.3f, $postIo%.3f) vs ${ioDirtyK}x${ioFloor}%.3f — " +
+          f"($preIo%.3f, $postIo%.3f) vs ${ioDirtyK}x${ioFloor}%.3f, steal " +
+          f"$steal%.2f%% vs $stealDirtyPct%.2f%% — " +
           f"re-running pass (retry $retriesUsed/$passRetries)")
         Thread.sleep(10000)
         // do not advance `pass`: min-of-passes merges the retry's numbers
@@ -862,6 +883,7 @@ object Bench {
       val passes8 = sys.env.getOrElse("SPARK_GRAFT_HUGE8_PASSES", "2").toInt
       val pre8 = spinCanary(); canaries += pre8
       obsMin = math.min(obsMin, pre8._1)
+      val (cpu80, steal80) = cpuStat()
       for (_ <- 1 to passes8) {
         record("huge8_build",
           try mtime("huge8_build") { graft.tpch.HugeModel.rebuild(spark, rows8); () }
@@ -1048,11 +1070,17 @@ object Bench {
         System.err.println(s"[graft.Bench] huge8 minhash block failed: $t") }
       val post8 = spinCanary(); canaries += post8
       obsMin = math.min(obsMin, post8._1)
+      // the block's own steal bracket — same verdict channel as the passes
+      val (cpu81, steal81) = cpuStat()
+      val steal8 =
+        if (cpu81 > cpu80) 100.0 * (steal81 - steal80) / (cpu81 - cpu80) else 0.0
+      passSteal += steal8
       val names8 = Seq("huge8_build", "huge8_top", "huge8_point_index_refusal",
         "huge8_pipe_zstore_build", "huge8_pipe_zappend", "huge8_pipe_minhash")
         .filter(results.contains)
       allNames ++= names8
-      if (pre8._1 <= dirtyK * floor && post8._1 <= dirtyK * floor)
+      if (pre8._1 <= dirtyK * floor && post8._1 <= dirtyK * floor &&
+          steal8 <= stealDirtyPct)
         cleanNames ++= names8
     }
 
@@ -1143,7 +1171,8 @@ object Bench {
     val phaseJson = (minima.defaultFloors.spin.map(f => f""""spin":${floor / f}%.2f""") ++
       minima.defaultFloors.mem.map(f => f""""mem":${memFloor / f}%.2f"""))
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f,"tripwire":$tripJson,"tripwire_retried":$tripRetriedJson,"tripwire_threshold":$tripK%.2f,"tripwire_slack_sec":$tripSlack%.2f,"tripwire_rows_known":${minima.size},"tripwire_phase":$phaseJson,"row_metrics":$rowMetricsJson}""")
+    val passStealJson = passSteal.map(v => f"$v%.2f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f,"tripwire":$tripJson,"tripwire_retried":$tripRetriedJson,"tripwire_threshold":$tripK%.2f,"tripwire_slack_sec":$tripSlack%.2f,"tripwire_rows_known":${minima.size},"tripwire_phase":$phaseJson,"pass_steal_pct":$passStealJson,"row_metrics":$rowMetricsJson}""")
     if (tripped.nonEmpty) System.err.println(
       s"[graft.Bench] TRIPWIRE: ${tripped.size} row(s) exceed ${tripK}x their " +
       s"recorded clean minimum — ${tripped.map { case (k, r) => f"$k ($r%.2fx)" }
