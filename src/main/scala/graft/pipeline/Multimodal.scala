@@ -581,6 +581,150 @@ object Multimodal {
     out
   }
 
+  /** EBML variable-length integer at offset `o`: the leading-zero count of
+    * the first byte gives the width (1–8 bytes); element IDs keep the
+    * marker bit, sizes clear it. Returns (value, widthBytes); None on
+    * truncation or a zero first byte (reserved/invalid).
+    */
+  private def ebmlVarint(b: Array[Byte], o: Int,
+      clearMarker: Boolean): Option[(Long, Int)] = {
+    if (o >= b.length) return None
+    val first = b(o) & 0xff
+    if (first == 0) return None
+    val n = java.lang.Integer.numberOfLeadingZeros(first) - 24 + 1
+    if (n < 1 || n > 8 || o + n > b.length) return None
+    var v = (if (clearMarker) first & ((1 << (8 - n)) - 1) else first).toLong
+    var i = 1
+    while (i < n) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+    Some((v, n))
+  }
+
+  /** REAL decode, Matroska/EBML container metadata (round 16): EBML
+    * varint walk through Segment → Info (TimestampScale, default 10⁶ ns;
+    * Duration as a 4/8-byte float in scale ticks) and Segment → Tracks →
+    * TrackEntry → Video (PixelWidth/PixelHeight, taken only from a
+    * track whose TrackType says video — or omits it). Unknown-size
+    * elements (all size bits set — live-muxed Segments) extend to the
+    * enclosing end, the EBML analogue of MP4's size==0. Returns
+    * (width, height, duration whole seconds, min 1); channels is 0 like
+    * the other video containers — no raster was decoded.
+    */
+  private[pipeline] def decodeMkv(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 8 || be32(b, 0) != 0x1A45DFA3L) return None
+    var w = 0; var h = 0
+    var tsScale = 1000000L
+    var durTicks = -1.0
+    def uintOf(o: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+      v
+    }
+    def walk(start: Long, end: Long, depth: Int, videoTrack: Boolean): Unit = {
+      var off = start
+      var ok = depth < 8
+      while (ok && off + 2 <= end) {
+        val parsed = for {
+          (id, idn) <- ebmlVarint(b, off.toInt, clearMarker = false)
+          (sz0, szn) <- ebmlVarint(b, (off + idn).toInt, clearMarker = true)
+        } yield (id, idn, sz0, szn)
+        parsed match {
+          case None => ok = false
+          case Some((id, idn, sz0, szn)) =>
+            val p = off + idn + szn
+            // all-ones size = unknown: legal for the streamed Segment —
+            // extends to the enclosing end; elsewhere it's malformed
+            val unknown = sz0 == (1L << (7 * szn)) - 1
+            val sz =
+              if (unknown && id == 0x18538067L) end - p
+              else sz0
+            if (unknown && id != 0x18538067L) ok = false
+            else if (p + sz > end || sz < 0) ok = false
+            else {
+              id match {
+                case 0x18538067L => walk(p, p + sz, depth + 1, videoTrack) // Segment
+                case 0x1549A966L => walk(p, p + sz, depth + 1, videoTrack) // Info
+                case 0x1654AE6BL => walk(p, p + sz, depth + 1, videoTrack) // Tracks
+                case 0xAEL => // TrackEntry: video unless TrackType says otherwise
+                  var isVideo = true
+                  var io = p
+                  var scanning = true
+                  while (scanning && io + 2 <= p + sz) {
+                    (for {
+                      (cid, cidn) <- ebmlVarint(b, io.toInt, clearMarker = false)
+                      (csz, cszn) <- ebmlVarint(b, (io + cidn).toInt, clearMarker = true)
+                    } yield (cid, cidn, csz, cszn)) match {
+                      case Some((cid, cidn, csz, cszn))
+                          if io + cidn + cszn + csz <= p + sz =>
+                        if (cid == 0x83L && csz >= 1 && csz <= 8)
+                          isVideo = uintOf((io + cidn + cszn).toInt, csz.toInt) == 1L
+                        io += cidn + cszn + csz
+                      case _ => scanning = false
+                    }
+                  }
+                  walk(p, p + sz, depth + 1, isVideo)
+                case 0xE0L if videoTrack => walk(p, p + sz, depth + 1, videoTrack) // Video
+                case 0x2AD7B1L if sz >= 1 && sz <= 8 =>
+                  val v = uintOf(p.toInt, sz.toInt)
+                  if (v > 0) tsScale = v
+                case 0x4489L if sz == 4 =>
+                  durTicks = java.lang.Float.intBitsToFloat(uintOf(p.toInt, 4).toInt).toDouble
+                case 0x4489L if sz == 8 =>
+                  durTicks = java.lang.Double.longBitsToDouble(uintOf(p.toInt, 8))
+                case 0xB0L if videoTrack && sz >= 1 && sz <= 4 =>
+                  val v = uintOf(p.toInt, sz.toInt)
+                  if (v > 0 && v < (1 << 16)) w = v.toInt
+                case 0xBAL if videoTrack && sz >= 1 && sz <= 4 =>
+                  val v = uintOf(p.toInt, sz.toInt)
+                  if (v > 0 && v < (1 << 16)) h = v.toInt
+                case _ => () // skip: CRC, Void, Cluster, audio tracks, …
+              }
+              off = p + sz
+            }
+        }
+      }
+    }
+    walk(0L, b.length.toLong, 0, videoTrack = false)
+    if (w > 0 && h > 0 && durTicks > 0 && tsScale > 0) {
+      val ns = durTicks * tsScale
+      // bound BEFORE the division-to-seconds (untrusted float × untrusted
+      // scale — NaN/inf/absurd routes to the stub, same class as mvhd)
+      if (ns.isNaN || ns.isInfinite || ns > 86400.0 * 30 * 1e9) None
+      else Some((w, h, math.max(1L, math.ceil(ns / 1e9).toLong).toInt))
+    } else None
+  }
+
+  /** Deterministic MKV fixture ENCODER: minimal EBML header + Segment {
+    * Info { TimestampScale 10⁶, Duration float64 in ms ticks }, Tracks {
+    * TrackEntry { TrackType 1, Video { PixelWidth, PixelHeight } } } } —
+    * so the decoded duration equals `durationSecs` exactly and the probe
+    * gate can rotate MP4/AVI/MKV under one oracle.
+    */
+  def syntheticMkv(width: Int, height: Int, durationSecs: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width < (1 << 16) && height < (1 << 16) &&
+      durationSecs >= 1 && durationSecs <= 86400, "EBML field bounds")
+    def uintBytes(v: Long): Array[Byte] = {
+      var n = 1; while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+      Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+    def el(idBytes: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127, "fixture elements are 1-byte-size only")
+      idBytes ++ Array((payload.length | 0x80).toByte) ++ payload
+    }
+    def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    val video = el(id(0xE0),
+      el(id(0xB0), uintBytes(width)) ++ el(id(0xBA), uintBytes(height)))
+    val trackEntry = el(id(0xAE), el(id(0x83), uintBytes(1)) ++ video)
+    val tracks = el(id(0x16, 0x54, 0xAE, 0x6B), trackEntry)
+    val durBits = java.lang.Double.doubleToLongBits(durationSecs * 1000.0)
+    val info = el(id(0x15, 0x49, 0xA9, 0x66),
+      el(id(0x2A, 0xD7, 0xB1), uintBytes(1000000L)) ++
+        el(id(0x44, 0x89), Array.tabulate(8)(i =>
+          ((durBits >>> (8 * (7 - i))) & 0xff).toByte)))
+    val segment = el(id(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+    val ebmlHeader = el(id(0x1A, 0x45, 0xDF, 0xA3), Array.emptyByteArray)
+    ebmlHeader ++ segment
+  }
+
   /** Deterministic AVI fixture ENCODER: RIFF "AVI " + LIST "hdrl" holding
     * one avih main header at 25 fps (40 000 µs/frame), 25·seconds total
     * frames — so the decoded duration equals `durationSecs` exactly and
@@ -615,7 +759,8 @@ object Multimodal {
     * remains stubbed is narrow and honest: PIXEL/SAMPLE decode for
     * WebP/FLAC/MP4 payloads (needs libwebp/libflac/ffmpeg-class codecs
     * this container lacks — the metadata contract doesn't ask for it) and
-    * genuinely exotic containers (MKV/EBML …). Stub metadata derives
+    * nothing else — MKV/EBML joined the real parsers in round 16,
+    * closing the container list. Stub metadata derives
     * deterministically from the payload so the pipeline shape (schema,
     * batching, downstream ops) stays fully testable.
     */
@@ -663,6 +808,7 @@ object Multimodal {
           else if (a.modality == "video")
             decodeMp4(a.content).map { case (vw, vh, secs) => (vw, vh, secs, 0) }
               .orElse(decodeAvi(a.content).map { case (vw, vh, secs) => (vw, vh, secs, 0) })
+              .orElse(decodeMkv(a.content).map { case (vw, vh, secs) => (vw, vh, secs, 0) })
           else None
         val (w, h, f, ch) = real.getOrElse {
           val (sw, sh, sf) = decodeStub(a.modality, a.content)

@@ -939,13 +939,16 @@ object PipelineQueries {
               if (id % 2 == 0) Multimodal.syntheticFlac(rate, ch, rate.toLong * secs)
               else Multimodal.syntheticOgg(opus = id % 4 == 1, rate, ch, secs))
           case _ =>
-            // MP4 and AVI alternate by parity under ONE oracle: both
-            // containers must decode to identical metadata or the hash breaks
+            // MP4, AVI and MKV (round 16) rotate under ONE oracle: all
+            // three containers must decode to identical metadata or the
+            // hash breaks
             val (vw, vh, secs) = ((16 * (id % 40 + 1)).toInt,
               (16 * (id % 22 + 1)).toInt, (id % 30 + 1).toInt)
-            Multimodal.Asset(id, "video",
-              if (id % 2 == 0) Multimodal.syntheticMp4(vw, vh, 1000L * secs)
-              else Multimodal.syntheticAvi(vw, vh, secs))
+            Multimodal.Asset(id, "video", ((id / 3) % 3).toInt match {
+              case 0 => Multimodal.syntheticMp4(vw, vh, 1000L * secs)
+              case 1 => Multimodal.syntheticAvi(vw, vh, secs)
+              case _ => Multimodal.syntheticMkv(vw, vh, secs)
+            })
         }
       }
       Multimodal.decode(assets).toDF()

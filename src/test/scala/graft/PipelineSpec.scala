@@ -713,6 +713,7 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.syntheticFlac(44100, 2, 44100L * 3),
       Multimodal.syntheticOgg(opus = true, 16000, 2, 5),
       Multimodal.syntheticOgg(opus = false, 44100, 1, 2),
+      Multimodal.syntheticMkv(1280, 720, 9),
       Multimodal.syntheticMp4(640, 360, 5000L),
       Multimodal.syntheticAvi(720, 480, 9),
       Multimodal.syntheticImage("png", 23, 11, gray = false),

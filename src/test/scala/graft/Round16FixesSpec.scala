@@ -205,6 +205,37 @@ class Round16FixesSpec extends AnyFunSuite {
     }
   }
 
+  test("MKV/EBML container metadata: varint walk, Info duration, Video dims") {
+    import spark.implicits._
+    val good = Multimodal.syntheticMkv(1280, 720, 42)
+    // an unknown-size Segment (all size bits set) must still walk: patch
+    // the fixture's 1-byte Segment size to 0xFF (unknown) — the element
+    // then extends to EOF, the EBML analogue of MP4 size==0
+    val unknownSeg = good.clone()
+    // layout: EBML header = 4(id)+1(size=0x80); Segment id 4 bytes; size at 9
+    assert((unknownSeg(9) & 0x80) != 0, "fixture Segment size must be 1-byte")
+    unknownSeg(9) = 0xFF.toByte
+    val in = Seq(
+      Multimodal.Asset(1L, "video", good),
+      Multimodal.Asset(2L, "video", unknownSeg),
+      // modality gate: MKV bytes declared audio must stub
+      Multimodal.Asset(3L, "audio", good),
+      // truncated inside Tracks → no dims → stub, never an error
+      Multimodal.Asset(4L, "video", good.take(good.length - 6))).toDS()
+    val out = Multimodal.decode(in).collect().map(d => d.doc_id -> d).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).width == 1280 && out(id).height == 720 &&
+        out(id).n_frames == 42 && out(id).channels == 0,
+        s"asset $id must parse the EBML metadata: ${out(id)}")
+    }
+    val stubOf = (n: Int) => (n % 640 + 1, (n * 7) % 480 + 1, n % 7 + 1)
+    Seq(3L, 4L).foreach { id =>
+      val (w, h, f) = stubOf(out(id).n_bytes)
+      assert(out(id).width == w && out(id).height == h && out(id).n_frames == f &&
+        out(id).channels == 0, s"asset $id must stub: ${out(id)}")
+    }
+  }
+
   test("WebP undersized chunk cannot steal the next chunk's bytes as dims") {
     import spark.implicits._
     def le32(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, (v >>> 8 & 0xff).toByte,
