@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * iteration, no driver involvement).
   *
   * Metadata decode is REAL for PNG/JPEG/GIF (`javax.imageio`) and for
-  * BMP/WAV/WebP/FLAC/MP4/AVI (pure-JVM header/container parsers); only
+  * BMP/WAV/WebP/FLAC/MP4/AVI/Ogg/MKV (pure-JVM header/container
+  * parsers); only
   * pixel/sample decode of formats whose codecs this container lacks
   * routes to the clearly marked STUB (`decodeStub`), which derives
   * deterministic fake metadata from the byte stream. The Spark-side
@@ -755,7 +756,8 @@ object Multimodal {
 
   /** STUB ??? — fallback for payloads no REAL parser above claims
     * (PNG/JPEG/GIF decode via `javax.imageio`; BMP/WAV/WebP/FLAC/MP4/AVI
-    * header+container metadata via the pure-JVM parsers, round 15). What
+    * — rounds 13-15 — plus Ogg Opus/Vorbis and MKV/EBML, round 16 —
+    * header+container metadata via the pure-JVM parsers). What
     * remains stubbed is narrow and honest: PIXEL/SAMPLE decode for
     * WebP/FLAC/MP4 payloads (needs libwebp/libflac/ffmpeg-class codecs
     * this container lacks — the metadata contract doesn't ask for it) and
