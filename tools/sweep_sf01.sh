@@ -22,7 +22,7 @@ trap 'rm -rf "$TMP"' EXIT
 # exact-arithmetic gate prefixes: counts, decimal sums, set ops, packing
 # arithmetic, model rollups — the surfaces where a type promotion or an
 # off-by-one at 10x volume changes the hash
-PREFIXES="q1_,q6_,rel_join,rel_semi_join,rel_anti_join,rel_distinct,rel_grouping_sets,rel_cube,rel_setops,rel_topk,rel_window,rel_pivot,rel_unpivot,rel_funnel,rel_retention,pipe_dedup_exact,pipe_dedup_fingerprint,pipe_sample,pipe_shard_assign,pipe_pack,pipe_split,pipe_corpus,olap_rollup,olap_multiparent,olap_area_records,olap_area_stats,olap_grid_dense,olap_import_named,olap_bucketed_read,olap_partitioned_read,olap_zordered,pipe_multimodal_probe,pipe_zorder_timetravel"
+PREFIXES="q1_,q6_,rel_join,rel_semi_join,rel_anti_join,rel_distinct,rel_grouping_sets,rel_cube,rel_setops,rel_topk,rel_window,rel_pivot,rel_unpivot,rel_funnel,rel_retention,pipe_dedup_exact,pipe_dedup_fingerprint,pipe_sample,pipe_shard_assign,pipe_pack,pipe_split,pipe_corpus,olap_rollup,olap_multiparent,olap_area_records,olap_area_stats,olap_grid_dense,olap_import_named,olap_bucketed_read,olap_partitioned_read,olap_zordered,olap_zstore_asof,pipe_multimodal_probe,pipe_zorder_timetravel"
 
 # gates whose ORACLE is super-linear at sf0.1 — EMPTY since round 15: the
 # clusters CTE's all-pairs reachability closure (the one excluded oracle,
