@@ -60,6 +60,26 @@ class MinHashSignatureParitySpec extends AnyFunSuite {
     assert(wide.keySet == Set(1L, 2L, 4L), s"null text must drop: ${wide.keySet}")
   }
 
+  test("projection signatures plan with zero exchanges and zero aggregates") {
+    // the reshape's whole point, pinned at the PLAN level so it cannot
+    // silently regress to a shuffling shape: signature computation is a
+    // scan → project pipeline, no Exchange, no Aggregate anywhere
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = TextDedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+      .queryExecution.executedPlan
+    val offending = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(offending.isEmpty,
+      s"signature plan must be exchange/aggregate-free:\n$plan")
+    // and the expression sits inside whole-stage codegen (not a fallback)
+    val wsc = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+    assert(wsc.nonEmpty, s"signatures must run inside WholeStageCodegen:\n$plan")
+  }
+
   test("the near-dup operator still equals exact Jaccard through the new shape") {
     // minhashLshPairs routes through the projection signatures now — its
     // end-to-end contract (verified pairs == exact-threshold pairs on the

@@ -49,6 +49,22 @@ class SimHashSignatureParitySpec extends AnyFunSuite {
     assert(wide.keySet == Set(1L, 2L, 3L), s"null text must drop: ${wide.keySet}")
   }
 
+  test("projection simhash plans with zero exchanges and zero aggregates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = TextDedup.simhash(docs, "doc_id", "text")
+      .queryExecution.executedPlan
+    val offending = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(offending.isEmpty,
+      s"simhash plan must be exchange/aggregate-free:\n$plan")
+    val wsc = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+    assert(wsc.nonEmpty, s"simhash must run inside WholeStageCodegen:\n$plan")
+  }
+
   test("simhashPairs through the new shape: pigeonhole completeness holds") {
     val s = spark
     import s.implicits._
