@@ -12,6 +12,68 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Hot-bucket exclusion accounting for the LSH candidate stages (one per
+    * operator run; `hotBuckets == 0` means the run was clean). `examples`
+    * carries up to 8 of the largest excluded (band, bucketHash, size)
+    * triples so a capped run names WHICH buckets were dropped, not just how
+    * many — the no-silent-caps rule.
+    */
+  final case class LshSkewReport(hotBuckets: Long, excludedRows: Long,
+      maxBucket: Int, examples: Seq[(Int, Long, Long)])
+
+  /** Last [[LshSkewReport]] of [[minhashLshPairs]] /[[simhashPairs]] in this
+    * JVM (diagnostic surface; the warning also lands on stderr).
+    */
+  @volatile var lastLshSkew: Option[LshSkewReport] = None
+
+  /** Bucket-size cap for LSH candidate generation: buckets with more than
+    * `maxBucket` members are EXCLUDED from the pair self-join, loudly. A
+    * bucket of m near-identical documents emits m² candidate rows — one
+    * 1e5-doc boilerplate/template bucket is 1e10 shuffle rows in one task
+    * neighborhood, the quadratic blowup banding exists to prevent. Buckets
+    * that hot mean exact or near-exact duplicates, which is
+    * [[exactDedup]]/[[wordSetFingerprint]] territory: the documented
+    * contract is exact-dedup FIRST, then LSH for the near-dup tail — the
+    * cap enforces the contract's cost bound instead of trusting it.
+    *
+    * Cost when clean: ONE map-side-combinable aggregation over the already
+    * persisted banded frame (bucket sizes), no change to the join. When hot
+    * buckets exist, they are anti-joined out via broadcast — the hot set is
+    * pigeonhole-bounded by bandedRows/maxBucket rows.
+    */
+  private def capHotBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int, opName: String): DataFrame = {
+    val hot = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__m")).filter(col("__m") > maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = hot.agg(count(lit(1)).as("nb"),
+        coalesce(sum(col("__m")), lit(0L)).as("nr")).collect()(0)
+      val (nHot, nRows) = (stats.getLong(0), stats.getLong(1))
+      if (nHot == 0) {
+        lastLshSkew = Some(LshSkewReport(0L, 0L, maxBucket, Nil))
+        banded
+      } else {
+        // explicit casts: the bucket key is Int for minhash (`hash`) but
+        // Long for simhash (16-bit chunk of a LongType signature)
+        val examples = hot.orderBy(desc("__m"))
+          .select(col(keys(0)).cast("int"), col(keys(1)).cast("long"), col("__m"))
+          .limit(8).collect().toSeq
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        lastLshSkew = Some(LshSkewReport(nHot, nRows, maxBucket, examples))
+        System.err.println(f"[graft.TextDedup] $opName: $nHot band-bucket(s) " +
+          f"exceed maxBucket=$maxBucket ($nRows banded rows) — EXCLUDED from " +
+          "candidate generation. Buckets this hot are exact/near-exact " +
+          "duplicates: run exactDedup/fingerprint dedup first, or lower the " +
+          "band width. Largest (band, bucketHash, size): " +
+          examples.map { case (b, h, m) => s"($b, $h, $m)" }.mkString(", "))
+        // the anti side is pigeonhole-small (≤ bandedRows/maxBucket rows) —
+        // broadcast keeps the exclusion off the shuffle
+        banded.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
+      }
+    } finally hot.unpersist(blocking = false)
+  }
+
   /** Distinct-word relation (id, w) — the inverted-index building block. */
   def wordRel(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("w")).distinct()
@@ -185,13 +247,19 @@ object TextDedup {
   /** MinHash-LSH near-dup pairs: band the k-wide signature into `bands`
     * groups of k/bands rows, hash each band, bucket-join candidates on
     * (band, bandHash), then EXACT-verify candidates with shingle-set
-    * Jaccard. Candidate generation cost is bucket-local — never all-pairs.
-    * `shingle > 1` switches from word-set to n-word-shingle similarity
-    * (order-sensitive: reordered documents stop colliding).
+    * Jaccard. Candidate generation cost is bucket-local — never all-pairs —
+    * AND bucket-size-bounded: buckets above `maxBucket` members are
+    * excluded with loud accounting ([[lastLshSkew]] + stderr), because a
+    * bucket of m near-identical docs emits m² candidate rows (a 1e5-doc
+    * template bucket would be 1e10 shuffle rows) and a bucket that hot is
+    * exact-dup territory — the contract is [[exactDedup]] first, LSH for
+    * the near-dup tail. `shingle > 1` switches from word-set to
+    * n-word-shingle similarity (order-sensitive: reordered documents stop
+    * colliding).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.9,
-      shingle: Int = 1): DataFrame = {
+      shingle: Int = 1, maxBucket: Int = 10000): DataFrame = {
     val rows = k / bands
     val sig = minhashSignatures(df, idCol, textCol, k, shingle)
     // persisted: consumed by BOTH sides of the bucket self-join — without
@@ -199,17 +267,32 @@ object TextDedup {
     val banded = sig.select(col(idCol), posexplode(array((0 until bands).map(bi =>
       hash(slice(col("sig"), bi * rows + 1, rows), lit(bi))): _*)).as(Seq("band", "bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot-bucket cap BEFORE the self-join (the O(m²) guard); the sizing agg
+    // reads the persisted banded frame once
+    val capped = capHotBuckets(banded, Seq("band", "bh"), maxBucket,
+      "minhashLshPairs")
     // bucket join emits a pair once per matching band; dedup via a lean
-    // groupBy on the bare (i, j) ids — 12-byte shuffle rows, map-side combine
-    val cand = banded.select(col(idCol).as("i"), col("band"), col("bh"))
-      .join(banded.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
+    // groupBy on the bare (i, j) ids — 12-byte shuffle rows, map-side
+    // combine. Persisted: read by the verify joins AND the candidate-id
+    // semi-join below — without this the whole bucket self-join runs twice.
+    val cand = capped.select(col(idCol).as("i"), col("band"), col("bh"))
+      .join(capped.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("__nb")).drop("__nb")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact verification via word-hash arrays (long compares, not string
-    // compares); joined on the candidate ids twice — persisted (AQE
-    // broadcasts when small; corpus-wide broadcast would not survive a real
-    // corpus, so no hint here)
-    val words = df.select(col(idCol), shingleHashArr(col(textCol), shingle).as("ws"))
+    // compares) — built for CANDIDATE ids only (round 17): the verify side
+    // must be candidate-proportional, not corpus-proportional. The former
+    // corpus-wide `words` frame shuffled every document's shingle array
+    // into BOTH verify joins (~10 GB twice at 1e8 docs) to verify a pair
+    // set that is orders smaller; the semi-join reduces that to one pass
+    // over the corpus projection plus two candidate-sized joins (AQE
+    // broadcasts them when small; corpus-wide broadcast would not survive
+    // a real corpus, so no hint here).
+    val candIds = cand.select(col("i").as(idCol))
+      .union(cand.select(col("j").as(idCol))).distinct()
+    val words = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingleHashArr(col(textCol), shingle).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val result = cand
       .join(words.select(col(idCol).as("i"), col("ws").as("wi")), Seq("i"))
@@ -221,7 +304,7 @@ object TextDedup {
         (size(col("wi")) + size(col("wj")) - col("__inter")).cast("double"))
       .filter(col("sim") >= threshold)
       .select(col("i"), col("j"), col("sim"))
-    Lifecycle.materializeAndRelease(result, banded, words)
+    Lifecycle.materializeAndRelease(result, banded, words, cand)
   }
 
   /** 64-bit SimHash over DISTINCT word hashes (vote sums are multiset-
@@ -247,9 +330,15 @@ object TextDedup {
     * the 64-bit hash into 4×16-bit chunks; by pigeonhole any pair within
     * distance 3 shares ≥1 exact chunk — candidate generation is COMPLETE,
     * not probabilistic, and bucket-local. Final bit_count filter is exact.
+    *
+    * Same hot-bucket cap as [[minhashLshPairs]]: a chunk bucket above
+    * `maxBucket` members (identical/near-identical docs share ALL chunks)
+    * is excluded with loud accounting — completeness then holds for every
+    * pair outside the reported buckets, and the buckets themselves are
+    * exact-dup territory ([[exactDedup]] first).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantees completeness only up to 3")
     val sh = simhash(df, idCol, textCol)
     // persisted: BOTH sides of the bucket self-join read it — without this
@@ -258,9 +347,11 @@ object TextDedup {
       (0 until 4).map(b => shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
       .as(Seq("band", "chunk")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val result = banded
+    val capped = capHotBuckets(banded, Seq("band", "chunk"), maxBucket,
+      "simhashPairs")
+    val result = capped
       .select(col(idCol).as("i"), col("simhash").as("hi"), col("band"), col("chunk"))
-      .join(banded.select(col(idCol).as("j"), col("simhash").as("hj"), col("band"), col("chunk")),
+      .join(capped.select(col(idCol).as("j"), col("simhash").as("hj"), col("band"), col("chunk")),
         Seq("band", "chunk"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"), bit_count(col("hi").bitwiseXOR(col("hj"))).as("hamming"))
