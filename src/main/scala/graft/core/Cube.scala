@@ -763,12 +763,30 @@ final class Cube(
     * yesterday's load" is `snapshotAtGeneration(g).gridAggregate(...)`.
     * The snapshot starts with an EMPTY overlay by construction (store
     * generations carry bulk-landed facts only; see the axis note above).
-    * Writing to a snapshot is possible but affects only the snapshot —
-    * the store and the live cube never see it.
+    * Snapshots are READ-ONLY (round 17): a write would land in a
+    * throwaway overlay the store and the live cube never see — a user
+    * "correcting history" must be told, not silently ignored, so
+    * `set`/`delete`/`setPayload`/rule mutation reject with a pointed
+    * message (the reference's history time travel is read-only in effect
+    * too, `history.py:298-417`).
     */
-  def snapshotAtGeneration(generation: Long): Cube =
-    new Cube(s"$name@g$generation", dimensions, spark,
+  def snapshotAtGeneration(generation: Long): Cube = {
+    val snap = new Cube(s"$name@g$generation", dimensions, spark,
       Some(readZStoreAsOf(generation)))
+    snap._readOnlySnapshot = true
+    snap
+  }
+
+  private var _readOnlySnapshot: Boolean = false
+
+  /** True for cubes returned by [[snapshotAtGeneration]]. */
+  def isReadOnlySnapshot: Boolean = _readOnlySnapshot
+
+  private def rejectSnapshotWrite(op: String): Unit =
+    if (_readOnlySnapshot) throw new UnsupportedOperationException(
+      s"cube '$name' is a read-only as-of snapshot: $op rejected — a " +
+        "snapshot write would land in a throwaway overlay the store and " +
+        "the live cube never see; correct history on the LIVE cube")
 
   /** Batched base-cell point reads: resolve every address row `(d0…dN-1)`
     * in ONE job, returning the matching fact rows (≙ the reference's
@@ -788,6 +806,7 @@ final class Cube(
   // ---- point read / write (≙ `facttable.py:146-170`, `cube.py:499-537`) ---
 
   def set(address: Seq[String], value: Double): Unit = {
+    rejectSnapshotWrite("set")
     val b = bolt(address)
     require(b.superLevel == 0,
       s"writeback to aggregated cell ${address.mkString("[", ",", "]")} not allowed")
@@ -804,6 +823,7 @@ final class Cube(
   }
 
   def delete(address: Seq[String]): Unit = {
+    rejectSnapshotWrite("delete")
     val b = bolt(address)
     require(b.superLevel == 0, "can only delete base cells")
     stateLock.synchronized {
@@ -822,6 +842,7 @@ final class Cube(
     * (≙ the float-only skip checks `cube.py:468,493`).
     */
   def setPayload(address: Seq[String], payload: String): Unit = {
+    rejectSnapshotWrite("setPayload")
     val b = bolt(address)
     require(b.superLevel == 0,
       s"writeback to aggregated cell ${address.mkString("[", ",", "]")} not allowed")
@@ -1117,6 +1138,7 @@ final class Cube(
 
   /** Register a rule after smoke validation (≙ `cube.py:750-847` + R8). */
   def registerRule(rule: graft.olap.RuleDef): Unit = {
+    rejectSnapshotWrite("registerRule")
     graft.olap.Rules.validate(this, rule)
     stateLock.synchronized {
       rulesVec = rulesVec :+ rule; recomputeRefTargets()
@@ -1126,11 +1148,14 @@ final class Cube(
 
   /** Remove a registered rule by name (≙ `cube.remove_rule`); no-op when
     * absent. Invalidates the result cache like any rule change. */
-  def removeRule(ruleName: String): Unit = stateLock.synchronized {
-    val next = rulesVec.filterNot(_.name == ruleName)
-    if (next.size != rulesVec.size) {
-      rulesVec = next; recomputeRefTargets()
-      stateVersion += 1; logBulk(); cache.clear()
+  def removeRule(ruleName: String): Unit = {
+    rejectSnapshotWrite("removeRule")
+    stateLock.synchronized {
+      val next = rulesVec.filterNot(_.name == ruleName)
+      if (next.size != rulesVec.size) {
+        rulesVec = next; recomputeRefTargets()
+        stateVersion += 1; logBulk(); cache.clear()
+      }
     }
   }
 

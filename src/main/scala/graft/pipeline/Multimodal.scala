@@ -325,6 +325,11 @@ object Multimodal {
     var rate = -1; var ch = -1; var preSkip = 0L
     var divisor = -1L // granule units per second
     var lastGranule = -1L
+    // duration evidence must come from a NON-BOS page: the BOS/ID page
+    // carries granule 0 by spec, which would otherwise satisfy
+    // `lastGranule >= 0` and decode a truncated header-only stream as a
+    // 1-second asset instead of routing to the stub (r16 advice)
+    var sawDataGranule = false
     var serial = 0
     var first = true
     var off = 0L
@@ -361,15 +366,17 @@ object Multimodal {
                 divisor = rate.toLong
               }
             }
-            if (pageSerial == serial && granule >= 0 && granule != -1L)
+            if (pageSerial == serial && granule >= 0 && granule != -1L) {
+              if ((b(o + 5) & 0x02) == 0) sawDataGranule = true
               lastGranule = math.max(lastGranule, granule)
+            }
             off += 27L + nseg + payLen // header is fixed-size; strictly advances
           }
         }
       }
     }
     if (rate > 0 && rate <= 1000000 && ch >= 1 && ch <= 16 &&
-        divisor > 0 && lastGranule >= 0) {
+        divisor > 0 && lastGranule >= 0 && sawDataGranule) {
       val samples = math.max(0L, lastGranule - preSkip)
       val secs = math.max(1L, (samples + divisor - 1) / divisor)
       if (secs <= 86400L) Some((rate, ch, secs.toInt)) else None
@@ -645,8 +652,13 @@ object Multimodal {
                 case 0x18538067L => walk(p, p + sz, depth + 1, videoTrack) // Segment
                 case 0x1549A966L => walk(p, p + sz, depth + 1, videoTrack) // Info
                 case 0x1654AE6BL => walk(p, p + sz, depth + 1, videoTrack) // Tracks
-                case 0xAEL => // TrackEntry: video unless TrackType says otherwise
-                  var isVideo = true
+                case 0xAEL =>
+                  // TrackEntry: video ONLY on an explicit TrackType == 1.
+                  // TrackType is mandatory per Matroska — a malformed
+                  // TrackEntry that omits it must not get to supply
+                  // PixelWidth/PixelHeight (r16 advice: default
+                  // conservative on untrusted input)
+                  var isVideo = false
                   var io = p
                   var scanning = true
                   while (scanning && io + 2 <= p + sz) {

@@ -118,8 +118,12 @@ class Round16FixesSpec extends AnyFunSuite {
     // the live cube reads the post-append state
     assert(cube.get(Seq("All years", "Year", "Total", "Total", "Sales"))
       .contains(100.0 + 60.0 + 7.0))
-    // writing to the snapshot affects ONLY the snapshot
-    snap.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 1.0)
+    // snapshots are READ-ONLY (round 17): a write would land in a
+    // throwaway overlay — reject loudly instead, live cube untouched
+    assert(snap.isReadOnlySnapshot)
+    intercept[UnsupportedOperationException] {
+      snap.set(Seq("2021", "Jan", "North", "motorcycles", "Sales"), 1.0)
+    }
     assert(cube.get(Seq("2021", "Jan", "North", "motorcycles", "Sales"))
       .contains(100.0))
     // a generation older than every retained manifest fails at selection
