@@ -20,13 +20,17 @@ import org.apache.spark.sql.types._
   * is ONE Catalyst job (closure joins + hash aggregation); only non-empty
   * cells are returned.
   */
-final class OlapQuery(db: Database, sql: String) {
+final class OlapQuery(db: Database, sql: String,
+    resolveCube: Option[String => Cube] = None) {
 
   private val Pat = """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\S+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
 
   val (cube: Cube, fields: Seq[String], selections: Vector[Seq[Int]]) = sql match {
     case Pat(fieldsStr, cubeName, whereStr) =>
-      val c = db.cube(cubeName)
+      // `resolveCube` override (round 17): the REST layer routes
+      // `?asOfGeneration=` dialect queries through a z-store snapshot cube
+      // without the parser knowing about generations
+      val c = resolveCube.map(_(cubeName)).getOrElse(db.cube(cubeName))
       val sels = resolveWhere(c, Option(whereStr))
       val fs = fieldsStr.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       (c, fs, sels)
@@ -166,6 +170,11 @@ final class OlapQuery(db: Database, sql: String) {
 
 object OlapQuery {
   def apply(db: Database, sql: String): DataFrame = new OlapQuery(db, sql).execute()
+
+  /** As [[apply]] with a cube-resolution override — the REST `/query`
+    * route's `?asOfGeneration=` snapshot plumbing (round 17). */
+  def apply(db: Database, sql: String, resolveCube: String => Cube): DataFrame =
+    new OlapQuery(db, sql, Some(resolveCube)).execute()
 
   /** Dialect query ROUTED through an aggregate navigator: parsed and
     * member-resolved against the navigator's BASE cube, then the one-job

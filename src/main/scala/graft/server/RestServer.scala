@@ -37,6 +37,9 @@ import org.json4s.jackson.JsonMethods
   *    [[OlapQuery]], rows as JSON records, capped at
   *    [[RestServer.QueryRowCap]] rows per response with
   *    `truncated`/`next_offset` paging markers
+  *  - `?asOfGeneration=g` on the cell (r16), view and dialect-query
+  *    routes (r17): the read serves from the z-store snapshot at commit
+  *    generation g ([[graft.core.Cube.snapshotAtGeneration]], read-only)
   *
   * Concurrency mirrors the reference's per-database read/write lock
   * (`dependencies.py` `gen_rlock`/`gen_wlock`): reads share, writes are
@@ -61,6 +64,26 @@ final class RestServer(databases: Seq[Database], port: Int = 0) {
     dbMap.getOrElse(name.toLowerCase, throw NotFound(s"database '$name' not found"))
   private def cubeOf(d: Database, name: String): Cube =
     if (d.cubeExists(name)) d.cube(name) else throw NotFound(s"cube '$name' not found")
+
+  /** Resolve `?asOfGeneration=g` into a read-only z-store snapshot cube —
+    * ONE plumbing shared by the cell, view and dialect-query routes
+    * (round 17; the cell route introduced it in round 16). Absent param →
+    * the live cube. Snapshot cubes register weakly with their dimensions,
+    * so request-scoped snapshots stay collectible.
+    */
+  private def asOfCube(c: Cube, qp: Map[String, String]): Cube =
+    qp.get("asOfGeneration") match {
+      case Some(g) =>
+        val gen = try g.toLong catch { case _: NumberFormatException =>
+          throw BadRequest("asOfGeneration must be an integer") }
+        try c.snapshotAtGeneration(gen) catch {
+          case e: IllegalStateException => throw BadRequest(
+            Option(e.getMessage).getOrElse("no z-store backing"))
+          case e: NoSuchElementException => throw NotFound(
+            Option(e.getMessage).getOrElse(s"generation $gen"))
+        }
+      case None => c
+    }
 
   private case class NotFound(msg: String) extends RuntimeException(msg)
   private case class BadRequest(msg: String) extends RuntimeException(msg)
@@ -252,24 +275,8 @@ final class RestServer(databases: Seq[Database], port: Int = 0) {
               val addr = qp.getOrElse("address",
                 throw BadRequest("missing ?address=m1,m2,…")).split(",").toSeq
               // ?asOfGeneration=g serves the read from the z-store snapshot
-              // at generation g (Cube.snapshotAtGeneration, round 16) — a
-              // per-request snapshot cube; dimension registration is weak,
-              // so request-scoped snapshots stay collectible
-              val v = withRead(d) {
-                qp.get("asOfGeneration") match {
-                  case Some(g) =>
-                    val gen = try g.toLong catch { case _: NumberFormatException =>
-                      throw BadRequest("asOfGeneration must be an integer") }
-                    val snap = try c.snapshotAtGeneration(gen) catch {
-                      case e: IllegalStateException => throw BadRequest(
-                        Option(e.getMessage).getOrElse("no z-store backing"))
-                      case e: NoSuchElementException => throw NotFound(
-                        Option(e.getMessage).getOrElse(s"generation $gen"))
-                    }
-                    snap.get(addr)
-                  case None => c.get(addr)
-                }
-              }
+              // at generation g (asOfCube — shared with views and /query)
+              val v = withRead(d) { asOfCube(c, qp).get(addr) }
               json(ex, 200, cellJson(d.name, c.name, addr, v))
             case "PUT" | "POST" =>
               implicit val fmts: Formats = DefaultFormats
@@ -291,14 +298,22 @@ final class RestServer(databases: Seq[Database], port: Int = 0) {
           val d = db(dbName)
           val c = cubeOf(d, cubeName)
           val dfn = ViewDef.fromJson(bodyOf(ex))
-          withRead(d) { renderView(ex, new View(c, dfn), query(ex)) }
+          val qp = query(ex)
+          // ?asOfGeneration=g renders the view over the store snapshot
+          // (round 17): same ViewDef, snapshot cube — every view face
+          // (grid, zero-suppression, renders) serves historically unchanged
+          withRead(d) { renderView(ex, new View(asOfCube(c, qp), dfn), qp) }
         // named view from the cube's registry
         case Seq("views", dbName, cubeName, viewName) =>
           val d = db(dbName)
           val c = cubeOf(d, cubeName)
           if (!c.views.contains(viewName))
             throw NotFound(s"view '$viewName' not found on cube '$cubeName'")
-          withRead(d) { renderView(ex, c.views(viewName), query(ex)) }
+          val qp = query(ex)
+          withRead(d) {
+            renderView(ex,
+              new View(asOfCube(c, qp), c.views.definition(viewName)), qp)
+          }
         case other => throw NotFound(other.mkString("/"))
       }
     })
@@ -329,7 +344,9 @@ final class RestServer(databases: Seq[Database], port: Int = 0) {
             throw BadRequest(s"limit must be 1..${RestServer.QueryRowCap}")
           if (offset < 0) throw BadRequest("offset must be >= 0")
           val (rows, truncated) = withRead(d) {
-            val df = OlapQuery(d, sql)
+            // ?asOfGeneration=g resolves the dialect's FROM cube through
+            // the snapshot plumbing (round 17); absent → the live cube
+            val df = OlapQuery(d, sql, name => asOfCube(cubeOf(d, name), qp))
             val cols = df.columns.toSeq
             val paging = qp.contains("limit") || qp.contains("offset")
             val paged =

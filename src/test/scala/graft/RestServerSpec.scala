@@ -242,6 +242,36 @@ class RestServerSpec extends AnyFunSuite {
       // a generation below every retained manifest → 404; junk → 400
       assert(get2(s"/cells/tiny/sales?$addr&asOfGeneration=0").statusCode() == 404)
       assert(get2(s"/cells/tiny/sales?$addr&asOfGeneration=x").statusCode() == 400)
+      // ---- r17: the SAME snapshot plumbing serves the view routes…
+      def post2(p: String, body: String) = req(java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(b2 + p))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)))
+      val dfn = graft.olap.ViewDef(
+        filters = Seq("measures" -> "Sales", "years" -> "2021"),
+        rows = AxisDef(Seq("regions" -> Seq("North"))),
+        cols = AxisDef(Seq("months" -> Seq("Jan"))))
+      val vbody = graft.olap.ViewDef.toJson(dfn)
+      val vLive = post2("/views/tiny/sales", vbody)
+      assert(vLive.statusCode() == 200 && vLive.body().contains("250"),
+        s"live view must show the appended value: ${vLive.body()}")
+      val vAsof = post2("/views/tiny/sales?asOfGeneration=1", vbody)
+      assert(vAsof.statusCode() == 200 && vAsof.body().contains("100") &&
+        !vAsof.body().contains("250"),
+        s"as-of view must render the generation-1 grid: ${vAsof.body()}")
+      c.views.define("jan", dfn)
+      val nAsof = get2("/views/tiny/sales/jan?asOfGeneration=1")
+      assert(nAsof.statusCode() == 200 && nAsof.body().contains("100"),
+        s"named as-of view: ${nAsof.body()}")
+      assert(post2("/views/tiny/sales?asOfGeneration=x", vbody).statusCode() == 400)
+      // ---- …and the dialect-query route
+      val sql = "SELECT * FROM sales WHERE '2021', 'Jan', North, 'motorcycles', 'Sales'"
+      val qLive = post2("/query/tiny", sql)
+      assert(qLive.statusCode() == 200 && qLive.body().contains("250"),
+        s"live query: ${qLive.body()}")
+      val qAsof = post2("/query/tiny?asOfGeneration=1", sql)
+      assert(qAsof.statusCode() == 200 && qAsof.body().contains("100") &&
+        !qAsof.body().contains("250"), s"as-of query: ${qAsof.body()}")
+      assert(post2("/query/tiny?asOfGeneration=0", sql).statusCode() == 404)
     } finally srv.stop()
     // the shared fixture's cube carries no z-store: as-of must 400, loudly
     val no = get("/cells/tiny/sales?address=2021,Jan,North,motorcycles,Sales&asOfGeneration=1")
