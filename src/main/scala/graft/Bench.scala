@@ -26,6 +26,13 @@ object Bench {
     @volatile private var current: String = null
     val rows = scala.collection.concurrent.TrieMap[String, M]()
     def begin(name: String): Unit = { rows.remove(name); current = name }
+    // clear attribution when the timed body returns (r16 advice): without
+    // this, every stage of the UNTIMED inter-row work (cache fills, point-
+    // read fixtures, zorder setup) lands on the previously timed row — a
+    // whole extra query's shuffle, not the ms-scale listener tail lag. The
+    // trade is the right one: a stage completing after end() is dropped
+    // (unattributed) instead of mis-attributed.
+    def end(): Unit = current = null
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val name = current
@@ -213,9 +220,14 @@ object Bench {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graftbenchwh").toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    spark
+    // SPARK_GRAFT_OFFHEAP=8g enables Tungsten off-heap memory — the 1e8 GC
+    // experiment lever (r16 verdict #5); unset = default on-heap
+    val withOffHeap = sys.env.get("SPARK_GRAFT_OFFHEAP").fold(spark)(sz =>
+      spark.config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", sz))
+    val built = withOffHeap.getOrCreate()
+    built.sparkContext.setLogLevel("ERROR")
+    built
   }
 
   def main(args: Array[String]): Unit = {
@@ -226,21 +238,41 @@ object Bench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
+    // /proc/stat reader, used by the steal brackets AND the per-row steal
+    // attribution in mtime below — the hypervisor's own ground truth for
+    // cpu time stolen from this guest (0.0 where not exposed)
+    def cpuStat(): (Long, Long) = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val l = src.getLines().find(_.startsWith("cpu ")).get
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        (l.sum, if (l.length > 7) l(7) else 0L)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 0L) }
+
     // Per-row EXECUTOR metrics (r15 verdict #1): a SparkListener sums
     // stage task-metric totals — spill, shuffle bytes, peak execution
     // memory, GC — attributed to the row being timed, so a diverging row
     // carries its memory-pressure evidence IN the artifact (row_metrics)
     // instead of leaving the cause to inference. begin(name) resets the
-    // row's accumulator: what ships is the LAST timed measurement of each
-    // row (for a tripwire-retried row, the retry — exactly the
-    // measurement whose divergence needs explaining). Listener delivery
-    // is async; ms-scale tail lag can bleed a stage into the next row,
-    // which is noise against the multi-GB signals this exists for.
+    // row's accumulator and end() clears it when the timed body returns
+    // (r16 advice — untimed inter-row work is no longer mis-attributed):
+    // what ships is the LAST timed measurement of each row (for a
+    // tripwire-retried row, the retry — exactly the measurement whose
+    // divergence needs explaining). Per-row STEAL rides along (r16 verdict
+    // #3): two cpuStat() reads around each timed body, so a flagged row
+    // carries its own steal evidence instead of inheriting the pass's.
     val rowMetrics = new RowMetricsListener
     spark.sparkContext.addSparkListener(rowMetrics)
+    val rowSteal = scala.collection.concurrent.TrieMap[String, Double]()
     def mtime(name: String)(body: => Unit): Double = {
       rowMetrics.begin(name)
-      time(body)
+      val (c0, s0) = cpuStat()
+      try time(body) finally {
+        rowMetrics.end()
+        val (c1, s1) = cpuStat()
+        if (c1 > c0) rowSteal(name) = 100.0 * (s1 - s0) / (c1 - c0)
+      }
     }
 
     // Load canary: `nSpin` CONCURRENT CPU spins (2^26 xorshift steps each,
@@ -404,6 +436,43 @@ object Bench {
       return
     }
 
+    // PRE-FLIGHT steal gate (r16 verdict #3): three rounds of DRIVER runs
+    // landed in hypervisor-steal windows (r16: pass steal up to 6.78%)
+    // that no in-guest canary can see — /proc/stat can. Steal only accrues
+    // while the guest DEMANDS cpu, so the probe spins every core (the spin
+    // canary in a loop) for the probe window and reads the steal delta
+    // around it; while the share exceeds the dirty threshold, DELAY
+    // (bounded) and re-probe. If the window never opens, proceed anyway —
+    // the per-pass brackets and per-row steal attribution carry the
+    // evidence — but the artifact records the gate's verdict.
+    val stealDirtyPct = sys.env.getOrElse("SPARK_GRAFT_STEAL_DIRTY_PCT", "2.0").toDouble
+    val stealProbeSec = sys.env.getOrElse("SPARK_GRAFT_STEAL_PROBE_SEC", "15").toDouble
+    val stealGateMaxSec = sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE_MAX_SEC", "600").toLong
+    def probeSteal(sec: Double): Double = {
+      val (c0, s0) = cpuStat()
+      val end = System.nanoTime() + (sec * 1e9).toLong
+      while (System.nanoTime() < end) {
+        val (med, _) = spinCanary()
+        obsMin = math.min(obsMin, med) // free extra floor observations
+      }
+      val (c1, s1) = cpuStat()
+      if (c1 > c0) 100.0 * (s1 - s0) / (c1 - c0) else 0.0
+    }
+    var preflightSteal = probeSteal(stealProbeSec)
+    var stealGateWaited = 0L
+    while (preflightSteal > stealDirtyPct && stealGateWaited < stealGateMaxSec) {
+      System.err.println(f"[graft.Bench] preflight: hypervisor steal " +
+        f"$preflightSteal%.2f%% > $stealDirtyPct%.2f%% under full-core load — " +
+        f"delaying (waited ${stealGateWaited}s/${stealGateMaxSec}s)")
+      Thread.sleep(30000)
+      stealGateWaited += 30 + stealProbeSec.toLong
+      preflightSteal = probeSteal(stealProbeSec)
+    }
+    if (preflightSteal > stealDirtyPct) System.err.println(
+      f"[graft.Bench] WARNING: steal window never closed " +
+      f"($preflightSteal%.2f%% after ${stealGateWaited}s) — proceeding; " +
+      "per-row steal attribution carries the evidence")
+
     // model_build is timed INSIDE the idle gate (r7: it was the first timed
     // entry, BEFORE the preflight — the one slot where post-verify residual
     // load could hit a timed number unchallenged, and the official artifact
@@ -422,15 +491,8 @@ object Bench {
     // cumulative steal jiffies are the ground truth the hypervisor itself
     // reports; the delta across the run, as a share of total cpu time,
     // goes into the artifact so a reader can discount weather without
-    // guest-side forensics. (0.0 on hosts that don't expose steal.)
-    def cpuStat(): (Long, Long) = try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val l = src.getLines().find(_.startsWith("cpu ")).get
-          .trim.split("\\s+").drop(1).map(_.toLong)
-        (l.sum, if (l.length > 7) l(7) else 0L)
-      } finally src.close()
-    } catch { case _: Throwable => (0L, 0L) }
+    // guest-side forensics. (0.0 on hosts that don't expose steal.
+    // cpuStat itself is defined above mtime, which shares it.)
     val (cpuTotal0, steal0) = cpuStat()
     // the bucketed-backed scratch cube: built once on pass 1, read per pass
     var bucketedCube: graft.core.Cube = null
@@ -720,7 +782,7 @@ object Bench {
     // each pass is bracketed and a pass whose steal share exceeds the
     // threshold is DIRTY like a hot canary: re-run, min-merge, and rows
     // without a steal-quiet sample self-report in dirty_rows.
-    val stealDirtyPct = sys.env.getOrElse("SPARK_GRAFT_STEAL_DIRTY_PCT", "2.0").toDouble
+    // (stealDirtyPct is hoisted above — the preflight steal gate shares it.)
     val passSteal = scala.collection.mutable.ArrayBuffer[Double]()
     def stealBracket[A](body: => A): (A, Double) = {
       val (c0, s0) = cpuStat()
@@ -1031,7 +1093,8 @@ object Bench {
       // is linear.
       try {
         import org.apache.spark.sql.functions.{approx_count_distinct, array,
-          col, concat, concat_ws, hash, lit, pmod, posexplode, slice, xxhash64}
+          col, concat, concat_ws, hash, lit, pmod, posexplode, slice, when,
+          xxhash64}
         val docs8 = sys.env.getOrElse("SPARK_GRAFT_HUGE8_MINHASH_DOCS",
           rows8.toString).toLong
         // 256 range slices bound per-task work (~400k docs each) — the
@@ -1066,6 +1129,42 @@ object Bench {
           case "huge8_pipe_minhash" => Some(() => minhashBody())
           case _ => None
         })
+        // ---- pipeline-side 1e8 row #3 (r16 verdict #4): the LSH candidate
+        // JOIN + exact verify, end-to-end, with a CONTROLLED 1% duplicate
+        // fraction — every doc whose id ends in 99 carries the text of
+        // id-1, so the operator must return EXACTLY docs8/100 verified
+        // pairs (sim = 1.0) and the row self-verifies. This prices the
+        // data-dependent stage huge8_pipe_minhash deliberately excludes:
+        // the banded bucket self-join (now hot-bucket-capped), the
+        // pair groupBy, and the candidate-proportional verify joins.
+        val pairDocs8 = sys.env.getOrElse("SPARK_GRAFT_HUGE8_MINHASH_PAIR_DOCS",
+          docs8.toString).toLong
+        def minhashPairsBody(): Unit = {
+          val base = when(pmod(col("id"), lit(100)) === 99, col("id") - 1)
+            .otherwise(col("id"))
+          val docs = spark.range(0, pairDocs8, 1, minhashParts)
+            .select(col("id").as("doc"),
+              concat_ws(" ", (0 until 8).map(j =>
+                concat(lit("w"), pmod(xxhash64(base, lit(j)), lit(50000)))): _*)
+                .as("text"))
+          val pairs = graft.pipeline.TextDedup.minhashLshPairs(
+            docs, "doc", "text", k = 16, bands = 4, threshold = 0.9)
+          val n = pairs.count()
+          pairs.unpersist(blocking = false)
+          // 8-word sets only reach Jaccard ≥ 0.9 when identical, so the
+          // planted pairs are the whole answer — any other count means the
+          // candidate or verify stage broke
+          require(n == pairDocs8 / 100,
+            s"expected ${pairDocs8 / 100} planted duplicate pairs, got $n")
+        }
+        record("huge8_pipe_minhash_pairs",
+          try mtime("huge8_pipe_minhash_pairs") { minhashPairsBody() }
+          catch { case t: Throwable =>
+            System.err.println(s"[graft.Bench] huge8_pipe_minhash_pairs failed: $t"); -1.0 })
+        retryTripped(Seq("huge8_pipe_minhash_pairs"), {
+          case "huge8_pipe_minhash_pairs" => Some(() => minhashPairsBody())
+          case _ => None
+        })
       } catch { case t: Throwable =>
         System.err.println(s"[graft.Bench] huge8 minhash block failed: $t") }
       val post8 = spinCanary(); canaries += post8
@@ -1076,7 +1175,8 @@ object Bench {
         if (cpu81 > cpu80) 100.0 * (steal81 - steal80) / (cpu81 - cpu80) else 0.0
       passSteal += steal8
       val names8 = Seq("huge8_build", "huge8_top", "huge8_point_index_refusal",
-        "huge8_pipe_zstore_build", "huge8_pipe_zappend", "huge8_pipe_minhash")
+        "huge8_pipe_zstore_build", "huge8_pipe_zappend", "huge8_pipe_minhash",
+        "huge8_pipe_minhash_pairs")
         .filter(results.contains)
       allNames ++= names8
       if (pre8._1 <= dirtyK * floor && post8._1 <= dirtyK * floor &&
@@ -1152,18 +1252,27 @@ object Bench {
     val memJson = memSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val ioJson = ioSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     // per-row executor totals (LAST timed measurement of each row): only
-    // rows with something to say — any spill, heavy GC, or the guarded 1e8
-    // block, whose divergences this evidence exists to explain in-data
+    // rows with something to say — any spill, heavy GC, notable steal, or
+    // the guarded 1e8 block, whose divergences this evidence exists to
+    // explain in-data. steal_pct (r16 verdict #3) is the row's OWN
+    // /proc/stat delta, so a flagged row no longer inherits the pass's.
     val rowMetricsJson = rowMetrics.rows.toSeq
       .filter { case (k, m) =>
-        m.spillMem + m.spillDisk > 0 || m.gcMs > 2000 || k.startsWith("huge8") }
+        m.spillMem + m.spillDisk > 0 || m.gcMs > 2000 || k.startsWith("huge8") ||
+          rowSteal.getOrElse(k, 0.0) > 1.0 }
       .sortBy(_._1)
       .map { case (k, m) =>
         val mb = (v: Long) => v / 1048576
         "\"" + k + "\":{" +
           s""""spill_mem_mb":${mb(m.spillMem)},"spill_disk_mb":${mb(m.spillDisk)},""" +
           s""""shuf_write_mb":${mb(m.shufWrite)},"shuf_read_mb":${mb(m.shufRead)},""" +
-          s""""peak_exec_mb":${mb(m.peakExec)},"gc_ms":${m.gcMs}}""" }
+          s""""peak_exec_mb":${mb(m.peakExec)},"gc_ms":${m.gcMs},""" +
+          f""""steal_pct":${rowSteal.getOrElse(k, 0.0)}%.2f}""" }
+      .mkString("{", ",", "}")
+    // every row's own steal share — the complete per-row evidence channel
+    // (rows the listener never saw, e.g. pure driver loops, appear here)
+    val rowStealJson = rowSteal.toSeq.filter(_._2 > 0.5).sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     // the phase factors the tripwire normalized by (run floor / minima
     // floor per canary channel) — 1.0 = same phase as the minima; absent
@@ -1172,7 +1281,13 @@ object Bench {
       minima.defaultFloors.mem.map(f => f""""mem":${memFloor / f}%.2f"""))
       .mkString("{", ",", "}")
     val passStealJson = passSteal.map(v => f"$v%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f,"tripwire":$tripJson,"tripwire_retried":$tripRetriedJson,"tripwire_threshold":$tripK%.2f,"tripwire_slack_sec":$tripSlack%.2f,"tripwire_rows_known":${minima.size},"tripwire_phase":$phaseJson,"pass_steal_pct":$passStealJson,"row_metrics":$rowMetricsJson}""")
+    // `queries` serializes LAST (r16 verdict #2): the driver's tail capture
+    // keeps the END of the line, and two rounds of artifacts shipped with
+    // the per-row results dict truncated out of the front
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f,"preflight_steal_pct":$preflightSteal%.2f,"steal_gate_wait_sec":$stealGateWaited,"tripwire":$tripJson,"tripwire_retried":$tripRetriedJson,"tripwire_threshold":$tripK%.2f,"tripwire_slack_sec":$tripSlack%.2f,"tripwire_rows_known":${minima.size},"tripwire_phase":$phaseJson,"pass_steal_pct":$passStealJson,"row_steal":$rowStealJson,"row_metrics":$rowMetricsJson,"queries":$qs}""")
+    // the rows AGAIN as the final compact stdout line — a tail capture that
+    // cuts the long line above still carries every row's seconds
+    println(s"BENCH_ROWS $qs")
     if (tripped.nonEmpty) System.err.println(
       s"[graft.Bench] TRIPWIRE: ${tripped.size} row(s) exceed ${tripK}x their " +
       s"recorded clean minimum — ${tripped.map { case (k, r) => f"$k ($r%.2fx)" }

@@ -51,6 +51,10 @@ object HugeModel {
     persisted.remove(s"huge-$rows").foreach(_.unpersist(blocking))
   }
 
+  /** 100^k as a long literal column (packed-generator digit extraction). */
+  private def pow10(k: Int) =
+    lit(Seq.fill(k)(100L).foldLeft(1L)(_ * _))
+
   private def build(spark: SparkSession, rows: Long): Cube = {
     val db = new Database(s"huge$rows", spark)
     val dims: Seq[Dimension] = (0 until NDims).map { i =>
@@ -60,14 +64,35 @@ object HugeModel {
       d.commit()
       d
     }
-    // leaf ids are 1..100 ("All" gets id 0 as the first-created member)
-    val dimCols = (0 until NDims).map(i =>
-      (pmod(xxhash64(col("id"), lit(i)), lit(LeavesPerDim)) + 1).cast("int").as(s"d$i"))
-    val facts = spark.range(rows)
+    // leaf ids are 1..100 ("All" gets id 0 as the first-created member).
+    // Generator variants + input-slice width are env-tunable for the GC
+    // experiments the 1e8 rows drive (r16 verdict #5) — the default stays
+    // the measured-best configuration; see ARCHITECTURE §6e.
+    //  - SPARK_GRAFT_HUGE_GEN=packed: 2 xxhash64 calls per row, 4 dims
+    //    decoded from each by base-100 digits (vs 8 independent hashes)
+    //  - SPARK_GRAFT_HUGE_SLICES=n: explicit range slices (map-side agg
+    //    hash tables shrink as rows/slices)
+    //  - SPARK_GRAFT_HUGE_PERSIST=MEMORY_AND_DISK_SER|OFF_HEAP|...
+    val dimCols =
+      if (sys.env.get("SPARK_GRAFT_HUGE_GEN").contains("packed")) {
+        val h = Array(xxhash64(col("id")), xxhash64(col("id"), lit(1)))
+        (0 until NDims).map { i =>
+          val digit = pmod(h(i / 4) / pow10(i % 4), lit(LeavesPerDim.toLong))
+          (digit + 1).cast("int").as(s"d$i")
+        }
+      } else (0 until NDims).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(LeavesPerDim)) + 1).cast("int").as(s"d$i"))
+    val range = sys.env.get("SPARK_GRAFT_HUGE_SLICES").map(_.toInt) match {
+      case Some(n) => spark.range(0, rows, 1, n)
+      case None => spark.range(rows)
+    }
+    val level = org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_HUGE_PERSIST", "MEMORY_AND_DISK"))
+    val facts = range
       .select(dimCols :+ lit(1.0).as("value"): _*)
       .groupBy((0 until NDims).map(i => col(s"d$i")): _*)
       .agg(sum(col("value")).as("value"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(level)
     facts.count()
     persisted.put(s"huge-$rows", facts)
     db.addCube("huge", dims, facts)
