@@ -26,30 +26,57 @@ object TextDedup {
     */
   @volatile var lastLshSkew: Option[LshSkewReport] = None
 
-  /** Bucket-size cap for LSH candidate generation: buckets with more than
-    * `maxBucket` members are EXCLUDED from the pair self-join, loudly. A
-    * bucket of m near-identical documents emits m² candidate rows — one
-    * 1e5-doc boilerplate/template bucket is 1e10 shuffle rows in one task
-    * neighborhood, the quadratic blowup banding exists to prevent. Buckets
-    * that hot mean exact or near-exact duplicates, which is
-    * [[exactDedup]]/[[wordSetFingerprint]] territory: the documented
-    * contract is exact-dedup FIRST, then LSH for the near-dup tail — the
-    * cap enforces the contract's cost bound instead of trusting it.
+  /** The capped, co-partitioned banded frame LSH candidate generation runs
+    * on (round 17). ONE exchange: `banded` is hash-repartitioned by its
+    * bucket key and persisted, after which every downstream stage is
+    * exchange-free codegen — the bucket-size aggregation (partial+final
+    * collapse on co-partitioned input), the hot-bucket broadcast anti-join
+    * (broadcast joins preserve partitioning), and the caller's bucket
+    * self-join (both sides carry the same hash partitioning as the join
+    * key). The r16 shape paid THREE exchanges of the banded set here (a
+    * sizing pass + both self-join sides).
     *
-    * Cost when clean: ONE map-side-combinable aggregation over the already
-    * persisted banded frame (bucket sizes), no change to the join. When hot
-    * buckets exist, they are anti-joined out via broadcast — the hot set is
-    * pigeonhole-bounded by bandedRows/maxBucket rows.
+    * Two rejected alternatives, measured at 1e8 docs × 4 bands:
+    * self-join with a separate sizing exchange (the r16 shape + cap) and a
+    * bounded-collect TypedImperativeAggregate (one exchange, but 3.9e8
+    * near-unique groups drive ObjectHashAggregate into its sort-based
+    * fallback — 252 GB of sort spill and 33 GB of serialized-buffer
+    * shuffle dwarfed the exchange it saved).
+    *
+    * Buckets with more than `maxBucket` members are EXCLUDED, loudly
+    * ([[lastLshSkew]] + stderr: count, rows, largest bucket hashes) — a
+    * bucket that hot means exact/near-exact duplicates, which is
+    * [[exactDedup]]/[[wordSetFingerprint]] territory: the documented
+    * contract is exact-dedup FIRST, then LSH for the near-dup tail. The
+    * sizing pass rides the same cached frame, so the cap costs no
+    * additional exchange.
+    *
+    * Returns (capped frame for the caller's self-join, the persisted
+    * banded frame to release after materialization).
     */
-  private def capHotBuckets(banded: DataFrame, keys: Seq[String],
-      maxBucket: Int, opName: String): DataFrame = {
+  private def cappedBandedBuckets(banded0: DataFrame, keys: Seq[String],
+      maxBucket: Int, opName: String): (DataFrame, DataFrame) = {
+    // sortWithinPartitions: the cached frame carries the join ordering, so
+    // the self-join sorts NEITHER side (two 4e8-row sorts at 1e8 docs,
+    // paid once at cache build instead — and cheaper there, before the
+    // cache occupies unified memory). The partition count is EXPLICIT:
+    // a bare repartition(cols) is an AQE-coalescable shuffle, and a
+    // coalesced read no longer reports the hash partitioning the
+    // downstream self-join needs — the join then re-exchanges BOTH sides,
+    // exactly the cost this frame exists to avoid (measured at 1e8: the
+    // candidate stage's shuffle volume tripled).
+    val nParts = banded0.sparkSession.sessionState.conf.numShufflePartitions
+    val banded = banded0.repartition(nParts, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__m")).filter(col("__m") > maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val stats = hot.agg(count(lit(1)).as("nb"),
-        coalesce(sum(col("__m")), lit(0L)).as("nr")).collect()(0)
-      val (nHot, nRows) = (stats.getLong(0), stats.getLong(1))
+    // loud accounting: one cheap job over the cached co-partitioned frame
+    // (this is also what materializes it); examples only when hot exist
+    val stats = hot.agg(count(lit(1)).as("nb"),
+      coalesce(sum(col("__m")), lit(0L)).as("nr")).collect()(0)
+    val (nHot, nRows) = (stats.getLong(0), stats.getLong(1))
+    val capped =
       if (nHot == 0) {
         lastLshSkew = Some(LshSkewReport(0L, 0L, maxBucket, Nil))
         banded
@@ -67,11 +94,11 @@ object TextDedup {
           "duplicates: run exactDedup/fingerprint dedup first, or lower the " +
           "band width. Largest (band, bucketHash, size): " +
           examples.map { case (b, h, m) => s"($b, $h, $m)" }.mkString(", "))
-        // the anti side is pigeonhole-small (≤ bandedRows/maxBucket rows) —
-        // broadcast keeps the exclusion off the shuffle
+        // the hot set is pigeonhole-small (≤ bandedRows/maxBucket buckets);
+        // a broadcast anti preserves the co-partitioning
         banded.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
       }
-    } finally hot.unpersist(blocking = false)
+    (capped, banded)
   }
 
   /** Distinct-word relation (id, w) — the inverted-index building block. */
@@ -262,19 +289,16 @@ object TextDedup {
       shingle: Int = 1, maxBucket: Int = 10000): DataFrame = {
     val rows = k / bands
     val sig = minhashSignatures(df, idCol, textCol, k, shingle)
-    // persisted: consumed by BOTH sides of the bucket self-join — without
-    // this the whole signature pipeline is computed twice
-    val banded = sig.select(col(idCol), posexplode(array((0 until bands).map(bi =>
+    val banded0 = sig.select(col(idCol), posexplode(array((0 until bands).map(bi =>
       hash(slice(col("sig"), bi * rows + 1, rows), lit(bi))): _*)).as(Seq("band", "bh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // hot-bucket cap BEFORE the self-join (the O(m²) guard); the sizing agg
-    // reads the persisted banded frame once
-    val capped = capHotBuckets(banded, Seq("band", "bh"), maxBucket,
-      "minhashLshPairs")
-    // bucket join emits a pair once per matching band; dedup via a lean
-    // groupBy on the bare (i, j) ids — 12-byte shuffle rows, map-side
-    // combine. Persisted: read by the verify joins AND the candidate-id
-    // semi-join below — without this the whole bucket self-join runs twice.
+    // ONE exchange (the co-partitioning repartition inside); the sizing
+    // pass, the cap, and the bucket self-join below all run exchange-free
+    // on the cached frame. The join emits a pair once per matching band;
+    // dedup via a lean groupBy on the bare (i, j) ids — 12-byte shuffle
+    // rows, map-side combine. Persisted: read by the verify joins AND the
+    // candidate-id semi-join below.
+    val (capped, banded) = cappedBandedBuckets(banded0, Seq("band", "bh"),
+      maxBucket, "minhashLshPairs")
     val cand = capped.select(col(idCol).as("i"), col("band"), col("bh"))
       .join(capped.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("i") < col("j"))
@@ -285,13 +309,20 @@ object TextDedup {
     // must be candidate-proportional, not corpus-proportional. The former
     // corpus-wide `words` frame shuffled every document's shingle array
     // into BOTH verify joins (~10 GB twice at 1e8 docs) to verify a pair
-    // set that is orders smaller; the semi-join reduces that to one pass
-    // over the corpus projection plus two candidate-sized joins (AQE
-    // broadcasts them when small; corpus-wide broadcast would not survive
-    // a real corpus, so no hint here).
+    // set that is orders smaller. The broadcast decision is made from the
+    // MEASURED candidate count (cand is persisted; the count materializes
+    // it once for all downstream consumers) instead of left to AQE — AQE
+    // plans the semi-join sort-merge first and discovers the broadcastable
+    // side only after the corpus shuffle has already materialized
+    // (measured at 1e8: the full 8 GB doc exchange ran before the join
+    // converted). Above the bound the shuffle semi-join is the honest
+    // shape — a corpus-sized candidate set must not be broadcast.
+    val candN = cand.count()
     val candIds = cand.select(col("i").as(idCol))
       .union(cand.select(col("j").as(idCol))).distinct()
-    val words = df.join(candIds, Seq(idCol), "left_semi")
+    val candIdsHinted =
+      if (candN <= 25000000L) broadcast(candIds) else candIds // ≤ ~200 MB ids
+    val words = df.join(candIdsHinted, Seq(idCol), "left_semi")
       .select(col(idCol), shingleHashArr(col(textCol), shingle).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val result = cand
@@ -341,14 +372,12 @@ object TextDedup {
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantees completeness only up to 3")
     val sh = simhash(df, idCol, textCol)
-    // persisted: BOTH sides of the bucket self-join read it — without this
-    // the whole simhash aggregation pipeline is computed twice
-    val banded = sh.select(col(idCol), col("simhash"), posexplode(array(
+    val banded0 = sh.select(col(idCol), col("simhash"), posexplode(array(
       (0 until 4).map(b => shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
       .as(Seq("band", "chunk")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val capped = capHotBuckets(banded, Seq("band", "chunk"), maxBucket,
-      "simhashPairs")
+    // same one-exchange co-partitioned candidate stage as minhashLshPairs
+    val (capped, banded) = cappedBandedBuckets(banded0, Seq("band", "chunk"),
+      maxBucket, "simhashPairs")
     val result = capped
       .select(col(idCol).as("i"), col("simhash").as("hi"), col("band"), col("chunk"))
       .join(capped.select(col(idCol).as("j"), col("simhash").as("hj"), col("band"), col("chunk")),
