@@ -265,13 +265,29 @@ object Bench {
     val rowMetrics = new RowMetricsListener
     spark.sparkContext.addSparkListener(rowMetrics)
     val rowSteal = scala.collection.concurrent.TrieMap[String, Double]()
+    // PROCESS-level GC per row (round 17): the listener's gc_ms sums
+    // jvmGCTime across CONCURRENT tasks, so one stop-the-world pause under
+    // 32 running tasks is attributed ~32× — r16's "huge8_build gc 95 s"
+    // was ~0.7 s of real pauses (measured, ARCHITECTURE §6e). The MXBean
+    // delta is the single-counted truth; both ship so a reader never
+    // mistakes attribution for memory pressure again.
+    val rowProcGc = scala.collection.concurrent.TrieMap[String, Long]()
+    def procGcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     def mtime(name: String)(body: => Unit): Double = {
       rowMetrics.begin(name)
       val (c0, s0) = cpuStat()
+      val g0 = procGcMs
       try time(body) finally {
         rowMetrics.end()
+        rowProcGc(name) = procGcMs - g0
         val (c1, s1) = cpuStat()
-        if (c1 > c0) rowSteal(name) = 100.0 * (s1 - s0) / (c1 - c0)
+        // sub-second driver-loop rows have jiffy-scale cpu deltas whose
+        // steal share is noise — require ~0.5 s of cpu time to attribute
+        if (c1 - c0 > 50) rowSteal(name) = 100.0 * (s1 - s0) / (c1 - c0)
       }
     }
 
@@ -788,7 +804,10 @@ object Bench {
       val (c0, s0) = cpuStat()
       val r = body
       val (c1, s1) = cpuStat()
-      val pct = if (c1 > c0) 100.0 * (s1 - s0) / (c1 - c0) else 0.0
+      // a near-zero cpu delta makes the share meaningless (an idle
+      // SPARK_GRAFT_BENCH_ONLY pass measured "33% steal" from a
+      // 3-jiffy denominator) — require ~5 s of cpu time before judging
+      val pct = if (c1 - c0 > 500) 100.0 * (s1 - s0) / (c1 - c0) else 0.0
       (r, pct)
     }
     val memSamples = scala.collection.mutable.ArrayBuffer[Double]()
@@ -1137,25 +1156,42 @@ object Bench {
         // data-dependent stage huge8_pipe_minhash deliberately excludes:
         // the banded bucket self-join (now hot-bucket-capped), the
         // pair groupBy, and the candidate-proportional verify joins.
+        //
+        // k=32/bands=4 (rows-per-band 8), deliberately: noise candidates
+        // scale as n²·(J_bg)^rows, and this corpus has ~6e12 doc pairs
+        // sharing one of 50k vocab words (J_bg = 1/15) — at rows=4 that
+        // is ~1.5e8 false candidates flooding the verify join (measured:
+        // a 12.6 GB verify exchange, 125 s), at rows=8 it is ~10³. The
+        // corpus-size-driven rows choice is the documented LSH scaling
+        // contract (ARCHITECTURE §6e).
         val pairDocs8 = sys.env.getOrElse("SPARK_GRAFT_HUGE8_MINHASH_PAIR_DOCS",
           docs8.toString).toLong
         def minhashPairsBody(): Unit = {
-          val base = when(pmod(col("id"), lit(100)) === 99, col("id") - 1)
-            .otherwise(col("id"))
-          val docs = spark.range(0, pairDocs8, 1, minhashParts)
-            .select(col("id").as("doc"),
-              concat_ws(" ", (0 until 8).map(j =>
-                concat(lit("w"), pmod(xxhash64(base, lit(j)), lit(50000)))): _*)
-                .as("text"))
-          val pairs = graft.pipeline.TextDedup.minhashLshPairs(
-            docs, "doc", "text", k = 16, bands = 4, threshold = 0.9)
-          val n = pairs.count()
-          pairs.unpersist(blocking = false)
-          // 8-word sets only reach Jaccard ≥ 0.9 when identical, so the
-          // planted pairs are the whole answer — any other count means the
-          // candidate or verify stage broke
-          require(n == pairDocs8 / 100,
-            s"expected ${pairDocs8 / 100} planted duplicate pairs, got $n")
+          // partitions-sized-to-memory: the banded self-join shuffles 4
+          // bands × docs rows per side — at the suite's 32 partitions each
+          // task sorts ~12.5M rows against a 4e8-row persisted frame and
+          // dies in execution-memory acquisition (measured, r17 bring-up);
+          // 256 gives ~25 MB sort runs, AQE coalesces the small stages
+          val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions", minhashParts.toString)
+          try {
+            val base = when(pmod(col("id"), lit(100)) === 99, col("id") - 1)
+              .otherwise(col("id"))
+            val docs = spark.range(0, pairDocs8, 1, minhashParts)
+              .select(col("id").as("doc"),
+                concat_ws(" ", (0 until 8).map(j =>
+                  concat(lit("w"), pmod(xxhash64(base, lit(j)), lit(50000)))): _*)
+                  .as("text"))
+            val pairs = graft.pipeline.TextDedup.minhashLshPairs(
+              docs, "doc", "text", k = 32, bands = 4, threshold = 0.9)
+            val n = pairs.count()
+            pairs.unpersist(blocking = false)
+            // 8-word sets only reach Jaccard ≥ 0.9 when identical, so the
+            // planted pairs are the whole answer — any other count means the
+            // candidate or verify stage broke
+            require(n == pairDocs8 / 100,
+              s"expected ${pairDocs8 / 100} planted duplicate pairs, got $n")
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
         record("huge8_pipe_minhash_pairs",
           try mtime("huge8_pipe_minhash_pairs") { minhashPairsBody() }
@@ -1267,6 +1303,7 @@ object Bench {
           s""""spill_mem_mb":${mb(m.spillMem)},"spill_disk_mb":${mb(m.spillDisk)},""" +
           s""""shuf_write_mb":${mb(m.shufWrite)},"shuf_read_mb":${mb(m.shufRead)},""" +
           s""""peak_exec_mb":${mb(m.peakExec)},"gc_ms":${m.gcMs},""" +
+          s""""proc_gc_ms":${rowProcGc.getOrElse(k, 0L)},""" +
           f""""steal_pct":${rowSteal.getOrElse(k, 0.0)}%.2f}""" }
       .mkString("{", ",", "}")
     // every row's own steal share — the complete per-row evidence channel

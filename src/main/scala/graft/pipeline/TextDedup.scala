@@ -66,9 +66,15 @@ object TextDedup {
     // exactly the cost this frame exists to avoid (measured at 1e8: the
     // candidate stage's shuffle volume tripled).
     val nParts = banded0.sparkSession.sessionState.conf.numShufflePartitions
+    // DISK_ONLY, deliberately: this frame is bands× the corpus row count —
+    // the one intermediate guaranteed BIGGER than the input. Cached
+    // in-memory it evicts everything else and starves the self-join's
+    // execution memory (measured at 1e8 docs ×4 bands on an 8 GB heap:
+    // OOM); on disk it streams back sorted at sequential-read speed and
+    // the heap serves the joins
     val banded = banded0.repartition(nParts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val hot = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__m")).filter(col("__m") > maxBucket)
     // loud accounting: one cheap job over the cached co-partitioned frame
