@@ -405,8 +405,20 @@ object Bench {
     // SPARK_GRAFT_CANARY_FLOOR still overrides for cross-host pinning.
     val warm = (1 to 3).map(_ => spinCanary())
     val envFloor = sys.env.get("SPARK_GRAFT_CANARY_FLOOR").map(_.toDouble)
-    var obsMin = warm.map(_._1).min
-    def floor: Double = envFloor.getOrElse(obsMin)
+    // Floor estimator = the SECOND-smallest observation (round 17): the
+    // plain min let ONE anomalously fast sample (a 0.004 s mem canary on a
+    // host whose steady idle reads 0.010) calibrate an unattainable floor
+    // and brick the preflight gate for the whole run. Two concordant fast
+    // samples still lower the floor; one outlier cannot.
+    final class Min2 {
+      private var m1 = Double.MaxValue; private var m2 = Double.MaxValue
+      def add(v: Double): Unit =
+        if (v < m1) { m2 = m1; m1 = v } else if (v < m2) m2 = v
+      def floor: Double = if (m2 != Double.MaxValue) m2 else m1
+    }
+    val obsMin = new Min2
+    warm.foreach(w => obsMin.add(w._1))
+    def floor: Double = envFloor.getOrElse(obsMin.floor)
     // mem/io floors: same min-observed self-calibration (same blind spot:
     // contention present from warm-up through the end poisons the floor —
     // the preflight backoff is the mitigation), env-overridable for
@@ -415,10 +427,12 @@ object Bench {
     val warmIo = (1 to 3).map(_ => ioCanary())
     val envMemFloor = sys.env.get("SPARK_GRAFT_MEM_FLOOR").map(_.toDouble)
     val envIoFloor = sys.env.get("SPARK_GRAFT_IO_FLOOR").map(_.toDouble)
-    var obsMemMin = warmMem.min
-    var obsIoMin = warmIo.min
-    def memFloor: Double = envMemFloor.getOrElse(obsMemMin)
-    def ioFloor: Double = envIoFloor.getOrElse(obsIoMin)
+    val obsMemMin = new Min2
+    val obsIoMin = new Min2
+    warmMem.foreach(obsMemMin.add)
+    warmIo.foreach(obsIoMin.add)
+    def memFloor: Double = envMemFloor.getOrElse(obsMemMin.floor)
+    def ioFloor: Double = envIoFloor.getOrElse(obsIoMin.floor)
 
     // PRE-FLIGHT idle gate (r6 verdict: the official artifact ran ~20% hot
     // with contended:false — min-of-passes cannot protect against SUSTAINED
@@ -433,8 +447,8 @@ object Bench {
     while (!preflightOk && tries < preflightTries) {
       val (med, _) = spinCanary()
       val mem = memCanary()
-      obsMin = math.min(obsMin, med) // an observation can only lower the idle estimate
-      obsMemMin = math.min(obsMemMin, mem)
+      obsMin.add(med) // an observation can only lower the idle estimate
+      obsMemMin.add(mem)
       if (med <= 1.25 * floor && mem <= 1.4 * memFloor) preflightOk = true
       else {
         tries += 1
@@ -469,7 +483,7 @@ object Bench {
       val end = System.nanoTime() + (sec * 1e9).toLong
       while (System.nanoTime() < end) {
         val (med, _) = spinCanary()
-        obsMin = math.min(obsMin, med) // free extra floor observations
+        obsMin.add(med) // free extra floor observations
       }
       val (c1, s1) = cpuStat()
       if (c1 > c0) 100.0 * (s1 - s0) / (c1 - c0) else 0.0
@@ -817,18 +831,18 @@ object Bench {
       val pre = spinCanary(); canaries += pre
       val preMem = memCanary(); memSamples += preMem
       val preIo = ioCanary(); ioSamples += preIo
-      obsMin = math.min(obsMin, pre._1)
-      obsMemMin = math.min(obsMemMin, preMem)
-      obsIoMin = math.min(obsIoMin, preIo)
+      obsMin.add(pre._1)
+      obsMemMin.add(preMem)
+      obsIoMin.add(preIo)
       val (recorded, steal) = stealBracket { runPass() }
       passSteal += steal
       allNames ++= recorded
       val post = spinCanary(); canaries += post
       val postMem = memCanary(); memSamples += postMem
       val postIo = ioCanary(); ioSamples += postIo
-      obsMin = math.min(obsMin, post._1)
-      obsMemMin = math.min(obsMemMin, postMem)
-      obsIoMin = math.min(obsIoMin, postIo)
+      obsMin.add(post._1)
+      obsMemMin.add(postMem)
+      obsIoMin.add(postIo)
       val dirty = pre._1 > dirtyK * floor || post._1 > dirtyK * floor ||
         preMem > memDirtyK * memFloor || postMem > memDirtyK * memFloor ||
         preIo > ioDirtyK * ioFloor || postIo > ioDirtyK * ioFloor ||
@@ -880,13 +894,13 @@ object Bench {
             f"${trippedRatio(n).get}%.2fx its clean minimum — re-measuring")
           Thread.sleep(3000) // let the (presumed transient) spike drain
           val pre = spinCanary(); canaries += pre
-          obsMin = math.min(obsMin, pre._1)
+          obsMin.add(pre._1)
           record(n, try mtime(n) { body() } catch { case t: Throwable =>
             System.err.println(s"[graft.Bench] tripwire retry of $n failed: $t"); -1.0 })
           retryCleanup.foreach(c => try c() catch { case _: Throwable => () })
           retryCleanup.clear()
           val post = spinCanary(); canaries += post
-          obsMin = math.min(obsMin, post._1)
+          obsMin.add(post._1)
           if (pre._1 <= dirtyK * floor && post._1 <= dirtyK * floor)
             cleanNames += n
           tripwireRetried += n
@@ -963,7 +977,7 @@ object Bench {
       // model and rebuilds for real; pass 2 rides warmed JIT.
       val passes8 = sys.env.getOrElse("SPARK_GRAFT_HUGE8_PASSES", "2").toInt
       val pre8 = spinCanary(); canaries += pre8
-      obsMin = math.min(obsMin, pre8._1)
+      obsMin.add(pre8._1)
       val (cpu80, steal80) = cpuStat()
       for (_ <- 1 to passes8) {
         record("huge8_build",
@@ -1204,7 +1218,7 @@ object Bench {
       } catch { case t: Throwable =>
         System.err.println(s"[graft.Bench] huge8 minhash block failed: $t") }
       val post8 = spinCanary(); canaries += post8
-      obsMin = math.min(obsMin, post8._1)
+      obsMin.add(post8._1)
       // the block's own steal bracket — same verdict channel as the passes
       val (cpu81, steal81) = cpuStat()
       val steal8 =

@@ -74,7 +74,7 @@ object TextDedup {
     // the heap serves the joins
     val banded = banded0.repartition(nParts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__m")).filter(col("__m") > maxBucket)
     // loud accounting: one cheap job over the cached co-partitioned frame
