@@ -26,6 +26,52 @@ object TextDedup {
     */
   @volatile var lastLshSkew: Option[LshSkewReport] = None
 
+  /** Sizing-pass result of the LSH candidate stage (one job, aggregate
+    * grain): `bandedRows` = Σ bucket sizes (= docs × bands), `candVolume` =
+    * Σ m·(m−1)/2 over SURVIVING buckets — the exact number of rows the
+    * bucket self-join will emit (before the i<j halving is already applied
+    * here). Drives the pair-dedup strategy choice below.
+    */
+  private final case class BandedStats(hotBuckets: Long, excludedRows: Long,
+      bandedRows: Long, candVolume: Long)
+
+  /** Last [[BandedStats]]-derived dedup-strategy choice (diagnostic; the
+    * spec pins both paths' outputs equal).
+    */
+  @volatile private[graft] var lastPairDedupStrategy: String = ""
+
+  /** High-dup regime bound: take the exactly-once chain-filter path when the
+    * self-join will emit more than this many rows PER banded row (i.e. the
+    * pair-dedup exchange, not the corpus, dominates). 4× ≈ where the extra
+    * doc-array attach join breaks even against the saved 1×-volume shuffle +
+    * hash-agg (measured at sf0.1: volume/rows = 587, chain 0.9 s vs
+    * groupBy-dedup 8.8–65 s; at the 1e8 bench corpus volume/rows ≈ 0.01 and
+    * the groupBy path's 4M-row exchange is noise).
+    */
+  private val ChainVolumeFactor = 4L
+
+  /** The chain path attaches a per-doc band-hash array via a broadcast
+    * join, so it additionally requires the doc count to be broadcastable:
+    * 8M docs × (8 B id + ~40 B array) ≈ 400 MB hashed relation per
+    * executor — the same order as the candidate-id broadcast bound below.
+    * A corpus both huge AND high-dup is hot-bucket territory (capped →
+    * groupBy path) anyway.
+    */
+  private val ChainDocsMax = 8000000L
+
+  /** Storage level of the co-partitioned banded cache. This frame is bands×
+    * the corpus row count — the one intermediate guaranteed BIGGER than the
+    * input — so the level is a real decision at scale; round 17 shipped a
+    * code/record contradiction here (comment said DISK_ONLY-measured-OOM,
+    * code said MEMORY_AND_DISK). Round-18 measurement at 1e8 docs × 4 bands
+    * (the huge8_pipe_minhash_pairs shape, candidate-proportional verify, 8 GB
+    * heap): see the env-knob default below — `SPARK_GRAFT_LSH_CACHE_LEVEL`
+    * overrides for experiments.
+    */
+  private lazy val lshCacheLevel: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_LSH_CACHE_LEVEL", "MEMORY_AND_DISK"))
+
   /** The capped, co-partitioned banded frame LSH candidate generation runs
     * on (round 17). ONE exchange: `banded` is hash-repartitioned by its
     * bucket key and persisted, after which every downstream stage is
@@ -55,7 +101,7 @@ object TextDedup {
     * banded frame to release after materialization).
     */
   private def cappedBandedBuckets(banded0: DataFrame, keys: Seq[String],
-      maxBucket: Int, opName: String): (DataFrame, DataFrame) = {
+      maxBucket: Int, opName: String): (DataFrame, DataFrame, BandedStats) = {
     // sortWithinPartitions: the cached frame carries the join ordering, so
     // the self-join sorts NEITHER side (two 4e8-row sorts at 1e8 docs,
     // paid once at cache build instead — and cheaper there, before the
@@ -66,22 +112,26 @@ object TextDedup {
     // exactly the cost this frame exists to avoid (measured at 1e8: the
     // candidate stage's shuffle volume tripled).
     val nParts = banded0.sparkSession.sessionState.conf.numShufflePartitions
-    // DISK_ONLY, deliberately: this frame is bands× the corpus row count —
-    // the one intermediate guaranteed BIGGER than the input. Cached
-    // in-memory it evicts everything else and starves the self-join's
-    // execution memory (measured at 1e8 docs ×4 bands on an 8 GB heap:
-    // OOM); on disk it streams back sorted at sequential-read speed and
-    // the heap serves the joins
     val banded = banded0.repartition(nParts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__m")).filter(col("__m") > maxBucket)
-    // loud accounting: one cheap job over the cached co-partitioned frame
-    // (this is also what materializes it); examples only when hot exist
-    val stats = hot.agg(count(lit(1)).as("nb"),
-      coalesce(sum(col("__m")), lit(0L)).as("nr")).collect()(0)
+      .persist(lshCacheLevel)
+    val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__m"))
+    val hot = sizes.filter(col("__m") > maxBucket)
+    // loud accounting AND self-join sizing in ONE cheap job over the cached
+    // co-partitioned frame (this is also what materializes it): hot-bucket
+    // count/rows, total banded rows, and the EXACT row count the bucket
+    // self-join will emit (Σ m·(m−1)/2 over surviving buckets) — the
+    // pair-dedup strategy below is chosen from measurements, not left to
+    // AQE discovery-after-shuffle. Examples collect only when hot exist.
+    val m = col("__m")
+    val isHot = m > maxBucket
+    val stats = sizes.agg(
+      coalesce(sum(when(isHot, 1L)), lit(0L)).as("nb"),
+      coalesce(sum(when(isHot, m)), lit(0L)).as("nr"),
+      coalesce(sum(m), lit(0L)).as("rows"),
+      coalesce(sum(when(!isHot, shiftright(m * (m - 1), 1))), lit(0L)).as("vol")).collect()(0)
     val (nHot, nRows) = (stats.getLong(0), stats.getLong(1))
+    val bs = BandedStats(nHot, nRows, stats.getLong(2), stats.getLong(3))
     val capped =
       if (nHot == 0) {
         lastLshSkew = Some(LshSkewReport(0L, 0L, maxBucket, Nil))
@@ -104,7 +154,7 @@ object TextDedup {
         // a broadcast anti preserves the co-partitioning
         banded.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
       }
-    (capped, banded)
+    (capped, banded, bs)
   }
 
   /** Distinct-word relation (id, w) — the inverted-index building block. */
@@ -300,16 +350,69 @@ object TextDedup {
     // ONE exchange (the co-partitioning repartition inside); the sizing
     // pass, the cap, and the bucket self-join below all run exchange-free
     // on the cached frame. The join emits a pair once per matching band;
-    // dedup via a lean groupBy on the bare (i, j) ids — 12-byte shuffle
-    // rows, map-side combine. Persisted: read by the verify joins AND the
-    // candidate-id semi-join below.
-    val (capped, banded) = cappedBandedBuckets(banded0, Seq("band", "bh"),
+    // the DEDUP strategy is chosen from the sizing pass's measured
+    // self-join volume (round 18):
+    //
+    // - High-dup regime (volume ≫ banded rows, no hot buckets, broadcastable
+    //   doc count): each side attaches its doc's full band-hash array via a
+    //   partitioning-preserving broadcast join, and a codegen'd boolean
+    //   chain (`band ≤ b || bi[b] ≠ bj[b]` over all prior bands, And
+    //   short-circuit) keeps a pair only in its FIRST matching band —
+    //   exactly-once emission, NO dedup exchange at all. Measured at sf0.1
+    //   (5k docs, 47M joined rows → 9.36M distinct pairs): chain 0.9 s vs
+    //   groupBy-dedup 8.8–65 s — the partial aggregate hash-inserted 44M
+    //   near-unique keys for zero combining (copies of a pair live in
+    //   different band partitions by construction). An interpreted
+    //   zip_with/exists form of the same filter measured 36 s — higher-order
+    //   lambdas don't codegen; the chain of GetArrayItem comparisons does.
+    //
+    // - Otherwise: lean groupBy on the bare (i, j) ids — 12-byte shuffle
+    //   rows. At the 1e8 bench corpus volume/rows ≈ 0.01, the dedup
+    //   exchange is ~4M rows (noise) and the chain path's array attach
+    //   would cost a banded-frame exchange — measurement picks the lean
+    //   shape there. With HOT buckets the chain path is WRONG, not just
+    //   slow: a pair whose first matching band was cap-excluded must still
+    //   surface via a later surviving band, so capped runs always dedup by
+    //   groupBy (spec-pinned on the skewed fixture).
+    //
+    // Persisted: read by the verify joins AND the candidate-id semi-join
+    // below.
+    val (capped, banded, bstats) = cappedBandedBuckets(banded0, Seq("band", "bh"),
       maxBucket, "minhashLshPairs")
-    val cand = capped.select(col(idCol).as("i"), col("band"), col("bh"))
-      .join(capped.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
-      .filter(col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("__nb")).drop("__nb")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = bstats.bandedRows / math.max(bands, 1)
+    val useChain = bstats.hotBuckets == 0 &&
+      bstats.candVolume > ChainVolumeFactor * bstats.bandedRows &&
+      nDocs <= ChainDocsMax
+    lastPairDedupStrategy = if (useChain) "chain" else "groupby"
+    var docBhs: DataFrame = null
+    val cand0 =
+      if (useChain) {
+        // per-doc band-hash array rebuilt FROM the cache (one exchange of
+        // bandedRows rows — cheap by the volume ≫ rows precondition; no
+        // second corpus scan, no recompute divergence): array_sort on
+        // struct(band, bh) orders by band, so bhs[b] is band b's hash.
+        // Persisted because broadcast-exchange reuse does NOT fire across
+        // the two self-join sides here (measured: the aggregate ran twice)
+        docBhs = capped.groupBy(col(idCol)).agg(
+          transform(array_sort(collect_list(struct(col("band"), col("bh")))),
+            x => x.getField("bh")).as("__bhs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val withArr = capped.join(broadcast(docBhs), Seq(idCol))
+        val chain = (0 until bands - 1).map(b =>
+          col("band") <= b || col("__bi").getItem(b) =!= col("__bj").getItem(b))
+          .reduce(_ && _)
+        withArr.select(col(idCol).as("i"), col("__bhs").as("__bi"), col("band"), col("bh"))
+          .join(withArr.select(col(idCol).as("j"), col("__bhs").as("__bj"), col("band"), col("bh")),
+            Seq("band", "bh"))
+          .filter(col("i") < col("j")).filter(chain)
+          .select(col("i"), col("j"))
+      } else {
+        capped.select(col(idCol).as("i"), col("band"), col("bh"))
+          .join(capped.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
+          .filter(col("i") < col("j"))
+          .groupBy("i", "j").agg(count(lit(1)).as("__nb")).drop("__nb")
+      }
+    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact verification via word-hash arrays (long compares, not string
     // compares) — built for CANDIDATE ids only (round 17): the verify side
     // must be candidate-proportional, not corpus-proportional. The former
@@ -326,8 +429,18 @@ object TextDedup {
     val candN = cand.count()
     val candIds = cand.select(col("i").as(idCol))
       .union(cand.select(col("j").as(idCol))).distinct()
+    // Broadcast gate on the measured DISTINCT-ID count, not the pair count
+    // (round 18, advice): distinct ids run up to 2× the pairs, and a hashed
+    // relation costs ~40 B/key (8 B long key + UnsafeRow + map overhead) —
+    // 8M ids ≈ 320 MB per executor, the honest ceiling for 8 GB heaps. The
+    // id count is one cheap aggregate over the persisted cand frame; pair
+    // counts ≤ 4M skip it (ids ≤ 8M by construction). Above the bound the
+    // shuffle semi-join is the honest shape — a corpus-sized candidate set
+    // must not be broadcast.
+    val candIdsN =
+      if (candN <= ChainDocsMax / 2) candN * 2 else candIds.count()
     val candIdsHinted =
-      if (candN <= 25000000L) broadcast(candIds) else candIds // ≤ ~200 MB ids
+      if (candIdsN <= ChainDocsMax) broadcast(candIds) else candIds
     val words = df.join(candIdsHinted, Seq(idCol), "left_semi")
       .select(col(idCol), shingleHashArr(col(textCol), shingle).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -341,7 +454,8 @@ object TextDedup {
         (size(col("wi")) + size(col("wj")) - col("__inter")).cast("double"))
       .filter(col("sim") >= threshold)
       .select(col("i"), col("j"), col("sim"))
-    Lifecycle.materializeAndRelease(result, banded, words, cand)
+    Lifecycle.materializeAndRelease(result,
+      (Seq(banded, words, cand) ++ Option(docBhs)): _*)
   }
 
   /** 64-bit SimHash over DISTINCT word hashes (vote sums are multiset-
@@ -382,16 +496,33 @@ object TextDedup {
       (0 until 4).map(b => shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
       .as(Seq("band", "chunk")))
     // same one-exchange co-partitioned candidate stage as minhashLshPairs
-    val (capped, banded) = cappedBandedBuckets(banded0, Seq("band", "chunk"),
+    val (capped, banded, bstats) = cappedBandedBuckets(banded0, Seq("band", "chunk"),
       maxBucket, "simhashPairs")
-    val result = capped
+    val joined = capped
       .select(col(idCol).as("i"), col("simhash").as("hi"), col("band"), col("chunk"))
       .join(capped.select(col(idCol).as("j"), col("simhash").as("hj"), col("band"), col("chunk")),
         Seq("band", "chunk"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j"), bit_count(col("hi").bitwiseXOR(col("hj"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    // Exactly-once emission via the FIRST-matching-chunk chain (round 18):
+    // both 64-bit signatures are already on the joined row, so every prior
+    // band's chunk derives in place by bit ops — no dedup exchange, and
+    // unlike minhash no array attach either. With HOT buckets the chain is
+    // wrong (a pair whose first matching chunk was cap-excluded must
+    // surface via a later surviving one), so capped runs keep the distinct.
+    def chunkOf(c: Column, b: Int): Column =
+      shiftright(c, b * 16).bitwiseAND(0xFFFFL)
+    val once =
+      if (bstats.hotBuckets == 0)
+        joined.filter((0 until 3).map(b =>
+          col("band") <= b || chunkOf(col("hi"), b) =!= chunkOf(col("hj"), b))
+          .reduce(_ && _))
+          .select(col("i"), col("j"),
+            bit_count(col("hi").bitwiseXOR(col("hj"))).as("hamming"))
+      else joined
+        .select(col("i"), col("j"),
+          bit_count(col("hi").bitwiseXOR(col("hj"))).as("hamming"))
+        .distinct()
+    val result = once.filter(col("hamming") <= maxHamming)
     Lifecycle.materializeAndRelease(result, banded)
   }
 
