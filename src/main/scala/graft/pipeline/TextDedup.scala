@@ -59,18 +59,24 @@ object TextDedup {
     */
   private val ChainDocsMax = 8000000L
 
-  /** Storage level of the co-partitioned banded cache. This frame is bands×
-    * the corpus row count — the one intermediate guaranteed BIGGER than the
-    * input — so the level is a real decision at scale; round 17 shipped a
-    * code/record contradiction here (comment said DISK_ONLY-measured-OOM,
-    * code said MEMORY_AND_DISK). Round-18 measurement at 1e8 docs × 4 bands
-    * (the huge8_pipe_minhash_pairs shape, candidate-proportional verify, 8 GB
-    * heap): see the env-knob default below — `SPARK_GRAFT_LSH_CACHE_LEVEL`
-    * overrides for experiments.
+  /** Storage level of the co-partitioned banded cache: DISK_ONLY. This
+    * frame is bands× the corpus row count — the one intermediate guaranteed
+    * BIGGER than the input — and cached in memory it occupies the unified
+    * region the self-join needs to execute. Round 17 shipped a code/record
+    * contradiction here (comment said DISK_ONLY-measured-OOM, code said
+    * MEMORY_AND_DISK); round-18 A/B at 1e8 docs × 4 bands (the
+    * huge8_pipe_minhash_pairs shape, 8 GB heap, back-to-back runs in
+    * comparable host windows) settles it: DISK_ONLY 222.6 s vs
+    * MEMORY_AND_DISK 341.3 s, spill 74 GB vs 90 GB, REAL (MXBean) GC
+    * 10.3 s vs 18.8 s, and peak execution memory 53.5 GB vs 35.0 GB —
+    * i.e. with the cache off-heap the join actually gets its execution
+    * memory. On disk the sorted frame streams back at sequential-read
+    * speed; sf0.1-scale corpora don't care (80k-row cache).
+    * `SPARK_GRAFT_LSH_CACHE_LEVEL` overrides for experiments.
     */
   private lazy val lshCacheLevel: org.apache.spark.storage.StorageLevel =
     org.apache.spark.storage.StorageLevel.fromString(
-      sys.env.getOrElse("SPARK_GRAFT_LSH_CACHE_LEVEL", "MEMORY_AND_DISK"))
+      sys.env.getOrElse("SPARK_GRAFT_LSH_CACHE_LEVEL", "DISK_ONLY"))
 
   /** The capped, co-partitioned banded frame LSH candidate generation runs
     * on (round 17). ONE exchange: `banded` is hash-repartitioned by its
@@ -343,10 +349,6 @@ object TextDedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.9,
       shingle: Int = 1, maxBucket: Int = 10000): DataFrame = {
-    val rows = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, k, shingle)
-    val banded0 = sig.select(col(idCol), posexplode(array((0 until bands).map(bi =>
-      hash(slice(col("sig"), bi * rows + 1, rows), lit(bi))): _*)).as(Seq("band", "bh")))
     // ONE exchange (the co-partitioning repartition inside); the sizing
     // pass, the cap, and the bucket self-join below all run exchange-free
     // on the cached frame. The join emits a pair once per matching band;
@@ -377,42 +379,9 @@ object TextDedup {
     //
     // Persisted: read by the verify joins AND the candidate-id semi-join
     // below.
-    val (capped, banded, bstats) = cappedBandedBuckets(banded0, Seq("band", "bh"),
-      maxBucket, "minhashLshPairs")
-    val nDocs = bstats.bandedRows / math.max(bands, 1)
-    val useChain = bstats.hotBuckets == 0 &&
-      bstats.candVolume > ChainVolumeFactor * bstats.bandedRows &&
-      nDocs <= ChainDocsMax
-    lastPairDedupStrategy = if (useChain) "chain" else "groupby"
-    var docBhs: DataFrame = null
-    val cand0 =
-      if (useChain) {
-        // per-doc band-hash array rebuilt FROM the cache (one exchange of
-        // bandedRows rows — cheap by the volume ≫ rows precondition; no
-        // second corpus scan, no recompute divergence): array_sort on
-        // struct(band, bh) orders by band, so bhs[b] is band b's hash.
-        // Persisted because broadcast-exchange reuse does NOT fire across
-        // the two self-join sides here (measured: the aggregate ran twice)
-        docBhs = capped.groupBy(col(idCol)).agg(
-          transform(array_sort(collect_list(struct(col("band"), col("bh")))),
-            x => x.getField("bh")).as("__bhs"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val withArr = capped.join(broadcast(docBhs), Seq(idCol))
-        val chain = (0 until bands - 1).map(b =>
-          col("band") <= b || col("__bi").getItem(b) =!= col("__bj").getItem(b))
-          .reduce(_ && _)
-        withArr.select(col(idCol).as("i"), col("__bhs").as("__bi"), col("band"), col("bh"))
-          .join(withArr.select(col(idCol).as("j"), col("__bhs").as("__bj"), col("band"), col("bh")),
-            Seq("band", "bh"))
-          .filter(col("i") < col("j")).filter(chain)
-          .select(col("i"), col("j"))
-      } else {
-        capped.select(col(idCol).as("i"), col("band"), col("bh"))
-          .join(capped.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
-          .filter(col("i") < col("j"))
-          .groupBy("i", "j").agg(count(lit(1)).as("__nb")).drop("__nb")
-      }
-    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stage = minhashCandidateStage(df, idCol, textCol, k, bands, shingle, maxBucket)
+    val (banded, docBhs) = (stage.banded, stage.docBhs)
+    val cand = stage.cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact verification via word-hash arrays (long compares, not string
     // compares) — built for CANDIDATE ids only (round 17): the verify side
     // must be candidate-proportional, not corpus-proportional. The former
@@ -424,21 +393,26 @@ object TextDedup {
     // plans the semi-join sort-merge first and discovers the broadcastable
     // side only after the corpus shuffle has already materialized
     // (measured at 1e8: the full 8 GB doc exchange ran before the join
-    // converted). Above the bound the shuffle semi-join is the honest
-    // shape — a corpus-sized candidate set must not be broadcast.
+    // converted).
     val candN = cand.count()
     val candIds = cand.select(col("i").as(idCol))
       .union(cand.select(col("j").as(idCol))).distinct()
-    // Broadcast gate on the measured DISTINCT-ID count, not the pair count
-    // (round 18, advice): distinct ids run up to 2× the pairs, and a hashed
-    // relation costs ~40 B/key (8 B long key + UnsafeRow + map overhead) —
-    // 8M ids ≈ 320 MB per executor, the honest ceiling for 8 GB heaps. The
-    // id count is one cheap aggregate over the persisted cand frame; pair
-    // counts ≤ 4M skip it (ids ≤ 8M by construction). Above the bound the
+    // Broadcast gate on a MEASURED bound for the distinct-id count, not the
+    // pair count (round 18, advice): distinct ids run up to 2× the pairs,
+    // and a hashed relation costs ~40 B/key (8 B long key + UnsafeRow + map
+    // overhead) — 8M ids ≈ 320 MB per executor, the honest ceiling for 8 GB
+    // heaps. Two free exact bounds cover almost every run: ids ≤ 2×pairs
+    // (cheap candN) and ids ≤ docs (the sizing pass already measured the
+    // corpus row count — the sf0.1 high-dup case: 9.36M pairs among 5k
+    // docs must not pay a distinct-count pass to learn ids ≈ 4k). Only a
+    // huge corpus AND a huge candidate set (both bounds > 8M) pays one
+    // distinct aggregate over the persisted cand frame. Above the bound the
     // shuffle semi-join is the honest shape — a corpus-sized candidate set
     // must not be broadcast.
     val candIdsN =
-      if (candN <= ChainDocsMax / 2) candN * 2 else candIds.count()
+      if (candN * 2 <= ChainDocsMax || stage.nDocs <= ChainDocsMax)
+        math.min(candN * 2, stage.nDocs)
+      else candIds.count()
     val candIdsHinted =
       if (candIdsN <= ChainDocsMax) broadcast(candIds) else candIds
     val words = df.join(candIdsHinted, Seq(idCol), "left_semi")
@@ -455,7 +429,62 @@ object TextDedup {
       .filter(col("sim") >= threshold)
       .select(col("i"), col("j"), col("sim"))
     Lifecycle.materializeAndRelease(result,
-      (Seq(banded, words, cand) ++ Option(docBhs)): _*)
+      (Seq(banded, words, cand) ++ docBhs): _*)
+  }
+
+  /** The distinct candidate-pair stage of [[minhashLshPairs]], exposed
+    * `private[graft]` so the plan-shape spec can pin its executed shape
+    * (round-18 verdict ask: the one-exchange claim must be a test, not a
+    * memory). `cand0` is the UNPERSISTED distinct (i, j) frame; `banded`
+    * and `docBhs` are live caches the caller must release.
+    */
+  private[graft] final case class MinhashCandidates(cand0: DataFrame,
+      capped: DataFrame, banded: DataFrame, docBhs: Option[DataFrame],
+      strategy: String, nDocs: Long)
+
+  private[graft] def minhashCandidateStage(df: DataFrame, idCol: String,
+      textCol: String, k: Int, bands: Int, shingle: Int,
+      maxBucket: Int): MinhashCandidates = {
+    val rows = k / bands
+    val sig = minhashSignatures(df, idCol, textCol, k, shingle)
+    val banded0 = sig.select(col(idCol), posexplode(array((0 until bands).map(bi =>
+      hash(slice(col("sig"), bi * rows + 1, rows), lit(bi))): _*)).as(Seq("band", "bh")))
+    val (capped, banded, bstats) = cappedBandedBuckets(banded0, Seq("band", "bh"),
+      maxBucket, "minhashLshPairs")
+    val nDocs = bstats.bandedRows / math.max(bands, 1)
+    val useChain = bstats.hotBuckets == 0 &&
+      bstats.candVolume > ChainVolumeFactor * bstats.bandedRows &&
+      nDocs <= ChainDocsMax
+    lastPairDedupStrategy = if (useChain) "chain" else "groupby"
+    if (useChain) {
+      // per-doc band-hash array rebuilt FROM the cache (one exchange of
+      // bandedRows rows — cheap by the volume ≫ rows precondition; no
+      // second corpus scan, no recompute divergence): array_sort on
+      // struct(band, bh) orders by band, so bhs[b] is band b's hash.
+      // Persisted because broadcast-exchange reuse does NOT fire across
+      // the two self-join sides here (measured: the aggregate ran twice)
+      val docBhs = capped.groupBy(col(idCol)).agg(
+        transform(array_sort(collect_list(struct(col("band"), col("bh")))),
+          x => x.getField("bh")).as("__bhs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val withArr = capped.join(broadcast(docBhs), Seq(idCol))
+      val chain = (0 until bands - 1).map(b =>
+        col("band") <= b || col("__bi").getItem(b) =!= col("__bj").getItem(b))
+        .reduce(_ && _)
+      val cand0 = withArr
+        .select(col(idCol).as("i"), col("__bhs").as("__bi"), col("band"), col("bh"))
+        .join(withArr.select(col(idCol).as("j"), col("__bhs").as("__bj"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .filter(col("i") < col("j")).filter(chain)
+        .select(col("i"), col("j"))
+      MinhashCandidates(cand0, capped, banded, Some(docBhs), "chain", nDocs)
+    } else {
+      val cand0 = capped.select(col(idCol).as("i"), col("band"), col("bh"))
+        .join(capped.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("__nb")).drop("__nb")
+      MinhashCandidates(cand0, capped, banded, None, "groupby", nDocs)
+    }
   }
 
   /** 64-bit SimHash over DISTINCT word hashes (vote sums are multiset-

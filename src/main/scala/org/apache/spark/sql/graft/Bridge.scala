@@ -46,6 +46,27 @@ object Bridge {
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 
+  /** Count the shuffle exchanges an EXECUTED plan actually ran, descending
+    * through AQE's final plan and into materialized query stages (including
+    * shuffles hidden inside broadcast-stage subtrees). InMemoryTableScan is
+    * a leaf: a cache's internal build exchange is the cache's cost, not the
+    * consuming plan's — which is exactly the distinction the LSH
+    * candidate-stage plan pin needs ("the self-join adds NO exchange beyond
+    * the cache build"). Run an action first; on an unexecuted AQE plan the
+    * count reflects the initial plan.
+    */
+  def countShuffleExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Int = p.collect {
+      case s: QueryStageExec => walk(s.plan)
+      case _: ShuffleExchangeLike => 1
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+    }.sum
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** Whether a catalyst predicate can be translated into a data-source
     * `Filter` (i.e. is pushdown-eligible). Used by the plan-shape
     * regression spec to tell "scan ignored a pushable filter" (a bug)
