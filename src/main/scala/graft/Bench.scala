@@ -1337,8 +1337,18 @@ object Bench {
     // the per-row results dict truncated out of the front
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f,"preflight_steal_pct":$preflightSteal%.2f,"steal_gate_wait_sec":$stealGateWaited,"tripwire":$tripJson,"tripwire_retried":$tripRetriedJson,"tripwire_threshold":$tripK%.2f,"tripwire_slack_sec":$tripSlack%.2f,"tripwire_rows_known":${minima.size},"tripwire_phase":$phaseJson,"pass_steal_pct":$passStealJson,"row_steal":$rowStealJson,"row_metrics":$rowMetricsJson,"queries":$qs}""")
     // the rows AGAIN as the final compact stdout line — a tail capture that
-    // cuts the long line above still carries every row's seconds
-    println(s"BENCH_ROWS $qs")
+    // cuts the long line above still carries every row's seconds. Round 18:
+    // the driver's ~3.4 KB tail window keeps the END of output, and r17's
+    // artifact kept the rows but cut ALL contention evidence (the 2.53×
+    // huge8_pipe_minhash reading was unadjudicable in-artifact) — so a
+    // COMPACT evidence object now rides the END of this same line, where
+    // end-keep favors it: contention verdicts, run+preflight steal, the
+    // top-5 tripwire ratios, and dirty rows (capped at 8 names + count).
+    val trip5 = tripped.take(5).map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val dirty8 = dirtyRows.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val evJson = f"""{"contended":$contended,"ramp":$ramped,"steal_pct":$stealPct%.2f,"preflight_steal_pct":$preflightSteal%.2f,"steal_gate_wait_sec":$stealGateWaited,"floor":$floor%.3f,"mem_floor":$memFloor%.3f,"retries":$retriesUsed,"dirty_n":${dirtyRows.size},"dirty_rows":$dirty8,"tripwire_n":${tripped.size},"tripwire_top":$trip5}"""
+    println(s"BENCH_ROWS $qs EV $evJson")
     if (tripped.nonEmpty) System.err.println(
       s"[graft.Bench] TRIPWIRE: ${tripped.size} row(s) exceed ${tripK}x their " +
       s"recorded clean minimum — ${tripped.map { case (k, r) => f"$k ($r%.2fx)" }
