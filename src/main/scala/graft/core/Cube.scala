@@ -442,6 +442,10 @@ final class Cube(
   private def swapCompacted(label: String, midMaterialize: () => Unit,
       materialize: DataFrame => DataFrame,
       onAbort: DataFrame => Unit): Boolean = {
+    // guards every compactTo* face: compacting a snapshot would rewrite a
+    // layout for the as-of SUBSET under a live-looking name — the same
+    // silent-divergence class the cell-write guard rejects
+    rejectSnapshotWrite(label)
     val (base0, merged, incorporated) =
       stateLock.synchronized((base, facts, overlay.toVector))
     val newBase = materialize(
@@ -661,6 +665,9 @@ final class Cube(
     */
   def appendZorderedStore(batch: DataFrame,
       assumeUniqueAddresses: Boolean = false): graft.pipeline.Layout.ZAppendStats = {
+    // an append commits a NEW generation — the one mutation that would
+    // rewrite history from a historical vantage point
+    rejectSnapshotWrite("appendZorderedStore")
     val (dir, zDims, bits, pqOpts, facts0) = stateLock.synchronized[(String, Seq[Int], Int, Map[String, String], DataFrame)] {
       val (d, z, b, o) = zStoreState.getOrElse(throw new IllegalStateException(
         "appendZorderedStore needs a prior compactToZorderedStore"))
@@ -768,7 +775,14 @@ final class Cube(
     * "correcting history" must be told, not silently ignored, so
     * `set`/`delete`/`setPayload`/rule mutation reject with a pointed
     * message (the reference's history time travel is read-only in effect
-    * too, `history.py:298-417`).
+    * too, `history.py:298-417`). Round 18 extends the guard to the
+    * remaining state-mutation faces: `clear` (drops all cells), every
+    * `compactTo*` (would rewrite a layout for the as-of subset under a
+    * live-looking name) and `appendZorderedStore` (would commit a new
+    * generation from a historical vantage point). `views.define` stays
+    * EXEMPT deliberately: a view is a query definition over the read
+    * surface, not cell/store state — defining one on a snapshot is the
+    * supported way to render history.
     */
   def snapshotAtGeneration(generation: Long): Cube = {
     val snap = new Cube(s"$name@g$generation", dimensions, spark,
@@ -1124,10 +1138,13 @@ final class Cube(
   /** Drop ALL cells — facts, overlay, payloads, comments
     * (≙ `cube.py:306-310`).
     */
-  def clear(): Unit = stateLock.synchronized {
-    payloads = payloads.empty
-    comments.clear()
-    replaceFacts(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], factSchema))
+  def clear(): Unit = {
+    rejectSnapshotWrite("clear")
+    stateLock.synchronized {
+      payloads = payloads.empty
+      comments.clear()
+      replaceFacts(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], factSchema))
+    }
   }
 
   /** Navigable cell pointer (≙ `cube.cell(...)`, `cell.py`). */

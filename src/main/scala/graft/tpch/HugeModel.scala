@@ -52,7 +52,7 @@ object HugeModel {
   }
 
   /** 100^k as a long literal column (packed-generator digit extraction). */
-  private def pow10(k: Int) =
+  private def pow100(k: Int) =
     lit(Seq.fill(k)(100L).foldLeft(1L)(_ * _))
 
   private def build(spark: SparkSession, rows: Long): Cube = {
@@ -77,7 +77,7 @@ object HugeModel {
       if (sys.env.get("SPARK_GRAFT_HUGE_GEN").contains("packed")) {
         val h = Array(xxhash64(col("id")), xxhash64(col("id"), lit(1)))
         (0 until NDims).map { i =>
-          val digit = pmod(h(i / 4) / pow10(i % 4), lit(LeavesPerDim.toLong))
+          val digit = pmod(h(i / 4) / pow100(i % 4), lit(LeavesPerDim.toLong))
           (digit + 1).cast("int").as(s"d$i")
         }
       } else (0 until NDims).map(i =>

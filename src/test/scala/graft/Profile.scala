@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one profiling entry point for local perf iteration (round 18 folds
+  * the accumulated scratch mains — WarmPerf/WarmPerf2/ScratchPerf/
+  * ScratchHuge8 — into this):
+  *
+  *   Test/runMain graft.Profile warm  <gate…>   3 warmed passes per gate
+  *   Test/runMain graft.Profile cold  <gate…>   1 cold-JVM pass per gate
+  *   Test/runMain graft.Profile plan  <gate…>   explain("formatted")
+  *   Test/runMain graft.Profile stages <gate>   per-stage metrics (run/cpu/
+  *                                              gc/spill/shuffle) of a warm
+  *                                              pass
+  *   Test/runMain graft.Profile huge8 [build|zstore|both] [passes]
+  *                                              1e8 variant harness (env:
+  *                                              SPARK_GRAFT_HUGE_GEN/SLICES/
+  *                                              PERSIST, SPARK_GRAFT_OFFHEAP,
+  *                                              SPARK_GRAFT_HUGE8_ROWS)
+  *
+  * `SP_SF` picks the testdata dir (default sf0.1). Numbers from this light
+  * context are for ITERATION; quote full-bench minima in records.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("warm")
+    val rest = args.drop(1).toSeq
+    val sfDir = sys.env.getOrElse("SP_SF", "/root/testdata/sf0.1")
+    mode match {
+      case "warm" | "cold" =>
+        val names = if (rest.nonEmpty) rest else Seq("pipe_dedup_minhash")
+        val passes = if (mode == "warm") 3 else 1
+        val spark = Bench.session()
+        names.foreach { name =>
+          (1 to passes).foreach { i =>
+            val t0 = System.nanoTime()
+            val n = SparkEntry.queries(name)(spark, sfDir).count()
+            println(f"[$mode] $name pass$i ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+          }
+        }
+        spark.stop()
+      case "plan" =>
+        val spark = Bench.session()
+        rest.foreach { name =>
+          println(s"===== $name =====")
+          SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+        }
+        spark.stop()
+      case "stages" =>
+        val name = rest.headOption.getOrElse("pipe_dedup_minhash")
+        val spark = Bench.session()
+        @volatile var show = false
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = if (show) {
+            val si = s.stageInfo
+            val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+            val tm = si.taskMetrics
+            System.err.println(f"[stage ${si.stageId}%3d] ${dur}%6.2f s tasks=${si.numTasks}%4d " +
+              f"run=${tm.executorRunTime / 1000.0}%7.1f cpu=${tm.executorCpuTime / 1e9}%7.1f " +
+              f"gc=${tm.jvmGCTime / 1000.0}%5.1f spillM=${tm.memoryBytesSpilled / 1048576}%5d " +
+              f"spillD=${tm.diskBytesSpilled / 1048576}%5d " +
+              f"in=${tm.inputMetrics.recordsRead}%9d shufR=${tm.shuffleReadMetrics.recordsRead}%9d " +
+              f"shufW=${tm.shuffleWriteMetrics.recordsWritten}%9d  ${si.name.split("\n").head.take(50)}")
+          }
+        })
+        SparkEntry.queries(name)(spark, sfDir).count() // warm pass, unlisted
+        show = true
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"[stages] $name total ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+        spark.stop()
+      case "huge8" =>
+        val what = rest.headOption.getOrElse("build")
+        val passes = rest.drop(1).headOption.map(_.toInt).getOrElse(2)
+        val rows = sys.env.getOrElse("SPARK_GRAFT_HUGE8_ROWS", "100000000").toLong
+        val spark = Bench.session()
+        import scala.jdk.CollectionConverters._
+        def gcMs: Long = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+        def timed(name: String)(body: => Unit): Unit = {
+          val g0 = gcMs; val t0 = System.nanoTime()
+          body
+          println(f"[huge8] $name ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
+            f"gc=${gcMs - g0} ms")
+        }
+        val variant = Seq("SPARK_GRAFT_HUGE_GEN", "SPARK_GRAFT_HUGE_SLICES",
+          "SPARK_GRAFT_HUGE_PERSIST", "SPARK_GRAFT_OFFHEAP")
+          .flatMap(k => sys.env.get(k).map(v => s"$k=$v")).mkString(" ") match {
+          case "" => "baseline"; case s => s
+        }
+        println(s"[huge8] variant: $variant rows=$rows what=$what")
+        // JIT warmup at 1e6 (untimed)
+        graft.tpch.HugeModel.rebuild(spark, 1000000L)
+        graft.tpch.HugeModel.drop(1000000L, blocking = true)
+        if (what == "build" || what == "both") {
+          (1 to passes).foreach { _ =>
+            timed("huge8_build") { graft.tpch.HugeModel.rebuild(spark, rows); () }
+          }
+          graft.tpch.HugeModel.drop(rows, blocking = true)
+          System.gc(); Thread.sleep(1500)
+        }
+        if (what == "zstore" || what == "both") {
+          import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+          def zframe(n: Long) = spark.range(0, n).select(col("id"),
+            pmod(hash(col("id")), lit(1024)).cast("long").as("a"),
+            pmod(hash(col("id") * 3), lit(1024)).cast("long").as("b"),
+            (col("id") % 97).cast("double").as("value"))
+          (1 to passes).foreach { _ =>
+            val d = java.nio.file.Files.createTempDirectory("profile_z8").toString
+            timed("huge8_pipe_zstore_build") {
+              graft.pipeline.Layout.zorderWrite(spark, d, zframe(rows),
+                Seq(col("a"), col("b")), bits = 10, numFiles = 64); ()
+            }
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+          }
+        }
+        spark.stop()
+      case other =>
+        System.err.println(s"unknown Profile mode '$other' — " +
+          "use warm|cold|plan|stages|huge8")
+    }
+  }
+}
