@@ -1338,17 +1338,32 @@ object Bench {
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","passes":$passes,"timing":"min_of_passes","model_build_phases":$phasesJson,"canary_spin_med_sec":$canaryMed,"canary_spin_max_sec":$canaryMax,"canary_threads":$nSpin,"canary_floor_sec":$floor%.3f,"canary_floor_source":"$floorSource","canary_mem_med_sec":$memJson,"mem_floor_sec":$memFloor%.3f,"canary_io_sec":$ioJson,"io_floor_sec":$ioFloor%.3f,"contended":$contended,"canary_ramp":$ramped,"pass_retries_used":$retriesUsed,"dirty_rows":$dirtyRowsJson,"steal_pct":$stealPct%.2f,"preflight_steal_pct":$preflightSteal%.2f,"steal_gate_wait_sec":$stealGateWaited,"tripwire":$tripJson,"tripwire_retried":$tripRetriedJson,"tripwire_threshold":$tripK%.2f,"tripwire_slack_sec":$tripSlack%.2f,"tripwire_rows_known":${minima.size},"tripwire_phase":$phaseJson,"pass_steal_pct":$passStealJson,"row_steal":$rowStealJson,"row_metrics":$rowMetricsJson,"queries":$qs}""")
     // the rows AGAIN as the final compact stdout line — a tail capture that
     // cuts the long line above still carries every row's seconds. Round 18:
-    // the driver's ~3.4 KB tail window keeps the END of output, and r17's
+    // the driver's tail window is EXACTLY 2000 bytes (measured from the
+    // r17 artifact: 1926 kept of the 1932-byte BENCH_ROWS line + the
+    // 73-byte sbt success line) and keeps the END of output, and r17's
     // artifact kept the rows but cut ALL contention evidence (the 2.53×
-    // huge8_pipe_minhash reading was unadjudicable in-artifact) — so a
-    // COMPACT evidence object now rides the END of this same line, where
-    // end-keep favors it: contention verdicts, run+preflight steal, the
-    // top-5 tripwire ratios, and dirty rows (capped at 8 names + count).
-    val trip5 = tripped.take(5).map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+    // huge8_pipe_minhash reading was unadjudicable in-artifact). Budget
+    // arithmetic for the one line that survives: rows at ADAPTIVE precision
+    // (2dp, 1dp ≥100 s — full 3dp values live in the long line and the
+    // file below) ≈ 1850 B + a ~70-byte evidence core (contention/ramp
+    // verdicts, run+preflight steal, dirty/tripwire counts, worst tripwire
+    // ratio) + the sbt success line ≈ 1995 ≤ 2000. Everything that does
+    // NOT fit — tripwire names, dirty-row names, floors, per-row metrics —
+    // is written to BENCH_FULL.json in the repo working tree, which the
+    // driver's end-of-round commit picks up: the full evidence is
+    // adjudicable from the repo even when the tail eats it.
+    val fmtAdaptive = (v: Double) => if (v >= 100) f"$v%.1f" else f"$v%.2f"
+    val qs2 = results.map { case (k, v) => "\"" + k + "\":" + fmtAdaptive(v) }
       .mkString("{", ",", "}")
-    val dirty8 = dirtyRows.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val evJson = f"""{"contended":$contended,"ramp":$ramped,"steal_pct":$stealPct%.2f,"preflight_steal_pct":$preflightSteal%.2f,"steal_gate_wait_sec":$stealGateWaited,"floor":$floor%.3f,"mem_floor":$memFloor%.3f,"retries":$retriesUsed,"dirty_n":${dirtyRows.size},"dirty_rows":$dirty8,"tripwire_n":${tripped.size},"tripwire_top":$trip5}"""
-    println(s"BENCH_ROWS $qs EV $evJson")
+    val topTrip = tripped.headOption.map(_._2).getOrElse(0.0)
+    val evJson = f"""{"c":$contended,"r":$ramped,"sp":$stealPct%.2f,"pf":$preflightSteal%.2f,"dn":${dirtyRows.size},"tn":${tripped.size},"tx":$topTrip%.2f}"""
+    try {
+      val full = f"""{"bench_rows":$qs,"ev":{"contended":$contended,"ramp":$ramped,"steal_pct":$stealPct%.2f,"preflight_steal_pct":$preflightSteal%.2f,"steal_gate_wait_sec":$stealGateWaited,"floor":$floor%.3f,"mem_floor":$memFloor%.3f,"retries":$retriesUsed,"dirty_rows":${dirtyRows.map("\"" + _ + "\"").mkString("[", ",", "]")},"tripwire":$tripJson,"tripwire_retried":$tripRetriedJson,"pass_steal_pct":$passStealJson,"row_steal":$rowStealJson,"row_metrics":$rowMetricsJson}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        full.getBytes("UTF-8"))
+    } catch { case t: Throwable =>
+      System.err.println(s"[graft.Bench] could not write BENCH_FULL.json: $t") }
+    println(s"ROWS $qs2 EV $evJson")
     if (tripped.nonEmpty) System.err.println(
       s"[graft.Bench] TRIPWIRE: ${tripped.size} row(s) exceed ${tripK}x their " +
       s"recorded clean minimum — ${tripped.map { case (k, r) => f"$k ($r%.2fx)" }
