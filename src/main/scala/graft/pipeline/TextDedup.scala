@@ -467,15 +467,22 @@ object TextDedup {
         transform(array_sort(collect_list(struct(col("band"), col("bh")))),
           x => x.getField("bh")).as("__bhs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val withArr = capped.join(broadcast(docBhs), Seq(idCol))
       val chain = (0 until bands - 1).map(b =>
         col("band") <= b || col("__bi").getItem(b) =!= col("__bj").getItem(b))
         .reduce(_ && _)
-      val cand0 = withArr
-        .select(col(idCol).as("i"), col("__bhs").as("__bi"), col("band"), col("bh"))
-        .join(withArr.select(col(idCol).as("j"), col("__bhs").as("__bj"), col("band"), col("bh")),
-          Seq("band", "bh"))
-        .filter(col("i") < col("j")).filter(chain)
+      // arrays attach AFTER the self-join, not before: the sort-merge join
+      // copies its buffered side (and its output rows) field-by-field, and
+      // carrying a bands-wide array through 47M joined rows measured ~21 s
+      // of pure copy CPU at sf0.1. Post-join the two broadcast hash joins
+      // fuse with the chain filter in ONE codegen stage — the arrays are
+      // read IN PLACE from the broadcast relations and never materialize
+      // into any output row (the final projection is the bare ids).
+      val cand0 = capped.select(col(idCol).as("i"), col("band"), col("bh"))
+        .join(capped.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
+        .filter(col("i") < col("j"))
+        .join(broadcast(docBhs.select(col(idCol).as("i"), col("__bhs").as("__bi"))), Seq("i"))
+        .join(broadcast(docBhs.select(col(idCol).as("j"), col("__bhs").as("__bj"))), Seq("j"))
+        .filter(chain)
         .select(col("i"), col("j"))
       MinhashCandidates(cand0, capped, banded, Some(docBhs), "chain", nDocs)
     } else {
