@@ -456,7 +456,15 @@ object TextDedup {
       bstats.candVolume > ChainVolumeFactor * bstats.bandedRows &&
       nDocs <= ChainDocsMax
     lastPairDedupStrategy = if (useChain) "chain" else "groupby"
-    if (useChain) {
+    if (useChain && bands == 1) {
+      // a single band emits each pair exactly once by construction — no
+      // prior-band filter, no array attach, no dedup of any kind
+      val cand0 = capped.select(col(idCol).as("i"), col("band"), col("bh"))
+        .join(capped.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"))
+      MinhashCandidates(cand0, capped, banded, None, "chain", nDocs)
+    } else if (useChain) {
       // per-doc band-hash array rebuilt FROM the cache (one exchange of
       // bandedRows rows — cheap by the volume ≫ rows precondition; no
       // second corpus scan, no recompute divergence): array_sort on
@@ -467,9 +475,10 @@ object TextDedup {
         transform(array_sort(collect_list(struct(col("band"), col("bh")))),
           x => x.getField("bh")).as("__bhs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // bands = 1 has no prior bands — emission is already exactly-once
       val chain = (0 until bands - 1).map(b =>
         col("band") <= b || col("__bi").getItem(b) =!= col("__bj").getItem(b))
-        .reduce(_ && _)
+        .reduceOption(_ && _).getOrElse(lit(true))
       // arrays attach AFTER the self-join, not before: the sort-merge join
       // copies its buffered side (and its output rows) field-by-field, and
       // carrying a bands-wide array through 47M joined rows measured ~21 s

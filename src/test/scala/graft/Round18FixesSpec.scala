@@ -106,6 +106,21 @@ class Round18FixesSpec extends AnyFunSuite {
     st2.banded.unpersist(blocking = false)
   }
 
+  test("minhash pair dedup: bands = 1 takes the attach-free chain path and matches brute force") {
+    // one band of the full signature ~ exact word-set dedup at threshold 1.0
+    val pairs = TextDedup.minhashLshPairs(highDupDocs, "doc_id", "text",
+      k = 16, bands = 1, threshold = 0.9)
+    assert(TextDedup.lastPairDedupStrategy == "chain")
+    val got = pairs.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // single-band LSH is lossy for sim < 1 pairs; verified output must be a
+    // SUBSET of brute force and include every identical-word-set pair
+    val expect = bruteJaccard(highDupDocs, 0.9)
+    assert(got.subsetOf(expect), "bands=1 must never emit a false pair")
+    val identical = bruteJaccard(highDupDocs, 1.0)
+    assert(identical.subsetOf(got), "bands=1 must find every identical-set pair")
+    pairs.unpersist()
+  }
+
   test("simhash pairs: chain dedup matches the exact hamming pair set on a dup-heavy corpus") {
     import spark.implicits._
     val docs = (0 until 150).map { i =>
