@@ -59,6 +59,23 @@ object TextDedup {
     */
   private val ChainDocsMax = 8000000L
 
+  /** Small-corpus bound for the verify side (round 18, measured at sf0.1):
+    * at or below this many documents — AND at most [[VerifySmallBytesMax]]
+    * of optimizer-estimated input — the WHOLE corpus' shingle arrays ride
+    * the two verify broadcasts directly, and the candidate-proportional
+    * apparatus (persist cand + count it, distinct candidate ids, semi-join
+    * the corpus) is skipped outright. That apparatus exists to avoid
+    * corpus-sized work when the corpus is huge; at ≤64k docs it IS the
+    * work: ~5 fixed jobs + 2 persists to bound a side that one scan
+    * rebuilds in milliseconds. Sizing: 64k docs × ~2 KB sorted shingle
+    * arrays ≈ 128 MB data ≈ ~300 MB hashed relation — the same
+    * per-executor ceiling as the candidate-id gate above. Above either
+    * bound the r17 candidate-proportional path runs unchanged (the 1e8
+    * rows never qualify: nDocs alone excludes them).
+    */
+  private val VerifyAllDocsMax = 65536L
+  private val VerifySmallBytesMax = BigInt(128L << 20)
+
   /** Storage level of the co-partitioned banded cache: DISK_ONLY. This
     * frame is bands× the corpus row count — the one intermediate guaranteed
     * BIGGER than the input — and cached in memory it occupies the unified
@@ -381,6 +398,24 @@ object TextDedup {
     // below.
     val stage = minhashCandidateStage(df, idCol, textCol, k, bands, shingle, maxBucket)
     val (banded, docBhs) = (stage.banded, stage.docBhs)
+    if (stage.small) {
+      // Small-corpus verify (round 18, [[VerifyAllDocsMax]]): the whole
+      // corpus' shingle arrays ride the two verify broadcasts — candidates
+      // flow through candidate generation, the chain filter and the verify
+      // merge-walk in ONE fused pass (cand has a single consumer, so the
+      // persist + count + distinct-id + semi-join jobs of the large path
+      // buy nothing here; measured at sf0.1 they were ~40% of the row).
+      val wordsAll = df.select(col(idCol), shingleHashArr(col(textCol), shingle).as("ws"))
+      val result = stage.cand0
+        .join(broadcast(wordsAll.select(col(idCol).as("i"), col("ws").as("wi"))), Seq("i"))
+        .join(broadcast(wordsAll.select(col(idCol).as("j"), col("ws").as("wj"))), Seq("j"))
+        .withColumn("__inter", graft.functions.SortedIntersectCount(col("wi"), col("wj")))
+        .withColumn("sim", col("__inter").cast("double") /
+          (size(col("wi")) + size(col("wj")) - col("__inter")).cast("double"))
+        .filter(col("sim") >= threshold)
+        .select(col("i"), col("j"), col("sim"))
+      return Lifecycle.materializeAndRelease(result, banded)
+    }
     val cand = stage.cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact verification via word-hash arrays (long compares, not string
     // compares) — built for CANDIDATE ids only (round 17): the verify side
@@ -440,18 +475,25 @@ object TextDedup {
     */
   private[graft] final case class MinhashCandidates(cand0: DataFrame,
       capped: DataFrame, banded: DataFrame, docBhs: Option[DataFrame],
-      strategy: String, nDocs: Long)
+      strategy: String, nDocs: Long, small: Boolean)
 
   private[graft] def minhashCandidateStage(df: DataFrame, idCol: String,
       textCol: String, k: Int, bands: Int, shingle: Int,
       maxBucket: Int): MinhashCandidates = {
     val rows = k / bands
     val sig = minhashSignatures(df, idCol, textCol, k, shingle)
-    val banded0 = sig.select(col(idCol), posexplode(array((0 until bands).map(bi =>
-      hash(slice(col("sig"), bi * rows + 1, rows), lit(bi))): _*)).as(Seq("band", "bh")))
+    def bandHashArr: Column = array((0 until bands).map(bi =>
+      hash(slice(col("sig"), bi * rows + 1, rows), lit(bi))): _*)
+    val banded0 = sig.select(col(idCol),
+      posexplode(bandHashArr).as(Seq("band", "bh")))
     val (capped, banded, bstats) = cappedBandedBuckets(banded0, Seq("band", "bh"),
       maxBucket, "minhashLshPairs")
     val nDocs = bstats.bandedRows / math.max(bands, 1)
+    // optimizer estimate of the input (actual file bytes for a parquet
+    // scan); gates the small-corpus shortcuts together with nDocs
+    val inputBytes = try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    val small = nDocs <= VerifyAllDocsMax && inputBytes <= VerifySmallBytesMax
     val useChain = bstats.hotBuckets == 0 &&
       bstats.candVolume > ChainVolumeFactor * bstats.bandedRows &&
       nDocs <= ChainDocsMax
@@ -463,18 +505,26 @@ object TextDedup {
         .join(capped.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
         .filter(col("i") < col("j"))
         .select(col("i"), col("j"))
-      MinhashCandidates(cand0, capped, banded, None, "chain", nDocs)
+      MinhashCandidates(cand0, capped, banded, None, "chain", nDocs, small)
     } else if (useChain) {
-      // per-doc band-hash array rebuilt FROM the cache (one exchange of
-      // bandedRows rows — cheap by the volume ≫ rows precondition; no
-      // second corpus scan, no recompute divergence): array_sort on
-      // struct(band, bh) orders by band, so bhs[b] is band b's hash.
-      // Persisted because broadcast-exchange reuse does NOT fire across
-      // the two self-join sides here (measured: the aggregate ran twice)
-      val docBhs = capped.groupBy(col(idCol)).agg(
-        transform(array_sort(collect_list(struct(col("band"), col("bh")))),
-          x => x.getField("bh")).as("__bhs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Per-doc band-hash array for the prior-band chain filter. Small
+      // corpora (round 18): a pure PROJECTION re-derivation from the
+      // signature — zero exchange, zero persist, and the two broadcast
+      // builds each re-scan an input that is ≤128 MB by the gate; values
+      // are identical by construction (hash-of-slice over the
+      // deterministic signature — the same expressions banding used).
+      // Large corpora: rebuilt FROM the cache (one exchange of bandedRows
+      // rows — cheap by the volume ≫ rows precondition; no second corpus
+      // scan): array_sort on struct(band, bh) orders by band, so bhs[b] is
+      // band b's hash. Persisted because broadcast-exchange reuse does NOT
+      // fire across the two self-join sides here (measured: the aggregate
+      // ran twice).
+      val docBhs =
+        if (small) sig.select(col(idCol), bandHashArr.as("__bhs"))
+        else capped.groupBy(col(idCol)).agg(
+          transform(array_sort(collect_list(struct(col("band"), col("bh")))),
+            x => x.getField("bh")).as("__bhs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // bands = 1 has no prior bands — emission is already exactly-once
       val chain = (0 until bands - 1).map(b =>
         col("band") <= b || col("__bi").getItem(b) =!= col("__bj").getItem(b))
@@ -493,13 +543,14 @@ object TextDedup {
         .join(broadcast(docBhs.select(col(idCol).as("j"), col("__bhs").as("__bj"))), Seq("j"))
         .filter(chain)
         .select(col("i"), col("j"))
-      MinhashCandidates(cand0, capped, banded, Some(docBhs), "chain", nDocs)
+      MinhashCandidates(cand0, capped, banded,
+        if (small) None else Some(docBhs), "chain", nDocs, small)
     } else {
       val cand0 = capped.select(col(idCol).as("i"), col("band"), col("bh"))
         .join(capped.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
         .filter(col("i") < col("j"))
         .groupBy("i", "j").agg(count(lit(1)).as("__nb")).drop("__nb")
-      MinhashCandidates(cand0, capped, banded, None, "groupby", nDocs)
+      MinhashCandidates(cand0, capped, banded, None, "groupby", nDocs, small)
     }
   }
 
