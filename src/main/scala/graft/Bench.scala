@@ -1144,8 +1144,11 @@ object Bench {
           val sig = graft.pipeline.TextDedup.minhashSignatures(
             docs, "doc", "text", k = 16)
           val rowsPerBand = 4
+          // xxhash64 band buckets, mirroring the operator (round 18: 32-bit
+          // bucket hashes manufactured ~4.7M birthday-collision candidates
+          // at 1e8 docs — see TextDedup.minhashCandidateStage)
           val banded = sig.select(posexplode(array((0 until 4).map(bi =>
-            hash(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*))
+            xxhash64(lit(bi), slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand))): _*))
             .as(Seq("band", "bh")))
           val nb = banded.agg(approx_count_distinct(col("bh")).as("nb"))
             .collect()(0).getLong(0)

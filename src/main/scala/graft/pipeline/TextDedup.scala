@@ -134,7 +134,8 @@ object TextDedup {
     // downstream self-join needs — the join then re-exchanges BOTH sides,
     // exactly the cost this frame exists to avoid (measured at 1e8: the
     // candidate stage's shuffle volume tripled).
-    val nParts = banded0.sparkSession.sessionState.conf.numShufflePartitions
+    val spark = banded0.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
     val banded = banded0.repartition(nParts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
       .persist(lshCacheLevel)
@@ -148,11 +149,24 @@ object TextDedup {
     // AQE discovery-after-shuffle. Examples collect only when hot exist.
     val m = col("__m")
     val isHot = m > maxBucket
-    val stats = sizes.agg(
+    // The bucket-size groupBy has ~one group PER CACHED ROW on low-dup
+    // corpora (4e8 near-unique keys at the 1e8 bench corpus) — a hash
+    // aggregate hash-inserts every row for near-zero combining and
+    // spilled 63 GB there (measured, round 18). The cache is SORTED by
+    // exactly these keys, so Spark's ReplaceHashWithSortAgg rule (off by
+    // default) turns it into a zero-memory streaming sort-aggregate; the
+    // rule only ever fires when the child ordering already satisfies the
+    // grouping, so scoping it here cannot add a sort anywhere. Restored
+    // in finally — session-global flips would reach unrelated plans.
+    val sortAggKey = "spark.sql.execution.replaceHashWithSortAgg"
+    val prevSortAgg = try spark.conf.get(sortAggKey) catch { case _: Throwable => "false" }
+    spark.conf.set(sortAggKey, "true")
+    val stats = try sizes.agg(
       coalesce(sum(when(isHot, 1L)), lit(0L)).as("nb"),
       coalesce(sum(when(isHot, m)), lit(0L)).as("nr"),
       coalesce(sum(m), lit(0L)).as("rows"),
       coalesce(sum(when(!isHot, shiftright(m * (m - 1), 1))), lit(0L)).as("vol")).collect()(0)
+    finally spark.conf.set(sortAggKey, prevSortAgg)
     val (nHot, nRows) = (stats.getLong(0), stats.getLong(1))
     val bs = BandedStats(nHot, nRows, stats.getLong(2), stats.getLong(3))
     val capped =
@@ -482,8 +496,18 @@ object TextDedup {
       maxBucket: Int): MinhashCandidates = {
     val rows = k / bands
     val sig = minhashSignatures(df, idCol, textCol, k, shingle)
+    // 64-bit band-bucket hashes (round 18): with a 32-bit `hash()` the
+    // birthday term bands·n²/2³³ manufactures candidates from BUCKET-HASH
+    // collisions alone — measured at the 1e8 bench corpus: 4.66M of the
+    // 5.66M candidates were collision noise (4·(1e8)²/2³³ ≈ 4.7M), which
+    // pushed distinct candidate ids past the broadcast bound and forced a
+    // corpus-wide shuffle semi-join in the verify (~37 s of the row).
+    // xxhash64 pushes the birthday term to n ≈ 10¹⁰ (bands·n²/2⁶⁵ < 1).
+    // Results are identical by construction: docs with EQUAL signature
+    // slices collide under any hash, and unequal-slice collisions were
+    // verify-rejected noise. Cost: +4 B/banded row in the cache.
     def bandHashArr: Column = array((0 until bands).map(bi =>
-      hash(slice(col("sig"), bi * rows + 1, rows), lit(bi))): _*)
+      xxhash64(lit(bi), slice(col("sig"), bi * rows + 1, rows))): _*)
     val banded0 = sig.select(col(idCol),
       posexplode(bandHashArr).as(Seq("band", "bh")))
     val (capped, banded, bstats) = cappedBandedBuckets(banded0, Seq("band", "bh"),
@@ -1256,9 +1280,13 @@ object TextDedup {
   private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int, shingle: Int): DataFrame = {
     val rows = k / bands
+    // xxhash64 buckets like [[minhashCandidateStage]] (round 18) — the
+    // 32-bit birthday term would manufacture false probe candidates
+    // against a large index; index and probe share THIS definition, so
+    // they can never disagree on the hash.
     minhashSignatures(df, idCol, textCol, k, shingle)
       .select(col(idCol), posexplode(array((0 until bands).map(bi =>
-        hash(slice(col("sig"), bi * rows + 1, rows), lit(bi))): _*)).as(Seq("band", "bh")))
+        xxhash64(lit(bi), slice(col("sig"), bi * rows + 1, rows))): _*)).as(Seq("band", "bh")))
   }
 
   /** NEAR-dup serving index of an ingested corpus — the lexical analog of

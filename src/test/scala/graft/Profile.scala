@@ -70,6 +70,46 @@ object Profile {
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         println(f"[stages] $name total ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
         spark.stop()
+      case "pairs8" =>
+        // the huge8_pipe_minhash_pairs body (Bench.scala 1e8 block), with
+        // per-stage metrics — attribution for the suite's biggest row.
+        // SPARK_GRAFT_HUGE8_MINHASH_PAIR_DOCS sizes it down for iteration.
+        import org.apache.spark.sql.functions.{col, concat, concat_ws, lit,
+          pmod, when, xxhash64}
+        val docs8 = sys.env.getOrElse("SPARK_GRAFT_HUGE8_MINHASH_PAIR_DOCS",
+          "100000000").toLong
+        val parts = sys.env.getOrElse("SPARK_GRAFT_HUGE8_MINHASH_PARTS", "256").toInt
+        val spark = Bench.session()
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = s.stageInfo
+            val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+            val tm = si.taskMetrics
+            if (dur >= 0.5) System.err.println(
+              f"[stage ${si.stageId}%3d] ${dur}%7.2f s tasks=${si.numTasks}%4d " +
+              f"run=${tm.executorRunTime / 1000.0}%7.1f cpu=${tm.executorCpuTime / 1e9}%7.1f " +
+              f"gc=${tm.jvmGCTime / 1000.0}%5.1f spillM=${tm.memoryBytesSpilled / 1048576}%6d " +
+              f"spillD=${tm.diskBytesSpilled / 1048576}%6d " +
+              f"in=${tm.inputMetrics.recordsRead}%10d shufR=${tm.shuffleReadMetrics.recordsRead}%10d " +
+              f"shufW=${tm.shuffleWriteMetrics.recordsWritten}%10d  ${si.name.split("\n").head.take(60)}")
+          }
+        })
+        val base = when(pmod(col("id"), lit(100)) === 99, col("id") - 1)
+          .otherwise(col("id"))
+        val docs = spark.range(0, docs8, 1, parts)
+          .select(col("id").as("doc"),
+            concat_ws(" ", (0 until 8).map(j =>
+              concat(lit("w"), pmod(xxhash64(base, lit(j)), lit(50000)))): _*)
+              .as("text"))
+        val t0 = System.nanoTime()
+        val pairs = graft.pipeline.TextDedup.minhashLshPairs(
+          docs, "doc", "text", k = 32, bands = 4, threshold = 0.9)
+        val n = pairs.count()
+        println(f"[pairs8] total ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"pairs=$n (expect ${docs8 / 100})")
+        spark.stop()
       case "huge8" =>
         val what = rest.headOption.getOrElse("build")
         val passes = rest.drop(1).headOption.map(_.toInt).getOrElse(2)
