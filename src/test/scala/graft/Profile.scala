@@ -109,6 +109,7 @@ object Profile {
         val n = pairs.count()
         println(f"[pairs8] total ${(System.nanoTime() - t0) / 1e9}%.2f s " +
           f"pairs=$n (expect ${docs8 / 100})")
+        if (sys.env.contains("SPARK_GRAFT_PAIRS8_PLAN")) pairs.explain("formatted")
         spark.stop()
       case "huge8" =>
         val what = rest.headOption.getOrElse("build")
