@@ -76,6 +76,14 @@ object TextDedup {
   private val VerifyAllDocsMax = 65536L
   private val VerifySmallBytesMax = BigInt(128L << 20)
 
+  /** Hot-bucket KEYS are collected to the driver (and re-broadcast as a
+    * local relation) up to this many buckets — pigeonhole-bounded at
+    * bandedRows/maxBucket (≈40k at the 1e8 bench corpus, ~25 B each), so
+    * the cap only guards pathological maxBucket choices. Above it the
+    * anti-join keeps the frame shape.
+    */
+  private val HotCollectMax = 1000000L
+
   /** Storage level of the co-partitioned banded cache: DISK_ONLY. This
     * frame is bands× the corpus row count — the one intermediate guaranteed
     * BIGGER than the input — and cached in memory it occupies the unified
@@ -159,26 +167,36 @@ object TextDedup {
     // grouping, so scoping it here cannot add a sort anywhere. Restored
     // in finally — session-global flips would reach unrelated plans.
     val sortAggKey = "spark.sql.execution.replaceHashWithSortAgg"
-    val prevSortAgg = try spark.conf.get(sortAggKey) catch { case _: Throwable => "false" }
-    spark.conf.set(sortAggKey, "true")
-    val stats = try sizes.agg(
+    def withSortAgg[T](body: => T): T = {
+      val prev = try spark.conf.get(sortAggKey) catch { case _: Throwable => "false" }
+      spark.conf.set(sortAggKey, "true")
+      try body finally spark.conf.set(sortAggKey, prev)
+    }
+    val stats = withSortAgg { sizes.agg(
       coalesce(sum(when(isHot, 1L)), lit(0L)).as("nb"),
       coalesce(sum(when(isHot, m)), lit(0L)).as("nr"),
       coalesce(sum(m), lit(0L)).as("rows"),
-      coalesce(sum(when(!isHot, shiftright(m * (m - 1), 1))), lit(0L)).as("vol")).collect()(0)
-    finally spark.conf.set(sortAggKey, prevSortAgg)
+      coalesce(sum(when(!isHot, shiftright(m * (m - 1), 1))), lit(0L)).as("vol")).collect()(0) }
     val (nHot, nRows) = (stats.getLong(0), stats.getLong(1))
     val bs = BandedStats(nHot, nRows, stats.getLong(2), stats.getLong(3))
     val capped =
       if (nHot == 0) {
         lastLshSkew = Some(LshSkewReport(0L, 0L, maxBucket, Nil))
         banded
-      } else {
-        // explicit casts: the bucket key is Int for minhash (`hash`) but
-        // Long for simhash (16-bit chunk of a LongType signature)
-        val examples = hot.orderBy(desc("__m"))
-          .select(col(keys(0)).cast("int"), col(keys(1)).cast("long"), col("__m"))
-          .limit(8).collect().toSeq
+      } else if (nHot <= HotCollectMax) {
+        // The hot set is pigeonhole-small (≤ bandedRows/maxBucket buckets ≈
+        // 40k at the 1e8 corpus — an aggregate-grain collect, ~25 B/key).
+        // Collecting it ONCE inside the sort-agg scope replaces two more
+        // full passes of the bucket-size aggregation that capped runs used
+        // to pay as HASH aggregates (the examples top-8 job, and the
+        // anti-join's lazy broadcast build at first downstream action —
+        // the latter ran outside any scope, i.e. the 63 GB-spill shape).
+        // The local relation broadcast rebuilds nothing at action time.
+        val hotAll = withSortAgg {
+          hot.select(col(keys(0)).cast("int"), col(keys(1)).cast("long"), col("__m"))
+            .collect()
+        }
+        val examples = hotAll.sortBy(r => -r.getLong(2)).take(8).toSeq
           .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
         lastLshSkew = Some(LshSkewReport(nHot, nRows, maxBucket, examples))
         System.err.println(f"[graft.TextDedup] $opName: $nHot band-bucket(s) " +
@@ -187,8 +205,33 @@ object TextDedup {
           "duplicates: run exactDedup/fingerprint dedup first, or lower the " +
           "band width. Largest (band, bucketHash, size): " +
           examples.map { case (b, h, m) => s"($b, $h, $m)" }.mkString(", "))
-        // the hot set is pigeonhole-small (≤ bandedRows/maxBucket buckets);
-        // a broadcast anti preserves the co-partitioning
+        val hotKeySchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(keys(0),
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField(keys(1),
+            org.apache.spark.sql.types.LongType)))
+        val hotLocal = spark.createDataFrame(
+          java.util.Arrays.asList(hotAll.map(r => Row(r.getInt(0), r.getLong(1))): _*),
+          hotKeySchema)
+        // key types: band/chunk columns are (int, long) in both operators —
+        // cast the banded side defensively so the join never falls back to
+        // a cross-type sort-merge
+        banded.join(broadcast(hotLocal),
+          banded(keys(0)).cast("int") === hotLocal(keys(0)) &&
+            banded(keys(1)).cast("long") === hotLocal(keys(1)), "left_anti")
+      } else {
+        // pathological hot-set size (driver-collect unsafe): keep the
+        // frame-shaped anti-join; examples job scoped to the sort agg
+        val examples = withSortAgg { hot.orderBy(desc("__m"))
+          .select(col(keys(0)).cast("int"), col(keys(1)).cast("long"), col("__m"))
+          .limit(8).collect().toSeq
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))) }
+        lastLshSkew = Some(LshSkewReport(nHot, nRows, maxBucket, examples))
+        System.err.println(f"[graft.TextDedup] $opName: $nHot band-bucket(s) " +
+          f"exceed maxBucket=$maxBucket ($nRows banded rows) — EXCLUDED " +
+          "(hot set too large to collect; frame anti-join). Largest (band, " +
+          "bucketHash, size): " +
+          examples.map { case (b, h, m) => s"($b, $h, $m)" }.mkString(", "))
         banded.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
       }
     (capped, banded, bs)
