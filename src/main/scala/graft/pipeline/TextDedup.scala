@@ -73,7 +73,11 @@ object TextDedup {
     * bound the r17 candidate-proportional path runs unchanged (the 1e8
     * rows never qualify: nDocs alone excludes them).
     */
-  private val VerifyAllDocsMax = 65536L
+  private def VerifyAllDocsMax: Long =
+    // system-property override exists so the spec suite can force the
+    // LARGE (candidate-proportional) path on its small fixtures — without
+    // it the path would only ever execute at bench scale
+    sys.props.get("graft.lsh.smallDocsMax").map(_.toLong).getOrElse(65536L)
   private val VerifySmallBytesMax = BigInt(128L << 20)
 
   /** Hot-bucket KEYS are collected to the driver (and re-broadcast as a

@@ -78,6 +78,27 @@ class Round18FixesSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("large (candidate-proportional) verify path is result-identical to the small fast path") {
+    // the r18 small-corpus fast path means every spec fixture would
+    // otherwise exercise ONLY the broadcast-everything verify; force the
+    // LARGE path (persisted cand + measured candN + candIds semi-join)
+    // through the documented test override and pin parity on both regimes
+    System.setProperty("graft.lsh.smallDocsMax", "0")
+    try {
+      Seq(highDupDocs -> "chain", nearUniqueDocs -> "groupby").foreach {
+        case (docs, strat) =>
+          val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+            k = 64, bands = 16, threshold = 0.9)
+          assert(TextDedup.lastPairDedupStrategy == strat)
+          val got = pairs.select("i", "j").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(got == bruteJaccard(docs, 0.9),
+            s"large-path pairs diverge from brute force on the $strat fixture")
+          pairs.unpersist()
+      }
+    } finally System.clearProperty("graft.lsh.smallDocsMax")
+  }
+
   test("candidate stage adds no exchange beyond the caches; banded cache holds explicit N") {
     import org.apache.spark.sql.graft.Bridge
     val nParts = spark.sessionState.conf.numShufflePartitions
