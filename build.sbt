@@ -10,7 +10,18 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// explicit (it is the default): suites run SEQUENTIALLY inside the one
+// forked test JVM — Round18FixesSpec flips the graft.lsh.smallDocsMax
+// system property mid-suite, which would race other suites' LSH calls
+// under parallel in-JVM execution (round-18 advice)
+Test / testForkedParallel := false
 run / fork := true
+// The forked main's stdout/stderr pass through UNPREFIXED instead of
+// being re-logged as "[info] …"/"[error] …" lines: the bench artifact
+// contract wants the final rows line to be a BARE JSON object a tail
+// parser can latch directly (r18 verdict #1), and the sbt logger's
+// 8-byte prefixes only eat tail-window budget
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
