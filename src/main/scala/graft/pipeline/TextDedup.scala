@@ -76,9 +76,24 @@ object TextDedup {
   private def VerifyAllDocsMax: Long =
     // system-property override exists so the spec suite can force the
     // LARGE (candidate-proportional) path on its small fixtures — without
-    // it the path would only ever execute at bench scale
+    // it the path would only ever execute at bench scale. The suite runs
+    // single-JVM-sequential (Test/fork with forked-parallel off), so the
+    // property flip in Round18FixesSpec cannot race another suite's run.
     sys.props.get("graft.lsh.smallDocsMax").map(_.toLong).getOrElse(65536L)
-  private val VerifySmallBytesMax = BigInt(128L << 20)
+  // 64 MB of OPTIMIZER-estimated input (for parquet: compressed file
+  // bytes). Halved from r18's 128 MB (round-18 advice): highly
+  // compressible text can decompress 3-4x, and TWO broadcast relations
+  // (the i- and j-side attach frames don't share an exchange) are live at
+  // once — 64 MB compressed keeps the pair of hashed relations within the
+  // same ~300 MB-per-executor ceiling the candidate-id gate uses.
+  private val VerifySmallBytesMax = BigInt(64L << 20)
+
+  /** Serializes [[cappedBandedBuckets]]' sort-agg-scoped sizing collects
+    * across threads (JVM-wide: the flip is per-session conf, but one lock
+    * for all sessions is harmless — the guarded region is a short
+    * aggregate-grain collect).
+    */
+  private object SortAggLock
 
   /** Hot-bucket KEYS are collected to the driver (and re-broadcast as a
     * local relation) up to this many buckets — pigeonhole-bounded at
@@ -170,8 +185,17 @@ object TextDedup {
     // rule only ever fires when the child ordering already satisfies the
     // grouping, so scoping it here cannot add a sort anywhere. Restored
     // in finally — session-global flips would reach unrelated plans.
+    // The flip is SESSION-scoped while held (r18 advice): SortAggLock
+    // serializes concurrent operator runs on one session so a second run
+    // can never capture "true" as its restore value and leak the rule.
+    // An UNRELATED query planned on the same session inside the window
+    // still sees the rule — at worst it trades a hash aggregate for a
+    // sort aggregate where its child ordering already satisfies the
+    // grouping (performance-neutral to positive, never a semantics
+    // change); callers needing full isolation should run these operators
+    // on a cloned session (spark.newSession()).
     val sortAggKey = "spark.sql.execution.replaceHashWithSortAgg"
-    def withSortAgg[T](body: => T): T = {
+    def withSortAgg[T](body: => T): T = SortAggLock.synchronized {
       val prev = try spark.conf.get(sortAggKey) catch { case _: Throwable => "false" }
       spark.conf.set(sortAggKey, "true")
       try body finally spark.conf.set(sortAggKey, prev)
@@ -382,7 +406,18 @@ object TextDedup {
     * walks the hash array once for all k slots.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int,
-      shingle: Int = 1): DataFrame = {
+      shingle: Int = 1): DataFrame =
+    signaturesAnd(df, idCol, textCol, k, shingle)
+
+  /** [[minhashSignatures]] plus extra per-doc columns computed from the
+    * SAME split-words array `col("__w")` in the same projection — the
+    * small-corpus combined attach frame (round 19) derives the signature
+    * band hashes AND the verify shingle array in one corpus scan instead
+    * of two. Values are identical to the separate derivations by
+    * construction (same expressions over the same input).
+    */
+  private def signaturesAnd(df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingle: Int, extra: (String, Column)*): DataFrame = {
     val words = col("__w")
     val hashes =
       if (shingle <= 1) transform(words, w => xxhash64(w))
@@ -394,8 +429,8 @@ object TextDedup {
     // collapsed form still evaluates split once per row (it is the
     // transform's input, never inside the lambda)
     df.select(col(idCol), split(col(textCol), " ").as("__w"))
-      .select(col(idCol),
-        graft.functions.MinHashSignature(hashes, k).as("sig"))
+      .select(col(idCol) +: graft.functions.MinHashSignature(hashes, k).as("sig") +:
+        extra.map { case (n, c) => c.as(n) }: _*)
       .where(col("sig").isNotNull)
   }
 
@@ -403,8 +438,11 @@ object TextDedup {
     * of [[minhashLshPairs]]); `shingle = 1` hashes words, `shingle = n`
     * hashes n-word shingles — long compares downstream, never strings.
     */
-  private def shingleHashArr(textCol: Column, shingle: Int): Column = {
-    val words = split(textCol, " ")
+  private def shingleHashArr(textCol: Column, shingle: Int): Column =
+    shingleHashFromWords(split(textCol, " "), shingle)
+
+  /** Same array computed from an already-split words column. */
+  private def shingleHashFromWords(words: Column, shingle: Int): Column = {
     if (shingle <= 1) array_sort(array_distinct(transform(words, w => xxhash64(w))))
     else array_sort(array_distinct(transform(
       sequence(lit(1), greatest(size(words) - (shingle - 1), lit(1))),
@@ -466,10 +504,27 @@ object TextDedup {
       // merge-walk in ONE fused pass (cand has a single consumer, so the
       // persist + count + distinct-id + semi-join jobs of the large path
       // buy nothing here; measured at sf0.1 they were ~40% of the row).
-      val wordsAll = df.select(col(idCol), shingleHashArr(col(textCol), shingle).as("ws"))
-      val result = stage.cand0
-        .join(broadcast(wordsAll.select(col(idCol).as("i"), col("ws").as("wi"))), Seq("i"))
-        .join(broadcast(wordsAll.select(col(idCol).as("j"), col("ws").as("wj"))), Seq("j"))
+      // Round 19: on the chain path the attach frame ALSO carries the
+      // band-hash array, so the deferred chain filter and the verify read
+      // from the same two broadcasts (r18 built four).
+      val joined =
+        if (stage.chainDeferred) {
+          val attach = signaturesAnd(df, idCol, textCol, k, shingle,
+              "ws" -> shingleHashFromWords(col("__w"), shingle))
+            .select(col(idCol), bandHashArrOf(bands, k / bands).as("__bhs"), col("ws"))
+          stage.cand0
+            .join(broadcast(attach.select(col(idCol).as("i"),
+              col("__bhs").as("__bi"), col("ws").as("wi"))), Seq("i"))
+            .join(broadcast(attach.select(col(idCol).as("j"),
+              col("__bhs").as("__bj"), col("ws").as("wj"))), Seq("j"))
+            .filter(chainFilter(bands))
+        } else {
+          val wordsAll = df.select(col(idCol), shingleHashArr(col(textCol), shingle).as("ws"))
+          stage.cand0
+            .join(broadcast(wordsAll.select(col(idCol).as("i"), col("ws").as("wi"))), Seq("i"))
+            .join(broadcast(wordsAll.select(col(idCol).as("j"), col("ws").as("wj"))), Seq("j"))
+        }
+      val result = joined
         .withColumn("__inter", graft.functions.SortedIntersectCount(col("wi"), col("wj")))
         .withColumn("sim", col("__inter").cast("double") /
           (size(col("wi")) + size(col("wj")) - col("__inter")).cast("double"))
@@ -536,7 +591,24 @@ object TextDedup {
     */
   private[graft] final case class MinhashCandidates(cand0: DataFrame,
       capped: DataFrame, banded: DataFrame, docBhs: Option[DataFrame],
-      strategy: String, nDocs: Long, small: Boolean)
+      strategy: String, nDocs: Long, small: Boolean,
+      chainDeferred: Boolean = false)
+
+  /** First-matching-band chain predicate over attached `__bi`/`__bj`
+    * band-hash arrays and the joined row's `band` — keeps a pair only in
+    * the first band where both hashes agree (exactly-once emission; a
+    * codegen'd And-chain of GetArrayItem compares, see the chain-path
+    * notes in [[minhashCandidateStage]]).
+    */
+  private def chainFilter(bands: Int): Column =
+    (0 until bands - 1).map(b =>
+      col("band") <= b || col("__bi").getItem(b) =!= col("__bj").getItem(b))
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+  /** The per-signature band-hash array (64-bit buckets, round 18). */
+  private def bandHashArrOf(bands: Int, rows: Int): Column =
+    array((0 until bands).map(bi =>
+      xxhash64(lit(bi), slice(col("sig"), bi * rows + 1, rows))): _*)
 
   private[graft] def minhashCandidateStage(df: DataFrame, idCol: String,
       textCol: String, k: Int, bands: Int, shingle: Int,
@@ -553,8 +625,7 @@ object TextDedup {
     // Results are identical by construction: docs with EQUAL signature
     // slices collide under any hash, and unequal-slice collisions were
     // verify-rejected noise. Cost: +4 B/banded row in the cache.
-    def bandHashArr: Column = array((0 until bands).map(bi =>
-      xxhash64(lit(bi), slice(col("sig"), bi * rows + 1, rows))): _*)
+    def bandHashArr: Column = bandHashArrOf(bands, rows)
     val banded0 = sig.select(col(idCol),
       posexplode(bandHashArr).as(Seq("band", "bh")))
     val (capped, banded, bstats) = cappedBandedBuckets(banded0, Seq("band", "bh"),
@@ -577,29 +648,32 @@ object TextDedup {
         .filter(col("i") < col("j"))
         .select(col("i"), col("j"))
       MinhashCandidates(cand0, capped, banded, None, "chain", nDocs, small)
+    } else if (useChain && small) {
+      // Small corpora (round 19): the chain filter is DEFERRED to the
+      // verify — cand0 carries the joined row's `band` and the caller
+      // attaches ONE combined broadcast frame per side holding both the
+      // band-hash array (chain dedup) and the shingle array (verify).
+      // r18 paid FOUR broadcast builds here (two docBhs + two wordsAll,
+      // each re-scanning the ≤64 MB input); the combined attach pays two,
+      // and the chain + verify still fuse into one codegen stage.
+      val cand0 = capped.select(col(idCol).as("i"), col("band"), col("bh"))
+        .join(capped.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"), col("band"))
+      MinhashCandidates(cand0, capped, banded, None, "chain", nDocs, small,
+        chainDeferred = true)
     } else if (useChain) {
-      // Per-doc band-hash array for the prior-band chain filter. Small
-      // corpora (round 18): a pure PROJECTION re-derivation from the
-      // signature — zero exchange, zero persist, and the two broadcast
-      // builds each re-scan an input that is ≤128 MB by the gate; values
-      // are identical by construction (hash-of-slice over the
-      // deterministic signature — the same expressions banding used).
-      // Large corpora: rebuilt FROM the cache (one exchange of bandedRows
-      // rows — cheap by the volume ≫ rows precondition; no second corpus
-      // scan): array_sort on struct(band, bh) orders by band, so bhs[b] is
-      // band b's hash. Persisted because broadcast-exchange reuse does NOT
-      // fire across the two self-join sides here (measured: the aggregate
-      // ran twice).
+      // Per-doc band-hash array for the prior-band chain filter, rebuilt
+      // FROM the cache (one exchange of bandedRows rows — cheap by the
+      // volume ≫ rows precondition; no second corpus scan): array_sort on
+      // struct(band, bh) orders by band, so bhs[b] is band b's hash.
+      // Persisted because broadcast-exchange reuse does NOT fire across
+      // the two self-join sides here (measured: the aggregate ran twice).
       val docBhs =
-        if (small) sig.select(col(idCol), bandHashArr.as("__bhs"))
-        else capped.groupBy(col(idCol)).agg(
+        capped.groupBy(col(idCol)).agg(
           transform(array_sort(collect_list(struct(col("band"), col("bh")))),
             x => x.getField("bh")).as("__bhs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // bands = 1 has no prior bands — emission is already exactly-once
-      val chain = (0 until bands - 1).map(b =>
-        col("band") <= b || col("__bi").getItem(b) =!= col("__bj").getItem(b))
-        .reduceOption(_ && _).getOrElse(lit(true))
       // arrays attach AFTER the self-join, not before: the sort-merge join
       // copies its buffered side (and its output rows) field-by-field, and
       // carrying a bands-wide array through 47M joined rows measured ~21 s
@@ -607,15 +681,15 @@ object TextDedup {
       // fuse with the chain filter in ONE codegen stage — the arrays are
       // read IN PLACE from the broadcast relations and never materialize
       // into any output row (the final projection is the bare ids).
+      // (bands = 1 has no prior bands — handled above, never reaches here.)
       val cand0 = capped.select(col(idCol).as("i"), col("band"), col("bh"))
         .join(capped.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
         .filter(col("i") < col("j"))
         .join(broadcast(docBhs.select(col(idCol).as("i"), col("__bhs").as("__bi"))), Seq("i"))
         .join(broadcast(docBhs.select(col(idCol).as("j"), col("__bhs").as("__bj"))), Seq("j"))
-        .filter(chain)
+        .filter(chainFilter(bands))
         .select(col("i"), col("j"))
-      MinhashCandidates(cand0, capped, banded,
-        if (small) None else Some(docBhs), "chain", nDocs, small)
+      MinhashCandidates(cand0, capped, banded, Some(docBhs), "chain", nDocs, small)
     } else {
       val cand0 = capped.select(col(idCol).as("i"), col("band"), col("bh"))
         .join(capped.select(col(idCol).as("j"), col("band"), col("bh")), Seq("band", "bh"))
@@ -1347,6 +1421,14 @@ object TextDedup {
     * against a 1e6-doc index at local[32]). Signature parameters must
     * match between index and [[dropCorpusNearDups]] — they key the band
     * hashes.
+    *
+    * INDEX FORMAT: `bh` is the 64-bit `xxhash64(band, slice)` band bucket
+    * (LongType) since round 18. An index PERSISTED with the earlier
+    * 32-bit `hash()` buckets (IntegerType `bh`) can never match the
+    * current probe hashes — an int/long equi-join coerces silently and
+    * every near-dup would be admitted — so [[dropCorpusNearDups]] and
+    * [[nearDupIndexAppend]] REJECT an integer `bh` column: rebuild such
+    * an index with this method.
     */
   def nearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, shingle: Int = 1): (DataFrame, DataFrame) = {
@@ -1376,6 +1458,7 @@ object TextDedup {
   def dropCorpusNearDups(incoming: DataFrame, idCol: String, textCol: String,
       idxBands: DataFrame, idxWords: DataFrame, threshold: Double = 0.9,
       k: Int = 64, bands: Int = 16, shingle: Int = 1): DataFrame = {
+    requireLongBandBuckets(idxBands, "dropCorpusNearDups")
     val inBands = bandedSignatures(incoming, idCol, textCol, k, bands, shingle)
       .select(col(idCol).as("__in"), col("band"), col("bh"))
     val cand = inBands.join(idxBands, Seq("band", "bh"))
@@ -1409,7 +1492,25 @@ object TextDedup {
   def nearDupIndexAppend(idxBands: DataFrame, idxWords: DataFrame,
       admitted: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, shingle: Int = 1): (DataFrame, DataFrame) = {
+    // unioning new long buckets into an int-bucket index would coerce the
+    // old values to longs that never equal any probe hash — reject here
+    // too, not just at probe time
+    requireLongBandBuckets(idxBands, "nearDupIndexAppend")
     val (nb, nw) = nearDupIndex(admitted, idCol, textCol, k, bands, shingle)
     (idxBands.unionByName(nb), idxWords.unionByName(nw))
+  }
+
+  /** Fail loudly on a [[nearDupIndex]] persisted before the round-18
+    * 64-bit band buckets (IntegerType `bh`): probing it with long
+    * xxhash64 values silently matches NOTHING (int/long join keys
+    * coerce), so every near-dup would be admitted.
+    */
+  private def requireLongBandBuckets(idxBands: DataFrame, op: String): Unit = {
+    val bhType = idxBands.schema.fields.find(_.name == "bh").map(_.dataType)
+    require(bhType.forall(_ == org.apache.spark.sql.types.LongType),
+      s"$op: idxBands.bh is ${bhType.map(_.simpleString).getOrElse("absent")}, " +
+      "expected bigint — this index predates the 64-bit band-bucket hash " +
+      "(round 18) and cannot match current probe hashes; rebuild it with " +
+      "nearDupIndex")
   }
 }
