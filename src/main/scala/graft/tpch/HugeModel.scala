@@ -1,7 +1,7 @@
 package graft.tpch
 
 import graft.core.{Cube, Database, Dimension}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.concurrent.TrieMap
 
@@ -64,6 +64,18 @@ object HugeModel {
       d.commit()
       d
     }
+    val level = org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_HUGE_PERSIST", "MEMORY_AND_DISK"))
+    val facts = factsFrame(spark, rows).persist(level)
+    facts.count()
+    persisted.put(s"huge-$rows", facts)
+    db.addCube("huge", dims, facts)
+  }
+
+  /** The unpersisted facts aggregation (split from [[build]] so the plan
+    * can be dumped — `Profile hugeplan`).
+    */
+  private[graft] def factsFrame(spark: SparkSession, rows: Long): DataFrame = {
     // leaf ids are 1..100 ("All" gets id 0 as the first-created member).
     // Generator variants + input-slice width are env-tunable for the GC
     // experiments the 1e8 rows drive (r16 verdict #5) — the default stays
@@ -73,29 +85,55 @@ object HugeModel {
     //  - SPARK_GRAFT_HUGE_SLICES=n: explicit range slices (map-side agg
     //    hash tables shrink as rows/slices)
     //  - SPARK_GRAFT_HUGE_PERSIST=MEMORY_AND_DISK_SER|OFF_HEAP|...
-    val dimCols =
+    // digit_i ∈ [0, 99] per dimension — the SAME hash digits under either
+    // generator; d_i = digit_i + 1 everywhere below
+    val digitCols: Seq[Column] =
       if (sys.env.get("SPARK_GRAFT_HUGE_GEN").contains("packed")) {
         val h = Array(xxhash64(col("id")), xxhash64(col("id"), lit(1)))
-        (0 until NDims).map { i =>
-          val digit = pmod(h(i / 4) / pow100(i % 4), lit(LeavesPerDim.toLong))
-          (digit + 1).cast("int").as(s"d$i")
-        }
+        (0 until NDims).map(i => pmod(h(i / 4) / pow100(i % 4), lit(LeavesPerDim.toLong)))
       } else (0 until NDims).map(i =>
-        (pmod(xxhash64(col("id"), lit(i)), lit(LeavesPerDim)) + 1).cast("int").as(s"d$i"))
+        pmod(xxhash64(col("id"), lit(i)), lit(LeavesPerDim.toLong)))
     val range = sys.env.get("SPARK_GRAFT_HUGE_SLICES").map(_.toInt) match {
       case Some(n) => spark.range(0, rows, 1, n)
       case None => spark.range(rows)
     }
-    val level = org.apache.spark.storage.StorageLevel.fromString(
-      sys.env.getOrElse("SPARK_GRAFT_HUGE_PERSIST", "MEMORY_AND_DISK"))
-    val facts = range
-      .select(dimCols :+ lit(1.0).as("value"): _*)
-      .groupBy((0 until NDims).map(i => col(s"d$i")): _*)
-      .agg(sum(col("value")).as("value"))
-      .persist(level)
-    facts.count()
-    persisted.put(s"huge-$rows", facts)
-    db.addCube("huge", dims, facts)
+    // sys.prop first so specs can pin the pre-r19 shape without forking
+    val group = sys.props.get("graft.huge.group")
+      .orElse(sys.env.get("SPARK_GRAFT_HUGE_GROUP"))
+    if (group.contains("ints")) {
+      // pre-round-19 shape, kept reachable for A/B: group by the 8 int
+      // columns directly (40 B grouping key) and sum the constant 1.0
+      range
+        .select(digitCols.zipWithIndex.map { case (c, i) =>
+          (c + 1).cast("int").as(s"d$i") } :+ lit(1.0).as("value"): _*)
+        .groupBy((0 until NDims).map(i => col(s"d$i")): _*)
+        .agg(sum(col("value")).as("value"))
+    } else {
+      // Packed-key aggregation (round 19, guide §2.3 "shuffle fewer
+      // bytes" / narrower keys): the 8 base-100 digits pack bijectively
+      // into ONE long (100^8 = 1e16 < 2^63), so the pre-aggregation
+      // groups by a single long instead of an 8-int UnsafeRow — the
+      // shuffle row shrinks 48 B → 16 B and both hash aggregates take
+      // the single-primitive-key fast path. The address space is 1e16,
+      // so the map-side aggregate combines ~nothing (1e8 in → 1e8
+      // shuffle rows) — the key width IS the cost. Measured at 1e8×32
+      // cores (Profile huge8, best-of-3): 24.0 s → 11.6 s, per-stage
+      // spill 13.0 GB mem + 2.2 GB disk → 8.2 + 1.5, executor CPU
+      // 697 s → 325 s. value ≡ 1.0 per generated row, so
+      // sum(value) = count(*)·1.0 exactly (integer-valued doubles);
+      // decode back to d0..d7 is exact long arithmetic (div/mod 100^i),
+      // byte-identical addresses by construction. Oracle-pinned at 1e6
+      // (olap_huge_top, point-read rows) + HugeModelSpec parity.
+      val packed = digitCols.zipWithIndex
+        .map { case (c, i) => c * pow100(i) }.reduce(_ + _)
+      range
+        .select(packed.as("__p"))
+        .groupBy(col("__p")).agg(count(lit(1)).as("__n"))
+        .select((0 until NDims).map(i => (pmod(
+            expr(s"__p div ${Seq.fill(i)(100L).foldLeft(1L)(_ * _)}"),
+            lit(LeavesPerDim.toLong)) + 1).cast("int").as(s"d$i")) :+
+          col("__n").cast("double").as("value"): _*)
+    }
   }
 
   /** Batched random base-cell point reads: `n` pseudo-random addresses

@@ -25,6 +25,28 @@ class HugeModelSpec extends AnyFunSuite {
     assert(cube.get(Seq("m5", "m7") ++ Seq.fill(6)("All")).contains(expected2))
   }
 
+  test("packed-key build ≡ 8-int-column build (grouping-shape parity)") {
+    // round 19: the default build groups by ONE packed long (base-100
+    // digits, bijective) and counts; the pre-r19 shape groups by the 8 int
+    // columns and sums 1.0. Same facts by construction — pin it row-for-row
+    // at a row count no other suite memoizes.
+    val rows = 54321L
+    val packed = HugeModel.at(spark, rows).facts
+      .orderBy((0 until HugeModel.NDims).map(i => col(s"d$i")): _*)
+      .collect()
+    System.setProperty("graft.huge.group", "ints")
+    try {
+      val ints = HugeModel.rebuild(spark, rows).facts
+        .orderBy((0 until HugeModel.NDims).map(i => col(s"d$i")): _*)
+        .collect()
+      assert(packed.length == ints.length)
+      packed.zip(ints).foreach { case (p, n) => assert(p == n) }
+    } finally {
+      System.clearProperty("graft.huge.group")
+      HugeModel.drop(rows)
+    }
+  }
+
   test("identity rollups skip the closure join; partial/weighted covers keep it") {
     val cube = HugeModel.get(spark)
     // All^8: every dimension's All covers every leaf at weight 1 — the plan

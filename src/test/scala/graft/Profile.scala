@@ -111,11 +111,37 @@ object Profile {
           f"pairs=$n (expect ${docs8 / 100})")
         if (sys.env.contains("SPARK_GRAFT_PAIRS8_PLAN")) pairs.explain("formatted")
         spark.stop()
+      case "hugeplan" =>
+        // explain("formatted") of the huge-model facts aggregation under
+        // the current group knob (SPARK_GRAFT_HUGE_GROUP / graft.huge.group)
+        // — the committable plan evidence for the huge_build rows.
+        val rows = sys.env.getOrElse("SPARK_GRAFT_HUGE8_ROWS", "100000000").toLong
+        val spark = Bench.session()
+        graft.tpch.HugeModel.factsFrame(spark, rows).explain("formatted")
+        spark.stop()
       case "huge8" =>
         val what = rest.headOption.getOrElse("build")
         val passes = rest.drop(1).headOption.map(_.toInt).getOrElse(2)
         val rows = sys.env.getOrElse("SPARK_GRAFT_HUGE8_ROWS", "100000000").toLong
         val spark = Bench.session()
+        // per-stage attribution (same shape as pairs8): where does the
+        // build row actually spend — generation+hash, exchange, final
+        // agg, or cache materialization?
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = s.stageInfo
+            val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+            val tm = si.taskMetrics
+            if (dur >= 0.5) System.err.println(
+              f"[stage ${si.stageId}%3d] ${dur}%7.2f s tasks=${si.numTasks}%4d " +
+              f"run=${tm.executorRunTime / 1000.0}%7.1f cpu=${tm.executorCpuTime / 1e9}%7.1f " +
+              f"gc=${tm.jvmGCTime / 1000.0}%5.1f spillM=${tm.memoryBytesSpilled / 1048576}%6d " +
+              f"spillD=${tm.diskBytesSpilled / 1048576}%6d " +
+              f"shufR=${tm.shuffleReadMetrics.recordsRead}%10d " +
+              f"shufW=${tm.shuffleWriteMetrics.recordsWritten}%10d  ${si.name.split("\n").head.take(60)}")
+          }
+        })
         import scala.jdk.CollectionConverters._
         def gcMs: Long = java.lang.management.ManagementFactory
           .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
@@ -126,7 +152,7 @@ object Profile {
             f"gc=${gcMs - g0} ms")
         }
         val variant = Seq("SPARK_GRAFT_HUGE_GEN", "SPARK_GRAFT_HUGE_SLICES",
-          "SPARK_GRAFT_HUGE_PERSIST", "SPARK_GRAFT_OFFHEAP")
+          "SPARK_GRAFT_HUGE_PERSIST", "SPARK_GRAFT_OFFHEAP", "SPARK_GRAFT_HUGE_GROUP")
           .flatMap(k => sys.env.get(k).map(v => s"$k=$v")).mkString(" ") match {
           case "" => "baseline"; case s => s
         }
