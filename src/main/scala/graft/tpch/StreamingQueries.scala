@@ -98,20 +98,38 @@ object StreamingQueries {
     * library.
     */
   private def withStatePartitions[A](s: SparkSession, n: Int,
-      rocksdb: Boolean = false)(body: => A): A = {
+      rocksdb: Boolean = false, noDataBatch: Boolean = true)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    val prevNoData = s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    // A/B + production-tuning override of the sized defaults (r19
+    // re-measurement; defaults unchanged — see ARCHITECTURE §6b9)
+    val nEff = sys.env.get("GRAFT_STREAM_STATE_PARTS").map(_.toInt).getOrElse(n)
+    s.conf.set("spark.sql.shuffle.partitions", nEff.toString)
     if (rocksdb && !sys.env.get("GRAFT_STATE_PROVIDER").contains("hdfs")) {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       s.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     }
+    // `noDataBatch = false` skips the final zero-row watermark-finalization
+    // micro-batch (round 19, guide §2.4 "fewer jobs"): on a finite
+    // AvailableNow replay of an INNER stream-stream join every match is
+    // emitted in the batch its later side arrives (by batch 11 of 12), so
+    // trigger 12 is a full ~0.6 s trigger of pure scheduling overhead.
+    // Measured (alternating A/B, warm pass): 9.72 vs 8.97 s. NOT used on
+    // shapes whose output depends on watermark finalization (append-mode
+    // aggregations); the conf is set+restored per query, session untouched.
+    if (!noDataBatch)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       prevProv match {
         case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(v) => s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
       }
     }
   }
@@ -493,7 +511,7 @@ object StreamingQueries {
       // i.e. the micro-batch machinery itself, recorded in ARCHITECTURE §6.
       // The window twins stay at 8p: Complete-mode re-emission parallelizes
       // there (8p 8.3/9.8 s vs 1p 9.6/15.7 s tumbling/sessionize).
-      withStatePartitions(s, 2) {
+      withStatePartitions(s, 2, noDataBatch = false) {
         val stream = eventsStream(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
         val clicks = stream.filter(col("event_type") === "click")

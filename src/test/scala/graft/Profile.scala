@@ -111,6 +111,91 @@ object Profile {
           f"pairs=$n (expect ${docs8 / 100})")
         if (sys.env.contains("SPARK_GRAFT_PAIRS8_PLAN")) pairs.explain("formatted")
         spark.stop()
+      case "stream" =>
+        // per-trigger attribution for the streaming twins: queryProgress
+        // durationMs (addBatch/getBatch/commitOffsets/walCommit/
+        // triggerExecution) + state commit times, per micro-batch.
+        val names = if (rest.nonEmpty) rest else
+          Seq("rel_events_tumbling_stream", "rel_sessionize_stream",
+            "rel_event_pairs_stream")
+        val spark = Bench.session()
+        // A/B levers for this mode only (session conf, read by the twins)
+        sys.env.get("GRAFT_STREAM_NODATA").foreach(v =>
+          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v))
+        sys.env.get("GRAFT_STREAM_ROCKSDB").foreach { _ =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+        }
+        spark.streams.addListener(
+          new org.apache.spark.sql.streaming.StreamingQueryListener {
+            import org.apache.spark.sql.streaming.StreamingQueryListener._
+            override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+            override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+            override def onQueryProgress(e: QueryProgressEvent): Unit = {
+              val p = e.progress
+              val d = p.durationMs
+              def ms(k: String) = Option(d.get(k)).map(_.longValue).getOrElse(-1L)
+              val commit = p.stateOperators.map(_.commitTimeMs).sum
+              System.err.println(
+                f"[trigger ${p.batchId}%3d] rows=${p.numInputRows}%7d " +
+                f"trig=${ms("triggerExecution")}%5d addBatch=${ms("addBatch")}%5d " +
+                f"getBatch=${ms("getBatch")}%4d latestOffset=${ms("latestOffset")}%4d " +
+                f"walCommit=${ms("walCommit")}%4d commitOffsets=${ms("commitOffsets")}%4d " +
+                f"stateCommit=${commit}%5d")
+            }
+          })
+        names.foreach { name =>
+          (1 to 2).foreach { i =>
+            val t0 = System.nanoTime()
+            val n = SparkEntry.queries(name)(spark, sfDir).count()
+            println(f"[stream] $name pass$i ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+          }
+        }
+        spark.stop()
+      case "minhash8" =>
+        // the huge8_pipe_minhash body (signatures + band hashes + HLL
+        // distinct, zero doc-grain exchange) with per-stage metrics —
+        // adjudication harness for the r18 50.3-s-vs-37.9-min question.
+        import org.apache.spark.sql.functions.{approx_count_distinct, array,
+          col, concat, concat_ws, lit, pmod, posexplode, slice, xxhash64}
+        val docs8 = sys.env.getOrElse("SPARK_GRAFT_HUGE8_MINHASH_DOCS",
+          "100000000").toLong
+        val parts = sys.env.getOrElse("SPARK_GRAFT_HUGE8_MINHASH_PARTS", "256").toInt
+        val passes = rest.headOption.map(_.toInt).getOrElse(3)
+        val spark = Bench.session()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = s.stageInfo
+            val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+            val tm = si.taskMetrics
+            if (dur >= 0.5) System.err.println(
+              f"[stage ${si.stageId}%3d] ${dur}%7.2f s tasks=${si.numTasks}%4d " +
+              f"run=${tm.executorRunTime / 1000.0}%7.1f cpu=${tm.executorCpuTime / 1e9}%7.1f " +
+              f"gc=${tm.jvmGCTime / 1000.0}%5.1f spillM=${tm.memoryBytesSpilled / 1048576}%6d " +
+              f"spillD=${tm.diskBytesSpilled / 1048576}%6d  ${si.name.split("\n").head.take(60)}")
+          }
+        })
+        (1 to passes).foreach { i =>
+          val t0 = System.nanoTime()
+          val docs = spark.range(0, docs8, 1, parts)
+            .select(col("id").as("doc"),
+              concat_ws(" ", (0 until 8).map(j =>
+                concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(50000)))): _*)
+                .as("text"))
+          val sig = graft.pipeline.TextDedup.minhashSignatures(
+            docs, "doc", "text", k = 16)
+          val rowsPerBand = 4
+          val banded = sig.select(posexplode(array((0 until 4).map(bi =>
+            xxhash64(lit(bi), slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand))): _*))
+            .as(Seq("band", "bh")))
+          val nb = banded.agg(approx_count_distinct(col("bh")).as("nb"))
+            .collect()(0).getLong(0)
+          println(f"[minhash8] pass$i ${(System.nanoTime() - t0) / 1e9}%8.2f s nb=$nb")
+        }
+        spark.stop()
       case "hugeplan" =>
         // explain("formatted") of the huge-model facts aggregation under
         // the current group knob (SPARK_GRAFT_HUGE_GROUP / graft.huge.group)
