@@ -67,7 +67,19 @@ object HugeModel {
     val level = org.apache.spark.storage.StorageLevel.fromString(
       sys.env.getOrElse("SPARK_GRAFT_HUGE_PERSIST", "MEMORY_AND_DISK"))
     val facts = factsFrame(spark, rows).persist(level)
-    facts.count()
+    val groupKnob = sys.props.get("graft.huge.group")
+      .orElse(sys.env.get("SPARK_GRAFT_HUGE_GROUP"))
+    if (groupKnob.contains("packed_sort")) {
+      // the packed_sort variant's aggregates must plan as streaming
+      // sort-aggregates over the sorted exchange output
+      val prev = spark.conf.getOption("spark.sql.execution.replaceHashWithSortAgg")
+      spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
+      try facts.count()
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", v)
+        case None => spark.conf.unset("spark.sql.execution.replaceHashWithSortAgg")
+      }
+    } else facts.count()
     persisted.put(s"huge-$rows", facts)
     db.addCube("huge", dims, facts)
   }
@@ -126,9 +138,23 @@ object HugeModel {
       // (olap_huge_top, point-read rows) + HugeModelSpec parity.
       val packed = digitCols.zipWithIndex
         .map { case (c, i) => c * pow100(i) }.reduce(_ + _)
-      range
-        .select(packed.as("__p"))
-        .groupBy(col("__p")).agg(count(lit(1)).as("__n"))
+      val keys = range.select(packed.as("__p"))
+      val grouped =
+        if (group.contains("packed_sort"))
+          // A/B variant, measured WORSE — kept reachable to record the
+          // negative result: ship the RAW 8-byte key (no partial agg, no
+          // map-side hash table or spill) and sort-aggregate after the
+          // exchange (replaceHashWithSortAgg scoped in [[build]]). At
+          // 1e8×32 best-of-3 the map stage indeed drops to ~3-5 s with
+          // zero spill, but the reduce-side SORT of the raw rows spills
+          // 16 GB and triples GC (19.7 s vs 11.6 s for the hash-agg
+          // default): near-unique keys make the partial agg useless as a
+          // COMBINER, but its hash table is still a cheaper grouping
+          // structure than a full sort at this grain.
+          keys.repartition(col("__p")).sortWithinPartitions("__p")
+            .groupBy(col("__p")).agg(count(lit(1)).as("__n"))
+        else keys.groupBy(col("__p")).agg(count(lit(1)).as("__n"))
+      grouped
         .select((0 until NDims).map(i => (pmod(
             expr(s"__p div ${Seq.fill(i)(100L).foldLeft(1L)(_ * _)}"),
             lit(LeavesPerDim.toLong)) + 1).cast("int").as(s"d$i")) :+

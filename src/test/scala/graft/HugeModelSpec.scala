@@ -34,13 +34,15 @@ class HugeModelSpec extends AnyFunSuite {
     val packed = HugeModel.at(spark, rows).facts
       .orderBy((0 until HugeModel.NDims).map(i => col(s"d$i")): _*)
       .collect()
-    System.setProperty("graft.huge.group", "ints")
     try {
-      val ints = HugeModel.rebuild(spark, rows).facts
-        .orderBy((0 until HugeModel.NDims).map(i => col(s"d$i")): _*)
-        .collect()
-      assert(packed.length == ints.length)
-      packed.zip(ints).foreach { case (p, n) => assert(p == n) }
+      Seq("ints", "packed_sort").foreach { variant =>
+        System.setProperty("graft.huge.group", variant)
+        val other = HugeModel.rebuild(spark, rows).facts
+          .orderBy((0 until HugeModel.NDims).map(i => col(s"d$i")): _*)
+          .collect()
+        assert(packed.length == other.length, s"row count differs ($variant)")
+        packed.zip(other).foreach { case (p, n) => assert(p == n, s"($variant)") }
+      }
     } finally {
       System.clearProperty("graft.huge.group")
       HugeModel.drop(rows)
